@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.VectorOps._
+import graft.index.IVFFlat
 import graft.operators.Exhaustive
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -18,6 +19,13 @@ object SparkEntry {
 
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** Deterministic pseudo-centroids for SQL-checkable IVFFlat queries:
+    * the embedding vectors with vec_id < 8, cluster id = vec_id. */
+  private def fixedCentroids(emb: DataFrame): Array[Array[Float]] =
+    emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+      .select(col("embedding").cast("array<float>")).collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -67,6 +75,43 @@ object SparkEntry {
         .orderBy(col("keep_id"))
     }),
 
+    // Vector kernels per row: magnitude and magnitude-after-normalize
+    // (exercises dot/magnitude/normalizeF incl. the 1e-6 guard,
+    // base.rs:91-105) — scalar doubles, bit-identical to the oracle.
+    "vec_kernels" -> ((s, dir) => {
+      tbl(s, dir, "embeddings")
+        .select(col("vec_id"),
+          magnitude(col("embedding")).as("mag"),
+          magnitude(normalizeF(col("embedding"))).as("norm_mag"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // IVFFlat cluster assignment against FIXED centroids (vectors with
+    // vec_id < 8): the argmin-sqdist kernel of ivfflat.rs:29-46, made
+    // SQL-checkable by pinning the centroids (MLlib-built centroids are
+    // exercised in ScalaTest instead — not SQL-reproducible).
+    "ivf_assign" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = fixedCentroids(emb)
+      IVFFlat.assign(emb, "vec_id", "embedding", cents)
+        .select(col("id"), col("cluster"))
+        .orderBy(col("id"))
+    }),
+
+    // IVFFlat probed search against the same fixed centroids: 5 queries,
+    // probe the 2 nearest clusters, exact re-rank, top-10
+    // (ivfflat.rs:153-198 shape, deterministic end-to-end).
+    "ivf_search_fixed" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = fixedCentroids(emb)
+      val indexed = IVFFlat.assign(emb, "vec_id", "embedding", cents)
+      val sizes = Array.fill(cents.length)(Long.MaxValue) // force nprobe exactly
+      val model = IVFFlat.Model(IVFFlat.Params(cents.length), cents, sizes, indexed)
+      model.searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = 2)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
     // Token counting over the documents table (whitespace tokenizer).
     "text_tokens" -> ((s, dir) => {
       tbl(s, dir, "documents")
@@ -107,6 +152,64 @@ object SparkEntry {
         |      (a, b) -> a + b) AS distance
         |  FROM embeddings c, embeddings q WHERE q.vec_id < 5)
         |SELECT qid, id, distance FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 10
+        |ORDER BY qid, distance, id""".stripMargin,
+
+    "vec_kernels" ->
+      """SELECT vec_id,
+        |  sqrt(list_reduce(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b)) AS mag,
+        |  CASE WHEN sqrt(list_reduce(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b)) < 1e-6
+        |   THEN sqrt(list_reduce(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b))
+        |   ELSE sqrt(list_reduce(list_transform(embedding,
+        |      x -> CAST(CAST(CAST(x AS DOUBLE) / sqrt(list_reduce(list_transform(embedding,
+        |             y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), (a,b) -> a+b)) AS REAL) AS DOUBLE)
+        |         * CAST(CAST(CAST(x AS DOUBLE) / sqrt(list_reduce(list_transform(embedding,
+        |             y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), (a,b) -> a+b)) AS REAL) AS DOUBLE)),
+        |      (a,b) -> a+b))
+        |  END AS norm_mag
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "ivf_assign" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8)
+        |SELECT c.vec_id AS id, CAST(k.cid AS INT) AS cluster
+        |FROM embeddings c CROSS JOIN cent k
+        |QUALIFY row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |  list_reduce(list_transform(list_zip(k.cvec, c.embedding),
+        |    x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |       * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (a,b) -> a+b),
+        |  k.cid) = 1
+        |ORDER BY id""".stripMargin,
+
+    "ivf_search_fixed" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+        |assigned AS (
+        |  SELECT c.vec_id AS id, c.embedding AS vec, k.cid
+        |  FROM embeddings c CROSS JOIN cent k
+        |  QUALIFY row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |    list_reduce(list_transform(list_zip(k.cvec, c.embedding),
+        |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (a,b) -> a+b),
+        |    k.cid) = 1),
+        |probes AS (
+        |  SELECT q.vec_id AS qid, q.embedding AS qvec, k.cid
+        |  FROM embeddings q CROSS JOIN cent k WHERE q.vec_id < 5
+        |  QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |    list_reduce(list_transform(list_zip(k.cvec, q.embedding),
+        |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (a,b) -> a+b),
+        |    k.cid) <= 2),
+        |cands AS (
+        |  SELECT p.qid, a.id,
+        |    list_reduce(list_transform(list_zip(a.vec, p.qvec),
+        |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (a,b) -> a+b) AS distance
+        |  FROM probes p JOIN assigned a ON a.cid = p.cid)
+        |SELECT qid, id, distance FROM cands
         |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 10
         |ORDER BY qid, distance, id""".stripMargin,
 
