@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.VectorOps._
-import graft.index.IVFFlat
+import graft.index.{IVFFlat, LSHForest}
 import graft.operators.Exhaustive
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -112,6 +112,23 @@ object SparkEntry {
         .orderBy(col("qid"), col("distance"), col("id"))
     }),
 
+    // LSH hyperplane sign-buckets against FIXED planes: the perpendicular
+    // bisectors of (v0,v1)..(v6,v7) give every vector a 4-bit signature
+    // (lsh.rs:27-29 point_is_above + lsh.rs:72-80 plane construction,
+    // SQL-checkable because the planes are pinned).
+    "lsh_bucket_fixed" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = fixedCentroids(emb)
+      val planes = (0 until 4).map(i =>
+        LSHForest.bisectorPlane(cents(2 * i), cents(2 * i + 1)))
+      val bucket = planes.zipWithIndex.map { case ((coeffs, const), i) =>
+        when(LSHForest.pointIsAbove(col("embedding"), coeffs, const), lit(1 << i))
+          .otherwise(lit(0))
+      }.reduce(_ + _)
+      emb.select(col("vec_id").as("id"), bucket.as("bucket"))
+        .orderBy(col("id"))
+    }),
+
     // Token counting over the documents table (whitespace tokenizer).
     "text_tokens" -> ((s, dir) => {
       tbl(s, dir, "documents")
@@ -122,9 +139,33 @@ object SparkEntry {
     }),
   )
 
+  /** DuckDB score expression for the bisector plane of (v_ai, v_bi)
+    * applied to vector column `v` — mirrors LSHForest.bisectorPlane +
+    * pointIsAbove fold-for-fold (terms from first element, const last;
+    * see VectorOps precision contract). */
+  private def lshScoreSql(ai: Int, bi: Int, v: String): String =
+    s"""(list_reduce(list_transform(list_zip(
+       |    (SELECT embedding FROM embeddings WHERE vec_id = $bi),
+       |    (SELECT embedding FROM embeddings WHERE vec_id = $ai), $v),
+       |  x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * CAST(x[3] AS DOUBLE)),
+       |  (s, t) -> s + t)
+       | - list_reduce(list_transform(list_zip(
+       |    (SELECT embedding FROM embeddings WHERE vec_id = $bi),
+       |    (SELECT embedding FROM embeddings WHERE vec_id = $ai)),
+       |  x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+       |     * ((CAST(x[2] AS DOUBLE) + CAST(x[1] AS DOUBLE)) / 2.0)),
+       |  (s, t) -> s + t))""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "lsh_bucket_fixed" -> {
+      val bits = (0 until 4).map { i =>
+        s"(CASE WHEN ${lshScoreSql(2 * i, 2 * i + 1, "e.embedding")} >= 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""SELECT e.vec_id AS id, $bits AS bucket
+         |FROM embeddings e ORDER BY id""".stripMargin
+    },
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
