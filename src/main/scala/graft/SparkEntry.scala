@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.VectorOps._
-import graft.index.{IVFFlat, LSHForest}
+import graft.index.{HNSW, HNSWGraph, IVFFlat, LSHForest}
 import graft.operators.Exhaustive
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -127,6 +127,18 @@ object SparkEntry {
       }.reduce(_ + _)
       emb.select(col("vec_id").as("id"), bucket.as("bucket"))
         .orderBy(col("id"))
+    }),
+
+    // Sharded HNSW top-10 under cosine distance for 5 queries. No SQL
+    // oracle (graph search isn't SQL-expressible) → driver rows-only
+    // check; recall vs the exhaustive oracle is gated in HNSWSpec.
+    "hnsw_knn" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val model = HNSW.build(emb, "vec_id", "embedding",
+        HNSWGraph.Params(numLayers = 6, efConstruction = 100, efSearch = 64, m = 16),
+        numShards = 4)
+      model.searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .orderBy(col("qid"), col("distance"), col("id"))
     }),
 
     // Token counting over the documents table (whitespace tokenizer).

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.index.{HNSW, HNSWGraph}
+import graft.operators.Exhaustive
+
+class HNSWSpec extends SparkSpec {
+
+  private lazy val emb =
+    spark.read.parquet(s"$sf0001/embeddings.parquet").cache()
+
+  test("core graph: exhaustive-equivalent when ef is huge, single shard") {
+    import spark.implicits._
+    val rows = emb.select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val g = HNSWGraph.build(
+      HNSWGraph.Params(numLayers = 6, efConstruction = 600, efSearch = 600, m = 16),
+      rows.iterator)
+    assert(g.size == rows.length)
+    // ef >= n makes layer-0 beam search exhaustive → exact top-k by cosine
+    val q = rows(4)._2
+    val got = g.searchKnn(q, 10).map(_._1)
+    val truth = Exhaustive.topK(emb, "vec_id", "embedding",
+        typedlit(q), 10, metric = "cosine")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == truth, s"got=$got truth=$truth")
+  }
+
+  test("core graph: levels are deterministic per id and capped") {
+    val g = new HNSWGraph(HNSWGraph.Params(numLayers = 4, m = 8))
+    val ls = (0L until 1000L).map(g.levelOf)
+    assert(ls.forall(l => l >= 0 && l < 4))
+    assert(ls == (0L until 1000L).map(g.levelOf)) // stable
+    assert(ls.count(_ == 0) > 500) // geometric-ish decay
+  }
+
+  private lazy val model = HNSW.build(emb, "vec_id", "embedding",
+    HNSWGraph.Params(numLayers = 6, efConstruction = 100, efSearch = 64, m = 16),
+    numShards = 4)
+
+  test("sharded search: recall@10 vs exhaustive cosine oracle >= 0.9") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val truth = Exhaustive.knnJoin(queries, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 10, metric = "cosine")
+      .select("qid", "id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val got = model.searchMany(queries, "vec_id", "embedding", k = 10)
+      .select("qid", "id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val mean = truth.keys.toSeq
+      .map(q => got.getOrElse(q, Set.empty).intersect(truth(q)).size / 10.0)
+      .sum / truth.size
+    assert(mean >= 0.9, s"mean recall@10 = $mean")
+  }
+
+  test("save/load round-trip preserves search results (utils.rs:140-148 shape)") {
+    val dir = java.nio.file.Files.createTempDirectory("hnsw").toString
+    model.save(dir)
+    val re = HNSW.load(spark, dir)
+    assert(re.params == model.params && re.numShards == model.numShards)
+    val queries = emb.filter(col("vec_id") === 13)
+    val before = model.searchMany(queries, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._2)
+    val after = re.searchMany(queries, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._2)
+    assert(before.sameElements(after))
+  }
+
+  test("add routes to one shard and the row is findable (queen-holdout shape)") {
+    import spark.implicits._
+    // the reference's holdout test: remove a row, build, add it back, query it
+    val without = emb.filter(col("vec_id") =!= 42)
+    val m2 = HNSW.build(without, "vec_id", "embedding",
+      HNSWGraph.Params(numLayers = 6, efConstruction = 100, efSearch = 64, m = 16),
+      numShards = 4)
+    val held = emb.filter(col("vec_id") === 42)
+    val m3 = m2.add(held, "vec_id", "embedding")
+    val hit = m3.searchMany(held, "vec_id", "embedding", 1).head()
+    assert(hit.getLong(1) == 42L)
+    assert(math.abs(hit.getDouble(2)) < 1e-6)
+  }
+}
