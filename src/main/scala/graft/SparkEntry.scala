@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.VectorOps._
 import graft.index.{HNSW, HNSWGraph, IVFFlat, LSHForest}
-import graft.operators.Exhaustive
+import graft.operators.{Dedup, Exhaustive, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -149,6 +149,53 @@ object SparkEntry {
           col("n_chars"))
         .orderBy(col("doc_id"))
     }),
+
+    // Language ID by stopword-hit argmax (n-gram heuristic family).
+    "text_langid" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality scoring: length/punctuation/stopword composite.
+    "text_quality" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // 16-bit SimHash fingerprint per document.
+    "text_simhash" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextOps.simhash16(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Content-defined set fingerprint per document.
+    "doc_fingerprint" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // MinHash-LSH near-dup candidate pairs (shingle→minhash→band→join).
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashBandPairs(tbl(s, dir, "documents"), "doc_id", "text")),
+
+    // Exact n-gram Jaccard pairs via shingle inverted index.
+    "dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.2)),
+
+    // SimHash pairs within Hamming radius 2 (pigeonhole chunk join).
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 2)),
+
+    // Embedding cosine near-dup pairs.
+    "dedup_embed" -> ((s, dir) =>
+      Dedup.embeddingPairs(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        maxCosDist = 0.7)),
   )
 
   /** DuckDB score expression for the bisector plane of (v_ai, v_bi)
@@ -168,9 +215,126 @@ object SparkEntry {
        |     * ((CAST(x[2] AS DOUBLE) + CAST(x[1] AS DOUBLE)) / 2.0)),
        |  (s, t) -> s + t))""".stripMargin
 
+  /** Shared DuckDB fragments mirroring TextOps (tokens/shingles). */
+  private val toksSql =
+    """list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)"""
+  private val shinglesSql =
+    """CASE WHEN len(toks) >= 3
+      | THEN list_transform(range(1, len(toks) - 1),
+      |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      | ELSE [] END""".stripMargin
+  private def stopHitSql(words: Seq[String]): String =
+    s"len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+  private val simhashSql: String = {
+    val high = "('8','9','a','b','c','d','e','f')"
+    (0 until 16).map { j =>
+      s"""(CASE WHEN list_sum(list_transform(toks,
+         |  t -> CASE WHEN substr(md5(t), ${j + 1}, 1) IN $high THEN 1 ELSE -1 END)) > 0
+         | THEN ${1 << j} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "text_langid" -> {
+      val s = TextOps.stopwords
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sc AS (SELECT doc_id,
+         |  ${stopHitSql(s("en"))} AS s_en, ${stopHitSql(s("de"))} AS s_de,
+         |  ${stopHitSql(s("es"))} AS s_es, ${stopHitSql(s("fr"))} AS s_fr
+         | FROM t)
+         |SELECT doc_id, CASE
+         |  WHEN s_en + s_de + s_es + s_fr = 0 THEN 'und'
+         |  WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |  WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |  WHEN s_es >= s_fr THEN 'es'
+         |  ELSE 'fr' END AS lang_pred
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
+
+    "text_quality" -> {
+      val s = TextOps.stopwords
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(toks) AS DOUBLE) AS n,
+         |  CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+         |    / CAST(length(text) AS DOUBLE) AS punct,
+         |  CAST(${stopHitSql(s("en"))} + ${stopHitSql(s("de"))}
+         |     + ${stopHitSql(s("es"))} + ${stopHitSql(s("fr"))} AS DOUBLE) AS stops
+         | FROM t)
+         |SELECT doc_id,
+         |  0.4 * least(CAST(1.0 AS DOUBLE), n / 100.0)
+         |  + 0.3 * (CAST(1.0 AS DOUBLE) - punct)
+         |  + 0.3 * (CASE WHEN n > 0 THEN stops / n ELSE CAST(0.0 AS DOUBLE) END) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    "text_simhash" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
+         |SELECT doc_id, CAST($simhashSql AS INTEGER) AS simhash
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
+         |SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "dedup_minhash" -> {
+      val mhs = (0 until 12).map(i =>
+        s"list_min(list_transform(sh, s -> md5(s || '#$i'))) AS mh_$i").mkString(",\n  ")
+      val keys = (0 until 6).map(b =>
+        s"md5(mh_${2 * b} || '|' || mh_${2 * b + 1})").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s2 AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+         |s3 AS (SELECT doc_id, sh FROM s2 WHERE len(sh) > 0),
+         |sig AS (SELECT doc_id,
+         |  $mhs
+         | FROM s3),
+         |bands AS (SELECT doc_id,
+         |  unnest([0, 1, 2, 3, 4, 5]) AS band,
+         |  unnest([$keys]) AS key
+         | FROM sig)
+         |SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS n_bands
+         |FROM bands l JOIN bands r
+         |  ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+    "dedup_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s2 AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+         |ex AS (SELECT doc_id, unnest(list_distinct(sh)) AS s FROM s2),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+         |inter AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS i
+         |  FROM ex l JOIN ex r ON l.s = r.s AND l.doc_id < r.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT i2.doc_a, i2.doc_b,
+         |  CAST(i2.i AS DOUBLE) / CAST(na.n + nb.n - i2.i AS DOUBLE) AS jaccard
+         |FROM inter i2
+         |JOIN sizes na ON na.doc_id = i2.doc_a
+         |JOIN sizes nb ON nb.doc_id = i2.doc_b
+         |WHERE CAST(i2.i AS DOUBLE) / CAST(na.n + nb.n - i2.i AS DOUBLE) >= 0.2
+         |ORDER BY 1, 2""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |fp AS (SELECT doc_id, CAST($simhashSql AS BIGINT) AS sim FROM t)
+         |SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         |  CAST(bit_count(xor(l.sim, r.sim)) AS INTEGER) AS hamming
+         |FROM fp l JOIN fp r ON l.doc_id < r.doc_id
+         |WHERE bit_count(xor(l.sim, r.sim)) <= 2
+         |ORDER BY 1, 2""".stripMargin,
+
+    "dedup_embed" ->
+      """SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+        |  1.0 - list_reduce(list_transform(list_zip(l.embedding, r.embedding),
+        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, b) -> a + b) AS distance
+        |FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+        |WHERE 1.0 - list_reduce(list_transform(list_zip(l.embedding, r.embedding),
+        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, b) -> a + b) < 0.7
+        |ORDER BY 1, 2""".stripMargin,
     "lsh_bucket_fixed" -> {
       val bits = (0 until 4).map { i =>
         s"(CASE WHEN ${lshScoreSql(2 * i, 2 * i + 1, "e.embedding")} >= 0 THEN ${1 << i} ELSE 0 END)"

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines, expressed as pure
+  * Catalyst column functions (codegen'd, no UDFs — SURVEY §2.9 UDF note).
+  * Every function here has a DuckDB-equivalent SQL shape used by the
+  * oracle queries in SparkEntry; the portability contract is:
+  * tokenization = regex whitespace split with empties dropped, hashes =
+  * md5 hex strings (identical across engines), arithmetic in double with
+  * fixed operand order.
+  *
+  * These extend the reference's surface (vers has no text ops) per the
+  * driver's north star; they reuse the engine's dedup/top-k shapes.
+  */
+object TextOps {
+
+  /** Whitespace tokens with empties removed (empty text → empty array). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > lit(0))
+
+  /** Word n-gram shingles joined by single spaces; docs with fewer than
+    * `n` tokens get an empty list. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** One MinHash component: min over shingles of md5(shingle + "#" + i).
+    * Min over hex strings is a valid pseudo-permutation family and is
+    * engine-portable (md5 hex is identical everywhere). NULL when the
+    * doc has no shingles. */
+  def minhash(shingleCol: Column, i: Int): Column =
+    array_min(transform(shingleCol, s => md5(concat(s, lit(s"#$i")))))
+
+  /** 16-bit SimHash over tokens: bit j is the sign of Σ±1 where a token
+    * votes +1 iff the (j+1)-th nibble of its md5 has its high bit set.
+    * Portable variant of Charikar's simhash (same structure, md5-nibble
+    * hash family). */
+  def simhash16(text: Column): Column = {
+    val toks = tokens(text)
+    val highNibble = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    (0 until 16).map { j =>
+      val vote = aggregate(toks, lit(0), (acc, t) =>
+        acc + when(substring(md5(t), j + 1, 1).isin(highNibble: _*), lit(1))
+          .otherwise(lit(-1)))
+      when(vote > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
+  /** Set fingerprint: md5 of the space-joined sorted distinct token set —
+    * content-defined doc identity robust to token order/repeats. */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(text))), " "))
+
+  /** Stopword lists for the n-gram/stopword language heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "de", "los", "es", "y", "un"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une"))
+
+  private def stopHits(toks: Column, lang: String): Column =
+    size(filter(toks, t => t.isin(stopwords(lang).map(lit): _*)))
+
+  /** Heuristic language ID: argmax of stopword hits with the fixed
+    * tie-break order en > de > es > fr; no hits at all → "und". */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val s = Map(
+      "en" -> stopHits(toks, "en"), "de" -> stopHits(toks, "de"),
+      "es" -> stopHits(toks, "es"), "fr" -> stopHits(toks, "fr"))
+    when(s("en") + s("de") + s("es") + s("fr") === 0, lit("und"))
+      .when(s("en") >= s("de") && s("en") >= s("es") && s("en") >= s("fr"), lit("en"))
+      .when(s("de") >= s("es") && s("de") >= s("fr"), lit("de"))
+      .when(s("es") >= s("fr"), lit("es"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Quality score ∈ [0,1]: 0.4·min(1, tokens/100) + 0.3·(1−punct ratio)
+    * + 0.3·stopword ratio. All double arithmetic, fixed operand order
+    * (oracle-portable). */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val punct = length(regexp_replace(text, "[a-z0-9 ]", ""))
+      .cast("double") / length(text).cast("double")
+    val stops = (stopHits(toks, "en") + stopHits(toks, "de") +
+      stopHits(toks, "es") + stopHits(toks, "fr")).cast("double")
+    val lenScore = least(lit(1.0), nTok / lit(100.0))
+    lit(0.4) * lenScore + lit(0.3) * (lit(1.0) - punct) +
+      lit(0.3) * when(nTok > 0, stops / nTok).otherwise(lit(0.0))
+  }
+}
