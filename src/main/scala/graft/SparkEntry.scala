@@ -7,6 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.functions.VectorOps._
 import graft.index.{HNSW, HNSWGraph, IVFFlat, LSHForest}
 import graft.operators.{Dedup, Exhaustive, TextOps}
+import graft.streaming.Streaming
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -196,6 +197,24 @@ object SparkEntry {
     "dedup_embed" -> ((s, dir) =>
       Dedup.embeddingPairs(tbl(s, dir, "embeddings"), "vec_id", "embedding",
         maxCosDist = 0.7)),
+
+    // Tumbling 5-min event-time aggregation — the batch face of the
+    // streaming.Streaming.windowCounts transformation (ns-long ts →
+    // timestamp via µs truncation, idiomatic window()).
+    "events_window" -> ((s, dir) => {
+      Streaming.windowCounts(
+          tbl(s, dir, "events")
+            .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+        .orderBy(col("w_start"), col("event_type"))
+    }),
+
+    // Gap sessionization (30-min), all-integer ns math; one row per
+    // session. Streaming twin: Streaming.sessionizeStream (tested
+    // equivalent in StreamingSpec).
+    "events_sessions" -> ((s, dir) => {
+      Streaming.sessionize(tbl(s, dir, "events"), gapSec = 1800L)
+        .orderBy(col("user_id"), col("session_id"))
+    }),
   )
 
   /** DuckDB score expression for the bisector plane of (v_ai, v_bi)
@@ -326,6 +345,25 @@ object SparkEntry {
          |FROM fp l JOIN fp r ON l.doc_id < r.doc_id
          |WHERE bit_count(xor(l.sim, r.sim)) <= 2
          |ORDER BY 1, 2""".stripMargin,
+
+    "events_window" ->
+      """SELECT ((epoch_ns(ts) // 1000) // 300000000) * 300 AS w_start,
+        |  event_type, count(*) AS n, min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events),
+        |f AS (SELECT user_id, event_id, tns,
+        |  CASE WHEN lag(tns) OVER w IS NULL
+        |         OR tns - lag(tns) OVER w > 1800000000000 THEN 1 ELSE 0 END AS flag
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)),
+        |g AS (SELECT user_id, tns,
+        |  CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM f)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(tns // 1000000000) AS start_s, max(tns // 1000000000) AS end_s
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "dedup_embed" ->
       """SELECT l.vec_id AS id_a, r.vec_id AS id_b,

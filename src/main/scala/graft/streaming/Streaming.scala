@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators. The reference's only online mutation is
+  * `Index::add` (base.rs:28, SURVEY §2.2/§3.3); its Spark-native analogue
+  * is a streaming ingest that appends to the embeddings table and patches
+  * the index via `foreachBatch`. Beyond that we add the event-time
+  * operators a training-data pipeline needs (windowed aggregation,
+  * gap sessionization), written so the SAME transformation serves batch
+  * DataFrames (→ DuckDB-oracle-checkable) and streaming ones (with
+  * watermarks).
+  */
+object Streaming {
+
+  /** Tumbling 5-minute counts + min/max per event type. Works on a batch
+    * or streaming `events` DataFrame; pass a watermark for append-mode
+    * streams. Window starts surface as epoch seconds (engine-portable —
+    * no timezone-rendering hazards in the oracle compare). */
+  def windowCounts(events: DataFrame, watermark: Option[String] = None): DataFrame = {
+    val src = watermark.map(w => events.withWatermark("ts", w)).getOrElse(events)
+    src
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+      .select(col("window.start").cast("long").as("w_start"),
+        col("event_type"), col("n"), col("min_v"), col("max_v"))
+  }
+
+  /** Batch gap-sessionization over an epoch-NANOS long `ts` column (the
+    * driver's events table reads as ns-long under
+    * `spark.sql.legacy.parquet.nanosAsLong`): a new session starts when
+    * the gap to the user's previous event exceeds `gapSec`. All-integer
+    * math → exact and engine-portable. One row per session. */
+  def sessionize(events: DataFrame, gapSec: Long = 1800L): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapNs = gapSec * 1000000000L
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(expr("ts div 1000000000")).as("start_s"),
+        max(expr("ts div 1000000000")).as("end_s"))
+  }
+
+  case class SessionEvent(userId: Long, tsNs: Long, eventId: Long)
+  case class SessionAgg(userId: Long, sessionId: Long, nEvents: Long,
+                        startS: Long, endS: Long)
+  case class SessState(sessionId: Long, lastTsNs: Long,
+                               nEvents: Long, startS: Long, endS: Long)
+
+  /** Streaming counterpart of [[sessionize]] via flatMapGroupsWithState:
+    * per-user state carries the open session; a gap closes it and emits
+    * the aggregate. Same all-integer ns math as the batch version. (The
+    * reference has no streaming surface — SURVEY §2.9 — this is
+    * north-star pipeline capability.) */
+  def sessionizeStream(events: Dataset[SessionEvent], gapSec: Long = 1800L)
+  : Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    val gapNs = gapSec * 1000000000L
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessState, SessionAgg](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (userId, evs, state: GroupState[SessState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.tsNs, e.eventId))
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[SessionAgg]
+          sorted.foreach { e =>
+            val s = e.tsNs / 1000000000L
+            if (st == null) {
+              st = SessState(1L, e.tsNs, 1L, s, s)
+            } else if (e.tsNs - st.lastTsNs > gapNs) {
+              out += SessionAgg(userId, st.sessionId, st.nEvents, st.startS, st.endS)
+              st = SessState(st.sessionId + 1, e.tsNs, 1L, s, s)
+            } else {
+              st = st.copy(lastTsNs = e.tsNs, nEvents = st.nEvents + 1, endS = s)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming index ingest — the `Index::add` analogue: each microbatch
+    * of (id, vector) rows is routed into the live IVFFlat model (frozen
+    * centroids, ivfflat.rs:200-213 semantics). Returns the query handle;
+    * read the evolving model from `state`. */
+  def ingestIntoIVF(stream: DataFrame, idCol: String, vecCol: String,
+                    state: java.util.concurrent.atomic.AtomicReference[graft.index.IVFFlat.Model])
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          state.updateAndGet(m => m.add(batch, idCol, vecCol))
+          ()
+        }
+      }
+      .start()
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.index.IVFFlat
+import graft.streaming.Streaming
+import graft.streaming.Streaming.SessionEvent
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val events =
+    spark.read.parquet(s"$sf0001/events.parquet").cache()
+
+  test("windowCounts over a stream equals the batch transformation") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val streamDf = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = Streaming.windowCounts(streamDf, watermark = Some("10 minutes"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    // events.ts reads as ns-long (nanosAsLong); stream side takes real
+    // timestamps → convert via µs truncation, as SparkEntry does
+    val rows = events
+      .select($"event_id", timestamp_micros(expr("ts div 1000")).as("ts"),
+        $"event_type", $"value")
+      .as[(Long, java.sql.Timestamp, String, Double)].collect()
+    mem.addData(rows.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("win_out")
+      .orderBy("w_start", "event_type").collect().toSeq
+    val want = Streaming.windowCounts(
+        events.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      .orderBy("w_start", "event_type").collect().toSeq
+    assert(got == want)
+  }
+
+  test("sessionizeStream equals batch sessionize on the events table") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val out = Streaming.sessionizeStream(mem.toDS(), gapSec = 1800L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    val evs = events.select($"user_id", $"ts", $"event_id")
+      .as[(Long, Long, Long)].collect()
+      .map { case (u, t, e) => SessionEvent(u, t, e) }
+    mem.addData(evs.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    // stream emits only CLOSED sessions; the batch result additionally
+    // holds each user's final (still-open) session
+    val streamed = spark.table("sess_out")
+      .select($"userId", $"sessionId", $"nEvents", $"startS", $"endS")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val batch = Streaming.sessionize(events, 1800L)
+      .select($"user_id", $"session_id", $"n_events", $"start_s", $"end_s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(streamed.subsetOf(batch), "streamed closed sessions must appear in batch result")
+    // every batch session that is not a user's last session must be streamed
+    val lastPerUser = batch.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val closedBatch = batch.filter { case (u, sid, _, _, _) => sid != lastPerUser(u) }
+    assert(closedBatch.subsetOf(streamed))
+  }
+
+  test("streaming ingest patches the IVFFlat index (Index::add analogue)") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val without = emb.filter($"vec_id" =!= 77)
+    val model = IVFFlat.build(without, "vec_id", "embedding",
+      IVFFlat.Params(k = 8, numAttempts = 1, maxIterations = 5))
+    val state = new java.util.concurrent.atomic.AtomicReference(model)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Streaming.ingestIntoIVF(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", state)
+    val held = emb.filter($"vec_id" === 77)
+      .select($"vec_id", $"embedding".cast("array<float>"))
+      .as[(Long, Array[Float])].head()
+    mem.addData(held)
+    q.processAllAvailable()
+    q.stop()
+    val hit = state.get().search(held._2, k = 1).head()
+    assert(hit.getAs[Long]("id") == 77L)
+    assert(hit.getAs[Double]("distance") == 0.0)
+  }
+}
