@@ -198,6 +198,17 @@ object SparkEntry {
       Dedup.embeddingPairs(tbl(s, dir, "embeddings"), "vec_id", "embedding",
         maxCosDist = 0.7)),
 
+    // Multimodal binary-column plumbing: documents as utf-8 BLOBs with
+    // byte length + content digest (the decode stub's feature path is
+    // exercised in MultimodalVecSpec — features aren't SQL-expressible).
+    "multimodal_meta" -> ((s, dir) => {
+      graft.operators.Multimodal.fromDocuments(tbl(s, dir, "documents"))
+        .select(col("id"), col("media_type"),
+          length(col("content")).cast("long").as("n_bytes"),
+          md5(col("content")).as("digest"))
+        .orderBy(col("id"))
+    }),
+
     // Tumbling 5-min event-time aggregation — the batch face of the
     // streaming.Streaming.windowCounts transformation (ns-long ts →
     // timestamp via µs truncation, idiomatic window()).
@@ -345,6 +356,12 @@ object SparkEntry {
          |FROM fp l JOIN fp r ON l.doc_id < r.doc_id
          |WHERE bit_count(xor(l.sim, r.sim)) <= 2
          |ORDER BY 1, 2""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id AS id, 'text' AS media_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS digest
+        |FROM documents ORDER BY id""".stripMargin,
 
     "events_window" ->
       """SELECT ((epoch_ns(ts) // 1000) // 300000000) * 300 AS w_start,

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+import graft.sources.VecFile
+
+class MultimodalVecSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+
+  test("media schema round-trips documents; features are unit-norm and deterministic") {
+    val media = Multimodal.fromDocuments(docs).as[Multimodal.MediaRow]
+    val feats = Multimodal.extractFeatures(media, dim = 16).cache()
+    assert(feats.count() == docs.count())
+    val norms = feats.map(f =>
+      math.sqrt(f.feature.foldLeft(0.0)((a, x) => a + x.toDouble * x))).collect()
+    norms.foreach(n => assert(math.abs(n - 1.0) < 1e-3))
+    // determinism: run twice, same bytes → same features
+    val again = Multimodal.extractFeatures(media, dim = 16)
+      .collect().map(f => f.id -> f.feature.toSeq).toMap
+    feats.collect().foreach(f => assert(again(f.id) == f.feature.toSeq))
+  }
+
+  test("extracted features flow into the engine's kNN (index interop)") {
+    val media = Multimodal.fromDocuments(docs).as[Multimodal.MediaRow]
+    val feats = Multimodal.extractFeatures(media, dim = 16)
+      .toDF("id", "media_type", "feature").cache()
+    val res = graft.operators.Exhaustive.knnJoin(
+      feats.filter($"id" < 3), "id", "feature",
+      feats, "id", "feature", k = 5, metric = "cosine")
+    val byQ = res.collect().groupBy(_.getLong(0))
+    assert(byQ.keys.toSet == Set(0L, 1L, 2L))
+    byQ.values.foreach { rows =>
+      assert(rows.length == 5)
+      val self = rows.minBy(_.getDouble(2))
+      assert(self.getLong(0) == self.getLong(1)) // self is nearest
+    }
+  }
+
+  test("frame sampling fans out n rows per video with monotone offsets") {
+    val media = Multimodal.fromDocuments(docs)
+      .withColumn("media_type", lit("video"))
+    val frames = Multimodal.sampleFrames(media, n = 4)
+    assert(frames.count() == docs.count() * 4)
+    val one = frames.filter($"id" === 0).orderBy($"frame_idx").collect()
+    val offs = one.map(_.getLong(2))
+    assert(offs.head == 0L && offs.sameElements(offs.sorted))
+  }
+
+  test(".vec source: header skipped, vectors normalized, holdout diverted, ids dense (utils.rs:7-66)") {
+    val dir = java.nio.file.Files.createTempDirectory("vec")
+    val f = dir.resolve("mini.vec")
+    java.nio.file.Files.writeString(f,
+      """4 3
+        |king 1.0 2.0 2.0
+        |queen 0.0 3.0 4.0
+        |man 2.0 0.0 0.0
+        |woman 0.0 0.0 5.0
+        |""".stripMargin)
+    val loaded = VecFile.read(spark, f.toString, holdoutWord = Some("queen"))
+    val corpus = loaded.corpus.orderBy("id").collect()
+    assert(corpus.map(_.getString(1)).toSeq == Seq("king", "man", "woman"))
+    assert(corpus.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    val king = corpus(0).getAs[scala.collection.Seq[Float]](2)
+    assert(math.abs(king(0) - 1f / 3) < 1e-6) // normalized (‖(1,2,2)‖=3)
+    val hold = loaded.holdout.collect()
+    assert(hold.length == 1 && hold(0).getString(0) == "queen")
+    val q = hold(0).getAs[scala.collection.Seq[Float]](1)
+    assert(math.abs(q(1) - 0.6f) < 1e-6 && math.abs(q(2) - 0.8f) < 1e-6)
+  }
+}
