@@ -165,10 +165,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // 16-bit SimHash fingerprint per document.
+    // 16-bit SimHash fingerprint per document (two-step projection: one
+    // md5 per token shared by the 16 bit votes).
     "text_simhash" -> ((s, dir) => {
       tbl(s, dir, "documents")
-        .select(col("doc_id"), TextOps.simhash16(col("text")).as("simhash"))
+        .select(col("doc_id"), TextOps.md5Digests(col("text")).as("digests"))
+        .select(col("doc_id"),
+          TextOps.simhash16FromDigests(col("digests")).as("simhash"))
         .orderBy(col("doc_id"))
     }),
 
@@ -312,13 +315,20 @@ object SparkEntry {
          |FROM t ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash" -> {
+      val P = TextOps.MinhashP
       val mhs = (0 until 12).map(i =>
-        s"list_min(list_transform(sh, s -> md5(s || '#$i'))) AS mh_$i").mkString(",\n  ")
+        s"list_min(list_transform(hs, h -> (h.h1 + $i * h.h2) % $P)) AS mh_$i")
+        .mkString(",\n  ")
       val keys = (0 until 6).map(b =>
-        s"md5(mh_${2 * b} || '|' || mh_${2 * b + 1})").mkString(", ")
+        s"mh_${2 * b} * $P + mh_${2 * b + 1}").mkString(", ")
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |s2 AS (SELECT doc_id, $shinglesSql AS sh FROM t),
-         |s3 AS (SELECT doc_id, sh FROM s2 WHERE len(sh) > 0),
+         |s3 AS (SELECT doc_id,
+         |  list_transform(sh, s -> {
+         |    'h1': CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % $P,
+         |    'h2': CAST(concat('0x', substr(md5(s), 17, 15)) AS BIGINT) % $P
+         |  }) AS hs
+         | FROM s2 WHERE len(sh) > 0),
          |sig AS (SELECT doc_id,
          |  $mhs
          | FROM s3),

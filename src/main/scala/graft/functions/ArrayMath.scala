@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Whole-stage-codegen distance kernels over `ARRAY<FLOAT|DOUBLE>`.
+  *
+  * The higher-order-function forms in [[VectorOps]]
+  * (`aggregate(zip_with(...))`) are semantically right but allocate an
+  * intermediate array per row pair — measurable at millions of pairs
+  * (dedup/knn joins). These expressions emit a bare fused loop instead —
+  * the true Spark analogue of the reference's SIMD kernels
+  * (vers/src/indexes/base.rs:158-293): same arithmetic, a physical
+  * rewrite only.
+  *
+  * Precision contract (MUST match VectorOps + the DuckDB oracle): each
+  * element is widened to double BEFORE arithmetic; accumulation starts at
+  * 0.0 and runs left-to-right. Bit-identical to the HOF forms.
+  *
+  * Nulls: a null array → null result; null *elements* are not expected
+  * (engine inputs are dense numeric vectors) and read as 0.0. Length
+  * mismatch iterates the shorter prefix.
+  */
+abstract class FusedVecFold extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  protected def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  /** java accessor snippet for element i of `arr` widened to double */
+  protected def acc(e: Expression, arr: String, i: String): String =
+    elemType(e) match {
+      case FloatType  => s"(double) $arr.getFloat($i)"
+      case DoubleType => s"$arr.getDouble($i)"
+      case t => throw new IllegalArgumentException(s"unsupported element type $t")
+    }
+
+  protected def elemAt(e: Expression, a: ArrayData, i: Int): Double =
+    elemType(e) match {
+      case FloatType  => a.getFloat(i).toDouble
+      case DoubleType => a.getDouble(i)
+      case t => throw new IllegalArgumentException(s"unsupported element type $t")
+    }
+}
+
+/** Σ (aᵢ−bᵢ)² in double — fused-loop twin of `VectorOps.sqDist`
+  * (base.rs:119-126 semantics). */
+case class SqDistExpr(left: Expression, right: Expression) extends FusedVecFold {
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { val d = elemAt(left, a, i) - elemAt(right, b, i); s += d * d; i += 1 }
+    s
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val s = ctx.freshName("s"); val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = ${acc(left, a, i)} - ${acc(right, b, i)};
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Σ aᵢ·bᵢ in double — fused-loop twin of `VectorOps.dot`
+  * (base.rs:91-93 semantics). */
+case class DotExpr(left: Expression, right: Expression) extends FusedVecFold {
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { s += elemAt(left, a, i) * elemAt(right, b, i); i += 1 }
+    s
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ${acc(left, a, i)} * ${acc(right, b, i)};
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+object ArrayMath {
+  import org.apache.spark.sql.GraftShims
+  def sqDistFused(a: Column, b: Column): Column =
+    GraftShims.column(SqDistExpr(GraftShims.expression(a), GraftShims.expression(b)))
+  def dotFused(a: Column, b: Column): Column =
+    GraftShims.column(DotExpr(GraftShims.expression(a), GraftShims.expression(b)))
+}

@@ -34,25 +34,18 @@ object VectorOps {
   def vecMidpoint(a: Column, b: Column): Column =
     zip_with(a, b, (x, y) => (x + y) / lit(2.0d))
 
-  /** Σ aᵢ·bᵢ in double precision (base.rs:91-93). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0d),
-      (acc, x) => acc + x)
+  /** Σ aᵢ·bᵢ in double precision (base.rs:91-93). Physical form: the
+    * fused-loop codegen expression (ArrayMath) — bit-identical to the
+    * declarative `aggregate(zip_with(a, b, _*_), 0.0, _+_)` it replaced
+    * (same widening, same fold order), minus the per-row allocations. */
+  def dot(a: Column, b: Column): Column = ArrayMath.dotFused(a, b)
 
   /** Σ (aᵢ−bᵢ)² in double precision (base.rs:119-126) — the workhorse
     * metric for IVFFlat + LSH. Returns squared L2 (not rooted), matching
     * the reference which stores squared distances and surfaces sqrt only
-    * at display time (utils.rs:106,156). */
-  def sqDist(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => {
-        val d = x.cast("double") - y.cast("double")
-        d * d
-      }),
-      lit(0.0d),
-      (acc, x) => acc + x)
+    * at display time (utils.rs:106,156). Fused-loop codegen twin of
+    * `aggregate(zip_with(...))` — see [[ArrayMath]]. */
+  def sqDist(a: Column, b: Column): Column = ArrayMath.sqDistFused(a, b)
 
   /** √(v·v) (base.rs:95-97). */
   def magnitude(v: Column): Column = sqrt(dot(v, v))

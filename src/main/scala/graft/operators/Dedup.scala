@@ -34,21 +34,35 @@ object Dedup {
 
   /** Near-dup candidate pairs via MinHash banding: docs sharing at least
     * one of numHashes/bandSize band buckets, with the shared-band count.
-    * Docs with < 3 tokens have no signature and never pair. */
+    * Docs with < 3 tokens have no signature and never pair.
+    * One md5 per shingle (TextOps.minhashPairs); the bands frame is
+    * persisted so the self-join evaluates the signature pipeline once. */
   def minhashBandPairs(docs: DataFrame, idCol: String, textCol: String,
                        numHashes: Int = 12, bandSize: Int = 2): DataFrame = {
-    require(numHashes % bandSize == 0)
+    require(bandSize == 2 && numHashes % bandSize == 0)
     val numBands = numHashes / bandSize
-    val sh = shingles(col(textCol))
-    val sigs = docs
-      .select(col(idCol).cast("long").as("id"), sh.as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("id") +:
-        (0 until numHashes).map(i => minhash(col("sh"), i).as(s"mh_$i")): _*)
-    val bands = sigs.select(col("id"), posexplode(array(
-      (0 until numBands).map(b => md5(concat_ws("|",
-        (0 until bandSize).map(r => col(s"mh_${b * bandSize + r}")): _*))): _*
-    ))).toDF("id", "band", "key")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // signature stage as a typed mapPartitions (one MessageDigest per
+    // partition, one md5 per shingle) — value-equivalent to the Column/
+    // SQL pipeline, ~10× cheaper (see TextHashFast contracts)
+    val bands = docs
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val sh = TextHashFast.shingles3(TextHashFast.tokenize(text))
+          if (sh.isEmpty) Iterator.empty
+          else {
+            val sig = TextHashFast.minhashSig(md, sh, numHashes)
+            (0 until numBands).iterator.map(b =>
+              (id, b, sig(2 * b) * TextHashFast.P + sig(2 * b + 1)))
+          }
+        }
+      }
+      .toDF("id", "band", "key")
+      .persist()
     bands.as("l").join(bands.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
           col("l.id") < col("r.id"))
@@ -62,9 +76,17 @@ object Dedup {
     * Division is exact-int-to-double → engine-portable bits. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val ex = docs
-      .select(col(idCol).cast("long").as("id"),
-        explode(array_distinct(shingles(col(textCol)))).as("sh"))
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        TextHashFast.shingles3(TextHashFast.tokenize(text))
+          .distinct.iterator.map(s => (id, s))
+      })
+      .toDF("id", "sh")
+      .persist()
     val sizes = ex.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = ex.as("l").join(ex.as("r"),
         col("l.sh") === col("r.sh") && col("l.id") < col("r.id"))
@@ -89,8 +111,19 @@ object Dedup {
                    maxHamming: Int = 2): DataFrame = {
     val nChunks = maxHamming + 1
     val bitsPer = 16 / nChunks
-    val fp = docs.select(col(idCol).cast("long").as("id"),
-      simhash16(col(textCol)).as("sim"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fp = docs
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          (id, TextHashFast.simhash16(md, TextHashFast.tokenize(text)))
+        }
+      }
+      .toDF("id", "sim")
+      .persist()
     val chunks = fp.select(col("id"), col("sim"), posexplode(array(
       (0 until nChunks).map { c =>
         // chunk c: bits [c*bitsPer, ...) — last chunk takes the remainder

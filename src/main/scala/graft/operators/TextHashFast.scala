@@ -1,0 +1,88 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+/** JVM fast-path twins of the TextOps hashing kernels, for use inside
+  * `mapPartitions` signature stages (Dedup). Each function is
+  * value-equivalent to its Catalyst/DuckDB counterpart — the contracts:
+  *
+  *  - tokenize ≡ `filter(split(text, "\\s+"), len > 0)` (same regex
+  *    engine, empties dropped);
+  *  - word-3-shingles joined by single spaces;
+  *  - (h1, h2) ≡ `conv(substr(md5(s),1,15),16,10) % p` /
+  *    `conv(substr(md5(s),17,15),16,10) % p`: chars 1-15 are the high 60
+  *    bits of the first 8 digest bytes, chars 17-31 the low 60 bits of
+  *    bytes 8-15 — computed here straight from the digest bytes;
+  *  - simhash16 bit j votes on the high bit of hex nibble j+1 = bit 7−…
+  *    of the digest bytes, matching `substr(md5(t), j+1, 1) IN (8..f)`.
+  *
+  * Equivalence is asserted in DedupSpec (fast path vs Column path) and
+  * transitively by the DuckDB oracle gate.
+  */
+object TextHashFast {
+
+  val P: Long = TextOps.MinhashP
+
+  def tokenize(text: String): Array[String] =
+    text.split("\\s+").filter(_.nonEmpty)
+
+  def shingles3(toks: Array[String]): Array[String] =
+    if (toks.length < 3) Array.empty
+    else Array.tabulate(toks.length - 2)(i =>
+      toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+
+  @inline private def be64(d: Array[Byte], off: Int): Long = {
+    var v = 0L; var i = 0
+    while (i < 8) { v = (v << 8) | (d(off + i) & 0xffL); i += 1 }
+    v
+  }
+
+  /** (h1, h2) of one shingle from one md5 — see object doc. */
+  def hashPair(md: MessageDigest, s: String): (Long, Long) = {
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    val h1 = (be64(d, 0) >>> 4) % P // hex chars 1..15 (drop nibble 16)
+    val h2 = (be64(d, 8) >>> 4) % P // hex chars 17..31 (drop nibble 32)
+    (h1, h2)
+  }
+
+  /** MinHash signature: min over shingles of (h1 + i·h2) mod p. */
+  def minhashSig(md: MessageDigest, shingles: Array[String], numHashes: Int): Array[Long] = {
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var si = 0
+    while (si < shingles.length) {
+      val (h1, h2) = hashPair(md, shingles(si))
+      var i = 0
+      while (i < numHashes) {
+        val v = (h1 + i * h2) % P
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      si += 1
+    }
+    mins
+  }
+
+  /** 16-bit SimHash over tokens — votes on the high bit of each of the
+    * first 16 hex nibbles of md5(token). */
+  def simhash16(md: MessageDigest, toks: Array[String]): Int = {
+    val votes = new Array[Int](16)
+    var ti = 0
+    while (ti < toks.length) {
+      val d = md.digest(toks(ti).getBytes(StandardCharsets.UTF_8))
+      var j = 0
+      while (j < 16) {
+        // nibble j+1 (1-based hex char) = high nibble of byte j/2 when j
+        // even, low nibble when odd; its high bit:
+        val b = d(j / 2) & 0xff
+        val nib = if (j % 2 == 0) b >>> 4 else b & 0xf
+        votes(j) += (if (nib >= 8) 1 else -1)
+        j += 1
+      }
+      ti += 1
+    }
+    var sim = 0; var j = 0
+    while (j < 16) { if (votes(j) > 0) sim |= 1 << j; j += 1 }
+    sim
+  }
+}

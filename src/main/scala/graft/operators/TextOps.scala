@@ -30,27 +30,50 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** One MinHash component: min over shingles of md5(shingle + "#" + i).
-    * Min over hex strings is a valid pseudo-permutation family and is
-    * engine-portable (md5 hex is identical everywhere). NULL when the
-    * doc has no shingles. */
-  def minhash(shingleCol: Column, i: Int): Column =
-    array_min(transform(shingleCol, s => md5(concat(s, lit(s"#$i")))))
+  /** MinHash prime modulus (2³¹−1). */
+  val MinhashP = 2147483647L
 
-  /** 16-bit SimHash over tokens: bit j is the sign of Σ±1 where a token
-    * votes +1 iff the (j+1)-th nibble of its md5 has its high bit set.
-    * Portable variant of Charikar's simhash (same structure, md5-nibble
-    * hash family). */
-  def simhash16(text: Column): Column = {
-    val toks = tokens(text)
+  /** Per-shingle hash-pair column: ONE md5 per shingle, split into two
+    * 60-bit hex prefixes reduced mod p. All numHashes components derive
+    * from this pair (Kirsch–Mitzenmacher double hashing) — 12× fewer
+    * digests than hashing per component. Engine-portable: DuckDB parses
+    * the same hex via CAST('0x…' AS BIGINT). */
+  def minhashPairs(shingleCol: Column): Column =
+    transform(shingleCol, s => {
+      val d = md5(s)
+      struct(
+        pmod(conv(substring(d, 1, 15), 16, 10).cast("long"), lit(MinhashP)).as("h1"),
+        pmod(conv(substring(d, 17, 15), 16, 10).cast("long"), lit(MinhashP)).as("h2"))
+    })
+
+  /** MinHash component i from a [[minhashPairs]] column:
+    * min over shingles of (h1 + i·h2) mod p. */
+  def minhashFromPairs(pairsCol: Column, i: Int): Column =
+    array_min(transform(pairsCol, h =>
+      pmod(h.getField("h1") + lit(i.toLong) * h.getField("h2"), lit(MinhashP))))
+
+  /** One md5 digest per token — the shared input of the 16 SimHash bit
+    * votes (compute once behind a projection boundary; CollapseProject
+    * keeps non-cheap multi-referenced aliases separate). */
+  def md5Digests(text: Column): Column = transform(tokens(text), t => md5(t))
+
+  /** 16-bit SimHash from per-token digests: bit j is the sign of Σ±1
+    * where a token votes +1 iff the (j+1)-th nibble of its md5 has its
+    * high bit set. Portable variant of Charikar's simhash (same
+    * structure, md5-nibble hash family). */
+  def simhash16FromDigests(digests: Column): Column = {
     val highNibble = Seq("8", "9", "a", "b", "c", "d", "e", "f")
     (0 until 16).map { j =>
-      val vote = aggregate(toks, lit(0), (acc, t) =>
-        acc + when(substring(md5(t), j + 1, 1).isin(highNibble: _*), lit(1))
+      val vote = aggregate(digests, lit(0), (acc, d) =>
+        acc + when(substring(d, j + 1, 1).isin(highNibble: _*), lit(1))
           .otherwise(lit(-1)))
       when(vote > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
   }
+
+  /** Convenience single-expression form (recomputes digests per bit —
+    * prefer a two-step projection via [[md5Digests]] in hot paths). */
+  def simhash16(text: Column): Column = simhash16FromDigests(md5Digests(text))
 
   /** Set fingerprint: md5 of the space-joined sorted distinct token set —
     * content-defined doc identity robust to token order/repeats. */

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextHashFast, TextOps}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet(s"$sf0001/documents.parquet").cache()
+
+  test("fast-path minhash signature equals the Column/SQL pipeline") {
+    val viaColumn = docs
+      .select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("hs", TextOps.minhashPairs(col("sh")))
+      .select(col("doc_id") +:
+        (0 until 12).map(i => TextOps.minhashFromPairs(col("hs"), i).as(s"mh_$i")): _*)
+      .collect()
+      .map(r => r.getLong(0) -> (1 to 12).map(r.getLong(_)).toSeq).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .foreach { case (id, text) =>
+        val sh = TextHashFast.shingles3(TextHashFast.tokenize(text))
+        if (sh.nonEmpty) {
+          val sig = TextHashFast.minhashSig(md, sh, 12).toSeq
+          assert(sig == viaColumn(id), s"doc $id")
+        } else assert(!viaColumn.contains(id))
+      }
+  }
+
+  test("fast-path simhash equals the Column pipeline") {
+    val viaColumn = docs
+      .select(col("doc_id"), TextOps.simhash16(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .foreach { case (id, text) =>
+        assert(TextHashFast.simhash16(md, TextHashFast.tokenize(text)) == viaColumn(id),
+          s"doc $id")
+      }
+  }
+
+  test("planted duplicate is caught by all three near-dup detectors") {
+    val dup = docs.filter(col("doc_id") === 0)
+      .withColumn("doc_id", lit(99999L))
+    val withDup = docs.unionByName(dup)
+    val mh = Dedup.minhashBandPairs(withDup, "doc_id", "text")
+      .filter(col("doc_a") === 0 && col("doc_b") === 99999).collect()
+    assert(mh.length == 1 && mh(0).getLong(2) == 6L) // all 6 bands agree
+    val jc = Dedup.jaccardPairs(withDup, "doc_id", "text", threshold = 0.9)
+      .filter(col("doc_a") === 0 && col("doc_b") === 99999).collect()
+    assert(jc.length == 1 && jc(0).getDouble(2) == 1.0)
+    val sh = Dedup.simhashPairs(withDup, "doc_id", "text", maxHamming = 0)
+      .filter(col("doc_a") === 0 && col("doc_b") === 99999).collect()
+    assert(sh.length == 1 && sh(0).getInt(2) == 0)
+  }
+
+  test("embeddingPairs finds planted near-identical vector and nothing closer") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val near = emb.filter(col("vec_id") === 0)
+      .withColumn("vec_id", lit(88888L))
+      .withColumn("embedding",
+        transform(col("embedding"), x => x + lit(1e-4f)))
+    val pairs = Dedup.embeddingPairs(emb.unionByName(near), "vec_id", "embedding",
+      maxCosDist = 0.01)
+    val hits = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hits.contains((0L, 88888L)))
+  }
+}
