@@ -46,6 +46,39 @@ object SparkEntry {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // TPC-H-Q3-shaped join: customer ⋈ orders ⋈ lineitem, revenue per
+    // order for one segment, top-10. Dimension sides broadcast; decimal
+    // revenue (exact, hash-stable).
+    "q3_join" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = tbl(s, dir, "orders")
+      val l = tbl(s, dir, "lineitem")
+      l.join(broadcast(o), l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(java.math.BigDecimal.ONE).cast(DecimalType(18, 2)) -
+            col("l_discount").cast(DecimalType(18, 2))))
+          .cast(DecimalType(18, 4))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Per-supplier top-3 lineitems by extended price — the window top-k
+    // shape every per-group-k operator in the engine reduces to
+    // (SURVEY §2.9 window note). Deterministic tie-breaks.
+    "window_topk" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_suppkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      tbl(s, dir, "lineitem")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("l_suppkey"), col("rk"), col("l_orderkey"),
+          col("l_extendedprice").cast(DecimalType(18, 2)).as("price"))
+        .orderBy(col("l_suppkey"), col("rk"))
+    }),
+
     // Exhaustive top-10 by squared L2 for 5 query vectors — the reference's
     // oracle (utils.rs:68-82) as a broadcast kNN join (SURVEY §2.7).
     "knn_exhaustive" -> ((s, dir) => {
@@ -413,6 +446,27 @@ object SparkEntry {
         | sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
         | count(*) AS count_order
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q3_join" ->
+      """SELECT l.l_orderkey,
+        | sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |   * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))
+        |   AS DECIMAL(18,4))) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY 1 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "window_topk" ->
+      """SELECT l_suppkey,
+        |  CAST(row_number() OVER w AS INTEGER) AS rk,
+        |  l_orderkey, CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+        |QUALIFY rk <= 3
+        |ORDER BY l_suppkey, rk""".stripMargin,
 
     "knn_exhaustive" ->
       """WITH scored AS (

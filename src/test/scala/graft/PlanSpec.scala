@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+
+/** Plan-shape gates: these assert the physical properties that make the
+  * operators scale (broadcast direction, column pruning, partial
+  * aggregation, codegen) rather than just their outputs — a plan that
+  * silently regresses to shuffling the corpus would still be "correct"
+  * but unusable at 100 TB. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf001).queryExecution.executedPlan.toString
+
+  test("knn join broadcasts the QUERY side, never the corpus") {
+    val p = plan("knn_exhaustive")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(500))
+    // corpus scan feeds the streamed side: broadcast exchange wraps the
+    // filtered (vec_id < 5) query side only
+    assert("BroadcastExchange".r.findAllIn(p).size == 1)
+  }
+
+  test("knn scan prunes columns to id+vector only") {
+    val p = plan("knn_exhaustive")
+    // parquet scans read only vec_id + embedding, never label
+    assert(!p.contains("label"), "label column must be pruned:\n" + p.take(800))
+  }
+
+  test("q1_agg does partial (map-side) aggregation over a pruned scan") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum"), p.take(600))
+    // scan reads exactly the 4 referenced columns
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_returnflag:string,l_linestatus:string>"),
+      p.take(900))
+  }
+
+  test("ivf batch search joins candidates via broadcast of the probe side") {
+    val p = plan("ivf_search_fixed")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+  }
+
+  test("fused distance kernels appear in plans (no HOF fallback in hot path)") {
+    val p = plan("dedup_embed")
+    assert(p.contains("sqdistexpr") || p.contains("SqDistExpr")
+      || p.contains("dotexpr") || p.contains("DotExpr"), p.take(800))
+  }
+
+  test("IVFFlat persisted layout is partitioned by cluster (partition pruning on probe)") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val model = graft.index.IVFFlat.build(emb, "vec_id", "embedding",
+      graft.index.IVFFlat.Params(k = 4, numAttempts = 1, maxIterations = 5))
+    val dir = java.nio.file.Files.createTempDirectory("ivfplan").toString
+    model.save(dir)
+    val dirs = new java.io.File(s"$dir/indexed").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.exists(_.startsWith("cluster=")), dirs.toString)
+    // a probe filter on the reloaded index prunes partitions
+    val re = graft.index.IVFFlat.load(spark, dir)
+    val probed = re.indexed.filter(col("cluster") === 0)
+    val scan = probed.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(cluster"), scan.take(800))
+  }
+}
