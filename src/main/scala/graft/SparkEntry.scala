@@ -146,6 +146,44 @@ object SparkEntry {
         .orderBy(col("qid"), col("distance"), col("id"))
     }),
 
+    // Grouped elementwise vector aggregation — the update_centroids
+    // shape (ivfflat.rs:47-71) made hash-stable by fixed-point
+    // quantization: floor(e·10⁶) is exact and identical across engines
+    // (float→double widening + one double multiply + floor), and the
+    // integer sum is order-independent. The float-mean Aggregator itself
+    // is gated in IVFFlatSpec (float sums aren't hash-comparable).
+    "vec_mean_by_label" -> ((s, dir) => {
+      tbl(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "e")))
+        .groupBy(col("label"), col("dim"))
+        .agg(sum(floor(col("e").cast("double") * lit(1000000.0d)).cast("long"))
+          .as("sum_q6"),
+          count(lit(1)).as("n"))
+        .orderBy(col("label"), col("dim"))
+    }),
+
+    // k-means cost (inertia) against the fixed centroids
+    // (ivfflat.rs:138-149): per-row min sqdist, summed exactly in
+    // DECIMAL so the cross-row sum is order-independent.
+    "ivf_cost_fixed" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = fixedCentroids(emb)
+      val minDist = cents.map(c =>
+        sqDist(col("embedding"), typedlit(c))).reduce(least(_, _))
+      emb.select(minDist.cast(DecimalType(25, 10)).as("d"))
+        .agg(sum(col("d")).as("cost"), count(lit(1)).as("n"))
+    }),
+
+    // Real MLlib-KMeans IVFFlat build: cluster-size histogram (shape
+    // check only — k-means|| init isn't SQL-reproducible, so this entry
+    // has no oracle; correctness is gated in IVFFlatSpec).
+    "ivf_kmeans" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val model = IVFFlat.build(emb, "vec_id", "embedding",
+        IVFFlat.Params(k = 8, numAttempts = 2, maxIterations = 10))
+      model.indexed.groupBy(col("cluster")).count().orderBy(col("cluster"))
+    }),
+
     // LSH hyperplane sign-buckets against FIXED planes: the perpendicular
     // bisectors of (v0,v1)..(v6,v7) give every vector a 4-bit signature
     // (lsh.rs:27-29 point_is_above + lsh.rs:72-80 plane construction,
@@ -548,6 +586,24 @@ object SparkEntry {
         |SELECT qid, id, distance FROM cands
         |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 10
         |ORDER BY qid, distance, id""".stripMargin,
+
+    "vec_mean_by_label" ->
+      """SELECT label, CAST(u.i - 1 AS INTEGER) AS dim,
+        |  sum(CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS sum_q6,
+        |  count(*) AS n
+        |FROM embeddings, (SELECT unnest(range(1, 65)) AS i) u
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ivf_cost_fixed" -> {
+      val d = (0 until 8).map(c =>
+        s"""list_reduce(list_transform(list_zip(e.embedding,
+           |  (SELECT embedding FROM embeddings WHERE vec_id = $c)),
+           |  x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+           |     * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (a,b) -> a+b)""".stripMargin)
+        .mkString("least(", ", ", ")")
+      s"""SELECT sum(CAST($d AS DECIMAL(25,10))) AS cost, count(*) AS n
+         |FROM embeddings e""".stripMargin
+    },
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies

@@ -174,6 +174,10 @@ class HNSWGraph(val params: HNSWGraph.Params) extends Serializable {
   }
 
   def size: Int = ids.length
+
+  /** Per-layer node counts (hnsw.rs:480-485 diagnostics). */
+  def layerSizes: Map[Int, Int] =
+    adj.zipWithIndex.map { case (m, l) => l -> m.size }.filter(_._2 > 0).toMap
 }
 
 object HNSWGraph {

@@ -160,6 +160,24 @@ object IVFFlat {
       .toDF("id", "vector", "cluster")
   }
 
+  /** One Lloyd's update step: per-cluster elementwise mean with the
+    * reference's empty-cluster→zero-vector rule (ivfflat.rs:47-71),
+    * via the [[graft.operators.VectorMean]] aggregator (map-side
+    * partial sums). The production build delegates the full iteration
+    * to MLlib; this exposes the primitive. */
+  def updateCentroids(indexed: DataFrame, k: Int, dim: Int): Array[Array[Float]] = {
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    val agg = new graft.operators.VectorMean(dim).toColumn
+    val means = indexed.select(col("cluster").cast("int"), col("vector").cast("array<float>"))
+      .as[(Int, Array[Float])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.name("mean"))
+      .collect().toMap
+    Array.tabulate(k)(c => means.getOrElse(c, new Array[Float](dim)))
+  }
+
   /** Build via MLlib KMeans with the reference's restart-keep-best loop
     * (ivfflat.rs:102-136). tol=0 ≈ the bitwise-convergence rule
     * (ivfflat.rs:84-95). */

@@ -71,6 +71,18 @@ class IVFFlatSpec extends SparkSpec {
     assert(before.sameElements(after))
   }
 
+  test("updateCentroids: per-cluster mean via Aggregator; empty cluster → zero vector (ivfflat.rs:47-71)") {
+    import spark.implicits._
+    val indexed = Seq(
+      (1L, Array(1f, 3f), 0), (2L, Array(3f, 5f), 0), // cluster 0 mean (2,4)
+      (3L, Array(7f, 9f), 2))                          // cluster 1 EMPTY
+      .toDF("id", "vector", "cluster")
+    val cents = IVFFlat.updateCentroids(indexed, k = 3, dim = 2)
+    assert(cents(0).toSeq == Seq(2f, 4f))
+    assert(cents(1).toSeq == Seq(0f, 0f)) // empty → zero, reference rule
+    assert(cents(2).toSeq == Seq(7f, 9f))
+  }
+
   test("add honours caller id (ivfflat.rs:209 quirk fixed) and makes row findable") {
     import spark.implicits._
     val v = Array.fill(64)(0.125f)
