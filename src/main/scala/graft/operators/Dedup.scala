@@ -144,8 +144,37 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Embedding near-dup pairs via LSH-forest bucket prefilter — the
+    * 100 TB path: candidates meet only inside a shared leaf bucket of
+    * one of the forest's trees (equi-join on leaf paths, never
+    * all-pairs), then exact cosine re-check. A near-identical pair lands
+    * in the same leaf with probability ≈ 1 per tree (bisector planes
+    * barely separate ε-close points), so recall is governed by numTrees.
+    */
+  def embeddingPairsViaLSH(emb: DataFrame, idCol: String, vecCol: String,
+                           maxCosDist: Double = 0.2,
+                           params: graft.index.LSHForest.Params =
+                             graft.index.LSHForest.Params(numTrees = 8, maxNodeSize = 64))
+  : DataFrame = {
+    val model = graft.index.LSHForest.build(emb, idCol, vecCol, params)
+    val idx = model.indexed.persist()
+    val perTree = (0 until params.numTrees).map { ti =>
+      idx.as("l").join(idx.as("r"),
+          col(s"l.path_$ti") === col(s"r.path_$ti") && col("l.id") < col("r.id"))
+        .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+          col("l.vector").as("va"), col("r.vector").as("vb"))
+    }
+    perTree.reduce(_ unionByName _)
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        cosineDistance(col("va"), col("vb")).as("distance"))
+      .filter(col("distance") < maxCosDist)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Embedding near-dup pairs under cosine distance < threshold. Exact
-    * pair scan (oracle-checkable); see class doc for the 100 TB path. */
+    * pair scan (oracle-checkable); see class doc for the 100 TB path
+    * ([[embeddingPairsViaLSH]]). */
   def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
                      maxCosDist: Double = 0.2): DataFrame = {
     val v = emb.select(col(idCol).cast("long").as("id"),
