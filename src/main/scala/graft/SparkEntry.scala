@@ -222,6 +222,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // BPE-ish regex token counting (subword-style estimator).
+    "text_tokens_bpe" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextOps.bpeishCount(col("text")).as("n_bpeish"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Winnowing fingerprints (rolling-hash k-grams, window minima).
+    "doc_winnow" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextOps.winnow(col("text")).as("fps"))
+        .select(col("doc_id"), size(col("fps")).cast("long").as("n_fps"),
+          array_min(col("fps")).as("min_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Language ID by stopword-hit argmax (n-gram heuristic family).
     "text_langid" -> ((s, dir) => {
       tbl(s, dir, "documents")
@@ -373,6 +389,24 @@ object SparkEntry {
          |  + 0.3 * (CASE WHEN n > 0 THEN stops / n ELSE CAST(0.0 AS DOUBLE) END) AS quality
          |FROM m ORDER BY doc_id""".stripMargin
     },
+
+    "text_tokens_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpeish
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "doc_winnow" ->
+      """WITH g AS (SELECT doc_id,
+        |  CASE WHEN length(text) >= 5
+        |   THEN list_transform(range(1, length(text) - 3), i -> md5(substr(text, i, 5)))
+        |   ELSE [] END AS h FROM documents),
+        |f AS (SELECT doc_id,
+        |  CASE WHEN len(h) >= 4
+        |   THEN list_distinct(list_transform(range(1, len(h) - 2), i -> list_min(h[i:i+3])))
+        |   WHEN len(h) > 0 THEN [list_min(h)]
+        |   ELSE [] END AS fps FROM g)
+        |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps, list_min(fps) AS min_fp
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "text_simhash" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)

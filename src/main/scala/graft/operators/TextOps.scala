@@ -80,6 +80,34 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " "))
 
+  /** BPE-ish regex tokenizer: letter runs, digit runs, single
+    * punctuation marks — the subword-style segmentation a token-count
+    * estimator uses when no real BPE vocab is available. */
+  val BpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0))).cast("long")
+
+  /** md5 hashes of the k-char grams of the raw text (rolling-hash
+    * family, engine-portable); empty when the text is shorter than k. */
+  def charGramHashes(text: Column, k: Int): Column =
+    when(length(text) >= k,
+      transform(sequence(lit(1), length(text) - lit(k - 1)),
+        i => md5(text.substr(i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Winnowing fingerprints (Schleimer et al. document fingerprinting):
+    * min hash of every w-window of consecutive k-gram hashes, distinct.
+    * Texts with fewer than w grams contribute their single global min. */
+  def winnow(text: Column, k: Int = 5, w: Int = 4): Column = {
+    val h = charGramHashes(text, k)
+    when(size(h) >= w,
+      array_distinct(transform(sequence(lit(1), size(h) - lit(w - 1)),
+        i => array_min(slice(h, i, lit(w))))))
+      .when(size(h) > 0, array(array_min(h)))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Stopword lists for the n-gram/stopword language heuristic. */
   val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
