@@ -14,21 +14,31 @@ import graft.functions.{DotExpr, SqDistExpr}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[SqDistExpr].getName, null, name, usage, "")
+  private def info(clazz: Class[_], name: String, usage: String) =
+    new ExpressionInfo(clazz.getName, null, name, usage, "")
+
+  private def binary(name: String)(mk: (Expression, Expression) => Expression)
+  : Seq[Expression] => Expression = { args =>
+    require(args.length == 2,
+      s"$name requires exactly 2 arguments, got ${args.length}")
+    mk(args(0), args(1))
+  }
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("graft_sqdist"),
-      info("graft_sqdist", "graft_sqdist(a, b) - squared L2 distance between float/double arrays"),
-      (args: Seq[Expression]) => SqDistExpr(args(0), args(1))))
+      info(classOf[SqDistExpr], "graft_sqdist",
+        "graft_sqdist(a, b) - squared L2 distance between float/double arrays"),
+      binary("graft_sqdist")(SqDistExpr(_, _))))
     e.injectFunction((FunctionIdentifier("graft_dot"),
-      info("graft_dot", "graft_dot(a, b) - dot product of float/double arrays"),
-      (args: Seq[Expression]) => DotExpr(args(0), args(1))))
+      info(classOf[DotExpr], "graft_dot",
+        "graft_dot(a, b) - dot product of float/double arrays"),
+      binary("graft_dot")(DotExpr(_, _))))
     e.injectFunction((FunctionIdentifier("graft_cosine_distance"),
-      info("graft_cosine_distance", "graft_cosine_distance(a, b) - 1 - dot(a,b) for pre-normalized arrays"),
-      (args: Seq[Expression]) =>
+      info(classOf[DotExpr], "graft_cosine_distance",
+        "graft_cosine_distance(a, b) - 1 - dot(a,b) for pre-normalized arrays"),
+      binary("graft_cosine_distance")((a, b) =>
         org.apache.spark.sql.catalyst.expressions.Subtract(
           org.apache.spark.sql.catalyst.expressions.Literal(1.0d),
-          DotExpr(args(0), args(1)))))
+          DotExpr(a, b)))))
   }
 }

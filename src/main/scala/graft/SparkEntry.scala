@@ -53,7 +53,9 @@ object SparkEntry {
       val c = tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = tbl(s, dir, "orders")
       val l = tbl(s, dir, "lineitem")
-      l.join(broadcast(o), l("l_orderkey") === o("o_orderkey"))
+      // only the filtered dimension is broadcast; orders is a fact table
+      // (scales with sf) and must shuffle-join — AQE picks the strategy
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy(col("l_orderkey"))
         .agg(sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
@@ -378,8 +380,10 @@ object SparkEntry {
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
          |m AS (SELECT doc_id,
          |  CAST(len(toks) AS DOUBLE) AS n,
-         |  CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
-         |    / CAST(length(text) AS DOUBLE) AS punct,
+         |  CASE WHEN length(text) > 0
+         |   THEN CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+         |      / CAST(length(text) AS DOUBLE)
+         |   ELSE CAST(0.0 AS DOUBLE) END AS punct,
          |  CAST(${stopHitSql(s("en"))} + ${stopHitSql(s("de"))}
          |     + ${stopHitSql(s("es"))} + ${stopHitSql(s("fr"))} AS DOUBLE) AS stops
          | FROM t)

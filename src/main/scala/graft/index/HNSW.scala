@@ -93,8 +93,7 @@ object HNSW {
       import spark.implicits._
       shards.toDF("shard", "blob").write.mode("overwrite").parquet(s"$dir/shards")
       val p = params
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$dir/params.json"),
+      ParamsIO.write(spark, dir,
         s"""{"numLayers":${p.numLayers},"efConstruction":${p.efConstruction},"efSearch":${p.efSearch},"m":${p.m},"seed":${p.seed},"numShards":$numShards}""")
     }
   }
@@ -126,23 +125,30 @@ object HNSW {
       .repartition(P, col("shard"))
       .sortWithinPartitions(col("shard"), col("id"))
       .as[(Long, Array[Float], Int)]
-    val shards = rows.mapPartitions { it =>
+    val built = rows.mapPartitions { it =>
       it.toSeq.groupBy(_._3).iterator.map { case (shard, grp) =>
         val g = HNSWGraph.build(params,
           grp.iterator.map { case (id, v, _) => (id, v) })
         ShardBlob(shard, serialize(g))
       }
-    }.cache()
+    }
+    // every residue class 0..P-1 must own a blob, or Model.add would
+    // silently drop rows routed to an absent shard (empty corpus slices
+    // are legal); fill gaps with empty graphs
+    val builtC = built.cache()
+    val present = builtC.select("shard").as[Int].collect().toSet
+    val gaps = (0 until P).filterNot(present)
+      .map(sh => ShardBlob(sh, serialize(new HNSWGraph(params))))
+    val shards = builtC.unionByName(spark.createDataset(gaps)).cache()
     shards.count() // materialize
+    builtC.unpersist()
     Model(params, P, shards)
   }
 
   def load(spark: SparkSession, dir: String): Model = {
     import spark.implicits._
-    val src = scala.io.Source.fromFile(s"$dir/params.json")
-    val json = try src.mkString finally src.close()
-    def num(key: String): Long =
-      s""""$key":(-?\\d+)""".r.findFirstMatchIn(json).get.group(1).toLong
+    val json = ParamsIO.read(spark, dir)
+    def num(key: String): Long = ParamsIO.num(json, key)
     val params = HNSWGraph.Params(num("numLayers").toInt,
       num("efConstruction").toInt, num("efSearch").toInt,
       num("m").toInt, num("seed"))

@@ -52,18 +52,8 @@ object IVFFlat {
     /** Probe-set for one query: nearest clusters (by sqdist of centroid)
       * until their cumulative size covers `k` — the adaptive nprobe of
       * ivfflat.rs:168-195 — never fewer than `minProbe`. */
-    def probeSet(query: Array[Float], k: Int, minProbe: Int = 1): Seq[Int] = {
-      val order = centroids.indices
-        .sortBy(c => sqDistLocal(centroids(c), query))
-      var need = k.toLong
-      val out = Seq.newBuilder[Int]
-      var taken = 0
-      for (c <- order if need > 0 || taken < minProbe) {
-        out += c; taken += 1
-        need -= math.min(clusterSizes(c), need) // saturate at 0: no underflow
-      }
-      out.result()
-    }
+    def probeSet(query: Array[Float], k: Int, minProbe: Int = 1): Seq[Int] =
+      IVFFlat.probeOrder(centroids, clusterSizes, query, k, minProbe)
 
     /** Single-query search: partition-pruned scan of probed clusters →
       * exact distance → TakeOrderedAndProject. */
@@ -89,15 +79,8 @@ object IVFFlat {
         .as[(Long, Array[Float])]
         .flatMap { case (qid, qvec) =>
           val (cents, sizes) = bc.value
-          val order = cents.indices.sortBy(c => sqDistLocal(cents(c), qvec))
-          var need = k.toLong
-          val out = Seq.newBuilder[(Long, Array[Float], Int)]
-          var taken = 0
-          for (c <- order if need > 0 || taken < nprobe) {
-            out += ((qid, qvec, c)); taken += 1
-            need -= math.min(sizes(c), need) // saturate at 0: no underflow
-          }
-          out.result()
+          IVFFlat.probeOrder(cents, sizes, qvec, k, nprobe)
+            .map(c => (qid, qvec, c))
         }
         .toDF("qid", "qvec", "cluster")
       val cands = indexed.join(broadcast(probes), Seq("cluster"))
@@ -126,10 +109,24 @@ object IVFFlat {
       centroids.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
         .toDF("cluster", "vector")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$dir/params.json"),
+      ParamsIO.write(spark, dir,
         s"""{"k":${params.k},"numAttempts":${params.numAttempts},"maxIterations":${params.maxIterations},"seed":${params.seed}}""")
     }
+  }
+
+  /** Shared adaptive probe-widening (single-query and batch paths MUST
+    * agree — ivfflat.rs:168-195 semantics, saturating subtraction). */
+  private[graft] def probeOrder(cents: Array[Array[Float]], sizes: Array[Long],
+                                q: Array[Float], k: Int, minProbe: Int): Seq[Int] = {
+    val order = cents.indices.sortBy(c => sqDistLocal(cents(c), q))
+    var need = k.toLong
+    val out = Seq.newBuilder[Int]
+    var taken = 0
+    for (c <- order if need > 0 || taken < minProbe) {
+      out += c; taken += 1
+      need -= math.min(sizes(c), need) // saturate at 0: no underflow
+    }
+    out.result()
   }
 
   private[graft] def sqDistLocal(a: Array[Float], b: Array[Float]): Double = {
@@ -212,10 +209,8 @@ object IVFFlat {
 
   /** Reload a saved index (base.rs:45-58 mapping). */
   def load(spark: SparkSession, dir: String): Model = {
-    val src = scala.io.Source.fromFile(s"$dir/params.json")
-    val json = try src.mkString finally src.close()
-    def intOf(key: String): Long =
-      s""""$key":(-?\\d+)""".r.findFirstMatchIn(json).get.group(1).toLong
+    val json = ParamsIO.read(spark, dir)
+    def intOf(key: String): Long = ParamsIO.num(json, key)
     val params = Params(intOf("k").toInt, intOf("numAttempts").toInt,
       intOf("maxIterations").toInt, intOf("seed"))
     val cents = spark.read.parquet(s"$dir/centroids")

@@ -154,8 +154,7 @@ object LSHForest {
           t.leafSizes.map { case (p, n) => (ti, p, Array.empty[Double], 0.0, n) }
       }.toDF("tree", "path", "coeffs", "const", "leaf_n")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/trees")
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$dir/params.json"),
+      ParamsIO.write(spark, dir,
         s"""{"numTrees":${params.numTrees},"maxNodeSize":${params.maxNodeSize},"maxDepth":${params.maxDepth},"seed":${params.seed}}""")
     }
   }
@@ -234,6 +233,7 @@ object LSHForest {
             }
           }.toMap
         // append the side bit to each split node's path, all trees one pass
+        val prev = df
         df = (0 until T).foldLeft(df) { (d, ti) =>
           val treePlanes = newPlanes.collect { case ((t, p), pl) if t == ti => p -> pl }
           if (treePlanes.isEmpty) d
@@ -248,6 +248,8 @@ object LSHForest {
             d.withColumn(s"path_$ti", coalesce(cases, col(s"path_$ti")))
           }
         }.cache()
+        df.count() // materialize before releasing the previous level's cache
+        prev.unpersist()
         // degenerate-split guard: a node that produced an empty side keeps
         // its (unchanged-size) child; re-sampling happens next level via
         // the level-salted hash. Record planes only for effective splits.
@@ -270,10 +272,8 @@ object LSHForest {
   }
 
   def load(spark: SparkSession, dir: String): Model = {
-    val src = scala.io.Source.fromFile(s"$dir/params.json")
-    val json = try src.mkString finally src.close()
-    def num(key: String): Long =
-      s""""$key":(-?\\d+)""".r.findFirstMatchIn(json).get.group(1).toLong
+    val json = ParamsIO.read(spark, dir)
+    def num(key: String): Long = ParamsIO.num(json, key)
     val params = Params(num("numTrees").toInt, num("maxNodeSize").toInt,
       num("maxDepth").toInt, num("seed"))
     val rows = spark.read.parquet(s"$dir/trees").collect()

@@ -63,12 +63,15 @@ object Dedup {
       }
       .toDF("id", "band", "key")
       .persist()
-    bands.as("l").join(bands.as("r"),
+    val out = bands.as("l").join(bands.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
           col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
       .orderBy(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true) // materialize the (small) pairs …
+    bands.unpersist()        // … then release the signature frame
+    out
   }
 
   /** Exact n-gram Jaccard over distinct word-3-shingle sets, via the
@@ -92,7 +95,7 @@ object Dedup {
         col("l.sh") === col("r.sh") && col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    val out = inter
       .join(sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
       .join(sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
       .withColumn("jaccard",
@@ -101,6 +104,9 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    ex.unpersist()
+    out
   }
 
   /** SimHash near-dup pairs within a Hamming radius, via pigeonhole
@@ -137,11 +143,14 @@ object Dedup {
       .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"),
         col("l.sim").as("sa"), col("r.sim").as("sb"))
       .dropDuplicates("doc_a", "doc_b")
-    cand
+    val out = cand
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    fp.unpersist()
+    out
   }
 
   /** Embedding near-dup pairs via LSH-forest bucket prefilter — the
@@ -164,12 +173,15 @@ object Dedup {
         .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
           col("l.vector").as("va"), col("r.vector").as("vb"))
     }
-    perTree.reduce(_ unionByName _)
+    val out = perTree.reduce(_ unionByName _)
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
         cosineDistance(col("va"), col("vb")).as("distance"))
       .filter(col("distance") < maxCosDist)
       .orderBy(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    idx.unpersist()
+    out
   }
 
   /** Embedding near-dup pairs under cosine distance < threshold. Exact

@@ -58,16 +58,14 @@ object Multimodal {
   /** Frame sampling for video rows: emits `n` (frame_idx, byte-offset
     * slice) rows per video via posexplode — real distributed fan-out
     * plumbing; the slice bounds are what a real demuxer would seek. */
-  def sampleFrames(media: DataFrame, n: Int): DataFrame = {
+  def sampleFrames(media: DataFrame, n: Int): DataFrame =
     media
       .filter(col("media_type") === "video")
-      .withColumn("total", length(col("content")))
-      .select(col("id"), posexplode(sequence(lit(0), lit(n - 1))).as(Seq("ord", "frame_idx")))
-      .drop("ord")
-      .join(media.select(col("id"), length(col("content")).as("total")), "id")
+      .select(col("id"), length(col("content")).as("total"),
+        posexplode(sequence(lit(0), lit(n - 1))).as(Seq("ord", "frame_idx")))
       .withColumn("byte_offset", (col("frame_idx") * col("total")) / lit(n))
-      .select(col("id"), col("frame_idx"), col("byte_offset").cast("long").as("byte_offset"))
-  }
+      .select(col("id"), col("frame_idx"),
+        col("byte_offset").cast("long").as("byte_offset"))
 
   /** Wrap a text table as a media table (utf-8 bytes) — lets the binary
     * plumbing run against the driver's documents fixture. */

@@ -138,8 +138,10 @@ object TextOps {
   def qualityScore(text: Column): Column = {
     val toks = tokens(text)
     val nTok = size(toks).cast("double")
-    val punct = length(regexp_replace(text, "[a-z0-9 ]", ""))
-      .cast("double") / length(text).cast("double")
+    val punct = when(length(text) > 0,
+      length(regexp_replace(text, "[a-z0-9 ]", ""))
+        .cast("double") / length(text).cast("double"))
+      .otherwise(lit(0.0))
     val stops = (stopHits(toks, "en") + stopHits(toks, "de") +
       stopHits(toks, "es") + stopHits(toks, "fr")).cast("double")
     val lenScore = least(lit(1.0), nTok / lit(100.0))

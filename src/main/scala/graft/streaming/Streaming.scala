@@ -18,10 +18,17 @@ object Streaming {
 
   /** Tumbling 5-minute counts + min/max per event type. Works on a batch
     * or streaming `events` DataFrame; pass a watermark for append-mode
-    * streams. Window starts surface as epoch seconds (engine-portable —
-    * no timezone-rendering hazards in the oracle compare). */
+    * streams. Accepts `ts` as TimestampType OR as epoch-ns long (the
+    * shape the driver's events table reads as under `nanosAsLong`) —
+    * ns-long is converted via µs truncation. Window starts surface as
+    * epoch seconds (engine-portable — no timezone-rendering hazards in
+    * the oracle compare). */
   def windowCounts(events: DataFrame, watermark: Option[String] = None): DataFrame = {
-    val src = watermark.map(w => events.withWatermark("ts", w)).getOrElse(events)
+    val tsTyped =
+      if (events.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        events.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else events
+    val src = watermark.map(w => tsTyped.withWatermark("ts", w)).getOrElse(tsTyped)
     src
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"),

@@ -67,6 +67,19 @@ class HNSWSpec extends SparkSpec {
     assert(before.sameElements(after))
   }
 
+  test("add into a residue class with no build-time rows still lands (empty-shard regression)") {
+    import spark.implicits._
+    // build from even ids only, 2 shards → shard 1 starts empty
+    val even = emb.filter(col("vec_id") % 2 === 0)
+    val m = HNSW.build(even, "vec_id", "embedding",
+      HNSWGraph.Params(numLayers = 4, efConstruction = 50, efSearch = 32, m = 8),
+      numShards = 2)
+    val odd = emb.filter(col("vec_id") === 1)
+    val m2 = m.add(odd, "vec_id", "embedding")
+    val hit = m2.searchMany(odd, "vec_id", "embedding", 1).head()
+    assert(hit.getLong(1) == 1L, "row added to an initially-empty shard must be findable")
+  }
+
   test("add routes to one shard and the row is findable (queen-holdout shape)") {
     import spark.implicits._
     // the reference's holdout test: remove a row, build, add it back, query it
