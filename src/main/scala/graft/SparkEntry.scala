@@ -210,7 +210,7 @@ object SparkEntry {
       val emb = tbl(s, dir, "embeddings")
       val model = HNSW.build(emb, "vec_id", "embedding",
         HNSWGraph.Params(numLayers = 6, efConstruction = 100, efSearch = 64, m = 16),
-        numShards = 4)
+        numShards = 8)
       model.searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
         .orderBy(col("qid"), col("distance"), col("id"))
     }),

@@ -134,14 +134,15 @@ object HNSW {
     }
     // every residue class 0..P-1 must own a blob, or Model.add would
     // silently drop rows routed to an absent shard (empty corpus slices
-    // are legal); fill gaps with empty graphs
-    val builtC = built.cache()
-    val present = builtC.select("shard").as[Int].collect().toSet
+    // are legal). The present set comes from the cheap input side (a
+    // distinct over shard ints), not from re-materializing the built
+    // graphs; gaps get empty graphs.
+    val present = rows.select(col("shard")).distinct()
+      .as[Int].collect().toSet
     val gaps = (0 until P).filterNot(present)
       .map(sh => ShardBlob(sh, serialize(new HNSWGraph(params))))
-    val shards = builtC.unionByName(spark.createDataset(gaps)).cache()
+    val shards = built.unionByName(spark.createDataset(gaps)).cache()
     shards.count() // materialize
-    builtC.unpersist()
     Model(params, P, shards)
   }
 
