@@ -137,15 +137,17 @@ object Dedup {
         val width = if (c == nChunks - 1) 16 - lo else bitsPer
         shiftright(col("sim"), lo).bitwiseAND(lit((1 << width) - 1))
       }: _*))).toDF("id", "sim", "chunk", "ckey")
+    // hamming-filter BEFORE the dedup shuffle: the radius test is cheap
+    // and cuts the candidate stream far below the raw bucket fanout, so
+    // dropDuplicates moves only qualifying pairs
     val cand = chunks.as("l").join(chunks.as("r"),
         col("l.chunk") === col("r.chunk") && col("l.ckey") === col("r.ckey") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"),
-        col("l.sim").as("sa"), col("r.sim").as("sb"))
+        bit_count(col("l.sim").bitwiseXOR(col("r.sim"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
       .dropDuplicates("doc_a", "doc_b")
     val out = cand
-      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
-      .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
       .localCheckpoint(true)

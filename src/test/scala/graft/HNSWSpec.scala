@@ -54,6 +54,19 @@ class HNSWSpec extends SparkSpec {
     assert(mean >= 0.9, s"mean recall@10 = $mean")
   }
 
+  test("build is deterministic: two builds give byte-identical search results") {
+    val queries = emb.filter(col("vec_id") < 10)
+    def run(): Seq[(Long, Long, Double)] = {
+      val m = HNSW.build(emb, "vec_id", "embedding",
+        HNSWGraph.Params(numLayers = 6, efConstruction = 100, efSearch = 64, m = 16),
+        numShards = 4)
+      m.searchMany(queries, "vec_id", "embedding", 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._3, t._2)).toSeq
+    }
+    assert(run() == run())
+  }
+
   test("save/load round-trip preserves search results (utils.rs:140-148 shape)") {
     val dir = java.nio.file.Files.createTempDirectory("hnsw").toString
     model.save(dir)
