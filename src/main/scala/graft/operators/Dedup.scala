@@ -130,25 +130,35 @@ object Dedup {
       }
       .toDF("id", "sim")
       .persist()
-    val chunks = fp.select(col("id"), col("sim"), posexplode(array(
+    // the 16-bit space is far smaller than the corpus: run the chunk join
+    // over DISTINCT fingerprints (quadratically less fanout), then expand
+    // qualifying fingerprint pairs back to doc pairs via broadcast joins
+    val sims = fp.select(col("sim")).distinct()
+    val chunks = sims.select(col("sim"), posexplode(array(
       (0 until nChunks).map { c =>
         // chunk c: bits [c*bitsPer, ...) — last chunk takes the remainder
         val lo = c * bitsPer
         val width = if (c == nChunks - 1) 16 - lo else bitsPer
         shiftright(col("sim"), lo).bitwiseAND(lit((1 << width) - 1))
-      }: _*))).toDF("id", "sim", "chunk", "ckey")
-    // hamming-filter BEFORE the dedup shuffle: the radius test is cheap
-    // and cuts the candidate stream far below the raw bucket fanout, so
-    // dropDuplicates moves only qualifying pairs
-    val cand = chunks.as("l").join(chunks.as("r"),
+      }: _*))).toDF("sim", "chunk", "ckey")
+    val simPairs = chunks.as("l").join(chunks.as("r"),
         col("l.chunk") === col("r.chunk") && col("l.ckey") === col("r.ckey") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"),
+          col("l.sim") < col("r.sim"))
+      .select(col("l.sim").as("sa"), col("r.sim").as("sb"),
         bit_count(col("l.sim").bitwiseXOR(col("r.sim"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .dropDuplicates("doc_a", "doc_b")
-    val out = cand
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .dropDuplicates("sa", "sb")
+    val diffSim = simPairs
+      .join(broadcast(fp).as("a"), col("a.sim") === col("sa"))
+      .join(broadcast(fp).as("b"), col("b.sim") === col("sb"))
+      .select(least(col("a.id"), col("b.id")).as("doc_a"),
+        greatest(col("a.id"), col("b.id")).as("doc_b"), col("hamming"))
+    val sameSim = fp.as("a").join(broadcast(fp).as("b"),
+        col("a.sim") === col("b.sim") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        lit(0).as("hamming"))
+    val out = diffSim.unionByName(sameSim)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
       .localCheckpoint(true)
     fp.unpersist()
