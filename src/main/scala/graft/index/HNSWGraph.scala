@@ -54,31 +54,50 @@ class HNSWGraph(val params: HNSWGraph.Params) extends Serializable {
 
   /** Best-first beam search within one layer (hnsw.rs:242-307): bounded
     * result heap of size ef, expand closest-first, visited set. Returns
-    * (internalIdx, distance) ascending by distance. */
+    * (internalIdx, distance) ascending by distance.
+    *
+    * Hot path of both build and serve: primitive-array heaps + a BitSet
+    * visited set (no per-node tuple boxing) — physical optimization only,
+    * identical result semantics (ties broken by the final (dist, idx)
+    * sort, as before). */
   def searchLayer(q: Array[Float], entry: Int, ef: Int, layer: Int): Vector[(Int, Double)] = {
-    val visited = mutable.HashSet(entry)
-    // candidates: min-heap by distance (explore closest first)
-    val cand = mutable.PriorityQueue((-distTo(entry, q), entry))
-    // results: max-heap by distance, bounded at ef
-    val res = mutable.PriorityQueue((distTo(entry, q), entry))
-    while (cand.nonEmpty) {
-      val (negD, c) = cand.dequeue()
-      if (-negD > res.head._1 && res.size >= ef) {
-        cand.clear() // closest candidate is worse than worst result: done
+    val visited = new java.util.BitSet(ids.length)
+    visited.set(entry)
+    val cand = new HNSWGraph.MinHeap(math.max(16, ef))    // explore closest first
+    val res = new HNSWGraph.MaxHeap(ef + 1)               // bounded worst-out
+    val d0 = distTo(entry, q)
+    cand.push(d0, entry)
+    res.push(d0, entry)
+    var done = false
+    while (!done && cand.size > 0) {
+      val cDist = cand.topPrio
+      val c = cand.pop()
+      if (cDist > res.topPrio && res.size >= ef) {
+        done = true // closest candidate is worse than worst result
       } else {
-        adj(layer).getOrElse(c, Nil).foreach { n =>
-          if (visited.add(n)) {
-            val d = distTo(n, q)
-            if (res.size < ef || d < res.head._1) {
-              cand.enqueue((-d, n))
-              res.enqueue((d, n))
-              if (res.size > ef) res.dequeue()
+        val nbrs = adj(layer).getOrElse(c, null)
+        if (nbrs != null) {
+          var i = 0
+          while (i < nbrs.length) {
+            val n = nbrs(i)
+            if (!visited.get(n)) {
+              visited.set(n)
+              val d = distTo(n, q)
+              if (res.size < ef || d < res.topPrio) {
+                cand.push(d, n)
+                res.push(d, n)
+                if (res.size > ef) res.pop()
+              }
             }
+            i += 1
           }
         }
       }
     }
-    res.toVector.map { case (d, n) => (n, d) }.sortBy(t => (t._2, t._1))
+    val out = new Array[(Int, Double)](res.size)
+    var i = res.size - 1
+    while (i >= 0) { val d = res.topPrio; out(i) = (res.pop(), d); i -= 1 }
+    out.toVector.sortBy(t => (t._2, t._1))
   }
 
   /** The reference's diversity pruning (hnsw.rs:104-164, paper Alg. 4
@@ -183,6 +202,51 @@ class HNSWGraph(val params: HNSWGraph.Params) extends Serializable {
 object HNSWGraph {
   case class Params(numLayers: Int = 8, efConstruction: Int = 100,
                     efSearch: Int = 64, m: Int = 16, seed: Long = 42L)
+
+  /** Primitive binary heap (parallel double/int arrays, no boxing). */
+  private[index] sealed abstract class PrimHeap(initCap: Int) {
+    protected var prio = new Array[Double](math.max(4, initCap))
+    protected var value = new Array[Int](math.max(4, initCap))
+    var size = 0
+    protected def before(a: Double, b: Double): Boolean
+    def topPrio: Double = prio(0)
+    def push(p: Double, v: Int): Unit = {
+      if (size == prio.length) {
+        prio = java.util.Arrays.copyOf(prio, size * 2)
+        value = java.util.Arrays.copyOf(value, size * 2)
+      }
+      var i = size; size += 1
+      prio(i) = p; value(i) = v
+      while (i > 0 && before(prio(i), prio((i - 1) / 2))) {
+        swap(i, (i - 1) / 2); i = (i - 1) / 2
+      }
+    }
+    def pop(): Int = {
+      val top = value(0)
+      size -= 1
+      prio(0) = prio(size); value(0) = value(size)
+      var i = 0
+      var again = true
+      while (again) {
+        val l = 2 * i + 1; val r = l + 1
+        var b = i
+        if (l < size && before(prio(l), prio(b))) b = l
+        if (r < size && before(prio(r), prio(b))) b = r
+        if (b == i) again = false else { swap(i, b); i = b }
+      }
+      top
+    }
+    private def swap(a: Int, b: Int): Unit = {
+      val tp = prio(a); prio(a) = prio(b); prio(b) = tp
+      val tv = value(a); value(a) = value(b); value(b) = tv
+    }
+  }
+  private[index] final class MinHeap(c: Int) extends PrimHeap(c) {
+    protected def before(a: Double, b: Double): Boolean = a < b
+  }
+  private[index] final class MaxHeap(c: Int) extends PrimHeap(c) {
+    protected def before(a: Double, b: Double): Boolean = a > b
+  }
 
   def build(params: Params, rows: Iterator[(Long, Array[Float])]): HNSWGraph = {
     val g = new HNSWGraph(params)
