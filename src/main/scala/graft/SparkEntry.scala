@@ -203,6 +203,18 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // LSH-forest top-10 for 5 queries (full build + forest search with
+    // prefix backtracking). Rows-only check like hnsw_knn — the
+    // data-dependent recursive tree isn't SQL-reproducible; recall and
+    // the degenerate-forest==exhaustive equivalence are in LSHForestSpec.
+    "lsh_knn" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val model = LSHForest.build(emb, "vec_id", "embedding",
+        LSHForest.Params(numTrees = 8, maxNodeSize = 64))
+      model.searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
     // Sharded HNSW top-10 under cosine distance for 5 queries. No SQL
     // oracle (graph search isn't SQL-expressible) → driver rows-only
     // check; recall vs the exhaustive oracle is gated in HNSWSpec.
