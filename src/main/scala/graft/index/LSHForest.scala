@@ -13,25 +13,31 @@ import graft.functions.VectorOps._
   * Build (lsh.rs:58-161), level-synchronous instead of recursive:
   *  - exact-dup elimination first (lsh.rs:113-130) via keep-first on the
   *    vector value;
-  *  - each tree is a column of bucket-path strings on the ONE corpus
-  *    DataFrame — `numTrees` paths per row, corpus never duplicated;
-  *  - per level: nodes still ≥ maxNodeSize sample 2 points
-  *    (deterministically, by min xxhash64 — the reference's unseeded
-  *    `thread_rng` sampling at lsh.rs:64 is a documented deviation, SURVEY
-  *    §7 determinism note), plane = perpendicular bisector (normal = b−a
-  *    through the midpoint, lsh.rs:72-80), rows split by the sign test
-  *    `coeffs·p + const ≥ 0` (lsh.rs:27-29);
-  *  - planes live driver-side (≤ corpus/maxNodeSize per tree — small);
-  *    big state stays distributed. A node whose split leaves one side
-  *    empty (degenerate plane) re-samples next level with a different
-  *    salt; depth is capped.
+  *  - the corpus carries ONE `paths` column (`numTrees` bucket-path
+  *    strings per row) — never duplicated;
+  *  - per level, THREE narrow/driver steps regardless of tree count:
+  *    (1) one aggregation for (tree, node) sizes; (2) one window job
+  *    sampling 2 deterministic points per overfull node (the reference's
+  *    unseeded `thread_rng` at lsh.rs:64 becomes min-xxhash — SURVEY §7
+  *    determinism note); (3) one `mapPartitions` pass appending the sign
+  *    bit against the BROADCAST plane map (plane = perpendicular
+  *    bisector through the midpoint, lsh.rs:72-80; sign test
+  *    `coeffs·p + const ≥ 0`, lsh.rs:27-29). The sign fold is the same
+  *    terms-from-0.0-const-last shape as [[pointIsAbove]]/driver descent,
+  *    so all three agree bitwise. Per-node Catalyst case-chains or
+  *    per-tree joins are NOT used — at moderate sizes janino/planning
+  *    dominates them; a narrow JVM pass is both the fast and the
+  *    100 TB-scalable shape (planes are tiny, rows never shuffle).
+  *  - a node whose split leaves one side empty (degenerate plane)
+  *    re-samples next level with a level-salted hash; depth is capped.
   *
   * Search (lsh.rs:163-216, 264-282): descend each tree driver-side to the
   * query's leaf; the reference backtracks into siblings until n candidates
   * — we compute the equivalent closed-form: walk up from the leaf until
   * the subtree holds ≥ n rows, then take every leaf under that prefix.
-  * Candidates = equi-join on exact leaf paths (partition-prunable), union
-  * across trees, dedup, exact re-rank, top-k (lsh.rs:266-282).
+  * Candidates = ONE equi-join of the (tree, path)-exploded corpus against
+  * the broadcast probe set, union across trees implicit, dedup by id
+  * (lsh.rs:266-272), exact re-rank, top-k.
   */
 object LSHForest {
 
@@ -43,18 +49,14 @@ object LSHForest {
                   leafSizes: Map[String, Long])
 
   case class Model(params: Params, trees: IndexedSeq[Tree],
-                   indexed: DataFrame /* id, vector, path_0..path_{T-1} */) {
+                   indexed: DataFrame /* id, vector, paths: array<string> */) {
 
     /** Leaf path for one query in one tree (pure driver-side descent). */
     private def leafPath(t: Tree, q: Array[Float]): String = {
       var path = ""
       while (t.planes.contains(path)) {
         val (coeffs, const) = t.planes(path)
-        // same fold shape as pointIsAbove: terms from 0.0, const last
-        var s = 0.0; var i = 0
-        while (i < coeffs.length) { s += coeffs(i) * q(i); i += 1 }
-        s += const
-        path += (if (s >= 0) "1" else "0")
+        path += (if (LSHForest.signBit(coeffs, const, q)) "1" else "0")
       }
       path
     }
@@ -70,7 +72,8 @@ object LSHForest {
       t.leafSizes.keys.filter(_.startsWith(prefix)).toSeq
     }
 
-    /** Batch top-k: per query per tree, probe leaves; union; dedup by id
+    /** Batch top-k: per query per tree, probe leaves; ONE equi-join of
+      * the exploded corpus against the broadcast probes; dedup by id
       * (lsh.rs:266-272 DashSet union); exact re-rank; top-k. */
     def searchMany(queries: DataFrame, qIdCol: String, qVecCol: String,
                    k: Int): DataFrame = {
@@ -88,14 +91,9 @@ object LSHForest {
           }
         }
         .toDF("qid", "qvec", "tree", "path")
-      // per-tree equi-join on the exact leaf path, then union of candidates
-      val perTree = (0 until params.numTrees).map { ti =>
-        indexed.join(
-            broadcast(probes.filter(col("tree") === ti).drop("tree")),
-            col(s"path_$ti") === col("path"))
-          .select(col("qid"), col("id"), col("vector"), col("qvec"))
-      }
-      val cands = perTree.reduce(_ unionByName _)
+      val exploded = indexed.select(col("id"), col("vector"),
+        posexplode(col("paths")).as(Seq("tree", "path")))
+      val cands = exploded.join(broadcast(probes), Seq("tree", "path"))
         .dropDuplicates("qid", "id")
         .select(col("qid"), col("id"),
           sqDist(col("vector"), col("qvec")).as("distance"))
@@ -121,20 +119,16 @@ object LSHForest {
       val spark = rows.sparkSession
       import spark.implicits._
       val bcTrees = spark.sparkContext.broadcast(trees)
-      val T = params.numTrees
       val appended = rows
         .select(col(idCol).cast("long").as("id"),
                 col(vecCol).cast("array<float>").as("vector"))
         .as[(Long, Array[Float])]
         .map { case (id, v) =>
-          (id, v, bcTrees.value.map(t => leafPath(t, v)))
+          (id, v, bcTrees.value.map(t => leafPath(t, v)).toArray)
         }
         .toDF("id", "vector", "paths")
-      val withCols = (0 until T).foldLeft(appended) { (df, ti) =>
-        df.withColumn(s"path_$ti", col("paths").getItem(ti))
-      }.drop("paths")
-      val newSizes = withCols
-        .select(array((0 until T).map(ti => col(s"path_$ti")): _*).as("ps"))
+      val newSizes = appended
+        .select(col("paths"))
         .collect().flatMap(_.getAs[scala.collection.Seq[String]](0).zipWithIndex)
         .groupBy(identity).view.mapValues(_.size.toLong).toMap
       val newTrees = trees.zipWithIndex.map { case (t, ti) =>
@@ -142,7 +136,7 @@ object LSHForest {
         t.copy(leafSizes = t.leafSizes ++ bump.map { case (p, n) =>
           p -> (t.leafSizes.getOrElse(p, 0L) + n) })
       }
-      copy(trees = newTrees, indexed = indexed.unionByName(withCols))
+      copy(trees = newTrees, indexed = indexed.unionByName(appended))
     }
 
     def save(dir: String): Unit = {
@@ -171,6 +165,15 @@ object LSHForest {
     (n, const)
   }
 
+  /** The sign fold shared by build, driver descent and [[pointIsAbove]]:
+    * Σ coeffsᵢ·vᵢ folded from 0.0, constant added last, ≥ 0. */
+  @inline private[graft] def signBit(coeffs: Array[Double], const: Double,
+                                     v: Array[Float]): Boolean = {
+    var s = 0.0; var i = 0
+    while (i < coeffs.length) { s += coeffs(i) * v(i); i += 1 }
+    s + const >= 0
+  }
+
   /** Sign test as a Column over broadcast-literal plane (lsh.rs:27-29).
     * Terms fold from 0.0 and the constant is added LAST — the exact shape
     * `list_reduce(...) + const` takes in the DuckDB oracle, so the score
@@ -185,86 +188,84 @@ object LSHForest {
   def build(emb: DataFrame, idCol: String, vecCol: String,
             params: Params): Model = {
     val spark = emb.sparkSession
+    import spark.implicits._
     val T = params.numTrees
 
     // exact-dup elimination, keep-first by id (lsh.rs:113-130)
     val wDup = Window.partitionBy(col("vector")).orderBy(col("id").asc)
-    var df = emb
+    var ds = emb
       .select(col(idCol).cast("long").as("id"),
               col(vecCol).cast("array<float>").as("vector"))
       .withColumn("_rn", row_number().over(wDup)).filter(col("_rn") === 1)
       .drop("_rn")
-    df = (0 until T).foldLeft(df)((d, ti) => d.withColumn(s"path_$ti", lit("")))
+      .withColumn("paths", array_repeat(lit(""), T))
+      .as[(Long, Array[Float], Array[String])]
       .cache()
 
     val planes = Array.fill(T)(scala.collection.mutable.Map.empty[String, (Array[Double], Double)])
 
     var level = 0
     var activeAny = true
+    var prev: org.apache.spark.sql.Dataset[(Long, Array[Float], Array[String])] = null
     while (activeAny && level < params.maxDepth) {
-      // nodes still too big, per tree — one aggregation over all trees
-      val sizes: Map[(Int, String), Long] = (0 until T).flatMap { ti =>
-        df.groupBy(col(s"path_$ti")).count().collect()
-          .map(r => (ti, r.getString(0)) -> r.getLong(1))
-      }.toMap
-      val toSplit = sizes.filter { case ((_, _), n) => n > params.maxNodeSize }
-      activeAny = toSplit.nonEmpty
+      // ONE job per level: per (tree, node), the node size AND its two
+      // deterministic min-xxhash sample rows come from the same window
+      // pass (this job also materializes the current level's cache, so
+      // the previous level's cache can be dropped right after)
+      val wCnt = Window.partitionBy(col("tree"), col("path"))
+      val wRk = wCnt.orderBy(
+        xxhash64(col("id"), col("tree"), lit(params.seed + level * 131)))
+      val sampled = ds.toDF("id", "vector", "paths")
+        .select(col("id"), col("vector"),
+          posexplode(col("paths")).as(Seq("tree", "path")))
+        .withColumn("_cnt", count(lit(1)).over(wCnt))
+        .withColumn("_rk", row_number().over(wRk))
+        .filter(col("_rk") <= 2)
+        .select(col("tree"), col("path"), col("_rk"), col("_cnt"), col("vector"))
+        .collect()
+      if (prev != null) { prev.unpersist(); prev = null }
+      val overfull = sampled
+        .filter(_.getLong(3) > params.maxNodeSize)
+        .groupBy(r => (r.getInt(0), r.getString(1)))
+      activeAny = overfull.nonEmpty
       if (activeAny) {
-        // deterministic 2-point sample per (tree, node): min-hash ranking
-        val newPlanes: Map[(Int, String), (Array[Double], Double)] =
-          (0 until T).flatMap { ti =>
-            val nodes = toSplit.keys.collect { case (t, p) if t == ti => p }.toSeq
-            if (nodes.isEmpty) Seq.empty
-            else {
-              val wS = Window.partitionBy(col(s"path_$ti"))
-                .orderBy(xxhash64(col("id"), lit(params.seed + level * 131 + ti)))
-              df.filter(col(s"path_$ti").isin(nodes: _*))
-                .withColumn("_rk", row_number().over(wS))
-                .filter(col("_rk") <= 2)
-                .select(col(s"path_$ti").as("p"), col("_rk"), col("vector"))
-                .collect()
-                .groupBy(_.getString(0))
-                .collect { case (p, rows) if rows.length == 2 =>
-                  val sorted = rows.sortBy(_.getInt(1))
-                  val a = sorted(0).getAs[scala.collection.Seq[Float]]("vector").toArray
-                  val b = sorted(1).getAs[scala.collection.Seq[Float]]("vector").toArray
-                  (ti, p) -> bisectorPlane(a, b)
-                }
-            }
+        val newPlanes: Map[(Int, String), (Array[Double], Double)] = overfull
+          .collect { case ((ti, p), rows) if rows.length == 2 =>
+            val sorted = rows.sortBy(_.getInt(2))
+            val a = sorted(0).getAs[scala.collection.Seq[Float]]("vector").toArray
+            val b = sorted(1).getAs[scala.collection.Seq[Float]]("vector").toArray
+            (ti, p) -> bisectorPlane(a, b)
           }.toMap
-        // append the side bit to each split node's path, all trees one pass
-        val prev = df
-        df = (0 until T).foldLeft(df) { (d, ti) =>
-          val treePlanes = newPlanes.collect { case ((t, p), pl) if t == ti => p -> pl }
-          if (treePlanes.isEmpty) d
-          else {
-            val cases = treePlanes.foldLeft(when(lit(false), lit(""))) {
-              case (acc, (p, (coeffs, const))) =>
-                acc.when(col(s"path_$ti") === p,
-                  concat(col(s"path_$ti"),
-                    when(pointIsAbove(col("vector"), coeffs, const), lit("1"))
-                      .otherwise(lit("0"))))
+        // ONE narrow pass appending the side bits (broadcast plane map)
+        val bcPlanes = spark.sparkContext.broadcast(newPlanes)
+        prev = ds
+        ds = ds.map { case (id, v, paths) =>
+          val pl = bcPlanes.value
+          var ti = 0
+          val out = new Array[String](paths.length)
+          while (ti < paths.length) {
+            out(ti) = pl.get((ti, paths(ti))) match {
+              case Some((coeffs, const)) =>
+                paths(ti) + (if (signBit(coeffs, const, v)) "1" else "0")
+              case None => paths(ti)
             }
-            d.withColumn(s"path_$ti", coalesce(cases, col(s"path_$ti")))
+            ti += 1
           }
+          (id, v, out)
         }.cache()
-        df.count() // materialize before releasing the previous level's cache
-        prev.unpersist()
-        // degenerate-split guard: a node that produced an empty side keeps
-        // its (unchanged-size) child; re-sampling happens next level via
-        // the level-salted hash. Record planes only for effective splits.
         newPlanes.foreach { case ((ti, p), pl) => planes(ti)(p) = pl }
       }
       level += 1
     }
 
-    val finalDf = df
+    val finalDf = ds.toDF("id", "vector", "paths")
+    val allLeafSizes = finalDf
+      .select(posexplode(col("paths")).as(Seq("tree", "path")))
+      .groupBy(col("tree"), col("path")).count().collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
     val leafSizes: IndexedSeq[Map[String, Long]] = (0 until T).map { ti =>
-      finalDf.groupBy(col(s"path_$ti")).count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      allLeafSizes.collect { case (t, p, n) if t == ti => p -> n }.toMap
     }
-    // prune plane entries that never actually split (both-children-empty
-    // impossible; one-empty yields a child == leaf path with same rows)
     val treesOut = (0 until T).map { ti =>
       Tree(planes(ti).toMap, leafSizes(ti))
     }

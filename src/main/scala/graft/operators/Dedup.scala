@@ -178,14 +178,15 @@ object Dedup {
                              graft.index.LSHForest.Params(numTrees = 8, maxNodeSize = 64))
   : DataFrame = {
     val model = graft.index.LSHForest.build(emb, idCol, vecCol, params)
-    val idx = model.indexed.persist()
-    val perTree = (0 until params.numTrees).map { ti =>
-      idx.as("l").join(idx.as("r"),
-          col(s"l.path_$ti") === col(s"r.path_$ti") && col("l.id") < col("r.id"))
-        .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-          col("l.vector").as("va"), col("r.vector").as("vb"))
-    }
-    val out = perTree.reduce(_ unionByName _)
+    val idx = model.indexed
+      .select(col("id"), col("vector"),
+        posexplode(col("paths")).as(Seq("tree", "path")))
+      .persist()
+    val out = idx.as("l").join(idx.as("r"),
+        col("l.tree") === col("r.tree") && col("l.path") === col("r.path") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.vector").as("va"), col("r.vector").as("vb"))
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
         cosineDistance(col("va"), col("vb")).as("distance"))
