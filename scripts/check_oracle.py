@@ -30,9 +30,11 @@ def main(sf_dir, out_dir):
             n_bad += 1
             continue
         try:
-            spark_df = con.execute(
-                f"SELECT * FROM read_parquet({files!r})").fetchdf()
-            duck_df = con.execute(sql).fetchdf()
+            spark_tbl = con.execute(
+                f"SELECT * FROM read_parquet({files!r})").arrow()
+            duck_tbl = con.execute(sql).arrow()
+            spark_df = spark_tbl.to_pandas()
+            duck_df = duck_tbl.to_pandas()
         except Exception as e:
             print(f"ERROR   {name}: {str(e).splitlines()[0][:160]}")
             n_bad += 1
@@ -41,6 +43,18 @@ def main(sf_dir, out_dir):
         d = duck_df.reindex(sorted(duck_df.columns), axis=1)
         if list(s.columns) != list(d.columns):
             print(f"SCHEMA  {name}: spark={list(s.columns)} duck={list(d.columns)}")
+            n_bad += 1
+            continue
+        # Strict arrow-dtype compare: the driver's hash is type- and
+        # rendering-sensitive (round 1: value-equal DECIMAL(28,2) vs
+        # DECIMAL(38,2) and int64 vs HUGEINT still hash-mismatched).
+        stypes = {f.name: str(f.type) for f in spark_tbl.schema}
+        dtypes_ = {f.name: str(f.type) for f in duck_tbl.schema}
+        tmism = [(c, stypes[c], dtypes_[c]) for c in s.columns
+                 if stypes[c] != dtypes_[c]]
+        if tmism:
+            c, a, b = tmism[0]
+            print(f"DTYPE   {name}: col={c} spark={a} duck={b}")
             n_bad += 1
             continue
         if len(s) != len(d):

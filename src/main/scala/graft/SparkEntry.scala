@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.VectorOps._
 import graft.index.{HNSW, HNSWGraph, IVFFlat, LSHForest}
@@ -12,9 +11,13 @@ import graft.streaming.Streaming
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Every query here has a DuckDB-equivalent in [[oracleSql]]; numeric
-  * columns are computed in double precision with identical element order on
-  * both engines (bit-identical results) or in DECIMAL (exact), so the
-  * driver's hash compare is stable. Column aliases match exactly.
+  * columns are computed in double precision with identical element order
+  * on both engines (bit-identical results) or as fixed-point BIGINT
+  * (exact, order-independent sums), so the driver's hash compare is
+  * stable. DECIMAL never appears in a final output schema: DuckDB widens
+  * aggregate DECIMALs/BIGINTs differently (DECIMAL(38,s), HUGEINT) and
+  * renders scale differently, which breaks the driver hash even when
+  * values match (proven in round 1). Column aliases match exactly.
   */
 object SparkEntry {
 
@@ -32,23 +35,34 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("knn_exhaustive")(spark, "/root/testdata/sf0.001")
 
+  /** Quantize a money-like DOUBLE to integer `scale`-ths (half-up).
+    * One double multiply + floor — bit-identical on Spark and DuckDB,
+    * and the resulting BIGINT sums are order-independent (the
+    * hash-portability contract; DECIMAL outputs are NOT portable:
+    * DuckDB widens sum(DECIMAL(p,s)) to DECIMAL(38,s) vs Spark's
+    * DECIMAL(p+10,s), and renders trailing zeros differently). */
+  private def q(c: org.apache.spark.sql.Column, scale: Double) =
+    floor(c.cast("double") * lit(scale) + lit(0.5d)).cast("long")
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // TPC-H-Q1-shaped pricing summary: grouped sums as DECIMAL (exact,
-    // order-independent → hash-stable across engines).
+    // TPC-H-Q1-shaped pricing summary: grouped sums as fixed-point
+    // BIGINT cents (exact, order-independent → hash-stable across
+    // engines; DECIMAL sums are not driver-hash-portable).
     "q1_agg" -> ((s, dir) => {
       tbl(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"),
-          sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("sum_base_price"),
+          sum(q(col("l_quantity"), 100.0)).as("sum_qty_c"),
+          sum(q(col("l_extendedprice"), 100.0)).as("sum_base_price_c"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
     // TPC-H-Q3-shaped join: customer ⋈ orders ⋈ lineitem, revenue per
-    // order for one segment, top-10. Dimension sides broadcast; decimal
-    // revenue (exact, hash-stable).
+    // order for one segment, top-10. Dimension sides broadcast; revenue
+    // as fixed-point BIGINT 10⁻⁴ units: cents(price) × (100 − cents%(disc))
+    // is pure integer math after one portable quantization per column.
     "q3_join" -> ((s, dir) => {
       val c = tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = tbl(s, dir, "orders")
@@ -58,17 +72,16 @@ object SparkEntry {
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy(col("l_orderkey"))
-        .agg(sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
-          (lit(java.math.BigDecimal.ONE).cast(DecimalType(18, 2)) -
-            col("l_discount").cast(DecimalType(18, 2))))
-          .cast(DecimalType(18, 4))).as("revenue"))
-        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .agg(sum(q(col("l_extendedprice"), 100.0) *
+          (lit(100L) - q(col("l_discount"), 100.0))).as("revenue_u4"))
+        .orderBy(col("revenue_u4").desc, col("l_orderkey"))
         .limit(10)
     }),
 
     // Per-supplier top-3 lineitems by extended price — the window top-k
     // shape every per-group-k operator in the engine reduces to
-    // (SURVEY §2.9 window note). Deterministic tie-breaks.
+    // (SURVEY §2.9 window note). Deterministic tie-breaks; price in
+    // BIGINT cents (per-row DECIMAL rendering is not hash-portable).
     "window_topk" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("l_suppkey"))
@@ -77,7 +90,7 @@ object SparkEntry {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select(col("l_suppkey"), col("rk"), col("l_orderkey"),
-          col("l_extendedprice").cast(DecimalType(18, 2)).as("price"))
+          q(col("l_extendedprice"), 100.0).as("price_c"))
         .orderBy(col("l_suppkey"), col("rk"))
     }),
 
@@ -165,15 +178,16 @@ object SparkEntry {
     }),
 
     // k-means cost (inertia) against the fixed centroids
-    // (ivfflat.rs:138-149): per-row min sqdist, summed exactly in
-    // DECIMAL so the cross-row sum is order-independent.
+    // (ivfflat.rs:138-149): per-row min sqdist quantized to µ-units
+    // (floor(d·10⁶) BIGINT) so the cross-row sum is order-independent
+    // and hash-portable (DECIMAL sums widen differently per engine).
     "ivf_cost_fixed" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val cents = fixedCentroids(emb)
       val minDist = cents.map(c =>
         sqDist(col("embedding"), typedlit(c))).reduce(least(_, _))
-      emb.select(minDist.cast(DecimalType(25, 10)).as("d"))
-        .agg(sum(col("d")).as("cost"), count(lit(1)).as("n"))
+      emb.select(floor(minDist * lit(1000000.0d)).cast("long").as("d"))
+        .agg(sum(col("d")).as("cost_q6"), count(lit(1)).as("n"))
     }),
 
     // Real MLlib-KMeans IVFFlat build: cluster-size histogram (shape
@@ -530,26 +544,26 @@ object SparkEntry {
     },
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        | sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        | CAST(sum(CAST(floor(CAST(l_quantity AS DOUBLE) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        | CAST(sum(CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
         | count(*) AS count_order
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q3_join" ->
       """SELECT l.l_orderkey,
-        | sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
-        |   * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))
-        |   AS DECIMAL(18,4))) AS revenue
+        | CAST(sum(CAST(floor(CAST(l.l_extendedprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
+        |   * (100 - CAST(floor(CAST(l.l_discount AS DOUBLE) * 100.0 + 0.5) AS BIGINT))) AS BIGINT) AS revenue_u4
         |FROM lineitem l
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |WHERE c.c_mktsegment = 'BUILDING'
-        |GROUP BY 1 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+        |GROUP BY 1 ORDER BY revenue_u4 DESC, l_orderkey LIMIT 10""".stripMargin,
 
     "window_topk" ->
       """SELECT l_suppkey,
         |  CAST(row_number() OVER w AS INTEGER) AS rk,
-        |  l_orderkey, CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+        |  l_orderkey,
+        |  CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS price_c
         |FROM lineitem
         |WINDOW w AS (PARTITION BY l_suppkey
         |  ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
@@ -639,7 +653,7 @@ object SparkEntry {
 
     "vec_mean_by_label" ->
       """SELECT label, CAST(u.i - 1 AS INTEGER) AS dim,
-        |  sum(CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS sum_q6,
+        |  CAST(sum(CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_q6,
         |  count(*) AS n
         |FROM embeddings, (SELECT unnest(range(1, 65)) AS i) u
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
@@ -651,7 +665,8 @@ object SparkEntry {
            |  x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
            |     * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (a,b) -> a+b)""".stripMargin)
         .mkString("least(", ", ", ")")
-      s"""SELECT sum(CAST($d AS DECIMAL(25,10))) AS cost, count(*) AS n
+      s"""SELECT CAST(sum(CAST(floor($d * 1000000.0) AS BIGINT)) AS BIGINT) AS cost_q6,
+         |  count(*) AS n
          |FROM embeddings e""".stripMargin
     },
 
