@@ -190,6 +190,21 @@ object SparkEntry {
         .agg(sum(col("d")).as("cost_q6"), count(lit(1)).as("n"))
     }),
 
+    // IVFFlat probe-ALL search (nprobe = numClusters) against the fixed
+    // centroids: probing every cluster makes IVF search exact, so the
+    // exhaustive-kNN SQL is an exact oracle — drives the whole
+    // assign→probe→re-rank path (ivfflat.rs:153-198) driver-green.
+    "ivf_search_all" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = fixedCentroids(emb)
+      val indexed = IVFFlat.assign(emb, "vec_id", "embedding", cents)
+      val sizes = Array.fill(cents.length)(Long.MaxValue) // force nprobe exactly
+      val model = IVFFlat.Model(IVFFlat.Params(cents.length), cents, sizes, indexed)
+      model.searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = cents.length)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
     // Real MLlib-KMeans IVFFlat build: cluster-size histogram (shape
     // check only — k-means|| init isn't SQL-reproducible, so this entry
     // has no oracle; correctness is gated in IVFFlatSpec).
@@ -225,6 +240,19 @@ object SparkEntry {
       val emb = tbl(s, dir, "embeddings")
       val model = LSHForest.build(emb, "vec_id", "embedding",
         LSHForest.Params(numTrees = 8, maxNodeSize = 64))
+      model.searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
+    // LSH-forest search through the FULL search path (tree routing +
+    // prefix backtracking + forest union) in the degenerate config
+    // (1 tree, maxNodeSize ≥ n ⇒ root is the only leaf): provably equal
+    // to exhaustive search (LSHForestSpec), so the knn_exhaustive SQL
+    // is an exact oracle — this makes the LSH search path driver-green.
+    "lsh_knn_exact" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val model = LSHForest.build(emb, "vec_id", "embedding",
+        LSHForest.Params(numTrees = 1, maxNodeSize = Int.MaxValue))
       model.searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
         .orderBy(col("qid"), col("distance"), col("id"))
     }),
@@ -381,6 +409,21 @@ object SparkEntry {
          | THEN ${1 << j} ELSE 0 END)""".stripMargin
     }.mkString(" + ")
   }
+
+  /** Exhaustive top-10-by-sqdist for the 5 fixed query vectors — the
+    * oracle for knn_exhaustive and for every exact-configured index
+    * search (degenerate LSH forest, probe-all IVF). */
+  private val exhaustiveKnnSql: String =
+    """WITH scored AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS id,
+      |    list_reduce(list_transform(list_zip(c.embedding, q.embedding),
+      |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+      |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+      |      (a, b) -> a + b) AS distance
+      |  FROM embeddings c, embeddings q WHERE q.vec_id < 5)
+      |SELECT qid, id, distance FROM scored
+      |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 10
+      |ORDER BY qid, distance, id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -570,17 +613,15 @@ object SparkEntry {
         |QUALIFY rk <= 3
         |ORDER BY l_suppkey, rk""".stripMargin,
 
-    "knn_exhaustive" ->
-      """WITH scored AS (
-        |  SELECT q.vec_id AS qid, c.vec_id AS id,
-        |    list_reduce(list_transform(list_zip(c.embedding, q.embedding),
-        |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
-        |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
-        |      (a, b) -> a + b) AS distance
-        |  FROM embeddings c, embeddings q WHERE q.vec_id < 5)
-        |SELECT qid, id, distance FROM scored
-        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 10
-        |ORDER BY qid, distance, id""".stripMargin,
+    "knn_exhaustive" -> exhaustiveKnnSql,
+
+    // Degenerate-config LSH forest search IS exhaustive search
+    // (LSHForestSpec gates the equivalence; same output shape).
+    "lsh_knn_exact" -> exhaustiveKnnSql,
+
+    // Probe-all IVF search IS exhaustive search (every cluster probed,
+    // exact re-rank — same top-k, same distances).
+    "ivf_search_all" -> exhaustiveKnnSql,
 
     "knn_cosine" ->
       """WITH scored AS (
