@@ -44,16 +44,21 @@ object HNSW {
           normalizeF(col(qVecCol).cast("array<float>")))
         .as[(Long, Array[Float])].collect()
       val bcQ = spark.sparkContext.broadcast(qRows)
-      val perShard = shards.flatMap { s =>
+      // per-shard k results shuffle as (qid, id, distance) triples; the
+      // global per-query merge is one bounded-heap pass (shards partition
+      // the corpus, so ids are distinct across shards)
+      shards.flatMap { s =>
         val g = deserialize(s.blob)
         bcQ.value.iterator.flatMap { case (qid, qv) =>
           g.searchKnn(qv, k).map { case (id, d) => (qid, id, d) }
         }
-      }.toDF("qid", "id", "distance")
-      val w = Window.partitionBy("qid")
-        .orderBy(col("distance").asc, col("id").asc)
-      perShard.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= k).drop("rn")
+      }
+        .groupByKey(_._1)
+        .flatMapGroups { (qid, it) =>
+          graft.operators.Exhaustive.topKDedup(it.map(t => (t._2, t._3)), k)
+            .map { case (id, d) => (qid, id, d) }
+        }
+        .toDF("qid", "id", "distance")
     }
 
     def search(query: Array[Float], k: Int): DataFrame = {
@@ -126,23 +131,26 @@ object HNSW {
       .sortWithinPartitions(col("shard"), col("id"))
       .as[(Long, Array[Float], Int)]
     val built = rows.mapPartitions { it =>
+      // a shard is a deliberately RAM-sized graph (the unit a single
+      // executor core can beam-search), so materializing the partition's
+      // rows to group them by shard is within the executor's budget
       it.toSeq.groupBy(_._3).iterator.map { case (shard, grp) =>
         val g = HNSWGraph.build(params,
           grp.iterator.map { case (id, v, _) => (id, v) })
         ShardBlob(shard, serialize(g))
       }
-    }
+    }.cache()
     // every residue class 0..P-1 must own a blob, or Model.add would
     // silently drop rows routed to an absent shard (empty corpus slices
-    // are legal). The present set comes from the cheap input side (a
-    // distinct over shard ints), not from re-materializing the built
-    // graphs; gaps get empty graphs.
-    val present = rows.select(col("shard")).distinct()
-      .as[Int].collect().toSet
+    // are legal). ONE job materializes the graphs and reports which
+    // shards exist (no separate distinct() + count() passes); gaps get
+    // empty graphs.
+    val present = built.map(_.shard).collect().toSet
     val gaps = (0 until P).filterNot(present)
       .map(sh => ShardBlob(sh, serialize(new HNSWGraph(params))))
-    val shards = built.unionByName(spark.createDataset(gaps)).cache()
-    shards.count() // materialize
+    val shards =
+      if (gaps.isEmpty) built
+      else built.unionByName(spark.createDataset(gaps))
     Model(params, P, shards)
   }
 

@@ -39,8 +39,15 @@ import graft.functions.VectorOps._
   */
 object IVFFlat {
 
+  /** `tol` is a documented deviation from the reference's bitwise
+    * convergence rule (ivfflat.rs:84-95 ≙ tol = 0): double-precision
+    * centroids almost never stop moving bitwise, so tol = 0 burns
+    * maxIterations × numAttempts full passes — at 100 TB every wasted
+    * iteration is a full corpus scan. A tiny ε stops when centroids are
+    * stationary to 1e-6, which assigns identically in practice; pass
+    * tol = 0.0 for the reference's exact behavior. */
   case class Params(k: Int, numAttempts: Int = 3, maxIterations: Int = 20,
-                    seed: Long = 42L)
+                    seed: Long = 42L, tol: Double = 1e-6)
 
   /** Built index: small broadcastable state (centroids + sizes) and the
     * big state as a DataFrame (id, vector, cluster). */
@@ -83,13 +90,20 @@ object IVFFlat {
             .map(c => (qid, qvec, c))
         }
         .toDF("qid", "qvec", "cluster")
-      val cands = indexed.join(broadcast(probes), Seq("cluster"))
+      // distance computed codegen-narrow before the only shuffle, which
+      // moves (qid, id, distance) triples — never vectors; per-query
+      // top-k in one bounded-heap pass (probed clusters are disjoint, so
+      // the dedup in topKDedup is a no-op here)
+      indexed.join(broadcast(probes), Seq("cluster"))
         .select(col("qid"), col("id"),
           sqDist(col("vector"), col("qvec")).as("distance"))
-      val w = Window.partitionBy("qid")
-        .orderBy(col("distance").asc, col("id").asc)
-      cands.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= k).drop("rn")
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (qid, it) =>
+          graft.operators.Exhaustive.topKDedup(it.map(t => (t._2, t._3)), k)
+            .map { case (id, d) => (qid, id, d) }
+        }
+        .toDF("qid", "id", "distance")
     }
 
     /** Incremental add: assign against frozen centroids, union. Caller ids
@@ -110,7 +124,7 @@ object IVFFlat {
         .toDF("cluster", "vector")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
       ParamsIO.write(spark, dir,
-        s"""{"k":${params.k},"numAttempts":${params.numAttempts},"maxIterations":${params.maxIterations},"seed":${params.seed}}""")
+        s"""{"k":${params.k},"numAttempts":${params.numAttempts},"maxIterations":${params.maxIterations},"seed":${params.seed},"tol":${params.tol}}""")
     }
   }
 
@@ -191,7 +205,7 @@ object IVFFlat {
     for (attempt <- 0 until params.numAttempts) {
       val km = new KMeans()
         .setK(params.k).setMaxIter(params.maxIterations)
-        .setTol(0.0).setSeed(params.seed + attempt)
+        .setTol(params.tol).setSeed(params.seed + attempt)
         .setFeaturesCol("features")
       val m = km.fit(feats)
       val cost = m.summary.trainingCost
@@ -212,7 +226,8 @@ object IVFFlat {
     val json = ParamsIO.read(spark, dir)
     def intOf(key: String): Long = ParamsIO.num(json, key)
     val params = Params(intOf("k").toInt, intOf("numAttempts").toInt,
-      intOf("maxIterations").toInt, intOf("seed"))
+      intOf("maxIterations").toInt, intOf("seed"),
+      ParamsIO.dbl(json, "tol", 1e-6))
     val cents = spark.read.parquet(s"$dir/centroids")
       .orderBy("cluster").collect()
       .map(_.getAs[scala.collection.Seq[Float]]("vector").toArray)

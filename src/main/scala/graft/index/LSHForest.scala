@@ -15,19 +15,24 @@ import graft.functions.VectorOps._
   *    vector value;
   *  - the corpus carries ONE `paths` column (`numTrees` bucket-path
   *    strings per row) — never duplicated;
-  *  - per level, THREE narrow/driver steps regardless of tree count:
-  *    (1) one aggregation for (tree, node) sizes; (2) one window job
-  *    sampling 2 deterministic points per overfull node (the reference's
-  *    unseeded `thread_rng` at lsh.rs:64 becomes min-xxhash — SURVEY §7
-  *    determinism note); (3) one `mapPartitions` pass appending the sign
-  *    bit against the BROADCAST plane map (plane = perpendicular
-  *    bisector through the midpoint, lsh.rs:72-80; sign test
+  *  - per level, TWO narrow steps regardless of tree count:
+  *    (1) ONE partial-aggregate job: each partition folds its rows into
+  *    per-(tree, node) {count, two min-hash samples} (the reference's
+  *    unseeded `thread_rng` at lsh.rs:64 becomes min-mix64 — SURVEY §7
+  *    determinism note); the driver merges partials. No explode, no
+  *    window, no shuffle — per-level traffic is O(partitions × nodes),
+  *    never O(rows), and vectors leave executors only as the ≤2 samples
+  *    per node. (2) one `mapPartitions` pass appending the sign bit
+  *    against the BROADCAST plane map (plane = perpendicular bisector
+  *    through the midpoint, lsh.rs:72-80; sign test
   *    `coeffs·p + const ≥ 0`, lsh.rs:27-29). The sign fold is the same
   *    terms-from-0.0-const-last shape as [[pointIsAbove]]/driver descent,
   *    so all three agree bitwise. Per-node Catalyst case-chains or
   *    per-tree joins are NOT used — at moderate sizes janino/planning
   *    dominates them; a narrow JVM pass is both the fast and the
   *    100 TB-scalable shape (planes are tiny, rows never shuffle).
+  *    The terminal level's aggregate doubles as the leaf-size table, so
+  *    the whole build runs `levels + 1` jobs total.
   *  - a node whose split leaves one side empty (degenerate plane)
   *    re-samples next level with a level-salted hash; depth is capped.
   *
@@ -73,8 +78,13 @@ object LSHForest {
     }
 
     /** Batch top-k: per query per tree, probe leaves; ONE equi-join of
-      * the exploded corpus against the broadcast probes; dedup by id
-      * (lsh.rs:266-272 DashSet union); exact re-rank; top-k. */
+      * the exploded corpus against the broadcast probes; distances are
+      * computed codegen-narrow BEFORE the only shuffle, which then moves
+      * 16-byte (qid, id, distance) triples — never vectors; per-query
+      * top-k + cross-tree dedup by id (lsh.rs:266-272 DashSet union)
+      * happen in one bounded-heap pass per qid group (duplicates of an
+      * id carry bit-identical distances, so heap-membership dedup is
+      * exact). One shuffle total vs dropDuplicates + window's two. */
     def searchMany(queries: DataFrame, qIdCol: String, qVecCol: String,
                    k: Int): DataFrame = {
       val spark = queries.sparkSession
@@ -93,14 +103,16 @@ object LSHForest {
         .toDF("qid", "qvec", "tree", "path")
       val exploded = indexed.select(col("id"), col("vector"),
         posexplode(col("paths")).as(Seq("tree", "path")))
-      val cands = exploded.join(broadcast(probes), Seq("tree", "path"))
-        .dropDuplicates("qid", "id")
+      exploded.join(broadcast(probes), Seq("tree", "path"))
         .select(col("qid"), col("id"),
           sqDist(col("vector"), col("qvec")).as("distance"))
-      val w = Window.partitionBy("qid")
-        .orderBy(col("distance").asc, col("id").asc)
-      cands.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= k).drop("rn")
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (qid, it) =>
+          graft.operators.Exhaustive.topKDedup(it.map(t => (t._2, t._3)), k)
+            .map { case (id, d) => (qid, id, d) }
+        }
+        .toDF("qid", "id", "distance")
     }
 
     /** Single-query search. */
@@ -185,6 +197,56 @@ object LSHForest {
     score >= 0
   }
 
+  /** Per-(tree, node) build statistics: row count and the ≤2 rows with
+    * the smallest level-salted hash (the deterministic "random" split
+    * pair). Partition-local partials; merged on the driver. */
+  private type NodeStat = (Long, List[(Long, Long, Array[Float])])
+
+  private def mergeStat(a: NodeStat, b: NodeStat): NodeStat =
+    (a._1 + b._1,
+      (a._2 ++ b._2).sortBy(t => (t._1, t._2)).take(2))
+
+  /** One narrow job: fold every partition into per-(tree, path) counts +
+    * two min-hash sample vectors, merge partials on the driver. The only
+    * data leaving executors is O(activeNodes × 2 vectors) per partition —
+    * rows and their vectors are never shuffled or exploded. */
+  private def levelStats(
+      ds: org.apache.spark.sql.Dataset[(Long, Array[Float], Array[String])],
+      levelSeed: Long): Map[(Int, String), NodeStat] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[(Int, String), NodeStat]
+      it.foreach { case (id, v, paths) =>
+        var ti = 0
+        while (ti < paths.length) {
+          val key = (ti, paths(ti))
+          val h = mix64(id ^ (ti * 0x9E3779B97F4A7C15L) ^ levelSeed)
+          val cand = (h, id, v)
+          m.get(key) match {
+            case None => m(key) = (1L, cand :: Nil)
+            case Some(st) => m(key) = mergeStat(st, (1L, cand :: Nil))
+          }
+          ti += 1
+        }
+      }
+      m.iterator.map { case ((ti, p), (n, s)) => (ti, p, n, s) }
+    }.collect()
+      .groupBy(r => (r._1, r._2))
+      .view.mapValues(rs =>
+        rs.map(r => (r._3, r._4): NodeStat).reduce(mergeStat))
+      .toMap
+  }
+
+  /** Stafford mix13 finalizer — the deterministic stand-in for the
+    * reference's unseeded thread_rng sample choice (lsh.rs:64). */
+  @inline private def mix64(x0: Long): Long = {
+    var x = x0
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
   def build(emb: DataFrame, idCol: String, vecCol: String,
             params: Params): Model = {
     val spark = emb.sparkSession
@@ -205,37 +267,25 @@ object LSHForest {
     val planes = Array.fill(T)(scala.collection.mutable.Map.empty[String, (Array[Double], Double)])
 
     var level = 0
-    var activeAny = true
+    var stats = Map.empty[(Int, String), NodeStat]
+    var splitLast = true
     var prev: org.apache.spark.sql.Dataset[(Long, Array[Float], Array[String])] = null
-    while (activeAny && level < params.maxDepth) {
-      // ONE job per level: per (tree, node), the node size AND its two
-      // deterministic min-xxhash sample rows come from the same window
-      // pass (this job also materializes the current level's cache, so
-      // the previous level's cache can be dropped right after)
-      val wCnt = Window.partitionBy(col("tree"), col("path"))
-      val wRk = wCnt.orderBy(
-        xxhash64(col("id"), col("tree"), lit(params.seed + level * 131)))
-      val sampled = ds.toDF("id", "vector", "paths")
-        .select(col("id"), col("vector"),
-          posexplode(col("paths")).as(Seq("tree", "path")))
-        .withColumn("_cnt", count(lit(1)).over(wCnt))
-        .withColumn("_rk", row_number().over(wRk))
-        .filter(col("_rk") <= 2)
-        .select(col("tree"), col("path"), col("_rk"), col("_cnt"), col("vector"))
-        .collect()
+    while (splitLast && level < params.maxDepth) {
+      // this job also materializes the current level's cache, so the
+      // previous level's cache can be dropped right after
+      stats = levelStats(ds, params.seed + level * 131L)
       if (prev != null) { prev.unpersist(); prev = null }
-      val overfull = sampled
-        .filter(_.getLong(3) > params.maxNodeSize)
-        .groupBy(r => (r.getInt(0), r.getString(1)))
-      activeAny = overfull.nonEmpty
-      if (activeAny) {
-        val newPlanes: Map[(Int, String), (Array[Double], Double)] = overfull
-          .collect { case ((ti, p), rows) if rows.length == 2 =>
-            val sorted = rows.sortBy(_.getInt(2))
-            val a = sorted(0).getAs[scala.collection.Seq[Float]]("vector").toArray
-            val b = sorted(1).getAs[scala.collection.Seq[Float]]("vector").toArray
-            (ti, p) -> bisectorPlane(a, b)
-          }.toMap
+      val overfull = stats.filter(_._2._1 > params.maxNodeSize)
+      splitLast = overfull.nonEmpty
+      if (splitLast) {
+        // an overfull node holds ≥ 2 rows (count > maxNodeSize ≥ 1) and
+        // ids are unique post-dedup, so two samples always exist; a node
+        // whose split left one side empty stays overfull and re-samples
+        // next level under the level-salted hash
+        val newPlanes: Map[(Int, String), (Array[Double], Double)] =
+          overfull.map { case (key, (_, samples)) =>
+            key -> bisectorPlane(samples.head._3, samples(1)._3)
+          }
         // ONE narrow pass appending the side bits (broadcast plane map)
         val bcPlanes = spark.sparkContext.broadcast(newPlanes)
         prev = ds
@@ -257,19 +307,18 @@ object LSHForest {
       }
       level += 1
     }
+    // the terminal aggregate IS the leaf-size table — unless the depth
+    // cap cut the loop right after a split, in which case one more
+    // (counts-only) pass picks up the post-split paths
+    if (splitLast) stats = levelStats(ds, params.seed)
 
-    val finalDf = ds.toDF("id", "vector", "paths")
-    val allLeafSizes = finalDf
-      .select(posexplode(col("paths")).as(Seq("tree", "path")))
-      .groupBy(col("tree"), col("path")).count().collect()
-      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
     val leafSizes: IndexedSeq[Map[String, Long]] = (0 until T).map { ti =>
-      allLeafSizes.collect { case (t, p, n) if t == ti => p -> n }.toMap
+      stats.collect { case ((t, p), (n, _)) if t == ti => p -> n }.toMap
     }
     val treesOut = (0 until T).map { ti =>
       Tree(planes(ti).toMap, leafSizes(ti))
     }
-    Model(params, treesOut, finalDf)
+    Model(params, treesOut, ds.toDF("id", "vector", "paths"))
   }
 
   def load(spark: SparkSession, dir: String): Model = {

@@ -31,4 +31,10 @@ object ParamsIO {
     s""""$key":(-?\\d+)""".r.findFirstMatchIn(json)
       .getOrElse(throw new IllegalArgumentException(s"missing $key in $json"))
       .group(1).toLong
+
+  /** Floating-point field, with a default for sidecars written before
+    * the field existed. */
+  def dbl(json: String, key: String, default: Double): Double =
+    s""""$key":(-?[\\d.eE+-]+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toDouble).getOrElse(default)
 }

@@ -43,6 +43,30 @@ object Exhaustive {
       .orderBy(col("distance").asc, col(idCol).asc)
       .limit(k)
 
+  /** Bounded top-k with dedup-by-id over (id, distance) candidates —
+    * the executor-local merge kernel shared by the index searches
+    * (LSH forest union, lsh.rs:266-282). Keeps the k smallest by
+    * (distance, id); duplicate ids (same candidate reached via several
+    * trees/shards, bit-identical distance) are dropped via heap
+    * membership — O(k) per candidate, no unbounded seen-set. Output
+    * ascending by (distance, id). */
+  def topKDedup(it: Iterator[(Long, Double)], k: Int): Iterator[(Long, Double)] = {
+    // max-heap on (distance, id): root = current worst of the kept k
+    val ord = Ordering.by[(Long, Double), (Double, Long)](t => (t._2, t._1))
+    val heap = new scala.collection.mutable.PriorityQueue[(Long, Double)]()(ord)
+    it.foreach { case cand @ (id, d) =>
+      if (heap.size < k) {
+        if (!heap.exists(_._1 == id)) heap.enqueue(cand)
+      } else {
+        val (wid, wd) = heap.head
+        if (d < wd || (d == wd && id < wid)) {
+          if (!heap.exists(_._1 == id)) { heap.dequeue(); heap.enqueue(cand) }
+        }
+      }
+    }
+    heap.dequeueAll.reverseIterator
+  }
+
   /** Batch exact kNN: every row of `queries` against every row of `corpus`,
     * keep the k nearest per query. Ties broken by id so results are
     * deterministic. The query side is broadcast — REQUIRED at scale: the
