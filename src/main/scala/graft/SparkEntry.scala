@@ -318,6 +318,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // 64-bit SimHash fingerprint per document (two bits per md5 nibble).
+    "text_simhash64" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextOps.md5Digests(col("text")).as("digests"))
+        .select(col("doc_id"),
+          TextOps.simhash64FromDigests(col("digests")).as("simhash64"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Content-defined set fingerprint per document.
     "doc_fingerprint" -> ((s, dir) => {
       tbl(s, dir, "documents")
@@ -334,10 +343,22 @@ object SparkEntry {
       Dedup.jaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
         threshold = 0.2)),
 
+    // Same, with the document-frequency cap that bounds posting-list
+    // fanout at scale (shingles in > dfCap docs leave the universe).
+    "dedup_jaccard_capped" -> ((s, dir) =>
+      Dedup.jaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.2, dfCap = 8)),
+
     // SimHash pairs within Hamming radius 2 (pigeonhole chunk join).
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(tbl(s, dir, "documents"), "doc_id", "text",
         maxHamming = 2)),
+
+    // 64-bit SimHash pairs, radius 3 (4 pigeonhole chunks) — the
+    // corpus-scale fingerprint (16 bits saturate beyond ~10⁴ docs).
+    "dedup_simhash64" -> ((s, dir) =>
+      Dedup.simhashPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3, bits = 64)),
 
     // Embedding cosine near-dup pairs.
     "dedup_embed" -> ((s, dir) =>
@@ -408,6 +429,20 @@ object SparkEntry {
          |  t -> CASE WHEN substr(md5(t), ${j + 1}, 1) IN $high THEN 1 ELSE -1 END)) > 0
          | THEN ${1 << j} ELSE 0 END)""".stripMargin
     }.mkString(" + ")
+  }
+  /** 64-bit twin: two set-tests per nibble (8-bit → bits 0..31, 4-bit →
+    * bits 32..63), OR-folded; bit-63's value only exists as a string
+    * literal in DuckDB BIGINT (1<<63 overflows its shift). */
+  private val simhash64Sql: String = {
+    val bit8 = "('8','9','a','b','c','d','e','f')"
+    val bit4 = "('4','5','6','7','c','d','e','f')"
+    (0 until 64).map { bit =>
+      val (pos, set) = if (bit < 32) (bit + 1, bit8) else (bit - 31, bit4)
+      val v = (1L << bit).toString
+      s"""(CASE WHEN list_sum(list_transform(toks,
+         |  t -> CASE WHEN substr(md5(t), $pos, 1) IN $set THEN 1 ELSE -1 END)) > 0
+         | THEN CAST('$v' AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+    }.mkString(" | ")
   }
 
   /** Exhaustive top-10-by-sqdist for the 5 fixed query vectors — the
@@ -520,6 +555,24 @@ object SparkEntry {
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
 
+    "dedup_jaccard_capped" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s2 AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+         |ex0 AS (SELECT doc_id, unnest(list_distinct(sh)) AS s FROM s2),
+         |keep AS (SELECT s FROM ex0 GROUP BY s HAVING count(*) <= 8),
+         |ex AS (SELECT ex0.doc_id, ex0.s FROM ex0 JOIN keep USING (s)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+         |inter AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS i
+         |  FROM ex l JOIN ex r ON l.s = r.s AND l.doc_id < r.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT i2.doc_a, i2.doc_b,
+         |  CAST(i2.i AS DOUBLE) / CAST(na.n + nb.n - i2.i AS DOUBLE) AS jaccard
+         |FROM inter i2
+         |JOIN sizes na ON na.doc_id = i2.doc_a
+         |JOIN sizes nb ON nb.doc_id = i2.doc_b
+         |WHERE CAST(i2.i AS DOUBLE) / CAST(na.n + nb.n - i2.i AS DOUBLE) >= 0.2
+         |ORDER BY 1, 2""".stripMargin,
+
     "dedup_jaccard" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |s2 AS (SELECT doc_id, $shinglesSql AS sh FROM t),
@@ -544,6 +597,20 @@ object SparkEntry {
          |FROM fp l JOIN fp r ON l.doc_id < r.doc_id
          |WHERE bit_count(xor(l.sim, r.sim)) <= 2
          |ORDER BY 1, 2""".stripMargin,
+
+    "dedup_simhash64" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |fp AS (SELECT doc_id, ($simhash64Sql) AS sim FROM t)
+         |SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         |  CAST(bit_count(xor(l.sim, r.sim)) AS INTEGER) AS hamming
+         |FROM fp l JOIN fp r ON l.doc_id < r.doc_id
+         |WHERE bit_count(xor(l.sim, r.sim)) <= 3
+         |ORDER BY 1, 2""".stripMargin,
+
+    "text_simhash64" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
+         |SELECT doc_id, ($simhash64Sql) AS simhash64
+         |FROM t ORDER BY doc_id""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id AS id, 'text' AS media_type,

@@ -76,12 +76,21 @@ object Dedup {
 
   /** Exact n-gram Jaccard over distinct word-3-shingle sets, via the
     * shingle inverted index; pairs with similarity ≥ threshold.
-    * Division is exact-int-to-double → engine-portable bits. */
+    * Division is exact-int-to-double → engine-portable bits.
+    *
+    * `dfCap` bounds the inverted-index fanout: a shingle shared by N
+    * docs emits N² join rows, so one hot stop-shingle in 10⁵ docs is
+    * 10¹⁰ pairs — the all-pairs blowup this operator exists to avoid.
+    * With dfCap > 0, shingles whose document frequency exceeds the cap
+    * are dropped from the universe BEFORE sizes and intersections
+    * (result = exact Jaccard over the ≤cap-frequency shingle space, the
+    * standard stop-shingle treatment), capping any posting list at cap²
+    * pairs. 0 = uncapped (the oracle configuration). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   threshold: Double = 0.5): DataFrame = {
+                   threshold: Double = 0.5, dfCap: Int = 0): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val ex = docs
+    val exAll = docs
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
@@ -90,6 +99,13 @@ object Dedup {
       })
       .toDF("id", "sh")
       .persist()
+    // hot-shingle blacklist: at most (total postings / cap) entries, so
+    // it broadcasts; the anti-join never shuffles the posting lists
+    val ex = if (dfCap > 0) {
+      val hot = exAll.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") > dfCap).select("sh")
+      exAll.join(broadcast(hot), Seq("sh"), "left_anti")
+    } else exAll
     val sizes = ex.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = ex.as("l").join(ex.as("r"),
         col("l.sh") === col("r.sh") && col("l.id") < col("r.id"))
@@ -105,18 +121,21 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
       .localCheckpoint(true)
-    ex.unpersist()
+    exAll.unpersist()
     out
   }
 
   /** SimHash near-dup pairs within a Hamming radius, via pigeonhole
-    * chunking: the 16-bit fingerprint splits into maxHamming+1 chunks;
-    * any pair with ≤ maxHamming differing bits shares ≥ 1 chunk, so the
-    * chunk equi-join is a complete candidate generator. */
+    * chunking: the `bits`-wide fingerprint splits into maxHamming+1
+    * chunks; any pair with ≤ maxHamming differing bits shares ≥ 1 chunk,
+    * so the chunk equi-join is a complete candidate generator.
+    * bits = 16 (oracle-continuity default; saturates beyond ~10⁴ docs)
+    * or 64 ([[TextHashFast.simhash64]], the corpus-scale fingerprint). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 2): DataFrame = {
+                   maxHamming: Int = 2, bits: Int = 16): DataFrame = {
+    require(bits == 16 || bits == 64, s"bits must be 16 or 64, got $bits")
     val nChunks = maxHamming + 1
-    val bitsPer = 16 / nChunks
+    val bitsPer = bits / nChunks
     val spark = docs.sparkSession
     import spark.implicits._
     val fp = docs
@@ -125,21 +144,28 @@ object Dedup {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text) =>
-          (id, TextHashFast.simhash16(md, TextHashFast.tokenize(text)))
+          val toks = TextHashFast.tokenize(text)
+          val sim = if (bits == 16) TextHashFast.simhash16(md, toks).toLong
+                    else TextHashFast.simhash64(md, toks)
+          (id, sim)
         }
       }
       .toDF("id", "sim")
       .persist()
-    // the 16-bit space is far smaller than the corpus: run the chunk join
-    // over DISTINCT fingerprints (quadratically less fanout), then expand
-    // qualifying fingerprint pairs back to doc pairs via broadcast joins
+    // the fingerprint space is far smaller than the corpus (2^16) or at
+    // least heavily collapsed by near-dups (64-bit): run the chunk join
+    // over DISTINCT fingerprints (quadratically less fanout). Only the
+    // qualifying fingerprint PAIRS are broadcast — they're bounded by
+    // the near-dup structure, while fp itself scales with the corpus
+    // and must never be broadcast; doc-pair expansion is a shuffle
+    // equi-join on sim.
     val sims = fp.select(col("sim")).distinct()
     val chunks = sims.select(col("sim"), posexplode(array(
       (0 until nChunks).map { c =>
         // chunk c: bits [c*bitsPer, ...) — last chunk takes the remainder
         val lo = c * bitsPer
-        val width = if (c == nChunks - 1) 16 - lo else bitsPer
-        shiftright(col("sim"), lo).bitwiseAND(lit((1 << width) - 1))
+        val width = if (c == nChunks - 1) bits - lo else bitsPer
+        shiftrightunsigned(col("sim"), lo).bitwiseAND(lit((1L << width) - 1L))
       }: _*))).toDF("sim", "chunk", "ckey")
     val simPairs = chunks.as("l").join(chunks.as("r"),
         col("l.chunk") === col("r.chunk") && col("l.ckey") === col("r.ckey") &&
@@ -148,12 +174,12 @@ object Dedup {
         bit_count(col("l.sim").bitwiseXOR(col("r.sim"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("sa", "sb")
-    val diffSim = simPairs
-      .join(broadcast(fp).as("a"), col("a.sim") === col("sa"))
-      .join(broadcast(fp).as("b"), col("b.sim") === col("sb"))
+    val diffSim = fp.as("a")
+      .join(broadcast(simPairs), col("a.sim") === col("sa"))
+      .join(fp.as("b"), col("b.sim") === col("sb"))
       .select(least(col("a.id"), col("b.id")).as("doc_a"),
         greatest(col("a.id"), col("b.id")).as("doc_b"), col("hamming"))
-    val sameSim = fp.as("a").join(broadcast(fp).as("b"),
+    val sameSim = fp.as("a").join(fp.as("b"),
         col("a.sim") === col("b.sim") && col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
         lit(0).as("hamming"))

@@ -85,4 +85,30 @@ object TextHashFast {
     while (j < 16) { if (votes(j) > 0) sim |= 1 << j; j += 1 }
     sim
   }
+
+  /** 64-bit SimHash over tokens: bits 0..31 vote on the HIGH bit (8) of
+    * md5 nibble j+1, bits 32..63 on its 4-bit — two independent
+    * uniform bits per nibble, one md5 per token, and every vote is
+    * expressible as a hex-char set test in SQL (the oracle's shape).
+    * The 16-bit fingerprint saturates beyond ~10⁴ docs (everything
+    * collides); this is the corpus-scale variant. */
+  def simhash64(md: MessageDigest, toks: Array[String]): Long = {
+    val votes = new Array[Int](64)
+    var ti = 0
+    while (ti < toks.length) {
+      val d = md.digest(toks(ti).getBytes(StandardCharsets.UTF_8))
+      var j = 0
+      while (j < 32) {
+        val b = d(j / 2) & 0xff
+        val nib = if (j % 2 == 0) b >>> 4 else b & 0xf
+        votes(j) += (if (nib >= 8) 1 else -1)
+        votes(32 + j) += (if ((nib & 4) != 0) 1 else -1)
+        j += 1
+      }
+      ti += 1
+    }
+    var sim = 0L; var j = 0
+    while (j < 64) { if (votes(j) > 0) sim |= 1L << j; j += 1 }
+    sim
+  }
 }

@@ -75,6 +75,26 @@ object TextOps {
     * prefer a two-step projection via [[md5Digests]] in hot paths). */
   def simhash16(text: Column): Column = simhash16FromDigests(md5Digests(text))
 
+  /** 64-bit SimHash from per-token digests — two bits per md5 nibble
+    * (the 8-bit for bits 0..31, the 4-bit for bits 32..63), same vote
+    * structure as [[simhash16FromDigests]]; see
+    * [[TextHashFast.simhash64]] for the fast-path twin and the scale
+    * rationale (16 bits saturate beyond ~10⁴ docs). */
+  def simhash64FromDigests(digests: Column): Column = {
+    val bit8 = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val bit4 = Seq("4", "5", "6", "7", "c", "d", "e", "f")
+    (0 until 64).map { bit =>
+      val (nibblePos, hexSet) =
+        if (bit < 32) (bit + 1, bit8) else (bit - 32 + 1, bit4)
+      val vote = aggregate(digests, lit(0), (acc, d) =>
+        acc + when(substring(d, nibblePos, 1).isin(hexSet: _*), lit(1))
+          .otherwise(lit(-1)))
+      when(vote > 0, lit(1L << bit)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  def simhash64(text: Column): Column = simhash64FromDigests(md5Digests(text))
+
   /** Set fingerprint: md5 of the space-joined sorted distinct token set —
     * content-defined doc identity robust to token order/repeats. */
   def fingerprint(text: Column): Column =

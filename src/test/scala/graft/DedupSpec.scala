@@ -42,6 +42,32 @@ class DedupSpec extends SparkSpec {
       }
   }
 
+  test("fast-path simhash64 equals the Column pipeline") {
+    val viaColumn = docs
+      .select(col("doc_id"), TextOps.simhash64(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .foreach { case (id, text) =>
+        assert(TextHashFast.simhash64(md, TextHashFast.tokenize(text)) == viaColumn(id),
+          s"doc $id")
+      }
+  }
+
+  test("simhash64 pairs: planted dup at hamming 0; radius widens monotonically") {
+    val dup = docs.filter(col("doc_id") === 0)
+      .withColumn("doc_id", lit(77777L))
+    val withDup = docs.unionByName(dup)
+    val h0 = Dedup.simhashPairs(withDup, "doc_id", "text",
+      maxHamming = 0, bits = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(h0.contains((0L, 77777L)))
+    val h3 = Dedup.simhashPairs(withDup, "doc_id", "text",
+      maxHamming = 3, bits = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(h0.subsetOf(h3))
+  }
+
   test("planted duplicate is caught by all three near-dup detectors") {
     val dup = docs.filter(col("doc_id") === 0)
       .withColumn("doc_id", lit(99999L))
@@ -55,6 +81,27 @@ class DedupSpec extends SparkSpec {
     val sh = Dedup.simhashPairs(withDup, "doc_id", "text", maxHamming = 0)
       .filter(col("doc_a") === 0 && col("doc_b") === 99999).collect()
     assert(sh.length == 1 && sh(0).getInt(2) == 0)
+  }
+
+  test("jaccard dfCap: uncapped == huge cap; hot shingles stop pairing under a small cap") {
+    // a cap no shingle exceeds changes nothing
+    val base = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.2,
+        dfCap = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped == base)
+    // 10 docs share ONE hot shingle and are otherwise disjoint: uncapped
+    // pairs all 45 combinations through the hot posting list; dfCap < 10
+    // blacklists it and the fanout drops to zero
+    val hotDocs = (0 until 10)
+      .map(i => (i.toLong, s"common hot shingle unique$i distinct$i tail$i"))
+      .toDF("doc_id", "text")
+    val un = Dedup.jaccardPairs(hotDocs, "doc_id", "text", threshold = 0.0)
+    assert(un.count() == 45)
+    val cp = Dedup.jaccardPairs(hotDocs, "doc_id", "text", threshold = 0.0,
+      dfCap = 5)
+    assert(cp.count() == 0)
   }
 
   test("embeddingPairs finds planted near-identical vector and nothing closer") {
