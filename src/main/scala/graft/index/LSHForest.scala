@@ -125,8 +125,11 @@ object LSHForest {
 
     /** Incremental add: descend existing planes for each new row (planes
       * frozen). Deviation from lsh.rs:218-251 (eager leaf re-split): leaves
-      * may temporarily exceed maxNodeSize; rebuild compacts them — at
-      * Spark scale a periodic rebuild job is the right maintenance shape. */
+      * may temporarily exceed maxNodeSize; [[rebuildLeaves]] compacts them
+      * — at Spark scale a periodic compaction job is the right maintenance
+      * shape. Leaf-size bumps come from an aggregation job (one row per
+      * touched (tree, leaf) reaches the driver) — the add batch itself
+      * never does. */
     def add(rows: DataFrame, idCol: String, vecCol: String): Model = {
       val spark = rows.sparkSession
       import spark.implicits._
@@ -139,16 +142,37 @@ object LSHForest {
           (id, v, bcTrees.value.map(t => leafPath(t, v)).toArray)
         }
         .toDF("id", "vector", "paths")
-      val newSizes = appended
-        .select(col("paths"))
-        .collect().flatMap(_.getAs[scala.collection.Seq[String]](0).zipWithIndex)
-        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val bump = appended
+        .select(posexplode(col("paths")).as(Seq("tree", "path")))
+        .groupBy(col("tree"), col("path")).count().collect()
+        .map(r => ((r.getInt(0), r.getString(1)), r.getLong(2))).toMap
       val newTrees = trees.zipWithIndex.map { case (t, ti) =>
-        val bump = newSizes.collect { case ((p, i), n) if i == ti => p -> n }
-        t.copy(leafSizes = t.leafSizes ++ bump.map { case (p, n) =>
+        val mine = bump.collect { case ((`ti`, p), n) => p -> n }
+        t.copy(leafSizes = t.leafSizes ++ mine.map { case (p, n) =>
           p -> (t.leafSizes.getOrElse(p, 0L) + n) })
       }
       copy(trees = newTrees, indexed = indexed.unionByName(appended))
+    }
+
+    /** Compaction job for leaves that outgrew maxNodeSize under [[add]]
+      * (the distributed analogue of the reference's eager re-split on
+      * insert, lsh.rs:218-251): re-runs the level-synchronous split loop
+      * over the CURRENT paths — existing planes are frozen, only overfull
+      * leaves sample a bisector and descend, so untouched leaves keep
+      * their path, size, and search results bit-for-bit. */
+    def rebuildLeaves(): Model = {
+      val spark = indexed.sparkSession
+      import spark.implicits._
+      val ds = indexed.select(col("id"), col("vector"), col("paths"))
+        .as[(Long, Array[Float], Array[String])]
+      val grown = trees.map(t =>
+        scala.collection.mutable.Map.empty[String, (Array[Double], Double)] ++= t.planes)
+      val (finalDs, stats) = refine(ds, grown.toArray, params)
+      val newTrees = trees.indices.map { ti =>
+        Tree(grown(ti).toMap,
+          stats.collect { case ((t, p), (n, _)) if t == ti => p -> n }.toMap)
+      }
+      Model(params, newTrees, finalDs.toDF("id", "vector", "paths"))
     }
 
     def save(dir: String): Unit = {
@@ -247,24 +271,19 @@ object LSHForest {
     x ^ (x >>> 31)
   }
 
-  def build(emb: DataFrame, idCol: String, vecCol: String,
-            params: Params): Model = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val T = params.numTrees
-
-    // exact-dup elimination, keep-first by id (lsh.rs:113-130)
-    val wDup = Window.partitionBy(col("vector")).orderBy(col("id").asc)
-    var ds = emb
-      .select(col(idCol).cast("long").as("id"),
-              col(vecCol).cast("array<float>").as("vector"))
-      .withColumn("_rn", row_number().over(wDup)).filter(col("_rn") === 1)
-      .drop("_rn")
-      .withColumn("paths", array_repeat(lit(""), T))
-      .as[(Long, Array[Float], Array[String])]
-      .cache()
-
-    val planes = Array.fill(T)(scala.collection.mutable.Map.empty[String, (Array[Double], Double)])
+  /** The level-synchronous split loop shared by [[build]] and
+    * [[Model.rebuildLeaves]]: repeatedly split every overfull
+    * (tree, node) on its sampled bisector until none remains (or the
+    * per-run depth cap). `planes` is extended in place; returns the
+    * final dataset and its terminal per-leaf stats. */
+  private def refine(
+      ds0: org.apache.spark.sql.Dataset[(Long, Array[Float], Array[String])],
+      planes: Array[scala.collection.mutable.Map[String, (Array[Double], Double)]],
+      params: Params)
+  : (org.apache.spark.sql.Dataset[(Long, Array[Float], Array[String])],
+     Map[(Int, String), NodeStat]) = {
+    val spark = ds0.sparkSession
+    var ds = ds0.cache()
 
     var level = 0
     var stats = Map.empty[(Int, String), NodeStat]
@@ -311,12 +330,30 @@ object LSHForest {
     // cap cut the loop right after a split, in which case one more
     // (counts-only) pass picks up the post-split paths
     if (splitLast) stats = levelStats(ds, params.seed)
+    (ds, stats)
+  }
 
-    val leafSizes: IndexedSeq[Map[String, Long]] = (0 until T).map { ti =>
-      stats.collect { case ((t, p), (n, _)) if t == ti => p -> n }.toMap
-    }
+  def build(emb: DataFrame, idCol: String, vecCol: String,
+            params: Params): Model = {
+    import emb.sparkSession.implicits._
+    val T = params.numTrees
+
+    // exact-dup elimination, keep-first by id (lsh.rs:113-130)
+    val wDup = Window.partitionBy(col("vector")).orderBy(col("id").asc)
+    val ds0 = emb
+      .select(col(idCol).cast("long").as("id"),
+              col(vecCol).cast("array<float>").as("vector"))
+      .withColumn("_rn", row_number().over(wDup)).filter(col("_rn") === 1)
+      .drop("_rn")
+      .withColumn("paths", array_repeat(lit(""), T))
+      .as[(Long, Array[Float], Array[String])]
+
+    val planes = Array.fill(T)(scala.collection.mutable.Map.empty[String, (Array[Double], Double)])
+    val (ds, stats) = refine(ds0, planes, params)
+
     val treesOut = (0 until T).map { ti =>
-      Tree(planes(ti).toMap, leafSizes(ti))
+      Tree(planes(ti).toMap,
+        stats.collect { case ((t, p), (n, _)) if t == ti => p -> n }.toMap)
     }
     Model(params, treesOut, ds.toDF("id", "vector", "paths"))
   }
