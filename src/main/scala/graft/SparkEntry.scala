@@ -249,10 +249,13 @@ object SparkEntry {
     // (1 tree, maxNodeSize ≥ n ⇒ root is the only leaf): provably equal
     // to exhaustive search (LSHForestSpec), so the knn_exhaustive SQL
     // is an exact oracle — this makes the LSH search path driver-green.
+    // dedupExact=false: the SQL oracle keeps duplicate vectors, so the
+    // build must too (equivalence unconditional, no corpus precondition).
     "lsh_knn_exact" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val model = LSHForest.build(emb, "vec_id", "embedding",
-        LSHForest.Params(numTrees = 1, maxNodeSize = Int.MaxValue))
+        LSHForest.Params(numTrees = 1, maxNodeSize = Int.MaxValue,
+          dedupExact = false))
       model.searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
         .orderBy(col("qid"), col("distance"), col("id"))
     }),

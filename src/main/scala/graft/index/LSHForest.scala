@@ -46,8 +46,13 @@ import graft.functions.VectorOps._
   */
 object LSHForest {
 
+  /** `dedupExact=false` skips the exact-duplicate-vector elimination
+    * (lsh.rs:113-130) so the degenerate config (1 tree, unbounded leaf)
+    * is unconditionally row-equal to exhaustive search — even when the
+    * corpus contains duplicate vectors. */
   case class Params(numTrees: Int = 4, maxNodeSize: Int = 64,
-                    maxDepth: Int = 24, seed: Long = 42L)
+                    maxDepth: Int = 24, seed: Long = 42L,
+                    dedupExact: Boolean = true)
 
   /** plane per inner node: path → (coeffs, constant); sizes per leaf. */
   case class Tree(planes: Map[String, (Array[Double], Double)],
@@ -283,6 +288,7 @@ object LSHForest {
   : (org.apache.spark.sql.Dataset[(Long, Array[Float], Array[String])],
      Map[(Int, String), NodeStat]) = {
     val spark = ds0.sparkSession
+    import spark.implicits._
     var ds = ds0.cache()
 
     var level = 0
@@ -330,6 +336,8 @@ object LSHForest {
     // cap cut the loop right after a split, in which case one more
     // (counts-only) pass picks up the post-split paths
     if (splitLast) stats = levelStats(ds, params.seed)
+    // depth-cap exit right after a split leaves one stale level cached
+    if (prev != null) { prev.unpersist(); prev = null }
     (ds, stats)
   }
 
@@ -339,12 +347,15 @@ object LSHForest {
     val T = params.numTrees
 
     // exact-dup elimination, keep-first by id (lsh.rs:113-130)
-    val wDup = Window.partitionBy(col("vector")).orderBy(col("id").asc)
-    val ds0 = emb
+    val base = emb
       .select(col(idCol).cast("long").as("id"),
               col(vecCol).cast("array<float>").as("vector"))
-      .withColumn("_rn", row_number().over(wDup)).filter(col("_rn") === 1)
-      .drop("_rn")
+    val deduped = if (params.dedupExact) {
+      val wDup = Window.partitionBy(col("vector")).orderBy(col("id").asc)
+      base.withColumn("_rn", row_number().over(wDup))
+        .filter(col("_rn") === 1).drop("_rn")
+    } else base
+    val ds0 = deduped
       .withColumn("paths", array_repeat(lit(""), T))
       .as[(Long, Array[Float], Array[String])]
 

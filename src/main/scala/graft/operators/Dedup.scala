@@ -165,7 +165,10 @@ object Dedup {
         // chunk c: bits [c*bitsPer, ...) — last chunk takes the remainder
         val lo = c * bitsPer
         val width = if (c == nChunks - 1) bits - lo else bitsPer
-        shiftrightunsigned(col("sim"), lo).bitwiseAND(lit((1L << width) - 1L))
+        // width == 64 (maxHamming=0, bits=64): 1L<<64 wraps to 1 (Java
+        // shift mod 64) → mask 0 would collapse every key; use -1L
+        val mask = if (width >= 64) -1L else (1L << width) - 1L
+        shiftrightunsigned(col("sim"), lo).bitwiseAND(lit(mask))
       }: _*))).toDF("sim", "chunk", "ckey")
     val simPairs = chunks.as("l").join(chunks.as("r"),
         col("l.chunk") === col("r.chunk") && col("l.ckey") === col("r.ckey") &&
