@@ -75,6 +75,71 @@ class LSHForestSpec extends SparkSpec {
     assert(before.sameElements(after))
   }
 
+  test("rebuildLeaves: restores leaf invariant, untouched leaves bit-identical") {
+    import spark.implicits._
+    // 200 deterministic near-copies of one corpus vector — they descend to
+    // the same leaf in each tree, guaranteeing overflow past maxNodeSize=64
+    val base = emb.filter(col("vec_id") === 7)
+      .select(col("embedding").cast("array<float>")).head()
+      .getAs[scala.collection.Seq[Float]](0).toArray
+    val batch = (0 until 200).map { i =>
+      // deterministic all-element jitter: rows are pairwise distinct (the
+      // element-0 offset is injective in i) yet stay within ~1e-2 of the
+      // base so they descend to its leaf; jitter spans every element so
+      // rebuild's sampled bisectors genuinely bisect the cluster
+      val v = base.zipWithIndex.map { case (x, j) =>
+        x + ((i * 131 + j * 31) % 1000 - 500) * 2e-5f }
+      (900000L + i, v)
+    }.toDF("vec_id", "embedding")
+    val grownM = model.add(batch, "vec_id", "embedding")
+    val overPerTree = grownM.trees.map(
+      _.leafSizes.filter(_._2 > grownM.params.maxNodeSize).keySet)
+    assert(overPerTree.exists(_.nonEmpty), "add batch must overflow a leaf")
+
+    // queries whose leaf is untouched in EVERY tree: corpus rows whose own
+    // paths (same descent as a query) avoid all overfull leaves
+    val untouchedQ = grownM.indexed
+      .as[(Long, Array[Float], Array[String])]
+      .filter { case (_, _, paths) =>
+        paths.zipWithIndex.forall { case (p, ti) => !overPerTree(ti)(p) } }
+      .map(t => (t._1, t._2)).limit(5).toDF("vec_id", "embedding").cache()
+    assert(untouchedQ.count() == 5)
+    val before = grownM.searchMany(untouchedQ, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._3, t._2))
+
+    val rebuilt = grownM.rebuildLeaves()
+    rebuilt.trees.zip(grownM.trees).zipWithIndex.foreach { case ((r, a), ti) =>
+      // invariant restored; no rows lost
+      val oversized = r.leafSizes.filter(_._2 > rebuilt.params.maxNodeSize)
+      assert(oversized.isEmpty, s"tree $ti oversized: $oversized")
+      assert(r.leafSizes.values.sum == a.leafSizes.values.sum)
+      // untouched leaves keep path and size exactly
+      a.leafSizes.filterNot(kv => overPerTree(ti)(kv._1)).foreach {
+        case (p, n) => assert(r.leafSizes.get(p).contains(n), s"tree $ti leaf $p") }
+      // overfull leaves are replaced by descendants holding the same rows
+      overPerTree(ti).foreach { p =>
+        assert(!r.leafSizes.contains(p), s"tree $ti leaf $p not split")
+        assert(r.leafSizes.filter(_._1.startsWith(p)).values.sum
+          == a.leafSizes(p), s"tree $ti subtree $p") }
+      // existing planes are frozen, only extended
+      a.planes.foreach { case (p, (c, k0)) =>
+        val got = r.planes(p)
+        assert(got._1.sameElements(c) && got._2 == k0, s"tree $ti plane $p") }
+    }
+    // untouched-leaf queries return byte-identical results
+    val after = rebuilt.searchMany(untouchedQ, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._3, t._2))
+    assert(after.sameElements(before))
+    // the added rows stay findable post-compaction
+    val hit = rebuilt.search(batch.filter(col("vec_id") === 900123L)
+      .select(col("embedding").cast("array<float>")).head()
+      .getAs[scala.collection.Seq[Float]](0).toArray, k = 1).head()
+    assert(hit.getAs[Long]("id") == 900123L)
+    assert(hit.getAs[Double]("distance") == 0.0)
+  }
+
   test("add: new row lands in every tree's leaf and is findable") {
     import spark.implicits._
     val v = emb.filter(col("vec_id") === 0)
