@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps._
@@ -18,8 +17,11 @@ import graft.functions.VectorOps._
   *    reference's bounded-heap top-k, distributed.
   *  - [[knnJoin]]: a query *table* against the corpus — broadcast the small
   *    query side (never shuffle the 100 TB corpus), nested-loop join, then
-  *    per-query `row_number ≤ k` window. The window shuffles only
-  *    (queries × k-ish candidates), not the corpus.
+  *    per-partition bounded heaps cut each partition to ≤ k rows per query
+  *    BEFORE the only shuffle, which therefore moves at most
+  *    (partitions × queries × k) 24-byte triples — never a corpus-sized
+  *    stream into one reducer per query. A per-qid group merge finishes
+  *    the top-k. Same partial-then-merge shape the index searches use.
   *
   * At 100 TB the corpus side stays where it is: both shapes scan it once,
   * fully parallel, with column pruning (only id + vector read).
@@ -67,22 +69,52 @@ object Exhaustive {
     heap.dequeueAll.reverseIterator
   }
 
+  /** Incremental bounded max-heap on (distance, id) keeping the k smallest
+    * — the executor-local partial-top-k kernel. Ids are assumed unique
+    * within one heap's input (one corpus partition), so no dedup here. */
+  private final class KHeap(k: Int) {
+    private val ord = Ordering.by[(Long, Double), (Double, Long)](t => (t._2, t._1))
+    private val heap = new scala.collection.mutable.PriorityQueue[(Long, Double)]()(ord)
+    def insert(id: Long, d: Double): Unit =
+      if (heap.size < k) heap.enqueue((id, d))
+      else {
+        val (wid, wd) = heap.head
+        if (d < wd || (d == wd && id < wid)) { heap.dequeue(); heap.enqueue((id, d)) }
+      }
+    def drain: Iterator[(Long, Double)] = heap.dequeueAll.reverseIterator
+  }
+
   /** Batch exact kNN: every row of `queries` against every row of `corpus`,
     * keep the k nearest per query. Ties broken by id so results are
     * deterministic. The query side is broadcast — REQUIRED at scale: the
-    * corpus must not move. */
+    * corpus must not move. Distances are computed codegen-narrow on the
+    * un-shuffled corpus; each partition then keeps only its k best per
+    * query (O(queries × k) memory — bounded by the broadcastability of
+    * the query side), so the shuffle and the per-qid merge see ≤ k rows
+    * per (partition, query) no matter how large the corpus is. */
   def knnJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
               corpus: DataFrame, cIdCol: String, cVecCol: String,
               k: Int, metric: String = "sqdist"): DataFrame = {
-    val q = broadcast(queries.select(col(qIdCol).as("qid"), col(qVecCol).as("qvec")))
-    val c = corpus.select(col(cIdCol).as("id"), col(cVecCol).as("cvec"))
-    val scored = c.join(q)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = broadcast(queries.select(col(qIdCol).cast("long").as("qid"),
+      col(qVecCol).as("qvec")))
+    val c = corpus.select(col(cIdCol).cast("long").as("id"), col(cVecCol).as("cvec"))
+    c.join(q)
       .select(col("qid"), col("id"),
         distance(metric)(col("cvec"), col("qvec")).as("distance"))
-    val w = Window.partitionBy("qid")
-      .orderBy(col("distance").asc, col("id").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .drop("rn")
+      .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        val heaps = scala.collection.mutable.HashMap.empty[Long, KHeap]
+        it.foreach { case (qid, id, d) =>
+          heaps.getOrElseUpdate(qid, new KHeap(k)).insert(id, d) }
+        heaps.iterator.flatMap { case (qid, h) =>
+          h.drain.map { case (id, d) => (qid, id, d) } }
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        topKDedup(it.map(t => (t._2, t._3)), k).map { case (id, d) => (qid, id, d) }
+      }
+      .toDF("qid", "id", "distance")
   }
 }

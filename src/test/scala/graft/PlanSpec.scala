@@ -21,6 +21,16 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastExchange".r.findAllIn(p).size == 1)
   }
 
+  test("knn join shuffles partial top-k only: no full-width window exchange") {
+    val p = plan("knn_exhaustive")
+    // the old shape ran row_number() over (partition by qid) across every
+    // scored corpus row — one reducer per query swallowing the whole
+    // corpus; the fixed shape must not plan a Window at all
+    assert(!p.contains("Window"), "full-width window in knn plan:\n" + p.take(800))
+    // partial heaps run below the only row shuffle (the per-qid merge)
+    assert(p.contains("MapPartitions"), p.take(800))
+  }
+
   test("knn scan prunes columns to id+vector only") {
     val p = plan("knn_exhaustive")
     // parquet scans read only vec_id + embedding, never label
