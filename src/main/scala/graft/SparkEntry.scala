@@ -368,6 +368,18 @@ object SparkEntry {
       Dedup.embeddingPairs(tbl(s, dir, "embeddings"), "vec_id", "embedding",
         maxCosDist = 0.7)),
 
+    // Embedding near-dup via the LSH-bucket prefilter — the 100 TB path
+    // (candidates meet inside shared leaf buckets, never all-pairs).
+    // Degenerate exact config (1 tree, unbounded leaf, dedup off): every
+    // pair shares the single root leaf, so the same all-pairs SQL is an
+    // exact oracle for the whole bucketed pipeline — the lsh_knn_exact
+    // trick applied to dedup.
+    "dedup_embed_lsh" -> ((s, dir) =>
+      Dedup.embeddingPairsViaLSH(tbl(s, dir, "embeddings"), "vec_id",
+        "embedding", maxCosDist = 0.7,
+        params = graft.index.LSHForest.Params(numTrees = 1,
+          maxNodeSize = Int.MaxValue, dedupExact = false))),
+
     // Multimodal binary-column plumbing: documents as utf-8 BLOBs with
     // byte length + content digest (the decode stub's feature path is
     // exercised in MultimodalVecSpec — features aren't SQL-expressible).
@@ -641,6 +653,16 @@ object SparkEntry {
         |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "dedup_embed" ->
+      """SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+        |  1.0 - list_reduce(list_transform(list_zip(l.embedding, r.embedding),
+        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, b) -> a + b) AS distance
+        |FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+        |WHERE 1.0 - list_reduce(list_transform(list_zip(l.embedding, r.embedding),
+        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, b) -> a + b) < 0.7
+        |ORDER BY 1, 2""".stripMargin,
+    // exact oracle because the degenerate forest (1 tree, unbounded leaf,
+    // dedup off) puts every row in one bucket → candidate set IS all pairs
+    "dedup_embed_lsh" ->
       """SELECT l.vec_id AS id_a, r.vec_id AS id_b,
         |  1.0 - list_reduce(list_transform(list_zip(l.embedding, r.embedding),
         |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, b) -> a + b) AS distance
