@@ -61,14 +61,24 @@ object Streaming {
   case class SessionEvent(userId: Long, tsNs: Long, eventId: Long)
   case class SessionAgg(userId: Long, sessionId: Long, nEvents: Long,
                         startS: Long, endS: Long)
-  case class SessState(sessionId: Long, lastTsNs: Long,
+  case class SessState(sessionId: Long, startNs: Long, lastTsNs: Long,
                                nEvents: Long, startS: Long, endS: Long)
 
   /** Streaming counterpart of [[sessionize]] via flatMapGroupsWithState:
     * per-user state carries the open session; a gap closes it and emits
     * the aggregate. Same all-integer ns math as the batch version. (The
     * reference has no streaming surface — SURVEY §2.9 — this is
-    * north-star pipeline capability.) */
+    * north-star pipeline capability.)
+    *
+    * Ordering contract (cross-microbatch): events are sorted within each
+    * batch, and a late event arriving after the open session advanced is
+    *  - folded into the open session exactly (count only — span and
+    *    lastTs can't move backward) when it falls inside the session's
+    *    current [startNs, lastTsNs] span — identical to what batch
+    *    [[sessionize]] produces, since sorted order would place it there;
+    *  - DROPPED when it predates the open session's start: that session
+    *    boundary may already be emitted (append mode — no retraction).
+    *    Bound such loss upstream with a watermark ≤ `gapSec`. */
   def sessionizeStream(events: Dataset[SessionEvent], gapSec: Long = 1800L)
   : Dataset[SessionAgg] = {
     import events.sparkSession.implicits._
@@ -84,10 +94,16 @@ object Streaming {
           sorted.foreach { e =>
             val s = e.tsNs / 1000000000L
             if (st == null) {
-              st = SessState(1L, e.tsNs, 1L, s, s)
+              st = SessState(1L, e.tsNs, e.tsNs, 1L, s, s)
+            } else if (e.tsNs < st.startNs) {
+              // late beyond the open session's start — see contract above
+            } else if (e.tsNs < st.lastTsNs) {
+              // late but inside the open session's span: batch order would
+              // place it mid-session; only the count changes
+              st = st.copy(nEvents = st.nEvents + 1)
             } else if (e.tsNs - st.lastTsNs > gapNs) {
               out += SessionAgg(userId, st.sessionId, st.nEvents, st.startS, st.endS)
-              st = SessState(st.sessionId + 1, e.tsNs, 1L, s, s)
+              st = SessState(st.sessionId + 1, e.tsNs, e.tsNs, 1L, s, s)
             } else {
               st = st.copy(lastTsNs = e.tsNs, nEvents = st.nEvents + 1, endS = s)
             }

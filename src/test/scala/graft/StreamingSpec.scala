@@ -66,6 +66,43 @@ class StreamingSpec extends SparkSpec {
     assert(closedBatch.subsetOf(streamed))
   }
 
+  test("sessionizeStream: late events fold exactly or drop, never corrupt") {
+    implicit val sqlCtx = spark.sqlContext
+    def ns(s: Long) = s * 1000000000L
+    val mem = MemoryStream[SessionEvent]
+    val q = Streaming.sessionizeStream(mem.toDS(), gapSec = 1800L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_late").start()
+    // batch 1: user 1 opens a session [0s, 1000s]; user 2 opens at 10000s
+    mem.addData(SessionEvent(1L, ns(0), 1L), SessionEvent(1L, ns(1000), 2L),
+      SessionEvent(2L, ns(10000), 3L))
+    q.processAllAvailable()
+    // batch 2: a late event INSIDE user 1's open span (500s) must fold in;
+    // a late event BEFORE user 2's session start (100s) must be dropped;
+    // then far-future events close both sessions
+    mem.addData(SessionEvent(1L, ns(500), 4L), SessionEvent(2L, ns(100), 5L),
+      SessionEvent(1L, ns(5000), 6L), SessionEvent(2L, ns(15000), 7L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_late")
+      .select($"userId", $"sessionId", $"nEvents", $"startS", $"endS")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // user 1 equals the batch result on the same four events (500s folds
+    // mid-session, exactly as sorted batch order places it)
+    val batch1 = Streaming.sessionize(
+        Seq((1L, ns(0), 1L), (1L, ns(1000), 2L), (1L, ns(500), 4L), (1L, ns(5000), 6L))
+          .toDF("user_id", "ts", "event_id"), 1800L)
+      .filter($"session_id" === 1)
+      .select($"user_id", $"session_id", $"n_events", $"start_s", $"end_s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(batch1 == Set((1L, 1L, 3L, 0L, 1000L)))
+    assert(got.filter(_._1 == 1L) == batch1)
+    // user 2's dropped straggler leaves the open session untouched
+    assert(got.filter(_._1 == 2L) == Set((2L, 1L, 1L, 10000L, 10000L)))
+  }
+
   test("streaming ingest patches the IVFFlat index (Index::add analogue)") {
     implicit val sqlCtx = spark.sqlContext
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
