@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reference-scale smoke: build all three ANN indexes over a seeded
+  * synthetic corpus (default 100k × 128f, ~the scale regime of the
+  * reference's 1M × 300f fastText corpus, Makefile:1-2 / utils.rs:38-42)
+  * and record build wall, batch search wall, single-query latency and
+  * recall@10 vs the exhaustive oracle. Prints one JSON line; numbers are
+  * committed to BASELINE.md.
+  *
+  * Usage: sbt "runMain graft.ScaleSmoke [n] [dim]"
+  */
+object ScaleSmoke {
+
+  @inline private def mix64(x0: Long): Long = {
+    var x = x0
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toInt else 100000
+    val dim = if (args.length > 1) args(1).toInt else 128
+    val nQ = 100
+    val k = 10
+    val seed = 42L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // seeded CLUSTERED unit vectors (the realistic embedding regime —
+    // uniform random high-dim is the adversarial case where every
+    // partition-based ANN degrades to brute force): 128 unit centers,
+    // point = normalize(center + noise). One truth (sqdist rank ==
+    // cosine rank on the unit sphere) serves all three indexes.
+    val nClusters = 128
+    val noiseAmp = 0.08 // per-element → noise vector norm ≈ 0.5
+    val centers = Array.tabulate(nClusters) { c =>
+      val v = new Array[Double](dim)
+      var norm = 0.0
+      var j = 0
+      while (j < dim) {
+        val h = mix64(0xC0FFEEL + c * 7919L + j * 104729L + seed)
+        v(j) = (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+        norm += v(j) * v(j); j += 1
+      }
+      val inv = 1.0 / math.sqrt(norm)
+      j = 0
+      while (j < dim) { v(j) *= inv; j += 1 }
+      v
+    }
+    val bcCenters = spark.sparkContext.broadcast(centers)
+    val corpus = spark.range(n).as[Long].mapPartitions { it =>
+      val cents = bcCenters.value
+      it.map { id =>
+        val c = math.floorMod(mix64(id ^ 0xABCDEFL), nClusters.toLong).toInt
+        val v = new Array[Float](dim)
+        var j = 0
+        var norm = 0.0
+        while (j < dim) {
+          val h = mix64(id * 1315423911L + j * 2654435761L + seed)
+          val x = cents(c)(j) +
+            ((h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0) * noiseAmp
+          v(j) = x.toFloat; norm += x * x; j += 1
+        }
+        val inv = (1.0 / math.sqrt(norm)).toFloat
+        j = 0
+        while (j < dim) { v(j) *= inv; j += 1 }
+        (id, v)
+      }
+    }.toDF("vec_id", "embedding")
+      .repartition(spark.sparkContext.defaultParallelism).cache()
+    corpus.count()
+    val queries = corpus.filter(col("vec_id") < nQ).cache()
+    queries.count()
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def recallOf(got: DataFrame, truth: Map[Long, Set[Long]]): Double = {
+      val g = got.select(col("qid"), col("id")).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      truth.keys.toSeq.map(q =>
+        g.getOrElse(q, Set.empty).intersect(truth(q)).size.toDouble / k)
+        .sum / truth.size
+    }
+
+    val (truthRows, tExh) = timed {
+      operators.Exhaustive.knnJoin(queries, "vec_id", "embedding",
+        corpus, "vec_id", "embedding", k).collect()
+    }
+    val truth = truthRows.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+    val out = scala.collection.mutable.LinkedHashMap[String, String]()
+    out += "n" -> n.toString += "dim" -> dim.toString += "k" -> k.toString
+    out += "exhaustive_search_s" -> f"$tExh%.2f"
+
+    // ---- IVFFlat: k=256 cells (~n/400 per cell), 10 iters
+    val (ivf, tIvfB) = timed {
+      val m = index.IVFFlat.build(corpus, "vec_id", "embedding",
+        index.IVFFlat.Params(k = 256, numAttempts = 1, maxIterations = 10, seed = seed))
+      m.indexed.cache().count(); m
+    }
+    val (ivfRes, tIvfS) = timed {
+      val df = ivf.searchMany(queries, "vec_id", "embedding", k, nprobe = 8).cache()
+      df.count(); df
+    }
+    val ivfRecall = recallOf(ivfRes, truth)
+    val q0 = queries.orderBy("vec_id").limit(1)
+      .select(col("embedding").cast("array<float>")).head()
+      .getAs[scala.collection.Seq[Float]](0).toArray
+    val (_, tIvfQ) = timed(ivf.search(q0, k).count())
+    out += "ivf_build_s" -> f"$tIvfB%.2f" += "ivf_batch100_s" -> f"$tIvfS%.2f"
+    out += "ivf_single_q_s" -> f"$tIvfQ%.2f" += "ivf_recall_at10" -> f"$ivfRecall%.3f"
+
+    // ---- LSHForest: 16 trees (the recall lever, lsh.rs:132), leaf <= 256
+    val (lsh, tLshB) = timed {
+      val m = index.LSHForest.build(corpus, "vec_id", "embedding",
+        index.LSHForest.Params(numTrees = 16, maxNodeSize = 256, seed = seed))
+      m.indexed.cache().count(); m
+    }
+    val (lshRes, tLshS) = timed {
+      val df = lsh.searchMany(queries, "vec_id", "embedding", k).cache()
+      df.count(); df
+    }
+    val lshRecall = recallOf(lshRes, truth)
+    out += "lsh_build_s" -> f"$tLshB%.2f" += "lsh_batch100_s" -> f"$tLshS%.2f"
+    out += "lsh_recall_at10" -> f"$lshRecall%.3f"
+    out += "lsh_max_depth" -> lsh.trees.map(_.leafSizes.keys.map(_.length).max).max.toString
+    out += "lsh_leaves" -> lsh.trees.map(_.leafSizes.size).sum.toString
+
+    // ---- HNSW: 32 shards, m=16, efSearch=64
+    val (hnsw, tHnswB) = timed {
+      val m = index.HNSW.build(corpus, "vec_id", "embedding",
+        index.HNSWGraph.Params(numLayers = 8, efConstruction = 100,
+          efSearch = 64, m = 16, seed = seed), numShards = 32)
+      m.shards.cache().count(); m
+    }
+    val (hnswRes, tHnswS) = timed {
+      val df = hnsw.searchMany(queries, "vec_id", "embedding", k).cache()
+      df.count(); df
+    }
+    val hnswRecall = recallOf(hnswRes, truth)
+    out += "hnsw_build_s" -> f"$tHnswB%.2f" += "hnsw_batch100_s" -> f"$tHnswS%.2f"
+    out += "hnsw_recall_at10" -> f"$hnswRecall%.3f"
+
+    println(out.map { case (kk, vv) => s""""$kk":$vv""" }
+      .mkString("SCALE_SMOKE {", ",", "}"))
+    spark.stop()
+  }
+}

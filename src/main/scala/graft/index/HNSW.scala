@@ -34,7 +34,15 @@ object HNSW {
                    shards: Dataset[ShardBlob]) {
 
     /** Batch top-k: broadcast queries, search every shard locally,
-      * global per-query top-k merge. */
+      * global per-query top-k merge.
+      *
+      * Scale envelope: the query batch is collected and broadcast —
+      * driver + executor memory is O(nQueries × dim × 4B), i.e. ~0.5 GB
+      * per million 128f queries. That is the right trade as long as the
+      * query side is the SMALL side (the serving contract); for a
+      * corpus-sized "query" set (join-all-against-all), don't use an
+      * ANN serving index — use the bucketed dedup path
+      * (Dedup.embeddingPairsViaLSH), which never materializes a side. */
     def searchMany(queries: DataFrame, qIdCol: String, qVecCol: String,
                    k: Int): DataFrame = {
       val spark = queries.sparkSession
@@ -70,7 +78,13 @@ object HNSW {
 
     /** Incremental add: route each new row to a shard (hash by id),
       * deserialize, insert (preserving per-shard sequential semantics),
-      * re-serialize. Only touched shards rebuild their blob. */
+      * re-serialize. Only touched shards rebuild their blob.
+      *
+      * Scale envelope: the add batch is collected and broadcast (same
+      * O(batch × dim × 4B) driver budget as [[searchMany]]) — sized for
+      * streaming micro-batches (Streaming.ingestIntoIVF-style), not bulk
+      * loads. For a corpus-sized ingest, rebuild with [[HNSW.build]],
+      * which routes rows to shards via a repartition, never the driver. */
     def add(rows: DataFrame, idCol: String, vecCol: String): Model = {
       val spark = rows.sparkSession
       import spark.implicits._

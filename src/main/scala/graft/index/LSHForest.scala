@@ -54,9 +54,53 @@ object LSHForest {
                     maxDepth: Int = 24, seed: Long = 42L,
                     dedupExact: Boolean = true)
 
-  /** plane per inner node: path → (coeffs, constant); sizes per leaf. */
+  /** plane per inner node: path → (coeffs, constant); sizes per leaf.
+    *
+    * Driver-memory envelope: planes + leafSizes live on the driver and
+    * broadcast to executors — ~n/maxNodeSize entries per tree, i.e.
+    * ~100 B × numTrees × n/maxNodeSize. At 10⁹ rows × 8 trees ×
+    * maxNodeSize 64 that is ~10⁸ entries (~10 GB) — size maxNodeSize
+    * to the corpus (e.g. 4096 at 10⁹ rows keeps it ~2M entries/GB-ish);
+    * the leaf CONTENTS always stay distributed, only the skeleton is
+    * driver-held. Prefix queries (subtree size / leaf enumeration) run
+    * on a sorted leaf array + size prefix-sums: '0'/'1' path strings
+    * sharing a prefix are one contiguous sorted range, so each lookup is
+    * O(log leaves + hits), never a scan of all leaves. */
   case class Tree(planes: Map[String, (Array[Double], Double)],
-                  leafSizes: Map[String, Long])
+                  leafSizes: Map[String, Long]) {
+    @transient private lazy val sortedPaths: Array[String] = {
+      val a = leafSizes.keys.toArray
+      java.util.Arrays.sort(a, Ordering.String)
+      a
+    }
+    @transient private lazy val cumSizes: Array[Long] = {
+      val c = new Array[Long](sortedPaths.length + 1)
+      var i = 0
+      while (i < sortedPaths.length) { c(i + 1) = c(i) + leafSizes(sortedPaths(i)); i += 1 }
+      c
+    }
+    /** First index ≥ `key` in sortedPaths. */
+    private def lowerBound(key: String): Int = {
+      var lo = 0; var hi = sortedPaths.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (sortedPaths(mid) < key) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+    /** [lo, hi) range of leaves under `prefix` ('2' > '1' bounds the
+      * binary-string subtree). */
+    private def prefixRange(prefix: String): (Int, Int) =
+      (lowerBound(prefix), lowerBound(prefix + "2"))
+    def sizeUnder(prefix: String): Long = {
+      val (lo, hi) = prefixRange(prefix)
+      cumSizes(hi) - cumSizes(lo)
+    }
+    def leavesUnder(prefix: String): Seq[String] = {
+      val (lo, hi) = prefixRange(prefix)
+      sortedPaths.slice(lo, hi).toSeq
+    }
+  }
 
   case class Model(params: Params, trees: IndexedSeq[Tree],
                    indexed: DataFrame /* id, vector, paths: array<string> */) {
@@ -73,13 +117,12 @@ object LSHForest {
 
     /** Widen the leaf prefix until its subtree covers n rows
       * (the closed-form of the reference's sibling backtracking,
-      * lsh.rs:196-213), then enumerate the exact leaves under it. */
+      * lsh.rs:196-213), then enumerate the exact leaves under it.
+      * O(depth × log leaves) via the Tree's sorted-prefix structure. */
     private def candidateLeaves(t: Tree, leaf: String, n: Long): Seq[String] = {
       var prefix = leaf
-      def sizeUnder(p: String): Long =
-        t.leafSizes.iterator.filter(_._1.startsWith(p)).map(_._2).sum
-      while (prefix.nonEmpty && sizeUnder(prefix) < n) prefix = prefix.dropRight(1)
-      t.leafSizes.keys.filter(_.startsWith(prefix)).toSeq
+      while (prefix.nonEmpty && t.sizeUnder(prefix) < n) prefix = prefix.dropRight(1)
+      t.leavesUnder(prefix)
     }
 
     /** Batch top-k: per query per tree, probe leaves; ONE equi-join of
@@ -235,6 +278,28 @@ object LSHForest {
     (a._1 + b._1,
       (a._2 ++ b._2).sortBy(t => (t._1, t._2)).take(2))
 
+  /** Partition-local accumulator for one (tree, node): row count + the
+    * two rows with the smallest level-salted hash, kept in two in-place
+    * slots — the levelStats insert runs once per row per tree, so it
+    * must not allocate (the List ++ sortBy shape it replaces dominated
+    * build wall at 16 trees × 100k rows). */
+  private final class MutStat {
+    var n = 0L
+    var h1 = Long.MaxValue; var id1 = 0L; var v1: Array[Float] = null
+    var h2 = Long.MaxValue; var id2 = 0L; var v2: Array[Float] = null
+    @inline def insert(h: Long, id: Long, v: Array[Float]): Unit = {
+      n += 1
+      if (h < h1 || (h == h1 && id < id1)) {
+        h2 = h1; id2 = id1; v2 = v1
+        h1 = h; id1 = id; v1 = v
+      } else if (v2 == null || h < h2 || (h == h2 && id < id2)) {
+        h2 = h; id2 = id; v2 = v
+      }
+    }
+    def toStat: NodeStat =
+      (n, if (v2 == null) List((h1, id1, v1)) else List((h1, id1, v1), (h2, id2, v2)))
+  }
+
   /** One narrow job: fold every partition into per-(tree, path) counts +
     * two min-hash sample vectors, merge partials on the driver. The only
     * data leaving executors is O(activeNodes × 2 vectors) per partition —
@@ -245,21 +310,22 @@ object LSHForest {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.mapPartitions { it =>
-      val m = scala.collection.mutable.HashMap.empty[(Int, String), NodeStat]
+      // per-tree maps keyed by path: no tuple-key allocation per row
+      var m: Array[scala.collection.mutable.HashMap[String, MutStat]] = null
       it.foreach { case (id, v, paths) =>
+        if (m == null)
+          m = Array.fill(paths.length)(scala.collection.mutable.HashMap.empty[String, MutStat])
         var ti = 0
         while (ti < paths.length) {
-          val key = (ti, paths(ti))
           val h = mix64(id ^ (ti * 0x9E3779B97F4A7C15L) ^ levelSeed)
-          val cand = (h, id, v)
-          m.get(key) match {
-            case None => m(key) = (1L, cand :: Nil)
-            case Some(st) => m(key) = mergeStat(st, (1L, cand :: Nil))
-          }
+          m(ti).getOrElseUpdate(paths(ti), new MutStat).insert(h, id, v)
           ti += 1
         }
       }
-      m.iterator.map { case ((ti, p), (n, s)) => (ti, p, n, s) }
+      if (m == null) Iterator.empty
+      else m.iterator.zipWithIndex.flatMap { case (tm, ti) =>
+        tm.iterator.map { case (p, st) => val s = st.toStat; (ti, p, s._1, s._2) }
+      }
     }.collect()
       .groupBy(r => (r._1, r._2))
       .view.mapValues(rs =>
@@ -280,7 +346,16 @@ object LSHForest {
     * [[Model.rebuildLeaves]]: repeatedly split every overfull
     * (tree, node) on its sampled bisector until none remains (or the
     * per-run depth cap). `planes` is extended in place; returns the
-    * final dataset and its terminal per-leaf stats. */
+    * final dataset and its terminal per-leaf stats.
+    *
+    * Each level is materialized via `localCheckpoint`, NOT `cache`: a
+    * cache chain keeps the whole per-level map lineage in the logical
+    * plan, and plan-string/AQE bookkeeping grows superlinearly with
+    * depth — on deep trees (clustered data drives depth toward
+    * maxDepth) stringifying those nested plans alone OOMed an 8 GB
+    * driver. Checkpointing truncates lineage so every level plans
+    * against a flat scan; superseded level blocks are reclaimed by the
+    * ContextCleaner once the loop drops their references. */
   private def refine(
       ds0: org.apache.spark.sql.Dataset[(Long, Array[Float], Array[String])],
       planes: Array[scala.collection.mutable.Map[String, (Array[Double], Double)]],
@@ -289,17 +364,13 @@ object LSHForest {
      Map[(Int, String), NodeStat]) = {
     val spark = ds0.sparkSession
     import spark.implicits._
-    var ds = ds0.cache()
+    var ds = ds0.localCheckpoint(true)
 
     var level = 0
     var stats = Map.empty[(Int, String), NodeStat]
     var splitLast = true
-    var prev: org.apache.spark.sql.Dataset[(Long, Array[Float], Array[String])] = null
     while (splitLast && level < params.maxDepth) {
-      // this job also materializes the current level's cache, so the
-      // previous level's cache can be dropped right after
       stats = levelStats(ds, params.seed + level * 131L)
-      if (prev != null) { prev.unpersist(); prev = null }
       val overfull = stats.filter(_._2._1 > params.maxNodeSize)
       splitLast = overfull.nonEmpty
       if (splitLast) {
@@ -311,15 +382,18 @@ object LSHForest {
           overfull.map { case (key, (_, samples)) =>
             key -> bisectorPlane(samples.head._3, samples(1)._3)
           }
-        // ONE narrow pass appending the side bits (broadcast plane map)
-        val bcPlanes = spark.sparkContext.broadcast(newPlanes)
-        prev = ds
+        // ONE narrow pass appending the side bits (broadcast plane maps,
+        // tree-indexed so the per-row lookup allocates no tuple key)
+        val planesByTree: Array[Map[String, (Array[Double], Double)]] =
+          Array.tabulate(planes.length)(ti =>
+            newPlanes.collect { case ((`ti`, p), pl) => p -> pl }.toMap)
+        val bcPlanes = spark.sparkContext.broadcast(planesByTree)
         ds = ds.map { case (id, v, paths) =>
           val pl = bcPlanes.value
           var ti = 0
           val out = new Array[String](paths.length)
           while (ti < paths.length) {
-            out(ti) = pl.get((ti, paths(ti))) match {
+            out(ti) = pl(ti).get(paths(ti)) match {
               case Some((coeffs, const)) =>
                 paths(ti) + (if (signBit(coeffs, const, v)) "1" else "0")
               case None => paths(ti)
@@ -327,7 +401,7 @@ object LSHForest {
             ti += 1
           }
           (id, v, out)
-        }.cache()
+        }.localCheckpoint(true)
         newPlanes.foreach { case ((ti, p), pl) => planes(ti)(p) = pl }
       }
       level += 1
@@ -336,8 +410,6 @@ object LSHForest {
     // cap cut the loop right after a split, in which case one more
     // (counts-only) pass picks up the post-split paths
     if (splitLast) stats = levelStats(ds, params.seed)
-    // depth-cap exit right after a split leaves one stale level cached
-    if (prev != null) { prev.unpersist(); prev = null }
     (ds, stats)
   }
 
