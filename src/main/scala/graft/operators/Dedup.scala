@@ -211,15 +211,19 @@ object Dedup {
       .select(col("id"), col("vector"),
         posexplode(col("paths")).as(Seq("tree", "path")))
       .persist()
+    // distance is computed codegen-narrow INSIDE each bucket join and the
+    // threshold filter runs BEFORE the dedup shuffle: a pair met in
+    // several trees carries a bit-identical distance, so deduplicating
+    // after the filter is equivalent — and the only shuffled rows are
+    // the surviving near-dup (id_a, id_b, distance) triples, never
+    // candidate vector pairs
     val out = idx.as("l").join(idx.as("r"),
         col("l.tree") === col("r.tree") && col("l.path") === col("r.path") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.vector").as("va"), col("r.vector").as("vb"))
-      .dropDuplicates("id_a", "id_b")
-      .select(col("id_a"), col("id_b"),
-        cosineDistance(col("va"), col("vb")).as("distance"))
+        cosineDistance(col("l.vector"), col("r.vector")).as("distance"))
       .filter(col("distance") < maxCosDist)
+      .dropDuplicates("id_a", "id_b")
       .orderBy(col("id_a"), col("id_b"))
       .localCheckpoint(true)
     idx.unpersist()
