@@ -124,10 +124,13 @@ object ScaleSmoke {
     out += "ivf_build_s" -> f"$tIvfB%.2f" += "ivf_batch100_s" -> f"$tIvfS%.2f"
     out += "ivf_single_q_s" -> f"$tIvfQ%.2f" += "ivf_recall_at10" -> f"$ivfRecall%.3f"
 
-    // ---- LSHForest: 16 trees (the recall lever, lsh.rs:132), leaf <= 256
+    // ---- LSHForest: 16 trees (the recall lever, lsh.rs:132); leaf size
+    // scales with n to hold the driver-held skeleton and the per-level
+    // stats collect at O(n/maxNodeSize) entries (see Tree scaladoc)
+    val lshLeaf = math.max(256, n / 1000)
     val (lsh, tLshB) = timed {
       val m = index.LSHForest.build(corpus, "vec_id", "embedding",
-        index.LSHForest.Params(numTrees = 16, maxNodeSize = 256, seed = seed))
+        index.LSHForest.Params(numTrees = 16, maxNodeSize = lshLeaf, seed = seed))
       m.indexed.cache().count(); m
     }
     val (lshRes, tLshS) = timed {

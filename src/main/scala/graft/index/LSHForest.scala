@@ -102,28 +102,31 @@ object LSHForest {
     }
   }
 
+  /** Leaf path for one query in one tree (pure local descent). Static:
+    * executor closures must reference these through a broadcast Tree,
+    * never through a captured Model — an instance method drags the whole
+    * forest skeleton (tens of MB at 1M rows) into every task binary. */
+  private def leafPath(t: Tree, q: Array[Float]): String = {
+    var path = ""
+    while (t.planes.contains(path)) {
+      val (coeffs, const) = t.planes(path)
+      path += (if (signBit(coeffs, const, q)) "1" else "0")
+    }
+    path
+  }
+
+  /** Widen the leaf prefix until its subtree covers n rows
+    * (the closed-form of the reference's sibling backtracking,
+    * lsh.rs:196-213), then enumerate the exact leaves under it.
+    * O(depth × log leaves) via the Tree's sorted-prefix structure. */
+  private def candidateLeaves(t: Tree, leaf: String, n: Long): Seq[String] = {
+    var prefix = leaf
+    while (prefix.nonEmpty && t.sizeUnder(prefix) < n) prefix = prefix.dropRight(1)
+    t.leavesUnder(prefix)
+  }
+
   case class Model(params: Params, trees: IndexedSeq[Tree],
                    indexed: DataFrame /* id, vector, paths: array<string> */) {
-
-    /** Leaf path for one query in one tree (pure driver-side descent). */
-    private def leafPath(t: Tree, q: Array[Float]): String = {
-      var path = ""
-      while (t.planes.contains(path)) {
-        val (coeffs, const) = t.planes(path)
-        path += (if (LSHForest.signBit(coeffs, const, q)) "1" else "0")
-      }
-      path
-    }
-
-    /** Widen the leaf prefix until its subtree covers n rows
-      * (the closed-form of the reference's sibling backtracking,
-      * lsh.rs:196-213), then enumerate the exact leaves under it.
-      * O(depth × log leaves) via the Tree's sorted-prefix structure. */
-    private def candidateLeaves(t: Tree, leaf: String, n: Long): Seq[String] = {
-      var prefix = leaf
-      while (prefix.nonEmpty && t.sizeUnder(prefix) < n) prefix = prefix.dropRight(1)
-      t.leavesUnder(prefix)
-    }
 
     /** Batch top-k: per query per tree, probe leaves; ONE equi-join of
       * the exploded corpus against the broadcast probes; distances are
