@@ -135,6 +135,25 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // Elementwise arithmetic kernels (base.rs:62-111: add, subtract_from,
+    // divide_by_scalar, average/midpoint) against the row's own reversed
+    // vector, reduced to per-row double checksums (0.0-seeded left fold —
+    // the portable per-row shape; float-array outputs would hash on
+    // rendering, scalars don't).
+    "vec_arith" -> ((s, dir) => {
+      val a = col("embedding").cast("array<double>")
+      val b = reverse(col("embedding")).cast("array<double>")
+      def chk(c: org.apache.spark.sql.Column) =
+        aggregate(c, lit(0.0d), (acc, x) => acc + x)
+      tbl(s, dir, "embeddings")
+        .select(col("vec_id"),
+          chk(vecAdd(a, b)).as("s_add"),
+          chk(vecSub(a, b)).as("s_sub"),
+          chk(vecDivScalar(a, lit(2.5d))).as("s_div"),
+          chk(vecMidpoint(a, b)).as("s_mid"))
+        .orderBy(col("vec_id"))
+    }),
+
     // IVFFlat cluster assignment against FIXED centroids (vectors with
     // vec_id < 8): the argmin-sqdist kernel of ivfflat.rs:29-46, made
     // SQL-checkable by pinning the centroids (MLlib-built centroids are
@@ -742,6 +761,21 @@ object SparkEntry {
         |      (a,b) -> a+b))
         |  END AS norm_mag
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "vec_arith" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a,
+        |  list_transform(list_reverse(embedding), x -> CAST(x AS DOUBLE)) AS b
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  list_reduce(list_transform(list_zip(a, b), p -> p[1] + p[2]),
+        |    (s, x) -> s + x) AS s_add,
+        |  list_reduce(list_transform(list_zip(a, b), p -> p[1] - p[2]),
+        |    (s, x) -> s + x) AS s_sub,
+        |  list_reduce(list_transform(a, x -> x / 2.5), (s, x) -> s + x) AS s_div,
+        |  list_reduce(list_transform(list_zip(a, b), p -> (p[1] + p[2]) / 2.0),
+        |    (s, x) -> s + x) AS s_mid
+        |FROM e ORDER BY vec_id""".stripMargin,
 
     "ivf_assign" ->
       """WITH cent AS (
