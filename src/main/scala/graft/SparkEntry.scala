@@ -382,6 +382,22 @@ object SparkEntry {
       Dedup.simhashPairs(tbl(s, dir, "documents"), "doc_id", "text",
         maxHamming = 3, bits = 64)),
 
+    // LSH build-time exact-duplicate elimination, keep-first by id
+    // (lsh.rs:113-130): plant a duplicate of every vector — winning
+    // (smaller) ids for even rows, losing ids for odd — and check which
+    // id each vector group keeps in the built index.
+    "lsh_dedup_keepfirst" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val dup = emb.select(
+        when(col("vec_id") % 2 === 0, col("vec_id") - 100000)
+          .otherwise(col("vec_id") + 100000).as("vec_id"),
+        col("embedding"))
+      val m = LSHForest.build(emb.select(col("vec_id"), col("embedding"))
+          .unionByName(dup), "vec_id", "embedding",
+        LSHForest.Params(numTrees = 1, maxNodeSize = Int.MaxValue))
+      m.indexed.select(col("id")).orderBy(col("id"))
+    }),
+
     // Embedding cosine near-dup pairs.
     "dedup_embed" -> ((s, dir) =>
       Dedup.embeddingPairs(tbl(s, dir, "embeddings"), "vec_id", "embedding",
@@ -679,6 +695,12 @@ object SparkEntry {
         |WHERE 1.0 - list_reduce(list_transform(list_zip(l.embedding, r.embedding),
         |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, b) -> a + b) < 0.7
         |ORDER BY 1, 2""".stripMargin,
+    // keep-first: every vector appears twice with distinct ids; the
+    // smaller id survives (even rows' planted copy wins, odd rows' loses)
+    "lsh_dedup_keepfirst" ->
+      """SELECT CASE WHEN vec_id % 2 = 0 THEN vec_id - 100000 ELSE vec_id END AS id
+        |FROM embeddings ORDER BY 1""".stripMargin,
+
     // exact oracle because the degenerate forest (1 tree, unbounded leaf,
     // dedup off) puts every row in one bucket → candidate set IS all pairs
     "dedup_embed_lsh" ->
