@@ -143,6 +143,31 @@ object ScaleSmoke {
     out += "lsh_max_depth" -> lsh.trees.map(_.leafSizes.keys.map(_.length).max).max.toString
     out += "lsh_leaves" -> lsh.trees.map(_.leafSizes.size).sum.toString
 
+    // ---- PQ: m=32 codes (16× compression at 128f), 256 cells. ADC
+    // codes resolve cluster identity; the true top-10 differ by
+    // intra-cluster noise at quantization-error scale, so serving uses
+    // the standard shape: ADC shortlist of ~1% of the corpus + exact
+    // re-rank (factor 100 → 1000 candidates at k=10).
+    val (pq, tPqB) = timed {
+      val m = index.PQ.train(corpus, "vec_id", "embedding",
+        index.PQ.Params(m = 32, k = 256, iterations = 10, seed = seed))
+      m.codes.cache().count(); m
+    }
+    val (pqRes, tPqS) = timed {
+      val df = pq.searchMany(queries, "vec_id", "embedding", k).cache()
+      df.count(); df
+    }
+    val pqRecall = recallOf(pqRes, truth)
+    val (pqRef, tPqR) = timed {
+      val df = pq.searchManyRefined(queries, "vec_id", "embedding", k,
+        factor = 100, corpus, "vec_id", "embedding").cache()
+      df.count(); df
+    }
+    val pqRefRecall = recallOf(pqRef, truth)
+    out += "pq_train_s" -> f"$tPqB%.2f" += "pq_adc100_s" -> f"$tPqS%.2f"
+    out += "pq_recall_at10" -> f"$pqRecall%.3f"
+    out += "pq_refined100_s" -> f"$tPqR%.2f" += "pq_refined_recall_at10" -> f"$pqRefRecall%.3f"
+
     // ---- HNSW: 32 shards, m=16, efSearch=64
     val (hnsw, tHnswB) = timed {
       val m = index.HNSW.build(corpus, "vec_id", "embedding",

@@ -31,6 +31,17 @@ object SparkEntry {
       .select(col("embedding").cast("array<float>")).collect()
       .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
 
+  /** Pinned PQ codebooks for SQL-checkable queries: subspace s's
+    * centroids are the s-th slices of the embeddings with vec_id < 16
+    * (code value = source vec_id — the oracle's join key). */
+  private def fixedCodebooks(emb: DataFrame, m: Int): Array[Array[Array[Float]]] = {
+    val base = emb.filter(col("vec_id") < 16).orderBy(col("vec_id"))
+      .select(col("embedding").cast("array<float>")).collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+    val dsub = base(0).length / m
+    Array.tabulate(m)(s => base.map(_.slice(s * dsub, (s + 1) * dsub)))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("knn_exhaustive")(spark, "/root/testdata/sf0.001")
@@ -164,6 +175,34 @@ object SparkEntry {
       IVFFlat.assign(emb, "vec_id", "embedding", cents)
         .select(col("id"), col("cluster"))
         .orderBy(col("id"))
+    }),
+
+    // Product-quantization encode against PINNED codebooks (subspace
+    // slices of the first 16 embeddings, m=4): per-subspace argmin-sqdist
+    // code per row — the corpus-scale compression operator, made
+    // SQL-checkable the same way as ivf_assign (trained codebooks are
+    // exercised in PQSpec — Lloyd's is not SQL-reproducible).
+    "pq_assign_fixed" -> ((s, dir) => {
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      val model = graft.index.PQ.withCodebooks(emb, "vec_id", "embedding",
+        fixedCodebooks(emb, 4), graft.index.PQ.Params(m = 4, k = 16))
+      model.codes.as[(Long, Array[Byte])]
+        .map { case (id, c) =>
+          (id, c(0) & 0xFF, c(1) & 0xFF, c(2) & 0xFF, c(3) & 0xFF) }
+        .toDF("id", "c0", "c1", "c2", "c3")
+        .orderBy(col("id"))
+    }),
+
+    // PQ asymmetric-distance (ADC) top-10 for 5 queries over the pinned
+    // codes: distance = left-fold of per-subspace LUT sqdists — search
+    // runs over one-byte codes only, never the vectors.
+    "pq_adc_fixed" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val model = graft.index.PQ.withCodebooks(emb, "vec_id", "embedding",
+        fixedCodebooks(emb, 4), graft.index.PQ.Params(m = 4, k = 16))
+      model.searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .orderBy(col("qid"), col("distance"), col("id"))
     }),
 
     // IVFFlat probed search against the same fixed centroids: 5 queries,
@@ -461,6 +500,30 @@ object SparkEntry {
        |  x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
        |     * ((CAST(x[2] AS DOUBLE) + CAST(x[1] AS DOUBLE)) / 2.0)),
        |  (s, t) -> s + t))""".stripMargin
+
+  /** DuckDB sqdist of two list slices [lo:hi] (1-based inclusive), the
+    * VectorOps double-fold shape — shared by the PQ oracles. */
+  private def pqSliceSqSql(a: String, b: String, lo: Int, hi: Int): String =
+    s"list_reduce(list_transform(list_zip($a[$lo:$hi], $b[$lo:$hi]), " +
+      "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) " +
+      "* (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (a,b) -> a+b)"
+
+  /** The pinned-codebook PQ assignment CTEs (m=4, dsub=16, codebook =
+    * embeddings vec_id < 16): cb + a0..a3 + assigned. */
+  private def pqAssignCtesSql: String = {
+    val sub = (0 until 4).map { s =>
+      val lo = s * 16 + 1
+      val hi = (s + 1) * 16
+      s"a$s AS (SELECT c.vec_id AS id, CAST(k.cid AS INT) AS c$s " +
+        "FROM embeddings c CROSS JOIN cb k " +
+        "QUALIFY row_number() OVER (PARTITION BY c.vec_id ORDER BY " +
+        pqSliceSqSql("k.cvec", "c.embedding", lo, hi) + ", k.cid) = 1)"
+    }.mkString(",\n")
+    "cb AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),\n" +
+      sub + ",\n" +
+      "assigned AS (SELECT id, c0, c1, c2, c3 FROM a0 " +
+      "JOIN a1 USING(id) JOIN a2 USING(id) JOIN a3 USING(id))"
+  }
 
   /** Shared DuckDB fragments mirroring TextOps (tokens/shingles). */
   private val toksSql =
@@ -810,6 +873,29 @@ object SparkEntry {
         |       * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (a,b) -> a+b),
         |  k.cid) = 1
         |ORDER BY id""".stripMargin,
+
+    "pq_assign_fixed" ->
+      s"WITH $pqAssignCtesSql\nSELECT id, c0, c1, c2, c3 FROM assigned ORDER BY id",
+
+    // ADC distance = left-fold of the four per-subspace LUT sqdists —
+    // the SQL's left-assoc + chain is the same ((d0+d1)+d2)+d3 order the
+    // Scala scan accumulates, so doubles are bit-identical
+    "pq_adc_fixed" -> {
+      val d = (0 until 4).map(s =>
+        pqSliceSqSql(s"k$s.cvec", "q.qvec", s * 16 + 1, (s + 1) * 16))
+      s"""WITH $pqAssignCtesSql,
+         |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+         |cands AS (
+         |  SELECT q.qid, a.id, ${d(0)} + ${d(1)} + ${d(2)} + ${d(3)} AS distance
+         |  FROM assigned a CROSS JOIN q
+         |  JOIN cb k0 ON k0.cid = a.c0
+         |  JOIN cb k1 ON k1.cid = a.c1
+         |  JOIN cb k2 ON k2.cid = a.c2
+         |  JOIN cb k3 ON k3.cid = a.c3)
+         |SELECT qid, id, distance FROM cands
+         |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 10
+         |ORDER BY qid, distance, id""".stripMargin
+    },
 
     "ivf_search_fixed" ->
       """WITH cent AS (

@@ -1,0 +1,307 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization — the corpus-scale memory answer the reference
+  * (all-f32-in-RAM, vers/src/indexes/base.rs:15-26) has no room for: at
+  * 100 TB the vectors themselves are the bottleneck, and PQ stores each
+  * one as `m` one-byte codes (32× smaller at 128f/m=16) while search
+  * runs over the codes alone via asymmetric distance (ADC).
+  *
+  * Spark-first shapes, mirroring the repo's other indexes:
+  *  - **training** is Lloyd's over all `m` subspaces in ONE job per
+  *    iteration: each partition folds its rows into per-(subspace,
+  *    centroid) {count, sum} partials against the broadcast codebooks —
+  *    the corpus never shuffles, the driver merges O(m × k) cells
+  *    (same partial-aggregate pattern as LSHForest.levelStats).
+  *  - **encoding** is one narrow map → (id, m-byte BINARY code).
+  *  - **ADC search** broadcasts the query batch, builds the m×k
+  *    lookup table once per partition per query, scans codes with a
+  *    bounded heap per (partition, query) and shuffles only ≤ k
+  *    (qid, id, distance) triples per partition — the knnJoin shape.
+  *  - optional **exact re-rank**: ADC top factor×k, then one broadcast
+  *    join back to the full-precision vectors for the final top-k.
+  *
+  * Determinism: seeded min-hash init, ascending-index tie-breaks, fixed
+  * fold order (double, from 0.0, constant operand order) — the same
+  * precision contract as VectorOps, so pinned-codebook encode + ADC are
+  * exactly reproducible in the DuckDB oracle (pq_assign_fixed /
+  * pq_adc_fixed).
+  */
+object PQ {
+
+  /** `k` ≤ 256 so a code fits one byte. Empty-cell rule: a centroid that
+    * attracts no rows keeps its previous position (deviation from
+    * ivfflat.rs:47's empty→zero, documented: a zeroed sub-centroid would
+    * poison the LUT for every vector still coded to it). */
+  case class Params(m: Int = 8, k: Int = 256, iterations: Int = 10,
+                    seed: Long = 42L) {
+    require(k <= 256, "PQ codes are one byte: k <= 256")
+  }
+
+  /** codebooks(s)(j) = centroid j of subspace s (dsub floats). */
+  case class Model(params: Params, dim: Int,
+                   codebooks: Array[Array[Array[Float]]],
+                   codes: DataFrame /* id: long, code: binary(m) */) {
+    def dsub: Int = dim / params.m
+
+    /** ADC batch top-k over the codes alone (no full vectors touched). */
+    def searchMany(queries: DataFrame, qIdCol: String, qVecCol: String,
+                   k: Int): DataFrame = {
+      val spark = queries.sparkSession
+      import spark.implicits._
+      val m = params.m
+      val qRows = queries
+        .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<float>"))
+        .as[(Long, Array[Float])].collect()
+      val bcQ = spark.sparkContext.broadcast(qRows)
+      val bcCb = spark.sparkContext.broadcast(codebooks)
+      codes.select(col("id"), col("code")).as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          val qs = bcQ.value
+          val cbs = bcCb.value
+          // m×k sqdist LUT per query, built once per partition (tiny:
+          // m·k·dsub mults) — scan cost is then m adds per row per query
+          val luts = qs.map { case (_, qv) => buildLut(cbs, qv) }
+          val heaps = Array.fill(qs.length)(
+            new graft.operators.Exhaustive.KHeap(k))
+          it.foreach { case (id, code) =>
+            var qi = 0
+            while (qi < qs.length) {
+              val lut = luts(qi)
+              var d = 0.0
+              var s = 0
+              while (s < m) { d += lut(s)(code(s) & 0xFF); s += 1 }
+              heaps(qi).insert(id, d)
+              qi += 1
+            }
+          }
+          heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+            val qid = qs(qi)._1
+            h.drain.map { case (id, d) => (qid, id, d) }
+          }
+        }
+        .groupByKey(_._1)
+        .flatMapGroups { (qid, it) =>
+          graft.operators.Exhaustive.topKDedup(it.map(t => (t._2, t._3)), k)
+            .map { case (id, d) => (qid, id, d) }
+        }
+        .toDF("qid", "id", "distance")
+    }
+
+    /** ADC shortlist (factor×k) + exact re-rank against the
+      * full-precision vectors: the standard PQ serving shape — the
+      * corpus is scanned once for the shortlist join (broadcast probe
+      * side), never for the ADC pass. */
+    def searchManyRefined(queries: DataFrame, qIdCol: String, qVecCol: String,
+                          k: Int, factor: Int,
+                          corpus: DataFrame, cIdCol: String, cVecCol: String)
+    : DataFrame = {
+      val spark = queries.sparkSession
+      import spark.implicits._
+      val shortlist = searchMany(queries, qIdCol, qVecCol, k * factor)
+        .select(col("qid"), col("id"))
+      val q = queries.select(col(qIdCol).cast("long").as("qid"),
+        col(qVecCol).cast("array<float>").as("qvec"))
+      val c = corpus.select(col(cIdCol).cast("long").as("id"),
+        col(cVecCol).cast("array<float>").as("cvec"))
+      c.join(broadcast(shortlist.join(broadcast(q), "qid")), Seq("id"))
+        .select(col("qid"), col("id"),
+          graft.functions.VectorOps.sqDist(col("cvec"), col("qvec")).as("distance"))
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (qid, it) =>
+          graft.operators.Exhaustive.topKDedup(it.map(t => (t._2, t._3)), k)
+            .map { case (id, d) => (qid, id, d) }
+        }
+        .toDF("qid", "id", "distance")
+    }
+
+    def save(dir: String): Unit = {
+      val spark = codes.sparkSession
+      import spark.implicits._
+      codes.write.mode("overwrite").parquet(s"$dir/codes")
+      codebooks.zipWithIndex.flatMap { case (cb, s) =>
+        cb.zipWithIndex.map { case (cv, j) => (s, j, cv) }
+      }.toSeq.toDF("s", "j", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+      ParamsIO.write(spark, dir,
+        s"""{"m":${params.m},"k":${params.k},"iterations":${params.iterations},"seed":${params.seed},"dim":$dim}""")
+    }
+  }
+
+  def load(spark: SparkSession, dir: String): Model = {
+    val json = ParamsIO.read(spark, dir)
+    def num(key: String): Long = ParamsIO.num(json, key)
+    val params = Params(num("m").toInt, num("k").toInt,
+      num("iterations").toInt, num("seed"))
+    val rows = spark.read.parquet(s"$dir/codebooks").collect()
+    val byS = rows.groupBy(_.getInt(0))
+    val cbs = (0 until params.m).map { s =>
+      byS(s).sortBy(_.getInt(1))
+        .map(_.getAs[scala.collection.Seq[Float]](2).toArray)
+    }.toArray
+    Model(params, num("dim").toInt, cbs, spark.read.parquet(s"$dir/codes"))
+  }
+
+  @inline private def mix64(x0: Long): Long = {
+    var x = x0
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** sqdist of v[off, off+dsub) to each centroid; argmin, ties → lowest
+    * index (the oracle's ORDER BY distance, cid tie-break). */
+  @inline private def nearestSub(cb: Array[Array[Float]], v: Array[Float],
+                                 off: Int): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var j = 0
+    while (j < cb.length) {
+      val c = cb(j)
+      var d = 0.0
+      var i = 0
+      while (i < c.length) {
+        val t = c(i).toDouble - v(off + i).toDouble
+        d += t * t
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = j }
+      j += 1
+    }
+    best
+  }
+
+  /** lut(s)(j) = sqdist(query subvector s, codebook s centroid j), double
+    * fold from 0.0 ascending — identical to the SQL list_reduce shape. */
+  private def buildLut(cbs: Array[Array[Array[Float]]], qv: Array[Float])
+  : Array[Array[Double]] = {
+    val m = cbs.length
+    val lut = new Array[Array[Double]](m)
+    var s = 0
+    var off = 0
+    while (s < m) {
+      val cb = cbs(s)
+      val row = new Array[Double](cb.length)
+      var j = 0
+      while (j < cb.length) {
+        val c = cb(j)
+        var d = 0.0
+        var i = 0
+        while (i < c.length) {
+          val t = c(i).toDouble - qv(off + i).toDouble
+          d += t * t
+          i += 1
+        }
+        row(j) = d
+        j += 1
+      }
+      lut(s) = row
+      s += 1
+      off += cbs(s - 1)(0).length
+    }
+    lut
+  }
+
+  /** Encode every row against frozen codebooks: one narrow map, m bytes
+    * per vector out. */
+  private def encodeDf(emb: DataFrame, idCol: String, vecCol: String,
+                       cbs: Array[Array[Array[Float]]]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cbs)
+    emb.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("vector"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val c = bc.value
+        val code = new Array[Byte](c.length)
+        var s = 0
+        var off = 0
+        while (s < c.length) {
+          code(s) = nearestSub(c(s), v, off).toByte
+          s += 1
+          off += c(s - 1)(0).length
+        }
+        (id, code)
+      }
+      .toDF("id", "code")
+  }
+
+  /** Build a model from PINNED codebooks (no training) — the
+    * oracle-checkable config (pq_assign_fixed / pq_adc_fixed), and the
+    * serving path when codebooks are trained offline. */
+  def withCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+                    cbs: Array[Array[Array[Float]]], params: Params): Model = {
+    val dim = cbs.map(_(0).length).sum
+    Model(params, dim, cbs, encodeDf(emb, idCol, vecCol, cbs))
+  }
+
+  /** Train codebooks with Lloyd's: seeded min-hash init (the k rows with
+    * the smallest mixed id — one TakeOrdered job), then `iterations`
+    * single-job passes. Partials arrive as (subspace, centroid, count,
+    * sum) rows — O(partitions × m × k) — and are merged in sorted order
+    * so double sums are deterministic. */
+  def train(emb: DataFrame, idCol: String, vecCol: String,
+            params: Params): Model = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val rows = emb.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("vector"))
+      .as[(Long, Array[Float])]
+    val m = params.m
+    val first = rows.head()._2
+    require(first.length % m == 0, s"dim ${first.length} not divisible by m=$m")
+    val dsub = first.length / m
+    val init = rows
+      .map { case (id, v) => (mix64(id ^ params.seed), id, v) }
+      .orderBy(col("_1"), col("_2")).limit(params.k)
+      .collect()
+    var cbs: Array[Array[Array[Float]]] = Array.tabulate(m)(s =>
+      init.map(r => r._3.slice(s * dsub, (s + 1) * dsub)))
+    val kk = init.length
+
+    var iter = 0
+    while (iter < params.iterations) {
+      val bc = spark.sparkContext.broadcast(cbs)
+      val partials = rows.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val c = bc.value
+        val cnt = Array.ofDim[Long](m, kk)
+        val sum = Array.ofDim[Double](m, kk, dsub)
+        it.foreach { case (_, v) =>
+          var s = 0
+          var off = 0
+          while (s < m) {
+            val ci = nearestSub(c(s), v, off)
+            cnt(s)(ci) += 1
+            var i = 0
+            while (i < dsub) { sum(s)(ci)(i) += v(off + i); i += 1 }
+            s += 1
+            off += dsub
+          }
+        }
+        (0 until m).iterator.flatMap(s => (0 until kk).iterator
+          .filter(j => cnt(s)(j) > 0)
+          .map(j => (s, j, pid, cnt(s)(j), sum(s)(j))))
+      }.collect()
+      val merged = partials.groupBy(p => (p._1, p._2)).map { case (key, ps) =>
+        val sorted = ps.sortBy(_._3) // partition order → deterministic double merge
+        val n = sorted.map(_._4).sum
+        val acc = new Array[Double](dsub)
+        sorted.foreach(p => { var i = 0; while (i < dsub) { acc(i) += p._5(i); i += 1 } })
+        key -> ((n, acc))
+      }
+      cbs = Array.tabulate(m)(s => Array.tabulate(kk)(j =>
+        merged.get((s, j)) match {
+          case Some((n, acc)) => acc.map(x => (x / n).toFloat)
+          case None => cbs(s)(j) // empty cell keeps its centroid
+        }))
+      iter += 1
+    }
+    Model(params, first.length, cbs,
+      encodeDf(emb, idCol, vecCol, cbs).localCheckpoint(true))
+  }
+}

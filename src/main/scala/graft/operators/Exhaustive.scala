@@ -70,9 +70,10 @@ object Exhaustive {
   }
 
   /** Incremental bounded max-heap on (distance, id) keeping the k smallest
-    * — the executor-local partial-top-k kernel. Ids are assumed unique
-    * within one heap's input (one corpus partition), so no dedup here. */
-  private final class KHeap(k: Int) {
+    * — the executor-local partial-top-k kernel shared by [[knnJoin]] and
+    * the PQ ADC scan. Ids are assumed unique within one heap's input
+    * (one corpus partition), so no dedup here. */
+  private[graft] final class KHeap(k: Int) {
     private val ord = Ordering.by[(Long, Double), (Double, Long)](t => (t._2, t._1))
     private val heap = new scala.collection.mutable.PriorityQueue[(Long, Double)]()(ord)
     def insert(id: Long, d: Double): Unit =
