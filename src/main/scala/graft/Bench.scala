@@ -23,7 +23,10 @@ object Bench {
       spark.catalog.clearCache()
       (name, dt, err)
     }.toSeq
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    // control chars (tabs/newlines in Spark analysis errors) would break
+    // the one-line JSON contract — flatten them to spaces before quoting
+    def esc(s: String) = s.replaceAll("[\\p{Cntrl}]", " ")
+      .replace("\\", "\\\\").replace("\"", "\\\"")
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val oks = results.map { case (k, _, e) => "\"" + k + "\":" + e.isEmpty }

@@ -38,6 +38,11 @@ object SparkEntry {
     val base = emb.filter(col("vec_id") < 16).orderBy(col("vec_id"))
       .select(col("embedding").cast("array<float>")).collect()
       .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+    // the pq_* oracle SQL (pqSliceSqSql / pqAssignCtesSql) hardcodes
+    // dim=64 slice bounds — fail loudly here rather than hash-mismatch
+    // confusingly if the test corpus dim ever changes
+    require(base(0).length == 64,
+      s"pq_* oracle SQL assumes dim=64, corpus has dim=${base(0).length}")
     val dsub = base(0).length / m
     Array.tabulate(m)(s => base.map(_.slice(s * dsub, (s + 1) * dsub)))
   }
@@ -424,12 +429,15 @@ object SparkEntry {
     // LSH build-time exact-duplicate elimination, keep-first by id
     // (lsh.rs:113-130): plant a duplicate of every vector — winning
     // (smaller) ids for even rows, losing ids for odd — and check which
-    // id each vector group keeps in the built index.
+    // id each vector group keeps in the built index. The planted-id
+    // offset is max(vec_id)+1 (mirrored in the SQL) so planted ids can
+    // never collide with real ones at any scale factor.
     "lsh_dedup_keepfirst" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
+      val off = emb.agg(max(col("vec_id").cast("long"))).head().getLong(0) + 1L
       val dup = emb.select(
-        when(col("vec_id") % 2 === 0, col("vec_id") - 100000)
-          .otherwise(col("vec_id") + 100000).as("vec_id"),
+        when(col("vec_id") % 2 === 0, col("vec_id") - lit(off))
+          .otherwise(col("vec_id") + lit(off)).as("vec_id"),
         col("embedding"))
       val m = LSHForest.build(emb.select(col("vec_id"), col("embedding"))
           .unionByName(dup), "vec_id", "embedding",
@@ -759,9 +767,12 @@ object SparkEntry {
         |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, b) -> a + b) < 0.7
         |ORDER BY 1, 2""".stripMargin,
     // keep-first: every vector appears twice with distinct ids; the
-    // smaller id survives (even rows' planted copy wins, odd rows' loses)
+    // smaller id survives (even rows' planted copy wins, odd rows' loses).
+    // Offset = max(vec_id)+1, same derivation as the Spark side.
     "lsh_dedup_keepfirst" ->
-      """SELECT CASE WHEN vec_id % 2 = 0 THEN vec_id - 100000 ELSE vec_id END AS id
+      """WITH o AS (SELECT max(CAST(vec_id AS BIGINT)) + 1 AS off FROM embeddings)
+        |SELECT CASE WHEN vec_id % 2 = 0 THEN vec_id - (SELECT off FROM o)
+        |       ELSE CAST(vec_id AS BIGINT) END AS id
         |FROM embeddings ORDER BY 1""".stripMargin,
 
     // exact oracle because the degenerate forest (1 tree, unbounded leaf,

@@ -248,11 +248,18 @@ object PQ {
             params: Params): Model = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val rows = emb.select(col(idCol).cast("long").as("id"),
+    // persisted once: head, init TakeOrdered, every Lloyd iteration and
+    // the final encode all re-read this projection — uncached that is
+    // iterations+3 full source scans, which defeats the one-job-per-
+    // iteration design on any corpus that doesn't fit the page cache
+    val rowsDf = emb.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<float>").as("vector"))
-      .as[(Long, Array[Float])]
+      .persist()
+    val rows = rowsDf.as[(Long, Array[Float])]
     val m = params.m
-    val first = rows.head()._2
+    val firstRows = rows.take(1)
+    require(firstRows.nonEmpty, "PQ.train: input is empty — nothing to train on")
+    val first = firstRows(0)._2
     require(first.length % m == 0, s"dim ${first.length} not divisible by m=$m")
     val dsub = first.length / m
     val init = rows
@@ -301,7 +308,12 @@ object PQ {
         }))
       iter += 1
     }
-    Model(params, first.length, cbs,
-      encodeDf(emb, idCol, vecCol, cbs).localCheckpoint(true))
+    // fewer than k distinct rows shrinks the codebook: record the
+    // EFFECTIVE k so save()/load() rebuild a Model whose params match
+    // the codebooks actually trained
+    val model = Model(params.copy(k = kk), first.length, cbs,
+      encodeDf(rowsDf, "id", "vector", cbs).localCheckpoint(true))
+    rowsDf.unpersist()
+    model
   }
 }
