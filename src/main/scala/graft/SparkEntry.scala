@@ -210,6 +210,22 @@ object SparkEntry {
         .orderBy(col("qid"), col("distance"), col("id"))
     }),
 
+    // IVF-PQ composed search against the SAME pinned parts (centroids
+    // vec_id < 8, codebooks vec_id < 16): probe the 2 nearest cells,
+    // ADC over the codes inside probed cells only, top-10 — the
+    // probed-cell composition (ivfflat.rs:153-198 routing × PQ ADC)
+    // made SQL-checkable by pinning both models.
+    "pq_ivf_fixed" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = fixedCentroids(emb)
+      val sizes = Array.fill(cents.length)(Long.MaxValue) // force nprobe exactly
+      val model = graft.index.IVFPQ.build(emb, "vec_id", "embedding",
+        cents, sizes, fixedCodebooks(emb, 4), graft.index.PQ.Params(m = 4, k = 16))
+      model.searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = 2)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
     // IVFFlat probed search against the same fixed centroids: 5 queries,
     // probe the 2 nearest clusters, exact re-rank, top-10
     // (ivfflat.rs:153-198 shape, deterministic end-to-end).
@@ -899,6 +915,43 @@ object SparkEntry {
          |cands AS (
          |  SELECT q.qid, a.id, ${d(0)} + ${d(1)} + ${d(2)} + ${d(3)} AS distance
          |  FROM assigned a CROSS JOIN q
+         |  JOIN cb k0 ON k0.cid = a.c0
+         |  JOIN cb k1 ON k1.cid = a.c1
+         |  JOIN cb k2 ON k2.cid = a.c2
+         |  JOIN cb k3 ON k3.cid = a.c3)
+         |SELECT qid, id, distance FROM cands
+         |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 10
+         |ORDER BY qid, distance, id""".stripMargin
+    },
+
+    // Probed-cell ADC: the ivf_search_fixed probe CTEs route each query
+    // to its 2 nearest pinned cells; candidates are the rows ASSIGNED to
+    // those cells; distance is the pq_adc_fixed LUT fold. Composition of
+    // the two proven oracles, exercising IVFPQ end-to-end.
+    "pq_ivf_fixed" -> {
+      val sq = (a: String, b: String) =>
+        s"""list_reduce(list_transform(list_zip($a, $b),
+           |    x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+           |       * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (a,b) -> a+b)""".stripMargin
+      val d = (0 until 4).map(s =>
+        pqSliceSqSql(s"k$s.cvec", "p.qvec", s * 16 + 1, (s + 1) * 16))
+      s"""WITH $pqAssignCtesSql,
+         |cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |cl AS (
+         |  SELECT c.vec_id AS id, CAST(k.cid AS INT) AS cluster
+         |  FROM embeddings c CROSS JOIN cent k
+         |  QUALIFY row_number() OVER (PARTITION BY c.vec_id ORDER BY
+         |    ${sq("k.cvec", "c.embedding")}, k.cid) = 1),
+         |probes AS (
+         |  SELECT q.vec_id AS qid, q.embedding AS qvec, CAST(k.cid AS INT) AS cluster
+         |  FROM embeddings q CROSS JOIN cent k WHERE q.vec_id < 5
+         |  QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |    ${sq("k.cvec", "q.embedding")}, k.cid) <= 2),
+         |cands AS (
+         |  SELECT p.qid, a.id, ${d(0)} + ${d(1)} + ${d(2)} + ${d(3)} AS distance
+         |  FROM probes p
+         |  JOIN cl ON cl.cluster = p.cluster
+         |  JOIN assigned a ON a.id = cl.id
          |  JOIN cb k0 ON k0.cid = a.c0
          |  JOIN cb k1 ON k1.cid = a.c1
          |  JOIN cb k2 ON k2.cid = a.c2

@@ -1,0 +1,245 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ composed index — the reference's adaptive cell-probing idea
+  * (vers/src/indexes/ivfflat.rs:153-198) composed with product
+  * quantization: queries route to their nearest coarse cells and the
+  * asymmetric-distance (ADC) scan runs ONLY over the codes inside probed
+  * cells, instead of [[PQ.Model.searchMany]]'s flat full-code scan. At
+  * 10¹⁰ rows that is the difference between scanning every code per
+  * query batch and scanning nprobe/numCells of them — at PQ storage cost
+  * (m bytes per vector).
+  *
+  * Spark-first shapes (the same discipline as the parent indexes):
+  *  - codes carry a `cluster` column and persist PARTITIONED by it, so a
+  *    probe is partition pruning on the scan (the IVFFlat.save layout);
+  *  - build is ONE fused narrow pass per row: coarse argmin + per-subspace
+  *    code against broadcast centroids/codebooks — no join between the
+  *    coarse and fine models, no shuffle;
+  *  - search is one broadcast equi-join of codes against the per-query
+  *    probe set (the IVFFlat.searchMany shape), then a mapPartitions ADC
+  *    scan with per-(query, cell) LUTs built lazily and per-query bounded
+  *    heaps: the only shuffle moves ≤ k (qid, id, distance) triples per
+  *    (partition, query) — codes and vectors never shuffle;
+  *  - optional RESIDUAL encoding (standard IVF-PQ): codes quantize
+  *    v − centroid(cell), so quantization error shrinks to intra-cell
+  *    scale at identical storage. The LUT is then per (query, cell).
+  *
+  * Memory envelope for [[Model.searchMany]] (per task): distinct batch
+  * queries × (nprobe if residual, else 1) × m × k × 8 B of LUTs plus
+  * O(queries × k) heap entries — chunk huge query batches like
+  * [[PQ.Model.searchMany]] does (serving batches are the small side).
+  */
+object IVFPQ {
+
+  case class Model(coarse: Array[Array[Float]],
+                   clusterSizes: Array[Long],
+                   pqParams: PQ.Params, dim: Int, residual: Boolean,
+                   codebooks: Array[Array[Array[Float]]],
+                   codes: DataFrame /* id: long, cluster: int, code: binary(m) */) {
+
+    /** Probed-cell ADC batch top-k. Probe widening is the shared
+      * [[IVFFlat.probeOrder]] (adaptive, ivfflat.rs:168-195 semantics),
+      * so the coarse routing agrees bitwise with IVFFlat search. */
+    def searchMany(queries: DataFrame, qIdCol: String, qVecCol: String,
+                   k: Int, nprobe: Int = 2): DataFrame = {
+      val spark = queries.sparkSession
+      import spark.implicits._
+      val m = pqParams.m
+      val res = residual
+      val bcState = spark.sparkContext.broadcast((coarse, clusterSizes, codebooks))
+      val probes = queries
+        .select(col(qIdCol).cast("long").as("qid"),
+                col(qVecCol).cast("array<float>").as("qvec"))
+        .as[(Long, Array[Float])]
+        .flatMap { case (qid, qvec) =>
+          val (cents, sizes, _) = bcState.value
+          IVFFlat.probeOrder(cents, sizes, qvec, k, nprobe)
+            .map(c => (qid, qvec, c))
+        }
+        .toDF("qid", "qvec", "cluster")
+      codes.join(broadcast(probes), Seq("cluster"))
+        .select(col("qid"), col("qvec"), col("cluster"), col("id"), col("code"))
+        .as[(Long, Array[Float], Int, Long, Array[Byte])]
+        .mapPartitions { it =>
+          val (cents, _, cbs) = bcState.value
+          // LUT per (query, cell) when residual (the query shifts by the
+          // cell centroid), per query otherwise; built on first touch
+          val luts = scala.collection.mutable.HashMap
+            .empty[(Long, Int), Array[Array[Double]]]
+          val heaps = scala.collection.mutable.HashMap
+            .empty[Long, graft.operators.Exhaustive.KHeap]
+          it.foreach { case (qid, qvec, cl, id, code) =>
+            val lut = luts.getOrElseUpdate((qid, if (res) cl else -1), {
+              val qv = if (res) {
+                val cv = cents(cl)
+                Array.tabulate(qvec.length)(i => qvec(i) - cv(i))
+              } else qvec
+              PQ.buildLut(cbs, qv)
+            })
+            var d = 0.0
+            var s = 0
+            while (s < m) { d += lut(s)(code(s) & 0xFF); s += 1 }
+            heaps.getOrElseUpdate(qid, new graft.operators.Exhaustive.KHeap(k))
+              .insert(id, d)
+          }
+          heaps.iterator.flatMap { case (qid, h) =>
+            h.drain.map { case (id, d) => (qid, id, d) }
+          }
+        }
+        .groupByKey(_._1)
+        .flatMapGroups { (qid, it) =>
+          graft.operators.Exhaustive.topKDedup(it.map(t => (t._2, t._3)), k)
+            .map { case (id, d) => (qid, id, d) }
+        }
+        .toDF("qid", "id", "distance")
+    }
+
+    /** ADC shortlist (factor×k) within probed cells + exact re-rank
+      * against the full-precision vectors — the serving shape that
+      * recovers exact-distance ordering at PQ scan cost. */
+    def searchManyRefined(queries: DataFrame, qIdCol: String, qVecCol: String,
+                          k: Int, factor: Int, nprobe: Int,
+                          corpus: DataFrame, cIdCol: String, cVecCol: String)
+    : DataFrame = {
+      val spark = queries.sparkSession
+      import spark.implicits._
+      val shortlist = searchMany(queries, qIdCol, qVecCol, k * factor, nprobe)
+        .select(col("qid"), col("id"))
+      val q = queries.select(col(qIdCol).cast("long").as("qid"),
+        col(qVecCol).cast("array<float>").as("qvec"))
+      val c = corpus.select(col(cIdCol).cast("long").as("id"),
+        col(cVecCol).cast("array<float>").as("cvec"))
+      c.join(broadcast(shortlist.join(broadcast(q), "qid")), Seq("id"))
+        .select(col("qid"), col("id"),
+          graft.functions.VectorOps.sqDist(col("cvec"), col("qvec")).as("distance"))
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (qid, it) =>
+          graft.operators.Exhaustive.topKDedup(it.map(t => (t._2, t._3)), k)
+            .map { case (id, d) => (qid, id, d) }
+        }
+        .toDF("qid", "id", "distance")
+    }
+
+    /** Persist: codes partitioned by cluster (→ partition pruning on
+      * probe), coarse centroids + codebooks as parquet, params JSON. */
+    def save(dir: String): Unit = {
+      val spark = codes.sparkSession
+      import spark.implicits._
+      codes.write.mode("overwrite").partitionBy("cluster")
+        .parquet(s"$dir/codes")
+      coarse.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+        .toDF("cluster", "vector")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+      codebooks.zipWithIndex.flatMap { case (cb, s) =>
+        cb.zipWithIndex.map { case (cv, j) => (s, j, cv) }
+      }.toSeq.toDF("s", "j", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+      val p = pqParams
+      ParamsIO.write(spark, dir,
+        s"""{"m":${p.m},"k":${p.k},"iterations":${p.iterations},"seed":${p.seed},"dim":$dim,"numCells":${coarse.length},"residual":${if (residual) 1 else 0}}""")
+    }
+  }
+
+  /** Fused assign+encode: ONE narrow pass computes each row's coarse
+    * cell (argmin over broadcast centroids, ivfflat.rs:29-46 kernel) and
+    * its m-byte PQ code (residual-aware) — no shuffle, no join between
+    * the coarse and fine models. This is both the pinned-parts oracle
+    * path and the composition of separately trained IVF + PQ models. */
+  def build(emb: DataFrame, idCol: String, vecCol: String,
+            coarse: Array[Array[Float]], clusterSizes: Array[Long],
+            codebooks: Array[Array[Array[Float]]], pqParams: PQ.Params,
+            residual: Boolean = false): Model = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast((coarse, codebooks))
+    val res = residual
+    val codesDf = emb.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("vector"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val (cents, cbs) = bc.value
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          val d = IVFFlat.sqDistLocal(cents(c), v)
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        val enc = if (res) {
+          val cv = cents(best)
+          Array.tabulate(v.length)(i => v(i) - cv(i))
+        } else v
+        val code = new Array[Byte](cbs.length)
+        var s = 0
+        var off = 0
+        while (s < cbs.length) {
+          code(s) = PQ.nearestSub(cbs(s), enc, off).toByte
+          s += 1
+          off += cbs(s - 1)(0).length
+        }
+        (id, best, code)
+      }
+      .toDF("id", "cluster", "code")
+    Model(coarse, clusterSizes, pqParams, codebooks.map(_(0).length).sum,
+      residual, codebooks, codesDf)
+  }
+
+  /** Full training: coarse cells via [[IVFFlat.build]] (k-means‖ +
+    * restart-keep-best, ivfflat.rs:102-136), PQ codebooks via Lloyd's —
+    * over RESIDUALS when `residual` (the standard IVF-PQ recipe) — then
+    * the fused assign+encode pass. */
+  def train(emb: DataFrame, idCol: String, vecCol: String,
+            ivfParams: IVFFlat.Params, pqParams: PQ.Params,
+            residual: Boolean = true): Model = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val ivf = IVFFlat.build(emb, idCol, vecCol, ivfParams)
+    val bcC = spark.sparkContext.broadcast(ivf.centroids)
+    // ivf.indexed already carries (id, vector, cluster) and is cached
+    val trainRows =
+      if (residual)
+        ivf.indexed.select(col("id"), col("vector"), col("cluster"))
+          .as[(Long, Array[Float], Int)]
+          .map { case (id, v, c) =>
+            val cv = bcC.value(c)
+            (id, Array.tabulate(v.length)(i => v(i) - cv(i)))
+          }
+          .toDF("id", "vector").persist()
+      else ivf.indexed.select(col("id"), col("vector"))
+    val (cbs, _, kk) = PQ.lloydCodebooks(trainRows, pqParams)
+    val model = build(emb, idCol, vecCol, ivf.centroids, ivf.clusterSizes,
+      cbs, pqParams.copy(k = kk), residual)
+    val out = model.copy(codes = model.codes.localCheckpoint(true))
+    if (residual) trainRows.unpersist()
+    ivf.indexed.unpersist()
+    out
+  }
+
+  def load(spark: SparkSession, dir: String): Model = {
+    val json = ParamsIO.read(spark, dir)
+    def num(key: String): Long = ParamsIO.num(json, key)
+    val pqParams = PQ.Params(num("m").toInt, num("k").toInt,
+      num("iterations").toInt, num("seed"))
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cluster").collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("vector").toArray)
+    val cbRows = spark.read.parquet(s"$dir/codebooks").collect()
+    val byS = cbRows.groupBy(_.getInt(0))
+    val cbs = (0 until pqParams.m).map { s =>
+      byS(s).sortBy(_.getInt(1))
+        .map(_.getAs[scala.collection.Seq[Float]](2).toArray)
+    }.toArray
+    val codes = spark.read.parquet(s"$dir/codes")
+      .select(col("id"), col("cluster").cast("int").as("cluster"), col("code"))
+    val sizes = new Array[Long](num("numCells").toInt)
+    codes.groupBy("cluster").count().collect()
+      .foreach(r => sizes(r.getInt(0)) = r.getLong(1))
+    Model(cents, sizes, pqParams, num("dim").toInt,
+      num("residual") == 1L, cbs, codes)
+  }
+}

@@ -46,48 +46,63 @@ object PQ {
                    codes: DataFrame /* id: long, code: binary(m) */) {
     def dsub: Int = dim / params.m
 
-    /** ADC batch top-k over the codes alone (no full vectors touched). */
+    /** ADC batch top-k over the codes alone (no full vectors touched).
+      *
+      * Memory envelope: the query batch is collected and broadcast —
+      * O(nQueries × dim × 4 B) on driver + executors (the HNSW.searchMany
+      * contract: queries are the SMALL side). Per-task LUT memory is
+      * bounded by `qChunk`: each chunk of queries holds qChunk × m × k ×
+      * 8 B of LUTs (64 KB per query at m=32, k=256, so 1024 queries ≈
+      * 64 MB). A batch larger than qChunk scans the codes once per chunk
+      * — linear extra scans of the *compressed* side in exchange for
+      * bounded task memory; chunks partition the queries, so per-chunk
+      * top-k results are final and simply union. */
     def searchMany(queries: DataFrame, qIdCol: String, qVecCol: String,
-                   k: Int): DataFrame = {
+                   k: Int, qChunk: Int = 1024): DataFrame = {
       val spark = queries.sparkSession
       import spark.implicits._
       val m = params.m
       val qRows = queries
         .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<float>"))
         .as[(Long, Array[Float])].collect()
-      val bcQ = spark.sparkContext.broadcast(qRows)
+      if (qRows.isEmpty)
+        return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "id", "distance")
       val bcCb = spark.sparkContext.broadcast(codebooks)
-      codes.select(col("id"), col("code")).as[(Long, Array[Byte])]
-        .mapPartitions { it =>
-          val qs = bcQ.value
-          val cbs = bcCb.value
-          // m×k sqdist LUT per query, built once per partition (tiny:
-          // m·k·dsub mults) — scan cost is then m adds per row per query
-          val luts = qs.map { case (_, qv) => buildLut(cbs, qv) }
-          val heaps = Array.fill(qs.length)(
-            new graft.operators.Exhaustive.KHeap(k))
-          it.foreach { case (id, code) =>
-            var qi = 0
-            while (qi < qs.length) {
-              val lut = luts(qi)
-              var d = 0.0
-              var s = 0
-              while (s < m) { d += lut(s)(code(s) & 0xFF); s += 1 }
-              heaps(qi).insert(id, d)
-              qi += 1
+      val chunkResults = qRows.grouped(math.max(1, qChunk)).map { qChunkRows =>
+        val bcQ = spark.sparkContext.broadcast(qChunkRows)
+        codes.select(col("id"), col("code")).as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            val qs = bcQ.value
+            val cbs = bcCb.value
+            // m×k sqdist LUT per query, built once per partition (tiny:
+            // m·k·dsub mults) — scan cost is then m adds per row per query
+            val luts = qs.map { case (_, qv) => buildLut(cbs, qv) }
+            val heaps = Array.fill(qs.length)(
+              new graft.operators.Exhaustive.KHeap(k))
+            it.foreach { case (id, code) =>
+              var qi = 0
+              while (qi < qs.length) {
+                val lut = luts(qi)
+                var d = 0.0
+                var s = 0
+                while (s < m) { d += lut(s)(code(s) & 0xFF); s += 1 }
+                heaps(qi).insert(id, d)
+                qi += 1
+              }
+            }
+            heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+              val qid = qs(qi)._1
+              h.drain.map { case (id, d) => (qid, id, d) }
             }
           }
-          heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
-            val qid = qs(qi)._1
-            h.drain.map { case (id, d) => (qid, id, d) }
+          .groupByKey(_._1)
+          .flatMapGroups { (qid, it) =>
+            graft.operators.Exhaustive.topKDedup(it.map(t => (t._2, t._3)), k)
+              .map { case (id, d) => (qid, id, d) }
           }
-        }
-        .groupByKey(_._1)
-        .flatMapGroups { (qid, it) =>
-          graft.operators.Exhaustive.topKDedup(it.map(t => (t._2, t._3)), k)
-            .map { case (id, d) => (qid, id, d) }
-        }
-        .toDF("qid", "id", "distance")
+          .toDF("qid", "id", "distance")
+      }.toSeq
+      chunkResults.reduce(_.unionByName(_))
     }
 
     /** ADC shortlist (factor×k) + exact re-rank against the
@@ -154,8 +169,8 @@ object PQ {
 
   /** sqdist of v[off, off+dsub) to each centroid; argmin, ties → lowest
     * index (the oracle's ORDER BY distance, cid tie-break). */
-  @inline private def nearestSub(cb: Array[Array[Float]], v: Array[Float],
-                                 off: Int): Int = {
+  @inline private[index] def nearestSub(cb: Array[Array[Float]], v: Array[Float],
+                                        off: Int): Int = {
     var best = 0
     var bestD = Double.MaxValue
     var j = 0
@@ -176,7 +191,7 @@ object PQ {
 
   /** lut(s)(j) = sqdist(query subvector s, codebook s centroid j), double
     * fold from 0.0 ascending — identical to the SQL list_reduce shape. */
-  private def buildLut(cbs: Array[Array[Array[Float]]], qv: Array[Float])
+  private[index] def buildLut(cbs: Array[Array[Array[Float]]], qv: Array[Float])
   : Array[Array[Double]] = {
     val m = cbs.length
     val lut = new Array[Array[Double]](m)
@@ -246,8 +261,6 @@ object PQ {
     * so double sums are deterministic. */
   def train(emb: DataFrame, idCol: String, vecCol: String,
             params: Params): Model = {
-    val spark = emb.sparkSession
-    import spark.implicits._
     // persisted once: head, init TakeOrdered, every Lloyd iteration and
     // the final encode all re-read this projection — uncached that is
     // iterations+3 full source scans, which defeats the one-job-per-
@@ -255,6 +268,24 @@ object PQ {
     val rowsDf = emb.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<float>").as("vector"))
       .persist()
+    val (cbs, dim, kk) = lloydCodebooks(rowsDf, params)
+    // fewer than k distinct rows shrinks the codebook: record the
+    // EFFECTIVE k so save()/load() rebuild a Model whose params match
+    // the codebooks actually trained
+    val model = Model(params.copy(k = kk), dim, cbs,
+      encodeDf(rowsDf, "id", "vector", cbs).localCheckpoint(true))
+    rowsDf.unpersist()
+    model
+  }
+
+  /** The Lloyd's loop alone (no encode): returns (codebooks, dim,
+    * effective k). `rowsDf` must be the (id, vector) projection, ideally
+    * persisted by the caller — every iteration scans it once. Shared
+    * with [[IVFPQ.train]], which encodes in its own fused pass. */
+  private[index] def lloydCodebooks(rowsDf: DataFrame, params: Params)
+  : (Array[Array[Array[Float]]], Int, Int) = {
+    val spark = rowsDf.sparkSession
+    import spark.implicits._
     val rows = rowsDf.as[(Long, Array[Float])]
     val m = params.m
     val firstRows = rows.take(1)
@@ -308,12 +339,6 @@ object PQ {
         }))
       iter += 1
     }
-    // fewer than k distinct rows shrinks the codebook: record the
-    // EFFECTIVE k so save()/load() rebuild a Model whose params match
-    // the codebooks actually trained
-    val model = Model(params.copy(k = kk), first.length, cbs,
-      encodeDf(rowsDf, "id", "vector", cbs).localCheckpoint(true))
-    rowsDf.unpersist()
-    model
+    (cbs, first.length, kk)
   }
 }

@@ -59,6 +59,17 @@ class PQSpec extends SparkSpec {
     assert(c1 == c2)
   }
 
+  test("query-batch chunking does not change results") {
+    // chunks partition the QUERIES (not candidates), so any chunk size
+    // must produce the identical per-query top-k — this is the task-
+    // memory bound: LUT memory is qChunk × m × k × 8 B, never the batch
+    val queries = emb.filter(col("vec_id") < 100)
+    def run(qChunk: Int) =
+      model.searchMany(queries, "vec_id", "embedding", 10, qChunk = qChunk)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(run(7) == run(100000))
+  }
+
   test("save/load round-trip preserves search results") {
     val dir = java.nio.file.Files.createTempDirectory("pq").toString
     model.save(dir)
