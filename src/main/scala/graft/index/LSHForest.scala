@@ -49,10 +49,17 @@ object LSHForest {
   /** `dedupExact=false` skips the exact-duplicate-vector elimination
     * (lsh.rs:113-130) so the degenerate config (1 tree, unbounded leaf)
     * is unconditionally row-equal to exhaustive search — even when the
-    * corpus contains duplicate vectors. */
+    * corpus contains duplicate vectors.
+    *
+    * `compactFactor`: [[Model.add]] self-compacts (runs
+    * [[Model.rebuildLeaves]]) once any leaf outgrows compactFactor ×
+    * maxNodeSize — the Spark-scale stand-in for the reference's eager
+    * re-split on every insert (lsh.rs:218-251): tolerate bounded
+    * overflow between adds, pay the split job only at the watermark. */
   case class Params(numTrees: Int = 4, maxNodeSize: Int = 64,
                     maxDepth: Int = 24, seed: Long = 42L,
-                    dedupExact: Boolean = true)
+                    dedupExact: Boolean = true,
+                    compactFactor: Int = 4)
 
   /** plane per inner node: path → (coeffs, constant); sizes per leaf.
     *
@@ -202,7 +209,15 @@ object LSHForest {
         t.copy(leafSizes = t.leafSizes ++ mine.map { case (p, n) =>
           p -> (t.leafSizes.getOrElse(p, 0L) + n) })
       }
-      copy(trees = newTrees, indexed = indexed.unionByName(appended))
+      val updated = copy(trees = newTrees, indexed = indexed.unionByName(appended))
+      // watermark check closes the loop on the reference's eager
+      // re-split (lsh.rs:218-251): compact now if any leaf outgrew
+      // compactFactor × maxNodeSize (Long math — maxNodeSize may be
+      // Int.MaxValue in the degenerate exact configs, which never compact)
+      val watermark = params.compactFactor.toLong * params.maxNodeSize.toLong
+      val overflowed = params.maxNodeSize != Int.MaxValue &&
+        newTrees.exists(_.leafSizes.valuesIterator.exists(_ > watermark))
+      if (overflowed) updated.rebuildLeaves() else updated
     }
 
     /** Compaction job for leaves that outgrew maxNodeSize under [[add]]
@@ -236,7 +251,7 @@ object LSHForest {
       }.toDF("tree", "path", "coeffs", "const", "leaf_n")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/trees")
       ParamsIO.write(spark, dir,
-        s"""{"numTrees":${params.numTrees},"maxNodeSize":${params.maxNodeSize},"maxDepth":${params.maxDepth},"seed":${params.seed}}""")
+        s"""{"numTrees":${params.numTrees},"maxNodeSize":${params.maxNodeSize},"maxDepth":${params.maxDepth},"seed":${params.seed},"compactFactor":${params.compactFactor}}""")
     }
   }
 
@@ -448,7 +463,8 @@ object LSHForest {
     val json = ParamsIO.read(spark, dir)
     def num(key: String): Long = ParamsIO.num(json, key)
     val params = Params(num("numTrees").toInt, num("maxNodeSize").toInt,
-      num("maxDepth").toInt, num("seed"))
+      num("maxDepth").toInt, num("seed"),
+      compactFactor = ParamsIO.dbl(json, "compactFactor", 4.0).toInt)
     val rows = spark.read.parquet(s"$dir/trees").collect()
     val trees = (0 until params.numTrees).map { ti =>
       val mine = rows.filter(_.getInt(0) == ti)

@@ -130,4 +130,40 @@ object Streaming {
       }
       .start()
   }
+
+  /** HNSW twin of [[ingestIntoIVF]]: each microbatch routes to its
+    * shards by id hash and inserts preserving per-shard sequential
+    * semantics (HNSW.Model.add); only touched shards re-serialize. */
+  def ingestIntoHNSW(stream: DataFrame, idCol: String, vecCol: String,
+                     state: java.util.concurrent.atomic.AtomicReference[graft.index.HNSW.Model])
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          state.updateAndGet(m => m.add(batch, idCol, vecCol))
+          ()
+        }
+      }
+      .start()
+  }
+
+  /** LSH-forest twin of [[ingestIntoIVF]]: each microbatch descends the
+    * frozen planes (LSHForest.Model.add); once a leaf crosses the
+    * compaction watermark the add itself re-splits it
+    * (Params.compactFactor), so a long-running ingest keeps the leaf
+    * invariant without an external maintenance job. */
+  def ingestIntoLSH(stream: DataFrame, idCol: String, vecCol: String,
+                    state: java.util.concurrent.atomic.AtomicReference[graft.index.LSHForest.Model])
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          state.updateAndGet(m => m.add(batch, idCol, vecCol))
+          ()
+        }
+      }
+      .start()
+  }
 }

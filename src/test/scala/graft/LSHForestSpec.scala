@@ -91,7 +91,11 @@ class LSHForestSpec extends SparkSpec {
         x + ((i * 131 + j * 31) % 1000 - 500) * 2e-5f }
       (900000L + i, v)
     }.toDF("vec_id", "embedding")
-    val grownM = model.add(batch, "vec_id", "embedding")
+    // this test drives rebuildLeaves MANUALLY — disable the add-path
+    // watermark so the overflow state is observable
+    val noAuto = model.copy(params =
+      model.params.copy(compactFactor = Int.MaxValue))
+    val grownM = noAuto.add(batch, "vec_id", "embedding")
     val overPerTree = grownM.trees.map(
       _.leafSizes.filter(_._2 > grownM.params.maxNodeSize).keySet)
     assert(overPerTree.exists(_.nonEmpty), "add batch must overflow a leaf")
@@ -147,8 +151,42 @@ class LSHForestSpec extends SparkSpec {
       .getAs[scala.collection.Seq[Float]](0).toArray.map(x => x + 1e-3f)
     val added = model.add(Seq((888888L, v)).toDF("vec_id", "embedding"),
       "vec_id", "embedding")
+    // one row can never cross the 4× watermark: no self-compaction,
+    // planes bit-identical
+    added.trees.zip(model.trees).foreach { case (a, b) =>
+      assert(a.planes.keySet == b.planes.keySet) }
     val hit = added.search(v, k = 1).head()
     assert(hit.getAs[Long]("id") == 888888L)
+    assert(hit.getAs[Double]("distance") == 0.0)
+  }
+
+  test("add self-compacts once a leaf crosses compactFactor × maxNodeSize") {
+    import spark.implicits._
+    // 400 near-copies of one corpus vector overflow its leaf far past the
+    // 4 × 64 watermark → add must trigger rebuildLeaves itself
+    val base = emb.filter(col("vec_id") === 23)
+      .select(col("embedding").cast("array<float>")).head()
+      .getAs[scala.collection.Seq[Float]](0).toArray
+    val batch = (0 until 400).map { i =>
+      val v = base.zipWithIndex.map { case (x, j) =>
+        x + ((i * 131 + j * 31) % 1000 - 500) * 2e-5f }
+      (700000L + i, v)
+    }.toDF("vec_id", "embedding")
+    val grown = model.add(batch, "vec_id", "embedding")
+    grown.trees.zipWithIndex.foreach { case (t, ti) =>
+      assert(t.leafSizes.values.sum == model.trees(ti).leafSizes.values.sum + 400)
+      val oversized = t.leafSizes.filter(_._2 > grown.params.maxNodeSize)
+      assert(oversized.isEmpty, s"tree $ti oversized after self-compaction: $oversized")
+    }
+    // compaction extended the overflowed subtree with fresh planes
+    assert(grown.trees.zip(model.trees).exists { case (a, b) =>
+      a.planes.size > b.planes.size })
+    // added rows stay findable
+    val probe = batch.filter(col("vec_id") === 700123L)
+      .select(col("embedding").cast("array<float>")).head()
+      .getAs[scala.collection.Seq[Float]](0).toArray
+    val hit = grown.search(probe, k = 1).head()
+    assert(hit.getAs[Long]("id") == 700123L)
     assert(hit.getAs[Double]("distance") == 0.0)
   }
 }

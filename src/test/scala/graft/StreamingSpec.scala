@@ -103,6 +103,49 @@ class StreamingSpec extends SparkSpec {
     assert(got.filter(_._1 == 2L) == Set((2L, 1L, 1L, 10000L, 10000L)))
   }
 
+  test("streaming ingest patches the HNSW index (Index::add analogue)") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val without = emb.filter($"vec_id" =!= 42)
+    val model = graft.index.HNSW.build(without, "vec_id", "embedding",
+      graft.index.HNSWGraph.Params(numLayers = 6, efConstruction = 100,
+        efSearch = 64, m = 16), numShards = 4)
+    val state = new java.util.concurrent.atomic.AtomicReference(model)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Streaming.ingestIntoHNSW(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", state)
+    val held = emb.filter($"vec_id" === 42)
+      .select($"vec_id", $"embedding".cast("array<float>"))
+      .as[(Long, Array[Float])].head()
+    mem.addData(held)
+    q.processAllAvailable()
+    q.stop()
+    val hit = state.get().search(held._2, k = 1).head()
+    assert(hit.getAs[Long]("id") == 42L)
+    assert(hit.getAs[Double]("distance") == 0.0)
+  }
+
+  test("streaming ingest patches the LSH forest (Index::add analogue)") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val without = emb.filter($"vec_id" =!= 55)
+    val model = graft.index.LSHForest.build(without, "vec_id", "embedding",
+      graft.index.LSHForest.Params(numTrees = 4, maxNodeSize = 64))
+    val state = new java.util.concurrent.atomic.AtomicReference(model)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Streaming.ingestIntoLSH(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", state)
+    val held = emb.filter($"vec_id" === 55)
+      .select($"vec_id", $"embedding".cast("array<float>"))
+      .as[(Long, Array[Float])].head()
+    mem.addData(held)
+    q.processAllAvailable()
+    q.stop()
+    val hit = state.get().search(held._2, k = 1).head()
+    assert(hit.getAs[Long]("id") == 55L)
+    assert(hit.getAs[Double]("distance") == 0.0)
+  }
+
   test("streaming ingest patches the IVFFlat index (Index::add analogue)") {
     implicit val sqlCtx = spark.sqlContext
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
