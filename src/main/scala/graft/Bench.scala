@@ -23,6 +23,16 @@ object Bench {
       spark.catalog.clearCache()
       (name, dt, err)
     }.toSeq
+    // build-vs-search split for the index queries: run each phase twin
+    // once more and report {build, search} seconds — separates the fixed
+    // index-construction cost from the per-query serving cost
+    val phases = SparkEntry.benchPhases.toSeq.map { case (name, fn) =>
+      val bs = try { val (b, sch) = fn(spark, sfDir); Some((b, sch)) } catch {
+        case _: Throwable => None
+      }
+      spark.catalog.clearCache()
+      (name, bs)
+    }
     // control chars (tabs/newlines in Spark analysis errors) would break
     // the one-line JSON contract — flatten them to spaces before quoting
     def esc(s: String) = s.replaceAll("[\\p{Cntrl}]", " ")
@@ -33,8 +43,11 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) =>
       "\"" + k + "\":\"" + esc(m) + "\"" }.mkString("{", ",", "}")
+    val ph = phases.collect { case (k, Some((b, sch))) =>
+      "\"" + k + "\":{\"build\":" + b + ",\"search\":" + sch + "}" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$ph,"ok":$oks,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-scale dedup smoke: the dedup suite's oracle queries run on the
+  * 5k-doc sf0.1 `documents` table, so this is where the 100 TB join
+  * shapes face real volume — a seeded ~1M-doc synthetic corpus with
+  * PLANTED near-dup pairs (dup = base doc with ~3% of tokens mutated;
+  * embedding dup = base vector + ε noise), measuring per-operator wall
+  * seconds, shuffle-write bytes, result size, and planted-pair recall.
+  * Prints one JSON line; numbers are committed to BASELINE.md.
+  *
+  * The planted mutation rates sit deliberately NEAR each fingerprint's
+  * sensitivity knee (3 token edits ≈ a few flipped simhash bits, Jaccard
+  * ≈ 0.8) so recall is a measured property of the operator, not a
+  * tautology.
+  *
+  * Usage: sbt "runMain graft.DedupScaleSmoke [nBase] [nDup]"
+  * (SPARK_DRIVER_MEM=24g recommended at the 1M default)
+  */
+object DedupScaleSmoke {
+
+  @inline private def mix64(x0: Long): Long = {
+    var x = x0
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nBase = if (args.length > 0) args(0).toInt else 1000000
+    val nDup = if (args.length > 1) args(1).toInt else 10000
+    val docLen = 100
+    val vocab = 50000L
+    val mutPct = 3L // ≈3 of 100 tokens mutated per planted dup
+    val dim = 128
+    val seed = 42L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // shuffle-write bytes per phase via listener deltas (local mode:
+    // write side == read side; events drain within the settle sleep)
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+
+    // ---- text corpus: doc = 100 tokens from a 50k vocab, pure function
+    // of id; ids ≥ nBase are planted dups of base (j*97 % nBase) with
+    // ~mutPct% tokens replaced (distinct "m" prefix ⇒ guaranteed change)
+    def docTokens(id: Long): Array[String] = {
+      if (id < nBase) {
+        Array.tabulate(docLen)(p =>
+          "w" + java.lang.Long.remainderUnsigned(
+            mix64(id * 1000003L + p * 7919L + seed), vocab))
+      } else {
+        val j = id - nBase
+        val base = docTokens((j * 97L) % nBase)
+        var p = 0
+        while (p < docLen) {
+          if (java.lang.Long.remainderUnsigned(
+              mix64(0x5EEDL + j * 31L + p * 131L), 100L) < mutPct)
+            base(p) = "m" + java.lang.Long.remainderUnsigned(
+              mix64(j * 17L + p * 13L + seed), vocab)
+          p += 1
+        }
+        base
+      }
+    }
+    val docs = spark.range(nBase + nDup).as[Long]
+      .map(id => (id, docTokens(id).mkString(" ")))
+      .toDF("doc_id", "text")
+      .repartition(spark.sparkContext.defaultParallelism).cache()
+    docs.count()
+    // planted text pairs: (base, nBase + j); j*97 < nBase for the default
+    // sizes so bases are distinct and doc_a < doc_b always holds
+    val planted = spark.range(nDup).as[Long]
+      .map(j => ((j * 97L) % nBase, nBase + j)).toDF("doc_a", "doc_b")
+      .cache()
+    planted.count()
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val out = scala.collection.mutable.LinkedHashMap[String, String]()
+    out += "n_base" -> nBase.toString += "n_dup" -> nDup.toString
+
+    def phase(name: String, plantedDf: DataFrame, nPlanted: Int)
+             (op: => DataFrame): Unit = {
+      Thread.sleep(500) // settle listener events from the previous phase
+      val before = shuffleBytes.get()
+      val (res, t) = timed { val df = op; df.count(); df }
+      Thread.sleep(500)
+      val sb = shuffleBytes.get() - before
+      val found = res.count()
+      val hit = res.select(col(res.columns(0)).as("doc_a"),
+          col(res.columns(1)).as("doc_b"))
+        .join(plantedDf, Seq("doc_a", "doc_b")).count()
+      out += s"${name}_s" -> f"$t%.1f"
+      out += s"${name}_shuffle_mb" -> (sb / (1L << 20)).toString
+      out += s"${name}_pairs" -> found.toString
+      out += s"${name}_planted_recall" -> f"${hit.toDouble / nPlanted}%.3f"
+    }
+
+    phase("minhash", planted, nDup) {
+      operators.Dedup.minhashBandPairs(docs, "doc_id", "text",
+        numHashes = 12, bandSize = 2)
+    }
+    phase("simhash64_h3", planted, nDup) {
+      operators.Dedup.simhashPairs(docs, "doc_id", "text",
+        maxHamming = 3, bits = 64)
+    }
+    phase("jaccard_capped", planted, nDup) {
+      operators.Dedup.jaccardPairs(docs, "doc_id", "text",
+        threshold = 0.5, dfCap = 100)
+    }
+
+    // ---- embedding corpus: clustered unit vectors (128 centers, the
+    // ScaleSmoke regime — same-cluster background pairs sit at cosine
+    // distance ≈ 0.2); planted dup = base + ε noise ⇒ distance ≈ 1e-5,
+    // so maxCosDist = 0.05 separates planted pairs from the background
+    val nClusters = 128
+    val noiseAmp = 0.08
+    val centers = Array.tabulate(nClusters) { c =>
+      val v = new Array[Double](dim)
+      var norm = 0.0
+      var j = 0
+      while (j < dim) {
+        val h = mix64(0xC0FFEEL + c * 7919L + j * 104729L + seed)
+        v(j) = (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+        norm += v(j) * v(j); j += 1
+      }
+      val inv = 1.0 / math.sqrt(norm)
+      j = 0
+      while (j < dim) { v(j) *= inv; j += 1 }
+      v
+    }
+    val bcCenters = spark.sparkContext.broadcast(centers)
+    def genVec(id: Long, amp: Double, salt: Long): Array[Float] = {
+      val c = math.floorMod(mix64(id ^ 0xABCDEFL), nClusters.toLong).toInt
+      val v = new Array[Float](dim)
+      var j = 0
+      var norm = 0.0
+      while (j < dim) {
+        val h = mix64(id * 1315423911L + j * 2654435761L + seed + salt)
+        val x = bcCenters.value(c)(j) +
+          ((h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0) * amp
+        v(j) = x.toFloat; norm += x * x; j += 1
+      }
+      val inv = (1.0 / math.sqrt(norm)).toFloat
+      j = 0
+      while (j < dim) { v(j) *= inv; j += 1 }
+      v
+    }
+    val emb = spark.range(nBase + nDup).as[Long].mapPartitions { it =>
+      it.map { id =>
+        if (id < nBase) (id, genVec(id, noiseAmp, 0L))
+        else {
+          // dup of base b: same base vector plus ε perturbation
+          val j = id - nBase
+          val b = (j * 97L) % nBase
+          val v = genVec(b, noiseAmp, 0L)
+          var p = 0
+          while (p < dim) {
+            val h = mix64(j * 104729L + p * 31L + seed)
+            v(p) = (v(p) +
+              ((h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0) * 0.002).toFloat
+            p += 1
+          }
+          (id, v)
+        }
+      }
+    }.toDF("vec_id", "embedding")
+      .repartition(spark.sparkContext.defaultParallelism).cache()
+    emb.count()
+    docs.unpersist()
+
+    phase("embed_lsh", planted, nDup) {
+      operators.Dedup.embeddingPairsViaLSH(emb, "vec_id", "embedding",
+        maxCosDist = 0.05,
+        graft.index.LSHForest.Params(numTrees = 8,
+          maxNodeSize = math.max(256, nBase / 1000)))
+    }
+
+    println(out.map { case (kk, vv) => s""""$kk":$vv""" }
+      .mkString("DEDUP_SMOKE {", ",", "}"))
+    spark.stop()
+  }
+}

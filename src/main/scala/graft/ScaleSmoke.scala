@@ -168,6 +168,36 @@ object ScaleSmoke {
     out += "pq_recall_at10" -> f"$pqRecall%.3f"
     out += "pq_refined100_s" -> f"$tPqR%.2f" += "pq_refined_recall_at10" -> f"$pqRefRecall%.3f"
 
+    // ---- IVF-PQ: compose the ALREADY-trained coarse cells (ivf) with
+    // the ALREADY-trained codebooks (pq; residual=false → LUTs identical
+    // to flat ADC), so probed-cell vs flat ADC isolates the probing
+    // effect: same quantizer, same queries — the only variable is how
+    // many codes each query scans.
+    val nprobe = 8
+    val (ivfpq, tIvfpqB) = timed {
+      val m = index.IVFPQ.build(corpus, "vec_id", "embedding",
+        ivf.centroids, ivf.clusterSizes, pq.codebooks, pq.params)
+      m.codes.cache().count(); m
+    }
+    val (ivfpqRes, tIvfpqS) = timed {
+      val df = ivfpq.searchMany(queries, "vec_id", "embedding", k, nprobe).cache()
+      df.count(); df
+    }
+    val ivfpqRecall = recallOf(ivfpqRes, truth)
+    // scanned-code fraction: sum of probed-cell sizes per query (the
+    // adaptive probeOrder actually used) over the full-corpus scan the
+    // flat ADC comparator pays by definition
+    val qVecs = queries
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])].collect()
+    val scanned = qVecs.map { case (_, qv) =>
+      index.IVFFlat.probeOrder(ivf.centroids, ivf.clusterSizes, qv, k, nprobe)
+        .map(c => ivf.clusterSizes(c)).sum
+    }.sum
+    out += "ivfpq_build_s" -> f"$tIvfpqB%.2f" += "ivfpq_batch100_s" -> f"$tIvfpqS%.2f"
+    out += "ivfpq_recall_at10" -> f"$ivfpqRecall%.3f"
+    out += "ivfpq_scanned_frac" -> f"${scanned.toDouble / (qVecs.length.toDouble * n)}%.4f"
+
     // ---- HNSW: 32 shards, m=16, efSearch=64
     val (hnsw, tHnswB) = timed {
       val m = index.HNSW.build(corpus, "vec_id", "embedding",

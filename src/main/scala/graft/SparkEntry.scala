@@ -26,7 +26,7 @@ object SparkEntry {
 
   /** Deterministic pseudo-centroids for SQL-checkable IVFFlat queries:
     * the embedding vectors with vec_id < 8, cluster id = vec_id. */
-  private def fixedCentroids(emb: DataFrame): Array[Array[Float]] =
+  private[graft] def fixedCentroids(emb: DataFrame): Array[Array[Float]] =
     emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
       .select(col("embedding").cast("array<float>")).collect()
       .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
@@ -34,7 +34,7 @@ object SparkEntry {
   /** Pinned PQ codebooks for SQL-checkable queries: subspace s's
     * centroids are the s-th slices of the embeddings with vec_id < 16
     * (code value = source vec_id — the oracle's join key). */
-  private def fixedCodebooks(emb: DataFrame, m: Int): Array[Array[Array[Float]]] = {
+  private[graft] def fixedCodebooks(emb: DataFrame, m: Int): Array[Array[Array[Float]]] = {
     val base = emb.filter(col("vec_id") < 16).orderBy(col("vec_id"))
       .select(col("embedding").cast("array<float>")).collect()
       .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
@@ -505,6 +505,66 @@ object SparkEntry {
     "events_sessions" -> ((s, dir) => {
       Streaming.sessionize(tbl(s, dir, "events"), gapSec = 1800L)
         .orderBy(col("user_id"), col("session_id"))
+    }),
+  )
+
+  /** Build-vs-search wall-second split for the index-building bench
+    * queries. The monolithic `queries` timings fold index construction
+    * (a fixed cost, amortized over every query in real serving) into the
+    * per-query number; these twins time the two phases separately so the
+    * bench JSON makes the fixed cost diagnosable. Each entry uses the
+    * SAME params as its `queries` twin and forces materialization at the
+    * phase boundary. */
+  def benchPhases: Map[String, (SparkSession, String) => (Double, Double)] = Map(
+    "hnsw_knn" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val t0 = System.nanoTime()
+      val model = HNSW.build(emb, "vec_id", "embedding",
+        HNSWGraph.Params(numLayers = 6, efConstruction = 100, efSearch = 64, m = 16),
+        numShards = 8)
+      val t1 = System.nanoTime()
+      model.searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .count()
+      val t2 = System.nanoTime()
+      ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+    }),
+    "lsh_knn" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val t0 = System.nanoTime()
+      val model = LSHForest.build(emb, "vec_id", "embedding",
+        LSHForest.Params(numTrees = 8, maxNodeSize = 64))
+      val t1 = System.nanoTime()
+      model.searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .count()
+      val t2 = System.nanoTime()
+      ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+    }),
+    "ivf_kmeans" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val t0 = System.nanoTime()
+      val model = IVFFlat.build(emb, "vec_id", "embedding",
+        IVFFlat.Params(k = 8, numAttempts = 2, maxIterations = 10))
+      val t1 = System.nanoTime()
+      model.indexed.groupBy(col("cluster")).count().count()
+      val t2 = System.nanoTime()
+      ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+    }),
+    "pq_ivf_fixed" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val t0 = System.nanoTime()
+      val cents = fixedCentroids(emb)
+      val sizes = Array.fill(cents.length)(Long.MaxValue)
+      val built = graft.index.IVFPQ.build(emb, "vec_id", "embedding",
+        cents, sizes, fixedCodebooks(emb, 4), graft.index.PQ.Params(m = 4, k = 16))
+      // build() is lazy by design (train() checkpoints); force the codes
+      // here so the phase boundary is honest
+      val model = built.copy(codes = built.codes.localCheckpoint(true))
+      val t1 = System.nanoTime()
+      model.searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = 2)
+        .count()
+      val t2 = System.nanoTime()
+      ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
     }),
   )
 

@@ -50,29 +50,37 @@ object IVFPQ {
       val m = pqParams.m
       val res = residual
       val bcState = spark.sparkContext.broadcast((coarse, clusterSizes, codebooks))
-      val probes = queries
+      val qproj = queries
         .select(col(qIdCol).cast("long").as("qid"),
                 col(qVecCol).cast("array<float>").as("qvec"))
         .as[(Long, Array[Float])]
+      // query vectors ride ONE driver broadcast (batch × dim × 4 B; 10k
+      // queries × 1536f ≈ 60 MB) — the probe join below carries only
+      // (qid, cluster) pairs, so no vector is duplicated nprobe× in the
+      // broadcast and no vector column enters any exchange
+      val bcQ = spark.sparkContext.broadcast(qproj.collect().toMap)
+      val probes = qproj
         .flatMap { case (qid, qvec) =>
           val (cents, sizes, _) = bcState.value
           IVFFlat.probeOrder(cents, sizes, qvec, k, nprobe)
-            .map(c => (qid, qvec, c))
+            .map(c => (qid, c))
         }
-        .toDF("qid", "qvec", "cluster")
+        .toDF("qid", "cluster")
       codes.join(broadcast(probes), Seq("cluster"))
-        .select(col("qid"), col("qvec"), col("cluster"), col("id"), col("code"))
-        .as[(Long, Array[Float], Int, Long, Array[Byte])]
+        .select(col("qid"), col("cluster"), col("id"), col("code"))
+        .as[(Long, Int, Long, Array[Byte])]
         .mapPartitions { it =>
           val (cents, _, cbs) = bcState.value
+          val qmap = bcQ.value
           // LUT per (query, cell) when residual (the query shifts by the
           // cell centroid), per query otherwise; built on first touch
           val luts = scala.collection.mutable.HashMap
             .empty[(Long, Int), Array[Array[Double]]]
           val heaps = scala.collection.mutable.HashMap
             .empty[Long, graft.operators.Exhaustive.KHeap]
-          it.foreach { case (qid, qvec, cl, id, code) =>
+          it.foreach { case (qid, cl, id, code) =>
             val lut = luts.getOrElseUpdate((qid, if (res) cl else -1), {
+              val qvec = qmap(qid)
               val qv = if (res) {
                 val cv = cents(cl)
                 Array.tabulate(qvec.length)(i => qvec(i) - cv(i))

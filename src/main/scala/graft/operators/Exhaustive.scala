@@ -51,7 +51,14 @@ object Exhaustive {
     * (distance, id); duplicate ids (same candidate reached via several
     * trees/shards, bit-identical distance) are dropped via heap
     * membership — O(k) per candidate, no unbounded seen-set. Output
-    * ascending by (distance, id). */
+    * ascending by (distance, id).
+    *
+    * k-envelope: state is O(k) and the membership scan makes each group
+    * O(candidates × k); callers feed ≤ (partitions|trees|shards) × k
+    * candidates per qid, so the per-group cost is O(parallelism × k²)
+    * and never proportional to corpus size. k is a serving-size constant
+    * (10–1000); for k beyond that, swap the linear membership scan for a
+    * hash set — not worth the allocation below it. */
   def topKDedup(it: Iterator[(Long, Double)], k: Int): Iterator[(Long, Double)] = {
     // max-heap on (distance, id): root = current worst of the kept k
     val ord = Ordering.by[(Long, Double), (Double, Long)](t => (t._2, t._1))

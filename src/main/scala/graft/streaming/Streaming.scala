@@ -124,8 +124,11 @@ object Streaming {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          state.updateAndGet(m => m.add(batch, idCol, vecCol))
-          ()
+          // foreachBatch is the sole writer (microbatches are serialized by
+          // the stream engine), so a plain get/set is race-free — and unlike
+          // updateAndGet it can never re-invoke add(), which launches Spark
+          // jobs and must run exactly once per batch
+          state.set(state.get().add(batch, idCol, vecCol))
         }
       }
       .start()
@@ -141,8 +144,8 @@ object Streaming {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          state.updateAndGet(m => m.add(batch, idCol, vecCol))
-          ()
+          // single-writer foreachBatch: see ingestIntoIVF
+          state.set(state.get().add(batch, idCol, vecCol))
         }
       }
       .start()
@@ -160,8 +163,8 @@ object Streaming {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          state.updateAndGet(m => m.add(batch, idCol, vecCol))
-          ()
+          // single-writer foreachBatch: see ingestIntoIVF
+          state.set(state.get().add(batch, idCol, vecCol))
         }
       }
       .start()

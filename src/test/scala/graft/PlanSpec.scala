@@ -56,6 +56,71 @@ class PlanSpec extends SparkSpec {
       || p.contains("dotexpr") || p.contains("DotExpr"), p.take(800))
   }
 
+  // Recursive physical-node collector that descends through the AQE
+  // wrappers (AdaptiveSparkPlanExec / QueryStageExec are leaf nodes to
+  // TreeNode traversal, so a plain collect() would stop at them).
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      a +: flatten(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      q +: flatten(q.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      r +: flatten(r.child)
+    case _ => p +: p.children.flatMap(flatten)
+  }
+
+  test("LSH searchMany: exactly one row shuffle, probe side broadcast") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val model = graft.index.LSHForest.build(emb, "vec_id", "embedding",
+      graft.index.LSHForest.Params(numTrees = 2, maxNodeSize = 64))
+    val df = model.searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+    df.collect() // finalize the adaptive plan before inspecting it
+    val nodes = flatten(df.queryExecution.executedPlan)
+    val shuffles = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    // the single exchange is the per-qid top-k merge and it moves
+    // (qid, id, distance) triples only — distances are computed below it
+    assert(shuffles == 1, s"expected 1 shuffle, got $shuffles:\n" +
+      df.queryExecution.executedPlan.toString.take(1200))
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.BroadcastExchangeExec]),
+      "probe side must be broadcast:\n" +
+        df.queryExecution.executedPlan.toString.take(1200))
+  }
+
+  test("PQ and IVFPQ ADC plans: no Window, no vector column in any exchange") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cbs = SparkEntry.fixedCodebooks(emb, 4)
+    val params = graft.index.PQ.Params(m = 4, k = 16)
+    def check(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      assert(!plan.toString.contains("Window"),
+        s"$what plans a Window:\n" + plan.toString.take(1200))
+      val exchanges = flatten(plan).collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }
+      // ADC's whole point is that only byte codes and (qid, id, distance)
+      // triples move — a float-array column in any exchange means vectors
+      // started shuffling or riding broadcast joins again
+      exchanges.foreach { e =>
+        val arrays = e.output.filter(
+          _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+        assert(arrays.isEmpty,
+          s"$what exchange carries vector column(s) ${arrays.map(_.name).mkString(",")}:\n" +
+            e.toString.take(600))
+      }
+    }
+    val pq = graft.index.PQ.withCodebooks(emb, "vec_id", "embedding", cbs, params)
+    check(pq.searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10),
+      "PQ ADC")
+    val cents = SparkEntry.fixedCentroids(emb)
+    val ivfpq = graft.index.IVFPQ.build(emb, "vec_id", "embedding", cents,
+      Array.fill(cents.length)(Long.MaxValue), cbs, params)
+    check(ivfpq.searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+      k = 10, nprobe = 2), "IVFPQ ADC")
+  }
+
   test("IVFFlat persisted layout is partitioned by cluster (partition pruning on probe)") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val model = graft.index.IVFFlat.build(emb, "vec_id", "embedding",

@@ -122,7 +122,10 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     val hit = state.get().search(held._2, k = 1).head()
     assert(hit.getAs[Long]("id") == 42L)
-    assert(hit.getAs[Double]("distance") == 0.0)
+    // cosine distance 1 - a·b of a float-normalized self-query is an
+    // epsilon off zero (≈ -5.5e-8), never exactly 0.0 like the squared-L2
+    // twins below
+    assert(math.abs(hit.getAs[Double]("distance")) < 1e-6)
   }
 
   test("streaming ingest patches the LSH forest (Index::add analogue)") {
