@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
   * Usage: sbt "runMain graft.DedupScaleSmoke [nBase] [nDup]"
   * (SPARK_DRIVER_MEM=24g recommended at the 1M default)
   */
-object DedupScaleSmoke {
+// Serializable: the corpus-generator lambdas call the (non-inlinable,
+// recursive) local docTokens, whose lifted form drags the module into
+// the closure — the module is stateless, so shipping it is free.
+object DedupScaleSmoke extends Serializable {
 
   @inline private def mix64(x0: Long): Long = {
     var x = x0

@@ -132,6 +132,17 @@ object IVFPQ {
         .toDF("qid", "id", "distance")
     }
 
+    /** Incremental add — Index::add for the composed index: one fused
+      * narrow pass assigns each new row to its frozen coarse cell and
+      * encodes it against the frozen codebooks (residual-aware), then
+      * unions the codes. Cluster sizes stay frozen like IVFFlat.add's —
+      * probeOrder's adaptivity degrades gracefully as cells grow; a
+      * rebuild is the rebalancing maintenance job. */
+    def add(rows: DataFrame, idCol: String, vecCol: String): Model =
+      copy(codes = codes.unionByName(
+        IVFPQ.build(rows, idCol, vecCol, coarse, clusterSizes, codebooks,
+          pqParams, residual).codes))
+
     /** Persist: codes partitioned by cluster (→ partition pruning on
       * probe), coarse centroids + codebooks as parquet, params JSON. */
     def save(dir: String): Unit = {

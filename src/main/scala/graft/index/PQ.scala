@@ -105,6 +105,14 @@ object PQ {
       chunkResults.reduce(_.unionByName(_))
     }
 
+    /** Incremental add — the Index::add analogue (base.rs:28 semantics)
+      * for PQ: encode the batch against the FROZEN codebooks (the exact
+      * counterpart of IVFFlat.add's frozen-centroid assign) and union
+      * the codes. Codebooks never retrain on add; periodic re-train is
+      * the maintenance job, as re-clustering is for IVF. */
+    def add(rows: DataFrame, idCol: String, vecCol: String): Model =
+      copy(codes = codes.unionByName(encodeDf(rows, idCol, vecCol, codebooks)))
+
     /** ADC shortlist (factor×k) + exact re-rank against the
       * full-precision vectors: the standard PQ serving shape — the
       * corpus is scanned once for the shortlist join (broadcast probe

@@ -169,4 +169,38 @@ object Streaming {
       }
       .start()
   }
+
+  /** PQ twin of [[ingestIntoIVF]]: each microbatch encodes against the
+    * FROZEN codebooks (PQ.Model.add) and unions the codes — codebooks
+    * retrain only in the offline maintenance job. */
+  def ingestIntoPQ(stream: DataFrame, idCol: String, vecCol: String,
+                   state: java.util.concurrent.atomic.AtomicReference[graft.index.PQ.Model])
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // single-writer foreachBatch: see ingestIntoIVF
+          state.set(state.get().add(batch, idCol, vecCol))
+        }
+      }
+      .start()
+  }
+
+  /** IVF-PQ twin of [[ingestIntoIVF]]: one fused narrow pass per
+    * microbatch routes each row to its frozen coarse cell and encodes it
+    * against the frozen codebooks (IVFPQ.Model.add). */
+  def ingestIntoIVFPQ(stream: DataFrame, idCol: String, vecCol: String,
+                      state: java.util.concurrent.atomic.AtomicReference[graft.index.IVFPQ.Model])
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // single-writer foreachBatch: see ingestIntoIVF
+          state.set(state.get().add(batch, idCol, vecCol))
+        }
+      }
+      .start()
+  }
 }

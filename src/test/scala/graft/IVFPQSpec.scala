@@ -87,6 +87,18 @@ class IVFPQSpec extends SparkSpec {
     assert(rRef >= rRes - 1e-9, s"refined $rRef vs adc $rRes")
   }
 
+  test("incremental add encodes identically to a full build (Index::add)") {
+    val sizes = Array.fill(cents.length)(Long.MaxValue)
+    val p = PQ.Params(m = 4, k = 16)
+    val incr = IVFPQ.build(emb.filter(col("vec_id") =!= 42), "vec_id", "embedding",
+        cents, sizes, cbs, p)
+      .add(emb.filter(col("vec_id") === 42), "vec_id", "embedding")
+    val full = IVFPQ.build(emb, "vec_id", "embedding", cents, sizes, cbs, p)
+    def codesOf(m: IVFPQ.Model) = m.codes.collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getAs[Array[Byte]](2).toSeq))).toMap
+    assert(codesOf(incr) == codesOf(full))
+  }
+
   test("save/load round-trip: layout partitioned by cluster, search preserved") {
     val sizes = Array.fill(cents.length)(Long.MaxValue)
     val model = IVFPQ.build(emb, "vec_id", "embedding",

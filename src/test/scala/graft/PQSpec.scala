@@ -32,6 +32,20 @@ class PQSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Array[Byte]]("code").length == 16))
   }
 
+  test("incremental add encodes identically to encoding in the build (Index::add)") {
+    // frozen-codebook add: the held-out row's code must be byte-identical
+    // to what the same codebooks produce when it is present from the start
+    val incr = graft.index.PQ.withCodebooks(
+        emb.filter(col("vec_id") =!= 42), "vec_id", "embedding",
+        model.codebooks, model.params)
+      .add(emb.filter(col("vec_id") === 42), "vec_id", "embedding")
+    val full = graft.index.PQ.withCodebooks(emb, "vec_id", "embedding",
+      model.codebooks, model.params)
+    def codesOf(m: graft.index.PQ.Model) = m.codes.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("code").toSeq).toMap
+    assert(codesOf(incr) == codesOf(full))
+  }
+
   test("ADC recall@10 >= 0.6; exact re-rank lifts it >= 0.9") {
     val queries = emb.filter(col("vec_id") < 20)
     val adc = model.searchMany(queries, "vec_id", "embedding", 10)

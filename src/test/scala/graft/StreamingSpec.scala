@@ -169,4 +169,58 @@ class StreamingSpec extends SparkSpec {
     assert(hit.getAs[Long]("id") == 77L)
     assert(hit.getAs[Double]("distance") == 0.0)
   }
+
+  test("streaming ingest patches the PQ codes (Index::add analogue)") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cbs = SparkEntry.fixedCodebooks(emb, 4)
+    val params = graft.index.PQ.Params(m = 4, k = 16)
+    val model = graft.index.PQ.withCodebooks(
+      emb.filter($"vec_id" =!= 42), "vec_id", "embedding", cbs, params)
+    val state = new java.util.concurrent.atomic.AtomicReference(model)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Streaming.ingestIntoPQ(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", state)
+    val held = emb.filter($"vec_id" === 42)
+      .select($"vec_id", $"embedding".cast("array<float>"))
+      .as[(Long, Array[Float])].head()
+    mem.addData(held)
+    q.processAllAvailable()
+    q.stop()
+    // the ingested code must be byte-identical to a from-scratch encode
+    val fullCode = graft.index.PQ.withCodebooks(emb, "vec_id", "embedding",
+        cbs, params).codes.filter($"id" === 42)
+      .head().getAs[Array[Byte]]("code").toSeq
+    val got = state.get().codes.filter($"id" === 42).collect()
+    assert(got.length == 1 && got(0).getAs[Array[Byte]]("code").toSeq == fullCode)
+  }
+
+  test("streaming ingest patches the IVFPQ codes (Index::add analogue)") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cents = SparkEntry.fixedCentroids(emb)
+    val sizes = Array.fill(cents.length)(Long.MaxValue)
+    val cbs = SparkEntry.fixedCodebooks(emb, 4)
+    val params = graft.index.PQ.Params(m = 4, k = 16)
+    val model = graft.index.IVFPQ.build(
+      emb.filter($"vec_id" =!= 42), "vec_id", "embedding", cents, sizes, cbs, params)
+    val state = new java.util.concurrent.atomic.AtomicReference(model)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Streaming.ingestIntoIVFPQ(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", state)
+    val held = emb.filter($"vec_id" === 42)
+      .select($"vec_id", $"embedding".cast("array<float>"))
+      .as[(Long, Array[Float])].head()
+    mem.addData(held)
+    q.processAllAvailable()
+    q.stop()
+    // cluster routing and code bytes both match a from-scratch build
+    val full = graft.index.IVFPQ.build(emb, "vec_id", "embedding",
+        cents, sizes, cbs, params).codes.filter($"id" === 42).head()
+    val got = state.get().codes.filter($"id" === 42).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Int]("cluster") == full.getAs[Int]("cluster"))
+    assert(got(0).getAs[Array[Byte]]("code").toSeq ==
+      full.getAs[Array[Byte]]("code").toSeq)
+  }
 }
