@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   * ≈ 0.8) so recall is a measured property of the operator, not a
   * tautology.
   *
-  * Usage: sbt "runMain graft.DedupScaleSmoke [nBase] [nDup]"
-  * (SPARK_DRIVER_MEM=24g recommended at the 1M default)
+  * Usage: sbt "runMain graft.DedupScaleSmoke [nBase] [nDup] [lshLeaf]"
+  * (SPARK_DRIVER_MEM=24g recommended at the 1M default). lshLeaf bounds
+  * the embed_lsh bucket size — dedup pays ~leaf²/2 scored pairs per
+  * leaf, so unlike ANN search it wants SMALL leaves (default 256).
   */
 // Serializable: the corpus-generator lambdas call the (non-inlinable,
 // recursive) local docTokens, whose lifted form drags the module into
@@ -34,6 +36,7 @@ object DedupScaleSmoke extends Serializable {
   def main(args: Array[String]): Unit = {
     val nBase = if (args.length > 0) args(0).toInt else 1000000
     val nDup = if (args.length > 1) args(1).toInt else 10000
+    val lshLeaf = if (args.length > 2) args(2).toInt else 256
     val docLen = 100
     val vocab = 50000L
     val mutPct = 3L // ≈3 of 100 tokens mutated per planted dup
@@ -193,9 +196,9 @@ object DedupScaleSmoke extends Serializable {
     phase("embed_lsh", planted, nDup) {
       operators.Dedup.embeddingPairsViaLSH(emb, "vec_id", "embedding",
         maxCosDist = 0.05,
-        graft.index.LSHForest.Params(numTrees = 8,
-          maxNodeSize = math.max(256, nBase / 1000)))
+        graft.index.LSHForest.Params(numTrees = 8, maxNodeSize = lshLeaf))
     }
+    out += "embed_lsh_leaf" -> lshLeaf.toString
 
     println(out.map { case (kk, vv) => s""""$kk":$vv""" }
       .mkString("DEDUP_SMOKE {", ",", "}"))

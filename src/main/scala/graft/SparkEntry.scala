@@ -226,6 +226,25 @@ object SparkEntry {
         .orderBy(col("qid"), col("distance"), col("id"))
     }),
 
+    // Index::add driver gate for the composed index: build on ~6/7 of
+    // the corpus, Model.add the rest. add() runs the same fused frozen
+    // assign+encode as build, so the final index state — and therefore
+    // the search result — must equal the full build's, and the SAME
+    // pq_ivf oracle SQL gates the add path hash-for-hash
+    // (ivfflat.rs:200-213 add semantics at the composed level).
+    "pq_ivf_add_fixed" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = fixedCentroids(emb)
+      val sizes = Array.fill(cents.length)(Long.MaxValue) // force nprobe exactly
+      val model = graft.index.IVFPQ.build(
+          emb.filter(col("vec_id") % 7 =!= 0), "vec_id", "embedding",
+          cents, sizes, fixedCodebooks(emb, 4), graft.index.PQ.Params(m = 4, k = 16))
+        .add(emb.filter(col("vec_id") % 7 === 0), "vec_id", "embedding")
+      model.searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = 2)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
     // IVFFlat probed search against the same fixed centroids: 5 queries,
     // probe the 2 nearest clusters, exact re-rank, top-10
     // (ivfflat.rs:153-198 shape, deterministic end-to-end).
@@ -235,6 +254,23 @@ object SparkEntry {
       val indexed = IVFFlat.assign(emb, "vec_id", "embedding", cents)
       val sizes = Array.fill(cents.length)(Long.MaxValue) // force nprobe exactly
       val model = IVFFlat.Model(IVFFlat.Params(cents.length), cents, sizes, indexed)
+      model.searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = 2)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
+    // Index::add driver gate for IVFFlat (ivfflat.rs:200-213): assign
+    // ~6/7 of the corpus, Model.add the rest against the frozen
+    // centroids — end state equals the full assignment, so the
+    // ivf_search_fixed oracle gates the add path hash-for-hash.
+    "ivf_add_fixed" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = fixedCentroids(emb)
+      val indexed = IVFFlat.assign(
+        emb.filter(col("vec_id") % 7 =!= 0), "vec_id", "embedding", cents)
+      val sizes = Array.fill(cents.length)(Long.MaxValue) // force nprobe exactly
+      val model = IVFFlat.Model(IVFFlat.Params(cents.length), cents, sizes, indexed)
+        .add(emb.filter(col("vec_id") % 7 === 0), "vec_id", "embedding")
       model.searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
           k = 10, nprobe = 2)
         .orderBy(col("qid"), col("distance"), col("id"))
@@ -335,6 +371,23 @@ object SparkEntry {
       val model = LSHForest.build(emb, "vec_id", "embedding",
         LSHForest.Params(numTrees = 1, maxNodeSize = Int.MaxValue,
           dedupExact = false))
+      model.searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
+    // Index::add driver gate for the LSH forest (lsh.rs:218-251): build
+    // the degenerate-exact forest on ~6/7 of the corpus, Model.add the
+    // rest (descends the frozen — here empty — plane set into the root
+    // leaf; the Int.MaxValue leaf never hits the compaction watermark),
+    // so search stays provably exhaustive and the knn oracle gates the
+    // add path hash-for-hash.
+    "lsh_add_exact" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val model = LSHForest.build(
+          emb.filter(col("vec_id") % 7 =!= 0), "vec_id", "embedding",
+          LSHForest.Params(numTrees = 1, maxNodeSize = Int.MaxValue,
+            dedupExact = false))
+        .add(emb.filter(col("vec_id") % 7 === 0), "vec_id", "embedding")
       model.searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
         .orderBy(col("qid"), col("distance"), col("id"))
     }),
@@ -656,6 +709,72 @@ object SparkEntry {
       |SELECT qid, id, distance FROM scored
       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 10
       |ORDER BY qid, distance, id""".stripMargin
+
+  /** ivf_search_fixed oracle — shared with ivf_add_fixed (add against
+    * frozen centroids reproduces the full assignment exactly). */
+  private val ivfSearchFixedSql: String =
+    """WITH cent AS (
+      |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+      |assigned AS (
+      |  SELECT c.vec_id AS id, c.embedding AS vec, k.cid
+      |  FROM embeddings c CROSS JOIN cent k
+      |  QUALIFY row_number() OVER (PARTITION BY c.vec_id ORDER BY
+      |    list_reduce(list_transform(list_zip(k.cvec, c.embedding),
+      |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+      |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (a,b) -> a+b),
+      |    k.cid) = 1),
+      |probes AS (
+      |  SELECT q.vec_id AS qid, q.embedding AS qvec, k.cid
+      |  FROM embeddings q CROSS JOIN cent k WHERE q.vec_id < 5
+      |  QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |    list_reduce(list_transform(list_zip(k.cvec, q.embedding),
+      |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+      |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (a,b) -> a+b),
+      |    k.cid) <= 2),
+      |cands AS (
+      |  SELECT p.qid, a.id,
+      |    list_reduce(list_transform(list_zip(a.vec, p.qvec),
+      |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+      |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (a,b) -> a+b) AS distance
+      |  FROM probes p JOIN assigned a ON a.cid = p.cid)
+      |SELECT qid, id, distance FROM cands
+      |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 10
+      |ORDER BY qid, distance, id""".stripMargin
+
+  /** pq_ivf_fixed oracle — shared with pq_ivf_add_fixed (the fused
+    * frozen assign+encode in add reproduces the full build exactly). */
+  private lazy val pqIvfFixedSql: String = {
+    val sq = (a: String, b: String) =>
+      s"""list_reduce(list_transform(list_zip($a, $b),
+         |    x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+         |       * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (a,b) -> a+b)""".stripMargin
+    val d = (0 until 4).map(s =>
+      pqSliceSqSql(s"k$s.cvec", "p.qvec", s * 16 + 1, (s + 1) * 16))
+    s"""WITH $pqAssignCtesSql,
+       |cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+       |cl AS (
+       |  SELECT c.vec_id AS id, CAST(k.cid AS INT) AS cluster
+       |  FROM embeddings c CROSS JOIN cent k
+       |  QUALIFY row_number() OVER (PARTITION BY c.vec_id ORDER BY
+       |    ${sq("k.cvec", "c.embedding")}, k.cid) = 1),
+       |probes AS (
+       |  SELECT q.vec_id AS qid, q.embedding AS qvec, CAST(k.cid AS INT) AS cluster
+       |  FROM embeddings q CROSS JOIN cent k WHERE q.vec_id < 5
+       |  QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |    ${sq("k.cvec", "q.embedding")}, k.cid) <= 2),
+       |cands AS (
+       |  SELECT p.qid, a.id, ${d(0)} + ${d(1)} + ${d(2)} + ${d(3)} AS distance
+       |  FROM probes p
+       |  JOIN cl ON cl.cluster = p.cluster
+       |  JOIN assigned a ON a.id = cl.id
+       |  JOIN cb k0 ON k0.cid = a.c0
+       |  JOIN cb k1 ON k1.cid = a.c1
+       |  JOIN cb k2 ON k2.cid = a.c2
+       |  JOIN cb k3 ON k3.cid = a.c3)
+       |SELECT qid, id, distance FROM cands
+       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 10
+       |ORDER BY qid, distance, id""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -988,67 +1107,17 @@ object SparkEntry {
     // to its 2 nearest pinned cells; candidates are the rows ASSIGNED to
     // those cells; distance is the pq_adc_fixed LUT fold. Composition of
     // the two proven oracles, exercising IVFPQ end-to-end.
-    "pq_ivf_fixed" -> {
-      val sq = (a: String, b: String) =>
-        s"""list_reduce(list_transform(list_zip($a, $b),
-           |    x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
-           |       * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (a,b) -> a+b)""".stripMargin
-      val d = (0 until 4).map(s =>
-        pqSliceSqSql(s"k$s.cvec", "p.qvec", s * 16 + 1, (s + 1) * 16))
-      s"""WITH $pqAssignCtesSql,
-         |cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
-         |cl AS (
-         |  SELECT c.vec_id AS id, CAST(k.cid AS INT) AS cluster
-         |  FROM embeddings c CROSS JOIN cent k
-         |  QUALIFY row_number() OVER (PARTITION BY c.vec_id ORDER BY
-         |    ${sq("k.cvec", "c.embedding")}, k.cid) = 1),
-         |probes AS (
-         |  SELECT q.vec_id AS qid, q.embedding AS qvec, CAST(k.cid AS INT) AS cluster
-         |  FROM embeddings q CROSS JOIN cent k WHERE q.vec_id < 5
-         |  QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY
-         |    ${sq("k.cvec", "q.embedding")}, k.cid) <= 2),
-         |cands AS (
-         |  SELECT p.qid, a.id, ${d(0)} + ${d(1)} + ${d(2)} + ${d(3)} AS distance
-         |  FROM probes p
-         |  JOIN cl ON cl.cluster = p.cluster
-         |  JOIN assigned a ON a.id = cl.id
-         |  JOIN cb k0 ON k0.cid = a.c0
-         |  JOIN cb k1 ON k1.cid = a.c1
-         |  JOIN cb k2 ON k2.cid = a.c2
-         |  JOIN cb k3 ON k3.cid = a.c3)
-         |SELECT qid, id, distance FROM cands
-         |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 10
-         |ORDER BY qid, distance, id""".stripMargin
-    },
+    "pq_ivf_fixed" -> pqIvfFixedSql,
+    // add-then-search must equal build-then-search (frozen parts):
+    // the same oracle gates the IVFPQ add path
+    "pq_ivf_add_fixed" -> pqIvfFixedSql,
 
-    "ivf_search_fixed" ->
-      """WITH cent AS (
-        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
-        |assigned AS (
-        |  SELECT c.vec_id AS id, c.embedding AS vec, k.cid
-        |  FROM embeddings c CROSS JOIN cent k
-        |  QUALIFY row_number() OVER (PARTITION BY c.vec_id ORDER BY
-        |    list_reduce(list_transform(list_zip(k.cvec, c.embedding),
-        |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
-        |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (a,b) -> a+b),
-        |    k.cid) = 1),
-        |probes AS (
-        |  SELECT q.vec_id AS qid, q.embedding AS qvec, k.cid
-        |  FROM embeddings q CROSS JOIN cent k WHERE q.vec_id < 5
-        |  QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |    list_reduce(list_transform(list_zip(k.cvec, q.embedding),
-        |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
-        |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (a,b) -> a+b),
-        |    k.cid) <= 2),
-        |cands AS (
-        |  SELECT p.qid, a.id,
-        |    list_reduce(list_transform(list_zip(a.vec, p.qvec),
-        |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
-        |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (a,b) -> a+b) AS distance
-        |  FROM probes p JOIN assigned a ON a.cid = p.cid)
-        |SELECT qid, id, distance FROM cands
-        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 10
-        |ORDER BY qid, distance, id""".stripMargin,
+    "ivf_search_fixed" -> ivfSearchFixedSql,
+    // same identity for IVFFlat.add against frozen centroids
+    "ivf_add_fixed" -> ivfSearchFixedSql,
+
+    // degenerate forest + add stays exhaustive (root-leaf descent)
+    "lsh_add_exact" -> exhaustiveKnnSql,
 
     "vec_mean_by_label" ->
       """SELECT label, CAST(u.i - 1 AS INTEGER) AS dim,

@@ -292,10 +292,6 @@ object LSHForest {
     * pair). Partition-local partials; merged on the driver. */
   private type NodeStat = (Long, List[(Long, Long, Array[Float])])
 
-  private def mergeStat(a: NodeStat, b: NodeStat): NodeStat =
-    (a._1 + b._1,
-      (a._2 ++ b._2).sortBy(t => (t._1, t._2)).take(2))
-
   /** Partition-local accumulator for one (tree, node): row count + the
     * two rows with the smallest level-salted hash, kept in two in-place
     * slots — the levelStats insert runs once per row per tree, so it
@@ -318,10 +314,14 @@ object LSHForest {
       (n, if (v2 == null) List((h1, id1, v1)) else List((h1, id1, v1), (h2, id2, v2)))
   }
 
-  /** One narrow job: fold every partition into per-(tree, path) counts +
-    * two min-hash sample vectors, merge partials on the driver. The only
-    * data leaving executors is O(activeNodes × 2 vectors) per partition —
-    * rows and their vectors are never shuffled or exploded. */
+  /** One job: fold every partition into per-(tree, path) counts + two
+    * min-hash sample vectors, merge per leaf via reduceByKey, collect
+    * ONE row per (tree, leaf). Rows and their vectors never shuffle or
+    * explode — the only moving data is the O(activeNodes × 2 vectors)
+    * partials, and the driver result is O(activeNodes), independent of
+    * partition count (the earlier per-partition collect was
+    * O(activeNodes × partitions) and blew spark.driver.maxResultSize at
+    * 1M rows × leaf 256: ~32k leaves × 32 partitions × ~1 KB ≈ 1 GB). */
   private def levelStats(
       ds: org.apache.spark.sql.Dataset[(Long, Array[Float], Array[String])],
       levelSeed: Long): Map[(Int, String), NodeStat] = {
@@ -344,10 +344,14 @@ object LSHForest {
       else m.iterator.zipWithIndex.flatMap { case (tm, ti) =>
         tm.iterator.map { case (p, st) => val s = st.toStat; (ti, p, s._1, s._2) }
       }
-    }.collect()
-      .groupBy(r => (r._1, r._2))
-      .view.mapValues(rs =>
-        rs.map(r => (r._3, r._4): NodeStat).reduce(mergeStat))
+    }.rdd
+      // count-sum + keep the 2 smallest (hash, id) samples; inlined so
+      // the lambda stays static — a module-method reference would drag
+      // (non-serializable) LSHForest$ into the task
+      .map(r => ((r._1, r._2), (r._3, r._4): NodeStat))
+      .reduceByKey((a, b) => (a._1 + b._1,
+        (a._2 ++ b._2).sortBy(t => (t._1, t._2)).take(2)))
+      .collect()
       .toMap
   }
 
