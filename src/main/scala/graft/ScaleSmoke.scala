@@ -198,6 +198,26 @@ object ScaleSmoke {
     out += "ivfpq_recall_at10" -> f"$ivfpqRecall%.3f"
     out += "ivfpq_scanned_frac" -> f"${scanned.toDouble / (qVecs.length.toDouble * n)}%.4f"
 
+    // ---- residual IVF-PQ: retrain the codebooks on v − centroid(cell)
+    // against the SAME coarse cells (trainWithCoarse — no second k-means)
+    // and probe identically. Quantization error shrinks from corpus
+    // scale to intra-cell scale at identical storage, so ADC recall is
+    // the number that should move vs the raw-encoding row above.
+    val (ivfpqRes2, tIvfpqResT) = timed {
+      val m = index.IVFPQ.trainWithCoarse(corpus, "vec_id", "embedding", ivf,
+        index.PQ.Params(m = 32, k = 256, iterations = 10, seed = seed),
+        residual = true)
+      m.codes.cache().count(); m
+    }
+    val (ivfpqResSearch, tIvfpqResS) = timed {
+      val df = ivfpqRes2.searchMany(queries, "vec_id", "embedding", k, nprobe).cache()
+      df.count(); df
+    }
+    val ivfpqResRecall = recallOf(ivfpqResSearch, truth)
+    out += "ivfpq_res_train_s" -> f"$tIvfpqResT%.2f"
+    out += "ivfpq_res_batch100_s" -> f"$tIvfpqResS%.2f"
+    out += "ivfpq_res_recall_at10" -> f"$ivfpqResRecall%.3f"
+
     // ---- HNSW: 32 shards, m=16, efSearch=64
     val (hnsw, tHnswB) = timed {
       val m = index.HNSW.build(corpus, "vec_id", "embedding",

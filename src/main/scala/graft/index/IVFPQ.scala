@@ -215,9 +215,23 @@ object IVFPQ {
   def train(emb: DataFrame, idCol: String, vecCol: String,
             ivfParams: IVFFlat.Params, pqParams: PQ.Params,
             residual: Boolean = true): Model = {
+    val ivf = IVFFlat.build(emb, idCol, vecCol, ivfParams)
+    val out = trainWithCoarse(emb, idCol, vecCol, ivf, pqParams, residual)
+    ivf.indexed.unpersist()
+    out
+  }
+
+  /** Train codebooks against a PRE-BUILT coarse model and fuse-encode —
+    * the composition API for serving stacks whose coarse cells and
+    * codebooks live on different maintenance cadences (cell rebalance is
+    * a clustering job, codebook retrain is a Lloyd's job; neither should
+    * force the other). The caller keeps ownership of `ivf` (its cache is
+    * not released here). */
+  def trainWithCoarse(emb: DataFrame, idCol: String, vecCol: String,
+                      ivf: IVFFlat.Model, pqParams: PQ.Params,
+                      residual: Boolean = true): Model = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val ivf = IVFFlat.build(emb, idCol, vecCol, ivfParams)
     val bcC = spark.sparkContext.broadcast(ivf.centroids)
     // ivf.indexed already carries (id, vector, cluster) and is cached
     val trainRows =
@@ -235,7 +249,6 @@ object IVFPQ {
       cbs, pqParams.copy(k = kk), residual)
     val out = model.copy(codes = model.codes.localCheckpoint(true))
     if (residual) trainRows.unpersist()
-    ivf.indexed.unpersist()
     out
   }
 
