@@ -27,10 +27,13 @@ import org.apache.spark.sql.functions._
   *    v − centroid(cell), so quantization error shrinks to intra-cell
   *    scale at identical storage. The LUT is then per (query, cell).
   *
-  * Memory envelope for [[Model.searchMany]] (per task): distinct batch
-  * queries × (nprobe if residual, else 1) × m × k × 8 B of LUTs plus
-  * O(queries × k) heap entries — chunk huge query batches like
-  * [[PQ.Model.searchMany]] does (serving batches are the small side).
+  * Memory envelope for [[Model.searchMany]] (per task): the query batch
+  * is chunked like [[PQ.Model.searchMany]]'s — each chunk holds at most
+  * `qChunk` queries' LUTs (scaled down by nprobe when residual, where a
+  * LUT is per (query, cell)), so per-task LUT memory is bounded at
+  * ~qChunk × m × k × 8 B (64 MB at the defaults) regardless of batch
+  * size; chunks partition the queries, so per-chunk top-k results are
+  * final and simply union.
   */
 object IVFPQ {
 
@@ -42,67 +45,78 @@ object IVFPQ {
 
     /** Probed-cell ADC batch top-k. Probe widening is the shared
       * [[IVFFlat.probeOrder]] (adaptive, ivfflat.rs:168-195 semantics),
-      * so the coarse routing agrees bitwise with IVFFlat search. */
+      * so the coarse routing agrees bitwise with IVFFlat search.
+      *
+      * The batch is collected once (queries are the SMALL side — the
+      * HNSW.searchMany contract) and processed in chunks of ≤ qChunk
+      * queries (÷ nprobe when residual, where the LUT is per (query,
+      * cell)), so per-task LUT memory is bounded at ~qChunk × m × k ×
+      * 8 B no matter how large the batch — a chunk's top-k is final
+      * (chunks partition the queries), so chunk results simply union.
+      * Probe sets are computed driver-side from the driver-held
+      * centroids; the probe join carries only (qid, cluster) pairs, so
+      * no vector enters any exchange (plan-gated in PlanSpec). */
     def searchMany(queries: DataFrame, qIdCol: String, qVecCol: String,
-                   k: Int, nprobe: Int = 2): DataFrame = {
+                   k: Int, nprobe: Int = 2, qChunk: Int = 1024): DataFrame = {
       val spark = queries.sparkSession
       import spark.implicits._
       val m = pqParams.m
       val res = residual
-      val bcState = spark.sparkContext.broadcast((coarse, clusterSizes, codebooks))
-      val qproj = queries
-        .select(col(qIdCol).cast("long").as("qid"),
-                col(qVecCol).cast("array<float>").as("qvec"))
-        .as[(Long, Array[Float])]
-      // query vectors ride ONE driver broadcast (batch × dim × 4 B; 10k
-      // queries × 1536f ≈ 60 MB) — the probe join below carries only
-      // (qid, cluster) pairs, so no vector is duplicated nprobe× in the
-      // broadcast and no vector column enters any exchange
-      val bcQ = spark.sparkContext.broadcast(qproj.collect().toMap)
-      val probes = qproj
-        .flatMap { case (qid, qvec) =>
-          val (cents, sizes, _) = bcState.value
-          IVFFlat.probeOrder(cents, sizes, qvec, k, nprobe)
+      val qRows = queries
+        .select(col(qIdCol).cast("long"),
+                col(qVecCol).cast("array<float>"))
+        .as[(Long, Array[Float])].collect()
+      if (qRows.isEmpty)
+        return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "id", "distance")
+      val bcState = spark.sparkContext.broadcast((coarse, codebooks))
+      val effChunk = math.max(1, if (res) qChunk / math.max(1, nprobe) else qChunk)
+      val chunkResults = qRows.grouped(effChunk).map { chunk =>
+        // per chunk: one small query-map broadcast (chunk × dim × 4 B)
+        val bcQ = spark.sparkContext.broadcast(chunk.toMap)
+        val probePairs = chunk.toSeq.flatMap { case (qid, qvec) =>
+          IVFFlat.probeOrder(coarse, clusterSizes, qvec, k, nprobe)
             .map(c => (qid, c))
         }
-        .toDF("qid", "cluster")
-      codes.join(broadcast(probes), Seq("cluster"))
-        .select(col("qid"), col("cluster"), col("id"), col("code"))
-        .as[(Long, Int, Long, Array[Byte])]
-        .mapPartitions { it =>
-          val (cents, _, cbs) = bcState.value
-          val qmap = bcQ.value
-          // LUT per (query, cell) when residual (the query shifts by the
-          // cell centroid), per query otherwise; built on first touch
-          val luts = scala.collection.mutable.HashMap
-            .empty[(Long, Int), Array[Array[Double]]]
-          val heaps = scala.collection.mutable.HashMap
-            .empty[Long, graft.operators.Exhaustive.KHeap]
-          it.foreach { case (qid, cl, id, code) =>
-            val lut = luts.getOrElseUpdate((qid, if (res) cl else -1), {
-              val qvec = qmap(qid)
-              val qv = if (res) {
-                val cv = cents(cl)
-                Array.tabulate(qvec.length)(i => qvec(i) - cv(i))
-              } else qvec
-              PQ.buildLut(cbs, qv)
-            })
-            var d = 0.0
-            var s = 0
-            while (s < m) { d += lut(s)(code(s) & 0xFF); s += 1 }
-            heaps.getOrElseUpdate(qid, new graft.operators.Exhaustive.KHeap(k))
-              .insert(id, d)
+        codes.join(broadcast(probePairs.toDF("qid", "cluster")), Seq("cluster"))
+          .select(col("qid"), col("cluster"), col("id"), col("code"))
+          .as[(Long, Int, Long, Array[Byte])]
+          .mapPartitions { it =>
+            val (cents, cbs) = bcState.value
+            val qmap = bcQ.value
+            // LUT per (query, cell) when residual (the query shifts by the
+            // cell centroid), per query otherwise; built on first touch —
+            // bounded by the chunk size above
+            val luts = scala.collection.mutable.HashMap
+              .empty[(Long, Int), Array[Array[Double]]]
+            val heaps = scala.collection.mutable.HashMap
+              .empty[Long, graft.operators.Exhaustive.KHeap]
+            it.foreach { case (qid, cl, id, code) =>
+              val lut = luts.getOrElseUpdate((qid, if (res) cl else -1), {
+                val qvec = qmap(qid)
+                val qv = if (res) {
+                  val cv = cents(cl)
+                  Array.tabulate(qvec.length)(i => qvec(i) - cv(i))
+                } else qvec
+                PQ.buildLut(cbs, qv)
+              })
+              var d = 0.0
+              var s = 0
+              while (s < m) { d += lut(s)(code(s) & 0xFF); s += 1 }
+              heaps.getOrElseUpdate(qid, new graft.operators.Exhaustive.KHeap(k))
+                .insert(id, d)
+            }
+            heaps.iterator.flatMap { case (qid, h) =>
+              h.drain.map { case (id, d) => (qid, id, d) }
+            }
           }
-          heaps.iterator.flatMap { case (qid, h) =>
-            h.drain.map { case (id, d) => (qid, id, d) }
+          .groupByKey(_._1)
+          .flatMapGroups { (qid, it) =>
+            graft.operators.Exhaustive.topKDedup(it.map(t => (t._2, t._3)), k)
+              .map { case (id, d) => (qid, id, d) }
           }
-        }
-        .groupByKey(_._1)
-        .flatMapGroups { (qid, it) =>
-          graft.operators.Exhaustive.topKDedup(it.map(t => (t._2, t._3)), k)
-            .map { case (id, d) => (qid, id, d) }
-        }
-        .toDF("qid", "id", "distance")
+          .toDF("qid", "id", "distance")
+      }.toSeq
+      chunkResults.reduce(_.unionByName(_))
     }
 
     /** ADC shortlist (factor×k) within probed cells + exact re-rank

@@ -99,6 +99,23 @@ class IVFPQSpec extends SparkSpec {
     assert(codesOf(incr) == codesOf(full))
   }
 
+  test("query-batch chunking does not change results (incl. residual)") {
+    // chunks partition the QUERIES, so any chunk size must produce the
+    // identical per-query top-k — this is the per-task LUT bound:
+    // qChunk × m × k × 8 B (÷ nprobe when residual), never the batch
+    val sizes = Array.fill(cents.length)(Long.MaxValue)
+    val q = emb.filter(col("vec_id") < 100)
+    def run(model: IVFPQ.Model, qChunk: Int) =
+      tuples(model.searchMany(q, "vec_id", "embedding", 10,
+        nprobe = 3, qChunk = qChunk))
+    val raw = IVFPQ.build(emb, "vec_id", "embedding",
+      cents, sizes, cbs, PQ.Params(m = 4, k = 16))
+    assert(run(raw, 7) == run(raw, 100000))
+    val resd = IVFPQ.build(emb, "vec_id", "embedding",
+      cents, sizes, cbs, PQ.Params(m = 4, k = 16), residual = true)
+    assert(run(resd, 7) == run(resd, 100000))
+  }
+
   test("save/load round-trip: layout partitioned by cluster, search preserved") {
     val sizes = Array.fill(cents.length)(Long.MaxValue)
     val model = IVFPQ.build(emb, "vec_id", "embedding",
