@@ -233,6 +233,32 @@ object ScaleSmoke {
     out += "hnsw_build_s" -> f"$tHnswB%.2f" += "hnsw_batch100_s" -> f"$tHnswS%.2f"
     out += "hnsw_recall_at10" -> f"$hnswRecall%.3f"
 
+    // ---- ROUTED HNSW: shards are k-means cells with router centroids;
+    // each query probes its 8 nearest of 32 cells (P/4). The recall
+    // delta vs the SAME routed model's all-shard fan-out isolates
+    // routing quality (identical graphs on both sides); the per-query
+    // beam work drops proportionally to the scanned-shard fraction.
+    val (hnswR, tHnswRB) = timed {
+      val m = index.HNSW.buildRouted(corpus, "vec_id", "embedding",
+        index.HNSWGraph.Params(numLayers = 8, efConstruction = 100,
+          efSearch = 64, m = 16, seed = seed), numShards = 32)
+      m.shards.cache().count(); m
+    }
+    val (hnswRAll, tHnswRAllS) = timed {
+      val df = hnswR.searchMany(queries, "vec_id", "embedding", k).cache()
+      df.count(); df
+    }
+    val (hnswRP, tHnswRPS) = timed {
+      val df = hnswR.searchMany(queries, "vec_id", "embedding", k,
+        probeShards = 8).cache()
+      df.count(); df
+    }
+    out += "hnswr_build_s" -> f"$tHnswRB%.2f"
+    out += "hnswr_all_s" -> f"$tHnswRAllS%.2f"
+    out += "hnswr_all_recall_at10" -> f"${recallOf(hnswRAll, truth)}%.3f"
+    out += "hnswr_p8_s" -> f"$tHnswRPS%.2f"
+    out += "hnswr_p8_recall_at10" -> f"${recallOf(hnswRP, truth)}%.3f"
+
     println(out.map { case (kk, vv) => s""""$kk":$vv""" }
       .mkString("SCALE_SMOKE {", ",", "}"))
     spark.stop()

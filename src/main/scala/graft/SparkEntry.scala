@@ -276,6 +276,29 @@ object SparkEntry {
         .orderBy(col("qid"), col("distance"), col("id"))
     }),
 
+    // Persistence round-trip under the driver oracle — the
+    // save→load→search lifecycle every production index performs
+    // (base.rs:31-58; utils.rs:140-148 runs it in every reference
+    // test): build on the fixed centroids, save (parquet partitioned
+    // by cluster + params JSON) to a temp dir, LOAD, search the loaded
+    // model. Loaded cluster sizes are re-counted from the data, so they
+    // are pinned back to the same force-exactly-nprobe contract the
+    // build-side config uses — the ivf_search_fixed oracle then gates
+    // the whole lifecycle hash-for-hash.
+    "ivf_persist_fixed" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = fixedCentroids(emb)
+      val indexed = IVFFlat.assign(emb, "vec_id", "embedding", cents)
+      val sizes = Array.fill(cents.length)(Long.MaxValue) // force nprobe exactly
+      val tmp = java.nio.file.Files.createTempDirectory("ivf_persist").toString
+      IVFFlat.Model(IVFFlat.Params(cents.length), cents, sizes, indexed).save(tmp)
+      val re = IVFFlat.load(s, tmp)
+      re.copy(clusterSizes = re.clusterSizes.map(_ => Long.MaxValue))
+        .searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = 2)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
     // Grouped elementwise vector aggregation — the update_centroids
     // shape (ivfflat.rs:47-71) made hash-stable by fixed-point
     // quantization: floor(e·10⁶) is exact and identical across engines
@@ -1115,6 +1138,9 @@ object SparkEntry {
     "ivf_search_fixed" -> ivfSearchFixedSql,
     // same identity for IVFFlat.add against frozen centroids
     "ivf_add_fixed" -> ivfSearchFixedSql,
+    // and for the save→load→search lifecycle: a faithful round-trip
+    // reproduces the in-memory search bit-for-bit
+    "ivf_persist_fixed" -> ivfSearchFixedSql,
 
     // degenerate forest + add stays exhaustive (root-leaf descent)
     "lsh_add_exact" -> exhaustiveKnnSql,

@@ -22,6 +22,18 @@ import graft.functions.VectorOps.normalizeF
   * multi-tree LSH search, lsh.rs:264-282). Recall matches a monolithic
   * graph searching with the same total ef because every shard is probed.
   *
+  * All-shard fan-out makes per-query cost O(P × ef): it scales with the
+  * corpus, not log of it — fine at hundreds of shards, the serving
+  * bottleneck at thousands. The scale path is ROUTED sharding
+  * ([[buildRouted]]): shards are k-means cells instead of id-hash
+  * residues, the Model keeps one router centroid per shard, and
+  * `searchMany(probeShards = s)` sends each query to its s nearest
+  * cells only — the ivfflat.rs:153-170 cell-probing idea applied one
+  * level up, per-query cost O(s × ef). Hash sharding + all-shard probe
+  * stays the default (it is the correctness-maximal oracle config and
+  * routing is meaningless for hash shards, whose contents all look like
+  * the global distribution).
+  *
   * Vectors are L2-normalized at ingest (the index's contract — the
   * reference's callers normalize on load, utils.rs:48,136), making
   * cosine distance = 1 − dot inside the graph valid.
@@ -31,10 +43,17 @@ object HNSW {
   case class ShardBlob(shard: Int, blob: Array[Byte])
 
   case class Model(params: HNSWGraph.Params, numShards: Int,
-                   shards: Dataset[ShardBlob]) {
+                   shards: Dataset[ShardBlob],
+                   routers: Option[Array[Array[Float]]] = None) {
 
-    /** Batch top-k: broadcast queries, search every shard locally,
-      * global per-query top-k merge.
+    /** Batch top-k: broadcast queries, search shards locally, global
+      * per-query top-k merge. `probeShards = 0` (default) fans every
+      * query out to every shard — exact same candidates as a monolithic
+      * graph, the oracle config. With a ROUTED model ([[buildRouted]])
+      * and 0 < probeShards < numShards, each query is sent only to its
+      * probeShards nearest router cells (driver-side routing — the
+      * routers are driver state exactly like IVF centroids), cutting
+      * per-query cost from O(P × ef) to O(probeShards × ef).
       *
       * Scale envelope: the query batch is collected and broadcast —
       * driver + executor memory is O(nQueries × dim × 4B), i.e. ~0.5 GB
@@ -44,22 +63,38 @@ object HNSW {
       * ANN serving index — use the bucketed dedup path
       * (Dedup.embeddingPairsViaLSH), which never materializes a side. */
     def searchMany(queries: DataFrame, qIdCol: String, qVecCol: String,
-                   k: Int): DataFrame = {
+                   k: Int, probeShards: Int = 0): DataFrame = {
       val spark = queries.sparkSession
       import spark.implicits._
       val qRows = queries
         .select(col(qIdCol).cast("long"),
           normalizeF(col(qVecCol).cast("array<float>")))
         .as[(Long, Array[Float])].collect()
+      // qid → probed shard set, None = probe all (no routers, or the
+      // caller asked for full fan-out). Router order by sqdist of the
+      // normalized query ≡ cosine order on the unit sphere.
+      val route: Option[Map[Long, Set[Int]]] =
+        routers.filter(_ => probeShards > 0 && probeShards < numShards)
+          .map { cents =>
+            qRows.map { case (qid, qv) =>
+              qid -> cents.indices
+                .sortBy(sh => IVFFlat.sqDistLocal(cents(sh), qv))
+                .take(probeShards).toSet
+            }.toMap
+          }
       val bcQ = spark.sparkContext.broadcast(qRows)
+      val bcRoute = spark.sparkContext.broadcast(route)
       // per-shard k results shuffle as (qid, id, distance) triples; the
       // global per-query merge is one bounded-heap pass (shards partition
       // the corpus, so ids are distinct across shards)
       shards.flatMap { s =>
         val g = deserialize(s.blob)
-        bcQ.value.iterator.flatMap { case (qid, qv) =>
-          g.searchKnn(qv, k).map { case (id, d) => (qid, id, d) }
-        }
+        val r = bcRoute.value
+        bcQ.value.iterator
+          .filter { case (qid, _) => r.forall(_(qid).contains(s.shard)) }
+          .flatMap { case (qid, qv) =>
+            g.searchKnn(qv, k).map { case (id, d) => (qid, id, d) }
+          }
       }
         .groupByKey(_._1)
         .flatMapGroups { (qid, it) =>
@@ -76,9 +111,10 @@ object HNSW {
         .drop("qid")
     }
 
-    /** Incremental add: route each new row to a shard (hash by id),
-      * deserialize, insert (preserving per-shard sequential semantics),
-      * re-serialize. Only touched shards rebuild their blob.
+    /** Incremental add: route each new row to a shard (id hash — or its
+      * nearest router cell on a routed model, matching the build-side
+      * assignment), deserialize, insert (preserving per-shard sequential
+      * semantics), re-serialize. Only touched shards rebuild their blob.
       *
       * Scale envelope: the add batch is collected and broadcast (same
       * O(batch × dim × 4B) driver budget as [[searchMany]]) — sized for
@@ -89,11 +125,16 @@ object HNSW {
       val spark = rows.sparkSession
       import spark.implicits._
       val P = numShards
+      val shardOf: (Long, Array[Float]) => Int = routers match {
+        case Some(cents) => (_, v) =>
+          cents.indices.minBy(sh => IVFFlat.sqDistLocal(cents(sh), v))
+        case None => (id, _) => math.floorMod(id, P.toLong).toInt
+      }
       val newRows = rows
         .select(col(idCol).cast("long"),
           normalizeF(col(vecCol).cast("array<float>")))
         .as[(Long, Array[Float])].collect()
-        .groupBy { case (id, _) => math.floorMod(id, P.toLong).toInt }
+        .groupBy { case (id, v) => shardOf(id, v) }
       val bcNew = spark.sparkContext.broadcast(newRows)
       val updated = shards.map { s =>
         bcNew.value.get(s.shard) match {
@@ -104,16 +145,33 @@ object HNSW {
             ShardBlob(s.shard, serialize(g))
         }
       }
-      copy(shards = updated.cache())
+      // EAGER localCheckpoint on every add, not the Lineage cadence the
+      // union-style adds use, for two reasons: (1) an unmaterialized add
+      // chain re-runs EVERY stacked deserialize+insert+serialize on
+      // first touch — unlike a union of narrow encodes, each level here
+      // is the full blob pass, so batch work should run exactly once,
+      // when the batch arrives; (2) stacking one cache() per add nests
+      // cached/adaptive plans one-in-another, and Spark's per-action
+      // formatted-explain (SparkListenerSQLExecutionStart) walks both
+      // the initial and final plan of every nested adaptive node — a
+      // combinatorial blowup past ~20 stacked adds that freezes the
+      // driver before memory is ever a problem (found by the 100-add
+      // spec; the streaming twin is exactly that loop, utils.rs:126-137).
+      copy(shards = updated.localCheckpoint(true))
     }
 
     def save(dir: String): Unit = {
       val spark = shards.sparkSession
       import spark.implicits._
       shards.toDF("shard", "blob").write.mode("overwrite").parquet(s"$dir/shards")
+      routers.foreach { cents =>
+        cents.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+          .toDF("shard", "vector")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/routers")
+      }
       val p = params
       ParamsIO.write(spark, dir,
-        s"""{"numLayers":${p.numLayers},"efConstruction":${p.efConstruction},"efSearch":${p.efSearch},"m":${p.m},"seed":${p.seed},"numShards":$numShards}""")
+        s"""{"numLayers":${p.numLayers},"efConstruction":${p.efConstruction},"efSearch":${p.efSearch},"m":${p.m},"seed":${p.seed},"numShards":$numShards,"routed":${if (routers.isDefined) 1 else 0}}""")
     }
   }
 
@@ -127,6 +185,35 @@ object HNSW {
   private[index] def deserialize(b: Array[Byte]): HNSWGraph =
     new ObjectInputStream(new ByteArrayInputStream(b))
       .readObject().asInstanceOf[HNSWGraph]
+
+  /** Shared shard-graph builder: `rows` = (id, normalized vector,
+    * shard); one graph per shard, built executor-local inside
+    * `mapPartitions`, inserted in ascending-id order → deterministic.
+    * Every shard 0..P-1 must own a blob, or Model.add would silently
+    * drop rows routed to an absent shard (empty corpus slices are
+    * legal). ONE job materializes the graphs and reports which shards
+    * exist (no separate distinct() + count() passes); gaps get empty
+    * graphs. */
+  private def buildShards(rows: Dataset[(Long, Array[Float], Int)],
+                          P: Int, params: HNSWGraph.Params): Dataset[ShardBlob] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val built = rows.mapPartitions { it =>
+      // a shard is a deliberately RAM-sized graph (the unit a single
+      // executor core can beam-search), so materializing the partition's
+      // rows to group them by shard is within the executor's budget
+      it.toSeq.groupBy(_._3).iterator.map { case (shard, grp) =>
+        val g = HNSWGraph.build(params,
+          grp.iterator.map { case (id, v, _) => (id, v) })
+        ShardBlob(shard, serialize(g))
+      }
+    }.cache()
+    val present = built.map(_.shard).collect().toSet
+    val gaps = (0 until P).filterNot(present)
+      .map(sh => ShardBlob(sh, serialize(new HNSWGraph(params))))
+    if (gaps.isEmpty) built
+    else built.unionByName(spark.createDataset(gaps))
+  }
 
   /** Build P independent shard graphs in parallel. Rows are routed to
     * shards by `hash(id) % P` (stable under reordering) and inserted in
@@ -144,28 +231,36 @@ object HNSW {
       .repartition(P, col("shard"))
       .sortWithinPartitions(col("shard"), col("id"))
       .as[(Long, Array[Float], Int)]
-    val built = rows.mapPartitions { it =>
-      // a shard is a deliberately RAM-sized graph (the unit a single
-      // executor core can beam-search), so materializing the partition's
-      // rows to group them by shard is within the executor's budget
-      it.toSeq.groupBy(_._3).iterator.map { case (shard, grp) =>
-        val g = HNSWGraph.build(params,
-          grp.iterator.map { case (id, v, _) => (id, v) })
-        ShardBlob(shard, serialize(g))
-      }
-    }.cache()
-    // every residue class 0..P-1 must own a blob, or Model.add would
-    // silently drop rows routed to an absent shard (empty corpus slices
-    // are legal). ONE job materializes the graphs and reports which
-    // shards exist (no separate distinct() + count() passes); gaps get
-    // empty graphs.
-    val present = built.map(_.shard).collect().toSet
-    val gaps = (0 until P).filterNot(present)
-      .map(sh => ShardBlob(sh, serialize(new HNSWGraph(params))))
-    val shards =
-      if (gaps.isEmpty) built
-      else built.unionByName(spark.createDataset(gaps))
-    Model(params, P, shards)
+    Model(params, P, buildShards(rows, P, params))
+  }
+
+  /** ROUTED build — the serving shape that survives thousands of
+    * shards: shards are k-means cells over the NORMALIZED vectors (one
+    * coarse clustering job, [[IVFFlat.build]]), each cell's graph is
+    * built executor-local, and the cell centroids ride in the Model as
+    * the query router. `searchMany(probeShards = s)` then probes s
+    * cells instead of all P. Routing quality is the k-means cells'
+    * quality; all-shard fan-out (probeShards = 0) on a routed model
+    * remains exactly as exhaustive-over-shards as the hash layout. */
+  def buildRouted(emb: DataFrame, idCol: String, vecCol: String,
+                  params: HNSWGraph.Params, numShards: Int,
+                  routerIterations: Int = 10): Model = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val normed = emb.select(
+      col(idCol).cast("long").as("id"),
+      normalizeF(col(vecCol).cast("array<float>")).as("vector"))
+    val router = IVFFlat.build(normed, "id", "vector",
+      IVFFlat.Params(k = numShards, numAttempts = 1,
+        maxIterations = routerIterations, seed = params.seed))
+    val rows = router.indexed
+      .select(col("id"), col("vector"), col("cluster").as("shard"))
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("id"))
+      .as[(Long, Array[Float], Int)]
+    val shards = buildShards(rows, numShards, params)
+    router.indexed.unpersist()
+    Model(params, numShards, shards, routers = Some(router.centroids))
   }
 
   def load(spark: SparkSession, dir: String): Model = {
@@ -177,6 +272,13 @@ object HNSW {
       num("m").toInt, num("seed"))
     val shards = spark.read.parquet(s"$dir/shards")
       .select(col("shard").cast("int"), col("blob")).as[ShardBlob]
-    Model(params, num("numShards").toInt, shards.cache())
+    // "routed" is absent from pre-router sidecars → 0 (hash layout)
+    val routers =
+      if (ParamsIO.dbl(json, "routed", 0.0) == 1.0)
+        Some(spark.read.parquet(s"$dir/routers")
+          .orderBy("shard").collect()
+          .map(_.getAs[scala.collection.Seq[Float]]("vector").toArray))
+      else None
+    Model(params, num("numShards").toInt, shards.cache(), routers = routers)
   }
 }

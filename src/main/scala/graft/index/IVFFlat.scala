@@ -54,7 +54,8 @@ object IVFFlat {
   case class Model(params: Params,
                    centroids: Array[Array[Float]],
                    clusterSizes: Array[Long],
-                   indexed: DataFrame) {
+                   indexed: DataFrame,
+                   addsSinceCompact: Int = 0) {
 
     /** Probe-set for one query: nearest clusters (by sqdist of centroid)
       * until their cumulative size covers `k` — the adaptive nprobe of
@@ -107,10 +108,14 @@ object IVFFlat {
     }
 
     /** Incremental add: assign against frozen centroids, union. Caller ids
-      * are honoured (fix of the ivfflat.rs:209 id-shadowing quirk). */
-    def add(rows: DataFrame, idCol: String, vecCol: String): Model =
-      copy(indexed = indexed.unionByName(
-        assign(rows, idCol, vecCol, centroids)))
+      * are honoured (fix of the ivfflat.rs:209 id-shadowing quirk).
+      * Repeated adds compact their union lineage — see [[Lineage]]. */
+    def add(rows: DataFrame, idCol: String, vecCol: String): Model = {
+      val (df, n) = Lineage.compact(
+        indexed.unionByName(assign(rows, idCol, vecCol, centroids)),
+        addsSinceCompact)
+      copy(indexed = df, addsSinceCompact = n)
+    }
 
     /** Persist: corpus partitioned by cluster (→ partition pruning on
       * probe), centroids as parquet, params as JSON (SURVEY §2.2 mapping

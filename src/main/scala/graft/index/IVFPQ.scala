@@ -41,7 +41,8 @@ object IVFPQ {
                    clusterSizes: Array[Long],
                    pqParams: PQ.Params, dim: Int, residual: Boolean,
                    codebooks: Array[Array[Array[Float]]],
-                   codes: DataFrame /* id: long, cluster: int, code: binary(m) */) {
+                   codes: DataFrame /* id: long, cluster: int, code: binary(m) */,
+                   addsSinceCompact: Int = 0) {
 
     /** Probed-cell ADC batch top-k. Probe widening is the shared
       * [[IVFFlat.probeOrder]] (adaptive, ivfflat.rs:168-195 semantics),
@@ -151,11 +152,16 @@ object IVFPQ {
       * encodes it against the frozen codebooks (residual-aware), then
       * unions the codes. Cluster sizes stay frozen like IVFFlat.add's —
       * probeOrder's adaptivity degrades gracefully as cells grow; a
-      * rebuild is the rebalancing maintenance job. */
-    def add(rows: DataFrame, idCol: String, vecCol: String): Model =
-      copy(codes = codes.unionByName(
-        IVFPQ.build(rows, idCol, vecCol, coarse, clusterSizes, codebooks,
-          pqParams, residual).codes))
+      * rebuild is the rebalancing maintenance job. Repeated adds
+      * compact their union lineage — see [[Lineage]]. */
+    def add(rows: DataFrame, idCol: String, vecCol: String): Model = {
+      val (df, n) = Lineage.compact(
+        codes.unionByName(
+          IVFPQ.build(rows, idCol, vecCol, coarse, clusterSizes, codebooks,
+            pqParams, residual).codes),
+        addsSinceCompact)
+      copy(codes = df, addsSinceCompact = n)
+    }
 
     /** Persist: codes partitioned by cluster (→ partition pruning on
       * probe), coarse centroids + codebooks as parquet, params JSON. */

@@ -133,7 +133,8 @@ object LSHForest {
   }
 
   case class Model(params: Params, trees: IndexedSeq[Tree],
-                   indexed: DataFrame /* id, vector, paths: array<string> */) {
+                   indexed: DataFrame /* id, vector, paths: array<string> */,
+                   addsSinceCompact: Int = 0) {
 
     /** Batch top-k: per query per tree, probe leaves; ONE equi-join of
       * the exploded corpus against the broadcast probes; distances are
@@ -209,7 +210,13 @@ object LSHForest {
         t.copy(leafSizes = t.leafSizes ++ mine.map { case (p, n) =>
           p -> (t.leafSizes.getOrElse(p, 0L) + n) })
       }
-      val updated = copy(trees = newTrees, indexed = indexed.unionByName(appended))
+      // union lineage compacts every CompactEvery adds (see Lineage) —
+      // rebuildLeaves() also truncates it, but only fires on leaf
+      // overflow, which the degenerate exact configs never reach
+      val (df, nAdds) = Lineage.compact(indexed.unionByName(appended),
+        addsSinceCompact)
+      val updated = copy(trees = newTrees, indexed = df,
+        addsSinceCompact = nAdds)
       // watermark check closes the loop on the reference's eager
       // re-split (lsh.rs:218-251): compact now if any leaf outgrew
       // compactFactor × maxNodeSize (Long math — maxNodeSize may be

@@ -43,7 +43,8 @@ object PQ {
   /** codebooks(s)(j) = centroid j of subspace s (dsub floats). */
   case class Model(params: Params, dim: Int,
                    codebooks: Array[Array[Array[Float]]],
-                   codes: DataFrame /* id: long, code: binary(m) */) {
+                   codes: DataFrame /* id: long, code: binary(m) */,
+                   addsSinceCompact: Int = 0) {
     def dsub: Int = dim / params.m
 
     /** ADC batch top-k over the codes alone (no full vectors touched).
@@ -109,9 +110,14 @@ object PQ {
       * for PQ: encode the batch against the FROZEN codebooks (the exact
       * counterpart of IVFFlat.add's frozen-centroid assign) and union
       * the codes. Codebooks never retrain on add; periodic re-train is
-      * the maintenance job, as re-clustering is for IVF. */
-    def add(rows: DataFrame, idCol: String, vecCol: String): Model =
-      copy(codes = codes.unionByName(encodeDf(rows, idCol, vecCol, codebooks)))
+      * the maintenance job, as re-clustering is for IVF. Repeated adds
+      * compact their union lineage — see [[Lineage]]. */
+    def add(rows: DataFrame, idCol: String, vecCol: String): Model = {
+      val (df, n) = Lineage.compact(
+        codes.unionByName(encodeDf(rows, idCol, vecCol, codebooks)),
+        addsSinceCompact)
+      copy(codes = df, addsSinceCompact = n)
+    }
 
     /** ADC shortlist (factor×k) + exact re-rank against the
       * full-precision vectors: the standard PQ serving shape — the

@@ -5,11 +5,15 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing for training-data pipelines: image/audio/
   * video travel as opaque BINARY columns with typed metadata, and the
-  * compute-heavy steps run batched per partition. The decode kernels are
-  * STUBS by design — the container ships no image/audio codecs — but the
-  * Spark-side contract (schema, batching, partitioning, deterministic
-  * output) is real and tested; swapping `fakeDecode` for a JNI/codec call
-  * changes no plan shape.
+  * compute-heavy steps run batched per partition.
+  *
+  * IMAGE rows decode for real via `javax.imageio` (ships with the JDK:
+  * PNG/JPEG/GIF/BMP need no external codec) — decode → deterministic
+  * nearest-neighbor thumbnail → luminance histogram feature, and a real
+  * pixel resize that rewrites `content`. AUDIO/VIDEO decode remains a
+  * deterministic STUB (the JDK ships no audio/video codecs); its
+  * signature (bytes → unit-norm float[dim]) is the real contract, and
+  * swapping in a codec changes no plan shape.
   *
   * (Beyond the reference surface — vers is vectors-only — per the
   * driver's north star.)
@@ -23,7 +27,41 @@ object Multimodal {
 
   case class MediaFeature(id: Long, media_type: String, feature: Array[Float])
 
-  /** STUB decode+featurize kernel: a deterministic PRNG seeded from the
+  /** Real image decode+featurize via the JDK's ImageIO: decode the
+    * compressed bytes, sample a 64×64 nearest-neighbor luminance
+    * thumbnail (integer index math — deterministic across JDKs, and
+    * bounds per-row cost for arbitrarily large sources), histogram the
+    * luminances into `dim` bins, L2-normalize. None on undecodable
+    * bytes (truncated upload, unsupported codec) — the caller picks the
+    * fallback, never this kernel. */
+  private[graft] def imageFeature(content: Array[Byte], dim: Int): Option[Array[Float]] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    img.filter(im => im.getWidth > 0 && im.getHeight > 0).map { im =>
+      val T = 64
+      val w = im.getWidth
+      val h = im.getHeight
+      val hist = new Array[Float](dim)
+      var y = 0
+      while (y < T) {
+        var x = 0
+        while (x < T) {
+          val rgb = im.getRGB(x * w / T, y * h / T)
+          val lum = 0.299 * ((rgb >>> 16) & 0xFF) +
+            0.587 * ((rgb >>> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+          hist(math.min(dim - 1, (lum * dim / 256.0).toInt)) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      val norm = math.sqrt(hist.foldLeft(0.0)((a, v) => a + v.toDouble * v)).toFloat
+      hist.map(_ / norm) // norm > 0 always: T² samples land somewhere
+    }
+  }
+
+  /** STUB decode+featurize kernel for the modalities the JDK has no
+    * codec for (audio/video): a deterministic PRNG seeded from the
     * content bytes stands in for a real decoder+encoder. Replace the body
     * with the actual codec; the signature (bytes → unit-norm float[dim])
     * is the real contract. */
@@ -39,20 +77,56 @@ object Multimodal {
 
   /** Batched feature extraction: one partition = one batch, kernel called
     * per row inside `mapPartitions` (no per-row task overhead; the shape
-    * a vectorized/native decoder needs). Output embeds straight into the
-    * engine's index/dedup/similarity operators. */
+    * a vectorized/native decoder needs). Image rows decode for real
+    * ([[imageFeature]]); undecodable image bytes and the codec-less
+    * modalities fall back to the deterministic stub. Output embeds
+    * straight into the engine's index/dedup/similarity operators. */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 64): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      it.map(r => MediaFeature(r.id, r.media_type, fakeDecode(r.content, dim)))
+      it.map { r =>
+        val feat =
+          if (r.media_type == "image")
+            imageFeature(r.content, dim).getOrElse(fakeDecode(r.content, dim))
+          else fakeDecode(r.content, dim)
+        MediaFeature(r.id, r.media_type, feat)
+      }
     }
   }
 
-  /** STUB resize: metadata transform only (a real implementation rewrites
-    * `content`; plan shape identical). */
+  /** Resize. Image rows REWRITE `content`: decode, nearest-neighbor
+    * resample to w×h (integer index math — deterministic), re-encode as
+    * PNG (lossless, so resize∘resize is stable). Non-image rows (no JDK
+    * codec) update metadata only. */
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
-    media.map(r => r.copy(width = w, height = h))
+    media.map { r =>
+      val content =
+        if (r.media_type != "image") r.content
+        else {
+          val imgOpt =
+            try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content)))
+            catch { case scala.util.control.NonFatal(_) => None }
+          imgOpt.filter(im => im.getWidth > 0 && im.getHeight > 0).map { im =>
+            val out = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                out.setRGB(x, y,
+                  im.getRGB(x * im.getWidth / w, y * im.getHeight / h))
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            bos.toByteArray
+          }.getOrElse(r.content) // undecodable: pass through untouched
+        }
+      r.copy(content = content, width = w, height = h)
+    }
   }
 
   /** Frame sampling for video rows: emits `n` (frame_idx, byte-offset

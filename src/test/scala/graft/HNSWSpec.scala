@@ -93,6 +93,64 @@ class HNSWSpec extends SparkSpec {
     assert(hit.getLong(1) == 1L, "row added to an initially-empty shard must be findable")
   }
 
+  private lazy val routed = HNSW.buildRouted(emb, "vec_id", "embedding",
+    HNSWGraph.Params(numLayers = 6, efConstruction = 100, efSearch = 64, m = 16),
+    numShards = 4)
+
+  test("routed build: full fan-out equals probeShards=numShards; self-hit at probeShards=1") {
+    val queries = emb.filter(col("vec_id") < 20)
+    def setOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // probeShards >= numShards and the default 0 are the same all-shard scan
+    assert(setOf(routed.searchMany(queries, "vec_id", "embedding", 10))
+      == setOf(routed.searchMany(queries, "vec_id", "embedding", 10,
+        probeShards = 4)))
+    // a corpus vector's nearest router IS its own cell (the query runs
+    // the same argmin the build-side assignment ran), so one probed
+    // shard always recovers the exact self-match
+    val hits = routed.searchMany(queries, "vec_id", "embedding", 1,
+        probeShards = 1).collect()
+    assert(hits.length == 20)
+    hits.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"self-miss for qid ${r.getLong(0)}")
+      assert(math.abs(r.getDouble(2)) < 1e-6)
+    }
+    // routing actually prunes: every query returns candidates from its
+    // probed shard only, so the k=10 result is a subset of full fan-out
+    val pruned = routed.searchMany(queries, "vec_id", "embedding", 10,
+        probeShards = 1).select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = routed.searchMany(queries, "vec_id", "embedding", 500)
+      .select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned.subsetOf(full))
+  }
+
+  test("routed add: row lands in its nearest cell and is findable at probeShards=1") {
+    val without = emb.filter(col("vec_id") =!= 42)
+    val m = HNSW.buildRouted(without, "vec_id", "embedding",
+      HNSWGraph.Params(numLayers = 6, efConstruction = 100, efSearch = 64, m = 16),
+      numShards = 4)
+    val held = emb.filter(col("vec_id") === 42)
+    val hit = m.add(held, "vec_id", "embedding")
+      .searchMany(held, "vec_id", "embedding", 1, probeShards = 1).head()
+    assert(hit.getLong(1) == 42L)
+    assert(math.abs(hit.getDouble(2)) < 1e-6)
+  }
+
+  test("routed save/load round-trip preserves the router and probed search") {
+    val dir = java.nio.file.Files.createTempDirectory("hnswr").toString
+    routed.save(dir)
+    val re = HNSW.load(spark, dir)
+    assert(re.routers.isDefined)
+    assert(re.routers.get.map(_.toSeq).toSeq == routed.routers.get.map(_.toSeq).toSeq)
+    val queries = emb.filter(col("vec_id") < 10)
+    def setOf(m: HNSW.Model) =
+      m.searchMany(queries, "vec_id", "embedding", 10, probeShards = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(setOf(re) == setOf(routed))
+  }
+
   test("add routes to one shard and the row is findable (queen-holdout shape)") {
     import spark.implicits._
     // the reference's holdout test: remove a row, build, add it back, query it

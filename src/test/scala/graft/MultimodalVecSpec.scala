@@ -39,6 +39,50 @@ class MultimodalVecSpec extends SparkSpec {
     }
   }
 
+  /** 8×8 PNG, left half black, right half white — known luminances. */
+  private def halfTonePng(): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8)
+      im.setRGB(x, y, if (x < 4) 0x000000 else 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
+  test("image rows decode for REAL via ImageIO (PNG → luminance histogram)") {
+    val png = halfTonePng()
+    // black lum 0 → bin 0; white lum 255 → bin 15; half the samples each
+    val feat = Multimodal.imageFeature(png, dim = 16).get
+    val inv = (1.0 / math.sqrt(2.0)).toFloat
+    assert(math.abs(feat(0) - inv) < 1e-6f, feat.toSeq.toString)
+    assert(math.abs(feat(15) - inv) < 1e-6f)
+    assert(feat.slice(1, 15).forall(_ == 0f))
+    // deterministic
+    assert(Multimodal.imageFeature(png, 16).get.toSeq == feat.toSeq)
+    // through the Dataset path: media_type "image" → real decode
+    val media = Seq(Multimodal.MediaRow(7L, png, "image", 8, 8, 3, 0, 0)).toDS()
+    assert(Multimodal.extractFeatures(media, dim = 16).head().feature.toSeq
+      == feat.toSeq)
+    // undecodable image bytes fall back to the deterministic stub
+    val junk = Array[Byte](1, 2, 3)
+    val fb = Multimodal.extractFeatures(
+      Seq(Multimodal.MediaRow(8L, junk, "image", 0, 0, 0, 0, 0)).toDS(), 16)
+      .head().feature
+    assert(fb.toSeq == Multimodal.fakeDecode(junk, 16).toSeq)
+  }
+
+  test("image resize rewrites content: decoded dims and pixels survive") {
+    val media = Seq(Multimodal.MediaRow(1L, halfTonePng(), "image", 8, 8, 3, 0, 0)).toDS()
+    val out = Multimodal.resize(media, 4, 4).head()
+    assert(out.width == 4 && out.height == 4)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.content))
+    assert(back.getWidth == 4 && back.getHeight == 4)
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert(back.getRGB(x, y) == (if (x < 2) 0xFF000000 else 0xFFFFFFFF))
+  }
+
   test("frame sampling fans out n rows per video with monotone offsets") {
     val media = Multimodal.fromDocuments(docs)
       .withColumn("media_type", lit("video"))

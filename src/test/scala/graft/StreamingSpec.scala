@@ -170,6 +170,89 @@ class StreamingSpec extends SparkSpec {
     assert(hit.getAs[Double]("distance") == 0.0)
   }
 
+  test("100-microbatch IVF ingest keeps plan depth bounded (lineage compaction)") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val model = IVFFlat.build(emb.filter($"vec_id" < 400), "vec_id", "embedding",
+      IVFFlat.Params(k = 8, numAttempts = 1, maxIterations = 5))
+    val state = new java.util.concurrent.atomic.AtomicReference(model)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Streaming.ingestIntoIVF(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", state)
+    val held = emb.filter($"vec_id" >= 400)
+      .select($"vec_id", $"embedding".cast("array<float>"))
+      .as[(Long, Array[Float])].collect()
+    assert(held.length == 100)
+    // one row per microbatch: 100 trigger cycles — the long-lived-stream
+    // shape that used to stack 100 union nodes on the plan forever
+    held.foreach { row =>
+      mem.addData(row)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val m = state.get()
+    assert(m.addsSinceCompact == 100 % graft.index.Lineage.CompactEvery)
+    val nodes = m.indexed.queryExecution.logical.collect { case n => n }.size
+    // without compaction this is >800 (one union + assign subtree per
+    // batch); with it the plan holds the checkpointed leaf + at most
+    // CompactEvery post-compaction adds
+    assert(nodes < 200, s"plan lineage grew unbounded: $nodes logical nodes")
+    assert(m.indexed.count() == 500)
+    val probe = held(57)
+    val hit = m.search(probe._2, k = 1).head()
+    assert(hit.getAs[Long]("id") == probe._1)
+    assert(hit.getAs[Double]("distance") == 0.0)
+  }
+
+  test("repeated Model.add compacts lineage on PQ, IVFPQ, HNSW, LSH") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").cache()
+    def nodesOf(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.logical.collect { case n => n }.size
+    val held = emb.filter($"vec_id" >= 400)
+      .select($"vec_id", $"embedding".cast("array<float>"))
+      .as[(Long, Array[Float])].collect()
+    def batches: Iterator[org.apache.spark.sql.DataFrame] =
+      held.iterator.map(r => Seq(r).toDF("vec_id", "embedding"))
+    val base = emb.filter($"vec_id" < 400)
+
+    val cbs = SparkEntry.fixedCodebooks(emb, 4)
+    val pqP = graft.index.PQ.Params(m = 4, k = 16)
+    var pq = graft.index.PQ.withCodebooks(base, "vec_id", "embedding", cbs, pqP)
+    batches.foreach(b => pq = pq.add(b, "vec_id", "embedding"))
+    assert(nodesOf(pq.codes) < 300, s"PQ: ${nodesOf(pq.codes)}")
+    // end state is still byte-identical to a from-scratch encode
+    val fullPq = graft.index.PQ.withCodebooks(emb, "vec_id", "embedding", cbs, pqP)
+    def codeMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(codeMap(pq.codes) == codeMap(fullPq.codes))
+
+    val cents = SparkEntry.fixedCentroids(emb)
+    val sizes = Array.fill(cents.length)(Long.MaxValue)
+    var ipq = graft.index.IVFPQ.build(base, "vec_id", "embedding",
+      cents, sizes, cbs, pqP)
+    batches.foreach(b => ipq = ipq.add(b, "vec_id", "embedding"))
+    assert(nodesOf(ipq.codes) < 300, s"IVFPQ: ${nodesOf(ipq.codes)}")
+    assert(ipq.codes.count() == 500)
+
+    var hnsw = graft.index.HNSW.build(base, "vec_id", "embedding",
+      graft.index.HNSWGraph.Params(numLayers = 6, efConstruction = 100,
+        efSearch = 64, m = 16), numShards = 4)
+    batches.foreach(b => hnsw = hnsw.add(b, "vec_id", "embedding"))
+    assert(nodesOf(hnsw.shards.toDF()) < 300, s"HNSW: ${nodesOf(hnsw.shards.toDF())}")
+    val hit = hnsw.search(held(31)._2, k = 1).head()
+    assert(hit.getAs[Long]("id") == held(31)._1)
+
+    // the degenerate exact config never triggers the leaf-overflow
+    // rebuild, so the counter is its ONLY lineage bound; 40 adds
+    // crosses one compaction boundary
+    var lsh = graft.index.LSHForest.build(base, "vec_id", "embedding",
+      graft.index.LSHForest.Params(numTrees = 1, maxNodeSize = Int.MaxValue))
+    held.take(40).foreach(r =>
+      lsh = lsh.add(Seq(r).toDF("vec_id", "embedding"), "vec_id", "embedding"))
+    assert(nodesOf(lsh.indexed) < 150, s"LSH: ${nodesOf(lsh.indexed)}")
+    assert(lsh.indexed.count() == 440)
+  }
+
   test("streaming ingest patches the PQ codes (Index::add analogue)") {
     implicit val sqlCtx = spark.sqlContext
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
