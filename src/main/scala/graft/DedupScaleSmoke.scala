@@ -133,6 +133,46 @@ object DedupScaleSmoke extends Serializable {
         threshold = 0.5, dfCap = 100)
     }
 
+    // ---- hot-shingle insurance: the dfCap blacklist has held every
+    // posting list ≤ cap in the 1M run, but that corpus never PLANTED a
+    // stop-shingle hot enough to trigger it. Here 30% of a smaller
+    // corpus (uncapped must stay runnable — its intersect join pays
+    // C(0.3·n, 2) rows for the one hot shingle, quadratic in n) share
+    // one injected 3-token shingle; capped-vs-uncapped wall and shuffle
+    // is the insurance payout, measured. Near-dup RESULTS are identical
+    // either side: one shared shingle of ~100 puts Jaccard ≈ 0.005,
+    // nowhere near threshold — the hot shingle is pure join poison.
+    val nHot = math.min(nBase, 20000)
+    val hotDocs = spark.range(nHot).as[Long].map { id =>
+      val toks = docTokens(id)
+      val hot = java.lang.Long.remainderUnsigned(mix64(id ^ 0xB00L), 10L) < 3L
+      val txt = if (hot)
+        (toks.take(50) ++ Array("stopa", "stopb", "stopc") ++ toks.drop(50))
+          .mkString(" ")
+      else toks.mkString(" ")
+      (id, txt)
+    }.toDF("doc_id", "text")
+      .repartition(spark.sparkContext.defaultParallelism).cache()
+    hotDocs.count()
+    out += "hot_n" -> nHot.toString
+    def hotPhase(name: String)(op: => DataFrame): Unit = {
+      Thread.sleep(500)
+      val before = shuffleBytes.get()
+      val (res, t) = timed { val df = op; df.count(); df }
+      Thread.sleep(500)
+      out += s"${name}_s" -> f"$t%.1f"
+      out += s"${name}_shuffle_mb" -> ((shuffleBytes.get() - before) / (1L << 20)).toString
+      out += s"${name}_pairs" -> res.count().toString
+    }
+    hotPhase("jac_hot_uncapped") {
+      operators.Dedup.jaccardPairs(hotDocs, "doc_id", "text", threshold = 0.5)
+    }
+    hotPhase("jac_hot_capped") {
+      operators.Dedup.jaccardPairs(hotDocs, "doc_id", "text",
+        threshold = 0.5, dfCap = 100)
+    }
+    hotDocs.unpersist()
+
     // ---- embedding corpus: clustered unit vectors (128 centers, the
     // ScaleSmoke regime — same-cluster background pairs sit at cosine
     // distance ≈ 0.2); planted dup = base + ε noise ⇒ distance ≈ 1e-5,

@@ -258,6 +258,18 @@ object ScaleSmoke {
     out += "hnswr_all_recall_at10" -> f"${recallOf(hnswRAll, truth)}%.3f"
     out += "hnswr_p8_s" -> f"$tHnswRPS%.2f"
     out += "hnswr_p8_recall_at10" -> f"${recallOf(hnswRP, truth)}%.3f"
+    // single-query serving latency is where routing visibly pays even at
+    // P=32: 8 probed cells deserialize 8 graphs, all-shard pays all 32
+    // (a 100-query batch touches nearly every shard either way, so the
+    // batch walls above mostly price the scan, not the routing)
+    val q1 = queries.orderBy("vec_id").limit(1).cache()
+    q1.count()
+    val (_, tHnswRQ1All) = timed(
+      hnswR.searchMany(q1, "vec_id", "embedding", k).count())
+    val (_, tHnswRQ1P) = timed(
+      hnswR.searchMany(q1, "vec_id", "embedding", k, probeShards = 8).count())
+    out += "hnswr_q1_all_s" -> f"$tHnswRQ1All%.2f"
+    out += "hnswr_q1_p8_s" -> f"$tHnswRQ1P%.2f"
 
     println(out.map { case (kk, vv) => s""""$kk":$vv""" }
       .mkString("SCALE_SMOKE {", ",", "}"))

@@ -86,15 +86,23 @@ object HNSW {
       val bcRoute = spark.sparkContext.broadcast(route)
       // per-shard k results shuffle as (qid, id, distance) triples; the
       // global per-query merge is one bounded-heap pass (shards partition
-      // the corpus, so ids are distinct across shards)
+      // the corpus, so ids are distinct across shards). A shard with NO
+      // routed query never deserializes its graph — that skip is where
+      // routing pays at scale: blob deserialization dominates the
+      // per-shard cost (a 30k × 128f graph is ~16 MB), so small batches
+      // over thousands of shards touch probeShards×batch graphs, not P.
       shards.flatMap { s =>
-        val g = deserialize(s.blob)
         val r = bcRoute.value
-        bcQ.value.iterator
-          .filter { case (qid, _) => r.forall(_(qid).contains(s.shard)) }
-          .flatMap { case (qid, qv) =>
+        val mine = bcQ.value.filter { case (qid, _) =>
+          r.forall(_(qid).contains(s.shard))
+        }
+        if (mine.isEmpty) Iterator.empty
+        else {
+          val g = deserialize(s.blob)
+          mine.iterator.flatMap { case (qid, qv) =>
             g.searchKnn(qv, k).map { case (id, d) => (qid, id, d) }
           }
+        }
       }
         .groupByKey(_._1)
         .flatMapGroups { (qid, it) =>

@@ -116,7 +116,11 @@ object Streaming {
   /** Streaming index ingest — the `Index::add` analogue: each microbatch
     * of (id, vector) rows is routed into the live IVFFlat model (frozen
     * centroids, ivfflat.rs:200-213 semantics). Returns the query handle;
-    * read the evolving model from `state`. */
+    * read the evolving model from `state`. Long-lived streams are safe:
+    * the add paths compact their union lineage every
+    * [[graft.index.Lineage.CompactEvery]] batches, so the logical plan
+    * (and per-batch analysis cost) stays bounded over unbounded
+    * microbatch counts. */
   def ingestIntoIVF(stream: DataFrame, idCol: String, vecCol: String,
                     state: java.util.concurrent.atomic.AtomicReference[graft.index.IVFFlat.Model])
   : org.apache.spark.sql.streaming.StreamingQuery = {
