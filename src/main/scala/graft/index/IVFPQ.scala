@@ -78,7 +78,18 @@ object IVFPQ {
           IVFFlat.probeOrder(coarse, clusterSizes, qvec, k, nprobe)
             .map(c => (qid, c))
         }
-        codes.join(broadcast(probePairs.toDF("qid", "cluster")), Seq("cluster"))
+        // probes are known driver-side, so the probed-cluster union prunes
+        // STATICALLY: on a cluster-partitioned codes table (the save()
+        // layout) this is partition pruning at scan planning time — only
+        // probed directories are read, no dynamic filter needed. Skipped
+        // when the probe set approaches all cells (the In list would grow
+        // without buying pruning).
+        val probedCells = probePairs.map(_._2).distinct
+        val pruned =
+          if (probedCells.size < coarse.length)
+            codes.filter(col("cluster").isin(probedCells: _*))
+          else codes
+        pruned.join(broadcast(probePairs.toDF("qid", "cluster")), Seq("cluster"))
           .select(col("qid"), col("cluster"), col("id"), col("code"))
           .as[(Long, Int, Long, Array[Byte])]
           .mapPartitions { it =>

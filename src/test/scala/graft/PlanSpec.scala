@@ -121,6 +121,32 @@ class PlanSpec extends SparkSpec {
       k = 10, nprobe = 2), "IVFPQ ADC")
   }
 
+  test("IVFPQ probed search statically prunes code partitions on a loaded index") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cbs = SparkEntry.fixedCodebooks(emb, 4)
+    val cents = SparkEntry.fixedCentroids(emb)
+    val model = graft.index.IVFPQ.build(emb, "vec_id", "embedding", cents,
+      Array.fill(cents.length)(Long.MaxValue), cbs,
+      graft.index.PQ.Params(m = 4, k = 16))
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqplan").toString
+    model.save(dir)
+    val re = graft.index.IVFPQ.load(spark, dir)
+    val df = re.searchMany(emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+      k = 5, nprobe = 2)
+    df.collect()
+    // probes are computed driver-side, so the probed-cluster union lands
+    // in the scan's PartitionFilters at PLANNING time — only probed
+    // cluster= directories are listed/read, no dynamic filter involved
+    val scans = flatten(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.toString
+    }
+    val codeScan = scans.filter(_.contains("PartitionFilters"))
+    assert(codeScan.exists(s =>
+        s.matches("(?s).*PartitionFilters: \\[[^\\]]*cluster[^\\]]*(IN|INSET|in)[^\\]]*\\].*")),
+      "probed-cluster In filter must reach PartitionFilters:\n" +
+        codeScan.mkString("\n---\n").take(1200))
+  }
+
   test("IVFFlat persisted layout is partitioned by cluster (partition pruning on probe)") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val model = graft.index.IVFFlat.build(emb, "vec_id", "embedding",
