@@ -245,6 +245,25 @@ object SparkEntry {
         .orderBy(col("qid"), col("distance"), col("id"))
     }),
 
+    // RESIDUAL IVF-PQ with every part pinned: codes quantize
+    // v − centroid(cell) against the fixed codebooks, the query LUT
+    // shifts by each probed cell's centroid — the standard IVF-PQ
+    // recipe (the one that lifted 1M ADC recall 0.340 → 0.621,
+    // BASELINE round 6), now under the DuckDB oracle. Float residual
+    // subtraction and the double ADC fold are replicated exactly in
+    // pqIvfResFixedSql.
+    "pq_ivf_res_fixed" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = fixedCentroids(emb)
+      val sizes = Array.fill(cents.length)(Long.MaxValue) // force nprobe exactly
+      val model = graft.index.IVFPQ.build(emb, "vec_id", "embedding",
+        cents, sizes, fixedCodebooks(emb, 4), graft.index.PQ.Params(m = 4, k = 16),
+        residual = true)
+      model.searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = 2)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
     // IVFFlat probed search against the same fixed centroids: 5 queries,
     // probe the 2 nearest clusters, exact re-rank, top-10
     // (ivfflat.rs:153-198 shape, deterministic end-to-end).
@@ -799,6 +818,67 @@ object SparkEntry {
        |ORDER BY qid, distance, id""".stripMargin
   }
 
+  /** pq_ivf_res_fixed oracle — the residual recipe with every part
+    * pinned. Precision contract: the residual is a FLOAT subtraction on
+    * both sides (Scala `v(i) - cv(i)` on Float ≡ DuckDB float4 − float4,
+    * both IEEE-754 single ops), and every distance fold then widens to
+    * DOUBLE exactly like the non-residual oracles. */
+  private lazy val pqIvfResFixedSql: String = {
+    val sq = (a: String, b: String) =>
+      s"""list_reduce(list_transform(list_zip($a, $b),
+         |    x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+         |       * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (a,b) -> a+b)""".stripMargin
+    val resExpr = (v: String, c: String) =>
+      s"""list_transform(list_zip($v, $c),
+         |    x -> CAST(x[1] AS FLOAT) - CAST(x[2] AS FLOAT))""".stripMargin
+    val aSub = (0 until 4).map { s =>
+      val lo = s * 16 + 1
+      val hi = (s + 1) * 16
+      s"a$s AS (SELECT r.id, CAST(k.cid AS INT) AS c$s " +
+        "FROM resdoc r CROSS JOIN cb k " +
+        "QUALIFY row_number() OVER (PARTITION BY r.id ORDER BY " +
+        pqSliceSqSql("k.cvec", "r.rvec", lo, hi) + ", k.cid) = 1)"
+    }.mkString(",\n")
+    val d = (0 until 4).map(s =>
+      pqSliceSqSql(s"k$s.cvec", "p.qrvec", s * 16 + 1, (s + 1) * 16))
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+       |cb AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+       |cl AS (
+       |  SELECT c.vec_id AS id, CAST(k.cid AS INT) AS cluster
+       |  FROM embeddings c CROSS JOIN cent k
+       |  QUALIFY row_number() OVER (PARTITION BY c.vec_id ORDER BY
+       |    ${sq("k.cvec", "c.embedding")}, k.cid) = 1),
+       |resdoc AS (
+       |  SELECT c.vec_id AS id, cl.cluster,
+       |    ${resExpr("c.embedding", "k.cvec")} AS rvec
+       |  FROM embeddings c JOIN cl ON cl.id = c.vec_id
+       |  JOIN cent k ON k.cid = cl.cluster),
+       |$aSub,
+       |assigned AS (SELECT id, c0, c1, c2, c3 FROM a0
+       |  JOIN a1 USING(id) JOIN a2 USING(id) JOIN a3 USING(id)),
+       |probes AS (
+       |  SELECT q.vec_id AS qid, q.embedding AS qvec, CAST(k.cid AS INT) AS cluster
+       |  FROM embeddings q CROSS JOIN cent k WHERE q.vec_id < 5
+       |  QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |    ${sq("k.cvec", "q.embedding")}, k.cid) <= 2),
+       |probesr AS (
+       |  SELECT p.qid, p.cluster,
+       |    ${resExpr("p.qvec", "k.cvec")} AS qrvec
+       |  FROM probes p JOIN cent k ON k.cid = p.cluster),
+       |cands AS (
+       |  SELECT p.qid, cl.id, ${d(0)} + ${d(1)} + ${d(2)} + ${d(3)} AS distance
+       |  FROM probesr p
+       |  JOIN cl ON cl.cluster = p.cluster
+       |  JOIN assigned a ON a.id = cl.id
+       |  JOIN cb k0 ON k0.cid = a.c0
+       |  JOIN cb k1 ON k1.cid = a.c1
+       |  JOIN cb k2 ON k2.cid = a.c2
+       |  JOIN cb k3 ON k3.cid = a.c3)
+       |SELECT qid, id, distance FROM cands
+       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 10
+       |ORDER BY qid, distance, id""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -1134,6 +1214,8 @@ object SparkEntry {
     // add-then-search must equal build-then-search (frozen parts):
     // the same oracle gates the IVFPQ add path
     "pq_ivf_add_fixed" -> pqIvfFixedSql,
+    // the residual recipe, float residuals + double folds replicated
+    "pq_ivf_res_fixed" -> pqIvfResFixedSql,
 
     "ivf_search_fixed" -> ivfSearchFixedSql,
     // same identity for IVFFlat.add against frozen centroids
