@@ -515,6 +515,15 @@ object SparkEntry {
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashBandPairs(tbl(s, dir, "documents"), "doc_id", "text")),
 
+    // Connected components over the minhash pair graph: min-label
+    // propagation vs the oracle's recursive transitive closure — the
+    // pair→cluster→keep-first step of a real dedup pipeline.
+    "dedup_components" -> ((s, dir) => {
+      val pairs = Dedup.minhashBandPairs(tbl(s, dir, "documents"),
+        "doc_id", "text")
+      Dedup.components(pairs, "doc_a", "doc_b").orderBy(col("id"))
+    }),
+
     // Exact n-gram Jaccard pairs via shingle inverted index.
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
@@ -702,6 +711,38 @@ object SparkEntry {
       sub + ",\n" +
       "assigned AS (SELECT id, c0, c1, c2, c3 FROM a0 " +
       "JOIN a1 USING(id) JOIN a2 USING(id) JOIN a3 USING(id))"
+  }
+
+  /** MinHash-band pair CTE chain ending in `mhpairs(doc_a, doc_b,
+    * n_bands)` — shared by the dedup_minhash oracle and the
+    * dedup_components transitive closure built on top of it. */
+  private lazy val minhashPairsCtes: String = {
+    val P = TextOps.MinhashP
+    val mhs = (0 until 12).map(i =>
+      s"list_min(list_transform(hs, h -> (h.h1 + $i * h.h2) % $P)) AS mh_$i")
+      .mkString(",\n  ")
+    val keys = (0 until 6).map(b =>
+      s"mh_${2 * b} * $P + mh_${2 * b + 1}").mkString(", ")
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |s2 AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+       |s3 AS (SELECT doc_id,
+       |  list_transform(sh, s -> {
+       |    'h1': CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % $P,
+       |    'h2': CAST(concat('0x', substr(md5(s), 17, 15)) AS BIGINT) % $P
+       |  }) AS hs
+       | FROM s2 WHERE len(sh) > 0),
+       |sig AS (SELECT doc_id,
+       |  $mhs
+       | FROM s3),
+       |bands AS (SELECT doc_id,
+       |  unnest([0, 1, 2, 3, 4, 5]) AS band,
+       |  unnest([$keys]) AS key
+       | FROM sig),
+       |mhpairs AS (
+       |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS n_bands
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
   }
 
   /** Shared DuckDB fragments mirroring TextOps (tokens/shingles). */
@@ -946,33 +987,22 @@ object SparkEntry {
          |  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
          |FROM t ORDER BY doc_id""".stripMargin,
 
-    "dedup_minhash" -> {
-      val P = TextOps.MinhashP
-      val mhs = (0 until 12).map(i =>
-        s"list_min(list_transform(hs, h -> (h.h1 + $i * h.h2) % $P)) AS mh_$i")
-        .mkString(",\n  ")
-      val keys = (0 until 6).map(b =>
-        s"mh_${2 * b} * $P + mh_${2 * b + 1}").mkString(", ")
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |s2 AS (SELECT doc_id, $shinglesSql AS sh FROM t),
-         |s3 AS (SELECT doc_id,
-         |  list_transform(sh, s -> {
-         |    'h1': CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % $P,
-         |    'h2': CAST(concat('0x', substr(md5(s), 17, 15)) AS BIGINT) % $P
-         |  }) AS hs
-         | FROM s2 WHERE len(sh) > 0),
-         |sig AS (SELECT doc_id,
-         |  $mhs
-         | FROM s3),
-         |bands AS (SELECT doc_id,
-         |  unnest([0, 1, 2, 3, 4, 5]) AS band,
-         |  unnest([$keys]) AS key
-         | FROM sig)
-         |SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS n_bands
-         |FROM bands l JOIN bands r
-         |  ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-    },
+    "dedup_minhash" ->
+      s"""WITH $minhashPairsCtes
+         |SELECT doc_a, doc_b, n_bands FROM mhpairs ORDER BY 1, 2""".stripMargin,
+
+    // connected components over the minhash pair graph: min reachable
+    // id per node via a recursive transitive closure — exact at oracle
+    // scale; the Spark side converges by min-label propagation
+    "dedup_components" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM mhpairs
+         |  UNION SELECT doc_b, doc_a FROM mhpairs),
+         |reach(id, comp) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id)
+         |SELECT id, min(comp) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin,
 
     "dedup_jaccard_capped" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -32,6 +32,62 @@ object Dedup {
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Connected components over near-dup PAIRS — the step that turns any
+    * pair-emitting operator in this file into actual row drops: every
+    * node gets the MINIMUM id reachable in its duplicate graph as its
+    * component label; keep-first = keep rows where id == comp
+    * ([[keepFirstByPairs]]).
+    *
+    * Min-label propagation, one round per graph hop. Near-dup graphs
+    * are short chains and cliques around shared sources (diameter a few
+    * hops), so rounds stay single-digit; a general graph would want
+    * large-star/small-star contraction (O(log n) rounds), which this
+    * converges to only linearly. Per round: one equi-join + one
+    * partial-aggregated groupBy — labels and edges shuffle, pairs never
+    * expand — and the label state localCheckpoints per round so the
+    * plan stays O(1) deep at any round count (the [[graft.index.Lineage]]
+    * discipline). `maxRounds` bounds pathological graphs; labels only
+    * ever decrease, so the changed-count convergence test is exact. */
+  def components(pairs: DataFrame, aCol: String, bCol: String,
+                 maxRounds: Int = 50): DataFrame = {
+    val e = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    val edges = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint(true)
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.unionByName(prop)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint(true)
+      changed = next.join(labels.select(col("id"), col("comp").as("prev")), "id")
+        .filter(col("comp") < col("prev")).count()
+      labels = next
+      round += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Keep-first over a near-dup pair graph: drops every row whose id
+    * is not its component's minimum. Survivor choice matches the
+    * reference's keep-first rule (lsh.rs:113-130) lifted from exact
+    * bit-equality to any pair generator. The anti-join shuffles both
+    * sides by id — no broadcast assumption, loser counts at corpus
+    * scale are corpus-sized. */
+  def keepFirstByPairs(docs: DataFrame, idCol: String,
+                       pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val losers = components(pairs, aCol, bCol)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Near-dup candidate pairs via MinHash banding: docs sharing at least
     * one of numHashes/bandSize band buckets, with the shared-band count.
     * Docs with < 3 tokens have no signature and never pair.

@@ -104,6 +104,22 @@ class DedupSpec extends SparkSpec {
     assert(cp.count() == 0)
   }
 
+  test("components: chains collapse to min id; keep-first drops exactly the losers") {
+    // 1-2-3-4 is a 3-hop chain (forces multi-round propagation, given
+    // in reversed edge order), 10-11 a pair, 20-21-22 a triangle-free vee
+    val pairs = Seq((3L, 4L), (2L, 3L), (1L, 2L), (10L, 11L),
+      (20L, 21L), (21L, 22L)).toDF("a", "b")
+    val got = Dedup.components(pairs, "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    val docs = (1L to 25L).toDF("id")
+    val kept = Dedup.keepFirstByPairs(docs, "id", pairs, "a", "b")
+      .collect().map(_.getLong(0)).toSet
+    // survivors: component minima (1, 10, 20) plus every unpaired id
+    assert(kept == (1L to 25L).toSet -- Set(2L, 3L, 4L, 11L, 21L, 22L))
+  }
+
   test("embeddingPairs finds planted near-identical vector and nothing closer") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val near = emb.filter(col("vec_id") === 0)
