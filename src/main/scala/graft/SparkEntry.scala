@@ -210,6 +210,21 @@ object SparkEntry {
         .orderBy(col("qid"), col("distance"), col("id"))
     }),
 
+    // PQ persistence round-trip under the driver oracle (base.rs:31-58
+    // lifecycle, the ivf_persist_fixed shape for the compressed index):
+    // encode with pinned codebooks, save, LOAD, ADC-search the loaded
+    // model — a faithful round-trip reproduces pq_adc_fixed bit-for-bit.
+    "pq_persist_fixed" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val model = graft.index.PQ.withCodebooks(emb, "vec_id", "embedding",
+        fixedCodebooks(emb, 4), graft.index.PQ.Params(m = 4, k = 16))
+      val tmp = java.nio.file.Files.createTempDirectory("pq_persist").toString
+      model.save(tmp)
+      graft.index.PQ.load(s, tmp)
+        .searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
     // IVF-PQ composed search against the SAME pinned parts (centroids
     // vec_id < 8, codebooks vec_id < 16): probe the 2 nearest cells,
     // ADC over the codes inside probed cells only, top-10 — the
@@ -414,6 +429,22 @@ object SparkEntry {
         LSHForest.Params(numTrees = 1, maxNodeSize = Int.MaxValue,
           dedupExact = false))
       model.searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
+    // LSH persistence round-trip under the driver oracle: save the
+    // degenerate-exact forest (planes + leaf stats + indexed paths),
+    // LOAD, search — still provably exhaustive, so the knn SQL gates
+    // the whole save→load→search lifecycle hash-for-hash.
+    "lsh_persist_exact" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val model = LSHForest.build(emb, "vec_id", "embedding",
+        LSHForest.Params(numTrees = 1, maxNodeSize = Int.MaxValue,
+          dedupExact = false))
+      val tmp = java.nio.file.Files.createTempDirectory("lsh_persist").toString
+      model.save(tmp)
+      LSHForest.load(s, tmp)
+        .searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
         .orderBy(col("qid"), col("distance"), col("id"))
     }),
 
@@ -859,6 +890,25 @@ object SparkEntry {
        |ORDER BY qid, distance, id""".stripMargin
   }
 
+  /** pq_adc_fixed oracle — shared with pq_persist_fixed (the lifecycle
+    * round-trip must reproduce the in-memory ADC search bit-for-bit). */
+  private lazy val pqAdcFixedSql: String = {
+    val d = (0 until 4).map(s =>
+      pqSliceSqSql(s"k$s.cvec", "q.qvec", s * 16 + 1, (s + 1) * 16))
+    s"""WITH $pqAssignCtesSql,
+       |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+       |cands AS (
+       |  SELECT q.qid, a.id, ${d(0)} + ${d(1)} + ${d(2)} + ${d(3)} AS distance
+       |  FROM assigned a CROSS JOIN q
+       |  JOIN cb k0 ON k0.cid = a.c0
+       |  JOIN cb k1 ON k1.cid = a.c1
+       |  JOIN cb k2 ON k2.cid = a.c2
+       |  JOIN cb k3 ON k3.cid = a.c3)
+       |SELECT qid, id, distance FROM cands
+       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 10
+       |ORDER BY qid, distance, id""".stripMargin
+  }
+
   /** pq_ivf_res_fixed oracle — the residual recipe with every part
     * pinned. Precision contract: the residual is a FLOAT subtraction on
     * both sides (Scala `v(i) - cv(i)` on Float ≡ DuckDB float4 − float4,
@@ -1153,6 +1203,8 @@ object SparkEntry {
     // Degenerate-config LSH forest search IS exhaustive search
     // (LSHForestSpec gates the equivalence; same output shape).
     "lsh_knn_exact" -> exhaustiveKnnSql,
+    // and stays exhaustive through a save→load round-trip
+    "lsh_persist_exact" -> exhaustiveKnnSql,
 
     // Probe-all IVF search IS exhaustive search (every cluster probed,
     // exact re-rank — same top-k, same distances).
@@ -1219,22 +1271,9 @@ object SparkEntry {
     // ADC distance = left-fold of the four per-subspace LUT sqdists —
     // the SQL's left-assoc + chain is the same ((d0+d1)+d2)+d3 order the
     // Scala scan accumulates, so doubles are bit-identical
-    "pq_adc_fixed" -> {
-      val d = (0 until 4).map(s =>
-        pqSliceSqSql(s"k$s.cvec", "q.qvec", s * 16 + 1, (s + 1) * 16))
-      s"""WITH $pqAssignCtesSql,
-         |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
-         |cands AS (
-         |  SELECT q.qid, a.id, ${d(0)} + ${d(1)} + ${d(2)} + ${d(3)} AS distance
-         |  FROM assigned a CROSS JOIN q
-         |  JOIN cb k0 ON k0.cid = a.c0
-         |  JOIN cb k1 ON k1.cid = a.c1
-         |  JOIN cb k2 ON k2.cid = a.c2
-         |  JOIN cb k3 ON k3.cid = a.c3)
-         |SELECT qid, id, distance FROM cands
-         |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 10
-         |ORDER BY qid, distance, id""".stripMargin
-    },
+    "pq_adc_fixed" -> pqAdcFixedSql,
+    // a faithful save→load round-trip reproduces the ADC search exactly
+    "pq_persist_fixed" -> pqAdcFixedSql,
 
     // Probed-cell ADC: the ivf_search_fixed probe CTEs route each query
     // to its 2 nearest pinned cells; candidates are the rows ASSIGNED to
