@@ -124,6 +124,26 @@ object DedupScaleSmoke extends Serializable {
       operators.Dedup.minhashBandPairs(docs, "doc_id", "text",
         numHashes = 12, bandSize = 2)
     }
+
+    // pair → component → drop: the end-to-end dedup pipeline at corpus
+    // scale. The planted graph is 10k disjoint (base, dup) edges plus
+    // whatever the banding adds, so propagation converges in ~2 rounds;
+    // survivors ≈ corpus − recalled planted dups.
+    {
+      Thread.sleep(500)
+      val before = shuffleBytes.get()
+      val (survivors, t) = timed {
+        val pairs = operators.Dedup.minhashBandPairs(docs, "doc_id", "text",
+          numHashes = 12, bandSize = 2)
+        operators.Dedup.keepFirstByPairs(docs, "doc_id", pairs,
+          "doc_a", "doc_b").count()
+      }
+      Thread.sleep(500)
+      out += "components_keepfirst_s" -> f"$t%.1f"
+      out += "components_shuffle_mb" ->
+        ((shuffleBytes.get() - before) / (1L << 20)).toString
+      out += "components_survivors" -> survivors.toString
+    }
     phase("simhash64_h3", planted, nDup) {
       operators.Dedup.simhashPairs(docs, "doc_id", "text",
         maxHamming = 3, bits = 64)
