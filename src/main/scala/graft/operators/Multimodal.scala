@@ -10,10 +10,13 @@ import org.apache.spark.sql.functions._
   * IMAGE rows decode for real via `javax.imageio` (ships with the JDK:
   * PNG/JPEG/GIF/BMP need no external codec) — decode → deterministic
   * nearest-neighbor thumbnail → luminance histogram feature, and a real
-  * pixel resize that rewrites `content`. AUDIO/VIDEO decode remains a
-  * deterministic STUB (the JDK ships no audio/video codecs); its
-  * signature (bytes → unit-norm float[dim]) is the real contract, and
-  * swapping in a codec changes no plan shape.
+  * pixel resize that rewrites `content`. AUDIO rows decode for real via
+  * `javax.sound.sampled` (also JDK-shipped: WAV/AIFF/AU PCM need no
+  * external codec) — decode → per-window RMS-energy envelope feature.
+  * VIDEO decode remains a deterministic STUB (the JDK genuinely ships
+  * no video demuxer/codec); its signature (bytes → unit-norm
+  * float[dim]) is the real contract, and swapping in a codec changes
+  * no plan shape.
   *
   * (Beyond the reference surface — vers is vectors-only — per the
   * driver's north star.)
@@ -60,8 +63,56 @@ object Multimodal {
     }
   }
 
-  /** STUB decode+featurize kernel for the modalities the JDK has no
-    * codec for (audio/video): a deterministic PRNG seeded from the
+  /** Real audio decode+featurize via the JDK's `javax.sound.sampled`
+    * (WAV/AIFF/AU, any PCM width the JDK converter reaches): decode to
+    * 16-bit mono PCM, split the sample stream into `dim` equal time
+    * windows, RMS energy per window, L2-normalize — a deterministic
+    * loudness envelope that embeds straight into the index/dedup
+    * operators (silence detection, repeated-jingle dedup). None on
+    * undecodable bytes — the caller picks the fallback. */
+  private[graft] def audioFeature(content: Array[Byte], dim: Int): Option[Array[Float]] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val decoded =
+      try {
+        val in = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(content))
+        val f = in.getFormat
+        // normalize to 16-bit signed little-endian mono at the source
+        // rate — one fixed sample layout for the window math below
+        val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          f.getSampleRate, 16, 1, 2, f.getSampleRate, false)
+        val conv = AudioSystem.getAudioInputStream(target, in)
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = conv.read(buf)
+        while (n > 0) { bos.write(buf, 0, n); n = conv.read(buf) }
+        conv.close(); in.close()
+        Option(bos.toByteArray).filter(_.length >= 2)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    decoded.map { pcm =>
+      val nSamples = pcm.length / 2
+      val feat = new Array[Float](dim)
+      var w = 0
+      while (w < dim) {
+        val lo = (w.toLong * nSamples / dim).toInt
+        val hi = math.max(lo + 1, ((w + 1).toLong * nSamples / dim).toInt)
+        var acc = 0.0
+        var i = lo
+        while (i < math.min(hi, nSamples)) {
+          val s = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toShort / 32768.0
+          acc += s * s
+          i += 1
+        }
+        feat(w) = math.sqrt(acc / math.max(1, math.min(hi, nSamples) - lo)).toFloat
+        w += 1
+      }
+      val norm = math.sqrt(feat.foldLeft(0.0)((a, v) => a + v.toDouble * v)).toFloat
+      if (norm < 1e-6f) feat else feat.map(_ / norm) // all-silence stays zero
+    }
+  }
+
+  /** STUB decode+featurize kernel for the one modality the JDK has no
+    * codec for (video): a deterministic PRNG seeded from the
     * content bytes stands in for a real decoder+encoder. Replace the body
     * with the actual codec; the signature (bytes → unit-norm float[dim])
     * is the real contract. */
@@ -77,18 +128,20 @@ object Multimodal {
 
   /** Batched feature extraction: one partition = one batch, kernel called
     * per row inside `mapPartitions` (no per-row task overhead; the shape
-    * a vectorized/native decoder needs). Image rows decode for real
-    * ([[imageFeature]]); undecodable image bytes and the codec-less
-    * modalities fall back to the deterministic stub. Output embeds
-    * straight into the engine's index/dedup/similarity operators. */
+    * a vectorized/native decoder needs). Image and audio rows decode for
+    * real ([[imageFeature]], [[audioFeature]]); undecodable bytes and
+    * the codec-less video modality fall back to the deterministic stub.
+    * Output embeds straight into the engine's index/dedup/similarity
+    * operators. */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 64): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { r =>
-        val feat =
-          if (r.media_type == "image")
-            imageFeature(r.content, dim).getOrElse(fakeDecode(r.content, dim))
-          else fakeDecode(r.content, dim)
+        val feat = (r.media_type match {
+          case "image" => imageFeature(r.content, dim)
+          case "audio" => audioFeature(r.content, dim)
+          case _       => None
+        }).getOrElse(fakeDecode(r.content, dim))
         MediaFeature(r.id, r.media_type, feat)
       }
     }

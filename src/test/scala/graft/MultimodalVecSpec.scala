@@ -72,6 +72,49 @@ class MultimodalVecSpec extends SparkSpec {
     assert(fb.toSeq == Multimodal.fakeDecode(junk, 16).toSeq)
   }
 
+  /** 1-second 16-bit mono WAV: first half a full-scale square wave
+    * (max RMS), second half silence — known energy envelope. */
+  private def halfToneWav(): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val rate = 8000
+    val pcm = new Array[Byte](rate * 2)
+    for (i <- 0 until rate / 2) {
+      // ±0x7FFF square at 200 Hz, little-endian
+      val s = if ((i / 20) % 2 == 0) 0x7FFF else -0x7FFF
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      rate.toFloat, 16, 1, 2, rate.toFloat, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, rate.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audio rows decode for REAL via javax.sound.sampled (WAV → RMS envelope)") {
+    val wav = halfToneWav()
+    val feat = Multimodal.audioFeature(wav, dim = 8).get
+    // first 4 windows: full-scale square, RMS ≈ 1; last 4: silence, RMS 0
+    // → normalized envelope = 1/2 on the tone half, 0 on the silent half
+    (0 until 4).foreach(w => assert(math.abs(feat(w) - 0.5f) < 1e-3f,
+      feat.toSeq.toString))
+    (4 until 8).foreach(w => assert(feat(w) == 0f, feat.toSeq.toString))
+    // deterministic
+    assert(Multimodal.audioFeature(wav, 8).get.toSeq == feat.toSeq)
+    // through the Dataset path: media_type "audio" → real decode
+    val media = Seq(Multimodal.MediaRow(9L, wav, "audio", 0, 0, 1, 8000, 0)).toDS()
+    assert(Multimodal.extractFeatures(media, dim = 8).head().feature.toSeq
+      == feat.toSeq)
+    // undecodable audio bytes fall back to the deterministic stub
+    val junk = Array[Byte](1, 2, 3, 4)
+    val fb = Multimodal.extractFeatures(
+      Seq(Multimodal.MediaRow(10L, junk, "audio", 0, 0, 0, 0, 0)).toDS(), 8)
+      .head().feature
+    assert(fb.toSeq == Multimodal.fakeDecode(junk, 8).toSeq)
+  }
+
   test("image resize rewrites content: decoded dims and pixels survive") {
     val media = Seq(Multimodal.MediaRow(1L, halfTonePng(), "image", 8, 8, 3, 0, 0)).toDS()
     val out = Multimodal.resize(media, 4, 4).head()
