@@ -279,6 +279,25 @@ object SparkEntry {
         .orderBy(col("qid"), col("distance"), col("id"))
     }),
 
+    // IVF-PQ persistence round-trip under the driver oracle — the last
+    // oracle-able index type's lifecycle gate (IVF/LSH/PQ already have
+    // one): build with pinned parts, save (partitioned codes + params
+    // JSON), LOAD, probed ADC search — a faithful round-trip reproduces
+    // pq_ivf_fixed bit-for-bit (base.rs:31-58 lifecycle).
+    "pq_ivf_persist_fixed" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = fixedCentroids(emb)
+      val sizes = Array.fill(cents.length)(Long.MaxValue) // force nprobe exactly
+      val model = graft.index.IVFPQ.build(emb, "vec_id", "embedding",
+        cents, sizes, fixedCodebooks(emb, 4), graft.index.PQ.Params(m = 4, k = 16))
+      val tmp = java.nio.file.Files.createTempDirectory("pq_ivf_persist").toString
+      model.save(tmp)
+      graft.index.IVFPQ.load(s, tmp)
+        .searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = 2)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
     // IVFFlat probed search against the same fixed centroids: 5 queries,
     // probe the 2 nearest clusters, exact re-rank, top-10
     // (ivfflat.rs:153-198 shape, deterministic end-to-end).
@@ -555,6 +574,14 @@ object SparkEntry {
       Dedup.components(pairs, "doc_a", "doc_b").orderBy(col("id"))
     }),
 
+    // Prefix-causal keep-first over minhash band buckets: drop a doc
+    // iff it shares a bucket with ANY lower-id doc. This is the exact
+    // batch face of the streaming dedup ingest (Streaming.
+    // ingestDedupMinhash reproduces it batch-for-batch) — the rule a
+    // stream can enforce with no retraction.
+    "dedup_prefix_keepfirst" -> ((s, dir) =>
+      Dedup.prefixKeepFirst(tbl(s, dir, "documents"), "doc_id", "text")),
+
     // Exact n-gram Jaccard pairs via shingle inverted index.
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
@@ -744,10 +771,10 @@ object SparkEntry {
       "JOIN a1 USING(id) JOIN a2 USING(id) JOIN a3 USING(id))"
   }
 
-  /** MinHash-band pair CTE chain ending in `mhpairs(doc_a, doc_b,
-    * n_bands)` — shared by the dedup_minhash oracle and the
-    * dedup_components transitive closure built on top of it. */
-  private lazy val minhashPairsCtes: String = {
+  /** MinHash band-bucket CTE chain ending in `bands(doc_id, band, key)`
+    * — the signature stage shared by the pair, component, and
+    * prefix-keep-first oracles. */
+  private lazy val minhashBandsCtes: String = {
     val P = TextOps.MinhashP
     val mhs = (0 until 12).map(i =>
       s"list_min(list_transform(hs, h -> (h.h1 + $i * h.h2) % $P)) AS mh_$i")
@@ -768,13 +795,19 @@ object SparkEntry {
        |bands AS (SELECT doc_id,
        |  unnest([0, 1, 2, 3, 4, 5]) AS band,
        |  unnest([$keys]) AS key
-       | FROM sig),
+       | FROM sig)""".stripMargin
+  }
+
+  /** MinHash-band pair CTE chain ending in `mhpairs(doc_a, doc_b,
+    * n_bands)` — shared by the dedup_minhash oracle and the
+    * dedup_components transitive closure built on top of it. */
+  private lazy val minhashPairsCtes: String =
+    s"""$minhashBandsCtes,
        |mhpairs AS (
        |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS n_bands
        |  FROM bands l JOIN bands r
        |    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
        |  GROUP BY 1, 2)""".stripMargin
-  }
 
   /** Shared DuckDB fragments mirroring TextOps (tokens/shingles). */
   private val toksSql =
@@ -1041,6 +1074,18 @@ object SparkEntry {
       s"""WITH $minhashPairsCtes
          |SELECT doc_a, doc_b, n_bands FROM mhpairs ORDER BY 1, 2""".stripMargin,
 
+    // prefix-causal keep-first: drop a doc iff it shares a band bucket
+    // with any lower-id doc (the streaming-enforceable admission rule)
+    "dedup_prefix_keepfirst" ->
+      s"""WITH $minhashBandsCtes,
+         |losers AS (
+         |  SELECT DISTINCT r.doc_id
+         |  FROM bands l JOIN bands r
+         |    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
+         |SELECT d.doc_id FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+         |ORDER BY d.doc_id""".stripMargin,
+
     // connected components over the minhash pair graph: min reachable
     // id per node via a recursive transitive closure — exact at oracle
     // scale; the Spark side converges by min-label propagation
@@ -1285,6 +1330,9 @@ object SparkEntry {
     "pq_ivf_add_fixed" -> pqIvfFixedSql,
     // the residual recipe, float residuals + double folds replicated
     "pq_ivf_res_fixed" -> pqIvfResFixedSql,
+    // save→load→search lifecycle for the composed index: a faithful
+    // round-trip reproduces the in-memory probed ADC bit-for-bit
+    "pq_ivf_persist_fixed" -> pqIvfFixedSql,
 
     "ivf_search_fixed" -> ivfSearchFixedSql,
     // same identity for IVFFlat.add against frozen centroids

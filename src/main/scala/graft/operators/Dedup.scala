@@ -88,21 +88,20 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
-  /** Near-dup candidate pairs via MinHash banding: docs sharing at least
-    * one of numHashes/bandSize band buckets, with the shared-band count.
-    * Docs with < 3 tokens have no signature and never pair.
-    * One md5 per shingle (TextOps.minhashPairs); the bands frame is
-    * persisted so the self-join evaluates the signature pipeline once. */
-  def minhashBandPairs(docs: DataFrame, idCol: String, textCol: String,
-                       numHashes: Int = 12, bandSize: Int = 2): DataFrame = {
+  /** MinHash band-bucket keys `(id, band, key)` for each doc — the
+    * signature stage shared by [[minhashBandPairs]] and the streaming
+    * admission filter ([[graft.streaming.Streaming]]'s dedup ingest).
+    * Docs with < 3 tokens have no signature and emit no rows.
+    * One md5 per shingle via a typed mapPartitions (one MessageDigest
+    * per partition) — value-equivalent to the Column/SQL pipeline,
+    * ~10× cheaper (see TextHashFast contracts). */
+  def minhashBands(docs: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 12, bandSize: Int = 2): DataFrame = {
     require(bandSize == 2 && numHashes % bandSize == 0)
     val numBands = numHashes / bandSize
     val spark = docs.sparkSession
     import spark.implicits._
-    // signature stage as a typed mapPartitions (one MessageDigest per
-    // partition, one md5 per shingle) — value-equivalent to the Column/
-    // SQL pipeline, ~10× cheaper (see TextHashFast contracts)
-    val bands = docs
+    docs
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
@@ -118,17 +117,64 @@ object Dedup {
         }
       }
       .toDF("id", "band", "key")
+  }
+
+  /** Prefix-causal keep-first over MinHash band buckets: a doc is
+    * dropped iff it shares ≥ 1 band bucket with ANY lower-id doc —
+    * admitted or not. This is the admission rule a STREAMING dedup can
+    * enforce exactly (state = every bucket key seen so far, no
+    * retraction needed), and [[graft.streaming.Streaming]]'s minhash
+    * ingest twin reproduces it batch-for-batch when ids arrive in
+    * order. It differs from component keep-first
+    * ([[keepFirstByPairs]]) only on later-bridge graphs (a doc seen
+    * AFTER two clusters that links them) — the case no prefix-causal
+    * stream can resolve without retraction. Shuffle shape: one band
+    * self-join (posting-list sized) + one anti-join on id. */
+  def prefixKeepFirst(docs: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 12, bandSize: Int = 2): DataFrame = {
+    val bands = minhashBands(docs, idCol, textCol, numHashes, bandSize)
       .persist()
-    val out = bands.as("l").join(bands.as("r"),
+    val out = prefixKeepFirstOf(docs, idCol, bands)
+      .localCheckpoint(true)
+    bands.unpersist()
+    out
+  }
+
+  /** The un-checkpointed prefix-keep-first plan over a prepared bands
+    * frame — split out so the plan gates can inspect the join shape
+    * (the public wrapper's eager checkpoint collapses it to a leaf). */
+  private[graft] def prefixKeepFirstOf(docs: DataFrame, idCol: String,
+                                       bands: DataFrame): DataFrame = {
+    val losers = bands.as("l").join(bands.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.id") < col("r.id"))
+      .select(col("r.id").as(idCol)).distinct()
+    docs.join(losers, Seq(idCol), "left_anti")
+      .select(col(idCol)).orderBy(col(idCol))
+  }
+
+  /** Near-dup candidate pairs via MinHash banding: docs sharing at least
+    * one of numHashes/bandSize band buckets, with the shared-band count.
+    * The bands frame is persisted so the self-join evaluates the
+    * signature pipeline once. */
+  def minhashBandPairs(docs: DataFrame, idCol: String, textCol: String,
+                       numHashes: Int = 12, bandSize: Int = 2): DataFrame = {
+    val bands = minhashBands(docs, idCol, textCol, numHashes, bandSize)
+      .persist()
+    val out = minhashPairsOf(bands)
+      .localCheckpoint(true) // materialize the (small) pairs …
+    bands.unpersist()        // … then release the signature frame
+    out
+  }
+
+  /** Un-checkpointed band self-join plan (see [[prefixKeepFirstOf]]). */
+  private[graft] def minhashPairsOf(bands: DataFrame): DataFrame =
+    bands.as("l").join(bands.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
           col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
       .orderBy(col("doc_a"), col("doc_b"))
-      .localCheckpoint(true) // materialize the (small) pairs …
-    bands.unpersist()        // … then release the signature frame
-    out
-  }
 
   /** Exact n-gram Jaccard over distinct word-3-shingle sets, via the
     * shingle inverted index; pairs with similarity ≥ threshold.
@@ -162,12 +208,20 @@ object Dedup {
         .filter(col("df") > dfCap).select("sh")
       exAll.join(broadcast(hot), Seq("sh"), "left_anti")
     } else exAll
+    val out = jaccardPairsOf(ex, threshold).localCheckpoint(true)
+    exAll.unpersist()
+    out
+  }
+
+  /** Un-checkpointed inverted-index join plan over a prepared (id, sh)
+    * posting frame (see [[prefixKeepFirstOf]]). */
+  private[graft] def jaccardPairsOf(ex: DataFrame, threshold: Double): DataFrame = {
     val sizes = ex.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = ex.as("l").join(ex.as("r"),
         col("l.sh") === col("r.sh") && col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    val out = inter
+    inter
       .join(sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
       .join(sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
       .withColumn("jaccard",
@@ -176,9 +230,6 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
-      .localCheckpoint(true)
-    exAll.unpersist()
-    out
   }
 
   /** SimHash near-dup pairs within a Hamming radius, via pigeonhole
@@ -190,8 +241,6 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 2, bits: Int = 16): DataFrame = {
     require(bits == 16 || bits == 64, s"bits must be 16 or 64, got $bits")
-    val nChunks = maxHamming + 1
-    val bitsPer = bits / nChunks
     val spark = docs.sparkSession
     import spark.implicits._
     val fp = docs
@@ -208,6 +257,17 @@ object Dedup {
       }
       .toDF("id", "sim")
       .persist()
+    val out = simhashPairsOf(fp, maxHamming, bits).localCheckpoint(true)
+    fp.unpersist()
+    out
+  }
+
+  /** Un-checkpointed pigeonhole-chunk join plan over a prepared
+    * (id, sim) fingerprint frame (see [[prefixKeepFirstOf]]). */
+  private[graft] def simhashPairsOf(fp: DataFrame, maxHamming: Int,
+                                    bits: Int): DataFrame = {
+    val nChunks = maxHamming + 1
+    val bitsPer = bits / nChunks
     // the fingerprint space is far smaller than the corpus (2^16) or at
     // least heavily collapsed by near-dups (64-bit): run the chunk join
     // over DISTINCT fingerprints (quadratically less fanout). Only the
@@ -242,12 +302,9 @@ object Dedup {
         col("a.sim") === col("b.sim") && col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
         lit(0).as("hamming"))
-    val out = diffSim.unionByName(sameSim)
+    diffSim.unionByName(sameSim)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
-      .localCheckpoint(true)
-    fp.unpersist()
-    out
   }
 
   /** Embedding near-dup pairs via LSH-forest bucket prefilter — the
@@ -267,13 +324,21 @@ object Dedup {
       .select(col("id"), col("vector"),
         posexplode(col("paths")).as(Seq("tree", "path")))
       .persist()
-    // distance is computed codegen-narrow INSIDE each bucket join and the
-    // threshold filter runs BEFORE the dedup shuffle: a pair met in
-    // several trees carries a bit-identical distance, so deduplicating
-    // after the filter is equivalent — and the only shuffled rows are
-    // the surviving near-dup (id_a, id_b, distance) triples, never
-    // candidate vector pairs
-    val out = idx.as("l").join(idx.as("r"),
+    val out = embeddingPairsOf(idx, maxCosDist).localCheckpoint(true)
+    idx.unpersist()
+    out
+  }
+
+  /** Un-checkpointed leaf-bucket join plan over a prepared
+    * (id, vector, tree, path) frame (see [[prefixKeepFirstOf]]).
+    * Distance is computed codegen-narrow INSIDE each bucket join and the
+    * threshold filter runs BEFORE the dedup shuffle: a pair met in
+    * several trees carries a bit-identical distance, so deduplicating
+    * after the filter is equivalent — and the only shuffled rows are
+    * the surviving near-dup (id_a, id_b, distance) triples, never
+    * candidate vector pairs. */
+  private[graft] def embeddingPairsOf(idx: DataFrame, maxCosDist: Double): DataFrame =
+    idx.as("l").join(idx.as("r"),
         col("l.tree") === col("r.tree") && col("l.path") === col("r.path") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
@@ -281,10 +346,6 @@ object Dedup {
       .filter(col("distance") < maxCosDist)
       .dropDuplicates("id_a", "id_b")
       .orderBy(col("id_a"), col("id_b"))
-      .localCheckpoint(true)
-    idx.unpersist()
-    out
-  }
 
   /** Embedding near-dup pairs under cosine distance < threshold. Exact
     * pair scan (oracle-checkable); see class doc for the 100 TB path

@@ -113,6 +113,66 @@ object Streaming {
       }
   }
 
+  /** State of the streaming near-dup admission filter
+    * ([[ingestDedupMinhash]]): `admitted` accumulates the surviving
+    * rows; `bands` accumulates EVERY band-bucket key seen so far —
+    * including dropped docs' keys, which is what makes the admission
+    * rule exactly [[graft.operators.Dedup.prefixKeepFirst]] (a doc is
+    * dropped iff it shares a bucket with ANY earlier doc, admitted or
+    * not) rather than an approximation of it. */
+  case class DedupIngestState(admitted: DataFrame, bands: DataFrame,
+                              addsSinceCompact: Int = 0)
+
+  /** Streaming MinHash near-dup dedup — the admission-filter shape a
+    * training-data ingest needs: each microbatch drops (a) docs sharing
+    * a band bucket with any doc from an EARLIER batch (state semi-join)
+    * and (b) docs sharing a bucket with a lower-id doc in the SAME
+    * batch, then appends the survivors to `admitted` and ALL the
+    * batch's bucket keys to `bands`. With id-ordered arrival this
+    * reproduces the batch `dedup_prefix_keepfirst` oracle rule
+    * batch-for-batch (see [[graft.operators.Dedup.prefixKeepFirst]] for
+    * why prefix-causality is the strongest rule a no-retraction stream
+    * can enforce). Shuffle shape per batch: one bucket semi-join against
+    * state (equi-join on (band, key) — posting-list sized, never
+    * all-pairs) + one batch-local self-join. State lineage compacts on
+    * the [[graft.index.Lineage.CompactEvery]] cadence like every other
+    * ingest twin, so unbounded microbatch counts hold plan depth
+    * bounded. */
+  def ingestDedupMinhash(stream: DataFrame, idCol: String, textCol: String,
+                         state: java.util.concurrent.atomic.AtomicReference[DedupIngestState],
+                         numHashes: Int = 12, bandSize: Int = 2)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val st = state.get()
+          // materialize the signature stage once — it feeds the state
+          // semi-join, the intra-batch self-join, AND the new state
+          val b = graft.operators.Dedup
+            .minhashBands(batch, idCol, textCol, numHashes, bandSize)
+            .localCheckpoint(true)
+          val dupVsState = b.join(st.bands, Seq("band", "key"), "left_semi")
+            .select(col("id"))
+          val dupIntra = b.as("l").join(b.as("r"),
+              col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+                col("l.id") < col("r.id"))
+            .select(col("r.id").as("id"))
+          val losers = dupVsState.unionByName(dupIntra).distinct()
+            .withColumnRenamed("id", idCol)
+          val admittedBatch = batch.join(losers, Seq(idCol), "left_anti")
+          // single-writer foreachBatch: see ingestIntoIVF. Both state
+          // frames compact on the shared cadence.
+          val (admitted, n) = graft.index.Lineage.compact(
+            st.admitted.unionByName(admittedBatch), st.addsSinceCompact)
+          val (bands, _) = graft.index.Lineage.compact(
+            st.bands.unionByName(b), st.addsSinceCompact)
+          state.set(DedupIngestState(admitted, bands, n))
+        }
+      }
+      .start()
+  }
+
   /** Streaming index ingest — the `Index::add` analogue: each microbatch
     * of (id, vector) rows is routed into the live IVFFlat model (frozen
     * centroids, ivfflat.rs:200-213 semantics). Returns the query handle;

@@ -121,6 +121,48 @@ class PlanSpec extends SparkSpec {
       k = 10, nprobe = 2), "IVFPQ ADC")
   }
 
+  test("dedup pair generators never plan a cartesian/nested-loop join") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.DataFrame
+    // every near-dup generator's claim to 100 TB is that candidates meet
+    // only inside an equi-join bucket (band, shingle, pigeonhole chunk,
+    // LSH leaf); a CartesianProduct or BroadcastNestedLoopJoin in any of
+    // them means the bucket key silently fell out of the join condition
+    // and the operator regressed to all-pairs (dedup_embed is the
+    // documented oracle-only all-pairs face — excluded by design). The
+    // public wrappers eagerly checkpoint (their plan collapses to a
+    // leaf), so the gate inspects the factored un-checkpointed plans.
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).cache()
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val bands = Dedup.minhashBands(docs, "doc_id", "text")
+    import spark.implicits._
+    val postings = docs.as[(Long, String)].flatMap { case (id, t) =>
+      graft.operators.TextHashFast.shingles3(
+        graft.operators.TextHashFast.tokenize(t)).distinct.map(s => (id, s))
+    }.toDF("id", "sh")
+    val fp = docs.select(col("doc_id").as("id"),
+      graft.operators.TextOps.simhash64(col("text")).as("sim"))
+    val lshIdx = graft.index.LSHForest.build(emb, "vec_id", "embedding",
+        graft.index.LSHForest.Params(numTrees = 2, maxNodeSize = 64))
+      .indexed.select(col("id"), col("vector"),
+        posexplode(col("paths")).as(Seq("tree", "path")))
+    val cases: Seq[(String, DataFrame)] = Seq(
+      "minhash_pairs" -> Dedup.minhashPairsOf(bands),
+      "prefix_keepfirst" -> Dedup.prefixKeepFirstOf(docs, "doc_id", bands),
+      "jaccard_pairs" -> Dedup.jaccardPairsOf(postings, 0.2),
+      "simhash64_pairs" -> Dedup.simhashPairsOf(fp, maxHamming = 3, bits = 64),
+      "embed_lsh_pairs" -> Dedup.embeddingPairsOf(lshIdx, 0.2))
+    cases.foreach { case (name, df) =>
+      df.collect() // finalize the adaptive plan
+      val nodes = flatten(df.queryExecution.executedPlan).map(_.nodeName)
+      assert(!nodes.exists(n => n.contains("CartesianProduct")
+          || n.contains("BroadcastNestedLoopJoin")),
+        s"$name planned an all-pairs join:\n" +
+          df.queryExecution.executedPlan.toString.take(1200))
+    }
+  }
+
   test("IVFPQ probed search statically prunes code partitions on a loaded index") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val cbs = SparkEntry.fixedCodebooks(emb, 4)

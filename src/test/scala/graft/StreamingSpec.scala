@@ -253,6 +253,46 @@ class StreamingSpec extends SparkSpec {
     assert(lsh.indexed.count() == 440)
   }
 
+  test("streaming minhash dedup equals the batch prefix-keep-first rule") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    import graft.streaming.Streaming.DedupIngestState
+    // corpus with planted exact near-dups: a copy shares every band
+    // bucket with its source, so the higher-id copy must be dropped
+    val base = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text").orderBy($"doc_id").limit(50).cache()
+    val offset = base.agg(max($"doc_id")).head().getLong(0) + 1
+    val all = base.unionByName(
+        base.withColumn("doc_id", $"doc_id" + offset))
+      .cache()
+    val emptyDocs = all.filter(lit(false))
+    val state = new java.util.concurrent.atomic.AtomicReference(
+      DedupIngestState(emptyDocs,
+        Dedup.minhashBands(emptyDocs, "doc_id", "text")))
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.ingestDedupMinhash(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", state)
+    // id-ordered arrival across 4 microbatches — the ordering the
+    // prefix rule's batch face assumes
+    val rows = all.orderBy($"doc_id").as[(Long, String)].collect()
+    rows.grouped(rows.length / 4 + 1).foreach { chunk =>
+      mem.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = state.get().admitted
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val batch = Dedup.prefixKeepFirst(all, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == batch)
+    // every planted copy of a signature-bearing (≥3-token) doc must be
+    // dropped — it shares all 6 band buckets with its lower-id source
+    val sigIds = Dedup.minhashBands(base, "doc_id", "text")
+      .select($"id").distinct().collect().map(_.getLong(0)).toSet
+    assert(sigIds.nonEmpty)
+    assert(sigIds.forall(id => !streamed.contains(id + offset)))
+  }
+
   test("streaming ingest patches the PQ codes (Index::add analogue)") {
     implicit val sqlCtx = spark.sqlContext
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
