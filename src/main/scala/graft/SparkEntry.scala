@@ -521,6 +521,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic content-addressed train/val/test split: md5-derived
+    // fraction, no RNG — membership is stable across runs, cluster
+    // sizes, and repartitions (the property daily 100 TB rebuilds need).
+    "doc_split" -> ((s, dir) =>
+      graft.operators.Splits.assign(tbl(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))),
+
+    // Token-budget sequence packing: greedy bins from the exclusive
+    // prefix-sum of token counts within parallel (split, shard) lanes.
+    "doc_pack" -> ((s, dir) =>
+      graft.operators.Splits.packTokens(tbl(s, dir, "documents"),
+          "doc_id", "text", budget = 1000, shards = 8)
+        .orderBy(col("doc_id"))),
+
     // Language ID by stopword-hit argmax (n-gram heuristic family).
     "text_langid" -> ((s, dir) => {
       tbl(s, dir, "documents")
@@ -1045,6 +1060,40 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpeish
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // md5-derived fraction: first 8 hex chars over 2^32 — exact in a
+    // double on both engines, so the cut comparisons hash-match
+    "doc_split" ->
+      """WITH f AS (SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    / 4294967296.0 AS frac
+        | FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN frac < 0.8 THEN 'train'
+        |       WHEN frac < 0.9 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "doc_pack" ->
+      s"""WITH f AS (SELECT doc_id, text,
+         |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |    / 4294967296.0 AS frac
+         | FROM documents),
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN frac < 0.8 THEN 'train'
+         |       WHEN frac < 0.9 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  doc_id % 8 AS shard,
+         |  CAST(len($toksSql) AS BIGINT) AS n_tokens
+         | FROM f),
+         |c AS (SELECT doc_id, split, shard, n_tokens,
+         |  COALESCE(SUM(n_tokens) OVER (PARTITION BY split, shard
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    0) AS prior
+         | FROM sp)
+         |SELECT doc_id, split, shard, n_tokens,
+         |  CAST(prior // 1000 AS BIGINT) AS bin
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "doc_winnow" ->
       """WITH g AS (SELECT doc_id,

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus-splitting operators for training-data pipelines
+  * (beyond the reference surface — vers is vectors-only — per the
+  * driver's north star).
+  *
+  * Both operators are content-addressed, not sampled: the same doc gets
+  * the same split/bin on every run, on any cluster size, under any
+  * partitioning — the property that keeps train/test membership stable
+  * across a 100 TB corpus's daily rebuilds. No RNG, no
+  * `sample()`-style partition sensitivity.
+  */
+object Splits {
+
+  /** Uniform [0, 1) fraction derived from the id's md5 — the split
+    * coordinate. First 8 hex chars as a 32-bit int over 2³²: exact in
+    * a double, engine-portable (the oracle reproduces it bit-for-bit).
+    */
+  private[graft] def hashFrac(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+
+  /** Assign each row a named split by hash fraction: `cuts` are the
+    * cumulative upper bounds, e.g. Seq(("train", 0.8), ("val", 0.9),
+    * ("test", 1.0)). Pure narrow map — no shuffle, no state; scale-free.
+    */
+  def assign(df: DataFrame, idCol: String,
+             cuts: Seq[(String, Double)] = Seq(
+               ("train", 0.8), ("val", 0.9), ("test", 1.0))): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 >= 1.0,
+      "last cut must cover the [0,1) fraction space")
+    val f = hashFrac(col(idCol))
+    val split = cuts.init.foldRight(lit(cuts.last._1): Column) {
+      case ((name, ub), rest) => when(f < lit(ub), lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", split)
+  }
+
+  /** Token-budget sequence packing: within each (split, shard) lane,
+    * docs pack greedily in id order — bin = exclusive-prefix-sum of
+    * token counts over the lane, integer-divided by `budget` (so a bin
+    * holds docs until their combined tokens cross the budget; one doc
+    * may straddle, the standard drop-or-truncate point downstream).
+    *
+    * The lane window is the packing semantics, not an implementation
+    * shortcut: packing is inherently a sequential scan, and `shards`
+    * bounds that scan to 1/shards of the corpus — lanes run in
+    * parallel, each sorted once. At 100 TB pick shards ≈ the cluster's
+    * task parallelism; membership stays deterministic because the lane
+    * key (id mod shards) and the order (id) are content-addressed, not
+    * partition-addressed. */
+  def packTokens(docs: DataFrame, idCol: String, textCol: String,
+                 budget: Int = 1000, shards: Int = 8,
+                 cuts: Seq[(String, Double)] = Seq(
+                   ("train", 0.8), ("val", 0.9), ("test", 1.0))): DataFrame = {
+    val withSplit = assign(docs, idCol, cuts)
+      .withColumn("shard", pmod(col(idCol).cast("long"), lit(shards.toLong)))
+      .withColumn("n_tokens", size(TextOps.tokens(col(textCol))).cast("long"))
+    val lane = Window.partitionBy("split", "shard").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withSplit
+      .withColumn("prior", coalesce(sum(col("n_tokens")).over(lane), lit(0L)))
+      .withColumn("bin", (col("prior") / lit(budget.toLong)).cast("long"))
+      .select(col(idCol), col("split"), col("shard"), col("n_tokens"),
+        col("bin"))
+  }
+}
