@@ -144,6 +144,29 @@ object DedupScaleSmoke extends Serializable {
         ((shuffleBytes.get() - before) / (1L << 20)).toString
       out += "components_survivors" -> survivors.toString
     }
+    // streaming-admission rule at corpus scale: drop iff any band
+    // bucket is shared with a lower id (the dedup_prefix_keepfirst
+    // batch face; StreamingSpec pins stream == batch, so these numbers
+    // ARE the streaming ingest filter's scale envelope). Every planted
+    // dup's base has a lower id, so planted drop-recall mirrors the
+    // banding recall above.
+    {
+      Thread.sleep(500)
+      val before = shuffleBytes.get()
+      val (res, t) = timed {
+        val admitted = operators.Dedup.prefixKeepFirst(docs, "doc_id", "text")
+        admitted.count(); admitted
+      }
+      Thread.sleep(500)
+      val survivingDups = res.filter(col("doc_id") >= nBase).count()
+      out += "prefix_keepfirst_s" -> f"$t%.1f"
+      out += "prefix_shuffle_mb" ->
+        ((shuffleBytes.get() - before) / (1L << 20)).toString
+      out += "prefix_survivors" -> res.count().toString
+      out += "prefix_planted_drop_recall" ->
+        f"${(nDup - survivingDups).toDouble / nDup}%.3f"
+    }
+
     phase("simhash64_h3", planted, nDup) {
       operators.Dedup.simhashPairs(docs, "doc_id", "text",
         maxHamming = 3, bits = 64)

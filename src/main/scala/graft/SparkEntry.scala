@@ -608,6 +608,13 @@ object SparkEntry {
       Dedup.jaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
         threshold = 0.2, dfCap = 8)),
 
+    // Shingle-containment pairs: catches partial copies (a short doc
+    // embedded in a long one) that symmetric Jaccard misses. Threshold
+    // 0.5 = half of the smaller side's shingles appear in the other.
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.5)),
+
     // SimHash pairs within Hamming radius 2 (pigeonhole chunk join).
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(tbl(s, dir, "documents"), "doc_id", "text",
@@ -1164,6 +1171,25 @@ object SparkEntry {
          |JOIN sizes na ON na.doc_id = i2.doc_a
          |JOIN sizes nb ON nb.doc_id = i2.doc_b
          |WHERE CAST(i2.i AS DOUBLE) / CAST(na.n + nb.n - i2.i AS DOUBLE) >= 0.2
+         |ORDER BY 1, 2""".stripMargin,
+
+    // directed-containment max over the same inverted index
+    "dedup_containment" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s2 AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+         |ex AS (SELECT doc_id, unnest(list_distinct(sh)) AS s FROM s2),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+         |inter AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS i
+         |  FROM ex l JOIN ex r ON l.s = r.s AND l.doc_id < r.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT i2.doc_a, i2.doc_b,
+         |  greatest(CAST(i2.i AS DOUBLE) / CAST(na.n AS DOUBLE),
+         |           CAST(i2.i AS DOUBLE) / CAST(nb.n AS DOUBLE)) AS containment
+         |FROM inter i2
+         |JOIN sizes na ON na.doc_id = i2.doc_a
+         |JOIN sizes nb ON nb.doc_id = i2.doc_b
+         |WHERE greatest(CAST(i2.i AS DOUBLE) / CAST(na.n AS DOUBLE),
+         |               CAST(i2.i AS DOUBLE) / CAST(nb.n AS DOUBLE)) >= 0.5
          |ORDER BY 1, 2""".stripMargin,
 
     "dedup_jaccard" ->

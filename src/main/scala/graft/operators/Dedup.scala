@@ -190,9 +190,35 @@ object Dedup {
     * pairs. 0 = uncapped (the oracle configuration). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.5, dfCap: Int = 0): DataFrame = {
+    val exAll = shinglePostings(docs, idCol, textCol).persist()
+    val out = jaccardPairsOf(capPostings(exAll, dfCap), threshold)
+      .localCheckpoint(true)
+    exAll.unpersist()
+    out
+  }
+
+  /** Shingle-containment pairs over the SAME inverted index: a pair
+    * qualifies when either side's shingle set is ≥ threshold contained
+    * in the other (containment(A→B) = |A∩B| / |A|). Catches the
+    * partial copies symmetric Jaccard misses — a 100-shingle quote
+    * embedded verbatim in a 1000-shingle doc has Jaccard ≈ 0.1 but
+    * containment 1.0. Identical join/shuffle shape and dfCap insurance
+    * as [[jaccardPairs]]. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double = 0.8, dfCap: Int = 0): DataFrame = {
+    val exAll = shinglePostings(docs, idCol, textCol).persist()
+    val out = containmentPairsOf(capPostings(exAll, dfCap), threshold)
+      .localCheckpoint(true)
+    exAll.unpersist()
+    out
+  }
+
+  /** Distinct word-3-shingle posting list (id, sh) per doc. */
+  private def shinglePostings(docs: DataFrame, idCol: String,
+                              textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val exAll = docs
+    docs
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
@@ -200,36 +226,50 @@ object Dedup {
           .distinct.iterator.map(s => (id, s))
       })
       .toDF("id", "sh")
-      .persist()
-    // hot-shingle blacklist: at most (total postings / cap) entries, so
-    // it broadcasts; the anti-join never shuffles the posting lists
-    val ex = if (dfCap > 0) {
-      val hot = exAll.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") > dfCap).select("sh")
-      exAll.join(broadcast(hot), Seq("sh"), "left_anti")
-    } else exAll
-    val out = jaccardPairsOf(ex, threshold).localCheckpoint(true)
-    exAll.unpersist()
-    out
   }
+
+  /** hot-shingle blacklist: at most (total postings / cap) entries, so
+    * it broadcasts; the anti-join never shuffles the posting lists */
+  private def capPostings(ex: DataFrame, dfCap: Int): DataFrame =
+    if (dfCap > 0) {
+      val hot = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") > dfCap).select("sh")
+      ex.join(broadcast(hot), Seq("sh"), "left_anti")
+    } else ex
 
   /** Un-checkpointed inverted-index join plan over a prepared (id, sh)
     * posting frame (see [[prefixKeepFirstOf]]). */
-  private[graft] def jaccardPairsOf(ex: DataFrame, threshold: Double): DataFrame = {
-    val sizes = ex.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = ex.as("l").join(ex.as("r"),
-        col("l.sh") === col("r.sh") && col("l.id") < col("r.id"))
-      .groupBy(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+  private[graft] def jaccardPairsOf(ex: DataFrame, threshold: Double): DataFrame =
+    interWithSizes(ex)
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Containment twin of [[jaccardPairsOf]]: max of the two directed
+    * containments, so the threshold reads "either side is this
+    * contained in the other". */
+  private[graft] def containmentPairsOf(ex: DataFrame, threshold: Double): DataFrame =
+    interWithSizes(ex)
+      .withColumn("containment", greatest(
+        col("inter").cast("double") / col("na").cast("double"),
+        col("inter").cast("double") / col("nb").cast("double")))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Pair intersection counts + both side sizes via the inverted-index
+    * equi-join (the shared core of Jaccard and containment). */
+  private def interWithSizes(ex: DataFrame): DataFrame = {
+    val sizes = ex.groupBy("id").agg(count(lit(1)).as("n"))
+    ex.as("l").join(ex.as("r"),
+        col("l.sh") === col("r.sh") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
   }
 
   /** SimHash near-dup pairs within a Hamming radius, via pigeonhole

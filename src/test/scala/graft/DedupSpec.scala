@@ -104,6 +104,25 @@ class DedupSpec extends SparkSpec {
     assert(cp.count() == 0)
   }
 
+  test("containment catches a planted partial copy that Jaccard misses") {
+    // B = the first 12 tokens of A: every B-shingle is in A, so
+    // containment(B→A) = 1.0 while Jaccard = 10/28 ≈ 0.36
+    val aTokens = (0 until 30).map(i => s"tok$i")
+    val corpus = Seq(
+      (0L, aTokens.mkString(" ")),
+      (1L, aTokens.take(12).mkString(" ")),
+      (2L, (100 until 130).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(corpus, "doc_id", "text",
+      threshold = 0.9).collect()
+    assert(cont.length == 1)
+    assert(cont(0).getLong(0) == 0L && cont(0).getLong(1) == 1L)
+    assert(cont(0).getDouble(2) == 1.0)
+    val jac = Dedup.jaccardPairs(corpus, "doc_id", "text",
+      threshold = 0.5).collect()
+    assert(jac.isEmpty, "symmetric Jaccard must miss the partial copy")
+  }
+
   test("components: chains collapse to min id; keep-first drops exactly the losers") {
     // 1-2-3-4 is a 3-hop chain (forces multi-round propagation, given
     // in reversed edge order), 10-11 a pair, 20-21-22 a triangle-free vee
