@@ -225,6 +225,21 @@ object SparkEntry {
         .orderBy(col("qid"), col("distance"), col("id"))
     }),
 
+    // ADC shortlist + exact re-rank, degenerate config: factor×k = 500
+    // covers the whole sf0.01 corpus, so the re-rank stage must
+    // reproduce exhaustive search bit-for-bit — gates the shortlist
+    // join + exact-distance re-rank composition under the existing
+    // exhaustive oracle (the lsh_knn_exact trick for the PQ serving
+    // path).
+    "pq_rerank_exact" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val model = graft.index.PQ.withCodebooks(emb, "vec_id", "embedding",
+        fixedCodebooks(emb, 4), graft.index.PQ.Params(m = 4, k = 16))
+      model.searchManyRefined(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, factor = 50, emb, "vec_id", "embedding")
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
     // IVF-PQ composed search against the SAME pinned parts (centroids
     // vec_id < 8, codebooks vec_id < 16): probe the 2 nearest cells,
     // ADC over the codes inside probed cells only, top-10 — the
@@ -276,6 +291,21 @@ object SparkEntry {
         residual = true)
       model.searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
           k = 10, nprobe = 2)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
+    // the IVFPQ re-rank twin: probe ALL pinned cells + whole-corpus
+    // shortlist — must equal exhaustive exactly (pq_rerank_exact shape
+    // for the composed index).
+    "pq_ivf_rerank_exact" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = fixedCentroids(emb)
+      val sizes = Array.fill(cents.length)(Long.MaxValue)
+      val model = graft.index.IVFPQ.build(emb, "vec_id", "embedding",
+        cents, sizes, fixedCodebooks(emb, 4), graft.index.PQ.Params(m = 4, k = 16))
+      model.searchManyRefined(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, factor = 50, nprobe = cents.length,
+          emb, "vec_id", "embedding")
         .orderBy(col("qid"), col("distance"), col("id"))
     }),
 
@@ -1408,6 +1438,11 @@ object SparkEntry {
     // save→load→search lifecycle for the composed index: a faithful
     // round-trip reproduces the in-memory probed ADC bit-for-bit
     "pq_ivf_persist_fixed" -> pqIvfFixedSql,
+    // whole-corpus shortlist + exact re-rank must equal exhaustive:
+    // the degenerate config that puts the re-rank serving path under
+    // the oracle (both the flat and the composed index)
+    "pq_rerank_exact" -> exhaustiveKnnSql,
+    "pq_ivf_rerank_exact" -> exhaustiveKnnSql,
 
     "ivf_search_fixed" -> ivfSearchFixedSql,
     // same identity for IVFFlat.add against frozen centroids
