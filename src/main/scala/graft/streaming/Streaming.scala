@@ -113,6 +113,18 @@ object Streaming {
       }
   }
 
+  /** Streaming exact dedup (one survivor per key) with WATERMARK-BOUNDED
+    * state: keys whose event time falls more than `delay` behind the
+    * watermark are evicted, so an unbounded stream holds bounded state
+    * — the scale contract that makes streaming exact dedup deployable
+    * (a key recurring after `delay` re-emits; global forever-dedup is
+    * the batch operator's job, [[graft.operators.Dedup.exactKeepFirst]],
+    * or the unbounded-state `dropDuplicates`). */
+  def dedupExactStream(stream: DataFrame, keyCols: Seq[String],
+                       tsCol: String, delay: String): DataFrame =
+    stream.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** State of the streaming near-dup admission filter
     * ([[ingestDedupMinhash]]): `admitted` accumulates the surviving
     * rows; `bands` accumulates EVERY band-bucket key seen so far —

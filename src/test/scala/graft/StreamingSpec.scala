@@ -253,6 +253,37 @@ class StreamingSpec extends SparkSpec {
     assert(lsh.indexed.count() == 440)
   }
 
+  test("watermarked exact dedup: one survivor per key in-window, state evicts past the delay") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val q = Streaming.dedupExactStream(
+        mem.toDF().toDF("ts", "content"), Seq("content"), "ts", "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_exact_out").start()
+    // batch 1: duplicate key inside the window → one row out
+    mem.addData((ts(0), "A"), (ts(5), "A"))
+    q.processAllAvailable()
+    // batch 2: advances the watermark to 60 − 10 = 50 min, far past A's
+    // event time → A's state is evicted
+    mem.addData((ts(60), "B"))
+    q.processAllAvailable()
+    // batch 3: A recurs AFTER the delay — bounded state means it
+    // re-emits (the documented trade vs forever-dedup)
+    mem.addData((ts(65), "A"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_exact_out")
+      .collect().map(r => (r.getTimestamp(0).getTime / 60000L, r.getString(1)))
+      .toSet
+    // exactly one A from batch 1 (which of the two in-window duplicates
+    // survives is not part of the contract), then B, then the post-
+    // eviction A recurrence
+    assert(got.size == 3, got.toString)
+    assert(got.count(e => e._2 == "A" && e._1 <= 5L) == 1, got.toString)
+    assert(got.contains((60L, "B")) && got.contains((65L, "A")), got.toString)
+  }
+
   test("streaming minhash dedup equals the batch prefix-keep-first rule") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Dedup
