@@ -619,6 +619,26 @@ object SparkEntry {
       Dedup.components(pairs, "doc_a", "doc_b").orderBy(col("id"))
     }),
 
+    // Normalization-aware exact dedup: keep-first over the canonical
+    // text (lowercase, punctuation-stripped, whitespace-collapsed) —
+    // catches trivially-reformatted copies before any near-dup pass.
+    "dedup_exact_norm" -> ((s, dir) =>
+      Dedup.exactKeepFirst(
+          tbl(s, dir, "documents")
+            .withColumn("norm", TextOps.normalizeText(col("text"))),
+          "doc_id", Seq("norm"))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))),
+
+    // Corpus vocabulary with counts — the tokenizer-training input:
+    // top-100 tokens by total frequency, deterministic tie-break.
+    "text_vocab" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(100)),
+
     // Prefix-causal keep-first over minhash band buckets: drop a doc
     // iff it shares a bucket with ANY lower-id doc. This is the exact
     // batch face of the streaming dedup ingest (Streaming.
@@ -1202,6 +1222,23 @@ object SparkEntry {
          |JOIN sizes nb ON nb.doc_id = i2.doc_b
          |WHERE CAST(i2.i AS DOUBLE) / CAST(na.n + nb.n - i2.i AS DOUBLE) >= 0.2
          |ORDER BY 1, 2""".stripMargin,
+
+    // keep-first over the canonical (normalized) text
+    "dedup_exact_norm" ->
+      """WITH n AS (SELECT doc_id,
+        |  trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+        |    '\s+', ' ', 'g')) AS norm
+        | FROM documents)
+        |SELECT doc_id FROM n
+        |QUALIFY row_number() OVER (PARTITION BY norm ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_vocab" ->
+      """WITH t AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+        |  x -> len(x) > 0)) AS token FROM documents)
+        |SELECT token, count(*) AS n FROM t GROUP BY token
+        |ORDER BY n DESC, token LIMIT 100""".stripMargin,
 
     // directed-containment max over the same inverted index
     "dedup_containment" ->

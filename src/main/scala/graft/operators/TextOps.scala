@@ -20,6 +20,15 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > lit(0))
 
+  /** Canonical text for normalization-aware exact dedup: lowercase,
+    * strip non-alphanumerics (ASCII classes — engine-portable, unlike
+    * unicode property classes), collapse whitespace runs, trim. Two
+    * docs differing only in case/punctuation/spacing normalize equal.
+    * Pure codegen column fn — a narrow map at any scale. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "))
+
   /** Word n-gram shingles joined by single spaces; docs with fewer than
     * `n` tokens get an empty list. */
   def shingles(text: Column, n: Int = 3): Column = {

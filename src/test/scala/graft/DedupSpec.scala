@@ -104,6 +104,24 @@ class DedupSpec extends SparkSpec {
     assert(cp.count() == 0)
   }
 
+  test("normalized exact dedup collapses case/punctuation/spacing variants") {
+    val corpus = Seq(
+      (0L, "The quick Brown Fox!"),
+      (1L, "the   quick brown fox"),  // same after normalization
+      (2L, "THE QUICK, BROWN... FOX"),
+      (3L, "a different document"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.exactKeepFirst(
+        corpus.withColumn("norm", TextOps.normalizeText(col("text"))),
+        "doc_id", Seq("norm"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 3L))
+    // plain exact dedup keeps all four — normalization is what collapses
+    val plain = Dedup.exactKeepFirst(corpus, "doc_id", Seq("text"))
+      .collect().length
+    assert(plain == 4)
+  }
+
   test("containment catches a planted partial copy that Jaccard misses") {
     // B = the first 12 tokens of A: every B-shingle is in A, so
     // containment(B→A) = 1.0 while Jaccard = 10/28 ≈ 0.36
