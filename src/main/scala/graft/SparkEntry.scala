@@ -619,14 +619,17 @@ object SparkEntry {
       Dedup.components(pairs, "doc_a", "doc_b").orderBy(col("id"))
     }),
 
-    // Normalization-aware exact dedup: keep-first over the canonical
-    // text (lowercase, punctuation-stripped, whitespace-collapsed) —
-    // catches trivially-reformatted copies before any near-dup pass.
+    // Normalization-aware exact dedup: keep-first over md5 of the
+    // canonical text (lowercase, punctuation-stripped, whitespace-
+    // collapsed) — catches trivially-reformatted copies before any
+    // near-dup pass. Deduping on the DIGEST, not the text, keeps the
+    // shuffle key 32 hex chars however long the documents are (the
+    // projection below the exchange drops text entirely — plan-gated).
     "dedup_exact_norm" -> ((s, dir) =>
       Dedup.exactKeepFirst(
           tbl(s, dir, "documents")
-            .withColumn("norm", TextOps.normalizeText(col("text"))),
-          "doc_id", Seq("norm"))
+            .withColumn("norm_h", md5(TextOps.normalizeText(col("text")))),
+          "doc_id", Seq("norm_h"))
         .select(col("doc_id"))
         .orderBy(col("doc_id"))),
 
@@ -1223,15 +1226,15 @@ object SparkEntry {
          |WHERE CAST(i2.i AS DOUBLE) / CAST(na.n + nb.n - i2.i AS DOUBLE) >= 0.2
          |ORDER BY 1, 2""".stripMargin,
 
-    // keep-first over the canonical (normalized) text
+    // keep-first over md5 of the canonical (normalized) text
     "dedup_exact_norm" ->
       """WITH n AS (SELECT doc_id,
-        |  trim(regexp_replace(
+        |  md5(trim(regexp_replace(
         |    regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
-        |    '\s+', ' ', 'g')) AS norm
+        |    '\s+', ' ', 'g'))) AS norm_h
         | FROM documents)
         |SELECT doc_id FROM n
-        |QUALIFY row_number() OVER (PARTITION BY norm ORDER BY doc_id) = 1
+        |QUALIFY row_number() OVER (PARTITION BY norm_h ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
 
     "text_vocab" ->

@@ -163,6 +163,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dedup_exact_norm shuffles the digest, never the document text") {
+    val df = SparkEntry.queries("dedup_exact_norm")(spark, sf001)
+    df.collect()
+    val exchanges = flatten(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }
+    assert(exchanges.nonEmpty)
+    // the window dedup's shuffle must carry (doc_id, norm_h) only — a
+    // text/norm column in any exchange means full documents started
+    // riding the shuffle as the dedup key
+    exchanges.foreach { e =>
+      val bad = e.output.map(_.name).filter(n => n == "text" || n == "norm")
+      assert(bad.isEmpty,
+        s"exchange carries document text ${bad.mkString(",")}:\n" +
+          e.toString.take(600))
+    }
+  }
+
   test("IVFPQ probed search statically prunes code partitions on a loaded index") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val cbs = SparkEntry.fixedCodebooks(emb, 4)
