@@ -172,7 +172,13 @@ object Streaming {
             .select(col("r.id").as("id"))
           val losers = dupVsState.unionByName(dupIntra).distinct()
             .withColumnRenamed("id", idCol)
+          // materialize the increment like `b` above: each admitted
+          // batch joins against the batch bands AND the state bands, so
+          // un-checkpointed it would stack a ~45-node join subtree per
+          // union — bounded by the cadence, but ~10× heavier per batch
+          // than the index twins' narrow assign/encode increments
           val admittedBatch = batch.join(losers, Seq(idCol), "left_anti")
+            .localCheckpoint(true)
           // single-writer foreachBatch: see ingestIntoIVF. Both state
           // frames compact on the shared cadence.
           val (admitted, n) = graft.index.Lineage.compact(

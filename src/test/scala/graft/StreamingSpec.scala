@@ -324,6 +324,37 @@ class StreamingSpec extends SparkSpec {
     assert(sigIds.forall(id => !streamed.contains(id + offset)))
   }
 
+  test("80-microbatch dedup ingest keeps state plan depth bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    import graft.streaming.Streaming.DedupIngestState
+    // 80 single-doc microbatches cross two compaction boundaries; docs
+    // are all-distinct so every one is admitted
+    val rows = (0 until 80).map(i =>
+      (i.toLong, (0 until 10).map(t => s"u${i}t$t").mkString(" ")))
+    val emptyDocs = rows.take(0).toDF("doc_id", "text")
+    val state = new java.util.concurrent.atomic.AtomicReference(
+      DedupIngestState(emptyDocs,
+        Dedup.minhashBands(emptyDocs, "doc_id", "text")))
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.ingestDedupMinhash(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", state)
+    rows.foreach { r =>
+      mem.addData(r)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val st = state.get()
+    def nodes(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.logical.collect { case n => n }.size
+    // without the Lineage cadence both frames would hold 80 stacked
+    // unions (plus a join subtree per batch on the bands side)
+    assert(nodes(st.admitted) < 200, s"admitted lineage: ${nodes(st.admitted)}")
+    assert(nodes(st.bands) < 200, s"bands lineage: ${nodes(st.bands)}")
+    assert(st.addsSinceCompact == 80 % graft.index.Lineage.CompactEvery)
+    assert(st.admitted.count() == 80)
+  }
+
   test("streaming ingest patches the PQ codes (Index::add analogue)") {
     implicit val sqlCtx = spark.sqlContext
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
