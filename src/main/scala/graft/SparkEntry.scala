@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps._
@@ -127,6 +128,17 @@ object SparkEntry {
       val queries = emb.filter(col("vec_id") < 5)
       Exhaustive.knnJoin(queries, "vec_id", "embedding",
           emb, "vec_id", "embedding", k = 10, metric = "cosine")
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
+    // Maximum-inner-product top-10 (recommendation serving): negated
+    // dot through the shared ascending top-k drain, so `distance` is
+    // -(a·b) and row 1 is the largest inner product.
+    "knn_mips" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+      Exhaustive.knnJoin(queries, "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 10, metric = "negdot")
         .orderBy(col("qid"), col("distance"), col("id"))
     }),
 
@@ -736,6 +748,52 @@ object SparkEntry {
         .orderBy(col("w_start"), col("event_type"))
     }),
 
+    // As-of join via the union-window trick — the Spark-idiomatic
+    // attribution shape: for each purchase, the user's most recent
+    // strictly-earlier click (ties broken by event_id; -1 = none).
+    // One window over the union beats a range join at scale: the
+    // shuffle is one partition-by-user exchange, never a per-pair
+    // candidate expansion.
+    "events_asof" -> ((s, dir) => {
+      // µs axis on both engines: DuckDB reads TIMESTAMP(NANOS) at µs
+      // resolution, so the shared ordering/output key is ts div 1000
+      val e = tbl(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), expr("ts div 1000").as("tus"),
+          col("user_id"), col("event_type"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("tus"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val clickId = when(col("event_type") === "click", col("event_id"))
+      val clickTs = when(col("event_type") === "click", col("tus"))
+      e.withColumn("last_click", last(clickId, ignoreNulls = true).over(w))
+        .withColumn("last_click_tus", last(clickTs, ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("last_click"), lit(-1L)).as("last_click"),
+          coalesce(col("last_click_tus"), lit(-1L)).as("last_click_tus"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Rolling 10-minute per-user aggregates (event-time RANGE frame on
+    // the ns axis, current row's peers excluded): prior-event count and
+    // value sum as exact fixed-point cents.
+    "events_rolling" -> ((s, dir) => {
+      // µs axis like events_asof: frame membership must not depend on
+      // the sub-µs digits DuckDB cannot see
+      val w = Window.partitionBy("user_id").orderBy(col("tus"))
+        .rangeBetween(-600000000L, -1L)
+      tbl(s, dir, "events")
+        .select(col("event_id"), expr("ts div 1000").as("tus"), col("user_id"),
+          q(col("value"), 100d).as("cents"))
+        .withColumn("n_prev", count(lit(1)).over(w))
+        .withColumn("sum_prev_cents",
+          coalesce(sum(col("cents")).over(w), lit(0L)))
+        .select(col("event_id"), col("user_id"), col("n_prev"),
+          col("sum_prev_cents"))
+        .orderBy(col("event_id"))
+    }),
+
     // Gap sessionization (30-min), all-integer ns math; one row per
     // session. Streaming twin: Streaming.sessionizeStream (tested
     // equivalent in StreamingSpec).
@@ -1312,6 +1370,35 @@ object SparkEntry {
         |  event_type, count(*) AS n, min(value) AS min_v, max(value) AS max_v
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // union-window as-of: most recent strictly-earlier click per
+    // purchase, ties by event_id, -1 sentinel for none
+    "events_asof" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS tus, user_id, event_type
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |w AS (SELECT event_id, user_id, event_type,
+        |  last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |    OVER win AS last_click,
+        |  last_value(CASE WHEN event_type = 'click' THEN tus END IGNORE NULLS)
+        |    OVER win AS last_click_tus
+        | FROM e WINDOW win AS (PARTITION BY user_id ORDER BY tus, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id,
+        |  COALESCE(last_click, -1) AS last_click,
+        |  COALESCE(last_click_tus, -1) AS last_click_tus
+        |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    // event-time RANGE frame on the integer ns axis, peers excluded;
+    // value sum as fixed-point cents (the hash-portability contract)
+    "events_rolling" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS tus, user_id,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
+        |SELECT event_id, user_id,
+        |  count(*) OVER win AS n_prev,
+        |  CAST(COALESCE(sum(cents) OVER win, 0) AS BIGINT) AS sum_prev_cents
+        |FROM e WINDOW win AS (PARTITION BY user_id ORDER BY tus
+        |  RANGE BETWEEN 600000000 PRECEDING AND 1 PRECEDING)
+        |ORDER BY event_id""".stripMargin,
+
     "events_sessions" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events),
         |f AS (SELECT user_id, event_id, tns,
@@ -1404,6 +1491,18 @@ object SparkEntry {
       """WITH scored AS (
         |  SELECT q.vec_id AS qid, c.vec_id AS id,
         |    1.0 - list_reduce(list_transform(list_zip(c.embedding, q.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+        |      (a, b) -> a + b) AS distance
+        |  FROM embeddings c, embeddings q WHERE q.vec_id < 5)
+        |SELECT qid, id, distance FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 10
+        |ORDER BY qid, distance, id""".stripMargin,
+
+    // MIPS: negated dot through the same ascending top-k contract
+    "knn_mips" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS id,
+        |    0.0 - list_reduce(list_transform(list_zip(c.embedding, q.embedding),
         |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
         |      (a, b) -> a + b) AS distance
         |  FROM embeddings c, embeddings q WHERE q.vec_id < 5)

@@ -28,11 +28,15 @@ import graft.functions.VectorOps._
   */
 object Exhaustive {
 
-  /** Distance selector: squared L2 (IVFFlat/LSH metric) or cosine distance
-    * on pre-normalized vectors (HNSW metric). */
+  /** Distance selector: squared L2 (IVFFlat/LSH metric), cosine distance
+    * on pre-normalized vectors (HNSW metric), or negated dot product —
+    * MIPS as a min-distance problem, so the shared ascending top-k drain
+    * returns the k LARGEST inner products (the recommendation-serving
+    * metric; for normalized vectors it ranks identically to cosine). */
   def distance(metric: String)(a: Column, b: Column): Column = metric match {
     case "sqdist" => sqDist(a, b)
     case "cosine" => cosineDistance(a, b)
+    case "negdot" => lit(0.0d) - dot(a, b)
     case other    => throw new IllegalArgumentException(s"unknown metric $other")
   }
 
