@@ -58,25 +58,27 @@ object ScaleSmoke {
       v
     }
     val bcCenters = spark.sparkContext.broadcast(centers)
-    val corpus = spark.range(n).as[Long].mapPartitions { it =>
-      val cents = bcCenters.value
-      it.map { id =>
-        val c = math.floorMod(mix64(id ^ 0xABCDEFL), nClusters.toLong).toInt
-        val v = new Array[Float](dim)
-        var j = 0
-        var norm = 0.0
-        while (j < dim) {
-          val h = mix64(id * 1315423911L + j * 2654435761L + seed)
-          val x = cents(c)(j) +
-            ((h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0) * noiseAmp
-          v(j) = x.toFloat; norm += x * x; j += 1
+    def mkVecs(ids: org.apache.spark.sql.Dataset[java.lang.Long]): DataFrame =
+      ids.as[Long].mapPartitions { it =>
+        val cents = bcCenters.value
+        it.map { id =>
+          val c = math.floorMod(mix64(id ^ 0xABCDEFL), nClusters.toLong).toInt
+          val v = new Array[Float](dim)
+          var j = 0
+          var norm = 0.0
+          while (j < dim) {
+            val h = mix64(id * 1315423911L + j * 2654435761L + seed)
+            val x = cents(c)(j) +
+              ((h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0) * noiseAmp
+            v(j) = x.toFloat; norm += x * x; j += 1
+          }
+          val inv = (1.0 / math.sqrt(norm)).toFloat
+          j = 0
+          while (j < dim) { v(j) *= inv; j += 1 }
+          (id, v)
         }
-        val inv = (1.0 / math.sqrt(norm)).toFloat
-        j = 0
-        while (j < dim) { v(j) *= inv; j += 1 }
-        (id, v)
-      }
-    }.toDF("vec_id", "embedding")
+      }.toDF("vec_id", "embedding")
+    val corpus = mkVecs(spark.range(n))
       .repartition(spark.sparkContext.defaultParallelism).cache()
     corpus.count()
     val queries = corpus.filter(col("vec_id") < nQ).cache()
@@ -123,6 +125,33 @@ object ScaleSmoke {
     val (_, tIvfQ) = timed(ivf.search(q0, k).count())
     out += "ivf_build_s" -> f"$tIvfB%.2f" += "ivf_batch100_s" -> f"$tIvfS%.2f"
     out += "ivf_single_q_s" -> f"$tIvfQ%.2f" += "ivf_recall_at10" -> f"$ivfRecall%.3f"
+
+    // ---- streaming-ingest throughput: Index::add per microbatch (the
+    // foreachBatch body, Streaming.ingestIntoIVF) against the live
+    // n-row index — 10 batches of 1,000 NEW rows; each add is the fused
+    // frozen-centroid assign + union + Lineage-cadence compaction. The
+    // per-batch wall is dominated by Spark job fixed cost, so rows/s
+    // here is the floor (bigger microbatches amortize it linearly).
+    {
+      var live = ivf
+      val (_, tIngest) = timed {
+        (0 until 10).foreach { b =>
+          val batch = mkVecs(spark.range(n + b * 1000L, n + (b + 1) * 1000L))
+          live = live.add(batch, "vec_id", "embedding")
+        }
+        live.indexed.count()
+      }
+      // sanity: an ingested vector is findable at distance 0
+      val addedId = n.toLong
+      val qv = mkVecs(spark.range(addedId, addedId + 1))
+        .select(col("embedding").cast("array<float>")).head()
+        .getAs[scala.collection.Seq[Float]](0).toArray
+      val hit = live.search(qv, 1).head()
+      require(hit.getAs[Long]("id") == addedId && hit.getAs[Double]("distance") == 0.0,
+        s"ingested row not found: $hit")
+      out += "ivf_ingest_10x1000_s" -> f"$tIngest%.2f"
+      out += "ivf_ingest_rows_per_s" -> f"${10000.0 / tIngest}%.0f"
+    }
 
     // ---- LSHForest: 16 trees (the recall lever, lsh.rs:132); leaf size
     // scales with n to hold the driver-held skeleton and the per-level

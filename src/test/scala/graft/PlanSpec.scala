@@ -163,6 +163,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("events_asof plans the union-window shape: no join, one data shuffle") {
+    val df = SparkEntry.queries("events_asof")(spark, sf001)
+    df.collect()
+    val nodes = flatten(df.queryExecution.executedPlan)
+    // the as-of trick's whole point: attribution WITHOUT a range join's
+    // per-pair candidate expansion — any join node means the shape
+    // regressed
+    assert(!nodes.exists(_.nodeName.contains("Join")),
+      df.queryExecution.executedPlan.toString.take(1000))
+    // one partition-by-user exchange for the window; the final global
+    // orderBy adds its range exchange — nothing else may shuffle
+    val shuffles = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    assert(shuffles <= 2, s"expected ≤2 shuffles, got $shuffles")
+  }
+
   test("dedup_exact_norm shuffles the digest, never the document text") {
     val df = SparkEntry.queries("dedup_exact_norm")(spark, sf001)
     df.collect()
