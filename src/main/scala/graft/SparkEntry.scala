@@ -131,6 +131,32 @@ object SparkEntry {
         .orderBy(col("qid"), col("distance"), col("id"))
     }),
 
+    // The MIPS 100 TB path: norm-augmentation (operators.Mips) turns
+    // the L2 IVF index into an exact MIPS index — augmented sqdist
+    // rank IS inner-product rank. Probe-all over pinned augmented
+    // centroids makes it deterministic; the output recomputes −dot
+    // over the ORIGINAL vectors, so the same knn_mips oracle gates the
+    // whole reduction end-to-end.
+    "mips_ivf_exact" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val m = graft.operators.Mips.maxNorm(emb, "embedding")
+      val aug = graft.operators.Mips.augmentCorpus(emb, "embedding", m)
+      val cents = aug.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+        .select(col("embedding").cast("array<float>")).collect()
+        .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+      val indexed = IVFFlat.assign(aug, "vec_id", "embedding", cents)
+      val sizes = Array.fill(cents.length)(Long.MaxValue)
+      val model = IVFFlat.Model(IVFFlat.Params(cents.length), cents, sizes, indexed)
+      val qAug = graft.operators.Mips.augmentQueries(
+        emb.filter(col("vec_id") < 5), "embedding")
+      val hits = model.searchMany(qAug, "vec_id", "embedding",
+        k = 10, nprobe = cents.length)
+      graft.operators.Mips.withDotDistance(hits,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          emb, "vec_id", "embedding")
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
     // Maximum-inner-product top-10 (recommendation serving): negated
     // dot through the shared ascending top-k drain, so `distance` is
     // -(a·b) and row 1 is the largest inner product.
@@ -975,6 +1001,19 @@ object SparkEntry {
     }.mkString(" | ")
   }
 
+  /** Brute MIPS oracle (−dot top-10) — shared by knn_mips and the
+    * norm-augmentation reduction (mips_ivf_exact). */
+  private val knnMipsSql: String =
+    """WITH scored AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS id,
+      |    0.0 - list_reduce(list_transform(list_zip(c.embedding, q.embedding),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+      |      (a, b) -> a + b) AS distance
+      |  FROM embeddings c, embeddings q WHERE q.vec_id < 5)
+      |SELECT qid, id, distance FROM scored
+      |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 10
+      |ORDER BY qid, distance, id""".stripMargin
+
   /** Exhaustive top-10-by-sqdist for the 5 fixed query vectors — the
     * oracle for knn_exhaustive and for every exact-configured index
     * search (degenerate LSH forest, probe-all IVF). */
@@ -1498,17 +1537,11 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 10
         |ORDER BY qid, distance, id""".stripMargin,
 
+    // the norm-augmentation reduction must reproduce brute MIPS exactly
+    "mips_ivf_exact" -> knnMipsSql,
+
     // MIPS: negated dot through the same ascending top-k contract
-    "knn_mips" ->
-      """WITH scored AS (
-        |  SELECT q.vec_id AS qid, c.vec_id AS id,
-        |    0.0 - list_reduce(list_transform(list_zip(c.embedding, q.embedding),
-        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
-        |      (a, b) -> a + b) AS distance
-        |  FROM embeddings c, embeddings q WHERE q.vec_id < 5)
-        |SELECT qid, id, distance FROM scored
-        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 10
-        |ORDER BY qid, distance, id""".stripMargin,
+    "knn_mips" -> knnMipsSql,
 
     "vec_kernels" ->
       """SELECT vec_id,
