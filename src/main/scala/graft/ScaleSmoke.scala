@@ -300,6 +300,47 @@ object ScaleSmoke {
     out += "hnswr_q1_all_s" -> f"$tHnswRQ1All%.2f"
     out += "hnswr_q1_p8_s" -> f"$tHnswRQ1P%.2f"
 
+    // ---- MIPS under norm skew (operators.Mips): scale each unit
+    // vector by a deterministic per-id factor in [0.5, 2] — the hard
+    // MIPS regime where high-norm rows dominate inner products and
+    // cosine-style routing is wrong — then augment, train IVF in the
+    // AUGMENTED space (k-means sees direction + norm jointly), probe
+    // 8/256 vs the brute −dot truth.
+    {
+      val f = lit(0.5) + lit(1.5) *
+        (pmod(col("vec_id") * lit(2654435761L), lit(1000L)).cast("double") / 1000.0)
+      val scaled = corpus.withColumn("embedding",
+        transform(col("embedding"), x => (x * f).cast("float")))
+        .cache()
+      scaled.count()
+      val qScaled = scaled.filter(col("vec_id") < nQ).cache()
+      val (mipsTruthRows, tMipsExh) = timed {
+        operators.Exhaustive.knnJoin(qScaled, "vec_id", "embedding",
+          scaled, "vec_id", "embedding", k, metric = "negdot").collect()
+      }
+      val mipsTruth = mipsTruthRows.groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val mBound = operators.Mips.maxNorm(scaled, "embedding")
+      val augC = operators.Mips.augmentCorpus(scaled, "embedding", mBound)
+      val augQ = operators.Mips.augmentQueries(qScaled, "embedding")
+      val (mipsIvf, tMipsB) = timed {
+        val mm = index.IVFFlat.build(augC, "vec_id", "embedding",
+          index.IVFFlat.Params(k = 256, numAttempts = 1, maxIterations = 10,
+            seed = seed))
+        mm.indexed.cache().count(); mm
+      }
+      val (mipsRes, tMipsS) = timed {
+        val df = mipsIvf.searchMany(augQ, "vec_id", "embedding", k, nprobe = 8)
+          .cache()
+        df.count(); df
+      }
+      out += "mips_exh_s" -> f"$tMipsExh%.2f"
+      out += "mips_ivf_build_s" -> f"$tMipsB%.2f"
+      out += "mips_ivf_batch100_s" -> f"$tMipsS%.2f"
+      out += "mips_ivf_recall_at10" -> f"${recallOf(mipsRes, mipsTruth)}%.3f"
+      scaled.unpersist()
+    }
+
     println(out.map { case (kk, vv) => s""""$kk":$vv""" }
       .mkString("SCALE_SMOKE {", ",", "}"))
     spark.stop()
