@@ -11,7 +11,10 @@ import graft.streaming.Streaming
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Every query here has a DuckDB-equivalent in [[oracleSql]]; numeric
+  * Every deterministic query here has a DuckDB-equivalent in
+  * [[oracleSql]] (the three trained/approximate ANN entries — hnsw_knn,
+  * lsh_knn, ivf_kmeans — are rows-only by design, with ScalaTest
+  * recall/shape gates and 1M-smoke evidence instead); numeric
   * columns are computed in double precision with identical element order
   * on both engines (bit-identical results) or as fixed-point BIGINT
   * (exact, order-independent sums), so the driver's hash compare is
