@@ -281,6 +281,22 @@ object SparkEntry {
         .orderBy(col("qid"), col("distance"), col("id"))
     }),
 
+    // Takedown under the driver oracle: remove every 9th-mod-3 row
+    // from the pinned-centroid index, search — must equal the fixed
+    // search over corpus-minus-removed exactly (Model.remove is an
+    // anti-join; the SQL filters the assigned CTE identically).
+    "ivf_remove_fixed" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = fixedCentroids(emb)
+      val indexed = IVFFlat.assign(emb, "vec_id", "embedding", cents)
+      val sizes = Array.fill(cents.length)(Long.MaxValue)
+      val model = IVFFlat.Model(IVFFlat.Params(cents.length), cents, sizes, indexed)
+        .remove(emb.filter(col("vec_id") % 9 === 3), "vec_id")
+      model.searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = 2)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
     // IVF-PQ composed search against the SAME pinned parts (centroids
     // vec_id < 8, codebooks vec_id < 16): probe the 2 nearest cells,
     // ADC over the codes inside probed cells only, top-10 — the
@@ -1033,13 +1049,16 @@ object SparkEntry {
       |ORDER BY qid, distance, id""".stripMargin
 
   /** ivf_search_fixed oracle — shared with ivf_add_fixed (add against
-    * frozen centroids reproduces the full assignment exactly). */
-  private val ivfSearchFixedSql: String =
-    """WITH cent AS (
+    * frozen centroids reproduces the full assignment exactly) and,
+    * with a corpus filter, ivf_remove_fixed (removal = the same search
+    * over corpus-minus-removed). */
+  private val ivfSearchFixedSql: String = ivfSearchFixedSqlOver("")
+  private def ivfSearchFixedSqlOver(corpusWhere: String): String =
+    s"""WITH cent AS (
       |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
       |assigned AS (
       |  SELECT c.vec_id AS id, c.embedding AS vec, k.cid
-      |  FROM embeddings c CROSS JOIN cent k
+      |  FROM embeddings c CROSS JOIN cent k $corpusWhere
       |  QUALIFY row_number() OVER (PARTITION BY c.vec_id ORDER BY
       |    list_reduce(list_transform(list_zip(k.cvec, c.embedding),
       |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
@@ -1622,6 +1641,8 @@ object SparkEntry {
     "ivf_search_fixed" -> ivfSearchFixedSql,
     // same identity for IVFFlat.add against frozen centroids
     "ivf_add_fixed" -> ivfSearchFixedSql,
+    // removal = the fixed search over corpus-minus-removed
+    "ivf_remove_fixed" -> ivfSearchFixedSqlOver("WHERE c.vec_id % 9 <> 3"),
     // and for the save→load→search lifecycle: a faithful round-trip
     // reproduces the in-memory search bit-for-bit
     "ivf_persist_fixed" -> ivfSearchFixedSql,

@@ -44,7 +44,23 @@ object HNSW {
 
   case class Model(params: HNSWGraph.Params, numShards: Int,
                    shards: Dataset[ShardBlob],
-                   routers: Option[Array[Array[Float]]] = None) {
+                   routers: Option[Array[Array[Float]]] = None,
+                   removed: Set[Long] = Set.empty) {
+
+    /** Takedown — graph-index soft delete: removed ids stay in the
+      * shard graphs as traversal waypoints but can never be RETURNED.
+      * Each shard over-fetches k + |removed| candidates, so among them
+      * at least k are live — filtered per-shard top-k is exactly the
+      * search over corpus-minus-removed (the standard HNSW soft-delete
+      * contract; hard removal is a rebuild, which purges tombstones).
+      * Scale envelope: the tombstone set is driver state sized to the
+      * takedown workload (ids only), same budget class as a query
+      * batch; per-shard search cost grows with |removed| until the
+      * next rebuild. */
+    def remove(ids: DataFrame, idCol: String): Model = {
+      val del = ids.select(col(idCol).cast("long")).collect().map(_.getLong(0))
+      copy(removed = removed ++ del)
+    }
 
     /** Batch top-k: broadcast queries, search shards locally, global
       * per-query top-k merge. `probeShards = 0` (default) fans every
@@ -84,6 +100,7 @@ object HNSW {
           }
       val bcQ = spark.sparkContext.broadcast(qRows)
       val bcRoute = spark.sparkContext.broadcast(route)
+      val bcRemoved = spark.sparkContext.broadcast(removed)
       // per-shard k results shuffle as (qid, id, distance) triples; the
       // global per-query merge is one bounded-heap pass (shards partition
       // the corpus, so ids are distinct across shards). A shard with NO
@@ -99,8 +116,15 @@ object HNSW {
         if (mine.isEmpty) Iterator.empty
         else {
           val g = deserialize(s.blob)
+          val dead = bcRemoved.value
+          // soft-delete over-fetch: k + |removed| candidates must hold
+          // ≥ k live ids (see remove's contract)
+          val kk = k + dead.size
           mine.iterator.flatMap { case (qid, qv) =>
-            g.searchKnn(qv, k).map { case (id, d) => (qid, id, d) }
+            g.searchKnn(qv, kk).iterator
+              .filterNot { case (id, _) => dead.contains(id) }
+              .take(k)
+              .map { case (id, d) => (qid, id, d) }
           }
         }
       }
@@ -177,9 +201,12 @@ object HNSW {
           .toDF("shard", "vector")
           .coalesce(1).write.mode("overwrite").parquet(s"$dir/routers")
       }
+      if (removed.nonEmpty)
+        removed.toSeq.sorted.toDF("id")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/removed")
       val p = params
       ParamsIO.write(spark, dir,
-        s"""{"numLayers":${p.numLayers},"efConstruction":${p.efConstruction},"efSearch":${p.efSearch},"m":${p.m},"seed":${p.seed},"numShards":$numShards,"routed":${if (routers.isDefined) 1 else 0}}""")
+        s"""{"numLayers":${p.numLayers},"efConstruction":${p.efConstruction},"efSearch":${p.efSearch},"m":${p.m},"seed":${p.seed},"numShards":$numShards,"routed":${if (routers.isDefined) 1 else 0},"tombstones":${if (removed.nonEmpty) 1 else 0}}""")
     }
   }
 
@@ -287,6 +314,13 @@ object HNSW {
           .orderBy("shard").collect()
           .map(_.getAs[scala.collection.Seq[Float]]("vector").toArray))
       else None
-    Model(params, num("numShards").toInt, shards.cache(), routers = routers)
+    // "tombstones" is absent from pre-remove sidecars → 0 (no set)
+    val removed =
+      if (ParamsIO.dbl(json, "tombstones", 0.0) == 1.0)
+        spark.read.parquet(s"$dir/removed")
+          .collect().map(_.getLong(0)).toSet
+      else Set.empty[Long]
+    Model(params, num("numShards").toInt, shards.cache(), routers = routers,
+      removed = removed)
   }
 }

@@ -117,6 +117,21 @@ object IVFFlat {
       copy(indexed = df, addsSinceCompact = n)
     }
 
+    /** Takedown — remove rows by id (right-to-be-forgotten / licensing
+      * removals, the pipeline mutation the reference never needed).
+      * Anti-join on id; the ids frame is takedown-sized, so it
+      * broadcasts and the corpus never shuffles. clusterSizes stay
+      * frozen like add's — overcounted sizes only widen adaptive
+      * probes, never narrow them; rebuild is the rebalancing job.
+      * Repeated removes compact lineage on the shared cadence. */
+    def remove(ids: DataFrame, idCol: String): Model = {
+      val del = ids.select(col(idCol).cast("long").as("id"))
+      val (df, n) = Lineage.compact(
+        indexed.join(broadcast(del), Seq("id"), "left_anti"),
+        addsSinceCompact)
+      copy(indexed = df, addsSinceCompact = n)
+    }
+
     /** Persist: corpus partitioned by cluster (→ partition pruning on
       * probe), centroids as parquet, params as JSON (SURVEY §2.2 mapping
       * of base.rs:31-58). */

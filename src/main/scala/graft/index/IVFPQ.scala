@@ -174,6 +174,17 @@ object IVFPQ {
       copy(codes = df, addsSinceCompact = n)
     }
 
+    /** Takedown twin of [[IVFFlat.Model.remove]]: anti-join the codes
+      * on id; cluster sizes stay frozen (overcounts only widen
+      * adaptive probes). */
+    def remove(ids: DataFrame, idCol: String): Model = {
+      val del = ids.select(col(idCol).cast("long").as("id"))
+      val (df, n) = Lineage.compact(
+        codes.join(broadcast(del), Seq("id"), "left_anti"),
+        addsSinceCompact)
+      copy(codes = df, addsSinceCompact = n)
+    }
+
     /** Persist: codes partitioned by cluster (→ partition pruning on
       * probe), coarse centroids + codebooks as parquet, params JSON. */
     def save(dir: String): Unit = {

@@ -227,6 +227,19 @@ object LSHForest {
       if (overflowed) updated.rebuildLeaves() else updated
     }
 
+    /** Takedown twin of [[IVFFlat.Model.remove]]: anti-join on id, the
+      * corpus never shuffles. The driver-held leafSizes skeleton keeps
+      * its pre-removal counts — overcounts are safe in both uses
+      * (compaction fires earlier than needed; backtracking widens
+      * probes, never narrows); [[rebuildLeaves]] refreshes them. */
+    def remove(ids: DataFrame, idCol: String): Model = {
+      val del = ids.select(col(idCol).cast("long").as("id"))
+      val (df, n) = Lineage.compact(
+        indexed.join(broadcast(del), Seq("id"), "left_anti"),
+        addsSinceCompact)
+      copy(indexed = df, addsSinceCompact = n)
+    }
+
     /** Compaction job for leaves that outgrew maxNodeSize under [[add]]
       * (the distributed analogue of the reference's eager re-split on
       * insert, lsh.rs:218-251): re-runs the level-synchronous split loop

@@ -119,6 +119,16 @@ object PQ {
       copy(codes = df, addsSinceCompact = n)
     }
 
+    /** Takedown twin of [[IVFFlat.Model.remove]]: anti-join the codes
+      * on id (codes never shuffle; the ids frame broadcasts). */
+    def remove(ids: DataFrame, idCol: String): Model = {
+      val del = ids.select(col(idCol).cast("long").as("id"))
+      val (df, n) = Lineage.compact(
+        codes.join(broadcast(del), Seq("id"), "left_anti"),
+        addsSinceCompact)
+      copy(codes = df, addsSinceCompact = n)
+    }
+
     /** ADC shortlist (factor×k) + exact re-rank against the
       * full-precision vectors: the standard PQ serving shape — the
       * corpus is scanned once for the shortlist join (broadcast probe
