@@ -269,6 +269,34 @@ object Streaming {
       .start()
   }
 
+  /** Takedown stream — the removal counterpart of the ingest twins,
+    * generic over the model type: each microbatch of ids is applied
+    * via the index's `remove` (anti-join for the row-state indexes,
+    * tombstones for HNSW — see [[graft.index.IVFFlat.Model.remove]]).
+    * Same single-writer foreachBatch contract as ingest; a deployment
+    * running BOTH an ingest and a removal stream against one index
+    * must serialize them onto one stream (two writers would race the
+    * read-modify-write).
+    *
+    * {{{
+    * Streaming.ingestRemovals(idStream, "vec_id", state,
+    *   (m: IVFFlat.Model, b) => m.remove(b, "vec_id"))
+    * }}}
+    */
+  def ingestRemovals[M](stream: DataFrame, state: java.util.concurrent.atomic.AtomicReference[M],
+                        remove: (M, DataFrame) => M)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // single-writer foreachBatch: see ingestIntoIVF
+          state.set(remove(state.get(), batch))
+        }
+      }
+      .start()
+  }
+
   /** IVF-PQ twin of [[ingestIntoIVF]]: one fused narrow pass per
     * microbatch routes each row to its frozen coarse cell and encodes it
     * against the frozen codebooks (IVFPQ.Model.add). */

@@ -61,6 +61,26 @@ class RemoveSpec extends SparkSpec {
       .collect().map(_.getLong(1)).contains(42L))
   }
 
+  test("streaming removals patch the live index (takedown stream)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val model = graft.index.IVFFlat.build(emb, "vec_id", "embedding",
+      graft.index.IVFFlat.Params(k = 8, numAttempts = 1, maxIterations = 5))
+    val state = new java.util.concurrent.atomic.AtomicReference(model)
+    val mem = MemoryStream[Long]
+    val q = graft.streaming.Streaming.ingestRemovals(
+      mem.toDF().toDF("vec_id"), state,
+      (m: graft.index.IVFFlat.Model, b) => m.remove(b, "vec_id"))
+    mem.addData(42L)
+    q.processAllAvailable()
+    mem.addData(7L, 13L) // second microbatch stacks on the first
+    q.processAllAvailable()
+    q.stop()
+    val live = state.get()
+    assert(live.indexed.count() == emb.count() - 3)
+    assert(!ids(live.search(q42, 5)).contains(42L))
+  }
+
   test("HNSW.remove: tombstoned id never returned, k results still delivered, survives save/load") {
     val model = graft.index.HNSW.build(emb, "vec_id", "embedding",
       graft.index.HNSWGraph.Params(numLayers = 6, efConstruction = 100,
