@@ -699,6 +699,17 @@ object SparkEntry {
         .orderBy(col("n").desc, col("token"))
         .limit(100)),
 
+    // Eval-integrity audit: minhash near-dup pairs straddling a
+    // train/val/test boundary — benchmark-leakage detection. Composes
+    // the gated pair generator with the gated split assignment.
+    "split_contamination" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      graft.operators.Splits.crossSplitPairs(
+        Dedup.minhashBandPairs(docs, "doc_id", "text"), "doc_a", "doc_b",
+        graft.operators.Splits.assign(docs, "doc_id")
+          .select(col("doc_id"), col("split")), "doc_id")
+    }),
+
     // Prefix-causal keep-first over minhash band buckets: drop a doc
     // iff it shares a bucket with ANY lower-id doc. This is the exact
     // batch face of the streaming dedup ingest (Streaming.
@@ -1301,6 +1312,24 @@ object SparkEntry {
     "dedup_minhash" ->
       s"""WITH $minhashPairsCtes
          |SELECT doc_a, doc_b, n_bands FROM mhpairs ORDER BY 1, 2""".stripMargin,
+
+    // near-dup pairs straddling a split boundary (cross-join of the
+    // minhash pair CTEs with the md5-fraction split rule)
+    "split_contamination" ->
+      s"""WITH $minhashPairsCtes,
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |         / 4294967296.0 < 0.8 THEN 'train'
+         |       WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |         / 4294967296.0 < 0.9 THEN 'val'
+         |       ELSE 'test' END AS split
+         | FROM documents)
+         |SELECT p.doc_a, p.doc_b, a.split AS split_a, b.split AS split_b
+         |FROM mhpairs p
+         |JOIN sp a ON a.doc_id = p.doc_a
+         |JOIN sp b ON b.doc_id = p.doc_b
+         |WHERE a.split <> b.split
+         |ORDER BY p.doc_a, p.doc_b""".stripMargin,
 
     // prefix-causal keep-first: drop a doc iff it shares a band bucket
     // with any lower-id doc (the streaming-enforceable admission rule)

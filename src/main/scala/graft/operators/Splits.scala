@@ -40,6 +40,24 @@ object Splits {
     df.withColumn("split", split)
   }
 
+  /** Train/test contamination audit — the eval-integrity operator:
+    * near-dup PAIRS (from any pair generator in [[Dedup]]) that
+    * straddle a split boundary. A benchmark answer leaking into train
+    * as a near-duplicate is exactly such a pair; a clean corpus
+    * returns zero rows. Two id equi-joins against the (takedown-sized
+    * relative to the corpus) pair frame — the split frame never
+    * self-joins. */
+  def crossSplitPairs(pairs: DataFrame, aCol: String, bCol: String,
+                      splits: DataFrame, idCol: String): DataFrame = {
+    val sp = splits.select(col(idCol).cast("long"), col("split"))
+    pairs
+      .join(sp.withColumnRenamed(idCol, aCol).withColumnRenamed("split", "split_a"), aCol)
+      .join(sp.withColumnRenamed(idCol, bCol).withColumnRenamed("split", "split_b"), bCol)
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col(aCol), col(bCol), col("split_a"), col("split_b"))
+      .orderBy(col(aCol), col(bCol))
+  }
+
   /** Token-budget sequence packing: within each (split, shard) lane,
     * docs pack greedily in id order — bin = exclusive-prefix-sum of
     * token counts over the lane, integer-divided by `budget` (so a bin

@@ -27,6 +27,34 @@ class SplitsSpec extends SparkSpec {
     assert(byCut("val") > 10 && byCut("test") > 10, byCut.toString)
   }
 
+  test("crossSplitPairs flags a planted train→test near-dup leak") {
+    import graft.operators.Dedup
+    // driver-side twin of the md5 split fraction, to plant ids by split
+    def frac(id: Long): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map(b => f"${b & 0xff}%02x").mkString, 16) / 4294967296.0
+    }
+    val base = docs.select($"doc_id", $"text")
+    val sp = Splits.assign(base, "doc_id")
+      .select($"doc_id", $"split", $"text").collect()
+    val train = sp.find(r => r.getString(1) == "train"
+      && r.getString(2).trim.split("\\s+").length >= 3).get
+    val testId = (100000L to 100100L).find(frac(_) >= 0.9).get
+    // the leak: a test doc that is an exact copy of a train doc
+    val leaked = base.unionByName(
+      Seq((testId, train.getString(2))).toDF("doc_id", "text"))
+    val hits = Splits.crossSplitPairs(
+        Dedup.minhashBandPairs(leaked, "doc_id", "text"), "doc_a", "doc_b",
+        Splits.assign(leaked, "doc_id").select($"doc_id", $"split"), "doc_id")
+      .collect()
+    val hit = hits.find(r => r.getLong(1) == testId)
+    assert(hit.isDefined, s"planted leak not flagged: ${hits.length} rows")
+    assert(hit.get.getLong(0) == train.getLong(0))
+    assert(hit.get.getString(2) == "train" && hit.get.getString(3) == "test")
+  }
+
   test("packTokens: greedy lane packing — bins contiguous, budget-bounded, deterministic") {
     val budget = 200
     val out = Splits.packTokens(docs, "doc_id", "text",
