@@ -623,6 +623,18 @@ object SparkEntry {
           "doc_id", "text", budget = 1000, shards = 8)
         .orderBy(col("doc_id"))),
 
+    // Sliding-window token chunking (32-token chunks, stride 24 →
+    // 8-token overlap) — the chunk→embed→index preprocessor.
+    "doc_chunks" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextOps.chunkTokens(col("text"), 32, 24))
+            .as(Seq("chunk_idx", "chunk")))
+        .filter(col("chunk") =!= "")
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("chunk"))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // Language ID by stopword-hit argmax (n-gram heuristic family).
     "text_langid" -> ((s, dir) => {
       tbl(s, dir, "documents")
@@ -1384,6 +1396,21 @@ object SparkEntry {
         |SELECT doc_id FROM n
         |QUALIFY row_number() OVER (PARTITION BY norm_h ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
+
+    // chunk i = tokens [i*24+1, i*24+32] (1-based slice, both engines
+    // clamp at the list end); (n-1)//24 is floor-div in DuckDB and
+    // trunc-div in Spark — greatest(·, 0) collapses the one divergent
+    // input (n = 0, whose empty chunk is filtered anyway)
+    "doc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |c AS (SELECT doc_id,
+         |  unnest(range(0, greatest((len(toks) - 1) // 24, 0) + 1)) AS chunk_idx,
+         |  toks FROM t)
+         |SELECT doc_id, chunk_idx,
+         |  array_to_string(toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ') AS chunk
+         |FROM c
+         |WHERE array_to_string(toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ') <> ''
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "text_vocab" ->
       """WITH t AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'),

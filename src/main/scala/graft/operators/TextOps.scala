@@ -20,6 +20,20 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > lit(0))
 
+  /** Fixed-size token chunks with stride — the embedding-pipeline
+    * preprocessor (chunk → embed → index): chunk i covers tokens
+    * [i·stride, i·stride + chunkSize). stride < chunkSize overlaps
+    * chunks (context continuity); the tail chunk may be short; an
+    * empty doc yields one empty chunk (callers filter it). Pure
+    * codegen column fn — chunking is a narrow map at any scale. */
+  def chunkTokens(text: Column, chunkSize: Int, stride: Int): Column = {
+    val toks = tokens(text)
+    transform(
+      sequence(lit(0),
+        greatest(((size(toks) - 1) / lit(stride)).cast("int"), lit(0))),
+      i => concat_ws(" ", slice(toks, i * stride + 1, lit(chunkSize))))
+  }
+
   /** Canonical text for normalization-aware exact dedup: lowercase,
     * strip non-alphanumerics (ASCII classes — engine-portable, unlike
     * unicode property classes), collapse whitespace runs, trim. Two

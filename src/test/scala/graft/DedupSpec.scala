@@ -104,6 +104,22 @@ class DedupSpec extends SparkSpec {
     assert(cp.count() == 0)
   }
 
+  test("chunkTokens: overlap, short tail, single-chunk doc, empty doc") {
+    val rows = Seq(
+      (0L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks, size 4 stride 3
+      (1L, "a b"),                                    // single short chunk
+      (2L, "   "))                                    // empty after tokenize
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextOps.chunkTokens(col("text"), 4, 3).as("chunks"))
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[String]](1).toSeq).toMap
+    // starts 0,3,6,9 → overlap of 1 token between neighbours, tail short
+    assert(rows(0L) == Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10", "t10"))
+    assert(rows(1L) == Seq("a b"))
+    assert(rows(2L) == Seq("")) // callers filter the empty-doc chunk
+  }
+
   test("normalized exact dedup collapses case/punctuation/spacing variants") {
     val corpus = Seq(
       (0L, "The quick Brown Fox!"),
