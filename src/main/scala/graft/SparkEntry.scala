@@ -635,6 +635,24 @@ object SparkEntry {
           col("chunk"))
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // C4-style sub-document dedup: keep-first over chunk DIGESTS (the
+    // boilerplate-removal granularity — repeated headers/footers dedup
+    // away even when their host documents differ). Digest shuffle key,
+    // like dedup_exact_norm.
+    "chunk_dedup_keepfirst" -> ((s, dir) => {
+      val chunks = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextOps.chunkTokens(col("text"), 32, 24))
+            .as(Seq("chunk_idx", "chunk")))
+        .filter(col("chunk") =!= "")
+        .withColumn("digest", md5(col("chunk")))
+        .withColumn("rank",
+          col("doc_id") * lit(1000000L) + col("chunk_idx"))
+      Dedup.exactKeepFirst(chunks, "rank", Seq("digest"))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // Language ID by stopword-hit argmax (n-gram heuristic family).
     "text_langid" -> ((s, dir) => {
       tbl(s, dir, "documents")
@@ -1410,6 +1428,21 @@ object SparkEntry {
          |  array_to_string(toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ') AS chunk
          |FROM c
          |WHERE array_to_string(toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ') <> ''
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // keep-first over chunk digests, ordered by (doc_id, chunk_idx)
+    "chunk_dedup_keepfirst" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |c AS (SELECT doc_id,
+         |  unnest(range(0, greatest((len(toks) - 1) // 24, 0) + 1)) AS chunk_idx,
+         |  toks FROM t),
+         |ch AS (SELECT doc_id, chunk_idx,
+         |  md5(array_to_string(toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ')) AS digest
+         | FROM c
+         | WHERE array_to_string(toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ') <> '')
+         |SELECT doc_id, chunk_idx FROM ch
+         |QUALIFY row_number() OVER (PARTITION BY digest
+         |  ORDER BY doc_id * 1000000 + chunk_idx) = 1
          |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "text_vocab" ->
