@@ -160,6 +160,18 @@ object SparkEntry {
         .orderBy(col("qid"), col("distance"), col("id"))
     }),
 
+    // Metadata-filtered ANN (the vector-DB "where" clause): top-10
+    // among rows with label = 2 only. Declarative composition — the
+    // label predicate reaches the parquet scan as a PushedFilter BELOW
+    // the knn join (plan-gated), so a selective filter shrinks the
+    // scan, not just the candidates.
+    "knn_filtered" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Exhaustive.knnJoin(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          emb.filter(col("label") === 2), "vec_id", "embedding", k = 10)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
     // Maximum-inner-product top-10 (recommendation serving): negated
     // dot through the shared ascending top-k drain, so `distance` is
     // -(a·b) and row 1 is the largest inner product.
@@ -1644,6 +1656,21 @@ object SparkEntry {
         |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
         |      (a, b) -> a + b) AS distance
         |  FROM embeddings c, embeddings q WHERE q.vec_id < 5)
+        |SELECT qid, id, distance FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 10
+        |ORDER BY qid, distance, id""".stripMargin,
+
+    // metadata-filtered ANN: the same exhaustive shape over the
+    // label-filtered corpus
+    "knn_filtered" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS id,
+        |    list_reduce(list_transform(list_zip(c.embedding, q.embedding),
+        |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+        |      (a, b) -> a + b) AS distance
+        |  FROM embeddings c, embeddings q
+        |  WHERE q.vec_id < 5 AND c.label = 2)
         |SELECT qid, id, distance FROM scored
         |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 10
         |ORDER BY qid, distance, id""".stripMargin,

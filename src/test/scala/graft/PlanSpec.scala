@@ -163,6 +163,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("knn_filtered pushes the label predicate into the parquet scan") {
+    val df = SparkEntry.queries("knn_filtered")(spark, sf001)
+    val scans = flatten(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.toString
+    }
+    // the corpus-side scan must carry the label filter as a
+    // PushedFilter (row groups skip at the source) — filtering after
+    // the knn join would score the whole corpus first
+    assert(scans.exists(s => s.contains("PushedFilters") &&
+        s.matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(label,2\\)[^\\]]*\\].*")),
+      scans.mkString("\n---\n").take(1200))
+  }
+
   test("events_asof plans the union-window shape: no join, one data shuffle") {
     val df = SparkEntry.queries("events_asof")(spark, sf001)
     df.collect()
