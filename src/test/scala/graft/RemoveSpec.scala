@@ -61,6 +61,24 @@ class RemoveSpec extends SparkSpec {
       .collect().map(_.getLong(1)).contains(42L))
   }
 
+  test("remove edge cases: re-remove is idempotent; remove-all searches empty, not crashed") {
+    val model = graft.index.IVFFlat.build(emb, "vec_id", "embedding",
+      graft.index.IVFFlat.Params(k = 4, numAttempts = 1, maxIterations = 3))
+    val once = model.remove(Seq(42L).toDF("vec_id"), "vec_id")
+    val twice = once.remove(Seq(42L).toDF("vec_id"), "vec_id")
+    assert(twice.indexed.count() == once.indexed.count())
+    val none = model.remove(emb.select($"vec_id"), "vec_id")
+    assert(none.indexed.count() == 0)
+    assert(none.search(q42, 5).collect().isEmpty)
+    // HNSW: tombstoning every id still answers (empty), k-fill contract
+    // only applies while live rows remain
+    val h = graft.index.HNSW.build(emb.limit(50), "vec_id", "embedding",
+        graft.index.HNSWGraph.Params(numLayers = 4, efConstruction = 50,
+          efSearch = 32, m = 8), numShards = 2)
+      .remove(emb.limit(50).select($"vec_id"), "vec_id")
+    assert(h.search(q42, 5).collect().isEmpty)
+  }
+
   test("streaming removals patch the live index (takedown stream)") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
