@@ -279,7 +279,7 @@ object Streaming {
     * read-modify-write).
     *
     * {{{
-    * Streaming.ingestRemovals(idStream, "vec_id", state,
+    * Streaming.ingestRemovals(idStream, state,
     *   (m: IVFFlat.Model, b) => m.remove(b, "vec_id"))
     * }}}
     */
