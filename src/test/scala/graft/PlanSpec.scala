@@ -192,6 +192,21 @@ class PlanSpec extends SparkSpec {
     assert(shuffles <= 2, s"expected ≤2 shuffles, got $shuffles")
   }
 
+  test("events_rolling and doc_pack window over partitioned lanes, never one global sort") {
+    Seq("events_rolling", "doc_pack").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf001)
+      df.collect()
+      val windows = flatten(df.queryExecution.executedPlan).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty, s"$name lost its window")
+      // an empty partition spec = ONE reducer swallowing the corpus —
+      // the shape these operators exist to avoid
+      windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"$name plans a global single-partition window:\n" + w.toString.take(600)))
+    }
+  }
+
   test("dedup_exact_norm shuffles the digest, never the document text") {
     val df = SparkEntry.queries("dedup_exact_norm")(spark, sf001)
     df.collect()
