@@ -35,6 +35,15 @@ object SparkEntry {
       .select(col("embedding").cast("array<float>")).collect()
       .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
 
+  /** Degenerate-exact HNSW config for the hnsw_*_exact lanes: one shard
+    * + efSearch far above any verify-scale corpus (the layer-0 beam's
+    * result heap then never evicts, so every reachable node is kept and
+    * the search is exhaustive — HNSWSpec gates the equivalence; the
+    * driver gate is the hnswExactKnnSql hash match). */
+  private[graft] val hnswExactParams =
+    HNSWGraph.Params(numLayers = 6, efConstruction = 100,
+      efSearch = 1 << 17, m = 16)
+
   /** Pinned PQ codebooks for SQL-checkable queries: subspace s's
     * centroids are the s-th slices of the embeddings with vec_id < 16
     * (code value = source vec_id — the oracle's join key). */
@@ -595,6 +604,65 @@ object SparkEntry {
         .orderBy(col("qid"), col("distance"), col("id"))
     }),
 
+    // HNSW search through the FULL path (build → beam descent → layer-0
+    // beam → shard merge) in the degenerate config: 1 shard, efSearch ≥
+    // corpus ⇒ the layer-0 beam visits every reachable node, so the
+    // result is exhaustive cosine over the NORMALIZED vectors — which
+    // hnswExactKnnSql replicates bit-for-bit (normalizeF's
+    // double-div→float-cast is the vec_kernels oracle pattern). The
+    // lsh_knn_exact trick for the graph index (hnsw.rs:510-548 vs
+    // utils.rs:68-82) — makes the last index search lane driver-green.
+    "hnsw_knn_exact" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val model = HNSW.build(emb, "vec_id", "embedding", hnswExactParams,
+        numShards = 1)
+      model.searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
+    // HNSW persistence round-trip under the driver oracle: save the
+    // degenerate-exact model (shard blobs + params JSON), LOAD, search —
+    // still provably exhaustive, so the same SQL gates the whole
+    // save→load→search lifecycle (base.rs:31-58 for the graph index).
+    "hnsw_persist_exact" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val model = HNSW.build(emb, "vec_id", "embedding", hnswExactParams,
+        numShards = 1)
+      val tmp = java.nio.file.Files.createTempDirectory("hnsw_persist").toString
+      model.save(tmp)
+      HNSW.load(s, tmp)
+        .searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
+    // Index::add driver gate for HNSW (hnsw.rs:348-432 inserts arriving
+    // via Model.add): build on ~6/7 of the corpus, add the rest — the
+    // graph EDGES differ from a full build (insert order matters) but
+    // the degenerate search is insert-order independent (every node
+    // visited), so the exhaustive SQL gates the add path hash-for-hash.
+    "hnsw_add_exact" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val model = HNSW.build(
+          emb.filter(col("vec_id") % 7 =!= 0), "vec_id", "embedding",
+          hnswExactParams, numShards = 1)
+        .add(emb.filter(col("vec_id") % 7 === 0), "vec_id", "embedding")
+      model.searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
+    // Takedown under the driver oracle for HNSW soft-delete: tombstoned
+    // ids stay traversal waypoints but are never returned — the
+    // degenerate search must equal exhaustive over corpus-minus-removed
+    // (ivf_remove_fixed's shape for the graph index, HNSW.Model.remove).
+    "hnsw_remove_exact" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val model = HNSW.build(emb, "vec_id", "embedding", hnswExactParams,
+          numShards = 1)
+        .remove(emb.filter(col("vec_id") % 9 === 3), "vec_id")
+      model.searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
     // Token counting over the documents table (whitespace tokenizer).
     "text_tokens" -> ((s, dir) => {
       tbl(s, dir, "documents")
@@ -1085,6 +1153,33 @@ object SparkEntry {
       |SELECT qid, id, distance FROM scored
       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 10
       |ORDER BY qid, distance, id""".stripMargin
+
+  /** Exhaustive top-10 under cosine distance over NORMALIZED vectors —
+    * the oracle for the degenerate-exact HNSW lanes (hnsw_knn_exact and
+    * its persist/add/remove twins): with numShards = 1 and efSearch ≥
+    * corpus, the layer-0 beam visits every node, so the search IS
+    * exhaustive cosine over the ingested (normalizeF'd) vectors. The
+    * normalization replicates normalizeF bit-for-bit — double divide,
+    * REAL round-trip, double products, left fold — exactly the
+    * vec_kernels oracle pattern (the 1e-6 zero-guard is omitted: test
+    * corpus norms sit in [1−1e-7, 1+1e-7], the guard cannot fire).
+    * `corpusWhere` gives the remove twin its corpus-minus-removed
+    * universe. */
+  private def hnswExactKnnSqlOver(corpusWhere: String): String =
+    s"""WITH n AS (
+      |  SELECT vec_id, list_transform(embedding, x ->
+      |    CAST(CAST(CAST(x AS DOUBLE) / sqrt(list_reduce(list_transform(embedding,
+      |      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), (a,b) -> a+b)) AS REAL) AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS id,
+      |    1.0 - list_reduce(list_transform(list_zip(c.v, q.v),
+      |      x -> x[1] * x[2]), (a, b) -> a + b) AS distance
+      |  FROM n c, n q WHERE q.vec_id < 5 $corpusWhere)
+      |SELECT qid, id, distance FROM scored
+      |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 10
+      |ORDER BY qid, distance, id""".stripMargin
+  private lazy val hnswExactKnnSql: String = hnswExactKnnSqlOver("")
 
   /** Exhaustive top-10-by-sqdist for the 5 fixed query vectors — the
     * oracle for knn_exhaustive and for every exact-configured index
@@ -1765,6 +1860,15 @@ object SparkEntry {
 
     // degenerate forest + add stays exhaustive (root-leaf descent)
     "lsh_add_exact" -> exhaustiveKnnSql,
+
+    // degenerate-config HNSW search IS exhaustive cosine over the
+    // normalized vectors (HNSWSpec gates the equivalence); the same
+    // oracle gates the persistence round-trip and the add path, and a
+    // corpus filter gives the soft-delete twin its universe
+    "hnsw_knn_exact" -> hnswExactKnnSql,
+    "hnsw_persist_exact" -> hnswExactKnnSql,
+    "hnsw_add_exact" -> hnswExactKnnSql,
+    "hnsw_remove_exact" -> hnswExactKnnSqlOver("AND c.vec_id % 9 <> 3"),
 
     "vec_mean_by_label" ->
       """SELECT label, CAST(u.i - 1 AS INTEGER) AS dim,
