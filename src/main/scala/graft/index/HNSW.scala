@@ -49,17 +49,50 @@ object HNSW {
 
     /** Takedown — graph-index soft delete: removed ids stay in the
       * shard graphs as traversal waypoints but can never be RETURNED.
-      * Each shard over-fetches k + |removed| candidates, so among them
-      * at least k are live — filtered per-shard top-k is exactly the
-      * search over corpus-minus-removed (the standard HNSW soft-delete
-      * contract; hard removal is a rebuild, which purges tombstones).
+      * Each shard over-fetches k + |its own tombstones| candidates
+      * (counted per shard after deserialize, so a shard holding no
+      * tombstoned ids pays nothing), so among them at least k are live
+      * — filtered per-shard top-k is exactly the search over
+      * corpus-minus-removed (the standard HNSW soft-delete contract).
       * Scale envelope: the tombstone set is driver state sized to the
       * takedown workload (ids only), same budget class as a query
-      * batch; per-shard search cost grows with |removed| until the
-      * next rebuild. */
+      * batch; per-shard search cost grows with that shard's tombstone
+      * count until [[rebuild]] purges them. A later [[add]] of a
+      * removed id resurfaces it (point-in-time semantics, matching the
+      * other four index types' anti-join removes). */
     def remove(ids: DataFrame, idCol: String): Model = {
       val del = ids.select(col(idCol).cast("long")).collect().map(_.getLong(0))
       copy(removed = removed ++ del)
+    }
+
+    /** Hard removal — purge tombstones: rebuild ONLY the shards that
+      * contain a tombstoned id (deserialize → keep live rows →
+      * re-insert in ascending-id order, the build's determinism rule),
+      * leaving every other shard's blob bit-untouched. The tombstone
+      * set empties, so per-shard search over-fetch returns to k. Same
+      * executor-local shape as the build: shards rebuild in parallel
+      * where they live, nothing shuffles, the only driver traffic is
+      * the broadcast id set. This is the periodic maintenance job that
+      * bounds the soft-delete cost creep at serving scale. */
+    def rebuild(): Model = {
+      if (removed.isEmpty) return this
+      val spark = shards.sparkSession
+      import spark.implicits._
+      val bcDead = spark.sparkContext.broadcast(removed)
+      val p = params
+      val purged = shards.map { s =>
+        val dead = bcDead.value
+        val g = deserialize(s.blob)
+        if (!g.ids.exists(dead.contains)) s
+        else {
+          val live = g.ids.indices.iterator
+            .filterNot(i => dead.contains(g.ids(i)))
+            .map(i => (g.ids(i), g.vecs(i)))
+            .toArray.sortBy(_._1)
+          ShardBlob(s.shard, serialize(HNSWGraph.build(p, live.iterator)))
+        }
+      }
+      copy(shards = purged.localCheckpoint(true), removed = Set.empty)
     }
 
     /** Batch top-k: broadcast queries, search shards locally, global
@@ -117,9 +150,13 @@ object HNSW {
         else {
           val g = deserialize(s.blob)
           val dead = bcRemoved.value
-          // soft-delete over-fetch: k + |removed| candidates must hold
-          // ≥ k live ids (see remove's contract)
-          val kk = k + dead.size
+          // soft-delete over-fetch bounded PER SHARD: only this shard's
+          // own tombstones can displace live candidates here, so
+          // k + |dead ∩ shard| suffices to hold ≥ k live ids — a shard
+          // with no tombstoned ids pays no over-fetch at all (the
+          // count is one O(shard) pass next to the O(shard) deserialize)
+          val deadHere = if (dead.isEmpty) 0 else g.ids.count(dead.contains)
+          val kk = k + deadHere
           mine.iterator.flatMap { case (qid, qv) =>
             g.searchKnn(qv, kk).iterator
               .filterNot { case (id, _) => dead.contains(id) }
@@ -189,7 +226,11 @@ object HNSW {
       // combinatorial blowup past ~20 stacked adds that freezes the
       // driver before memory is ever a problem (found by the 100-add
       // spec; the streaming twin is exactly that loop, utils.rs:126-137).
-      copy(shards = updated.localCheckpoint(true))
+      // A re-added id sheds its tombstone — remove-then-add resurfaces
+      // the row, consistent with the anti-join removes of the other
+      // index types (a permanent tombstone would silently hide it).
+      copy(shards = updated.localCheckpoint(true),
+        removed = removed -- newRows.valuesIterator.flatten.map(_._1))
     }
 
     def save(dir: String): Unit = {
@@ -210,14 +251,14 @@ object HNSW {
     }
   }
 
-  private[index] def serialize(g: HNSWGraph): Array[Byte] = {
+  private[graft] def serialize(g: HNSWGraph): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val oos = new ObjectOutputStream(bos)
     oos.writeObject(g); oos.close()
     bos.toByteArray
   }
 
-  private[index] def deserialize(b: Array[Byte]): HNSWGraph =
+  private[graft] def deserialize(b: Array[Byte]): HNSWGraph =
     new ObjectInputStream(new ByteArrayInputStream(b))
       .readObject().asInstanceOf[HNSWGraph]
 

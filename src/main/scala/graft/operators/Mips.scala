@@ -13,8 +13,13 @@ import graft.functions.VectorOps
   *
   * gives ‖aug(q) − aug(x)‖² = ‖q‖² + M² − 2·(q·x), which is monotone
   * DECREASING in the inner product — so squared-L2 top-k on the
-  * augmented vectors IS inner-product top-k on the originals, exactly,
-  * for any k. That turns every L2 index in this engine (IVFFlat, LSH,
+  * augmented vectors IS inner-product top-k on the originals. Exact in
+  * real arithmetic for any k; in float storage the augmented
+  * coordinate √(M²−‖x‖²) rounds to f32 like every other element, so
+  * two corpus rows whose inner products differ by less than ~1e-7·M²
+  * can swap ranks at the tie boundary (the oracle gate holds because
+  * the test corpus has no such near-ties at the k boundary). That
+  * turns every L2 index in this engine (IVFFlat, LSH,
   * PQ, IVF-PQ) into a MIPS index with zero new search machinery: augment
   * once at build time (one narrow map + one tiny max-norm agg), search
   * augmented queries, report dot products.
@@ -29,9 +34,10 @@ object Mips {
     * slack multiplier keeps the sqrt argument non-negative under float
     * rounding when the max is attained. */
   def maxNorm(emb: DataFrame, vecCol: String): Double = {
-    val m = emb.agg(max(sqrt(VectorOps.dot(col(vecCol), col(vecCol)))))
-      .head().getDouble(0)
-    m * (1.0 + 1e-7)
+    val row = emb.agg(max(sqrt(VectorOps.dot(col(vecCol), col(vecCol))))).head()
+    require(!row.isNullAt(0),
+      "Mips.maxNorm: empty corpus — max norm is undefined")
+    row.getDouble(0) * (1.0 + 1e-7)
   }
 
   /** Corpus side: append √(M² − ‖x‖²) as one extra float element.

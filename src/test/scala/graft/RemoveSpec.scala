@@ -71,11 +71,13 @@ class RemoveSpec extends SparkSpec {
     assert(none.indexed.count() == 0)
     assert(none.search(q42, 5).collect().isEmpty)
     // HNSW: tombstoning every id still answers (empty), k-fill contract
-    // only applies while live rows remain
-    val h = graft.index.HNSW.build(emb.limit(50), "vec_id", "embedding",
+    // only applies while live rows remain. Deterministic subset — two
+    // separate limit(n) plans may pick different rows across actions.
+    val sub = emb.filter($"vec_id" < 50)
+    val h = graft.index.HNSW.build(sub, "vec_id", "embedding",
         graft.index.HNSWGraph.Params(numLayers = 4, efConstruction = 50,
           efSearch = 32, m = 8), numShards = 2)
-      .remove(emb.limit(50).select($"vec_id"), "vec_id")
+      .remove(sub.select($"vec_id"), "vec_id")
     assert(h.search(q42, 5).collect().isEmpty)
   }
 
@@ -114,5 +116,41 @@ class RemoveSpec extends SparkSpec {
     val re = graft.index.HNSW.load(spark, dir)
     assert(re.removed == Set(42L))
     assert(!ids(re.search(q42, 5)).contains(42L))
+  }
+
+  test("HNSW.rebuild: purge hard-removes tombstones, search cost returns to k") {
+    val model = graft.index.HNSW.build(emb, "vec_id", "embedding",
+      graft.index.HNSWGraph.Params(numLayers = 6, efConstruction = 100,
+        efSearch = 64, m = 16), numShards = 4)
+    val soft = model.remove(Seq(42L, 7L, 13L).toDF("vec_id"), "vec_id")
+    val expected = ids(soft.search(q42, 5))
+    val purged = soft.rebuild()
+    assert(purged.removed.isEmpty, "purge must clear the tombstone set")
+    assert(ids(purged.search(q42, 5)) == expected,
+      "purged search must equal the soft-deleted search")
+    // the graphs really shed the rows: total node count drops by 3
+    val total = purged.shards.collect()
+      .map(s => graft.index.HNSW.deserialize(s.blob).size).sum
+    assert(total == emb.count() - 3)
+    // persistence keeps working after purge (no tombstone sidecar)
+    val dir = java.nio.file.Files.createTempDirectory("hnsw_purge").toString
+    purged.save(dir)
+    val re = graft.index.HNSW.load(spark, dir)
+    assert(re.removed.isEmpty)
+    assert(ids(re.search(q42, 5)) == expected)
+    // purge with no tombstones is a no-op (same blobs, no job)
+    assert(purged.rebuild() eq purged)
+  }
+
+  test("HNSW remove-then-add resurfaces the id (point-in-time remove)") {
+    val model = graft.index.HNSW.build(emb, "vec_id", "embedding",
+      graft.index.HNSWGraph.Params(numLayers = 6, efConstruction = 100,
+        efSearch = 64, m = 16), numShards = 4)
+    val row42 = emb.filter($"vec_id" === 42)
+    val readded = model.remove(Seq(42L).toDF("vec_id"), "vec_id")
+      .add(row42, "vec_id", "embedding")
+    assert(readded.removed.isEmpty, "re-added id must shed its tombstone")
+    assert(ids(readded.search(q42, 5)).head == 42L,
+      "re-ingested id must be returnable again")
   }
 }
