@@ -775,7 +775,8 @@ object SparkEntry {
 
     // MinHash-LSH near-dup candidate pairs (shingle→minhash→band→join).
     "dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashBandPairs(tbl(s, dir, "documents"), "doc_id", "text")),
+      Dedup.minhashBandPairs(tbl(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_a"), col("doc_b"))),
 
     // Connected components over the minhash pair graph: min-label
     // propagation vs the oracle's recursive transitive closure — the
@@ -818,6 +819,7 @@ object SparkEntry {
         Dedup.minhashBandPairs(docs, "doc_id", "text"), "doc_a", "doc_b",
         graft.operators.Splits.assign(docs, "doc_id")
           .select(col("doc_id"), col("split")), "doc_id")
+        .orderBy(col("doc_a"), col("doc_b"))
     }),
 
     // Prefix-causal keep-first over minhash band buckets: drop a doc
@@ -826,36 +828,42 @@ object SparkEntry {
     // ingestDedupMinhash reproduces it batch-for-batch) — the rule a
     // stream can enforce with no retraction.
     "dedup_prefix_keepfirst" -> ((s, dir) =>
-      Dedup.prefixKeepFirst(tbl(s, dir, "documents"), "doc_id", "text")),
+      Dedup.prefixKeepFirst(tbl(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
 
     // Exact n-gram Jaccard pairs via shingle inverted index.
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.2)),
+        threshold = 0.2)
+        .orderBy(col("doc_a"), col("doc_b"))),
 
     // Same, with the document-frequency cap that bounds posting-list
     // fanout at scale (shingles in > dfCap docs leave the universe).
     "dedup_jaccard_capped" -> ((s, dir) =>
       Dedup.jaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.2, dfCap = 8)),
+        threshold = 0.2, dfCap = 8)
+        .orderBy(col("doc_a"), col("doc_b"))),
 
     // Shingle-containment pairs: catches partial copies (a short doc
     // embedded in a long one) that symmetric Jaccard misses. Threshold
     // 0.5 = half of the smaller side's shingles appear in the other.
     "dedup_containment" -> ((s, dir) =>
       Dedup.containmentPairs(tbl(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.5)),
+        threshold = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))),
 
     // SimHash pairs within Hamming radius 2 (pigeonhole chunk join).
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(tbl(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 2)),
+        maxHamming = 2)
+        .orderBy(col("doc_a"), col("doc_b"))),
 
     // 64-bit SimHash pairs, radius 3 (4 pigeonhole chunks) — the
     // corpus-scale fingerprint (16 bits saturate beyond ~10⁴ docs).
     "dedup_simhash64" -> ((s, dir) =>
       Dedup.simhashPairs(tbl(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 3, bits = 64)),
+        maxHamming = 3, bits = 64)
+        .orderBy(col("doc_a"), col("doc_b"))),
 
     // LSH build-time exact-duplicate elimination, keep-first by id
     // (lsh.rs:113-130): plant a duplicate of every vector — winning
@@ -879,7 +887,8 @@ object SparkEntry {
     // Embedding cosine near-dup pairs.
     "dedup_embed" -> ((s, dir) =>
       Dedup.embeddingPairs(tbl(s, dir, "embeddings"), "vec_id", "embedding",
-        maxCosDist = 0.7)),
+        maxCosDist = 0.7)
+        .orderBy(col("id_a"), col("id_b"))),
 
     // Embedding near-dup via the LSH-bucket prefilter — the 100 TB path
     // (candidates meet inside shared leaf buckets, never all-pairs).
@@ -891,7 +900,8 @@ object SparkEntry {
       Dedup.embeddingPairsViaLSH(tbl(s, dir, "embeddings"), "vec_id",
         "embedding", maxCosDist = 0.7,
         params = graft.index.LSHForest.Params(numTrees = 1,
-          maxNodeSize = Int.MaxValue, dedupExact = false))),
+          maxNodeSize = Int.MaxValue, dedupExact = false))
+        .orderBy(col("id_a"), col("id_b"))),
 
     // Multimodal binary-column plumbing: documents as utf-8 BLOBs with
     // byte length + content digest (the decode stub's feature path is

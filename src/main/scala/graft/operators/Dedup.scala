@@ -23,6 +23,12 @@ import graft.operators.TextOps._
   *  - embedding cosine: brute pair scan kept for exactness at oracle
   *    scale; at 100 TB compose with LSHForest/IVFFlat buckets as the
   *    candidate prefilter (same join shape as MinHash bands).
+  *
+  * Every operator returns an UNORDERED frame: output determinism (for
+  * the driver oracle, or a stable file layout) is the CALLER's orderBy
+  * at the query layer, so a production pipeline never pays a
+  * corpus-wide sort it didn't ask for. PlanSpec gates "no Sort inside a
+  * pair-generator plan".
   */
 object Dedup {
 
@@ -150,7 +156,7 @@ object Dedup {
           col("l.id") < col("r.id"))
       .select(col("r.id").as(idCol)).distinct()
     docs.join(losers, Seq(idCol), "left_anti")
-      .select(col(idCol)).orderBy(col(idCol))
+      .select(col(idCol))
   }
 
   /** Near-dup candidate pairs via MinHash banding: docs sharing at least
@@ -174,7 +180,6 @@ object Dedup {
           col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
-      .orderBy(col("doc_a"), col("doc_b"))
 
   /** Exact n-gram Jaccard over distinct word-3-shingle sets, via the
     * shingle inverted index; pairs with similarity ≥ threshold.
@@ -246,7 +251,6 @@ object Dedup {
           (col("na") + col("nb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
 
   /** Containment twin of [[jaccardPairsOf]]: max of the two directed
     * containments, so the threshold reads "either side is this
@@ -258,7 +262,6 @@ object Dedup {
         col("inter").cast("double") / col("nb").cast("double")))
       .filter(col("containment") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("containment"))
-      .orderBy(col("doc_a"), col("doc_b"))
 
   /** Pair intersection counts + both side sizes via the inverted-index
     * equi-join (the shared core of Jaccard and containment). */
@@ -344,7 +347,6 @@ object Dedup {
         lit(0).as("hamming"))
     diffSim.unionByName(sameSim)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Embedding near-dup pairs via LSH-forest bucket prefilter — the
@@ -385,7 +387,6 @@ object Dedup {
         cosineDistance(col("l.vector"), col("r.vector")).as("distance"))
       .filter(col("distance") < maxCosDist)
       .dropDuplicates("id_a", "id_b")
-      .orderBy(col("id_a"), col("id_b"))
 
   /** Embedding near-dup pairs under cosine distance < threshold. Exact
     * pair scan (oracle-checkable); see class doc for the 100 TB path
@@ -398,6 +399,5 @@ object Dedup {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         cosineDistance(col("l.vec"), col("r.vec")).as("distance"))
       .filter(col("distance") < maxCosDist)
-      .orderBy(col("id_a"), col("id_b"))
   }
 }

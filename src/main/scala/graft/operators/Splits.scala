@@ -46,7 +46,8 @@ object Splits {
     * as a near-duplicate is exactly such a pair; a clean corpus
     * returns zero rows. Two id equi-joins against the (takedown-sized
     * relative to the corpus) pair frame — the split frame never
-    * self-joins. */
+    * self-joins. Unordered like the [[Dedup]] pair generators —
+    * ordering is the caller's. */
   def crossSplitPairs(pairs: DataFrame, aCol: String, bCol: String,
                       splits: DataFrame, idCol: String): DataFrame = {
     val sp = splits.select(col(idCol).cast("long"), col("split"))
@@ -55,7 +56,6 @@ object Splits {
       .join(sp.withColumnRenamed(idCol, bCol).withColumnRenamed("split", "split_b"), bCol)
       .filter(col("split_a") =!= col("split_b"))
       .select(col(aCol), col(bCol), col("split_a"), col("split_b"))
-      .orderBy(col(aCol), col(bCol))
   }
 
   /** Token-budget sequence packing: within each (split, shard) lane,

@@ -155,11 +155,23 @@ class PlanSpec extends SparkSpec {
       "embed_lsh_pairs" -> Dedup.embeddingPairsOf(lshIdx, 0.2))
     cases.foreach { case (name, df) =>
       df.collect() // finalize the adaptive plan
-      val nodes = flatten(df.queryExecution.executedPlan).map(_.nodeName)
+      val plan = flatten(df.queryExecution.executedPlan)
+      val nodes = plan.map(_.nodeName)
       assert(!nodes.exists(n => n.contains("CartesianProduct")
           || n.contains("BroadcastNestedLoopJoin")),
         s"$name planned an all-pairs join:\n" +
           df.queryExecution.executedPlan.toString.take(1200))
+      // operators return UNORDERED frames — a GLOBAL sort (the orderBy
+      // shape: range exchange + global SortExec) inside a pair
+      // generator is a corpus-wide sort the caller never asked for;
+      // ordering belongs to the query layer. Local sorts (global=false,
+      // e.g. under a SortMergeJoin) are legitimate join machinery.
+      val globalSorts = plan.collect {
+        case s: org.apache.spark.sql.execution.SortExec if s.global => s
+      }
+      assert(globalSorts.isEmpty,
+        s"$name plans a global Sort inside the operator:\n" +
+          globalSorts.map(_.toString.take(300)).mkString("\n"))
     }
   }
 
