@@ -778,6 +778,17 @@ object SparkEntry {
       Dedup.minhashBandPairs(tbl(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // The r (bandSize) parameter of the MinHash S-curve under the
+    // oracle: the SAME 12 hashes banded 4 × r=3 instead of 6 × r=2 — a
+    // band collides only when all 3 row-minima agree, so the similarity
+    // threshold sharpens and marginal pairs drop out (DedupSpec gates
+    // the monotonicity; here the oracle gates the r=3 key path
+    // hash-for-hash).
+    "dedup_minhash_r3" -> ((s, dir) =>
+      Dedup.minhashBandPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        numHashes = 12, bandSize = 3)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // Connected components over the minhash pair graph: min-label
     // propagation vs the oracle's recursive transitive closure — the
     // pair→cluster→keep-first step of a real dedup pipeline.
@@ -1083,13 +1094,25 @@ object SparkEntry {
   /** MinHash band-bucket CTE chain ending in `bands(doc_id, band, key)`
     * — the signature stage shared by the pair, component, and
     * prefix-keep-first oracles. */
-  private lazy val minhashBandsCtes: String = {
+  private def minhashBandsCtesOf(numHashes: Int, bandSize: Int): String = {
     val P = TextOps.MinhashP
-    val mhs = (0 until 12).map(i =>
+    val numBands = numHashes / bandSize
+    val mhs = (0 until numHashes).map(i =>
       s"list_min(list_transform(hs, h -> (h.h1 + $i * h.h2) % $P)) AS mh_$i")
       .mkString(",\n  ")
-    val keys = (0 until 6).map(b =>
-      s"mh_${2 * b} * $P + mh_${2 * b + 1}").mkString(", ")
+    // band keys mirror Dedup.minhashBands/TextHashFast.bandKey: r = 2
+    // keeps the arithmetic sig0·P + sig1 packing; other r use the
+    // 60-bit md5 fold of the comma-joined band values (the hashPair
+    // "first 15 hex chars" convention)
+    val keys = (0 until numBands).map { b =>
+      if (bandSize == 2) s"mh_${2 * b} * $P + mh_${2 * b + 1}"
+      else {
+        val cc = (0 until bandSize).map(j => s"mh_${b * bandSize + j}")
+          .mkString(", ")
+        s"CAST(concat('0x', substr(md5(concat_ws(',', $cc)), 1, 15)) AS BIGINT)"
+      }
+    }.mkString(", ")
+    val bandIdx = (0 until numBands).mkString(", ")
     s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |s2 AS (SELECT doc_id, $shinglesSql AS sh FROM t),
        |s3 AS (SELECT doc_id,
@@ -1102,21 +1125,23 @@ object SparkEntry {
        |  $mhs
        | FROM s3),
        |bands AS (SELECT doc_id,
-       |  unnest([0, 1, 2, 3, 4, 5]) AS band,
+       |  unnest([$bandIdx]) AS band,
        |  unnest([$keys]) AS key
        | FROM sig)""".stripMargin
   }
+  private lazy val minhashBandsCtes: String = minhashBandsCtesOf(12, 2)
 
   /** MinHash-band pair CTE chain ending in `mhpairs(doc_a, doc_b,
     * n_bands)` — shared by the dedup_minhash oracle and the
     * dedup_components transitive closure built on top of it. */
-  private lazy val minhashPairsCtes: String =
-    s"""$minhashBandsCtes,
+  private def minhashPairsCtesOf(numHashes: Int, bandSize: Int): String =
+    s"""${minhashBandsCtesOf(numHashes, bandSize)},
        |mhpairs AS (
        |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS n_bands
        |  FROM bands l JOIN bands r
        |    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
        |  GROUP BY 1, 2)""".stripMargin
+  private lazy val minhashPairsCtes: String = minhashPairsCtesOf(12, 2)
 
   /** Shared DuckDB fragments mirroring TextOps (tokens/shingles). */
   private val toksSql =
@@ -1458,6 +1483,11 @@ object SparkEntry {
 
     "dedup_minhash" ->
       s"""WITH $minhashPairsCtes
+         |SELECT doc_a, doc_b, n_bands FROM mhpairs ORDER BY 1, 2""".stripMargin,
+
+    // same pipeline at r = 3 (4 bands of 3 minima, md5-fold band keys)
+    "dedup_minhash_r3" ->
+      s"""WITH ${minhashPairsCtesOf(12, 3)}
          |SELECT doc_a, doc_b, n_bands FROM mhpairs ORDER BY 1, 2""".stripMargin,
 
     // near-dup pairs straddling a split boundary (cross-join of the

@@ -100,10 +100,19 @@ object Dedup {
     * Docs with < 3 tokens have no signature and emit no rows.
     * One md5 per shingle via a typed mapPartitions (one MessageDigest
     * per partition) — value-equivalent to the Column/SQL pipeline,
-    * ~10× cheaper (see TextHashFast contracts). */
+    * ~10× cheaper (see TextHashFast contracts).
+    *
+    * `bandSize` (the LSH r parameter) tunes the S-curve: a pair
+    * colliding in one band needs all r row-minima equal, so larger r
+    * sharpens the similarity threshold (~(1/numBands)^(1/r)) and cuts
+    * false positives; smaller r boosts recall. r = 2 packs the band
+    * into sig0·P + sig1 (exact long arithmetic); other r take the
+    * 60-bit md5 fold of the band values ([[TextHashFast.bandKey]]) —
+    * both shapes replicate exactly in the DuckDB oracle. */
   def minhashBands(docs: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 12, bandSize: Int = 2): DataFrame = {
-    require(bandSize == 2 && numHashes % bandSize == 0)
+    require(bandSize >= 1 && numHashes % bandSize == 0,
+      s"bandSize must be >= 1 and divide numHashes, got r=$bandSize, h=$numHashes")
     val numBands = numHashes / bandSize
     val spark = docs.sparkSession
     import spark.implicits._
@@ -117,8 +126,12 @@ object Dedup {
           if (sh.isEmpty) Iterator.empty
           else {
             val sig = TextHashFast.minhashSig(md, sh, numHashes)
-            (0 until numBands).iterator.map(b =>
-              (id, b, sig(2 * b) * TextHashFast.P + sig(2 * b + 1)))
+            (0 until numBands).iterator.map { b =>
+              val key =
+                if (bandSize == 2) sig(2 * b) * TextHashFast.P + sig(2 * b + 1)
+                else TextHashFast.bandKey(md, sig, b * bandSize, bandSize)
+              (id, b, key)
+            }
           }
         }
       }

@@ -46,6 +46,25 @@ object TextHashFast {
     (h1, h2)
   }
 
+  /** 60-bit key of one signature band (`len` values from `off`): the
+    * h1-style md5 fold of the comma-joined band values — value-equal to
+    * SQL `CAST(concat('0x', substr(md5(concat_ws(',', …)), 1, 15)) AS
+    * BIGINT)` (chars 1-15 = high 60 bits of the first 8 digest bytes,
+    * the [[hashPair]] convention). Collisions are ~n²/2⁶⁰ and, because
+    * both engines compute the SAME key, collide identically — no
+    * oracle divergence. Used for bandSize ≠ 2; r = 2 keeps the cheaper
+    * arithmetic packing sig0·P + sig1 (fits a long exactly: P < 2³⁰). */
+  def bandKey(md: MessageDigest, sig: Array[Long], off: Int, len: Int): Long = {
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < len) {
+      if (i > 0) sb.append(',')
+      sb.append(sig(off + i))
+      i += 1
+    }
+    be64(md.digest(sb.toString.getBytes(StandardCharsets.UTF_8)), 0) >>> 4
+  }
+
   /** MinHash signature: min over shingles of (h1 + i·h2) mod p. */
   def minhashSig(md: MessageDigest, shingles: Array[String], numHashes: Int): Array[Long] = {
     val mins = Array.fill(numHashes)(Long.MaxValue)

@@ -68,6 +68,32 @@ class DedupSpec extends SparkSpec {
     assert(h0.subsetOf(h3))
   }
 
+  test("bandSize S-curve: exact dups pair at every r; larger r only sheds pairs") {
+    val dup = docs.filter(col("doc_id") === 0)
+      .withColumn("doc_id", lit(55555L))
+    val withDup = docs.unionByName(dup)
+    def pairsAt(r: Int): Set[(Long, Long)] =
+      Dedup.minhashBandPairs(withDup, "doc_id", "text",
+          numHashes = 12, bandSize = r)
+        .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+    val p2 = pairsAt(2); val p3 = pairsAt(3); val p4 = pairsAt(4)
+    // identical docs share every row-minimum → every band at any r
+    assert(Seq(p2, p3, p4).forall(_.contains((0L, 55555L))))
+    // an r-band collision (all r minima equal) implies... nothing
+    // band-for-band across layouts, but the S-curve direction must
+    // hold in aggregate on real text: stricter bands, fewer-or-equal
+    // candidate pairs (deterministic corpus, deterministic counts)
+    assert(p3.size <= p2.size, s"r=3 ${p3.size} > r=2 ${p2.size}")
+    assert(p4.size <= p3.size, s"r=4 ${p4.size} > r=3 ${p3.size}")
+    // and the streaming admission filter inherits r: its batch face
+    // must keep strictly more docs under the stricter banding
+    val kept3 = Dedup.prefixKeepFirst(withDup, "doc_id", "text",
+      numHashes = 12, bandSize = 3).count()
+    val kept2 = Dedup.prefixKeepFirst(withDup, "doc_id", "text",
+      numHashes = 12, bandSize = 2).count()
+    assert(kept3 >= kept2)
+  }
+
   test("planted duplicate is caught by all three near-dup detectors") {
     val dup = docs.filter(col("doc_id") === 0)
       .withColumn("doc_id", lit(99999L))
