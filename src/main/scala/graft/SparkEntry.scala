@@ -514,6 +514,38 @@ object SparkEntry {
       model.indexed.groupBy(col("cluster")).count().orderBy(col("cluster"))
     }),
 
+    // Lloyd's iteration under the driver oracle (ivfflat.rs:73-100):
+    // pinned init (fixedCentroids) → assign → centroid update → assign.
+    // The update is the ORACLE-PORTABLE fixed-point mean — per
+    // (cluster, dim) integer sums of floor(e·10⁶) (exact,
+    // order-independent) divided in double, cast to float, empty
+    // cluster → zero vector (ivfflat.rs:47-71's rule) — so both engines
+    // compute bit-identical iteration-2 centroids and the second
+    // assignment gates assign→update→assign hash-for-hash. (The
+    // float-mean VectorMean aggregator itself is ScalaTest-gated:
+    // float-sum order isn't hash-portable — same reasoning as
+    // vec_mean_by_label.)
+    "ivf_kmeans_fixed" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents0 = fixedCentroids(emb)
+      val dim = cents0(0).length
+      val a1 = IVFFlat.assign(emb, "vec_id", "embedding", cents0)
+      val sums = a1
+        .select(col("cluster"), posexplode(col("vector")).as(Seq("dim", "e")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(sum(floor(col("e").cast("double") * lit(1000000.0d)).cast("long"))
+          .as("sum_q6"), count(lit(1)).as("n"))
+        .collect()
+      val cents1 = Array.fill(cents0.length)(new Array[Float](dim))
+      sums.foreach { r =>
+        cents1(r.getInt(0))(r.getInt(1)) =
+          (r.getLong(2).toDouble / r.getLong(3).toDouble / 1000000.0d).toFloat
+      }
+      IVFFlat.assign(emb, "vec_id", "embedding", cents1)
+        .select(col("id"), col("cluster"))
+        .orderBy(col("id"))
+    }),
+
     // LSH hyperplane sign-buckets against FIXED planes: the perpendicular
     // bisectors of (v0,v1)..(v6,v7) give every vector a 4-bit signature
     // (lsh.rs:27-29 point_is_above + lsh.rs:72-80 plane construction,
@@ -1858,6 +1890,45 @@ object SparkEntry {
         |    x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
         |       * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (a,b) -> a+b),
         |  k.cid) = 1
+        |ORDER BY id""".stripMargin,
+
+    // pinned-init Lloyd's: assign (fixed centroids) → fixed-point mean
+    // update (BIGINT µ-sums / n in double → REAL; empty cluster → zeros)
+    // → re-assign. dim=64 hardcoded like vec_mean_by_label.
+    "ivf_kmeans_fixed" ->
+      """WITH c0 AS (
+        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+        |a1 AS (
+        |  SELECT c.vec_id AS id, c.embedding AS vec, k.cid
+        |  FROM embeddings c CROSS JOIN c0 k
+        |  QUALIFY row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |    list_reduce(list_transform(list_zip(k.cvec, c.embedding),
+        |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (a,b) -> a+b),
+        |    k.cid) = 1),
+        |sums AS (
+        |  SELECT cid, u.i AS i,
+        |    sum(CAST(floor(CAST(vec[u.i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS s,
+        |    count(*) AS n
+        |  FROM a1, (SELECT unnest(range(1, 65)) AS i) u
+        |  GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT g.cid,
+        |    list(CAST(coalesce(CAST(s.s AS DOUBLE) / s.n / 1000000.0, 0.0) AS REAL)
+        |      ORDER BY d.i) AS cvec
+        |  FROM (SELECT unnest(range(0, 8)) AS cid) g
+        |  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+        |  LEFT JOIN sums s ON s.cid = g.cid AND s.i = d.i
+        |  GROUP BY 1)
+        |SELECT f.id, CAST(f.cid AS INT) AS cluster
+        |FROM (
+        |  SELECT c.vec_id AS id, k.cid
+        |  FROM embeddings c CROSS JOIN c1 k
+        |  QUALIFY row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |    list_reduce(list_transform(list_zip(k.cvec, c.embedding),
+        |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (a,b) -> a+b),
+        |    k.cid) = 1) f
         |ORDER BY id""".stripMargin,
 
     "pq_assign_fixed" ->
