@@ -12,6 +12,26 @@ import graft.functions.{DotExpr, SqDistExpr}
   * `SparkSession.builder.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.GraftExtensions`.
   */
+object GraftExtensions {
+  /** Imperative twin of the extension for an ALREADY-BUILT session
+    * (extensions only apply at session construction): registers the
+    * same three functions into the live function registry. Used by the
+    * driver-gated SQL-surface query (SparkEntry "vec_kernels_sql"). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import graft.functions.{DotExpr, SqDistExpr}
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "graft_sqdist", exprs => SqDistExpr(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotExpr(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_cosine_distance", exprs =>
+        org.apache.spark.sql.catalyst.expressions.Subtract(
+          org.apache.spark.sql.catalyst.expressions.Literal(1.0d),
+          DotExpr(exprs(0), exprs(1))), "scala_udf")
+  }
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(clazz: Class[_], name: String, usage: String) =

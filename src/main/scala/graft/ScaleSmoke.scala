@@ -172,6 +172,18 @@ object ScaleSmoke {
     out += "lsh_max_depth" -> lsh.trees.map(_.leafSizes.keys.map(_.length).max).max.toString
     out += "lsh_leaves" -> lsh.trees.map(_.leafSizes.size).sum.toString
 
+    // ---- LSH multi-probe: same forest, probes=8 at query time — the
+    // query-side recall lever (lsh.rs:163-216 backtracking generalized
+    // to boundary-distance-ordered sibling descents). Search-only cost.
+    val lshMp = lsh.copy(params = lsh.params.copy(probes = 8))
+    val (lshMpRes, tLshMpS) = timed {
+      val df = lshMp.searchMany(queries, "vec_id", "embedding", k).cache()
+      df.count(); df
+    }
+    val lshMpRecall = recallOf(lshMpRes, truth)
+    out += "lsh_mp8_batch100_s" -> f"$tLshMpS%.2f"
+    out += "lsh_mp8_recall_at10" -> f"$lshMpRecall%.3f"
+
     // ---- PQ: m=32 codes (16× compression at 128f), 256 cells. ADC
     // codes resolve cluster identity; the true top-10 differ by
     // intra-cluster noise at quantization-error scale, so serving uses
@@ -268,9 +280,15 @@ object ScaleSmoke {
     // routing quality (identical graphs on both sides); the per-query
     // beam work drops proportionally to the scanned-shard fraction.
     val (hnswR, tHnswRB) = timed {
+      // maxCellFactor = 1.0: build-optimized cap — no subshard exceeds
+      // the MEAN cell size, so the straggler insert is the hash layout's
+      // per-shard wall and the only routed-build premium left is the
+      // router k-means itself (the serving trade: more subshard graphs
+      // per probed cell; q1 latencies below price it honestly)
       val m = index.HNSW.buildRouted(corpus, "vec_id", "embedding",
         index.HNSWGraph.Params(numLayers = 8, efConstruction = 100,
-          efSearch = 64, m = 16, seed = seed), numShards = 32)
+          efSearch = 64, m = 16, seed = seed), numShards = 32,
+        maxCellFactor = 1.0)
       m.shards.cache().count(); m
     }
     val (hnswRAll, tHnswRAllS) = timed {

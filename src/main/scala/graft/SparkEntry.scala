@@ -213,6 +213,21 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // SQL surface of the codegen kernels (GraftExtensions): the same
+    // fused SqDistExpr/DotExpr expressions reached through spark.sql
+    // text instead of the Column API — gates that the registered
+    // functions resolve, typecheck and compute bit-identically to the
+    // kernels the rest of the engine uses (base.rs:91-126 semantics).
+    "vec_kernels_sql" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      tbl(s, dir, "embeddings").createOrReplaceTempView("graft_sql_emb")
+      s.sql("""SELECT vec_id,
+              |  graft_sqdist(embedding, reverse(embedding)) AS sqd_rev,
+              |  graft_dot(embedding, embedding) AS dot_self,
+              |  graft_cosine_distance(embedding, reverse(embedding)) AS cos_rev
+              |FROM graft_sql_emb ORDER BY vec_id""".stripMargin)
+    }),
+
     // Elementwise arithmetic kernels (base.rs:62-111: add, subtract_from,
     // divide_by_scalar, average/midpoint) against the row's own reversed
     // vector, reduced to per-row double checksums (0.0-seeded left fold —
@@ -703,6 +718,28 @@ object SparkEntry {
           col("n_chars"))
         .orderBy(col("doc_id"))
     }),
+
+    // Top-5 salient terms per doc by tf × rational-idf (no log — the
+    // libm-free BM25 idf core; see TermStats precision contract).
+    "text_tfidf" -> ((s, dir) =>
+      graft.operators.TermStats.tfidfTopTerms(tbl(s, dir, "documents"),
+          "doc_id", "text", topN = 5)
+        .orderBy(col("doc_id"), col("term_rank"))),
+
+    // Per-source admission cap (domain-cap stage): keep ≤ 10 docs per
+    // source, content-addressed (md5 rank), no RNG.
+    "docs_source_cap" -> ((s, dir) =>
+      graft.operators.TermStats.sourceCap(tbl(s, dir, "documents"),
+          "doc_id", "source", "text", cap = 10)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    // Word-bigram repetition profile (boilerplate / degenerate-text
+    // quality gate): counts + top/dup ratios per doc.
+    "text_repetition" -> ((s, dir) =>
+      graft.operators.TermStats.repetitionProfile(tbl(s, dir, "documents"),
+          "doc_id", "text", n = 2)
+        .orderBy(col("doc_id"))),
 
     // BPE-ish regex token counting (subword-style estimator).
     "text_tokens_bpe" -> ((s, dir) => {
@@ -1880,6 +1917,18 @@ object SparkEntry {
         |    (s, x) -> s + x) AS s_mid
         |FROM e ORDER BY vec_id""".stripMargin,
 
+    "vec_kernels_sql" ->
+      """SELECT vec_id,
+        |  list_reduce(list_transform(list_zip(embedding, list_reverse(embedding)),
+        |    x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |       * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+        |    (a,b) -> a+b) AS sqd_rev,
+        |  list_reduce(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b) AS dot_self,
+        |  1.0 - list_reduce(list_transform(list_zip(embedding, list_reverse(embedding)),
+        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a,b) -> a+b) AS cos_rev
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
     "ivf_assign" ->
       """WITH cent AS (
         |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8)
@@ -2007,5 +2056,52 @@ object SparkEntry {
     "text_tokens" ->
       """SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_tokens, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |  CAST(tf.tf AS DOUBLE) *
+        |    ((CAST((SELECT count(*) FROM documents) AS DOUBLE)
+        |      - CAST(df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5)) AS score
+        |  FROM tf JOIN df USING (term))
+        |SELECT doc_id, term, tf, df, score,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term ASC) AS INT) AS term_rank
+        |FROM sc QUALIFY term_rank <= 5
+        |ORDER BY doc_id, term_rank""".stripMargin,
+
+    "docs_source_cap" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rk
+        |  FROM documents) WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |    t -> len(t) > 0) AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+        |    i -> t[i] || ' ' || t[i+1])) AS gram
+        |  FROM toks),
+        |pg AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY doc_id, gram),
+        |agg AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+        |  count(*) AS n_distinct, max(cnt) AS top_count FROM pg GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(a.n_grams, 0) AS n_grams,
+        |  coalesce(a.n_distinct, 0) AS n_distinct,
+        |  coalesce(a.top_count, 0) AS top_count,
+        |  CASE WHEN coalesce(a.n_grams, 0) = 0 THEN 0.0
+        |    ELSE CAST(a.top_count AS DOUBLE) / CAST(a.n_grams AS DOUBLE) END AS rep_ratio,
+        |  CASE WHEN coalesce(a.n_grams, 0) = 0 THEN 0.0
+        |    ELSE CAST(a.n_grams - a.n_distinct AS DOUBLE) / CAST(a.n_grams AS DOUBLE) END AS dup_ratio
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

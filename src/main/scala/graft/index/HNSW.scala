@@ -42,10 +42,23 @@ object HNSW {
 
   case class ShardBlob(shard: Int, blob: Array[Byte])
 
+  /** `routers`: one centroid per ROUTED CELL (None on hash layouts).
+    * `cellShards`: cell → its physical shard ids. A k-means cell larger
+    * than the build's size cap is SPLIT into several physical shards
+    * (id-hash within the cell) so no single shard's sequential insert
+    * exceeds the cap — the router stays per-cell exact because a probed
+    * cell always probes ALL its subshards. None ⇒ identity (cell i is
+    * exactly shard i, the pre-split layout). `numShards` counts PHYSICAL
+    * shards; `probeShards` in [[Model.searchMany]] counts CELLS. */
   case class Model(params: HNSWGraph.Params, numShards: Int,
                    shards: Dataset[ShardBlob],
                    routers: Option[Array[Array[Float]]] = None,
-                   removed: Set[Long] = Set.empty) {
+                   removed: Set[Long] = Set.empty,
+                   cellShards: Option[Array[Array[Int]]] = None) {
+
+    /** cell → physical shards, defaulting to the identity layout. */
+    private def cellMap(cells: Int): Array[Array[Int]] =
+      cellShards.getOrElse(Array.tabulate(cells)(Array(_)))
 
     /** Takedown — graph-index soft delete: removed ids stay in the
       * shard graphs as traversal waypoints but can never be RETURNED.
@@ -121,14 +134,18 @@ object HNSW {
         .as[(Long, Array[Float])].collect()
       // qid → probed shard set, None = probe all (no routers, or the
       // caller asked for full fan-out). Router order by sqdist of the
-      // normalized query ≡ cosine order on the unit sphere.
+      // normalized query ≡ cosine order on the unit sphere. probeShards
+      // counts CELLS: a probed cell expands to all its physical
+      // subshards, so cell-split layouts route bit-identically to the
+      // unsplit layout (same rows probed, just across more graphs).
       val route: Option[Map[Long, Set[Int]]] =
-        routers.filter(_ => probeShards > 0 && probeShards < numShards)
+        routers.filter(cents => probeShards > 0 && probeShards < cents.length)
           .map { cents =>
+            val cm = cellMap(cents.length)
             qRows.map { case (qid, qv) =>
               qid -> cents.indices
                 .sortBy(sh => IVFFlat.sqDistLocal(cents(sh), qv))
-                .take(probeShards).toSet
+                .take(probeShards).iterator.flatMap(c => cm(c)).toSet
             }.toMap
           }
       val bcQ = spark.sparkContext.broadcast(qRows)
@@ -195,8 +212,13 @@ object HNSW {
       import spark.implicits._
       val P = numShards
       val shardOf: (Long, Array[Float]) => Int = routers match {
-        case Some(cents) => (_, v) =>
-          cents.indices.minBy(sh => IVFFlat.sqDistLocal(cents(sh), v))
+        case Some(cents) =>
+          val cm = cellMap(cents.length)
+          (id, v) => {
+            val c = cents.indices.minBy(sh => IVFFlat.sqDistLocal(cents(sh), v))
+            val subs = cm(c) // same id-hash spread as the build assignment
+            subs(math.floorMod(id, subs.length.toLong).toInt)
+          }
         case None => (id, _) => math.floorMod(id, P.toLong).toInt
       }
       val newRows = rows
@@ -238,8 +260,9 @@ object HNSW {
       import spark.implicits._
       shards.toDF("shard", "blob").write.mode("overwrite").parquet(s"$dir/shards")
       routers.foreach { cents =>
-        cents.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
-          .toDF("shard", "vector")
+        val cm = cellMap(cents.length)
+        cents.zipWithIndex.map { case (v, i) => (i, v, cm(i).toSeq) }.toSeq
+          .toDF("shard", "vector", "subshards")
           .coalesce(1).write.mode("overwrite").parquet(s"$dir/routers")
       }
       if (removed.nonEmpty)
@@ -318,9 +341,21 @@ object HNSW {
     * cells instead of all P. Routing quality is the k-means cells'
     * quality; all-shard fan-out (probeShards = 0) on a routed model
     * remains exactly as exhaustive-over-shards as the hash layout. */
+  /** `maxCellFactor`: cap on any physical shard's size as a multiple of
+    * the mean cell size. k-means cells are skewed on clustered data, and
+    * each shard's graph is a strictly SEQUENTIAL insert loop — the
+    * largest cell pins one core for the whole build wall (measured 5–6×
+    * the hash layout at 1M before the cap, BASELINE.md r6). A cell of
+    * n_c rows with n_c > cap splits into ceil(n_c / cap) subshards by
+    * id-hash WITHIN the cell, so the longest sequential insert is
+    * bounded and the build parallelizes across the split. Routing is
+    * unchanged (per-cell, all subshards probed together); recall cost is
+    * only the per-subshard graph being built from a cell sample rather
+    * than the full cell. ≤ 0 disables splitting. */
   def buildRouted(emb: DataFrame, idCol: String, vecCol: String,
                   params: HNSWGraph.Params, numShards: Int,
-                  routerIterations: Int = 10): Model = {
+                  routerIterations: Int = 10,
+                  maxCellFactor: Double = 2.0): Model = {
     val spark = emb.sparkSession
     import spark.implicits._
     val normed = emb.select(
@@ -329,14 +364,33 @@ object HNSW {
     val router = IVFFlat.build(normed, "id", "vector",
       IVFFlat.Params(k = numShards, numAttempts = 1,
         maxIterations = routerIterations, seed = params.seed))
+    // cell sizes come free from the router's training state — no extra
+    // job; derive the split layout driver-side (O(cells) work)
+    val counts = router.clusterSizes
+    val total = counts.sum
+    val cap =
+      if (maxCellFactor <= 0.0) Long.MaxValue
+      else math.max(1L, math.ceil(maxCellFactor * total.toDouble / numShards).toLong)
+    val splits = Array.tabulate(numShards)(c =>
+      math.max(1L, math.ceil(counts(c).toDouble / cap).toLong).toInt)
+    val offsets = splits.scanLeft(0)(_ + _) // offsets(c) = first shard of cell c
+    val physical = offsets.last
+    val cellShards = Array.tabulate(numShards)(c =>
+      Array.range(offsets(c), offsets(c) + splits(c)))
+    val shardCol =
+      if (physical == numShards) col("cluster") // no cell was split
+      else element_at(typedlit(offsets.toSeq), col("cluster") + 1) +
+        pmod(col("id"), element_at(typedlit(splits.toSeq), col("cluster") + 1)
+          .cast("long")).cast("int")
     val rows = router.indexed
-      .select(col("id"), col("vector"), col("cluster").as("shard"))
-      .repartition(numShards, col("shard"))
+      .select(col("id"), col("vector"), shardCol.cast("int").as("shard"))
+      .repartition(physical, col("shard"))
       .sortWithinPartitions(col("shard"), col("id"))
       .as[(Long, Array[Float], Int)]
-    val shards = buildShards(rows, numShards, params)
+    val shards = buildShards(rows, physical, params)
     router.indexed.unpersist()
-    Model(params, numShards, shards, routers = Some(router.centroids))
+    Model(params, physical, shards, routers = Some(router.centroids),
+      cellShards = if (physical == numShards) None else Some(cellShards))
   }
 
   def load(spark: SparkSession, dir: String): Model = {
@@ -348,13 +402,19 @@ object HNSW {
       num("m").toInt, num("seed"))
     val shards = spark.read.parquet(s"$dir/shards")
       .select(col("shard").cast("int"), col("blob")).as[ShardBlob]
-    // "routed" is absent from pre-router sidecars → 0 (hash layout)
-    val routers =
-      if (ParamsIO.dbl(json, "routed", 0.0) == 1.0)
-        Some(spark.read.parquet(s"$dir/routers")
-          .orderBy("shard").collect()
-          .map(_.getAs[scala.collection.Seq[Float]]("vector").toArray))
-      else None
+    // "routed" is absent from pre-router sidecars → 0 (hash layout);
+    // "subshards" is absent from pre-cell-split sidecars → identity
+    val (routers, cellShards) =
+      if (ParamsIO.dbl(json, "routed", 0.0) == 1.0) {
+        val df = spark.read.parquet(s"$dir/routers")
+        val rows = df.orderBy("shard").collect()
+        val cents = rows.map(_.getAs[scala.collection.Seq[Float]]("vector").toArray)
+        val cm =
+          if (df.columns.contains("subshards"))
+            Some(rows.map(_.getAs[scala.collection.Seq[Int]]("subshards").toArray))
+          else None
+        (Some(cents), cm)
+      } else (None, None)
     // "tombstones" is absent from pre-remove sidecars → 0 (no set)
     val removed =
       if (ParamsIO.dbl(json, "tombstones", 0.0) == 1.0)
@@ -362,6 +422,6 @@ object HNSW {
           .collect().map(_.getLong(0)).toSet
       else Set.empty[Long]
     Model(params, num("numShards").toInt, shards.cache(), routers = routers,
-      removed = removed)
+      removed = removed, cellShards = cellShards)
   }
 }

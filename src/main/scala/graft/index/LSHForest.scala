@@ -55,11 +55,21 @@ object LSHForest {
     * [[Model.rebuildLeaves]]) once any leaf outgrows compactFactor ×
     * maxNodeSize — the Spark-scale stand-in for the reference's eager
     * re-split on every insert (lsh.rs:218-251): tolerate bounded
-    * overflow between adds, pay the split job only at the watermark. */
+    * overflow between adds, pay the split job only at the watermark.
+    *
+    * `probes`: leaves examined per tree per query (multi-probe). 1 =
+    * the reference's shape (descend to one leaf, widen by backtracking
+    * until k candidates, lsh.rs:196-213). probes > 1 additionally
+    * descends the `probes` cheapest root-to-leaf paths ranked by the
+    * summed perpendicular distance to every plane whose side the path
+    * flips — the query-TIME recall lever (a near-boundary query probes
+    * its boundary siblings directly instead of relying on more trees).
+    * Search-only: build, add and persistence are probe-agnostic. */
   case class Params(numTrees: Int = 4, maxNodeSize: Int = 64,
                     maxDepth: Int = 24, seed: Long = 42L,
                     dedupExact: Boolean = true,
-                    compactFactor: Int = 4)
+                    compactFactor: Int = 4,
+                    probes: Int = 1)
 
   /** plane per inner node: path → (coeffs, constant); sizes per leaf.
     *
@@ -132,6 +142,46 @@ object LSHForest {
     t.leavesUnder(prefix)
   }
 
+  /** Multi-probe candidate set: the widened primary leaf (so the ≥ n
+    * candidate guarantee of [[candidateLeaves]] is never weakened) plus
+    * the remaining leaves of the `probes` cheapest root-to-leaf descents.
+    * Cost of a descent = Σ |planeᵢ·q + cᵢ| / ‖planeᵢ‖ over the planes it
+    * crosses to the far side — i.e. the total perpendicular distance the
+    * query would have to move to land in that leaf naturally. Best-first
+    * over partial paths: pop the cheapest, extend its preferred child at
+    * equal cost and its flipped child at cost + distance; every pop is a
+    * node visit, so one probe set costs O(probes × depth × dim) — pure
+    * driver/executor-local math, no extra Spark jobs. probes == 1 takes
+    * the exact single-descent fast path (bit-identical to the reference
+    * shape; the degenerate-exact oracle lanes pin it). */
+  private def probeLeaves(t: Tree, q: Array[Float], n: Long,
+                          probes: Int): Seq[String] = {
+    val widened = candidateLeaves(t, leafPath(t, q), n)
+    if (probes <= 1 || t.planes.isEmpty) return widened
+    // min-heap on cost; insertion order is deterministic, so equal-cost
+    // pops are reproducible across runs
+    val pq = scala.collection.mutable.PriorityQueue((0.0, ""))(
+      Ordering.by[(Double, String), Double](_._1).reverse)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (pq.nonEmpty && out.size < probes) {
+      val (cost, path) = pq.dequeue()
+      t.planes.get(path) match {
+        case None => out += path
+        case Some((coeffs, const)) =>
+          var s = 0.0; var nrm = 0.0; var i = 0
+          while (i < coeffs.length) {
+            s += coeffs(i) * q(i); nrm += coeffs(i) * coeffs(i); i += 1
+          }
+          s += const
+          val d = if (nrm > 0.0) math.abs(s) / math.sqrt(nrm) else 0.0
+          val bit = s >= 0
+          pq.enqueue((cost, path + (if (bit) "1" else "0")))
+          pq.enqueue((cost + d, path + (if (bit) "0" else "1")))
+      }
+    }
+    (widened ++ out).distinct
+  }
+
   case class Model(params: Params, trees: IndexedSeq[Tree],
                    indexed: DataFrame /* id, vector, paths: array<string> */,
                    addsSinceCompact: Int = 0) {
@@ -149,13 +199,14 @@ object LSHForest {
       val spark = queries.sparkSession
       import spark.implicits._
       val bcTrees = spark.sparkContext.broadcast(trees)
+      val nProbes = params.probes // local val: don't capture the Model
       val probes = queries
         .select(col(qIdCol).cast("long").as("qid"),
                 col(qVecCol).cast("array<float>").as("qvec"))
         .as[(Long, Array[Float])]
         .flatMap { case (qid, qvec) =>
           bcTrees.value.iterator.zipWithIndex.flatMap { case (t, ti) =>
-            candidateLeaves(t, leafPath(t, qvec), k.toLong)
+            probeLeaves(t, qvec, k.toLong, nProbes)
               .map(p => (qid, qvec, ti, p))
           }
         }
@@ -271,7 +322,7 @@ object LSHForest {
       }.toDF("tree", "path", "coeffs", "const", "leaf_n")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/trees")
       ParamsIO.write(spark, dir,
-        s"""{"numTrees":${params.numTrees},"maxNodeSize":${params.maxNodeSize},"maxDepth":${params.maxDepth},"seed":${params.seed},"compactFactor":${params.compactFactor}}""")
+        s"""{"numTrees":${params.numTrees},"maxNodeSize":${params.maxNodeSize},"maxDepth":${params.maxDepth},"seed":${params.seed},"compactFactor":${params.compactFactor},"probes":${params.probes}}""")
     }
   }
 
@@ -488,7 +539,8 @@ object LSHForest {
     def num(key: String): Long = ParamsIO.num(json, key)
     val params = Params(num("numTrees").toInt, num("maxNodeSize").toInt,
       num("maxDepth").toInt, num("seed"),
-      compactFactor = ParamsIO.dbl(json, "compactFactor", 4.0).toInt)
+      compactFactor = ParamsIO.dbl(json, "compactFactor", 4.0).toInt,
+      probes = ParamsIO.dbl(json, "probes", 1.0).toInt)
     val rows = spark.read.parquet(s"$dir/trees").collect()
     val trees = (0 until params.numTrees).map { ti =>
       val mine = rows.filter(_.getInt(0) == ti)

@@ -126,6 +126,62 @@ class HNSWSpec extends SparkSpec {
     assert(pruned.subsetOf(full))
   }
 
+  test("cell-split routed build: shard sizes capped, routing bit-equal to unsplit") {
+    // efSearch >= corpus makes every per-shard beam search exact, so
+    // layout equality claims below are bit-for-bit, not recall-ish
+    val p = HNSWGraph.Params(numLayers = 6, efConstruction = 100,
+      efSearch = 512, m = 16)
+    // tiny factor forces splits on the 500-row corpus's skewed cells
+    val split = HNSW.buildRouted(emb, "vec_id", "embedding", p,
+      numShards = 4, maxCellFactor = 0.5)
+    val unsplit = HNSW.buildRouted(emb, "vec_id", "embedding", p,
+      numShards = 4, maxCellFactor = 0.0) // 0 disables the cap
+    assert(split.cellShards.isDefined, "0.5× cap must split at least one cell")
+    assert(split.numShards > 4)
+    val cm = split.cellShards.get
+    assert(cm.length == 4 && cm.flatten.toSeq == (0 until split.numShards))
+    // no physical shard exceeds the cap (cap = ceil(0.5 * n / 4)):
+    // id-hash within a cell spreads near-evenly, allow the hash slack
+    val n = emb.count()
+    val cap = math.ceil(0.5 * n / 4).toLong
+    val sizes = split.shards.collect()
+      .map(s => HNSW.deserialize(s.blob).ids.length)
+    assert(sizes.length == split.numShards)
+    assert(sizes.sum == n)
+    sizes.foreach(sz => assert(sz <= cap + cap / 2 + 1, s"shard of $sz > cap $cap"))
+    // per-cell routing is EXACT under the split: the router (same seed,
+    // same data) is identical, a probed cell probes ALL its subshards,
+    // so probing s cells scans exactly the rows the unsplit layout
+    // scans — results match bit-for-bit at exact ef
+    val queries = emb.filter(col("vec_id") < 20)
+    def setOf(m: HNSW.Model, ps: Int) =
+      m.searchMany(queries, "vec_id", "embedding", 10, probeShards = ps)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(setOf(split, 4) == setOf(unsplit, 4)) // full fan-out
+    assert(setOf(split, 1) == setOf(unsplit, 1)) // single-cell probe
+    assert(setOf(split, 2) == setOf(unsplit, 2))
+    // self-hit survives the split at probeShards=1
+    val hits = split.searchMany(queries, "vec_id", "embedding", 1,
+      probeShards = 1).collect()
+    assert(hits.length == 20)
+    hits.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // add routes into a subshard of the nearest cell and is findable
+    val without = emb.filter(col("vec_id") =!= 42)
+    val m = HNSW.buildRouted(without, "vec_id", "embedding", p,
+      numShards = 4, maxCellFactor = 0.5)
+    val held = emb.filter(col("vec_id") === 42)
+    val hit = m.add(held, "vec_id", "embedding")
+      .searchMany(held, "vec_id", "embedding", 1, probeShards = 1).head()
+    assert(hit.getLong(1) == 42L && math.abs(hit.getDouble(2)) < 1e-6)
+    // save/load round-trips the cell→subshard map and probed search
+    val dir = java.nio.file.Files.createTempDirectory("hnswcs").toString
+    split.save(dir)
+    val re = HNSW.load(spark, dir)
+    assert(re.cellShards.isDefined)
+    assert(re.cellShards.get.map(_.toSeq).toSeq == cm.map(_.toSeq).toSeq)
+    assert(setOf(re, 2) == setOf(split, 2))
+  }
+
   test("routed add: row lands in its nearest cell and is findable at probeShards=1") {
     val without = emb.filter(col("vec_id") =!= 42)
     val m = HNSW.buildRouted(without, "vec_id", "embedding",

@@ -61,6 +61,40 @@ class LSHForestSpec extends SparkSpec {
     assert(mean >= 0.5, s"mean recall@10 = $mean")
   }
 
+  test("multi-probe: probes=4 recall >= single-probe; self-hit preserved") {
+    val queries = emb.filter(col("vec_id") < 20)
+    def recallOf(m: LSHForest.Model): Double = {
+      val truth = Exhaustive.knnJoin(queries, "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 10)
+        .select("qid", "id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val got = m.searchMany(queries, "vec_id", "embedding", k = 10)
+        .select("qid", "id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      truth.keys.toSeq
+        .map(q => got.getOrElse(q, Set.empty).intersect(truth(q)).size / 10.0)
+        .sum / truth.size
+    }
+    val single = recallOf(model)
+    val multi = recallOf(model.copy(params = model.params.copy(probes = 4)))
+    // probes > 1 only ADDS candidate leaves (the widened primary set is
+    // always kept), so recall is monotone non-decreasing
+    assert(multi >= single, s"multi-probe recall $multi < single $single")
+    // self-query still finds itself at distance 0 through the mp path
+    val hits = model.copy(params = model.params.copy(probes = 4))
+      .searchMany(queries, "vec_id", "embedding", k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hits.length == 20)
+    hits.foreach { case (qid, id, d) => assert(qid == id && d == 0.0) }
+  }
+
+  test("multi-probe params survive save/load") {
+    val dir = java.nio.file.Files.createTempDirectory("lshmp").toString
+    val mp = model.copy(params = model.params.copy(probes = 4))
+    mp.save(dir)
+    assert(LSHForest.load(spark, dir).params.probes == 4)
+  }
+
   test("save/load round-trip preserves search results") {
     val dir = java.nio.file.Files.createTempDirectory("lsh").toString
     model.save(dir)
