@@ -228,6 +228,24 @@ object SparkEntry {
               |FROM graft_sql_emb ORDER BY vec_id""".stripMargin)
     }),
 
+    // Per-vector affine int8 quantization round-trip (functions.Quant):
+    // the embedding-storage scale path — range, code checksum, and the
+    // max dequantization error per vector, all engine-portable math
+    // (floor-based rounding, no round()).
+    "embed_int8" -> ((s, dir) => {
+      import graft.functions.Quant
+      val v = col("embedding")
+      tbl(s, dir, "embeddings")
+        .select(col("vec_id"),
+          size(v).cast("long").as("n_dims"),
+          Quant.int8Lo(v).as("lo"),
+          Quant.int8Hi(v).as("hi"),
+          aggregate(Quant.int8Codes(v), lit(0L), (a, c) => a + c)
+            .as("code_sum"),
+          Quant.int8MaxAbsErr(v).as("max_abs_err"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Elementwise arithmetic kernels (base.rs:62-111: add, subtract_from,
     // divide_by_scalar, average/midpoint) against the row's own reversed
     // vector, reduced to per-row double checksums (0.0-seeded left fold —
@@ -734,6 +752,15 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
+    // Prefix-causal per-source cap: first 10 docs per source in id
+    // order — the streaming-enforceable admission face of
+    // docs_source_cap (stream ≡ batch pinned in StreamingSpec).
+    "docs_source_cap_prefix" -> ((s, dir) =>
+      graft.operators.TermStats.prefixSourceCap(tbl(s, dir, "documents"),
+          "doc_id", "source", cap = 10)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
     // Word-bigram repetition profile (boilerplate / degenerate-text
     // quality gate): counts + top/dup ratios per doc.
     "text_repetition" -> ((s, dir) =>
@@ -763,6 +790,16 @@ object SparkEntry {
     "doc_split" -> ((s, dir) =>
       graft.operators.Splits.assign(tbl(s, dir, "documents"), "doc_id")
         .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))),
+
+    // Deterministic stratified sampling (the data-mixing stage):
+    // downsample dominant strata, keep rare ones — salted hash
+    // membership, independent of split assignment, no RNG.
+    "doc_sample_stratified" -> ((s, dir) =>
+      graft.operators.Splits.sampleStratified(tbl(s, dir, "documents"),
+          "doc_id", "lang",
+          rates = Map("en" -> 0.5, "zh" -> 0.25), defaultRate = 1.0)
+        .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
     // Token-budget sequence packing: greedy bins from the exclusive
@@ -1505,6 +1542,17 @@ object SparkEntry {
         |       ELSE 'test' END AS split
         |FROM f ORDER BY doc_id""".stripMargin,
 
+    "doc_sample_stratified" ->
+      """WITH f AS (SELECT doc_id, lang,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':sample'), 1, 8)) AS BIGINT)
+        |    / 4294967296.0 AS frac
+        | FROM documents)
+        |SELECT doc_id, lang FROM f
+        |WHERE frac < (CASE WHEN lang = 'en' THEN 0.5
+        |                   WHEN lang = 'zh' THEN 0.25
+        |                   ELSE 1.0 END)
+        |ORDER BY doc_id""".stripMargin,
+
     "doc_pack" ->
       s"""WITH f AS (SELECT doc_id, text,
          |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
@@ -1917,6 +1965,23 @@ object SparkEntry {
         |    (s, x) -> s + x) AS s_mid
         |FROM e ORDER BY vec_id""".stripMargin,
 
+    "embed_int8" ->
+      """WITH q AS (SELECT vec_id, embedding,
+        |  CAST(list_min(embedding) AS DOUBLE) AS lo,
+        |  CAST(list_max(embedding) AS DOUBLE) AS hi FROM embeddings),
+        |c AS (SELECT vec_id, embedding, lo, hi,
+        |  CASE WHEN hi = lo THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |    ELSE list_transform(embedding, x ->
+        |      CAST(floor((CAST(x AS DOUBLE) - lo) / ((hi - lo) / 255.0) + 0.5) AS BIGINT))
+        |  END AS codes FROM q)
+        |SELECT vec_id, len(embedding) AS n_dims, lo, hi,
+        |  list_reduce(codes, (a, b) -> a + b) AS code_sum,
+        |  list_reduce(list_transform(list_zip(embedding, codes),
+        |    p -> abs(CAST(p[1] AS DOUBLE)
+        |      - (lo + CAST(p[2] AS DOUBLE) * ((hi - lo) / 255.0)))),
+        |    (a, b) -> greatest(a, b)) AS max_abs_err
+        |FROM c ORDER BY vec_id""".stripMargin,
+
     "vec_kernels_sql" ->
       """SELECT vec_id,
         |  list_reduce(list_transform(list_zip(embedding, list_reverse(embedding)),
@@ -2079,6 +2144,12 @@ object SparkEntry {
       """SELECT doc_id, source, n_chars FROM (
         |  SELECT doc_id, source, n_chars,
         |    row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rk
+        |  FROM documents) WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
+
+    "docs_source_cap_prefix" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
         |  FROM documents) WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->

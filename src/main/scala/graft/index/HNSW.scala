@@ -352,21 +352,50 @@ object HNSW {
     * unchanged (per-cell, all subshards probed together); recall cost is
     * only the per-subshard graph being built from a cell sample rather
     * than the full cell. ≤ 0 disables splitting. */
+  /** `routerSampleRows`: the router k-means trains on a deterministic
+    * id-hash sample of about this many rows (full corpus when it is
+    * smaller) and the full corpus is then assigned to the trained
+    * centroids in ONE narrow pass — the standard IVF practice, and the
+    * scale shape: Lloyd's over the full corpus for a handful of routing
+    * cells was the dominant routed-build cost once the insert straggler
+    * was capped (measured 1M: full-corpus router ≈ 2× the entire hash
+    * build by itself). Routing quality is centroid quality, which
+    * saturates long before 200k samples for P ≤ a few hundred cells.
+    * ≤ 0 trains on the full corpus. */
   def buildRouted(emb: DataFrame, idCol: String, vecCol: String,
                   params: HNSWGraph.Params, numShards: Int,
                   routerIterations: Int = 10,
-                  maxCellFactor: Double = 2.0): Model = {
+                  maxCellFactor: Double = 2.0,
+                  routerSampleRows: Long = 200000L): Model = {
     val spark = emb.sparkSession
     import spark.implicits._
     val normed = emb.select(
       col(idCol).cast("long").as("id"),
       normalizeF(col(vecCol).cast("array<float>")).as("vector"))
-    val router = IVFFlat.build(normed, "id", "vector",
+    val n = normed.count()
+    val train =
+      if (routerSampleRows <= 0 || n <= routerSampleRows) normed
+      else {
+        // content-addressed sample (seeded id hash): repartition-stable,
+        // no RNG — the same determinism rule as Splits.assign
+        val num = math.max(1L, (routerSampleRows * 1000000L) / n)
+        normed.filter(
+          pmod(xxhash64(col("id"), lit(params.seed)), lit(1000000L)) < lit(num))
+      }
+    val router = IVFFlat.build(train, "id", "vector",
       IVFFlat.Params(k = numShards, numAttempts = 1,
         maxIterations = routerIterations, seed = params.seed))
-    // cell sizes come free from the router's training state — no extra
-    // job; derive the split layout driver-side (O(cells) work)
-    val counts = router.clusterSizes
+    router.indexed.unpersist()
+    // one narrow pass assigns the FULL corpus to the trained router; it
+    // feeds the cell-size count AND the shard repartition below.
+    // Deliberately NOT cached: the pass is a cheap broadcast-argmin map
+    // (recomputing it twice beats holding ~corpus × (vector + cluster)
+    // in storage memory next to the graph-build tasks — caching it
+    // OOMed the 1M smoke's shared local JVM)
+    val assigned = IVFFlat.assign(normed, "id", "vector", router.centroids)
+    val counts = new Array[Long](numShards)
+    assigned.groupBy("cluster").count().collect()
+      .foreach(r => counts(r.getInt(0)) = r.getLong(1))
     val total = counts.sum
     val cap =
       if (maxCellFactor <= 0.0) Long.MaxValue
@@ -382,13 +411,12 @@ object HNSW {
       else element_at(typedlit(offsets.toSeq), col("cluster") + 1) +
         pmod(col("id"), element_at(typedlit(splits.toSeq), col("cluster") + 1)
           .cast("long")).cast("int")
-    val rows = router.indexed
+    val rows = assigned
       .select(col("id"), col("vector"), shardCol.cast("int").as("shard"))
       .repartition(physical, col("shard"))
       .sortWithinPartitions(col("shard"), col("id"))
       .as[(Long, Array[Float], Int)]
     val shards = buildShards(rows, physical, params)
-    router.indexed.unpersist()
     Model(params, physical, shards, routers = Some(router.centroids),
       cellShards = if (physical == numShards) None else Some(cellShards))
   }

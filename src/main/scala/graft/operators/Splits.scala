@@ -40,6 +40,30 @@ object Splits {
     df.withColumn("split", split)
   }
 
+  /** Deterministic stratified sampler — the data-mixing stage: keep a
+    * row iff its salted hash fraction falls below its stratum's rate
+    * (e.g. downsample boilerplate-heavy sources, upweight rare
+    * languages by keeping them whole). Content-addressed like
+    * [[assign]]: same membership on every run, cluster size, and
+    * repartition — and the `salt` decorrelates sampling from split
+    * assignment (the same doc's split fraction and sample fraction are
+    * independent hashes). Strata absent from `rates` keep
+    * `defaultRate`. Pure narrow filter — no shuffle, scale-free. */
+  def sampleStratified(df: DataFrame, idCol: String, stratumCol: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double = 1.0,
+                       salt: String = "sample"): DataFrame = {
+    require(rates.values.forall(r => r >= 0.0 && r <= 1.0) &&
+      defaultRate >= 0.0 && defaultRate <= 1.0,
+      "sample rates must be in [0, 1]")
+    val f = hashFrac(concat(col(idCol).cast("string"), lit(":" + salt)))
+    val rate = rates.toSeq.sortBy(_._1).foldRight(lit(defaultRate): Column) {
+      case ((k, v), rest) =>
+        when(col(stratumCol) === lit(k), lit(v)).otherwise(rest)
+    }
+    df.filter(f < rate)
+  }
+
   /** Train/test contamination audit — the eval-integrity operator:
     * near-dup PAIRS (from any pair generator in [[Dedup]]) that
     * straddle a split boundary. A benchmark answer leaking into train

@@ -66,13 +66,27 @@ object TermStats {
     * the same result but shuffles EVERY row of the hot source through
     * one task — the shape this operator exists to avoid. */
   def sourceCap(docs: DataFrame, idCol: String, srcCol: String,
-                textCol: String, cap: Int): DataFrame = {
+                textCol: String, cap: Int): DataFrame =
+    capBy(docs, idCol, srcCol, md5(col(textCol)), cap)
+
+  /** Prefix-causal per-source cap: keep the FIRST `cap` docs per source
+    * in id order — the strongest per-source admission rule a
+    * no-retraction stream can enforce (same prefix-causality argument
+    * as Dedup.prefixKeepFirst). [[graft.streaming.Streaming.ingestSourceCap]]
+    * is its streaming twin; batch ≡ stream equality is pinned in spec.
+    * Same bounded-heap plan shape as [[sourceCap]]. */
+  def prefixSourceCap(docs: DataFrame, idCol: String, srcCol: String,
+                      cap: Int): DataFrame =
+    capBy(docs, idCol, srcCol, lit(""), cap)
+
+  private def capBy(docs: DataFrame, idCol: String, srcCol: String,
+                    rankKey: Column, cap: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(cap > 0, s"sourceCap: cap must be positive, got $cap")
     val keyed = docs
       .select(col(srcCol).cast("string").as("src"),
-        md5(col(textCol)).as("rk"), col(idCol).cast("long").as("id"))
+        rankKey.cast("string").as("rk"), col(idCol).cast("long").as("id"))
       .as[(String, String, Long)]
       .rdd.map { case (src, rk, id) => (src, (rk, id)) }
     // bounded "keep the cap smallest (rk, id)" accumulator — an array

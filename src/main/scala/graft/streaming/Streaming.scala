@@ -191,6 +191,60 @@ object Streaming {
       .start()
   }
 
+  /** State of the streaming per-source admission cap
+    * ([[ingestSourceCap]]): `admitted` accumulates surviving rows;
+    * `counts` is the per-source admitted tally (src, n) — the only
+    * thing the admission decision needs, so state stays
+    * posting-list-small (one row per source ever seen). */
+  case class SourceCapState(admitted: DataFrame, counts: DataFrame,
+                            addsSinceCompact: Int = 0)
+
+  /** Streaming per-source admission cap — the domain-cap stage as an
+    * ingest filter: a doc is admitted iff fewer than `cap` docs of its
+    * source were admitted before it (earlier batches via the `counts`
+    * state; same-batch earlier rows via a batch-local rank in id
+    * order). With id-ordered arrival this reproduces
+    * [[graft.operators.TermStats.prefixSourceCap]] batch-for-batch —
+    * the prefix-causal rule, exactly like the minhash admission twin
+    * above (no retraction: a stream cannot un-admit a doc when a
+    * "better" one arrives later, so content-addressed ranking is a
+    * batch-only luxury). Per-batch work: one batch-local window (batch
+    * rows only, never state) + one broadcast join against the (src, n)
+    * tally. Both state frames compact on the Lineage cadence. */
+  def ingestSourceCap(stream: DataFrame, idCol: String, srcCol: String,
+                      cap: Int,
+                      state: java.util.concurrent.atomic.AtomicReference[SourceCapState])
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(cap > 0, s"ingestSourceCap: cap must be positive, got $cap")
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val st = state.get()
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(srcCol)).orderBy(col(idCol).asc)
+          val admittedBatch = batch
+            .withColumn("_rk", row_number().over(w))
+            .join(broadcast(st.counts.withColumnRenamed("src", srcCol)),
+              Seq(srcCol), "left")
+            .filter(col("_rk") + coalesce(col("n"), lit(0L)) <= cap)
+            .drop("_rk", "n")
+            .localCheckpoint(true)
+          val batchCounts = admittedBatch
+            .groupBy(col(srcCol).cast("string").as("src"))
+            .agg(count(lit(1)).as("n"))
+          val (admitted, n) = graft.index.Lineage.compact(
+            st.admitted.unionByName(admittedBatch), st.addsSinceCompact)
+          val (counts, _) = graft.index.Lineage.compact(
+            st.counts.unionByName(batchCounts)
+              .groupBy("src").agg(sum("n").as("n")),
+            st.addsSinceCompact)
+          state.set(SourceCapState(admitted, counts, n))
+        }
+      }
+      .start()
+  }
+
   /** Streaming index ingest — the `Index::add` analogue: each microbatch
     * of (id, vector) rows is routed into the live IVFFlat model (frozen
     * centroids, ivfflat.rs:200-213 semantics). Returns the query handle;

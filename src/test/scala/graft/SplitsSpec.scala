@@ -27,6 +27,34 @@ class SplitsSpec extends SparkSpec {
     assert(byCut("val") > 10 && byCut("test") > 10, byCut.toString)
   }
 
+  test("sampleStratified: per-stratum rates, repartition-stable, split-independent") {
+    val rates = Map("en" -> 0.5, "zh" -> 0.0)
+    val kept = Splits.sampleStratified(docs, "doc_id", "lang", rates)
+      .select($"doc_id", $"lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // rate 0 drops the stratum entirely; default 1.0 keeps others whole
+    assert(!kept.exists(_._2 == "zh"))
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptBy = kept.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    totals.filterNot(t => Set("en", "zh")(t._1)).foreach { case (l, n) =>
+      assert(keptBy.getOrElse(l, 0L) == n, s"default-rate stratum $l") }
+    // en keeps ~half: binomial bound, ±6σ of n/2
+    val en = totals("en")
+    assert(math.abs(keptBy("en") - en / 2.0) < 6 * math.sqrt(en * 0.25), keptBy.toString)
+    // content-addressed: identical under a different physical layout
+    val again = Splits.sampleStratified(docs.repartition(13), "doc_id", "lang", rates)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == kept.map(_._1).toSet)
+    // the sample hash is salted: en survivors are NOT just the en docs
+    // of any one split (independence from assign's fraction)
+    val trainIds = Splits.assign(docs, "doc_id")
+      .filter($"split" === "train").select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val enKept = kept.filter(_._2 == "en").map(_._1).toSet
+    assert((enKept -- trainIds).nonEmpty && (trainIds -- enKept).nonEmpty)
+  }
+
   test("crossSplitPairs flags a planted train→test near-dup leak") {
     import graft.operators.Dedup
     // driver-side twin of the md5 split fraction, to plant ids by split

@@ -284,6 +284,39 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains((60L, "B")) && got.contains((65L, "A")), got.toString)
   }
 
+  test("streaming source-cap admission equals the batch prefix rule") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TermStats
+    import graft.streaming.Streaming.SourceCapState
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"source").cache()
+    val emptyAdmitted = docs.filter(lit(false))
+    val emptyCounts = Seq.empty[(String, Long)].toDF("src", "n")
+    val state = new java.util.concurrent.atomic.AtomicReference(
+      SourceCapState(emptyAdmitted, emptyCounts))
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.ingestSourceCap(
+      mem.toDF().toDF("doc_id", "source"), "doc_id", "source", cap = 7, state)
+    // id-ordered arrival over 4 microbatches (the prefix rule's
+    // ordering assumption), batch boundaries NOT aligned to sources
+    val rows = docs.orderBy($"doc_id").as[(Long, String)].collect()
+    rows.grouped(rows.length / 4 + 1).foreach { chunk =>
+      mem.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = state.get().admitted
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val batch = TermStats.prefixSourceCap(docs, "doc_id", "source", cap = 7)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch)
+    // the tally state agrees with the admitted frame
+    val counts = state.get().counts.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ <= 7))
+    assert(counts.values.sum == streamed.size.toLong)
+  }
+
   test("streaming minhash dedup equals the batch prefix-keep-first rule") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Dedup

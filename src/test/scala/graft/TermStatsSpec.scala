@@ -53,6 +53,18 @@ class TermStatsSpec extends SparkSpec {
     assert(got == ref)
   }
 
+  test("prefixSourceCap: first cap ids per source, matches window ranking") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val got = TermStats.prefixSourceCap(docs, "doc_id", "source", cap = 7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id").asc)
+    val ref = docs.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= 7).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == ref)
+  }
+
   test("repetitionProfile: hand-computed bigram ratios; short docs report zeros") {
     import spark.implicits._
     val docs = Seq(
