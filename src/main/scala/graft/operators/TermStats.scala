@@ -33,10 +33,17 @@ object TermStats {
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     topN: Int = 5): DataFrame = {
     val nDocs = docs.count() // one driver scalar; the corpus never collects
+    // persisted because tf feeds BOTH the df aggregate and the join —
+    // without it the tokenize+explode+first-shuffle subtree evaluates
+    // twice (the two consumers shuffle on different keys, so no
+    // exchange reuse); same persist-before-reuse discipline as Dedup.
+    // tf is (doc, term, count) — vocabulary-sized, far below the token
+    // stream it summarizes.
     val tf = docs
       .select(col(idCol).cast("long").as("doc_id"),
         explode(TextOps.tokens(col(textCol))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist()
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val score = col("tf").cast("double") *
       ((lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5d)) /
