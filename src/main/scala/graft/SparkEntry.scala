@@ -246,6 +246,42 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // SQ8 serving tier (index/SQ8): IVF cells over PACKED int8 codes —
+    // 1 byte/dim in the scan instead of 4. Probing every cell makes
+    // the search exact over the dequantized corpus, so DuckDB
+    // reproduces quantize→dequantize→exhaustive bit-for-bit (floor
+    // rounding + 0.0-seeded double folds) — the whole
+    // compress→probe→fused-byte-kernel path driver-gated.
+    "sq8_search_all" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = fixedCentroids(emb)
+      val indexed = graft.index.IVFFlat.assign(emb, "vec_id", "embedding", cents)
+      val sizes = Array.fill(cents.length)(Long.MaxValue)
+      val sq8 = graft.index.SQ8.compress(
+        IVFFlat.Model(IVFFlat.Params(cents.length), cents, sizes, indexed))
+      sq8.searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = cents.length)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
+    // SQ8 lifecycle: compress → save (codes partitioned by cluster) →
+    // load → probe-all search, same exact-over-dequantized oracle.
+    "sq8_persist_all" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = fixedCentroids(emb)
+      val indexed = graft.index.IVFFlat.assign(emb, "vec_id", "embedding", cents)
+      val sizes = Array.fill(cents.length)(Long.MaxValue)
+      val sq8 = graft.index.SQ8.compress(
+        IVFFlat.Model(IVFFlat.Params(cents.length), cents, sizes, indexed))
+      val tmp = java.nio.file.Files.createTempDirectory("sq8_persist").toString
+      sq8.save(tmp)
+      val re = graft.index.SQ8.load(s, tmp)
+      re.copy(clusterSizes = re.clusterSizes.map(_ => Long.MaxValue))
+        .searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = re.params.k)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
     // Elementwise arithmetic kernels (base.rs:62-111: add, subtract_from,
     // divide_by_scalar, average/midpoint) against the row's own reversed
     // vector, reduced to per-row double checksums (0.0-seeded left fold —
@@ -1337,6 +1373,33 @@ object SparkEntry {
       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 10
       |ORDER BY qid, distance, id""".stripMargin
 
+  /** sq8_search_all / sq8_persist_all oracle: quantize each corpus
+    * vector with [[graft.functions.Quant]]'s floor-rounding affine int8
+    * rule, dequantize, then exhaustive top-10 — probing every cell makes
+    * the SQ8 search exactly this. The dequant arithmetic (lo + code ×
+    * (hi−lo)/255, all double) and the 0.0-seeded squared-diff fold
+    * mirror [[graft.functions.Sq8DistExpr]] bit-for-bit. */
+  private val sq8ExactKnnSql: String =
+    """WITH r AS (SELECT vec_id, embedding,
+      |  CAST(list_min(embedding) AS DOUBLE) AS lo,
+      |  CAST(list_max(embedding) AS DOUBLE) AS hi FROM embeddings),
+      |deq AS (SELECT vec_id,
+      |  CASE WHEN hi = lo THEN list_transform(embedding, x -> lo)
+      |    ELSE list_transform(embedding, x ->
+      |      lo + floor((CAST(x AS DOUBLE) - lo) / ((hi - lo) / 255.0) + 0.5)
+      |         * ((hi - lo) / 255.0)) END AS dq
+      |  FROM r),
+      |scored AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS id,
+      |    list_reduce(list_transform(list_zip(q.embedding, c.dq),
+      |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+      |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+      |      (a, b) -> a + b) AS distance
+      |  FROM deq c, embeddings q WHERE q.vec_id < 5)
+      |SELECT qid, id, distance FROM scored
+      |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 10
+      |ORDER BY qid, distance, id""".stripMargin
+
   /** ivf_search_fixed oracle — shared with ivf_add_fixed (add against
     * frozen centroids reproduces the full assignment exactly) and,
     * with a corpus filter, ivf_remove_fixed (removal = the same search
@@ -1981,6 +2044,9 @@ object SparkEntry {
         |      - (lo + CAST(p[2] AS DOUBLE) * ((hi - lo) / 255.0)))),
         |    (a, b) -> greatest(a, b)) AS max_abs_err
         |FROM c ORDER BY vec_id""".stripMargin,
+
+    "sq8_search_all" -> sq8ExactKnnSql,
+    "sq8_persist_all" -> sq8ExactKnnSql,
 
     "vec_kernels_sql" ->
       """SELECT vec_id,

@@ -1,0 +1,154 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Quant, Sq8Math}
+
+/** SQ8 — IVF over per-vector affine int8 codes: the storage-scale
+  * serving tier. Same coarse quantizer and adaptive probing as
+  * [[IVFFlat]] (ivfflat.rs:153-198 semantics), but the cell payload is
+  * a packed BINARY code (1 byte/dim + two doubles) instead of
+  * `ARRAY<FLOAT>` (4 bytes/dim): ~4× fewer bytes in the parquet scan,
+  * the probe join, and the page cache. At 100 TB the embedding column
+  * IS the table, so the probe pass scans 25 TB instead of 100 TB — and
+  * distance runs directly over the packed bytes
+  * ([[graft.functions.Sq8DistExpr]], dequantize-in-register), never
+  * materializing a float array per candidate.
+  *
+  * Accuracy: per-vector affine quantization bounds each element's
+  * error by scale/2 = (hi−lo)/510, so distances are exact to
+  * O(dim · scale · ‖q−v‖) — recall loss is negligible for normalized
+  * embeddings (gated in SQ8Spec and the 1M smoke). Probing ALL cells
+  * makes the search EXACT over the dequantized corpus, which is the
+  * driver-oracle lane (sq8_search_all): DuckDB reproduces
+  * quantize→dequantize→exhaustive bit-for-bit because [[Quant]]'s
+  * rounding is floor-based and the distance fold is 0.0-seeded
+  * left-to-right in double.
+  *
+  * Why not residual coding on top? That tier exists — [[IVFPQ]] with
+  * residual codebooks. SQ8 is the simpler point on the curve: no
+  * training beyond the coarse cells, exactly one code per dimension,
+  * reconstruction good enough to skip re-ranking entirely.
+  */
+object SQ8 {
+
+  /** Compressed code row layout: (id, cluster, lo, scale, codes). */
+  private def compressRows(indexed: DataFrame): DataFrame = {
+    val v = col("vector")
+    indexed.select(
+      col("id"), col("cluster"),
+      Quant.int8Lo(v).as("lo"),
+      Quant.int8Scale(v).as("scale"),
+      Sq8Math.packU8(Quant.int8Codes(v)).as("codes"))
+  }
+
+  /** Built index: broadcastable coarse state + the packed code table. */
+  case class Model(params: IVFFlat.Params,
+                   centroids: Array[Array[Float]],
+                   clusterSizes: Array[Long],
+                   codes: DataFrame,
+                   addsSinceCompact: Int = 0) {
+
+    def probeSet(query: Array[Float], k: Int, minProbe: Int = 1): Seq[Int] =
+      IVFFlat.probeOrder(centroids, clusterSizes, query, k, minProbe)
+
+    /** Single-query search: partition-pruned scan of probed cells →
+      * fused SQ8 distance → TakeOrderedAndProject. */
+    def search(query: Array[Float], k: Int, minProbe: Int = 1): DataFrame = {
+      val probed = probeSet(query, k, minProbe)
+      codes.filter(col("cluster").isin(probed: _*))
+        .select(col("id"),
+          Sq8Math.sq8Dist(col("codes"), col("lo"), col("scale"),
+            typedlit(query)).as("distance"))
+        .orderBy(col("distance"), col("id")).limit(k)
+    }
+
+    /** Batch search — [[IVFFlat.Model.searchMany]]'s plan shape (probes
+      * broadcast, codes never shuffle, per-query bounded heap after the
+      * distance map), with the fused SQ8 kernel as the distance. */
+    def searchMany(queries: DataFrame, qIdCol: String, qVecCol: String,
+                   k: Int, nprobe: Int = 2): DataFrame = {
+      val spark = queries.sparkSession
+      val bc = spark.sparkContext.broadcast((centroids, clusterSizes))
+      import spark.implicits._
+      val probes = queries
+        .select(col(qIdCol).cast("long").as("qid"),
+                col(qVecCol).cast("array<float>").as("qvec"))
+        .as[(Long, Array[Float])]
+        .flatMap { case (qid, qvec) =>
+          val (cents, sizes) = bc.value
+          IVFFlat.probeOrder(cents, sizes, qvec, k, nprobe)
+            .map(c => (qid, qvec, c))
+        }
+        .toDF("qid", "qvec", "cluster")
+      codes.join(broadcast(probes), Seq("cluster"))
+        .select(col("qid"), col("id"),
+          Sq8Math.sq8Dist(col("codes"), col("lo"), col("scale"),
+            col("qvec")).as("distance"))
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (qid, it) =>
+          graft.operators.Exhaustive.topKDedup(it.map(t => (t._2, t._3)), k)
+            .map { case (id, d) => (qid, id, d) }
+        }
+        .toDF("qid", "id", "distance")
+    }
+
+    /** Incremental add: assign against frozen centroids, compress the
+      * new rows (narrow), union under the [[Lineage]] cadence. */
+    def add(rows: DataFrame, idCol: String, vecCol: String): Model = {
+      val assigned = IVFFlat.assign(rows, idCol, vecCol, centroids)
+      val (df, n) = Lineage.compact(
+        codes.unionByName(compressRows(assigned)), addsSinceCompact)
+      copy(codes = df, addsSinceCompact = n)
+    }
+
+    /** Takedown by id — broadcast anti-join, codes never shuffle. */
+    def remove(ids: DataFrame, idCol: String): Model = {
+      val del = ids.select(col(idCol).cast("long").as("id"))
+      val (df, n) = Lineage.compact(
+        codes.join(broadcast(del), Seq("id"), "left_anti"),
+        addsSinceCompact)
+      copy(codes = df, addsSinceCompact = n)
+    }
+
+    /** Persist: codes partitioned by cluster (partition pruning on
+      * probe), centroids + params like [[IVFFlat.Model.save]]. */
+    def save(dir: String): Unit = {
+      val spark = codes.sparkSession
+      import spark.implicits._
+      codes.write.mode("overwrite").partitionBy("cluster")
+        .parquet(s"$dir/codes")
+      centroids.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+        .toDF("cluster", "vector")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+      ParamsIO.write(spark, dir,
+        s"""{"k":${params.k},"numAttempts":${params.numAttempts},"maxIterations":${params.maxIterations},"seed":${params.seed},"tol":${params.tol}}""")
+    }
+  }
+
+  /** Compress a built [[IVFFlat.Model]] — one narrow pass over the
+    * indexed corpus; coarse state is shared, not retrained. */
+  def compress(ivf: IVFFlat.Model): Model =
+    Model(ivf.params, ivf.centroids, ivf.clusterSizes,
+      compressRows(ivf.indexed))
+
+  /** Reload a saved index ([[IVFFlat.load]] mapping). */
+  def load(spark: SparkSession, dir: String): Model = {
+    val json = ParamsIO.read(spark, dir)
+    def intOf(key: String): Long = ParamsIO.num(json, key)
+    val params = IVFFlat.Params(intOf("k").toInt, intOf("numAttempts").toInt,
+      intOf("maxIterations").toInt, intOf("seed"),
+      ParamsIO.dbl(json, "tol", 1e-6))
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cluster").collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("vector").toArray)
+    val codes = spark.read.parquet(s"$dir/codes")
+      .select(col("id"), col("lo"), col("scale"), col("codes"),
+        col("cluster").cast("int").as("cluster"))
+    val sizes = new Array[Long](params.k)
+    codes.groupBy("cluster").count().collect()
+      .foreach(r => sizes(r.getInt(0)) = r.getLong(1))
+    Model(params, cents, sizes, codes)
+  }
+}
