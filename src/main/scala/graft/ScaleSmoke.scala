@@ -153,6 +153,32 @@ object ScaleSmoke {
       out += "ivf_ingest_rows_per_s" -> f"${10000.0 / tIngest}%.0f"
     }
 
+    // ---- SQ8: the same coarse cells compressed to packed int8 codes
+    // (1 byte/dim + lo/scale) — the storage-scale serving tier. The
+    // phase measures compress cost (one narrow pass), probed batch
+    // search through the fused byte kernel, recall (expect ~flat vs
+    // float IVF: per-element error ≤ (hi−lo)/510 ≈ 4e-4 on unit
+    // vectors), and the code-vs-float byte footprint actually cached.
+    {
+      val (sq8, tSq8C) = timed {
+        val m = index.SQ8.compress(ivf)
+        m.codes.cache().count(); m
+      }
+      val (sq8Res, tSq8S) = timed {
+        val df = sq8.searchMany(queries, "vec_id", "embedding", k, nprobe = 8).cache()
+        df.count(); df
+      }
+      val sq8Recall = recallOf(sq8Res, truth)
+      val codeBytes = sq8.codes.agg(
+        sum(length(col("codes")) + lit(20L))).head().getLong(0)
+      val floatBytes = n.toLong * (dim * 4L + 12L)
+      out += "sq8_compress_s" -> f"$tSq8C%.2f"
+      out += "sq8_batch100_s" -> f"$tSq8S%.2f"
+      out += "sq8_recall_at10" -> f"$sq8Recall%.3f"
+      out += "sq8_bytes_frac" -> f"${codeBytes.toDouble / floatBytes}%.3f"
+      sq8.codes.unpersist()
+    }
+
     // ---- LSHForest: 16 trees (the recall lever, lsh.rs:132); leaf size
     // scales with n to hold the driver-held skeleton and the per-level
     // stats collect at O(n/maxNodeSize) entries (see Tree scaladoc)

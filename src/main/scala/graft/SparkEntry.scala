@@ -282,6 +282,22 @@ object SparkEntry {
         .orderBy(col("qid"), col("distance"), col("id"))
     }),
 
+    // SQ8 + exact re-rank, degenerate config (shortlist ⊇ corpus ⇒
+    // equals float exhaustive bit-for-bit): gates the byte-shortlist →
+    // float-re-rank serving shape under the plain exhaustive oracle.
+    "sq8_rerank_exact" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = fixedCentroids(emb)
+      val indexed = graft.index.IVFFlat.assign(emb, "vec_id", "embedding", cents)
+      val sizes = Array.fill(cents.length)(Long.MaxValue)
+      val sq8 = graft.index.SQ8.compress(
+        IVFFlat.Model(IVFFlat.Params(cents.length), cents, sizes, indexed))
+      sq8.searchManyRefined(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, factor = 1000, emb, "vec_id", "embedding",
+          nprobe = cents.length)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
     // Elementwise arithmetic kernels (base.rs:62-111: add, subtract_from,
     // divide_by_scalar, average/midpoint) against the row's own reversed
     // vector, reduced to per-row double checksums (0.0-seeded left fold —
@@ -828,6 +844,14 @@ object SparkEntry {
         .select(col("doc_id"), col("split"))
         .orderBy(col("doc_id"))),
 
+    // Group-aware (leakage-safe) splits: hash the SOURCE, not the doc —
+    // all docs of a domain land in one split, preventing the cross-split
+    // near-dup leakage that split_contamination detects.
+    "doc_split_by_source" -> ((s, dir) =>
+      graft.operators.Splits.assignByGroup(tbl(s, dir, "documents"), "source")
+        .select(col("doc_id"), col("source"), col("split"))
+        .orderBy(col("doc_id"))),
+
     // Deterministic stratified sampling (the data-mixing stage):
     // downsample dominant strata, keep rare ones — salted hash
     // membership, independent of split assignment, no RNG.
@@ -1186,6 +1210,22 @@ object SparkEntry {
       val t1 = System.nanoTime()
       model.searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
           k = 10, nprobe = 2)
+        .count()
+      val t2 = System.nanoTime()
+      ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+    }),
+    "sq8_search_all" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val t0 = System.nanoTime()
+      val cents = fixedCentroids(emb)
+      val sizes = Array.fill(cents.length)(Long.MaxValue)
+      val sq8 = graft.index.SQ8.compress(IVFFlat.Model(
+        IVFFlat.Params(cents.length), cents, sizes,
+        graft.index.IVFFlat.assign(emb, "vec_id", "embedding", cents)))
+      val model = sq8.copy(codes = sq8.codes.localCheckpoint(true))
+      val t1 = System.nanoTime()
+      model.searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = model.params.k)
         .count()
       val t2 = System.nanoTime()
       ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
@@ -1600,6 +1640,17 @@ object SparkEntry {
         |    / 4294967296.0 AS frac
         | FROM documents)
         |SELECT doc_id,
+        |  CASE WHEN frac < 0.8 THEN 'train'
+        |       WHEN frac < 0.9 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "doc_split_by_source" ->
+      """WITH f AS (SELECT doc_id, source,
+        |  CAST(concat('0x', substr(md5(CAST(source AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    / 4294967296.0 AS frac
+        | FROM documents)
+        |SELECT doc_id, source,
         |  CASE WHEN frac < 0.8 THEN 'train'
         |       WHEN frac < 0.9 THEN 'val'
         |       ELSE 'test' END AS split
@@ -2047,6 +2098,7 @@ object SparkEntry {
 
     "sq8_search_all" -> sq8ExactKnnSql,
     "sq8_persist_all" -> sq8ExactKnnSql,
+    "sq8_rerank_exact" -> exhaustiveKnnSql,
 
     "vec_kernels_sql" ->
       """SELECT vec_id,

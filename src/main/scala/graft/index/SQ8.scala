@@ -94,6 +94,37 @@ object SQ8 {
         .toDF("qid", "id", "distance")
     }
 
+    /** SQ8 shortlist (factor×k over the byte codes) + exact re-rank
+      * against the full-precision corpus — [[PQ]]'s serving shape at
+      * the SQ8 point of the compression curve. The byte pass scans
+      * ~4× fewer bytes; the float pass touches only shortlist×queries
+      * rows (broadcast, the corpus never shuffles). With the shortlist
+      * ≥ corpus this equals float exhaustive exactly — the
+      * sq8_rerank_exact oracle lane. */
+    def searchManyRefined(queries: DataFrame, qIdCol: String, qVecCol: String,
+                          k: Int, factor: Int,
+                          corpus: DataFrame, cIdCol: String, cVecCol: String,
+                          nprobe: Int = 2): DataFrame = {
+      val spark = queries.sparkSession
+      import spark.implicits._
+      val shortlist = searchMany(queries, qIdCol, qVecCol, k * factor, nprobe)
+        .select(col("qid"), col("id"))
+      val q = queries.select(col(qIdCol).cast("long").as("qid"),
+        col(qVecCol).cast("array<float>").as("qvec"))
+      val c = corpus.select(col(cIdCol).cast("long").as("id"),
+        col(cVecCol).cast("array<float>").as("cvec"))
+      c.join(broadcast(shortlist.join(broadcast(q), "qid")), Seq("id"))
+        .select(col("qid"), col("id"),
+          graft.functions.VectorOps.sqDist(col("cvec"), col("qvec")).as("distance"))
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (qid, it) =>
+          graft.operators.Exhaustive.topKDedup(it.map(t => (t._2, t._3)), k)
+            .map { case (id, d) => (qid, id, d) }
+        }
+        .toDF("qid", "id", "distance")
+    }
+
     /** Incremental add: assign against frozen centroids, compress the
       * new rows (narrow), union under the [[Lineage]] cadence. */
     def add(rows: DataFrame, idCol: String, vecCol: String): Model = {

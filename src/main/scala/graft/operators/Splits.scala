@@ -40,6 +40,28 @@ object Splits {
     df.withColumn("split", split)
   }
 
+  /** Group-aware split assignment — leakage-safe splits: every row of
+    * the same group (source/domain/site) lands in the SAME split,
+    * because the hash coordinate is the group key, not the row id.
+    * Near-duplicates overwhelmingly live within a group (same crawl
+    * domain, same document family), so group-hashing PREVENTS the
+    * train/test contamination that [[crossSplitPairs]] DETECTS —
+    * the standard prevention/detection pair of an eval-integrity
+    * pipeline. Same narrow no-shuffle shape as [[assign]]; split
+    * proportions now hold over groups, not rows (skewed groups skew
+    * row counts — that is the semantics, not a bug). */
+  def assignByGroup(df: DataFrame, groupCol: String,
+                    cuts: Seq[(String, Double)] = Seq(
+                      ("train", 0.8), ("val", 0.9), ("test", 1.0))): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 >= 1.0,
+      "last cut must cover the [0,1) fraction space")
+    val f = hashFrac(col(groupCol))
+    val split = cuts.init.foldRight(lit(cuts.last._1): Column) {
+      case ((name, ub), rest) => when(f < lit(ub), lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", split)
+  }
+
   /** Deterministic stratified sampler — the data-mixing stage: keep a
     * row iff its salted hash fraction falls below its stratum's rate
     * (e.g. downsample boilerplate-heavy sources, upweight rare

@@ -367,4 +367,22 @@ object Streaming {
       }
       .start()
   }
+
+  /** SQ8 twin of [[ingestIntoIVF]]: each microbatch is assigned to its
+    * frozen coarse cell and quantized to packed codes in one narrow
+    * pass (SQ8.Model.add) — completing the streaming matrix over all
+    * six index types. */
+  def ingestIntoSQ8(stream: DataFrame, idCol: String, vecCol: String,
+                    state: java.util.concurrent.atomic.AtomicReference[graft.index.SQ8.Model])
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // single-writer foreachBatch: see ingestIntoIVF
+          state.set(state.get().add(batch, idCol, vecCol))
+        }
+      }
+      .start()
+  }
 }

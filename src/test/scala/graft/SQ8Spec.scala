@@ -122,6 +122,20 @@ class SQ8Spec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("refined search with corpus-wide shortlist equals float exhaustive") {
+    val queries = emb.filter($"vec_id" < 5)
+    val refined = sq8.searchManyRefined(queries, "vec_id", "embedding",
+        k = 10, factor = 1000, emb, "vec_id", "embedding",
+        nprobe = sq8.params.k)
+      .orderBy("qid", "distance", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exact = graft.operators.Exhaustive.knnJoin(
+        queries, "vec_id", "embedding", emb, "vec_id", "embedding", 10)
+      .orderBy("qid", "distance", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(refined.toSeq == exact.toSeq)
+  }
+
   test("constant vector codes pack to zero bytes and dequantize to lo") {
     val df = Seq((1L, Array.fill(4)(0.5f))).toDF("id", "v")
     val packed = df.select(

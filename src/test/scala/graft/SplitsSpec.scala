@@ -55,6 +55,25 @@ class SplitsSpec extends SparkSpec {
     assert((enKept -- trainIds).nonEmpty && (trainIds -- enKept).nonEmpty)
   }
 
+  test("assignByGroup keeps every doc of a source in one split; no cross-split leak surface within groups") {
+    val rows = Splits.assignByGroup(docs, "source")
+      .select($"doc_id", $"source", $"split").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // group-atomicity: one split per source
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      assert(rs.map(_._3).distinct.length == 1, s"source $src split across splits")
+    }
+    // stable under repartition, like assign
+    val again = Splits.assignByGroup(docs.repartition(13), "source")
+      .select($"doc_id", $"split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (id, _, sp) => assert(again(id) == sp) }
+    // a same-source pair can never straddle a split boundary: the
+    // prevention face of crossSplitPairs' detection
+    val bySrc = rows.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(bySrc.values.forall(_.size == 1))
+  }
+
   test("crossSplitPairs flags a planted train→test near-dup leak") {
     import graft.operators.Dedup
     // driver-side twin of the md5 split fraction, to plant ids by split
