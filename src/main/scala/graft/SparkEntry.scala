@@ -978,6 +978,28 @@ object SparkEntry {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))),
 
+    // The curation pipeline END-TO-END, one declarative chain with one
+    // oracle: language gate → quality gate → per-source cap →
+    // normalized exact dedup → group-aware split. Each stage is an
+    // already-gated operator; this lane gates their COMPOSITION (stage
+    // order and column flow) — the shape a real corpus build runs. All
+    // narrow maps + two bounded shuffles (cap fold, digest dedup);
+    // nothing here widens at 100 TB.
+    "pipeline_curate" -> ((s, dir) => {
+      val gated = tbl(s, dir, "documents")
+        .withColumn("lang_pred", TextOps.langId(col("text")))
+        .withColumn("quality", TextOps.qualityScore(col("text")))
+        .filter(col("lang_pred") =!= "und" && col("quality") >= lit(0.5))
+      val capped = graft.operators.TermStats.sourceCap(
+        gated, "doc_id", "source", "text", cap = 20)
+      val deduped = Dedup.exactKeepFirst(
+        capped.withColumn("norm_h", md5(TextOps.normalizeText(col("text")))),
+        "doc_id", Seq("norm_h"))
+      graft.operators.Splits.assignByGroup(deduped, "source")
+        .select(col("doc_id"), col("source"), col("lang_pred"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus vocabulary with counts — the tokenizer-training input:
     // top-100 tokens by total frequency, deterministic tie-break.
     "text_vocab" -> ((s, dir) =>
@@ -1631,6 +1653,51 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpeish
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the curation chain end-to-end: each CTE mirrors one already-gated
+    // stage (langid, quality, source cap, normalized dedup, group
+    // split) in the SAME order the Spark query composes them
+    "pipeline_curate" -> {
+      val s = TextOps.stopwords
+      s"""WITH t AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
+         |sc AS (SELECT doc_id, source, text, toks,
+         |  ${stopHitSql(s("en"))} AS s_en, ${stopHitSql(s("de"))} AS s_de,
+         |  ${stopHitSql(s("es"))} AS s_es, ${stopHitSql(s("fr"))} AS s_fr
+         | FROM t),
+         |lang AS (SELECT doc_id, source, text, CASE
+         |  WHEN s_en + s_de + s_es + s_fr = 0 THEN 'und'
+         |  WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |  WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |  WHEN s_es >= s_fr THEN 'es'
+         |  ELSE 'fr' END AS lang_pred,
+         |  0.4 * least(CAST(1.0 AS DOUBLE), CAST(len(toks) AS DOUBLE) / 100.0)
+         |  + 0.3 * (CAST(1.0 AS DOUBLE) - (CASE WHEN length(text) > 0
+         |      THEN CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+         |         / CAST(length(text) AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END))
+         |  + 0.3 * (CASE WHEN len(toks) > 0
+         |      THEN CAST(s_en + s_de + s_es + s_fr AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+         |      ELSE CAST(0.0 AS DOUBLE) END) AS quality
+         | FROM sc),
+         |gated AS (SELECT doc_id, source, text, lang_pred FROM lang
+         |  WHERE lang_pred <> 'und' AND quality >= 0.5),
+         |capped AS (SELECT doc_id, source, text, lang_pred FROM gated
+         |  QUALIFY row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) <= 20),
+         |dedup AS (SELECT doc_id, source, lang_pred,
+         |  md5(trim(regexp_replace(
+         |    regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+         |    '\\s+', ' ', 'g'))) AS norm_h
+         | FROM capped
+         | QUALIFY row_number() OVER (PARTITION BY norm_h ORDER BY doc_id) = 1),
+         |fin AS (SELECT doc_id, source, lang_pred,
+         |  CAST(concat('0x', substr(md5(CAST(source AS VARCHAR)), 1, 8)) AS BIGINT)
+         |    / 4294967296.0 AS frac
+         | FROM dedup)
+         |SELECT doc_id, source, lang_pred,
+         |  CASE WHEN frac < 0.8 THEN 'train'
+         |       WHEN frac < 0.9 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM fin ORDER BY doc_id""".stripMargin
+    },
 
     // md5-derived fraction: first 8 hex chars over 2^32 — exact in a
     // double on both engines, so the cut comparisons hash-match
