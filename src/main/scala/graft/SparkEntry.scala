@@ -613,20 +613,29 @@ object SparkEntry {
     "ivf_kmeans_fixed" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val cents0 = fixedCentroids(emb)
-      val dim = cents0(0).length
       val a1 = IVFFlat.assign(emb, "vec_id", "embedding", cents0)
-      val sums = a1
-        .select(col("cluster"), posexplode(col("vector")).as(Seq("dim", "e")))
-        .groupBy(col("cluster"), col("dim"))
-        .agg(sum(floor(col("e").cast("double") * lit(1000000.0d)).cast("long"))
-          .as("sum_q6"), count(lit(1)).as("n"))
-        .collect()
-      val cents1 = Array.fill(cents0.length)(new Array[Float](dim))
-      sums.foreach { r =>
-        cents1(r.getInt(0))(r.getInt(1)) =
-          (r.getLong(2).toDouble / r.getLong(3).toDouble / 1000000.0d).toFloat
-      }
-      IVFFlat.assign(emb, "vec_id", "embedding", cents1)
+      IVFFlat.assign(emb, "vec_id", "embedding",
+          quantLloydCentroids(a1, cents0.length, cents0(0).length))
+        .select(col("id"), col("cluster"))
+        .orderBy(col("id"))
+    }),
+
+    // Remove → warm-start Lloyd's step → reassign: the index-maintenance
+    // lifecycle (Model.rebalance's shape) under the driver oracle —
+    // drift repair after takedowns, gated hash-for-hash via the same
+    // quantized-mean twin as ivf_kmeans_fixed (the float-mean
+    // updateCentroids core stays ScalaTest-gated; see that query's
+    // portability note). Removed set: every 7th id.
+    "ivf_rebalance_fixed" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents0 = fixedCentroids(emb)
+      val sizes = Array.fill(cents0.length)(Long.MaxValue)
+      val model = IVFFlat.Model(IVFFlat.Params(cents0.length), cents0, sizes,
+        IVFFlat.assign(emb, "vec_id", "embedding", cents0))
+      val removed = model.remove(
+        emb.filter(pmod(col("vec_id"), lit(7)) === 0), "vec_id")
+      IVFFlat.assign(removed.indexed, "id", "vector",
+          quantLloydCentroids(removed.indexed, cents0.length, cents0(0).length))
         .select(col("id"), col("cluster"))
         .orderBy(col("id"))
     }),
@@ -1346,6 +1355,68 @@ object SparkEntry {
        |    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
        |  GROUP BY 1, 2)""".stripMargin
   private lazy val minhashPairsCtes: String = minhashPairsCtesOf(12, 2)
+
+  /** ivf_kmeans_fixed / ivf_rebalance_fixed oracle: fixed init →
+    * assign → quantized-mean update → assign, over the (optionally
+    * filtered) corpus. Centroids c0 always come from the FULL corpus
+    * (vec_id < 8), matching fixedCentroids on the Spark side. */
+  private def ivfKmeansFixedSqlOver(corpusWhere: String): String =
+    s"""WITH c0 AS (
+      |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+      |a1 AS (
+      |  SELECT c.vec_id AS id, c.embedding AS vec, k.cid
+      |  FROM (SELECT * FROM embeddings $corpusWhere) c CROSS JOIN c0 k
+      |  QUALIFY row_number() OVER (PARTITION BY c.vec_id ORDER BY
+      |    list_reduce(list_transform(list_zip(k.cvec, c.embedding),
+      |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+      |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (a,b) -> a+b),
+      |    k.cid) = 1),
+      |sums AS (
+      |  SELECT cid, u.i AS i,
+      |    sum(CAST(floor(CAST(vec[u.i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS s,
+      |    count(*) AS n
+      |  FROM a1, (SELECT unnest(range(1, 65)) AS i) u
+      |  GROUP BY 1, 2),
+      |c1 AS (
+      |  SELECT g.cid,
+      |    list(CAST(coalesce(CAST(s.s AS DOUBLE) / s.n / 1000000.0, 0.0) AS REAL)
+      |      ORDER BY d.i) AS cvec
+      |  FROM (SELECT unnest(range(0, 8)) AS cid) g
+      |  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+      |  LEFT JOIN sums s ON s.cid = g.cid AND s.i = d.i
+      |  GROUP BY 1)
+      |SELECT f.id, CAST(f.cid AS INT) AS cluster
+      |FROM (
+      |  SELECT c.vec_id AS id, k.cid
+      |  FROM (SELECT * FROM embeddings $corpusWhere) c CROSS JOIN c1 k
+      |  QUALIFY row_number() OVER (PARTITION BY c.vec_id ORDER BY
+      |    list_reduce(list_transform(list_zip(k.cvec, c.embedding),
+      |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+      |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (a,b) -> a+b),
+      |    k.cid) = 1) f
+      |ORDER BY id""".stripMargin
+
+  /** One quantized-mean Lloyd's update over an assigned frame
+    * (id, vector, cluster): per-(cluster, dim) integer sums of
+    * floor(e·10⁶) — exact and order-independent, hence hash-portable —
+    * divided in double, cast to float; empty cluster → zero vector
+    * (ivfflat.rs:47-71). Shared by ivf_kmeans_fixed and
+    * ivf_rebalance_fixed. */
+  private def quantLloydCentroids(assigned: org.apache.spark.sql.DataFrame,
+                                  k: Int, dim: Int): Array[Array[Float]] = {
+    val sums = assigned
+      .select(col("cluster"), posexplode(col("vector")).as(Seq("dim", "e")))
+      .groupBy(col("cluster"), col("dim"))
+      .agg(sum(floor(col("e").cast("double") * lit(1000000.0d)).cast("long"))
+        .as("sum_q6"), count(lit(1)).as("n"))
+      .collect()
+    val cents = Array.fill(k)(new Array[Float](dim))
+    sums.foreach { r =>
+      cents(r.getInt(0))(r.getInt(1)) =
+        (r.getLong(2).toDouble / r.getLong(3).toDouble / 1000000.0d).toFloat
+    }
+    cents
+  }
 
   /** Shared DuckDB fragments mirroring TextOps (tokens/shingles). */
   private val toksSql =
@@ -2194,41 +2265,10 @@ object SparkEntry {
     // pinned-init Lloyd's: assign (fixed centroids) → fixed-point mean
     // update (BIGINT µ-sums / n in double → REAL; empty cluster → zeros)
     // → re-assign. dim=64 hardcoded like vec_mean_by_label.
-    "ivf_kmeans_fixed" ->
-      """WITH c0 AS (
-        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
-        |a1 AS (
-        |  SELECT c.vec_id AS id, c.embedding AS vec, k.cid
-        |  FROM embeddings c CROSS JOIN c0 k
-        |  QUALIFY row_number() OVER (PARTITION BY c.vec_id ORDER BY
-        |    list_reduce(list_transform(list_zip(k.cvec, c.embedding),
-        |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
-        |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (a,b) -> a+b),
-        |    k.cid) = 1),
-        |sums AS (
-        |  SELECT cid, u.i AS i,
-        |    sum(CAST(floor(CAST(vec[u.i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS s,
-        |    count(*) AS n
-        |  FROM a1, (SELECT unnest(range(1, 65)) AS i) u
-        |  GROUP BY 1, 2),
-        |c1 AS (
-        |  SELECT g.cid,
-        |    list(CAST(coalesce(CAST(s.s AS DOUBLE) / s.n / 1000000.0, 0.0) AS REAL)
-        |      ORDER BY d.i) AS cvec
-        |  FROM (SELECT unnest(range(0, 8)) AS cid) g
-        |  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
-        |  LEFT JOIN sums s ON s.cid = g.cid AND s.i = d.i
-        |  GROUP BY 1)
-        |SELECT f.id, CAST(f.cid AS INT) AS cluster
-        |FROM (
-        |  SELECT c.vec_id AS id, k.cid
-        |  FROM embeddings c CROSS JOIN c1 k
-        |  QUALIFY row_number() OVER (PARTITION BY c.vec_id ORDER BY
-        |    list_reduce(list_transform(list_zip(k.cvec, c.embedding),
-        |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
-        |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (a,b) -> a+b),
-        |    k.cid) = 1) f
-        |ORDER BY id""".stripMargin,
+    "ivf_kmeans_fixed" -> ivfKmeansFixedSqlOver(""),
+    // same quantized Lloyd's chain over corpus-minus-removed (every 7th
+    // id taken down first) — the remove→retrain→reassign lifecycle
+    "ivf_rebalance_fixed" -> ivfKmeansFixedSqlOver("WHERE vec_id % 7 <> 0"),
 
     "pq_assign_fixed" ->
       s"WITH $pqAssignCtesSql\nSELECT id, c0, c1, c2, c3 FROM assigned ORDER BY id",

@@ -132,6 +132,33 @@ object IVFFlat {
       copy(indexed = df, addsSinceCompact = n)
     }
 
+    /** Warm-start re-clustering — the rebalancing job the add/remove
+      * scaladocs defer to: `iterations` Lloyd's steps starting FROM the
+      * current centroids over the CURRENT rows (post-add/remove drift),
+      * ending with a fresh assignment and TIGHT cluster sizes. Unlike
+      * [[IVFFlat.build]] there are no restarts and no re-init — this is
+      * drift repair, not re-training, so it costs `iterations + 1`
+      * corpus passes exactly. `indexed` is already the assignment under
+      * the current centroids (add assigns on ingest, remove only
+      * deletes), so the loop starts at the update step. Float-mean
+      * centroid math is the production [[updateCentroids]]; the
+      * remove→step→reassign composition is driver-oracle-gated via the
+      * quantized-mean twin (ivf_rebalance_fixed). */
+    def rebalance(iterations: Int = 1): Model = {
+      require(iterations > 0, s"rebalance: iterations must be positive")
+      val dim = centroids(0).length
+      var cents = centroids
+      var df = indexed
+      for (_ <- 0 until iterations) {
+        cents = updateCentroids(df, params.k, dim)
+        df = assign(df, "id", "vector", cents)
+      }
+      val sizes = new Array[Long](params.k)
+      df.groupBy("cluster").count().collect()
+        .foreach(r => sizes(r.getInt(0)) = r.getLong(1))
+      Model(params, cents, sizes, df)
+    }
+
     /** Persist: corpus partitioned by cluster (→ partition pruning on
       * probe), centroids as parquet, params as JSON (SURVEY §2.2 mapping
       * of base.rs:31-58). */

@@ -92,4 +92,32 @@ class IVFFlatSpec extends SparkSpec {
     assert(hit.getAs[Long]("id") == 999999L)
     assert(hit.getAs[Double]("distance") == 0.0)
   }
+
+  test("rebalance(1) == update-then-assign primitives; sizes tight; cost non-increasing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // drift scenario: take down a slab of ids, then repair
+    val drifted = model.remove(
+      emb.filter($"vec_id" % 5 === 0).select($"vec_id"), "vec_id")
+    val re = drifted.rebalance(1)
+    // equality against the composed primitives (the definition)
+    val cents1 = graft.index.IVFFlat.updateCentroids(
+      drifted.indexed, model.params.k, 64)
+    val want = graft.index.IVFFlat.assign(drifted.indexed, "id", "vector", cents1)
+      .select($"id", $"cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = re.indexed.select($"id", $"cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == want)
+    // sizes are TIGHT again (remove leaves them frozen; rebalance recounts)
+    assert(re.clusterSizes.sum == drifted.indexed.count())
+    // Lloyd's monotonicity: one step never increases the k-means cost
+    def cost(m: graft.index.IVFFlat.Model): Double = {
+      val bc = spark.sparkContext.broadcast(m.centroids)
+      m.indexed.select($"vector", $"cluster").as[(Array[Float], Int)]
+        .map { case (v, c) => graft.index.IVFFlat.sqDistLocal(bc.value(c), v) }
+        .reduce(_ + _)
+    }
+    assert(cost(re) <= cost(drifted) * (1.0 + 1e-9))
+  }
 }

@@ -68,4 +68,35 @@ class MipsSpec extends SparkSpec {
     assert(viaAug.exists { case (q, ids) => l2(q) != ids },
       "corpus failed to distinguish MIPS from plain L2 — test is vacuous")
   }
+
+  test("MIPS composes with SQ8: augmented byte index recovers brute negdot top-k") {
+    // the norm-augmentation reduction works over ANY L2 index; SQ8 is
+    // an L2 index, so MIPS-over-packed-int8 falls out by composition —
+    // quantization error is the only recall surface (probe-all here, so
+    // routing is exact; expect near-perfect agreement at small scale)
+    val rows = mkCorpus(120, 16)
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 5)
+    val m = Mips.maxNorm(corpus, "embedding")
+    val aug = Mips.augmentCorpus(corpus, "embedding", m)
+    val cents = aug.filter($"vec_id" < 4).orderBy($"vec_id")
+      .select(col("embedding").cast("array<float>")).collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+    val ivf = graft.index.IVFFlat.Model(
+      graft.index.IVFFlat.Params(cents.length), cents,
+      Array.fill(cents.length)(Long.MaxValue),
+      graft.index.IVFFlat.assign(aug, "vec_id", "embedding", cents))
+    val sq8 = graft.index.SQ8.compress(ivf)
+    val got = sq8.searchMany(Mips.augmentQueries(queries, "embedding"),
+        "vec_id", "embedding", k = 5, nprobe = cents.length)
+      .select($"qid", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = Exhaustive.knnJoin(queries, "vec_id", "embedding",
+        corpus, "vec_id", "embedding", k = 5, metric = "negdot")
+      .select($"qid", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = brute.keys.toSeq.map(q =>
+      got.getOrElse(q, Set.empty).intersect(brute(q)).size / 5.0).sum / brute.size
+    assert(recall >= 0.9, s"MIPS-over-SQ8 recall $recall")
+  }
 }
