@@ -216,6 +216,42 @@ object DedupScaleSmoke extends Serializable {
     }
     hotDocs.unpersist()
 
+    // ---- the curation chain (pipeline_curate's exact stage order) at
+    // 1M docs: langid gate (a stopword prefix makes the synthetic
+    // corpus detectably English — the gate itself still runs full
+    // tokenize+argmax work per doc), quality gate, per-source cap with
+    // a deliberately HOT source (10% of the corpus in one source —
+    // the bounded-heap fold's reason to exist), normalized exact
+    // dedup, group-aware split. Measures the composed wall + shuffle,
+    // not per-stage (the stages are individually phased elsewhere).
+    {
+      Thread.sleep(500)
+      val before = shuffleBytes.get()
+      val cdocs = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(10)) === 0, lit("hot"))
+          .otherwise(concat(lit("s"), pmod(col("doc_id"), lit(4096))))
+          .as("source"),
+        concat(lit("the and of in to "), col("text")).as("text"))
+      val (survivors, t) = timed {
+        val gated = cdocs
+          .withColumn("lang_pred", operators.TextOps.langId(col("text")))
+          .withColumn("quality", operators.TextOps.qualityScore(col("text")))
+          .filter(col("lang_pred") =!= "und" && col("quality") >= lit(0.5))
+          .localCheckpoint(true) // gate once: sourceCap reads it twice
+        val capped = operators.TermStats.sourceCap(
+          gated, "doc_id", "source", "text", cap = 20)
+        val deduped = operators.Dedup.exactKeepFirst(
+          capped.withColumn("norm_h",
+            md5(operators.TextOps.normalizeText(col("text")))),
+          "doc_id", Seq("norm_h"))
+        operators.Splits.assignByGroup(deduped, "source").count()
+      }
+      out += "curate_s" -> f"$t%.1f"
+      out += "curate_shuffle_mb" ->
+        ((shuffleBytes.get() - before) / (1L << 20)).toString
+      out += "curate_survivors" -> survivors.toString
+    }
+
     // ---- embedding corpus: clustered unit vectors (128 centers, the
     // ScaleSmoke regime — same-cluster background pairs sit at cosine
     // distance ≈ 0.2); planted dup = base + ε noise ⇒ distance ≈ 1e-5,

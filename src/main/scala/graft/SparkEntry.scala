@@ -995,10 +995,14 @@ object SparkEntry {
     // narrow maps + two bounded shuffles (cap fold, digest dedup);
     // nothing here widens at 100 TB.
     "pipeline_curate" -> ((s, dir) => {
+      // localCheckpoint: sourceCap consumes the gated frame twice (cap
+      // fold + semi-join back) and the gate stage is the regex-heavy
+      // part of the chain — evaluate it once
       val gated = tbl(s, dir, "documents")
         .withColumn("lang_pred", TextOps.langId(col("text")))
         .withColumn("quality", TextOps.qualityScore(col("text")))
         .filter(col("lang_pred") =!= "und" && col("quality") >= lit(0.5))
+        .localCheckpoint(true)
       val capped = graft.operators.TermStats.sourceCap(
         gated, "doc_id", "source", "text", cap = 20)
       val deduped = Dedup.exactKeepFirst(

@@ -245,6 +245,81 @@ object Streaming {
       .start()
   }
 
+  /** State of the streaming curation chain ([[ingestCurate]]):
+    * `admitted` accumulates survivors (input schema); `digests` is the
+    * set of every norm-digest ever SEEN past the gates (including docs
+    * the cap later dropped — a duplicate of a cap-dropped doc is still
+    * a duplicate); `counts` is the per-source admitted tally. Both
+    * control frames are posting-list-small: one row per distinct
+    * digest / source. */
+  case class CurateIngestState(admitted: DataFrame, digests: DataFrame,
+                               counts: DataFrame, addsSinceCompact: Int = 0)
+
+  /** The curation chain AT INGEST TIME — pipeline_curate's streaming
+    * twin, composed from the three streaming-enforceable stages:
+    * language+quality gates (pure narrow maps, batch-local), exact
+    * normalized dedup (keep-first in id order: state digest anti-join +
+    * batch-local first-occurrence window), and the prefix-causal
+    * per-source cap ([[ingestSourceCap]]'s rule). With id-ordered
+    * arrival this reproduces the batch chain
+    * gates → Dedup.exactKeepFirst(norm_h) → TermStats.prefixSourceCap
+    * batch-for-batch (stream ≡ batch pinned in StreamingSpec). Stage
+    * order matters and matches the batch twin: dedup BEFORE cap, so a
+    * duplicate never consumes cap budget, and a cap-dropped doc still
+    * registers its digest. Per-batch shuffle: two batch-local windows +
+    * two broadcast joins against set-sized state. */
+  def ingestCurate(stream: DataFrame, idCol: String, srcCol: String,
+                   textCol: String, cap: Int,
+                   state: java.util.concurrent.atomic.AtomicReference[CurateIngestState])
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(cap > 0, s"ingestCurate: cap must be positive, got $cap")
+    import graft.operators.TextOps
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val st = state.get()
+          val inputCols = batch.columns.map(col)
+          // gates + digest, evaluated once (regex-heavy)
+          val gated = batch
+            .filter(TextOps.langId(col(textCol)) =!= "und" &&
+              TextOps.qualityScore(col(textCol)) >= lit(0.5))
+            .withColumn("norm_h", md5(TextOps.normalizeText(col(textCol))))
+            .localCheckpoint(true)
+          val wd = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("norm_h")).orderBy(col(idCol).asc)
+          val deduped = gated
+            .join(broadcast(st.digests), Seq("norm_h"), "left_anti")
+            .withColumn("_first", row_number().over(wd))
+            .filter(col("_first") === 1).drop("_first")
+          val wc = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(srcCol)).orderBy(col(idCol).asc)
+          val admittedBatch = deduped
+            .withColumn("_rk", row_number().over(wc))
+            .join(broadcast(st.counts.withColumnRenamed("src", srcCol)),
+              Seq(srcCol), "left")
+            .filter(col("_rk") + coalesce(col("n"), lit(0L)) <= cap)
+            .select(inputCols: _*)
+            .localCheckpoint(true)
+          val batchCounts = admittedBatch
+            .groupBy(col(srcCol).cast("string").as("src"))
+            .agg(count(lit(1)).as("n"))
+          // single-writer foreachBatch: see ingestIntoIVF
+          val (admitted, n) = graft.index.Lineage.compact(
+            st.admitted.unionByName(admittedBatch), st.addsSinceCompact)
+          val (digests, _) = graft.index.Lineage.compact(
+            st.digests.unionByName(gated.select(col("norm_h"))).distinct(),
+            st.addsSinceCompact)
+          val (counts, _) = graft.index.Lineage.compact(
+            st.counts.unionByName(batchCounts)
+              .groupBy("src").agg(sum("n").as("n")),
+            st.addsSinceCompact)
+          state.set(CurateIngestState(admitted, digests, counts, n))
+        }
+      }
+      .start()
+  }
+
   /** Streaming index ingest — the `Index::add` analogue: each microbatch
     * of (id, vector) rows is routed into the live IVFFlat model (frozen
     * centroids, ivfflat.rs:200-213 semantics). Returns the query handle;

@@ -317,6 +317,54 @@ class StreamingSpec extends SparkSpec {
     assert(counts.values.sum == streamed.size.toLong)
   }
 
+  test("streaming curation chain equals the batch gates->dedup->cap twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Dedup, TermStats, TextOps}
+    import graft.streaming.Streaming.CurateIngestState
+    // corpus with planted exact dups (same normalized text, higher id)
+    // so the dedup stage has real work across batch boundaries
+    val base = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"source", $"text").orderBy($"doc_id").limit(80).cache()
+    val offset = base.agg(max($"doc_id")).head().getLong(0) + 1
+    val all = base.unionByName(
+        base.limit(20).withColumn("doc_id", $"doc_id" + offset))
+      .cache()
+    val emptyDocs = all.filter(lit(false))
+    val state = new java.util.concurrent.atomic.AtomicReference(
+      CurateIngestState(emptyDocs,
+        emptyDocs.select(md5($"text").as("norm_h")),
+        Seq.empty[(String, Long)].toDF("src", "n")))
+    val mem = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.Streaming.ingestCurate(
+      mem.toDF().toDF("doc_id", "source", "text"),
+      "doc_id", "source", "text", cap = 5, state)
+    val rows = all.orderBy($"doc_id").as[(Long, String, String)].collect()
+    rows.grouped(rows.length / 4 + 1).foreach { chunk =>
+      mem.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = state.get().admitted
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    // the batch twin, same stage order
+    val gated = all
+      .filter(TextOps.langId($"text") =!= "und" &&
+        TextOps.qualityScore($"text") >= lit(0.5))
+    val deduped = Dedup.exactKeepFirst(
+      gated.withColumn("norm_h", md5(TextOps.normalizeText($"text"))),
+      "doc_id", Seq("norm_h"))
+    val batch = TermStats.prefixSourceCap(deduped, "doc_id", "source", cap = 5)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch)
+    // every planted dup (id >= offset) was rejected by the digest stage
+    assert(streamed.forall(_ < offset))
+    // tally state consistent with the admitted frame
+    val counts = state.get().counts.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ <= 5))
+    assert(counts.values.sum == streamed.size.toLong)
+  }
+
   test("streaming minhash dedup equals the batch prefix-keep-first rule") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Dedup
