@@ -1056,6 +1056,15 @@ object SparkEntry {
         threshold = 0.2, dfCap = 8)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // MOSS-style winnow-fingerprint Jaccard pairs (char-5-gram window
+    // minima): tokenizer-free near-dups with the winnowing match
+    // guarantee, over a winnow-SAMPLED inverted index — a fraction of
+    // dedup_jaccard's postings per doc.
+    "dedup_winnow" -> ((s, dir) =>
+      Dedup.winnowPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // Shingle-containment pairs: catches partial copies (a short doc
     // embedded in a long one) that symmetric Jaccard misses. Threshold
     // 0.5 = half of the smaller side's shingles appear in the other.
@@ -1421,6 +1430,20 @@ object SparkEntry {
     }
     cents
   }
+
+  /** Winnowing-fingerprint CTEs (char-5-gram rolling md5, window-4
+    * minima, distinct) — mirrors TextOps.winnow; shared by doc_winnow
+    * and dedup_winnow. */
+  private val winnowFpsCtes: String =
+    """WITH g AS (SELECT doc_id,
+      |  CASE WHEN length(text) >= 5
+      |   THEN list_transform(range(1, length(text) - 3), i -> md5(substr(text, i, 5)))
+      |   ELSE [] END AS h FROM documents),
+      |f AS (SELECT doc_id,
+      |  CASE WHEN len(h) >= 4
+      |   THEN list_distinct(list_transform(range(1, len(h) - 2), i -> list_min(h[i:i+3])))
+      |   WHEN len(h) > 0 THEN [list_min(h)]
+      |   ELSE [] END AS fps FROM g)""".stripMargin
 
   /** Shared DuckDB fragments mirroring TextOps (tokens/shingles). */
   private val toksSql =
@@ -1831,17 +1854,25 @@ object SparkEntry {
          |FROM c ORDER BY doc_id""".stripMargin,
 
     "doc_winnow" ->
-      """WITH g AS (SELECT doc_id,
-        |  CASE WHEN length(text) >= 5
-        |   THEN list_transform(range(1, length(text) - 3), i -> md5(substr(text, i, 5)))
-        |   ELSE [] END AS h FROM documents),
-        |f AS (SELECT doc_id,
-        |  CASE WHEN len(h) >= 4
-        |   THEN list_distinct(list_transform(range(1, len(h) - 2), i -> list_min(h[i:i+3])))
-        |   WHEN len(h) > 0 THEN [list_min(h)]
-        |   ELSE [] END AS fps FROM g)
+      s"""$winnowFpsCtes
         |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps, list_min(fps) AS min_fp
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // the same fps CTEs feeding the standard inverted-index jaccard
+    "dedup_winnow" ->
+      s"""$winnowFpsCtes,
+        |ex AS (SELECT doc_id, unnest(fps) AS s FROM f),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+        |inter AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS i
+        |  FROM ex l JOIN ex r ON l.s = r.s AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i2.doc_a, i2.doc_b,
+        |  CAST(i2.i AS DOUBLE) / CAST(na.n + nb.n - i2.i AS DOUBLE) AS jaccard
+        |FROM inter i2
+        |JOIN sizes na ON na.doc_id = i2.doc_a
+        |JOIN sizes nb ON nb.doc_id = i2.doc_b
+        |WHERE CAST(i2.i AS DOUBLE) / CAST(na.n + nb.n - i2.i AS DOUBLE) >= 0.5
+        |ORDER BY 1, 2""".stripMargin,
 
     "text_simhash" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)

@@ -231,6 +231,31 @@ object Dedup {
     out
   }
 
+  /** Winnow-fingerprint Jaccard pairs — MOSS-style near-dup detection
+    * over character-k-gram winnowing fingerprints
+    * ([[graft.operators.TextOps.winnow]], Schleimer et al.). Two
+    * properties word-shingles lack: the winnowing GUARANTEE (any
+    * shared substring of ≥ k+w−1 chars leaves at least one common
+    * fingerprint — sampling with a floor, not a lottery), and
+    * tokenizer independence (works on boundary-free scripts that
+    * word-3-shingles can't segment). The posting list is
+    * winnow-SAMPLED (≈ 2/(w+1) of the gram universe per doc), so the
+    * inverted index carries a fraction of [[jaccardPairs]]' postings
+    * at the same corpus. Identical join shape, dfCap insurance, and
+    * exact integer-ratio Jaccard; output unordered like every pair
+    * generator (callers order). */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+                  threshold: Double = 0.5, k: Int = 5, w: Int = 4,
+                  dfCap: Int = 0): DataFrame = {
+    val ex = docs.select(col(idCol).cast("long").as("id"),
+        explode(TextOps.winnow(col(textCol), k, w)).as("sh"))
+      .persist()
+    val out = jaccardPairsOf(capPostings(ex, dfCap), threshold)
+      .localCheckpoint(true)
+    ex.unpersist()
+    out
+  }
+
   /** Distinct word-3-shingle posting list (id, sh) per doc. */
   private def shinglePostings(docs: DataFrame, idCol: String,
                               textCol: String): DataFrame = {

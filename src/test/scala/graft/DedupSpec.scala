@@ -210,4 +210,21 @@ class DedupSpec extends SparkSpec {
     val hits = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(hits.contains((0L, 88888L)))
   }
+
+  test("winnowPairs: guarantee pairs boundary-free near-copies; disjoint text never pairs") {
+    import spark.implicits._
+    // boundary-free "scripts": no whitespace at all — word-shingles see
+    // one token and can't pair these; char-gram winnowing must
+    val a = "abcdefghijklmnopqrstuvwxyz0123456789abcdefghij"
+    val b = a.dropRight(3) + "xyz" // long shared prefix >> k+w-1 = 8
+    val c = "zyxwvutsrqponmlkjihgfedcba9876543210zyxwvutsrq"
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+    // and the sampling pitch holds: fps per doc << distinct grams per doc
+    val nFps = docs.select(size(graft.operators.TextOps.winnow(col("text"))))
+      .collect().map(_.getInt(0))
+    assert(nFps.forall(n => n > 0 && n < a.length - 4))
+  }
 }
