@@ -239,9 +239,9 @@ object Dedup {
     * fingerprint — sampling with a floor, not a lottery), and
     * tokenizer independence (works on boundary-free scripts that
     * word-3-shingles can't segment). The posting list is
-    * winnow-SAMPLED (≈ 2/(w+1) of the gram universe per doc), so the
-    * inverted index carries a fraction of [[jaccardPairs]]' postings
-    * at the same corpus. Identical join shape, dfCap insurance, and
+    * winnow-SAMPLED (≈ 2/(w+1) of the char-gram universe per doc —
+    * the full gram index it replaces; vs word-3-shingles the count
+    * depends on token length, same order of magnitude on prose). Identical join shape, dfCap insurance, and
     * exact integer-ratio Jaccard; output unordered like every pair
     * generator (callers order). */
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
