@@ -298,6 +298,72 @@ object SparkEntry {
         .orderBy(col("qid"), col("distance"), col("id"))
     }),
 
+    // BQ serving tier (index/BQ): IVF cells over 1-BIT sign codes —
+    // the 32×-compression end of the curve SQ8 starts. Probing every
+    // cell makes the first-pass scores exact functions of the sign
+    // pattern, which DuckDB reproduces from the raw floats (bit i = 1
+    // iff xᵢ > 0): symmetric Hamming = count of sign disagreements,
+    // asymmetric = −Σ qᵢ·(±1). Both whole paths driver-gated.
+    "bq_hamming_all" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = fixedCentroids(emb)
+      val indexed = graft.index.IVFFlat.assign(emb, "vec_id", "embedding", cents)
+      val sizes = Array.fill(cents.length)(Long.MaxValue)
+      val bq = graft.index.BQ.compress(
+        IVFFlat.Model(IVFFlat.Params(cents.length), cents, sizes, indexed))
+      bq.searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = cents.length)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
+    // Asymmetric BQ score (float query vs sign code) — strictly more
+    // informative than Hamming for a float query; same probe-all gate.
+    "bq_asym_all" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = fixedCentroids(emb)
+      val indexed = graft.index.IVFFlat.assign(emb, "vec_id", "embedding", cents)
+      val sizes = Array.fill(cents.length)(Long.MaxValue)
+      val bq = graft.index.BQ.compress(
+        IVFFlat.Model(IVFFlat.Params(cents.length), cents, sizes, indexed))
+      bq.searchManyAsym(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = cents.length)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
+    // BQ + exact re-rank, degenerate config (shortlist ⊇ corpus ⇒
+    // equals float exhaustive bit-for-bit): gates the bit-shortlist →
+    // float-re-rank serving shape under the plain exhaustive oracle.
+    "bq_rerank_exact" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = fixedCentroids(emb)
+      val indexed = graft.index.IVFFlat.assign(emb, "vec_id", "embedding", cents)
+      val sizes = Array.fill(cents.length)(Long.MaxValue)
+      val bq = graft.index.BQ.compress(
+        IVFFlat.Model(IVFFlat.Params(cents.length), cents, sizes, indexed))
+      bq.searchManyRefined(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, factor = 1000, emb, "vec_id", "embedding",
+          nprobe = cents.length)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
+    // BQ lifecycle: compress → save (codes partitioned by cluster) →
+    // load → probe-all Hamming search, same sign-pattern oracle.
+    "bq_persist_all" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = fixedCentroids(emb)
+      val indexed = graft.index.IVFFlat.assign(emb, "vec_id", "embedding", cents)
+      val sizes = Array.fill(cents.length)(Long.MaxValue)
+      val bq = graft.index.BQ.compress(
+        IVFFlat.Model(IVFFlat.Params(cents.length), cents, sizes, indexed))
+      val tmp = java.nio.file.Files.createTempDirectory("bq_persist").toString
+      bq.save(tmp)
+      val re = graft.index.BQ.load(s, tmp)
+      re.copy(clusterSizes = re.clusterSizes.map(_ => Long.MaxValue))
+        .searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = re.params.k)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
     // Elementwise arithmetic kernels (base.rs:62-111: add, subtract_from,
     // divide_by_scalar, average/midpoint) against the row's own reversed
     // vector, reduced to per-row double checksums (0.0-seeded left fold —
@@ -1560,6 +1626,37 @@ object SparkEntry {
       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 10
       |ORDER BY qid, distance, id""".stripMargin
 
+  /** bq_hamming_all / bq_persist_all oracle: with every cell probed,
+    * symmetric BQ search is exactly "count the sign disagreements"
+    * between query and corpus vectors (bit i = 1 iff xᵢ > 0, the
+    * [[graft.functions.PackSignBitsExpr]] rule; pad bits are zero on
+    * both sides so packed-byte Hamming equals the element-wise count). */
+  private val bqHammingSql: String =
+    """WITH scored AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS id,
+      |    CAST(list_reduce(list_transform(list_zip(c.embedding, q.embedding),
+      |      x -> CASE WHEN (x[1] > 0) <> (x[2] > 0) THEN 1 ELSE 0 END),
+      |      (a, b) -> a + b) AS DOUBLE) AS distance
+      |  FROM embeddings c, embeddings q WHERE q.vec_id < 5)
+      |SELECT qid, id, distance FROM scored
+      |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 10
+      |ORDER BY qid, distance, id""".stripMargin
+
+  /** bq_asym_all oracle: −Σ qᵢ·(signᵢ ? +1 : −1) in double, the
+    * [[graft.functions.BqAsymDotExpr]] fold (left-to-right; the 0.0
+    * seed is neutral for the first float-widened addend). */
+  private val bqAsymSql: String =
+    """WITH scored AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS id,
+      |    0.0 - list_reduce(list_transform(list_zip(c.embedding, q.embedding),
+      |      x -> CASE WHEN x[1] > 0 THEN CAST(x[2] AS DOUBLE)
+      |           ELSE 0.0 - CAST(x[2] AS DOUBLE) END),
+      |      (a, b) -> a + b) AS distance
+      |  FROM embeddings c, embeddings q WHERE q.vec_id < 5)
+      |SELECT qid, id, distance FROM scored
+      |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 10
+      |ORDER BY qid, distance, id""".stripMargin
+
   /** ivf_search_fixed oracle — shared with ivf_add_fixed (add against
     * frozen centroids reproduces the full assignment exactly) and,
     * with a corpus filter, ivf_remove_fixed (removal = the same search
@@ -2272,6 +2369,10 @@ object SparkEntry {
     "sq8_search_all" -> sq8ExactKnnSql,
     "sq8_persist_all" -> sq8ExactKnnSql,
     "sq8_rerank_exact" -> exhaustiveKnnSql,
+    "bq_hamming_all" -> bqHammingSql,
+    "bq_persist_all" -> bqHammingSql,
+    "bq_asym_all" -> bqAsymSql,
+    "bq_rerank_exact" -> exhaustiveKnnSql,
 
     "vec_kernels_sql" ->
       """SELECT vec_id,

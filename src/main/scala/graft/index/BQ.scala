@@ -1,0 +1,200 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.BqMath
+
+/** BQ — IVF over 1-bit sign codes: the far end of the compression
+  * curve that [[SQ8]] starts. Same coarse quantizer and adaptive
+  * probing as [[IVFFlat]] (ivfflat.rs:153-198 semantics), but the cell
+  * payload is a packed sign bitmap (1 BIT per dimension): 32× fewer
+  * bytes than `ARRAY<FLOAT>` in the scan, the probe join, and the page
+  * cache. At 100 TB of float embeddings the sign-code table is ~3 TB —
+  * small enough to keep resident across a cluster, which is why binary
+  * quantization is the standard first-pass tier in production vector
+  * stores: scan bits for a generous shortlist, then re-rank the
+  * survivors against full-precision vectors that are fetched for the
+  * shortlist ONLY (broadcast-sized, the float corpus never shuffles).
+  *
+  * Two first-pass scores (see [[graft.functions.BqMath]]):
+  * symmetric Hamming (query quantized too — XOR+popcount, the cheapest
+  * scan there is) and asymmetric signed dot (float query against the
+  * code — strictly more informative, no query-side quantization loss).
+  * Both are driver-oracle-gated through probe-all lanes (the sign rule
+  * `x > 0` is trivially reproducible in SQL) and the shortlist+re-rank
+  * lane is gated against plain float exhaustive (shortlist ⊇ corpus ⇒
+  * bit-equal), exactly the [[SQ8]] gating pattern.
+  */
+object BQ {
+
+  /** Compressed code row layout: (id, cluster, codes BINARY). */
+  private def compressRows(indexed: DataFrame): DataFrame =
+    indexed.select(
+      col("id"), col("cluster"),
+      BqMath.packSignBits(col("vector").cast("array<float>")).as("codes"))
+
+  /** Built index: broadcastable coarse state + the packed bit table. */
+  case class Model(params: IVFFlat.Params,
+                   centroids: Array[Array[Float]],
+                   clusterSizes: Array[Long],
+                   codes: DataFrame,
+                   addsSinceCompact: Int = 0) {
+
+    def probeSet(query: Array[Float], k: Int, minProbe: Int = 1): Seq[Int] =
+      IVFFlat.probeOrder(centroids, clusterSizes, query, k, minProbe)
+
+    /** Single-query symmetric search: partition-pruned scan of probed
+      * cells → XOR+popcount vs the sign-packed query literal →
+      * TakeOrderedAndProject. */
+    def search(query: Array[Float], k: Int, minProbe: Int = 1): DataFrame = {
+      val probed = probeSet(query, k, minProbe)
+      codes.filter(col("cluster").isin(probed: _*))
+        .select(col("id"),
+          BqMath.hammingDist(col("codes"), lit(BqMath.packBits(query)))
+            .cast("double").as("distance"))
+        .orderBy(col("distance"), col("id")).limit(k)
+    }
+
+    /** Shared probe scaffold: (qid, qvec, cluster) rows, queries
+      * broadcast, codes never shuffle. */
+    private def probeFrame(queries: DataFrame, qIdCol: String, qVecCol: String,
+                           k: Int, nprobe: Int): DataFrame = {
+      val spark = queries.sparkSession
+      val bc = spark.sparkContext.broadcast((centroids, clusterSizes))
+      import spark.implicits._
+      queries
+        .select(col(qIdCol).cast("long").as("qid"),
+                col(qVecCol).cast("array<float>").as("qvec"))
+        .as[(Long, Array[Float])]
+        .flatMap { case (qid, qvec) =>
+          val (cents, sizes) = bc.value
+          IVFFlat.probeOrder(cents, sizes, qvec, k, nprobe)
+            .map(c => (qid, qvec, c))
+        }
+        .toDF("qid", "qvec", "cluster")
+    }
+
+    private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+      val spark = scored.sparkSession
+      import spark.implicits._
+      scored
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (qid, it) =>
+          graft.operators.Exhaustive.topKDedup(it.map(t => (t._2, t._3)), k)
+            .map { case (id, d) => (qid, id, d) }
+        }
+        .toDF("qid", "id", "distance")
+    }
+
+    /** Symmetric batch search: the query is sign-quantized in the scan
+      * projection and distance is XOR+popcount over packed bytes —
+      * (qid, id, distance) with distance = Hamming as double. */
+    def searchMany(queries: DataFrame, qIdCol: String, qVecCol: String,
+                   k: Int, nprobe: Int = 2): DataFrame = {
+      val probes = probeFrame(queries, qIdCol, qVecCol, k, nprobe)
+      topKPerQuery(
+        codes.join(broadcast(probes), Seq("cluster"))
+          .select(col("qid"), col("id"),
+            BqMath.hammingDist(col("codes"), BqMath.packSignBits(col("qvec")))
+              .cast("double").as("distance")),
+        k)
+    }
+
+    /** Asymmetric batch search: float query against the sign code,
+      * distance = −Σ qᵢ·sign(vᵢ) (smaller = more aligned). */
+    def searchManyAsym(queries: DataFrame, qIdCol: String, qVecCol: String,
+                       k: Int, nprobe: Int = 2): DataFrame = {
+      val probes = probeFrame(queries, qIdCol, qVecCol, k, nprobe)
+      topKPerQuery(
+        codes.join(broadcast(probes), Seq("cluster"))
+          .select(col("qid"), col("id"),
+            (lit(0.0d) - BqMath.asymDot(col("codes"), col("qvec")))
+              .as("distance")),
+        k)
+    }
+
+    /** Bit shortlist (factor×k, asymmetric score) + exact float re-rank
+      * — the production BQ serving shape. The bit pass scans 32× fewer
+      * bytes; the float pass touches shortlist×queries rows only
+      * (broadcast — the float corpus never shuffles). With shortlist ⊇
+      * corpus this equals float exhaustive exactly (the
+      * bq_rerank_exact oracle lane). */
+    def searchManyRefined(queries: DataFrame, qIdCol: String, qVecCol: String,
+                          k: Int, factor: Int,
+                          corpus: DataFrame, cIdCol: String, cVecCol: String,
+                          nprobe: Int = 2): DataFrame = {
+      val spark = queries.sparkSession
+      import spark.implicits._
+      val shortlist = searchManyAsym(queries, qIdCol, qVecCol, k * factor, nprobe)
+        .select(col("qid"), col("id"))
+      val q = queries.select(col(qIdCol).cast("long").as("qid"),
+        col(qVecCol).cast("array<float>").as("qvec"))
+      val c = corpus.select(col(cIdCol).cast("long").as("id"),
+        col(cVecCol).cast("array<float>").as("cvec"))
+      topKPerQuery(
+        c.join(broadcast(shortlist.join(broadcast(q), "qid")), Seq("id"))
+          .select(col("qid"), col("id"),
+            graft.functions.VectorOps.sqDist(col("cvec"), col("qvec"))
+              .as("distance")),
+        k)
+    }
+
+    /** Incremental add: assign against frozen centroids, pack the new
+      * rows (narrow), union under the [[Lineage]] cadence. */
+    def add(rows: DataFrame, idCol: String, vecCol: String): Model = {
+      val assigned = IVFFlat.assign(rows, idCol, vecCol, centroids)
+      val (df, n) = Lineage.compact(
+        codes.unionByName(compressRows(assigned)), addsSinceCompact)
+      copy(codes = df, addsSinceCompact = n)
+    }
+
+    /** Takedown by id — broadcast anti-join, codes never shuffle. */
+    def remove(ids: DataFrame, idCol: String): Model = {
+      val del = ids.select(col(idCol).cast("long").as("id"))
+      val (df, n) = Lineage.compact(
+        codes.join(broadcast(del), Seq("id"), "left_anti"),
+        addsSinceCompact)
+      copy(codes = df, addsSinceCompact = n)
+    }
+
+    /** Persist: codes partitioned by cluster (partition pruning on
+      * probe), centroids + params as [[SQ8.Model.save]]. */
+    def save(dir: String): Unit = {
+      val spark = codes.sparkSession
+      import spark.implicits._
+      codes.write.mode("overwrite").partitionBy("cluster")
+        .parquet(s"$dir/codes")
+      centroids.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+        .toDF("cluster", "vector")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+      ParamsIO.write(spark, dir,
+        s"""{"k":${params.k},"numAttempts":${params.numAttempts},"maxIterations":${params.maxIterations},"seed":${params.seed},"tol":${params.tol}}""")
+    }
+  }
+
+  /** Compress a built [[IVFFlat.Model]] — one narrow pass over the
+    * indexed corpus; coarse state is shared, not retrained. */
+  def compress(ivf: IVFFlat.Model): Model =
+    Model(ivf.params, ivf.centroids, ivf.clusterSizes,
+      compressRows(ivf.indexed))
+
+  /** Reload a saved index ([[SQ8.load]] mapping). */
+  def load(spark: SparkSession, dir: String): Model = {
+    val json = ParamsIO.read(spark, dir)
+    def intOf(key: String): Long = ParamsIO.num(json, key)
+    val params = IVFFlat.Params(intOf("k").toInt, intOf("numAttempts").toInt,
+      intOf("maxIterations").toInt, intOf("seed"),
+      ParamsIO.dbl(json, "tol", 1e-6))
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cluster").collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("vector").toArray)
+    val codes = spark.read.parquet(s"$dir/codes")
+      .select(col("id"), col("codes"),
+        col("cluster").cast("int").as("cluster"))
+    val sizes = new Array[Long](params.k)
+    codes.groupBy("cluster").count().collect()
+      .foreach(r => sizes(r.getInt(0)) = r.getLong(1))
+    Model(params, cents, sizes, codes)
+  }
+}

@@ -460,4 +460,22 @@ object Streaming {
       }
       .start()
   }
+
+  /** BQ twin of [[ingestIntoIVF]]: each microbatch is assigned to its
+    * frozen coarse cell and sign-packed to 1-bit codes in one narrow
+    * pass (BQ.Model.add) — the streaming matrix now covers all seven
+    * index types. */
+  def ingestIntoBQ(stream: DataFrame, idCol: String, vecCol: String,
+                   state: java.util.concurrent.atomic.AtomicReference[graft.index.BQ.Model])
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // single-writer foreachBatch: see ingestIntoIVF
+          state.set(state.get().add(batch, idCol, vecCol))
+        }
+      }
+      .start()
+  }
 }

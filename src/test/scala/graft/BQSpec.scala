@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.BqMath
+import graft.index.{BQ, IVFFlat}
+
+class BQSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb =
+    spark.read.parquet(s"$sf0001/embeddings.parquet").cache()
+
+  private lazy val ivf = IVFFlat.build(emb, "vec_id", "embedding",
+    IVFFlat.Params(k = 8, numAttempts = 1, maxIterations = 10))
+  private lazy val bq = BQ.compress(ivf)
+
+  test("packSignBits stores exactly one bit per dimension") {
+    val dims = emb.select(size(col("embedding"))).head().getInt(0)
+    val lens = bq.codes.select(length(col("codes"))).distinct()
+      .collect().map(_.getInt(0))
+    assert(lens.toSeq == Seq((dims + 7) / 8))
+  }
+
+  test("packed Hamming == element-wise sign disagreement count") {
+    val q = emb.orderBy("vec_id").select(col("embedding").cast("array<float>"))
+      .head().getAs[scala.collection.Seq[Float]](0).toArray
+    val fused = emb.select(col("vec_id").cast("long").as("id"),
+      BqMath.hammingDist(
+        BqMath.packSignBits(col("embedding").cast("array<float>")),
+        lit(BqMath.packBits(q))).as("h"))
+    val elementwise = emb.select(col("vec_id").cast("long").as("id"),
+      aggregate(
+        zip_with(col("embedding"), typedlit(q),
+          (a, b) => when((a > 0f) =!= (b > 0f), 1).otherwise(0)),
+        lit(0), (acc, x) => acc + x).as("h"))
+    val joined = fused.alias("a").join(elementwise.alias("b"), "id")
+      .select(col("a.h").as("ha"), col("b.h").as("hb")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
+  test("asymDot == sum of query elements signed by the code") {
+    val q = emb.orderBy("vec_id").select(col("embedding").cast("array<float>"))
+      .head().getAs[scala.collection.Seq[Float]](0).toArray
+    val rows = emb.limit(50)
+      .select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<float>").as("v"),
+        BqMath.asymDot(
+          BqMath.packSignBits(col("embedding").cast("array<float>")),
+          typedlit(q)).as("s"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getAs[scala.collection.Seq[Float]]("v")
+      var want = 0.0
+      v.indices.foreach { i =>
+        val qi = q(i).toDouble
+        want += (if (v(i) > 0f) qi else -qi)
+      }
+      assert(r.getAs[Double]("s") == want, s"id ${r.getLong(0)}")
+    }
+  }
+
+  test("probe-all symmetric search matches driver-computed Hamming top-k") {
+    val q = emb.filter($"vec_id" === 2)
+      .select(col("embedding").cast("array<float>")).head()
+      .getAs[scala.collection.Seq[Float]](0).toArray
+    val got = bq.search(q, k = 10, minProbe = bq.params.k)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val qBits = BqMath.packBits(q)
+    val want = emb.select(col("vec_id").cast("long"),
+        col("embedding").cast("array<float>")).as[(Long, Array[Float])]
+      .collect()
+      .map { case (id, v) =>
+        val vb = BqMath.packBits(v)
+        var h = 0
+        vb.indices.foreach(i => h += Integer.bitCount((vb(i) ^ qBits(i)) & 0xff))
+        (id, h.toDouble)
+      }
+      .sortBy { case (id, h) => (h, id) }.take(10)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("searchMany at nprobe=k agrees with single-query probe-all") {
+    val q = emb.filter($"vec_id" === 7)
+    val qv = q.select(col("embedding").cast("array<float>")).head()
+      .getAs[scala.collection.Seq[Float]](0).toArray
+    val batch = bq.searchMany(q, "vec_id", "embedding", k = 5,
+        nprobe = bq.params.k)
+      .orderBy("distance", "id")
+      .select("id", "distance").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val single = bq.search(qv, k = 5, minProbe = bq.params.k).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(batch.toSeq == single.toSeq)
+  }
+
+  test("refined search with corpus-wide shortlist equals float exhaustive") {
+    val queries = emb.filter($"vec_id" < 5)
+    val refined = bq.searchManyRefined(queries, "vec_id", "embedding",
+        k = 10, factor = 1000, emb, "vec_id", "embedding",
+        nprobe = bq.params.k)
+      .orderBy("qid", "distance", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exact = graft.operators.Exhaustive.knnJoin(
+        queries, "vec_id", "embedding", emb, "vec_id", "embedding", 10)
+      .orderBy("qid", "distance", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(refined.toSeq == exact.toSeq)
+  }
+
+  test("asym shortlist (factor 10) + re-rank keeps recall@10 on sf0.001") {
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = graft.operators.Exhaustive.knnJoin(
+        queries, "vec_id", "embedding", emb, "vec_id", "embedding", 10)
+      .select("qid", "id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = bq.searchManyRefined(queries, "vec_id", "embedding",
+        k = 10, factor = 10, emb, "vec_id", "embedding",
+        nprobe = bq.params.k)
+      .select("qid", "id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.keys.toSeq.map { q =>
+      approx.getOrElse(q, Set.empty).intersect(exact(q)).size / 10.0
+    }
+    assert(recalls.sum / recalls.size >= 0.5,
+      s"mean recall ${recalls.sum / recalls.size}")
+  }
+
+  test("add then search finds the added row at Hamming 0; remove hides it") {
+    val newId = 999999L
+    val vec = emb.filter($"vec_id" === 0)
+      .select(col("embedding").cast("array<float>")).head()
+      .getAs[scala.collection.Seq[Float]](0).toArray
+    val added = bq.add(Seq((newId, vec)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val hits = added.search(vec, k = 3, minProbe = added.params.k).collect()
+    assert(hits.exists(r => r.getLong(0) == newId && r.getDouble(1) == 0.0))
+    val removed = added.remove(Seq(newId).toDF("vec_id"), "vec_id")
+    val after = removed.search(vec, k = 3, minProbe = removed.params.k).collect()
+    assert(!after.exists(_.getLong(0) == newId))
+  }
+
+  test("save/load round-trips codes, centroids and search results") {
+    val dir = java.nio.file.Files.createTempDirectory("bqidx").toString
+    bq.save(dir)
+    val back = BQ.load(spark, dir)
+    assert(back.params == bq.params)
+    assert(back.centroids.length == bq.centroids.length)
+    assert(back.codes.count() == bq.codes.count())
+    val q = emb.filter($"vec_id" === 3)
+      .select(col("embedding").cast("array<float>")).head()
+      .getAs[scala.collection.Seq[Float]](0).toArray
+    val a = bq.search(q, 5, minProbe = bq.params.k)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val b = back.search(q, 5, minProbe = back.params.k)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("pad bits beyond the dimension never contribute") {
+    // dim 5 -> one byte with 3 pad bits; two vectors agreeing on all
+    // five signs must be at Hamming 0 regardless of padding
+    val df = Seq(
+      (1L, Array(0.5f, -0.1f, 0.0f, 2f, -3f)),
+      (2L, Array(9f, -9f, -0.0f, 1e-9f, -1e-9f))).toDF("id", "v")
+    val codes = df.select(col("id"),
+      BqMath.packSignBits(col("v")).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("c")).toMap
+    assert(codes(1).length == 1 && codes(2).length == 1)
+    var h = 0
+    h += Integer.bitCount((codes(1)(0) ^ codes(2)(0)) & 0xff)
+    assert(h == 0) // signs agree element-wise (0.0 and -0.0 are both "not > 0")
+  }
+}

@@ -148,6 +148,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("BQ probed search: neither codes nor vectors ride any shuffle") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cents = SparkEntry.fixedCentroids(emb)
+    val sizes = Array.fill(cents.length)(Long.MaxValue)
+    val bq = graft.index.BQ.compress(graft.index.IVFFlat.Model(
+      graft.index.IVFFlat.Params(cents.length), cents, sizes,
+      graft.index.IVFFlat.assign(emb, "vec_id", "embedding", cents)))
+    for ((df, what) <- Seq(
+        (bq.searchMany(emb.filter(col("vec_id") < 5), "vec_id",
+          "embedding", k = 10, nprobe = 2), "BQ Hamming"),
+        (bq.searchManyAsym(emb.filter(col("vec_id") < 5), "vec_id",
+          "embedding", k = 10, nprobe = 2), "BQ asym"))) {
+      df.collect()
+      val shuffles = flatten(df.queryExecution.executedPlan).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.nonEmpty) // the per-query top-k group-by
+      // only (qid, id, distance) may move: a BINARY sign code or float
+      // array in a shuffle means the compressed corpus started moving
+      shuffles.foreach { e =>
+        val bad = e.output.filter(a =>
+          a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+            a.dataType == org.apache.spark.sql.types.BinaryType)
+        assert(bad.isEmpty,
+          s"$what shuffle carries ${bad.map(_.name).mkString(",")}:\n" +
+            e.toString.take(600))
+      }
+    }
+  }
+
   test("dedup pair generators never plan a cartesian/nested-loop join") {
     import graft.operators.Dedup
     import org.apache.spark.sql.DataFrame

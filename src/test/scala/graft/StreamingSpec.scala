@@ -522,4 +522,36 @@ class StreamingSpec extends SparkSpec {
     assert(got(0).getAs[Array[Byte]]("codes").toSeq ==
       full.getAs[Array[Byte]]("codes").toSeq)
   }
+
+  test("streaming ingest patches the BQ sign codes (Index::add analogue)") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cents = SparkEntry.fixedCentroids(emb)
+    val sizes = Array.fill(cents.length)(Long.MaxValue)
+    val ivf = graft.index.IVFFlat.Model(
+      graft.index.IVFFlat.Params(cents.length), cents, sizes,
+      graft.index.IVFFlat.assign(
+        emb.filter($"vec_id" =!= 42), "vec_id", "embedding", cents))
+    val state = new java.util.concurrent.atomic.AtomicReference(
+      graft.index.BQ.compress(ivf))
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Streaming.ingestIntoBQ(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", state)
+    val held = emb.filter($"vec_id" === 42)
+      .select($"vec_id", $"embedding".cast("array<float>"))
+      .as[(Long, Array[Float])].head()
+    mem.addData(held)
+    q.processAllAvailable()
+    q.stop()
+    // routing and packed sign bits both match a from-scratch compress
+    val full = graft.index.BQ.compress(graft.index.IVFFlat.Model(
+        graft.index.IVFFlat.Params(cents.length), cents, sizes,
+        graft.index.IVFFlat.assign(emb, "vec_id", "embedding", cents)))
+      .codes.filter($"id" === 42).head()
+    val got = state.get().codes.filter($"id" === 42).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Int]("cluster") == full.getAs[Int]("cluster"))
+    assert(got(0).getAs[Array[Byte]]("codes").toSeq ==
+      full.getAs[Array[Byte]]("codes").toSeq)
+  }
 }
