@@ -179,6 +179,41 @@ object ScaleSmoke {
       sq8.codes.unpersist()
     }
 
+    // ---- BQ: the same coarse cells compressed to 1-BIT sign codes
+    // (32× fewer payload bytes than float) — the first-pass shortlist
+    // tier of production vector stores. Measures compress cost, the
+    // probed asymmetric scan alone (recall floor at the 1-bit
+    // quantization error), and the production shape: asym shortlist
+    // factor×k + float re-rank of shortlist-only rows.
+    {
+      val (bq, tBqC) = timed {
+        val m = index.BQ.compress(ivf)
+        m.codes.cache().count(); m
+      }
+      val (bqRes, tBqS) = timed {
+        val df = bq.searchManyAsym(queries, "vec_id", "embedding", k,
+          nprobe = 8).cache()
+        df.count(); df
+      }
+      val bqRecall = recallOf(bqRes, truth)
+      val (bqRe, tBqR) = timed {
+        val df = bq.searchManyRefined(queries, "vec_id", "embedding", k,
+          factor = 10, corpus, "vec_id", "embedding", nprobe = 8).cache()
+        df.count(); df
+      }
+      val bqReRecall = recallOf(bqRe, truth)
+      val codeBytes = bq.codes.agg(
+        sum(length(col("codes")) + lit(12L))).head().getLong(0)
+      val floatBytes = n.toLong * (dim * 4L + 12L)
+      out += "bq_compress_s" -> f"$tBqC%.2f"
+      out += "bq_batch100_asym_s" -> f"$tBqS%.2f"
+      out += "bq_recall_at10" -> f"$bqRecall%.3f"
+      out += "bq_rerank10x_batch100_s" -> f"$tBqR%.2f"
+      out += "bq_rerank10x_recall_at10" -> f"$bqReRecall%.3f"
+      out += "bq_bytes_frac" -> f"${codeBytes.toDouble / floatBytes}%.3f"
+      bq.codes.unpersist()
+    }
+
     // ---- LSHForest: 16 trees (the recall lever, lsh.rs:132); leaf size
     // scales with n to hold the driver-held skeleton and the per-level
     // stats collect at O(n/maxNodeSize) entries (see Tree scaladoc)

@@ -1100,6 +1100,70 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // HyperLogLog registers over 3-gram shingle OCCURRENCES (operators/
+    // Sketches): the constant-shuffle answer to "how many distinct
+    // n-grams?" — the groupBy(bucket).max(rho) moves ≤ 2^p two-int rows
+    // total no matter the corpus size (partial agg folds map-side).
+    // Hash/bucket/rho are md5-derived, so the oracle replicates the
+    // register table bit-for-bit.
+    "sketch_hll_registers" -> ((s, dir) => {
+      import s.implicits._
+      val sh = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)].flatMap { case (_, t) =>
+          graft.operators.TextHashFast.shingles3(
+            graft.operators.TextHashFast.tokenize(t))
+        }.toDF("s")
+      graft.operators.Sketches.hllRegisters(sh, "s", p = 8)
+        .orderBy(col("bucket"))
+    }),
+
+    // The HLL estimate next to the exact distinct count it replaces:
+    // one gated row (m, nonempty, estimate, exact). The estimate's
+    // Σ2^{−rho} is a sorted-by-bucket left fold of exact powers of two,
+    // so even the double arithmetic is engine-portable.
+    "sketch_hll" -> ((s, dir) => {
+      import s.implicits._
+      val sh = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)].flatMap { case (_, t) =>
+          graft.operators.TextHashFast.shingles3(
+            graft.operators.TextHashFast.tokenize(t))
+        }.toDF("s")
+      val est = graft.operators.Sketches.hllEstimate(
+        graft.operators.Sketches.hllRegisters(sh, "s", p = 8), p = 8)
+      est.crossJoin(sh.select(countDistinct(col("s")).as("exact")))
+    }),
+
+    // Bloom-filter contamination audit — the 100 TB face of
+    // split_contamination: instead of equi-joining test shingles
+    // against every train shingle (shuffling the big side), the train
+    // set folds into a 2^18-bit bitmap (32 KB, broadcast) and the test
+    // side probes it map-side through k=3 chained broadcast joins —
+    // zero false negatives, (1−e^{−kn/m})^k false positives, the test
+    // corpus never shuffles for membership. Per test doc:
+    // (n_sh distinct shingles, n_maybe flagged).
+    "sketch_bloom_contamination" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents")
+      val ex = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, t) =>
+          graft.operators.TextHashFast.shingles3(
+            graft.operators.TextHashFast.tokenize(t)).distinct.map(sh => (id, sh))
+        }.toDF("doc_id", "s")
+      val sp = graft.operators.Splits.assign(docs, "doc_id")
+        .select(col("doc_id"), col("split"))
+      val trainSh = ex.join(sp.filter(col("split") === "train"), "doc_id")
+        .select("s")
+      val bloom = graft.operators.Sketches.bloomBuild(trainSh, "s",
+        logm = 18, k = 3)
+      val testSh = ex.join(sp.filter(col("split") === "test"), "doc_id")
+        .select("doc_id", "s")
+      graft.operators.Sketches.bloomProbe(bloom, testSh, "s", logm = 18, k = 3)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sh"),
+          sum(when(col("maybe_member"), 1L).otherwise(0L)).as("n_maybe"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Prefix-causal keep-first over minhash band buckets: drop a doc
     // iff it shares a bucket with ANY lower-id doc. This is the exact
     // batch face of the streaming dedup ingest (Streaming.
@@ -2008,6 +2072,80 @@ object SparkEntry {
          |JOIN sp b ON b.doc_id = p.doc_b
          |WHERE a.split <> b.split
          |ORDER BY p.doc_a, p.doc_b""".stripMargin,
+
+    // HLL register table: 60-bit md5 hash, low-8-bit bucket, rho =
+    // 53 − bitlen(high 52 bits); ltrim('0') normalizes bin() padding
+    // across engines (see Sketches.hllRegisters)
+    "sketch_hll_registers" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s2 AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+         |ex AS (SELECT unnest(sh) AS s FROM s2),
+         |h AS (SELECT CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h FROM ex),
+         |r AS (SELECT CAST(h & 255 AS INT) AS bucket,
+         |  CAST(CASE WHEN (h >> 8) = 0 THEN 53
+         |       ELSE 53 - len(ltrim(bin(h >> 8), '0')) END AS INT) AS rho FROM h)
+         |SELECT bucket, max(rho) AS rho FROM r GROUP BY bucket
+         |ORDER BY bucket""".stripMargin,
+
+    // HLL estimate: α·m²/Σ2^{−rho}, the Σ a list_reduce over the seed
+    // (empty-bucket count) prepended to the bucket-ordered powers of
+    // two — the exact fold order of Sketches.hllEstimate
+    "sketch_hll" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s2 AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+         |ex AS (SELECT unnest(sh) AS s FROM s2),
+         |h AS (SELECT CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h FROM ex),
+         |r AS (SELECT CAST(h & 255 AS INT) AS bucket,
+         |  CAST(CASE WHEN (h >> 8) = 0 THEN 53
+         |       ELSE 53 - len(ltrim(bin(h >> 8), '0')) END AS INT) AS rho FROM h),
+         |regs AS (SELECT bucket, max(rho) AS rho FROM r GROUP BY bucket),
+         |agg AS (SELECT CAST(count(*) AS INT) AS nonempty,
+         |  list(power(2.0, 0.0 - CAST(rho AS DOUBLE)) ORDER BY bucket) AS vals
+         |  FROM regs),
+         |ex2 AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS exact FROM ex)
+         |SELECT 256 AS m, a.nonempty,
+         |  (0.7213 / (1 + 1.079 / 256.0)) * 256.0 * 256.0 /
+         |    list_reduce(list_prepend(CAST(256 - a.nonempty AS DOUBLE), a.vals),
+         |      (x, y) -> x + y) AS estimate,
+         |  e.exact
+         |FROM agg a, ex2 e""".stripMargin,
+
+    // Bloom bitmap replicated in SQL: salted md5 positions → packed
+    // 64-bit words via bit_or; probe = all 3 bits present per shingle
+    "sketch_bloom_contamination" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s2 AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+         |ex AS (SELECT doc_id, unnest(list_distinct(sh)) AS s FROM s2),
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |         / 4294967296.0 < 0.8 THEN 'train'
+         |       WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |         / 4294967296.0 < 0.9 THEN 'val'
+         |       ELSE 'test' END AS split
+         | FROM documents),
+         |pos AS (SELECT
+         |    (CAST(concat('0x', substr(md5(concat(CAST(v.salt AS VARCHAR), '|', e.s)), 1, 15)) AS BIGINT)
+         |      & 262143) AS p
+         |  FROM ex e JOIN sp ON sp.doc_id = e.doc_id
+         |  CROSS JOIN (VALUES (1), (2), (3)) v(salt)
+         |  WHERE sp.split = 'train'),
+         |bloom AS (SELECT p >> 5 AS word,
+         |    bit_or(CAST(1 AS BIGINT) << CAST(p & 31 AS INT)) AS bits
+         |  FROM pos GROUP BY 1),
+         |probe AS (SELECT e.doc_id, e.s,
+         |    (CAST(concat('0x', substr(md5(concat(CAST(v.salt AS VARCHAR), '|', e.s)), 1, 15)) AS BIGINT)
+         |      & 262143) AS p
+         |  FROM ex e JOIN sp ON sp.doc_id = e.doc_id
+         |  CROSS JOIN (VALUES (1), (2), (3)) v(salt)
+         |  WHERE sp.split = 'test'),
+         |hits AS (SELECT pr.doc_id, pr.s,
+         |    bool_and(b.bits IS NOT NULL AND
+         |      (b.bits & (CAST(1 AS BIGINT) << CAST(pr.p & 31 AS INT))) <> 0) AS hit
+         |  FROM probe pr LEFT JOIN bloom b ON b.word = (pr.p >> 5)
+         |  GROUP BY pr.doc_id, pr.s)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+         |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe
+         |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // prefix-causal keep-first: drop a doc iff it shares a band bucket
     // with any lower-id doc (the streaming-enforceable admission rule)

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Engine-portable probabilistic sketches for corpus-scale statistics —
+  * the O(KB-per-partition) answers to questions whose exact forms need
+  * a corpus-wide shuffle:
+  *
+  *  - [[hllRegisters]]/[[hllEstimate]]: HyperLogLog cardinality
+  *    (Flajolet et al. 2007). "How many distinct n-grams does this
+  *    100 TB corpus have?" exactly costs a distinct-shuffle of every
+  *    n-gram occurrence; the sketch is a map-side `groupBy(bucket).
+  *    agg(max(rho))` whose shuffle is ≤ m=2^p rows of two ints TOTAL
+  *    (partial max-aggregation folds everything else map-side).
+  *  - [[bloomBuild]]/[[bloomProbe]]: Bloom-filter membership. The
+  *    100 TB face of the contamination audit: instead of equi-joining
+  *    the test corpus against billions of train n-grams (a full
+  *    shuffle of the big side), build an m-bit bitmap (m/8 bytes,
+  *    broadcastable at even 1e10 grams), and probe map-side with
+  *    false-positive rate (1−e^{−kn/m})^k and ZERO false negatives.
+  *
+  * Both sketches are deterministic functions of the data — no RNG, no
+  * JVM hash: every hash is derived from md5 hex prefixes (the
+  * [[Splits.hashFrac]] idiom), so DuckDB replicates registers, bitmaps
+  * and estimates bit-for-bit, and the driver oracle gates them like
+  * any exact operator. Mirrors the role of the reference's exhaustive
+  * oracle (utils.rs:68-82): a cheap certified summary next to an
+  * expensive exact path.
+  */
+object Sketches {
+
+  /** 60-bit portable hash: md5 hex prefix, optionally salted. Salt goes
+    * IN FRONT of the value so multi-hash sketches get independent
+    * streams ("0x"-free decimal conv — exact for 15 hex digits). */
+  def hash60(c: Column, salt: Int = 0): Column = {
+    val keyed = if (salt == 0) c.cast("string")
+      else concat(lit(s"$salt|"), c.cast("string"))
+    conv(substring(md5(keyed), 1, 15), 16, 10).cast("long")
+  }
+
+  // ---------------- HyperLogLog ----------------
+
+  /** HLL registers over `valueCol` occurrences (duplicates are free —
+    * max() absorbs them; no distinct pass): bucket = low p bits,
+    * rho = 1 + leading-zero count of the remaining w = 60−p bits.
+    * Returns (bucket INT, rho INT), one row per NON-EMPTY bucket,
+    * ≤ 2^p rows. The only shuffle is the partial-aggregated
+    * (bucket, max rho) pairs — constant-size regardless of corpus. */
+  def hllRegisters(df: DataFrame, valueCol: String, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"p=$p out of range [4,16]")
+    val w = 60 - p
+    val h = hash60(col(valueCol))
+    val bucket = h.bitwiseAND(lit((1L << p) - 1)).cast("int")
+    // rest > 0: its bit length is floor(log2 rest)+1 → rho = w+1−len;
+    // the ltrim('0') makes the length read identical whether an
+    // engine's bin() zero-pads or not. rest == 0 (all w bits zero) is
+    // special-cased to rho = w+1.
+    val rest = shiftright(h, p)
+    val rho = when(rest === 0L, lit(w + 1))
+      .otherwise(lit(w + 1) - length(ltrim(bin(rest), "0"))).cast("int")
+    df.select(bucket.as("bucket"), rho.as("rho"))
+      .groupBy("bucket").agg(max("rho").as("rho"))
+  }
+
+  /** Raw HLL estimate α_m·m²/Σ2^{−M_j} from a register table (empty
+    * buckets contribute 2^0). The Σ is a SORTED-by-bucket left fold
+    * seeded with the empty-bucket count — every addend is a power of
+    * two, every rounding decision identical in any IEEE engine, so the
+    * estimate itself is oracle-gateable. One row:
+    * (m, nonempty, estimate). */
+  def hllEstimate(registers: DataFrame, p: Int): DataFrame = {
+    val m = 1 << p
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    registers
+      .agg(count(lit(1)).cast("int").as("nonempty"),
+        sort_array(collect_list(struct(col("bucket"), col("rho"))))
+          .as("regs"))
+      .select(lit(m).as("m"), col("nonempty"),
+        (lit(alpha) * lit(m.toDouble) * lit(m.toDouble) /
+          aggregate(col("regs"),
+            (lit(m) - col("nonempty")).cast("double"),
+            (acc, r) => acc + pow(lit(2.0d), -r.getField("rho").cast("double"))))
+          .as("estimate"))
+  }
+
+  // ---------------- Bloom filter ----------------
+
+  /** Build an m = 2^logm bit Bloom filter over `valueCol` with k salted
+    * hash positions per value: returns (word LONG, bits LONG) — the
+    * bitmap packed 32 bits/row (bit 32..63 unused: engines that check
+    * signed-shift overflow, DuckDB included, refuse 1::BIGINT << 63,
+    * and the oracle must replicate the words bit-for-bit), ≤ m/32 rows
+    * (m/4 bytes), broadcastable. Shuffle is the partial-aggregated
+    * (word, bit_or) pairs — bounded by the bitmap size, never by the
+    * corpus. */
+  def bloomBuild(df: DataFrame, valueCol: String, logm: Int, k: Int): DataFrame = {
+    require(logm >= 6 && logm <= 30, s"logm=$logm out of range [6,30]")
+    require(k >= 1 && k <= 8, s"k=$k out of range [1,8]")
+    val mask = (1L << logm) - 1
+    val positions = (0 until k).map(i => hash60(col(valueCol), salt = i + 1)
+      .bitwiseAND(lit(mask)))
+    df.select(explode(array(positions: _*)).as("pos"))
+      .select(shiftright(col("pos"), 5).as("word"),
+        expr("shiftleft(1L, cast(pos & 31 as int))").as("m1"))
+      .groupBy("word").agg(expr("bit_or(m1)").as("bits"))
+  }
+
+  /** Probe: appends `maybe_member` = true iff ALL k salted bit
+    * positions are set in the filter (no false negatives; false
+    * positives at the (1−e^{−kn/m})^k rate). Plan shape: k chained
+    * BroadcastHashJoins against the (word, bits) bitmap — every lookup
+    * is map-side, the probed corpus NEVER shuffles, no self-join, no
+    * row ids. At 100 TB the probe is a streaming narrow pipeline. */
+  def bloomProbe(bloom: DataFrame, df: DataFrame, valueCol: String,
+                 logm: Int, k: Int): DataFrame = {
+    val mask = (1L << logm) - 1
+    val out = (0 until k).foldLeft(df) { (acc, i) =>
+      val b = bloom.select(col("word").as(s"__w$i"), col("bits").as(s"__b$i"))
+      acc
+        .withColumn(s"__pos$i",
+          hash60(col(valueCol), salt = i + 1).bitwiseAND(lit(mask)))
+        .withColumn(s"__w$i", shiftright(col(s"__pos$i"), 5))
+        .withColumn(s"__m$i",
+          expr(s"shiftleft(1L, cast(__pos$i & 31 as int))"))
+        .join(broadcast(b), Seq(s"__w$i"), "left")
+    }
+    val allSet = (0 until k)
+      .map(i => col(s"__b$i").isNotNull &&
+        col(s"__b$i").bitwiseAND(col(s"__m$i")) === col(s"__m$i"))
+      .reduce(_ && _)
+    out.withColumn("maybe_member", allSet)
+      .drop((0 until k).flatMap(i =>
+        Seq(s"__pos$i", s"__w$i", s"__m$i", s"__b$i")): _*)
+  }
+}

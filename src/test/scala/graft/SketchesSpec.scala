@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sketches
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hll registers: buckets in range, rho in [1, w+1], duplicates free") {
+    val vals = spark.range(2000).select(col("id").cast("string").as("v"))
+    val regs = Sketches.hllRegisters(vals, "v", p = 8).collect()
+    assert(regs.nonEmpty && regs.length <= 256)
+    regs.foreach { r =>
+      val b = r.getInt(0); val rho = r.getInt(1)
+      assert(b >= 0 && b < 256)
+      assert(rho >= 1 && rho <= 53, s"bucket $b rho $rho")
+    }
+    // HLL is a max-sketch: feeding every value three times changes nothing
+    val dup = vals.union(vals).union(vals)
+    val regsDup = Sketches.hllRegisters(dup, "v", p = 8)
+      .orderBy("bucket").collect().map(r => (r.getInt(0), r.getInt(1)))
+    val regsOnce = Sketches.hllRegisters(vals, "v", p = 8)
+      .orderBy("bucket").collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(regsDup.toSeq == regsOnce.toSeq)
+  }
+
+  test("hll estimate within 3 standard errors at p=10") {
+    val n = 50000
+    val vals = spark.range(n).select(col("id").cast("string").as("v"))
+    val est = Sketches.hllEstimate(
+        Sketches.hllRegisters(vals, "v", p = 10), p = 10)
+      .head().getAs[Double]("estimate")
+    val se = 1.04 / math.sqrt(1024.0) // ≈ 3.25%
+    assert(math.abs(est - n) / n < 3 * se,
+      s"estimate $est vs exact $n (rel ${math.abs(est - n) / n})")
+  }
+
+  test("hll estimate is deterministic across recomputation") {
+    val vals = spark.range(3000).select(col("id").cast("string").as("v"))
+    def go() = Sketches.hllEstimate(
+      Sketches.hllRegisters(vals, "v", p = 8), p = 8)
+      .head().getAs[Double]("estimate")
+    assert(go() == go())
+  }
+
+  test("bloom: zero false negatives, bounded false positives") {
+    val n = 20000
+    val members = spark.range(n).select(concat(lit("m"),
+      col("id").cast("string")).as("v"))
+    val bloom = Sketches.bloomBuild(members, "v", logm = 18, k = 3)
+    // every member probes true — the no-false-negative contract
+    val fn = Sketches.bloomProbe(bloom, members, "v", logm = 18, k = 3)
+      .filter(!col("maybe_member")).count()
+    assert(fn == 0)
+    // disjoint probes: fp rate ≤ 3× the analytic (1−e^{−kn/m})^k
+    val strangers = spark.range(n).select(concat(lit("x"),
+      col("id").cast("string")).as("v"))
+    val fp = Sketches.bloomProbe(bloom, strangers, "v", logm = 18, k = 3)
+      .filter(col("maybe_member")).count()
+    val m = (1 << 18).toDouble
+    val analytic = math.pow(1.0 - math.exp(-3.0 * n / m), 3)
+    assert(fp.toDouble / n <= 3 * analytic + 0.01,
+      s"fp rate ${fp.toDouble / n} vs analytic $analytic")
+  }
+
+  test("bloom filter fits its claimed footprint") {
+    val members = spark.range(5000).select(col("id").cast("string").as("v"))
+    val bloom = Sketches.bloomBuild(members, "v", logm = 14, k = 3)
+    assert(bloom.count() <= (1 << 14) / 32) // ≤ m/32 packed words
+  }
+
+  test("bloom probe plan: no shuffle on the probed side") {
+    val members = spark.range(1000).select(col("id").cast("string").as("v"))
+    val bloom = Sketches.bloomBuild(members, "v", logm = 14, k = 3)
+      .localCheckpoint(true)
+    val probes = spark.range(1000).select(col("id").cast("string").as("v"))
+    val df = Sketches.bloomProbe(bloom, probes, "v", logm = 14, k = 3)
+    df.collect()
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+    : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      (p +: p.children.flatMap(flatten)) ++ p.subqueries.flatMap(flatten)
+    val shuffles = flatten(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // k chained BroadcastHashJoins: membership is a map-side lookup;
+    // any shuffle means the probe corpus started moving
+    assert(shuffles.isEmpty,
+      s"probe plan shuffles:\n${df.queryExecution.executedPlan.toString.take(800)}")
+  }
+}
