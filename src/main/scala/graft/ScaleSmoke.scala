@@ -212,6 +212,31 @@ object ScaleSmoke {
       out += "bq_rerank10x_recall_at10" -> f"$bqReRecall%.3f"
       out += "bq_bytes_frac" -> f"${codeBytes.toDouble / floatBytes}%.3f"
       bq.codes.unpersist()
+
+      // residual coding: sign(v − centroid) — the within-cell
+      // discriminator; same storage, same probing, recall is the point.
+      val (bqr, tBqrC) = timed {
+        val m = index.BQ.compressResidual(ivf)
+        m.codes.cache().count(); m
+      }
+      val (bqrRes, tBqrS) = timed {
+        val df = bqr.searchManyAsym(queries, "vec_id", "embedding", k,
+          nprobe = 8).cache()
+        df.count(); df
+      }
+      val bqrRecall = recallOf(bqrRes, truth)
+      val (bqrRe, tBqrR) = timed {
+        val df = bqr.searchManyRefined(queries, "vec_id", "embedding", k,
+          factor = 10, corpus, "vec_id", "embedding", nprobe = 8).cache()
+        df.count(); df
+      }
+      val bqrReRecall = recallOf(bqrRe, truth)
+      out += "bqres_compress_s" -> f"$tBqrC%.2f"
+      out += "bqres_batch100_asym_s" -> f"$tBqrS%.2f"
+      out += "bqres_recall_at10" -> f"$bqrRecall%.3f"
+      out += "bqres_rerank10x_batch100_s" -> f"$tBqrR%.2f"
+      out += "bqres_rerank10x_recall_at10" -> f"$bqrReRecall%.3f"
+      bqr.codes.unpersist()
     }
 
     // ---- LSHForest: 16 trees (the recall lever, lsh.rs:132); leaf size

@@ -330,6 +330,24 @@ object SparkEntry {
         .orderBy(col("qid"), col("distance"), col("id"))
     }),
 
+    // Residual BQ (BQ.compressResidual): sign bits of v − centroid(cell)
+    // — the within-cell discriminator plain sign codes lack on
+    // clustered data (0.19 → 0.95 recall@10 on the 100k clustered
+    // smoke). Probe-all asym gate: distance = −Σ (q−c)ᵢ·sign((v−c)ᵢ)
+    // with both differences double-widened — SQL replicates cell
+    // assignment (fixed centroids) and the signed fold exactly.
+    "bq_res_asym_all" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = fixedCentroids(emb)
+      val indexed = graft.index.IVFFlat.assign(emb, "vec_id", "embedding", cents)
+      val sizes = Array.fill(cents.length)(Long.MaxValue)
+      val bq = graft.index.BQ.compressResidual(
+        IVFFlat.Model(IVFFlat.Params(cents.length), cents, sizes, indexed))
+      bq.searchManyAsym(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = cents.length)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
     // BQ + exact re-rank, degenerate config (shortlist ⊇ corpus ⇒
     // equals float exhaustive bit-for-bit): gates the bit-shortlist →
     // float-re-rank serving shape under the plain exhaustive oracle.
@@ -1721,6 +1739,45 @@ object SparkEntry {
       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 10
       |ORDER BY qid, distance, id""".stripMargin
 
+  /** bq_res_asym_all oracle: assign each corpus row to its nearest
+    * fixed centroid (the ivf_search_fixed assignment CTE), then score
+    * every (query, row) pair with the residual-BQ distance estimate
+    *   ‖q−c‖² − (2/√d)·‖v−c‖·Σ(qᵢ−cᵢ)·sign(vᵢ−cᵢ) + ‖v−c‖²,
+    * c the ROW's cell centroid, every difference double-widened — the
+    * [[graft.index.BQ.compressResidual]] coding probed at every cell,
+    * including the cross-cell-comparable scale factors. */
+  private val bqResAsymSql: String =
+    """WITH cent AS (
+      |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+      |assigned AS (
+      |  SELECT c.vec_id AS id, c.embedding AS vec, k.cid, k.cvec,
+      |    sqrt(list_reduce(list_transform(list_zip(c.embedding, k.cvec),
+      |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+      |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (a,b) -> a+b))
+      |      AS rnorm
+      |  FROM embeddings c CROSS JOIN cent k
+      |  QUALIFY row_number() OVER (PARTITION BY c.vec_id ORDER BY
+      |    list_reduce(list_transform(list_zip(k.cvec, c.embedding),
+      |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+      |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (a,b) -> a+b),
+      |    k.cid) = 1),
+      |scored AS (
+      |  SELECT q.vec_id AS qid, a.id,
+      |    list_reduce(list_transform(list_zip(q.embedding, a.cvec),
+      |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+      |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (u,w) -> u+w)
+      |    - list_reduce(list_transform(list_zip(a.vec, q.embedding, a.cvec),
+      |        x -> CASE WHEN (CAST(x[1] AS DOUBLE) - CAST(x[3] AS DOUBLE)) > 0
+      |             THEN (CAST(x[2] AS DOUBLE) - CAST(x[3] AS DOUBLE))
+      |             ELSE 0.0 - (CAST(x[2] AS DOUBLE) - CAST(x[3] AS DOUBLE)) END),
+      |        (u, w) -> u + w)
+      |      * a.rnorm * (2.0 / sqrt(CAST(len(q.embedding) AS DOUBLE)))
+      |    + a.rnorm * a.rnorm AS distance
+      |  FROM assigned a CROSS JOIN embeddings q WHERE q.vec_id < 5)
+      |SELECT qid, id, distance FROM scored
+      |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 10
+      |ORDER BY qid, distance, id""".stripMargin
+
   /** ivf_search_fixed oracle — shared with ivf_add_fixed (add against
     * frozen centroids reproduces the full assignment exactly) and,
     * with a corpus filter, ivf_remove_fixed (removal = the same search
@@ -2510,6 +2567,7 @@ object SparkEntry {
     "bq_hamming_all" -> bqHammingSql,
     "bq_persist_all" -> bqHammingSql,
     "bq_asym_all" -> bqAsymSql,
+    "bq_res_asym_all" -> bqResAsymSql,
     "bq_rerank_exact" -> exhaustiveKnnSql,
 
     "vec_kernels_sql" ->

@@ -66,6 +66,17 @@ object BqMath {
     }
     out
   }
+
+  /** Double variant (residual coding packs double differences). */
+  def packBitsD(v: Array[Double]): Array[Byte] = {
+    val out = new Array[Byte]((v.length + 7) >> 3)
+    var i = 0
+    while (i < v.length) {
+      if (v(i) > 0d) out(i >> 3) = (out(i >> 3) | (1 << (i & 7))).toByte
+      i += 1
+    }
+    out
+  }
 }
 
 /** ARRAY<FLOAT|DOUBLE> → BINARY: bit i of byte i>>3 (LSB-first) set

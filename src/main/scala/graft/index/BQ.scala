@@ -24,6 +24,15 @@ import graft.functions.BqMath
   * `x > 0` is trivially reproducible in SQL) and the shortlist+re-rank
   * lane is gated against plain float exhaustive (shortlist ⊇ corpus ⇒
   * bit-equal), exactly the [[SQ8]] gating pattern.
+  *
+  * Plain sign codes collapse when the corpus is clustered — every
+  * member of a tight cluster shares one sign pattern, so within-cell
+  * ranking is noise (measured: 0.19 recall@10 on the 100k clustered
+  * smoke). [[compressResidual]] is the standard repair: sign the
+  * RESIDUAL v − centroid(cell) (per-cell recentering, the same move
+  * [[IVFPQ]]'s residual codebooks make), and probe with the query's
+  * per-cell residual q − centroid. Signs are taken on the
+  * double-widened difference so the oracle replicates them exactly.
   */
 object BQ {
 
@@ -33,45 +42,91 @@ object BQ {
       col("id"), col("cluster"),
       BqMath.packSignBits(col("vector").cast("array<float>")).as("codes"))
 
-  /** Built index: broadcastable coarse state + the packed bit table. */
+  /** Residual layout: codes = sign bits of v − centroid(cluster) plus
+    * the residual NORM ‖v − c‖ (one double — the scale that makes
+    * scores comparable across cells; see [[Model.searchManyAsym]]).
+    * Differences and the norm are taken in double. One narrow pass,
+    * broadcast centroids. */
+  private def compressResidualRows(indexed: DataFrame,
+                                   centroids: Array[Array[Float]]): DataFrame = {
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    indexed
+      .select(col("id").cast("long"), col("vector").cast("array<float>"),
+        col("cluster").cast("int"))
+      .as[(Long, Array[Float], Int)]
+      .map { case (id, v, c) =>
+        val res = residualOf(v, bc.value(c))
+        var s = 0.0; var i = 0
+        while (i < res.length) { s += res(i) * res(i); i += 1 }
+        (id, c, BqMath.packBitsD(res), math.sqrt(s))
+      }
+      .toDF("id", "cluster", "codes", "rnorm")
+  }
+
+  /** Built index: broadcastable coarse state + the packed bit table.
+    * `residual` selects the recentered coding (and makes every probe
+    * subtract the probed cell's centroid from the query). */
   case class Model(params: IVFFlat.Params,
                    centroids: Array[Array[Float]],
                    clusterSizes: Array[Long],
                    codes: DataFrame,
-                   addsSinceCompact: Int = 0) {
+                   addsSinceCompact: Int = 0,
+                   residual: Boolean = false) {
 
     def probeSet(query: Array[Float], k: Int, minProbe: Int = 1): Seq[Int] =
       IVFFlat.probeOrder(centroids, clusterSizes, query, k, minProbe)
 
     /** Single-query symmetric search: partition-pruned scan of probed
-      * cells → XOR+popcount vs the sign-packed query literal →
-      * TakeOrderedAndProject. */
+      * cells → XOR+popcount vs the sign-packed query literal (per-cell
+      * literals when residual) → TakeOrderedAndProject. */
     def search(query: Array[Float], k: Int, minProbe: Int = 1): DataFrame = {
       val probed = probeSet(query, k, minProbe)
-      codes.filter(col("cluster").isin(probed: _*))
-        .select(col("id"),
-          BqMath.hammingDist(col("codes"), lit(BqMath.packBits(query)))
-            .cast("double").as("distance"))
+      val scans = probed.map { c =>
+        val qBits =
+          if (residual) BqMath.packBitsD(residualOf(query, centroids(c)))
+          else BqMath.packBits(query)
+        codes.filter(col("cluster") === c)
+          .select(col("id"),
+            BqMath.hammingDist(col("codes"), lit(qBits))
+              .cast("double").as("distance"))
+      }
+      scans.reduce(_ unionByName _)
         .orderBy(col("distance"), col("id")).limit(k)
     }
 
-    /** Shared probe scaffold: (qid, qvec, cluster) rows, queries
-      * broadcast, codes never shuffle. */
+    /** Shared probe scaffold: (qid, qvec, cluster, qc2) rows, queries
+      * broadcast, codes never shuffle. `qvec` is double-widened, and
+      * under residual coding it is the PER-CELL residual q − centroid
+      * with `qc2` = ‖q − centroid‖² — each probe row carries the query
+      * frame its cell was coded in (qc2 is 0 when not residual). */
     private def probeFrame(queries: DataFrame, qIdCol: String, qVecCol: String,
                            k: Int, nprobe: Int): DataFrame = {
       val spark = queries.sparkSession
-      val bc = spark.sparkContext.broadcast((centroids, clusterSizes))
+      val bc = spark.sparkContext.broadcast((centroids, clusterSizes, residual))
       import spark.implicits._
       queries
         .select(col(qIdCol).cast("long").as("qid"),
                 col(qVecCol).cast("array<float>").as("qvec"))
         .as[(Long, Array[Float])]
         .flatMap { case (qid, qvec) =>
-          val (cents, sizes) = bc.value
-          IVFFlat.probeOrder(cents, sizes, qvec, k, nprobe)
-            .map(c => (qid, qvec, c))
+          val (cents, sizes, res) = bc.value
+          IVFFlat.probeOrder(cents, sizes, qvec, k, nprobe).map { c =>
+            if (res) {
+              val qd = residualOf(qvec, cents(c))
+              var s = 0.0; var i = 0
+              while (i < qd.length) { s += qd(i) * qd(i); i += 1 }
+              (qid, qd, c, s)
+            } else {
+              val a = new Array[Double](qvec.length)
+              var i = 0
+              while (i < qvec.length) { a(i) = qvec(i).toDouble; i += 1 }
+              (qid, a, c, 0.0)
+            }
+          }
         }
-        .toDF("qid", "qvec", "cluster")
+        .toDF("qid", "qvec", "cluster", "qc2")
     }
 
     private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
@@ -101,16 +156,25 @@ object BQ {
         k)
     }
 
-    /** Asymmetric batch search: float query against the sign code,
-      * distance = −Σ qᵢ·sign(vᵢ) (smaller = more aligned). */
+    /** Asymmetric batch search. Plain coding: distance =
+      * −Σ qᵢ·sign(vᵢ) (smaller = more aligned; only comparable within
+      * one coding frame). Residual coding: a true squared-distance
+      * ESTIMATE, comparable across cells —
+      *   ‖q−c‖² − (2/√d)·‖v−c‖·⟨q−c, sign(v−c)⟩ + ‖v−c‖²,
+      * i.e. r ≈ ‖r‖·sign(r)/√d substituted into ‖(q−c) − r‖². */
     def searchManyAsym(queries: DataFrame, qIdCol: String, qVecCol: String,
                        k: Int, nprobe: Int = 2): DataFrame = {
       val probes = probeFrame(queries, qIdCol, qVecCol, k, nprobe)
+      val scored = codes.join(broadcast(probes), Seq("cluster"))
+      val dist =
+        if (residual) {
+          val inv = 2.0 / math.sqrt(centroids(0).length.toDouble)
+          col("qc2") -
+            BqMath.asymDot(col("codes"), col("qvec")) * col("rnorm") * lit(inv) +
+            col("rnorm") * col("rnorm")
+        } else lit(0.0d) - BqMath.asymDot(col("codes"), col("qvec"))
       topKPerQuery(
-        codes.join(broadcast(probes), Seq("cluster"))
-          .select(col("qid"), col("id"),
-            (lit(0.0d) - BqMath.asymDot(col("codes"), col("qvec")))
-              .as("distance")),
+        scored.select(col("qid"), col("id"), dist.as("distance")),
         k)
     }
 
@@ -141,11 +205,14 @@ object BQ {
     }
 
     /** Incremental add: assign against frozen centroids, pack the new
-      * rows (narrow), union under the [[Lineage]] cadence. */
+      * rows (narrow, residual-aware), union under the [[Lineage]]
+      * cadence. */
     def add(rows: DataFrame, idCol: String, vecCol: String): Model = {
       val assigned = IVFFlat.assign(rows, idCol, vecCol, centroids)
+      val packed = if (residual) compressResidualRows(assigned, centroids)
+        else compressRows(assigned)
       val (df, n) = Lineage.compact(
-        codes.unionByName(compressRows(assigned)), addsSinceCompact)
+        codes.unionByName(packed), addsSinceCompact)
       copy(codes = df, addsSinceCompact = n)
     }
 
@@ -169,8 +236,18 @@ object BQ {
         .toDF("cluster", "vector")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
       ParamsIO.write(spark, dir,
-        s"""{"k":${params.k},"numAttempts":${params.numAttempts},"maxIterations":${params.maxIterations},"seed":${params.seed},"tol":${params.tol}}""")
+        s"""{"k":${params.k},"numAttempts":${params.numAttempts},"maxIterations":${params.maxIterations},"seed":${params.seed},"tol":${params.tol},"residual":${if (residual) 1 else 0}}""")
     }
+  }
+
+  /** Per-cell recentering: v − centroid, double-widened (the sign of
+    * this difference is the residual code bit and must match the
+    * oracle's CAST-to-DOUBLE subtraction exactly). */
+  private[index] def residualOf(v: Array[Float], c: Array[Float]): Array[Double] = {
+    val r = new Array[Double](v.length)
+    var i = 0
+    while (i < v.length) { r(i) = v(i).toDouble - c(i).toDouble; i += 1 }
+    r
   }
 
   /** Compress a built [[IVFFlat.Model]] — one narrow pass over the
@@ -178,6 +255,13 @@ object BQ {
   def compress(ivf: IVFFlat.Model): Model =
     Model(ivf.params, ivf.centroids, ivf.clusterSizes,
       compressRows(ivf.indexed))
+
+  /** Residual-coded compress: codes are sign bits of v − centroid(cell)
+    * — the within-cell discriminator plain sign codes lack on
+    * clustered corpora (see class doc). Same storage, same probing. */
+  def compressResidual(ivf: IVFFlat.Model): Model =
+    Model(ivf.params, ivf.centroids, ivf.clusterSizes,
+      compressResidualRows(ivf.indexed, ivf.centroids), residual = true)
 
   /** Reload a saved index ([[SQ8.load]] mapping). */
   def load(spark: SparkSession, dir: String): Model = {
@@ -189,12 +273,15 @@ object BQ {
     val cents = spark.read.parquet(s"$dir/centroids")
       .orderBy("cluster").collect()
       .map(_.getAs[scala.collection.Seq[Float]]("vector").toArray)
-    val codes = spark.read.parquet(s"$dir/codes")
-      .select(col("id"), col("codes"),
-        col("cluster").cast("int").as("cluster"))
+    val isResidual = ParamsIO.dbl(json, "residual", 0.0) != 0.0
+    val raw = spark.read.parquet(s"$dir/codes")
+    val base = Seq(col("id"), col("codes"),
+      col("cluster").cast("int").as("cluster"))
+    val codes = raw.select(
+      (if (isResidual) base :+ col("rnorm") else base): _*)
     val sizes = new Array[Long](params.k)
     codes.groupBy("cluster").count().collect()
       .foreach(r => sizes(r.getInt(0)) = r.getLong(1))
-    Model(params, cents, sizes, codes)
+    Model(params, cents, sizes, codes, residual = isResidual)
   }
 }

@@ -127,6 +127,93 @@ class BQSpec extends SparkSpec {
       s"mean recall ${recalls.sum / recalls.size}")
   }
 
+  test("residual codes: probe-all asym matches the driver-computed score") {
+    val bqr = BQ.compressResidual(ivf)
+    val q = emb.filter($"vec_id" === 4)
+      .select(col("embedding").cast("array<float>")).head()
+      .getAs[scala.collection.Seq[Float]](0).toArray
+    val got = bqr.searchManyAsym(emb.filter($"vec_id" === 4), "vec_id",
+        "embedding", k = 10, nprobe = bqr.params.k)
+      .orderBy("distance", "id")
+      .select("id", "distance").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val want = ivf.indexed
+      .select(col("id"), col("vector").cast("array<float>"), col("cluster"))
+      .as[(Long, Array[Float], Int)].collect()
+      .map { case (id, v, c) =>
+        val cent = bqr.centroids(c)
+        val inv = 2.0 / math.sqrt(v.length.toDouble)
+        var qc2 = 0.0; var asym = 0.0; var r2 = 0.0
+        v.indices.foreach { i =>
+          val qi = q(i).toDouble - cent(i).toDouble
+          val ri = v(i).toDouble - cent(i).toDouble
+          qc2 += qi * qi; r2 += ri * ri
+          asym += (if (ri > 0) qi else -qi)
+        }
+        val rnorm = math.sqrt(r2)
+        (id, qc2 - asym * rnorm * inv + rnorm * rnorm)
+      }
+      .sortBy { case (id, d) => (d, id) }.take(10)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("residual coding beats plain sign codes on a clustered corpus") {
+    // plain sign codes collapse inside tight clusters (every member
+    // shares one sign pattern); residual coding is the repair. Build
+    // the adversarial corpus explicitly: 8 well-separated unit centers,
+    // points = normalize(center + small noise).
+    val dim = 32; val nPer = 250; val nC = 8
+    val rng = new scala.util.Random(7)
+    val centers = Array.fill(nC) {
+      val v = Array.fill(dim)(rng.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val rows = (0 until nC * nPer).map { i =>
+      val c = centers(i % nC)
+      val v = c.zipWithIndex.map { case (x, j) =>
+        x + 0.05f * rng.nextGaussian().toFloat + 0f * j }
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      (i.toLong, v.map(_ / n))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val civf = IVFFlat.build(df, "vec_id", "embedding",
+      IVFFlat.Params(k = nC, numAttempts = 1, maxIterations = 10))
+    val queries = df.filter($"vec_id" < 20)
+    val exact = graft.operators.Exhaustive.knnJoin(
+        queries, "vec_id", "embedding", df, "vec_id", "embedding", 10)
+      .select("qid", "id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recallOf(m: BQ.Model): Double = {
+      val approx = m.searchManyAsym(queries, "vec_id", "embedding",
+          k = 10, nprobe = 2)
+        .select("qid", "id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      exact.keys.toSeq
+        .map(q => approx.getOrElse(q, Set.empty).intersect(exact(q)).size / 10.0)
+        .sum / exact.size
+    }
+    val plain = recallOf(BQ.compress(civf))
+    val res = recallOf(BQ.compressResidual(civf))
+    assert(res > plain, s"residual $res vs plain $plain")
+    assert(res >= 0.4, s"residual recall $res")
+  }
+
+  test("residual save/load round-trips the flag and the results") {
+    val bqr = BQ.compressResidual(ivf)
+    val dir = java.nio.file.Files.createTempDirectory("bqresidx").toString
+    bqr.save(dir)
+    val back = BQ.load(spark, dir)
+    assert(back.residual)
+    val q = emb.filter($"vec_id" === 9)
+    val a = bqr.searchManyAsym(q, "vec_id", "embedding", 5, nprobe = bqr.params.k)
+      .orderBy("distance", "id").collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    val b = back.searchManyAsym(q, "vec_id", "embedding", 5, nprobe = back.params.k)
+      .orderBy("distance", "id").collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("add then search finds the added row at Hamming 0; remove hides it") {
     val newId = 999999L
     val vec = emb.filter($"vec_id" === 0)
