@@ -1151,6 +1151,26 @@ object SparkEntry {
       est.crossJoin(sh.select(countDistinct(col("s")).as("exact")))
     }),
 
+    // Count-min heavy-hitter audit: a depth-3 × 2^12 CMS over token
+    // occurrences (counter table ≤ 3·4096 rows, shuffle bounded by the
+    // sketch, never the corpus), probed for the exact top-20 tokens —
+    // the gated row shows exact n next to the cms estimate (cms ≥ n
+    // always; equality when no collision). Estimates are md5-addressed
+    // counters, so DuckDB rebuilds the sketch bit-for-bit.
+    "sketch_cms_topk" -> ((s, dir) => {
+      import s.implicits._
+      val toks = tbl(s, dir, "documents")
+        .select(explode(graft.operators.TextOps.tokens(col("text"))).as("token"))
+      val cms = graft.operators.Sketches.cmsBuild(toks, "token",
+        logw = 12, depth = 3)
+      val top = toks.groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(20)
+      graft.operators.Sketches.cmsLookup(cms, top, "token",
+          logw = 12, depth = 3)
+        .select(col("token"), col("n"), col("cms_count"))
+        .orderBy(col("n").desc, col("token"))
+    }),
+
     // Bloom-filter contamination audit — the 100 TB face of
     // split_contamination: instead of equi-joining test shingles
     // against every train shingle (shuffling the big side), the train
@@ -2166,6 +2186,31 @@ object SparkEntry {
          |      (x, y) -> x + y) AS estimate,
          |  e.exact
          |FROM agg a, ex2 e""".stripMargin,
+
+    // CMS counters replicated in SQL: depth-3 salted md5 columns,
+    // GROUP BY (row, col) counts, probe = least over the 3 counters
+    "sketch_cms_topk" ->
+      """WITH t AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+        |    x -> len(x) > 0)) AS token FROM documents),
+        |pos AS (SELECT v.salt,
+        |    (CAST(concat('0x', substr(md5(concat(CAST(v.salt AS VARCHAR), '|', t.token)), 1, 15)) AS BIGINT)
+        |      & 4095) AS col
+        |  FROM t CROSS JOIN (VALUES (1), (2), (3)) v(salt)),
+        |cms AS (SELECT salt, col, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM pos GROUP BY salt, col),
+        |top AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM t
+        |  GROUP BY token ORDER BY n DESC, token LIMIT 20),
+        |probed AS (SELECT tk.token, tk.n,
+        |    least(c1.cnt, c2.cnt, c3.cnt) AS cms_count
+        |  FROM top tk
+        |  LEFT JOIN cms c1 ON c1.salt = 1 AND c1.col =
+        |    (CAST(concat('0x', substr(md5(concat('1|', tk.token)), 1, 15)) AS BIGINT) & 4095)
+        |  LEFT JOIN cms c2 ON c2.salt = 2 AND c2.col =
+        |    (CAST(concat('0x', substr(md5(concat('2|', tk.token)), 1, 15)) AS BIGINT) & 4095)
+        |  LEFT JOIN cms c3 ON c3.salt = 3 AND c3.col =
+        |    (CAST(concat('0x', substr(md5(concat('3|', tk.token)), 1, 15)) AS BIGINT) & 4095))
+        |SELECT token, n, cms_count FROM probed
+        |ORDER BY n DESC, token""".stripMargin,
 
     // Bloom bitmap replicated in SQL: salted md5 positions → packed
     // 64-bit words via bit_or; probe = all 3 bits present per shingle

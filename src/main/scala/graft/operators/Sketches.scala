@@ -133,4 +133,44 @@ object Sketches {
       .drop((0 until k).flatMap(i =>
         Seq(s"__pos$i", s"__w$i", s"__m$i", s"__b$i")): _*)
   }
+
+  // ---------------- Count-min sketch ----------------
+
+  /** Build a depth×2^logw count-min sketch over `valueCol` occurrences:
+    * returns (row INT, col LONG, cnt LONG), ≤ depth·2^logw counters.
+    * The shuffle is the partial-aggregated counter table — bounded by
+    * the sketch dimensions, never the corpus. Estimates overcount,
+    * never undercount (each row's counter absorbs every colliding
+    * value), with error ≤ ε·N at ε = e/2^logw, δ = e^{−depth}. */
+  def cmsBuild(df: DataFrame, valueCol: String, logw: Int, depth: Int): DataFrame = {
+    require(logw >= 4 && logw <= 24, s"logw=$logw out of range [4,24]")
+    require(depth >= 1 && depth <= 8, s"depth=$depth out of range [1,8]")
+    val mask = (1L << logw) - 1
+    val rows = (0 until depth).map(i =>
+      struct(lit(i).as("row"),
+        hash60(col(valueCol), salt = i + 1).bitwiseAND(lit(mask)).as("col")))
+    df.select(explode(array(rows: _*)).as("rc"))
+      .select(col("rc.row").as("row"), col("rc.col").as("col"))
+      .groupBy("row", "col").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimate: min over the depth counters addressed by the
+    * value's salted hashes — depth chained BroadcastHashJoins, the
+    * probed frame never shuffles (the [[bloomProbe]] plan shape). */
+  def cmsLookup(cms: DataFrame, df: DataFrame, valueCol: String,
+                logw: Int, depth: Int): DataFrame = {
+    val mask = (1L << logw) - 1
+    val out = (0 until depth).foldLeft(df) { (acc, i) =>
+      val slice = cms.filter(col("row") === i)
+        .select(col("col").as(s"__c$i"), col("cnt").as(s"__n$i"))
+      acc
+        .withColumn(s"__c$i",
+          hash60(col(valueCol), salt = i + 1).bitwiseAND(lit(mask)))
+        .join(broadcast(slice), Seq(s"__c$i"), "left")
+    }
+    val counters = (0 until depth).map(i => coalesce(col(s"__n$i"), lit(0L)))
+    val est = if (counters.size == 1) counters.head else least(counters: _*)
+    out.withColumn("cms_count", est)
+      .drop((0 until depth).flatMap(i => Seq(s"__c$i", s"__n$i")): _*)
+  }
 }

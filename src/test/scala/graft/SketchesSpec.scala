@@ -70,6 +70,25 @@ class SketchesSpec extends SparkSpec {
     assert(bloom.count() <= (1 << 14) / 32) // ≤ m/32 packed words
   }
 
+  test("cms never undercounts; exact at generous width") {
+    // 1000 values with frequency id%7+1
+    val vals = spark.range(1000).select(col("id").cast("string").as("v"),
+        (col("id") % 7 + 1).cast("int").as("f"))
+      .select(explode(sequence(lit(1), col("f"))).as("rep"), col("v"))
+      .select(col("v"))
+    val exact = vals.groupBy("v").agg(count(lit(1)).as("n"))
+    val cms = Sketches.cmsBuild(vals, "v", logw = 16, depth = 3)
+    val probed = Sketches.cmsLookup(cms, exact, "v", logw = 16, depth = 3)
+      .select(col("v"), col("n"), col("cms_count")).collect()
+    assert(probed.length == 1000)
+    probed.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), s"undercount at ${r.getString(0)}")
+    }
+    // at w=65536 with 1000 keys collisions are rare: ≥ 99% exact
+    val exactHits = probed.count(r => r.getLong(2) == r.getLong(1))
+    assert(exactHits >= 990, s"only $exactHits exact")
+  }
+
   test("bloom probe plan: no shuffle on the probed side") {
     val members = spark.range(1000).select(col("id").cast("string").as("v"))
     val bloom = Sketches.bloomBuild(members, "v", logm = 14, k = 3)
