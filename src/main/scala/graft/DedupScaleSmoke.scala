@@ -252,6 +252,64 @@ object DedupScaleSmoke extends Serializable {
       out += "curate_survivors" -> survivors.toString
     }
 
+    // ---- sketches at corpus scale: the constant-shuffle answers next
+    // to their exact twins. HLL vs exact distinct over ~98M 3-shingle
+    // occurrences (the exact pass shuffles every distinct shingle
+    // string; the sketch shuffles ≤ 2^p two-int rows), and a Bloom
+    // membership pass over the train split's doc digests probed by the
+    // whole corpus (fp-calibration at 1M keys; planted dups are
+    // mutated, so true cross-split digest hits are ~0 by construction).
+    {
+      val ex = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, t) =>
+          operators.TextHashFast.shingles3(
+            operators.TextHashFast.tokenize(t)).map(s => (id, s))
+        }.toDF("doc_id", "s")
+
+      Thread.sleep(500)
+      var before = shuffleBytes.get()
+      val (nExact, tExact) = timed { ex.select("s").distinct().count() }
+      out += "distinct_exact_s" -> f"$tExact%.1f"
+      out += "distinct_exact_shuffle_mb" ->
+        ((shuffleBytes.get() - before) / (1L << 20)).toString
+      out += "distinct_exact_n" -> nExact.toString
+
+      Thread.sleep(500)
+      before = shuffleBytes.get()
+      val (est, tHll) = timed {
+        operators.Sketches.hllEstimate(
+            operators.Sketches.hllRegisters(ex, "s", p = 12), p = 12)
+          .head().getAs[Double]("estimate")
+      }
+      out += "hll_s" -> f"$tHll%.1f"
+      out += "hll_shuffle_mb" ->
+        ((shuffleBytes.get() - before) / (1L << 20)).toString
+      out += "hll_est" -> f"$est%.0f"
+      out += "hll_rel_err" -> f"${math.abs(est - nExact) / nExact}%.4f"
+
+      Thread.sleep(500)
+      before = shuffleBytes.get()
+      val dig = docs.select(col("doc_id"),
+        md5(operators.TextOps.normalizeText(col("text"))).as("h"))
+      val sp = operators.Splits.assign(docs, "doc_id")
+        .select(col("doc_id"), col("split"))
+      val (flagged, tBloom) = timed {
+        val train = dig.join(sp.filter(col("split") === "train"), "doc_id")
+          .select("h")
+        val bloom = operators.Sketches.bloomBuild(train, "h", logm = 24, k = 3)
+          .localCheckpoint(true)
+        val probe = dig.join(sp.filter(col("split") === "test"), "doc_id")
+        operators.Sketches.bloomProbe(bloom, probe, "h", logm = 24, k = 3)
+          .filter(col("maybe_member")).count()
+      }
+      val nTest = sp.filter(col("split") === "test").count()
+      out += "bloom_s" -> f"$tBloom%.1f"
+      out += "bloom_shuffle_mb" ->
+        ((shuffleBytes.get() - before) / (1L << 20)).toString
+      out += "bloom_flagged" -> flagged.toString
+      out += "bloom_probe_n" -> nTest.toString
+    }
+
     // ---- embedding corpus: clustered unit vectors (128 centers, the
     // ScaleSmoke regime — same-cluster background pairs sit at cosine
     // distance ≈ 0.2); planted dup = base + ε noise ⇒ distance ≈ 1e-5,

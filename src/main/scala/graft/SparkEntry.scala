@@ -382,6 +382,21 @@ object SparkEntry {
         .orderBy(col("qid"), col("distance"), col("id"))
     }),
 
+    // Structured orthogonal rotation (functions/Rotate): y = (1/√d)HDx
+    // — the OPQ-lite preprocessing that balances energy across
+    // subspaces for PQ and makes sign bits informative for BQ. Gated
+    // per-row via checksum AND rotated squared norm (the orthogonality
+    // witness: norm2_rot replays ‖x‖ up to float rounding); D's signs
+    // are md5-addressed and the butterflies are stage-ordered double
+    // adds, so DuckDB replays the whole transform bit-for-bit.
+    "vec_rotate" -> ((s, dir) => {
+      def v = graft.functions.Rotate.rotate(col("embedding"))
+      tbl(s, dir, "embeddings").select(col("vec_id"),
+          aggregate(v, lit(0.0d), (a, x) => a + x).as("chk"),
+          aggregate(v, lit(0.0d), (a, x) => a + x * x).as("norm2_rot"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Elementwise arithmetic kernels (base.rs:62-111: add, subtract_from,
     // divide_by_scalar, average/midpoint) against the row's own reversed
     // vector, reduced to per-row double checksums (0.0-seeded left fold —
@@ -1728,6 +1743,37 @@ object SparkEntry {
       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 10
       |ORDER BY qid, distance, id""".stripMargin
 
+  /** vec_rotate oracle: the 6-stage FWHT butterfly cascade over the
+    * 64-dim embeddings, signs from md5(index), scale 1/√64 — generated
+    * stage by stage so DuckDB computes the identical double sequence
+    * (each CTE reads the previous stage, a+b / a−b pairing on
+    * half = 1,2,4,…,32). */
+  private lazy val vecRotateSql: String = {
+    val pad = 64
+    val high = "('8','9','a','b','c','d','e','f')"
+    val v0 =
+      s"""v0 AS (SELECT vec_id, list_transform(range(1, ${pad + 1}), i ->
+         |  (CASE WHEN substr(md5(CAST(i - 1 AS VARCHAR)), 1, 1) IN $high
+         |    THEN 1.0 ELSE -1.0 END) * CAST(embedding[i] AS DOUBLE))
+         |  AS v FROM embeddings)""".stripMargin
+    val stages = Iterator.iterate(1)(_ * 2).takeWhile(_ < pad).zipWithIndex.map {
+      case (half, s) =>
+        s"""v${s + 1} AS (SELECT vec_id, list_transform(range(1, ${pad + 1}), i ->
+           |  CASE WHEN ((i - 1) // $half) % 2 = 0 THEN v[i] + v[i + $half]
+           |       ELSE v[i - $half] - v[i] END) AS v FROM v$s)""".stripMargin
+    }.toSeq
+    val last = s"v${stages.length}"
+    s"""WITH $v0,
+       |${stages.mkString(",\n")},
+       |scaled AS (SELECT vec_id,
+       |  list_transform(v, x -> x * (1.0 / sqrt(${pad.toDouble}))) AS v
+       |  FROM $last)
+       |SELECT vec_id,
+       |  list_reduce(v, (a, b) -> a + b) AS chk,
+       |  list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS norm2_rot
+       |FROM scaled ORDER BY vec_id""".stripMargin
+  }
+
   /** bq_hamming_all / bq_persist_all oracle: with every cell probed,
     * symmetric BQ search is exactly "count the sign disagreements"
     * between query and corpus vectors (bit i = 1 iff xᵢ > 0, the
@@ -2609,6 +2655,7 @@ object SparkEntry {
     "sq8_search_all" -> sq8ExactKnnSql,
     "sq8_persist_all" -> sq8ExactKnnSql,
     "sq8_rerank_exact" -> exhaustiveKnnSql,
+    "vec_rotate" -> vecRotateSql,
     "bq_hamming_all" -> bqHammingSql,
     "bq_persist_all" -> bqHammingSql,
     "bq_asym_all" -> bqAsymSql,
