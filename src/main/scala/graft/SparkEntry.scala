@@ -938,7 +938,9 @@ object SparkEntry {
     // Winnowing fingerprints (rolling-hash k-grams, window minima).
     "doc_winnow" -> ((s, dir) => {
       tbl(s, dir, "documents")
-        .select(col("doc_id"), TextOps.winnow(col("text")).as("fps"))
+        .select(col("doc_id"),
+          TextOps.charGramHashes(col("text"), 5).as("h"))
+        .select(col("doc_id"), TextOps.winnowOfGrams(col("h")).as("fps"))
         .select(col("doc_id"), size(col("fps")).cast("long").as("n_fps"),
           array_min(col("fps")).as("min_fp"))
         .orderBy(col("doc_id"))
@@ -2145,7 +2147,9 @@ object SparkEntry {
     // the same fps CTEs feeding the standard inverted-index jaccard
     "dedup_winnow" ->
       s"""$winnowFpsCtes,
-        |ex AS (SELECT doc_id, unnest(fps) AS s FROM f),
+        |ex0 AS (SELECT doc_id, unnest(fps) AS s FROM f),
+        |keep AS (SELECT s FROM ex0 GROUP BY s HAVING count(*) <= 64),
+        |ex AS (SELECT ex0.doc_id, ex0.s FROM ex0 JOIN keep USING (s)),
         |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
         |inter AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS i
         |  FROM ex l JOIN ex r ON l.s = r.s AND l.doc_id < r.doc_id
