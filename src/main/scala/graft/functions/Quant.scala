@@ -29,21 +29,30 @@ object Quant {
   def int8Scale(vec: Column): Column =
     (int8Hi(vec) - int8Lo(vec)) / lit(255.0d)
 
-  /** Codes in 0..255 as ARRAY<BIGINT>: floor((x − lo)/scale + 0.5). */
+  /** Codes in 0..255 as ARRAY<BIGINT>: floor((x − lo)/scale + 0.5).
+    * lo/hi ride in as zip_with ARGUMENTS via array_repeat (evaluated
+    * once per row); referenced inside the lambda body they would
+    * re-run the O(d) array_min/max per element — O(d²) per row (the
+    * winnow lesson; this was the gap between SQ8 compress at ~15 s
+    * and BQ compress at ~0.3 s on the 100k smoke). */
   def int8Codes(vec: Column): Column = {
-    val lo = int8Lo(vec); val hi = int8Hi(vec)
-    val scale = (hi - lo) / lit(255.0d)
-    transform(vec, x =>
+    val params = array_repeat(
+      struct(int8Lo(vec).as("lo"), int8Hi(vec).as("hi")), size(vec))
+    zip_with(vec, params, (x, p) => {
+      val lo = p.getField("lo"); val hi = p.getField("hi")
+      val scale = (hi - lo) / lit(255.0d)
       when(hi === lo, lit(0L))
         .otherwise(floor((x.cast("double") - lo) / scale + lit(0.5d))
-          .cast("long")))
+          .cast("long"))
+    })
   }
 
   /** Dequantized values lo + code·scale (ARRAY<DOUBLE>). */
   def int8Dequant(vec: Column): Column = {
-    val lo = int8Lo(vec)
-    val scale = int8Scale(vec)
-    transform(int8Codes(vec), c => lo + c.cast("double") * scale)
+    val params = array_repeat(
+      struct(int8Lo(vec).as("lo"), int8Scale(vec).as("scale")), size(vec))
+    zip_with(int8Codes(vec), params,
+      (c, p) => p.getField("lo") + c.cast("double") * p.getField("scale"))
   }
 
   /** Max |x − dequant(x)| per vector — the quantization error radius;

@@ -56,8 +56,13 @@ object VectorOps {
     * round-trip through parquet at the same width as the reference's f32. */
   def normalizeF(v: Column): Column = {
     val mag = magnitude(v)
+    // mag rides in as a zip_with ARGUMENT (array_repeat evaluates it
+    // once); referencing it inside the lambda body would re-run the
+    // O(d) dot fold per element — O(d²) per row (the winnow lesson,
+    // TextOps.winnowOfGrams scaladoc)
     when(mag < lit(1e-6d), v)
-      .otherwise(transform(v, x => (x.cast("double") / mag).cast("float")))
+      .otherwise(zip_with(v, array_repeat(mag, size(v)),
+        (x, m) => (x.cast("double") / m).cast("float")))
   }
 
   /** Cosine *distance* 1 − a·b for pre-normalized inputs — the reference's
