@@ -983,8 +983,9 @@ object SparkEntry {
     // 8-token overlap) — the chunk→embed→index preprocessor.
     "doc_chunks" -> ((s, dir) =>
       tbl(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          posexplode(TextOps.chunkTokens(col("text"), 32, 24))
+          posexplode(TextOps.chunkTokensOf(col("toks"), 32, 24))
             .as(Seq("chunk_idx", "chunk")))
         .filter(col("chunk") =!= "")
         .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
@@ -997,8 +998,9 @@ object SparkEntry {
     // like dedup_exact_norm.
     "chunk_dedup_keepfirst" -> ((s, dir) => {
       val chunks = tbl(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          posexplode(TextOps.chunkTokens(col("text"), 32, 24))
+          posexplode(TextOps.chunkTokensOf(col("toks"), 32, 24))
             .as(Seq("chunk_idx", "chunk")))
         .filter(col("chunk") =!= "")
         .withColumn("digest", md5(col("chunk")))

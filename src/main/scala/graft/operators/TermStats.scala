@@ -125,7 +125,11 @@ object TermStats {
   def repetitionProfile(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 2): DataFrame = {
     require(n >= 1, s"repetitionProfile: n must be >= 1, got $n")
-    val toks = TextOps.tokens(col(textCol))
+    // tokens materialize in their own projection below; referencing the
+    // tokenize EXPRESSION inside the gram lambda would re-split the
+    // text per gram — O(tokens²) per row (the winnow lesson,
+    // TextOps.winnowOfGrams scaladoc)
+    val toks = col("__toks")
     // gram i joins tokens [i, i+n) with a single space - a safe joiner
     // (\s+-split tokens can never contain one)
     val grams = transform(
@@ -133,7 +137,8 @@ object TermStats {
       (_, i) => concat_ws("", slice(toks, i + lit(1), lit(n))))
     val perGram = docs
       .select(col(idCol).cast("long").as("doc_id"),
-        explode(grams).as("gram"))
+        TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), explode(grams).as("gram"))
       .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id").agg(
         sum(col("cnt")).as("n_grams"),

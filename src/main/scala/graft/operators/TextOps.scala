@@ -25,9 +25,16 @@ object TextOps {
     * [i·stride, i·stride + chunkSize). stride < chunkSize overlaps
     * chunks (context continuity); the tail chunk may be short; an
     * empty doc yields one empty chunk (callers filter it). Pure
-    * codegen column fn — chunking is a narrow map at any scale. */
-  def chunkTokens(text: Column, chunkSize: Int, stride: Int): Column = {
-    val toks = tokens(text)
+    * codegen column fn — chunking is a narrow map at any scale.
+    * Hot paths should project [[tokens]] first and call
+    * [[chunkTokensOf]] on the materialized column (else the tokenize
+    * expression re-splits the text once per chunk — see
+    * [[winnowOfGrams]]). */
+  def chunkTokens(text: Column, chunkSize: Int, stride: Int): Column =
+    chunkTokensOf(tokens(text), chunkSize, stride)
+
+  /** [[chunkTokens]] over an already-materialized token column. */
+  def chunkTokensOf(toks: Column, chunkSize: Int, stride: Int): Column = {
     transform(
       sequence(lit(0),
         greatest(((size(toks) - 1) / lit(stride)).cast("int"), lit(0))),
