@@ -461,6 +461,68 @@ object Streaming {
       .start()
   }
 
+  /** Streaming sketch maintenance — every sketch in
+    * [[graft.operators.Sketches]] is a MONOID (HLL registers merge by
+    * max, Bloom words by bit_or, CMS counters by sum), so a stream
+    * maintains the exact batch sketch by folding each microbatch's
+    * partial sketch into bounded state (≤ 2^p / m/32 / depth·2^logw
+    * rows — localCheckpoint keeps the plan O(1) across batches). The
+    * merged state is IDENTICAL to the batch sketch over the union of
+    * batches (StreamingSpec pins stream ≡ batch row-for-row), so the
+    * DuckDB-gated batch semantics carry over to the stream for free. */
+  def ingestHll(stream: DataFrame, valueCol: String, p: Int,
+                state: java.util.concurrent.atomic.AtomicReference[DataFrame])
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // single-writer foreachBatch: see ingestIntoIVF
+          val part = graft.operators.Sketches.hllRegisters(batch, valueCol, p)
+          val merged = state.get().unionByName(part)
+            .groupBy("bucket").agg(max("rho").as("rho"))
+          state.set(merged.localCheckpoint(true))
+        }
+      }
+      .start()
+  }
+
+  /** Bloom twin of [[ingestHll]]: word-level bit_or merge. */
+  def ingestBloom(stream: DataFrame, valueCol: String, logm: Int, k: Int,
+                  state: java.util.concurrent.atomic.AtomicReference[DataFrame])
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // single-writer foreachBatch: see ingestIntoIVF
+          val part = graft.operators.Sketches.bloomBuild(batch, valueCol, logm, k)
+          val merged = state.get().unionByName(part)
+            .groupBy("word").agg(expr("bit_or(bits)").as("bits"))
+          state.set(merged.localCheckpoint(true))
+        }
+      }
+      .start()
+  }
+
+  /** CMS twin of [[ingestHll]]: counter-level sum merge. */
+  def ingestCms(stream: DataFrame, valueCol: String, logw: Int, depth: Int,
+                state: java.util.concurrent.atomic.AtomicReference[DataFrame])
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // single-writer foreachBatch: see ingestIntoIVF
+          val part = graft.operators.Sketches.cmsBuild(batch, valueCol, logw, depth)
+          val merged = state.get().unionByName(part)
+            .groupBy("row", "col").agg(sum("cnt").as("cnt"))
+          state.set(merged.localCheckpoint(true))
+        }
+      }
+      .start()
+  }
+
   /** BQ twin of [[ingestIntoIVF]]: each microbatch is assigned to its
     * frozen coarse cell and sign-packed to 1-bit codes in one narrow
     * pass (BQ.Model.add) — the streaming matrix now covers all seven

@@ -523,6 +523,57 @@ class StreamingSpec extends SparkSpec {
       full.getAs[Array[Byte]]("codes").toSeq)
   }
 
+  test("streaming sketches merge to exactly the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Sketches
+    val batches = Seq(
+      (0 until 400).map(i => s"a$i"),
+      (200 until 700).map(i => s"a$i"), // overlap exercises the merges
+      (0 until 50).map(i => s"b$i"))
+    val all = batches.flatten.toDF("v")
+    val empty = all.limit(0)
+
+    // HLL: register max-merge
+    val hllState = new java.util.concurrent.atomic.AtomicReference(
+      Sketches.hllRegisters(empty, "v", p = 8))
+    val memH = MemoryStream[String]
+    val qh = Streaming.ingestHll(memH.toDF().toDF("v"), "v", 8, hllState)
+    batches.foreach { b => memH.addData(b: _*); qh.processAllAvailable() }
+    qh.stop()
+    val hllGot = hllState.get().orderBy("bucket").collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    val hllWant = Sketches.hllRegisters(all, "v", p = 8)
+      .orderBy("bucket").collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(hllGot.toSeq == hllWant.toSeq)
+
+    // Bloom: word bit_or-merge
+    val bloomState = new java.util.concurrent.atomic.AtomicReference(
+      Sketches.bloomBuild(empty, "v", logm = 14, k = 3))
+    val memB = MemoryStream[String]
+    val qb = Streaming.ingestBloom(memB.toDF().toDF("v"), "v", 14, 3, bloomState)
+    batches.foreach { b => memB.addData(b: _*); qb.processAllAvailable() }
+    qb.stop()
+    val bloomGot = bloomState.get().orderBy("word").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val bloomWant = Sketches.bloomBuild(all, "v", logm = 14, k = 3)
+      .orderBy("word").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(bloomGot.toSeq == bloomWant.toSeq)
+
+    // CMS: counter sum-merge
+    val cmsState = new java.util.concurrent.atomic.AtomicReference(
+      Sketches.cmsBuild(empty, "v", logw = 10, depth = 3))
+    val memC = MemoryStream[String]
+    val qc = Streaming.ingestCms(memC.toDF().toDF("v"), "v", 10, 3, cmsState)
+    batches.foreach { b => memC.addData(b: _*); qc.processAllAvailable() }
+    qc.stop()
+    val cmsGot = cmsState.get().orderBy("row", "col").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val cmsWant = Sketches.cmsBuild(all, "v", logw = 10, depth = 3)
+      .orderBy("row", "col").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(cmsGot.toSeq == cmsWant.toSeq)
+  }
+
   test("streaming ingest patches the BQ sign codes (Index::add analogue)") {
     implicit val sqlCtx = spark.sqlContext
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
