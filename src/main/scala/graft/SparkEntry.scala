@@ -60,6 +60,20 @@ object SparkEntry {
     Array.tabulate(m)(s => base.map(_.slice(s * dsub, (s + 1) * dsub)))
   }
 
+  /** [[fixedCodebooks]] in the rotated FLOAT frame (pq_rot_fixed):
+    * subspace slices of float32(rotate(embedding)) for vec_id < 16 —
+    * the same frame [[graft.index.PQ]] encodes rotated corpora in. */
+  private[graft] def fixedCodebooksRot(emb: DataFrame, m: Int): Array[Array[Array[Float]]] = {
+    val base = emb.filter(col("vec_id") < 16).orderBy(col("vec_id"))
+      .select(graft.functions.Rotate.rotate(col("embedding").cast("array<float>"))
+        .cast("array<float>")).collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+    require(base(0).length == 64,
+      s"pq_rot oracle SQL assumes padded dim=64, got dim=${base(0).length}")
+    val dsub = base(0).length / m
+    Array.tabulate(m)(s => base.map(_.slice(s * dsub, (s + 1) * dsub)))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("knn_exhaustive")(spark, "/root/testdata/sf0.001")
@@ -379,6 +393,59 @@ object SparkEntry {
       re.copy(clusterSizes = re.clusterSizes.map(_ => Long.MaxValue))
         .searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
           k = 10, nprobe = re.params.k)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
+    // ROTATED BQ (BQ.compress(rotated=true)): sign bits taken on the
+    // FWHT-rotated vector — the anisotropy repair composed INTO the
+    // tier (VERDICT r7 item 1: users previously had to pre-rotate by
+    // hand). Probe-all asym gate: the oracle rotates corpus and query
+    // with the proven vec_rotate cascade, then folds −Σ rot(q)ᵢ·±1.
+    "bq_rot_asym_all" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = fixedCentroids(emb)
+      val indexed = graft.index.IVFFlat.assign(emb, "vec_id", "embedding", cents)
+      val sizes = Array.fill(cents.length)(Long.MaxValue)
+      val bq = graft.index.BQ.compress(
+        IVFFlat.Model(IVFFlat.Params(cents.length), cents, sizes, indexed),
+        rotated = true)
+      bq.searchManyAsym(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = cents.length)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
+    // ROTATED SQ8 with a persistence round-trip: quantize the rotated
+    // frame (per-vector affine range over uniformly-spread energy),
+    // save → load (gating the persisted `rotated` flag), probe-all
+    // search — exact over the rotated-dequantized corpus, which the
+    // oracle replays rotation-then-quantization bit-for-bit.
+    "sq8_rot_all" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = fixedCentroids(emb)
+      val indexed = graft.index.IVFFlat.assign(emb, "vec_id", "embedding", cents)
+      val sizes = Array.fill(cents.length)(Long.MaxValue)
+      val sq8 = graft.index.SQ8.compress(
+        IVFFlat.Model(IVFFlat.Params(cents.length), cents, sizes, indexed),
+        rotated = true)
+      val tmp = java.nio.file.Files.createTempDirectory("sq8_rot").toString
+      sq8.save(tmp)
+      val re = graft.index.SQ8.load(s, tmp)
+      re.copy(clusterSizes = re.clusterSizes.map(_ => Long.MaxValue))
+        .searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = re.params.k)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
+    // ROTATED PQ against PINNED rotated codebooks: corpus, codebooks
+    // and queries all live in the rotated FLOAT frame (rotate in
+    // double, round to float32 — the coordinate contract the oracle
+    // replays as CAST(x AS REAL)); then the standard assign + ADC.
+    "pq_rot_fixed" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val model = graft.index.PQ.withCodebooks(emb, "vec_id", "embedding",
+        fixedCodebooksRot(emb, 4), graft.index.PQ.Params(m = 4, k = 16),
+        rotated = true)
+      model.searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
         .orderBy(col("qid"), col("distance"), col("id"))
     }),
 
@@ -1488,21 +1555,24 @@ object SparkEntry {
       "* (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (a,b) -> a+b)"
 
   /** The pinned-codebook PQ assignment CTEs (m=4, dsub=16, codebook =
-    * embeddings vec_id < 16): cb + a0..a3 + assigned. */
-  private def pqAssignCtesSql: String = {
+    * `src` vec_id < 16): cb + a0..a3 + assigned. `src` must provide
+    * (vec_id, embedding) — the raw table for the plain lanes, the
+    * rotated-REAL frame for pq_rot_fixed. */
+  private def pqAssignCtesSqlOver(src: String): String = {
     val sub = (0 until 4).map { s =>
       val lo = s * 16 + 1
       val hi = (s + 1) * 16
       s"a$s AS (SELECT c.vec_id AS id, CAST(k.cid AS INT) AS c$s " +
-        "FROM embeddings c CROSS JOIN cb k " +
+        s"FROM $src c CROSS JOIN cb k " +
         "QUALIFY row_number() OVER (PARTITION BY c.vec_id ORDER BY " +
         pqSliceSqSql("k.cvec", "c.embedding", lo, hi) + ", k.cid) = 1)"
     }.mkString(",\n")
-    "cb AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),\n" +
+    s"cb AS (SELECT vec_id AS cid, embedding AS cvec FROM $src WHERE vec_id < 16),\n" +
       sub + ",\n" +
       "assigned AS (SELECT id, c0, c1, c2, c3 FROM a0 " +
       "JOIN a1 USING(id) JOIN a2 USING(id) JOIN a3 USING(id))"
   }
+  private def pqAssignCtesSql: String = pqAssignCtesSqlOver("embeddings")
 
   /** MinHash band-bucket CTE chain ending in `bands(doc_id, band, key)`
     * — the signature stage shared by the pair, component, and
@@ -1747,35 +1817,101 @@ object SparkEntry {
       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 10
       |ORDER BY qid, distance, id""".stripMargin
 
-  /** vec_rotate oracle: the 6-stage FWHT butterfly cascade over the
-    * 64-dim embeddings, signs from md5(index), scale 1/√64 — generated
-    * stage by stage so DuckDB computes the identical double sequence
-    * (each CTE reads the previous stage, a+b / a−b pairing on
-    * half = 1,2,4,…,32). */
-  private lazy val vecRotateSql: String = {
+  /** CTE chain rotating `embeddings.embedding` (dim 64) into
+    * `{p}(vec_id, v ARRAY<DOUBLE>)` — the SQL twin of
+    * [[graft.functions.Rotate]]: md5-addressed ±1 diagonal, 6 butterfly
+    * stages (half = 1,2,4,…,32, each reading the previous stage's
+    * values), one final 1/√64 scale. Shared by vec_rotate and every
+    * rotated index-tier lane. */
+  private def rotCtesSql(p: String): String = {
     val pad = 64
     val high = "('8','9','a','b','c','d','e','f')"
     val v0 =
-      s"""v0 AS (SELECT vec_id, list_transform(range(1, ${pad + 1}), i ->
+      s"""${p}0 AS (SELECT vec_id, list_transform(range(1, ${pad + 1}), i ->
          |  (CASE WHEN substr(md5(CAST(i - 1 AS VARCHAR)), 1, 1) IN $high
          |    THEN 1.0 ELSE -1.0 END) * CAST(embedding[i] AS DOUBLE))
          |  AS v FROM embeddings)""".stripMargin
     val stages = Iterator.iterate(1)(_ * 2).takeWhile(_ < pad).zipWithIndex.map {
       case (half, s) =>
-        s"""v${s + 1} AS (SELECT vec_id, list_transform(range(1, ${pad + 1}), i ->
+        s"""$p${s + 1} AS (SELECT vec_id, list_transform(range(1, ${pad + 1}), i ->
            |  CASE WHEN ((i - 1) // $half) % 2 = 0 THEN v[i] + v[i + $half]
-           |       ELSE v[i - $half] - v[i] END) AS v FROM v$s)""".stripMargin
+           |       ELSE v[i - $half] - v[i] END) AS v FROM $p$s)""".stripMargin
     }.toSeq
-    val last = s"v${stages.length}"
-    s"""WITH $v0,
-       |${stages.mkString(",\n")},
-       |scaled AS (SELECT vec_id,
-       |  list_transform(v, x -> x * (1.0 / sqrt(${pad.toDouble}))) AS v
-       |  FROM $last)
+    (Seq(v0) ++ stages :+
+      s"""$p AS (SELECT vec_id,
+         |  list_transform(v, x -> x * (1.0 / sqrt(${pad.toDouble}))) AS v
+         |  FROM $p${stages.length})""".stripMargin).mkString(",\n")
+  }
+
+  /** vec_rotate oracle: the FWHT cascade alone, reduced to per-row
+    * checksum + rotated squared norm (the orthogonality witness). */
+  private lazy val vecRotateSql: String =
+    s"""WITH ${rotCtesSql("rot")}
        |SELECT vec_id,
        |  list_reduce(v, (a, b) -> a + b) AS chk,
        |  list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS norm2_rot
-       |FROM scaled ORDER BY vec_id""".stripMargin
+       |FROM rot ORDER BY vec_id""".stripMargin
+
+  /** bq_rot_asym_all oracle: asymmetric BQ over the ROTATED frame —
+    * sign bits of rotate(v), query rotate(q), distance = −Σ rot(q)ᵢ·±1
+    * with every cell probed. The rotation CTE is the proven vec_rotate
+    * cascade; the signed fold is the bq_asym_all shape over `rot`. */
+  private lazy val bqRotAsymSql: String =
+    s"""WITH ${rotCtesSql("rot")},
+       |scored AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS id,
+       |    0.0 - list_reduce(list_transform(list_zip(c.v, q.v),
+       |      x -> CASE WHEN x[1] > 0 THEN x[2] ELSE 0.0 - x[2] END),
+       |      (a, b) -> a + b) AS distance
+       |  FROM rot c, rot q WHERE q.vec_id < 5)
+       |SELECT qid, id, distance FROM scored
+       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 10
+       |ORDER BY qid, distance, id""".stripMargin
+
+  /** sq8_rot_all oracle: [[sq8ExactKnnSql]] with quantization and
+    * distance both in the rotated frame (values already double — no
+    * widening casts needed). Also gates the rotated persistence
+    * round-trip: the Spark lane saves and reloads before searching. */
+  private lazy val sq8RotAllSql: String =
+    s"""WITH ${rotCtesSql("rot")},
+       |r AS (SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi FROM rot),
+       |deq AS (SELECT vec_id,
+       |  CASE WHEN hi = lo THEN list_transform(v, x -> lo)
+       |    ELSE list_transform(v, x ->
+       |      lo + floor((x - lo) / ((hi - lo) / 255.0) + 0.5)
+       |         * ((hi - lo) / 255.0)) END AS dq
+       |  FROM r),
+       |scored AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS id,
+       |    list_reduce(list_transform(list_zip(q.v, c.dq),
+       |      x -> (x[1] - x[2]) * (x[1] - x[2])), (a, b) -> a + b) AS distance
+       |  FROM deq c, rot q WHERE q.vec_id < 5)
+       |SELECT qid, id, distance FROM scored
+       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 10
+       |ORDER BY qid, distance, id""".stripMargin
+
+  /** pq_rot_fixed oracle: the pq_adc_fixed recipe with corpus, pinned
+    * codebooks and queries all in the rotated FLOAT frame — rotate in
+    * double, round to REAL (the [[graft.index.PQ]] coordinate
+    * contract), then the standard assign + ADC replay. */
+  private lazy val pqRotFixedSql: String = {
+    val d = (0 until 4).map(s =>
+      pqSliceSqSql(s"k$s.cvec", "q.qvec", s * 16 + 1, (s + 1) * 16))
+    s"""WITH ${rotCtesSql("rot")},
+       |embr AS (SELECT vec_id,
+       |  list_transform(v, x -> CAST(x AS REAL)) AS embedding FROM rot),
+       |${pqAssignCtesSqlOver("embr")},
+       |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embr WHERE vec_id < 5),
+       |cands AS (
+       |  SELECT q.qid, a.id, ${d(0)} + ${d(1)} + ${d(2)} + ${d(3)} AS distance
+       |  FROM assigned a CROSS JOIN q
+       |  JOIN cb k0 ON k0.cid = a.c0
+       |  JOIN cb k1 ON k1.cid = a.c1
+       |  JOIN cb k2 ON k2.cid = a.c2
+       |  JOIN cb k3 ON k3.cid = a.c3)
+       |SELECT qid, id, distance FROM cands
+       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 10
+       |ORDER BY qid, distance, id""".stripMargin
   }
 
   /** bq_hamming_all / bq_persist_all oracle: with every cell probed,
@@ -2659,6 +2795,9 @@ object SparkEntry {
         |FROM c ORDER BY vec_id""".stripMargin,
 
     "sq8_search_all" -> sq8ExactKnnSql,
+    "sq8_rot_all" -> sq8RotAllSql,
+    "bq_rot_asym_all" -> bqRotAsymSql,
+    "pq_rot_fixed" -> pqRotFixedSql,
     "sq8_persist_all" -> sq8ExactKnnSql,
     "sq8_rerank_exact" -> exhaustiveKnnSql,
     "vec_rotate" -> vecRotateSql,

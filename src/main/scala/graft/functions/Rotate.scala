@@ -93,6 +93,31 @@ object Rotate {
     p
   }
 
+  /** JVM-side kernel (query/residual paths of the rotated index tiers):
+    * same sign-flip → pad → FWHT → 1/√n as [[transform]], over a plain
+    * double vector. */
+  def rotateD(v: Array[Double]): Array[Double] = {
+    val buf = new Array[Double](padLenOf(v.length))
+    var i = 0
+    while (i < v.length) {
+      buf(i) = if (signPositive(i)) v(i) else -v(i)
+      i += 1
+    }
+    fwhtInPlace(buf)
+    buf
+  }
+
+  /** Float-frame variant: rotate in double, round each coordinate to
+    * float32 — the coordinate contract of the rotated PQ tier (the
+    * rotated corpus is "just another float corpus" to the codebooks;
+    * the oracle replays the rounding as CAST(x AS REAL)). */
+  def rotateF(v: Array[Float]): Array[Float] = {
+    val d = new Array[Double](v.length)
+    var i = 0
+    while (i < v.length) { d(i) = v(i).toDouble; i += 1 }
+    rotateD(d).map(_.toFloat)
+  }
+
   /** Runtime helper shared by eval and codegen. */
   def transform(a: ArrayData, isFloat: Boolean): ArrayData = {
     val n = a.numElements()

@@ -36,19 +36,31 @@ import graft.functions.BqMath
   */
 object BQ {
 
-  /** Compressed code row layout: (id, cluster, codes BINARY). */
-  private def compressRows(indexed: DataFrame): DataFrame =
+  /** Compressed code row layout: (id, cluster, codes BINARY). With
+    * `rotated`, the sign bits are taken on the FWHT-rotated vector
+    * ([[graft.functions.Rotate]]) — the repair for the clustered-sign
+    * collapse on anisotropic embeddings: rotation spreads energy so
+    * every bit is informative. The coarse layer stays in the ORIGINAL
+    * frame (rotation is orthogonal — cell geometry unchanged). */
+  private def compressRows(indexed: DataFrame, rotated: Boolean): DataFrame = {
+    val v =
+      if (rotated) graft.functions.Rotate.rotate(col("vector").cast("array<float>"))
+      else col("vector").cast("array<float>")
     indexed.select(
-      col("id"), col("cluster"),
-      BqMath.packSignBits(col("vector").cast("array<float>")).as("codes"))
+      col("id"), col("cluster"), BqMath.packSignBits(v).as("codes"))
+  }
 
   /** Residual layout: codes = sign bits of v − centroid(cluster) plus
     * the residual NORM ‖v − c‖ (one double — the scale that makes
     * scores comparable across cells; see [[Model.searchManyAsym]]).
-    * Differences and the norm are taken in double. One narrow pass,
-    * broadcast centroids. */
+    * Differences and the norm are taken in double; with `rotated` the
+    * bits sign the ROTATED residual while rnorm stays the unrotated
+    * ‖v − c‖ (equal in real arithmetic — orthogonality — and pinned on
+    * the unrotated side so the oracle replays one subtraction). One
+    * narrow pass, broadcast centroids. */
   private def compressResidualRows(indexed: DataFrame,
-                                   centroids: Array[Array[Float]]): DataFrame = {
+                                   centroids: Array[Array[Float]],
+                                   rotated: Boolean): DataFrame = {
     val spark = indexed.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(centroids)
@@ -60,7 +72,8 @@ object BQ {
         val res = residualOf(v, bc.value(c))
         var s = 0.0; var i = 0
         while (i < res.length) { s += res(i) * res(i); i += 1 }
-        (id, c, BqMath.packBitsD(res), math.sqrt(s))
+        val coded = if (rotated) graft.functions.Rotate.rotateD(res) else res
+        (id, c, BqMath.packBitsD(coded), math.sqrt(s))
       }
       .toDF("id", "cluster", "codes", "rnorm")
   }
@@ -73,7 +86,17 @@ object BQ {
                    clusterSizes: Array[Long],
                    codes: DataFrame,
                    addsSinceCompact: Int = 0,
-                   residual: Boolean = false) {
+                   residual: Boolean = false,
+                   rotated: Boolean = false) {
+
+    /** Bit-width of one code: the FWHT pads to a power of two. */
+    private def codeDim: Int =
+      if (rotated) graft.functions.Rotate.padLenOf(centroids(0).length)
+      else centroids(0).length
+
+    /** Rotate a code-frame query vector iff the codes are rotated. */
+    private def codeFrame(v: Array[Double]): Array[Double] =
+      if (rotated) graft.functions.Rotate.rotateD(v) else v
 
     def probeSet(query: Array[Float], k: Int, minProbe: Int = 1): Seq[Int] =
       IVFFlat.probeOrder(centroids, clusterSizes, query, k, minProbe)
@@ -85,7 +108,10 @@ object BQ {
       val probed = probeSet(query, k, minProbe)
       val scans = probed.map { c =>
         val qBits =
-          if (residual) BqMath.packBitsD(residualOf(query, centroids(c)))
+          if (residual)
+            BqMath.packBitsD(codeFrame(residualOf(query, centroids(c))))
+          else if (rotated)
+            BqMath.packBitsD(codeFrame(query.map(_.toDouble)))
           else BqMath.packBits(query)
         codes.filter(col("cluster") === c)
           .select(col("id"),
@@ -104,25 +130,28 @@ object BQ {
     private def probeFrame(queries: DataFrame, qIdCol: String, qVecCol: String,
                            k: Int, nprobe: Int): DataFrame = {
       val spark = queries.sparkSession
-      val bc = spark.sparkContext.broadcast((centroids, clusterSizes, residual))
+      val bc = spark.sparkContext.broadcast(
+        (centroids, clusterSizes, residual, rotated))
       import spark.implicits._
       queries
         .select(col(qIdCol).cast("long").as("qid"),
                 col(qVecCol).cast("array<float>").as("qvec"))
         .as[(Long, Array[Float])]
         .flatMap { case (qid, qvec) =>
-          val (cents, sizes, res) = bc.value
+          val (cents, sizes, res, rot) = bc.value
           IVFFlat.probeOrder(cents, sizes, qvec, k, nprobe).map { c =>
             if (res) {
+              // qc2 = ‖q−c‖² BEFORE rotation (the pinned side of the
+              // estimate; rotation preserves it in real arithmetic)
               val qd = residualOf(qvec, cents(c))
               var s = 0.0; var i = 0
               while (i < qd.length) { s += qd(i) * qd(i); i += 1 }
-              (qid, qd, c, s)
+              (qid, if (rot) graft.functions.Rotate.rotateD(qd) else qd, c, s)
             } else {
               val a = new Array[Double](qvec.length)
               var i = 0
               while (i < qvec.length) { a(i) = qvec(i).toDouble; i += 1 }
-              (qid, a, c, 0.0)
+              (qid, if (rot) graft.functions.Rotate.rotateD(a) else a, c, 0.0)
             }
           }
         }
@@ -168,7 +197,9 @@ object BQ {
       val scored = codes.join(broadcast(probes), Seq("cluster"))
       val dist =
         if (residual) {
-          val inv = 2.0 / math.sqrt(centroids(0).length.toDouble)
+          // the sign-vector estimate r ≈ ‖r‖·sign(rot r)/√d lives in the
+          // CODE frame — d is the (padded) bit width, not the input dim
+          val inv = 2.0 / math.sqrt(codeDim.toDouble)
           col("qc2") -
             BqMath.asymDot(col("codes"), col("qvec")) * col("rnorm") * lit(inv) +
             col("rnorm") * col("rnorm")
@@ -209,8 +240,9 @@ object BQ {
       * cadence. */
     def add(rows: DataFrame, idCol: String, vecCol: String): Model = {
       val assigned = IVFFlat.assign(rows, idCol, vecCol, centroids)
-      val packed = if (residual) compressResidualRows(assigned, centroids)
-        else compressRows(assigned)
+      val packed =
+        if (residual) compressResidualRows(assigned, centroids, rotated)
+        else compressRows(assigned, rotated)
       val (df, n) = Lineage.compact(
         codes.unionByName(packed), addsSinceCompact)
       copy(codes = df, addsSinceCompact = n)
@@ -236,7 +268,7 @@ object BQ {
         .toDF("cluster", "vector")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
       ParamsIO.write(spark, dir,
-        s"""{"k":${params.k},"numAttempts":${params.numAttempts},"maxIterations":${params.maxIterations},"seed":${params.seed},"tol":${params.tol},"residual":${if (residual) 1 else 0}}""")
+        s"""{"k":${params.k},"numAttempts":${params.numAttempts},"maxIterations":${params.maxIterations},"seed":${params.seed},"tol":${params.tol},"residual":${if (residual) 1 else 0},"rotated":${if (rotated) 1 else 0}}""")
     }
   }
 
@@ -251,17 +283,22 @@ object BQ {
   }
 
   /** Compress a built [[IVFFlat.Model]] — one narrow pass over the
-    * indexed corpus; coarse state is shared, not retrained. */
-  def compress(ivf: IVFFlat.Model): Model =
+    * indexed corpus; coarse state is shared, not retrained. `rotated`
+    * signs the FWHT-rotated vector instead — the standard repair for
+    * anisotropic embeddings, where raw sign bits concentrate on a few
+    * high-energy coordinates (RotateSpec pins the recall lift). */
+  def compress(ivf: IVFFlat.Model, rotated: Boolean = false): Model =
     Model(ivf.params, ivf.centroids, ivf.clusterSizes,
-      compressRows(ivf.indexed))
+      compressRows(ivf.indexed, rotated), rotated = rotated)
 
   /** Residual-coded compress: codes are sign bits of v − centroid(cell)
     * — the within-cell discriminator plain sign codes lack on
-    * clustered corpora (see class doc). Same storage, same probing. */
-  def compressResidual(ivf: IVFFlat.Model): Model =
+    * clustered corpora (see class doc). Same storage, same probing.
+    * `rotated` composes both repairs: sign(rotate(v − c)). */
+  def compressResidual(ivf: IVFFlat.Model, rotated: Boolean = false): Model =
     Model(ivf.params, ivf.centroids, ivf.clusterSizes,
-      compressResidualRows(ivf.indexed, ivf.centroids), residual = true)
+      compressResidualRows(ivf.indexed, ivf.centroids, rotated),
+      residual = true, rotated = rotated)
 
   /** Reload a saved index ([[SQ8.load]] mapping). */
   def load(spark: SparkSession, dir: String): Model = {
@@ -282,6 +319,7 @@ object BQ {
     val sizes = new Array[Long](params.k)
     codes.groupBy("cluster").count().collect()
       .foreach(r => sizes(r.getInt(0)) = r.getLong(1))
-    Model(params, cents, sizes, codes, residual = isResidual)
+    Model(params, cents, sizes, codes, residual = isResidual,
+      rotated = ParamsIO.dbl(json, "rotated", 0.0) != 0.0)
   }
 }

@@ -40,11 +40,17 @@ object PQ {
     require(k <= 256, "PQ codes are one byte: k <= 256")
   }
 
-  /** codebooks(s)(j) = centroid j of subspace s (dsub floats). */
+  /** codebooks(s)(j) = centroid j of subspace s (dsub floats).
+    * `rotated` marks codebooks trained (or pinned) in the FWHT-rotated
+    * float frame ([[rotProj]]): corpus rows rotate at encode and
+    * queries at search — rotation balances per-subspace variance, the
+    * OPQ-lite win product quantizers need on anisotropic embeddings.
+    * `dim` is then the PADDED power-of-two length. */
   case class Model(params: Params, dim: Int,
                    codebooks: Array[Array[Array[Float]]],
                    codes: DataFrame /* id: long, code: binary(m) */,
-                   addsSinceCompact: Int = 0) {
+                   addsSinceCompact: Int = 0,
+                   rotated: Boolean = false) {
     def dsub: Int = dim / params.m
 
     /** ADC batch top-k over the codes alone (no full vectors touched).
@@ -64,7 +70,7 @@ object PQ {
       import spark.implicits._
       val m = params.m
       val qRows = queries
-        .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<float>"))
+        .select(col(qIdCol).cast("long"), vecProj(qVecCol, rotated))
         .as[(Long, Array[Float])].collect()
       if (qRows.isEmpty)
         return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "id", "distance")
@@ -114,7 +120,7 @@ object PQ {
       * compact their union lineage — see [[Lineage]]. */
     def add(rows: DataFrame, idCol: String, vecCol: String): Model = {
       val (df, n) = Lineage.compact(
-        codes.unionByName(encodeDf(rows, idCol, vecCol, codebooks)),
+        codes.unionByName(encodeDf(rows, idCol, vecCol, codebooks, rotated)),
         addsSinceCompact)
       copy(codes = df, addsSinceCompact = n)
     }
@@ -166,7 +172,7 @@ object PQ {
       }.toSeq.toDF("s", "j", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
       ParamsIO.write(spark, dir,
-        s"""{"m":${params.m},"k":${params.k},"iterations":${params.iterations},"seed":${params.seed},"dim":$dim}""")
+        s"""{"m":${params.m},"k":${params.k},"iterations":${params.iterations},"seed":${params.seed},"dim":$dim,"rotated":${if (rotated) 1 else 0}}""")
     }
   }
 
@@ -181,8 +187,20 @@ object PQ {
       byS(s).sortBy(_.getInt(1))
         .map(_.getAs[scala.collection.Seq[Float]](2).toArray)
     }.toArray
-    Model(params, num("dim").toInt, cbs, spark.read.parquet(s"$dir/codes"))
+    Model(params, num("dim").toInt, cbs, spark.read.parquet(s"$dir/codes"),
+      rotated = ParamsIO.dbl(json, "rotated", 0.0) != 0.0)
   }
+
+  /** The (id, vector ARRAY<FLOAT>) projection all PQ stages share; with
+    * `rotated`, vector = float32(FWHT-rotate(v)) — the rotated corpus
+    * is "just another float corpus" to the codebooks, so training,
+    * encode and the ADC LUT are frame-agnostic. The float rounding is
+    * the pinned coordinate contract (oracle: CAST(x AS REAL)). */
+  private def vecProj(vecCol: String, rotated: Boolean): org.apache.spark.sql.Column =
+    if (rotated)
+      graft.functions.Rotate.rotate(col(vecCol).cast("array<float>"))
+        .cast("array<float>")
+    else col(vecCol).cast("array<float>")
 
   @inline private def mix64(x0: Long): Long = {
     var x = x0
@@ -247,12 +265,13 @@ object PQ {
   /** Encode every row against frozen codebooks: one narrow map, m bytes
     * per vector out. */
   private def encodeDf(emb: DataFrame, idCol: String, vecCol: String,
-                       cbs: Array[Array[Array[Float]]]): DataFrame = {
+                       cbs: Array[Array[Array[Float]]],
+                       rotated: Boolean): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(cbs)
     emb.select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<float>").as("vector"))
+        vecProj(vecCol, rotated).as("vector"))
       .as[(Long, Array[Float])]
       .map { case (id, v) =>
         val c = bc.value
@@ -273,9 +292,11 @@ object PQ {
     * oracle-checkable config (pq_assign_fixed / pq_adc_fixed), and the
     * serving path when codebooks are trained offline. */
   def withCodebooks(emb: DataFrame, idCol: String, vecCol: String,
-                    cbs: Array[Array[Array[Float]]], params: Params): Model = {
+                    cbs: Array[Array[Array[Float]]], params: Params,
+                    rotated: Boolean = false): Model = {
     val dim = cbs.map(_(0).length).sum
-    Model(params, dim, cbs, encodeDf(emb, idCol, vecCol, cbs))
+    Model(params, dim, cbs, encodeDf(emb, idCol, vecCol, cbs, rotated),
+      rotated = rotated)
   }
 
   /** Train codebooks with Lloyd's: seeded min-hash init (the k rows with
@@ -284,20 +305,23 @@ object PQ {
     * sum) rows — O(partitions × m × k) — and are merged in sorted order
     * so double sums are deterministic. */
   def train(emb: DataFrame, idCol: String, vecCol: String,
-            params: Params): Model = {
+            params: Params, rotated: Boolean = false): Model = {
     // persisted once: head, init TakeOrdered, every Lloyd iteration and
     // the final encode all re-read this projection — uncached that is
     // iterations+3 full source scans, which defeats the one-job-per-
-    // iteration design on any corpus that doesn't fit the page cache
+    // iteration design on any corpus that doesn't fit the page cache.
+    // Rotation happens HERE, so the cached frame and everything
+    // downstream (init, Lloyd's, encode) live in the rotated frame.
     val rowsDf = emb.select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<float>").as("vector"))
+        vecProj(vecCol, rotated).as("vector"))
       .persist()
     val (cbs, dim, kk) = lloydCodebooks(rowsDf, params)
     // fewer than k distinct rows shrinks the codebook: record the
     // EFFECTIVE k so save()/load() rebuild a Model whose params match
     // the codebooks actually trained
     val model = Model(params.copy(k = kk), dim, cbs,
-      encodeDf(rowsDf, "id", "vector", cbs).localCheckpoint(true))
+      encodeDf(rowsDf, "id", "vector", cbs, rotated = false)
+        .localCheckpoint(true), rotated = rotated)
     rowsDf.unpersist()
     model
   }

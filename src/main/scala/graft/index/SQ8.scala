@@ -32,9 +32,17 @@ import graft.functions.{Quant, Sq8Math}
   */
 object SQ8 {
 
-  /** Compressed code row layout: (id, cluster, lo, scale, codes). */
-  private def compressRows(indexed: DataFrame): DataFrame = {
-    val v = col("vector")
+  /** Compressed code row layout: (id, cluster, lo, scale, codes). With
+    * `rotated`, codes quantize the FWHT-rotated vector (ARRAY<DOUBLE>,
+    * padded to a power of two) — [[graft.functions.Rotate]] spreads
+    * energy uniformly so the per-vector affine range isn't dominated by
+    * a few hot coordinates (the anisotropic-embedding regime). The
+    * coarse layer (centroids, probe order) stays in the ORIGINAL frame:
+    * rotation is orthogonal, so cell geometry is unchanged. */
+  private def compressRows(indexed: DataFrame, rotated: Boolean): DataFrame = {
+    val v =
+      if (rotated) graft.functions.Rotate.rotate(col("vector").cast("array<float>"))
+      else col("vector")
     indexed.select(
       col("id"), col("cluster"),
       Quant.int8Lo(v).as("lo"),
@@ -42,15 +50,30 @@ object SQ8 {
       Sq8Math.packU8(Quant.int8Codes(v)).as("codes"))
   }
 
-  /** Built index: broadcastable coarse state + the packed code table. */
+  /** Built index: broadcastable coarse state + the packed code table.
+    * `rotated` marks codes built over FWHT-rotated vectors — queries
+    * are rotated at search time; probing stays in the original frame
+    * (orthogonal ⇒ identical cell geometry). */
   case class Model(params: IVFFlat.Params,
                    centroids: Array[Array[Float]],
                    clusterSizes: Array[Long],
                    codes: DataFrame,
-                   addsSinceCompact: Int = 0) {
+                   addsSinceCompact: Int = 0,
+                   rotated: Boolean = false) {
 
     def probeSet(query: Array[Float], k: Int, minProbe: Int = 1): Seq[Int] =
       IVFFlat.probeOrder(centroids, clusterSizes, query, k, minProbe)
+
+    /** Double-widened (and, when `rotated`, FWHT-rotated) query — the
+      * frame the codes were quantized in. Widening floats to double is
+      * exact, so the non-rotated distance is bit-identical to folding
+      * the float query directly. */
+    private def codeFrameQ(q: Array[Float]): Array[Double] = {
+      val d = new Array[Double](q.length)
+      var i = 0
+      while (i < q.length) { d(i) = q(i).toDouble; i += 1 }
+      if (rotated) graft.functions.Rotate.rotateD(d) else d
+    }
 
     /** Single-query search: partition-pruned scan of probed cells →
       * fused SQ8 distance → TakeOrderedAndProject. */
@@ -59,7 +82,7 @@ object SQ8 {
       codes.filter(col("cluster").isin(probed: _*))
         .select(col("id"),
           Sq8Math.sq8Dist(col("codes"), col("lo"), col("scale"),
-            typedlit(query)).as("distance"))
+            typedlit(codeFrameQ(query))).as("distance"))
         .orderBy(col("distance"), col("id")).limit(k)
     }
 
@@ -71,14 +94,21 @@ object SQ8 {
       val spark = queries.sparkSession
       val bc = spark.sparkContext.broadcast((centroids, clusterSizes))
       import spark.implicits._
+      val rot = rotated
       val probes = queries
         .select(col(qIdCol).cast("long").as("qid"),
                 col(qVecCol).cast("array<float>").as("qvec"))
         .as[(Long, Array[Float])]
         .flatMap { case (qid, qvec) =>
           val (cents, sizes) = bc.value
+          // probe in the original frame; carry the code-frame query
+          // (double-widened — exact — and rotated iff the codes are)
+          val qd = new Array[Double](qvec.length)
+          var i = 0
+          while (i < qvec.length) { qd(i) = qvec(i).toDouble; i += 1 }
+          val qf = if (rot) graft.functions.Rotate.rotateD(qd) else qd
           IVFFlat.probeOrder(cents, sizes, qvec, k, nprobe)
-            .map(c => (qid, qvec, c))
+            .map(c => (qid, qf, c))
         }
         .toDF("qid", "qvec", "cluster")
       codes.join(broadcast(probes), Seq("cluster"))
@@ -130,7 +160,7 @@ object SQ8 {
     def add(rows: DataFrame, idCol: String, vecCol: String): Model = {
       val assigned = IVFFlat.assign(rows, idCol, vecCol, centroids)
       val (df, n) = Lineage.compact(
-        codes.unionByName(compressRows(assigned)), addsSinceCompact)
+        codes.unionByName(compressRows(assigned, rotated)), addsSinceCompact)
       copy(codes = df, addsSinceCompact = n)
     }
 
@@ -154,15 +184,18 @@ object SQ8 {
         .toDF("cluster", "vector")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
       ParamsIO.write(spark, dir,
-        s"""{"k":${params.k},"numAttempts":${params.numAttempts},"maxIterations":${params.maxIterations},"seed":${params.seed},"tol":${params.tol}}""")
+        s"""{"k":${params.k},"numAttempts":${params.numAttempts},"maxIterations":${params.maxIterations},"seed":${params.seed},"tol":${params.tol},"rotated":${if (rotated) 1 else 0}}""")
     }
   }
 
   /** Compress a built [[IVFFlat.Model]] — one narrow pass over the
-    * indexed corpus; coarse state is shared, not retrained. */
-  def compress(ivf: IVFFlat.Model): Model =
+    * indexed corpus; coarse state is shared, not retrained. `rotated`
+    * quantizes the FWHT-rotated vectors instead (see [[compressRows]]):
+    * the affine int8 range then covers energy spread uniformly across
+    * coordinates, the regime anisotropic LLM embeddings violate. */
+  def compress(ivf: IVFFlat.Model, rotated: Boolean = false): Model =
     Model(ivf.params, ivf.centroids, ivf.clusterSizes,
-      compressRows(ivf.indexed))
+      compressRows(ivf.indexed, rotated), rotated = rotated)
 
   /** Reload a saved index ([[IVFFlat.load]] mapping). */
   def load(spark: SparkSession, dir: String): Model = {
@@ -180,6 +213,7 @@ object SQ8 {
     val sizes = new Array[Long](params.k)
     codes.groupBy("cluster").count().collect()
       .foreach(r => sizes(r.getInt(0)) = r.getLong(1))
-    Model(params, cents, sizes, codes)
+    Model(params, cents, sizes, codes,
+      rotated = ParamsIO.dbl(json, "rotated", 0.0) != 0.0)
   }
 }
