@@ -25,8 +25,26 @@ import graft.streaming.Streaming
   */
 object SparkEntry {
 
-  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** The events contract is an epoch-NANOS long `ts` axis. The driver's
+    * table has shipped both as parquet TIMESTAMP(NANOS) (read as long
+    * under `nanosAsLong`) and as TIMESTAMP(MICROS) (read as
+    * TIMESTAMP_NTZ) — normalize the latter back to the ns-long axis
+    * (sub-µs digits zero) so every event-time operator keeps ONE integer
+    * time contract. The session timezone is pinned UTC in every entry
+    * point, so the NTZ→timestamp cast is the identity on the stored
+    * micros — matching DuckDB's epoch_ns(ts)/epoch_us(ts) exactly. */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) => df
+      case Some(_) => df.withColumn("ts",
+        unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+      case None => df
+    }
 
   /** Deterministic pseudo-centroids for SQL-checkable IVFFlat queries:
     * the embedding vectors with vec_id < 8, cluster id = vec_id. */

@@ -10,8 +10,10 @@ import graft.streaming.Streaming.SessionEvent
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
-  private lazy val events =
-    spark.read.parquet(s"$sf0001/events.parquet").cache()
+  // normalized to the epoch-ns-long ts contract, whichever parquet
+  // timestamp physical type the driver generated this round
+  private lazy val events = SparkEntry.normalizeEventTs(
+    spark.read.parquet(s"$sf0001/events.parquet")).cache()
 
   test("windowCounts over a stream equals the batch transformation") {
     implicit val sqlCtx = spark.sqlContext
