@@ -314,6 +314,23 @@ object SparkEntry {
         .orderBy(col("qid"), col("distance"), col("id"))
     }),
 
+    // Model.merge driver gate for SQ8 (cross-job compaction): two
+    // compressed halves under the SAME frozen centroids merge into one
+    // index whose code table equals the single build's — the probe-all
+    // exact oracle then gates merge hash-for-hash.
+    "sq8_merge_all" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = fixedCentroids(emb)
+      val sizes = Array.fill(cents.length)(Long.MaxValue)
+      def half(cond: org.apache.spark.sql.Column) = graft.index.SQ8.compress(
+        IVFFlat.Model(IVFFlat.Params(cents.length), cents, sizes,
+          IVFFlat.assign(emb.filter(cond), "vec_id", "embedding", cents)))
+      half(col("vec_id") % 2 === 0).merge(half(col("vec_id") % 2 === 1))
+        .searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = cents.length)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
     // SQ8 + exact re-rank, degenerate config (shortlist ⊇ corpus ⇒
     // equals float exhaustive bit-for-bit): gates the byte-shortlist →
     // float-re-rank serving shape under the plain exhaustive oracle.
@@ -358,6 +375,22 @@ object SparkEntry {
       val bq = graft.index.BQ.compress(
         IVFFlat.Model(IVFFlat.Params(cents.length), cents, sizes, indexed))
       bq.searchManyAsym(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = cents.length)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
+    // Model.merge driver gate for BQ: two sign-code halves under the
+    // SAME frozen centroids merge into the single build's code table —
+    // the probe-all asymmetric oracle gates merge hash-for-hash.
+    "bq_merge_asym_all" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = fixedCentroids(emb)
+      val sizes = Array.fill(cents.length)(Long.MaxValue)
+      def half(cond: org.apache.spark.sql.Column) = graft.index.BQ.compress(
+        IVFFlat.Model(IVFFlat.Params(cents.length), cents, sizes,
+          IVFFlat.assign(emb.filter(cond), "vec_id", "embedding", cents)))
+      half(col("vec_id") % 2 === 0).merge(half(col("vec_id") % 2 === 1))
+        .searchManyAsym(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
           k = 10, nprobe = cents.length)
         .orderBy(col("qid"), col("distance"), col("id"))
     }),
@@ -556,6 +589,22 @@ object SparkEntry {
         .orderBy(col("qid"), col("distance"), col("id"))
     }),
 
+    // Model.merge driver gate for flat PQ: two encodes over disjoint
+    // halves under the SAME pinned codebooks merge into the single
+    // build's code table — the pq_adc_fixed oracle gates merge.
+    "pq_merge_fixed" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cbs = fixedCodebooks(emb, 4)
+      val p = graft.index.PQ.Params(m = 4, k = 16)
+      val a = graft.index.PQ.withCodebooks(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", cbs, p)
+      val b = graft.index.PQ.withCodebooks(
+        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", cbs, p)
+      a.merge(b)
+        .searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
     // ADC shortlist + exact re-rank, degenerate config: factor×k = 500
     // covers the whole sf0.01 corpus, so the re-rank stage must
     // reproduce exhaustive search bit-for-bit — gates the shortlist
@@ -656,6 +705,27 @@ object SparkEntry {
         .orderBy(col("qid"), col("distance"), col("id"))
     }),
 
+    // Model.merge driver gate for the composed index: two fused builds
+    // over disjoint slices under the SAME pinned parts merge into the
+    // single build's code table — pq_ivf_fixed's oracle gates merge.
+    "pq_ivf_merge_fixed" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = fixedCentroids(emb)
+      val sizes = Array.fill(cents.length)(Long.MaxValue) // force nprobe exactly
+      val cbs = fixedCodebooks(emb, 4)
+      val p = graft.index.PQ.Params(m = 4, k = 16)
+      val a = graft.index.IVFPQ.build(
+        emb.filter(col("vec_id") % 7 =!= 0), "vec_id", "embedding",
+        cents, sizes, cbs, p)
+      val b = graft.index.IVFPQ.build(
+        emb.filter(col("vec_id") % 7 === 0), "vec_id", "embedding",
+        cents, sizes, cbs, p)
+      a.merge(b)
+        .searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = 2)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
     // IVF-PQ persistence round-trip under the driver oracle — the last
     // oracle-able index type's lifecycle gate (IVF/LSH/PQ already have
     // one): build with pinned parts, save (partitioned codes + params
@@ -702,6 +772,35 @@ object SparkEntry {
       val model = IVFFlat.Model(IVFFlat.Params(cents.length), cents, sizes, indexed)
         .add(emb.filter(col("vec_id") % 7 === 0), "vec_id", "embedding")
       model.searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = 2)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
+    // Model.merge driver gate for IVFFlat (cross-job compaction): the
+    // receiver holds ~6/7 of the corpus on the pinned centroids; the
+    // argument holds the rest clustered under a DIFFERENT grid, so
+    // merge exercises the stronger path — re-assignment of the incoming
+    // rows under the surviving centroids. End state equals the full
+    // assignment, so the ivf_search_fixed oracle gates merge
+    // hash-for-hash.
+    "ivf_merge_fixed" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = fixedCentroids(emb)
+      val sizes = Array.fill(cents.length)(Long.MaxValue) // force nprobe exactly
+      val a = IVFFlat.Model(IVFFlat.Params(cents.length), cents, sizes,
+        IVFFlat.assign(emb.filter(col("vec_id") % 7 =!= 0),
+          "vec_id", "embedding", cents))
+      // the other job clustered under its own grid (vectors 8..15) —
+      // bitwise-different centroids force the re-assign branch
+      val bCents = emb.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+        .orderBy(col("vec_id")).select(col("embedding").cast("array<float>"))
+        .collect().map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+      val b = IVFFlat.Model(IVFFlat.Params(bCents.length), bCents,
+        new Array[Long](bCents.length),
+        IVFFlat.assign(emb.filter(col("vec_id") % 7 === 0),
+          "vec_id", "embedding", bCents))
+      a.merge(b)
+        .searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
           k = 10, nprobe = 2)
         .orderBy(col("qid"), col("distance"), col("id"))
     }),
@@ -957,6 +1056,22 @@ object SparkEntry {
           hnswExactParams, numShards = 1)
         .add(emb.filter(col("vec_id") % 7 === 0), "vec_id", "embedding")
       model.searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
+    // Model.merge driver gate for HNSW — shard union: two 1-shard
+    // degenerate-exact graphs over disjoint halves merge into a 2-shard
+    // model; each shard search is exhaustive over its half (ef ≫ n), so
+    // the fan-out union equals exhaustive over the whole corpus and the
+    // same SQL gates merge hash-for-hash.
+    "hnsw_merge_exact" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val a = HNSW.build(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", hnswExactParams, numShards = 1)
+      val b = HNSW.build(emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", hnswExactParams, numShards = 1)
+      a.merge(b)
+        .searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
         .orderBy(col("qid"), col("distance"), col("id"))
     }),
 
@@ -2813,6 +2928,8 @@ object SparkEntry {
         |FROM c ORDER BY vec_id""".stripMargin,
 
     "sq8_search_all" -> sq8ExactKnnSql,
+    // merged half-compressions under shared centroids ≡ single compress
+    "sq8_merge_all" -> sq8ExactKnnSql,
     "sq8_rot_all" -> sq8RotAllSql,
     "bq_rot_asym_all" -> bqRotAsymSql,
     "pq_rot_fixed" -> pqRotFixedSql,
@@ -2822,6 +2939,8 @@ object SparkEntry {
     "bq_hamming_all" -> bqHammingSql,
     "bq_persist_all" -> bqHammingSql,
     "bq_asym_all" -> bqAsymSql,
+    // merged half-compressions under shared centroids ≡ single compress
+    "bq_merge_asym_all" -> bqAsymSql,
     "bq_res_asym_all" -> bqResAsymSql,
     "bq_rerank_exact" -> exhaustiveKnnSql,
 
@@ -2866,6 +2985,8 @@ object SparkEntry {
     "pq_adc_fixed" -> pqAdcFixedSql,
     // a faithful save→load round-trip reproduces the ADC search exactly
     "pq_persist_fixed" -> pqAdcFixedSql,
+    // merged half-encodes under shared codebooks ≡ the single encode
+    "pq_merge_fixed" -> pqAdcFixedSql,
 
     // Probed-cell ADC: the ivf_search_fixed probe CTEs route each query
     // to its 2 nearest pinned cells; candidates are the rows ASSIGNED to
@@ -2875,6 +2996,8 @@ object SparkEntry {
     // add-then-search must equal build-then-search (frozen parts):
     // the same oracle gates the IVFPQ add path
     "pq_ivf_add_fixed" -> pqIvfFixedSql,
+    // merged half-builds under shared pinned parts ≡ the single build
+    "pq_ivf_merge_fixed" -> pqIvfFixedSql,
     // the residual recipe, float residuals + double folds replicated
     "pq_ivf_res_fixed" -> pqIvfResFixedSql,
     // save→load→search lifecycle for the composed index: a faithful
@@ -2889,6 +3012,9 @@ object SparkEntry {
     "ivf_search_fixed" -> ivfSearchFixedSql,
     // same identity for IVFFlat.add against frozen centroids
     "ivf_add_fixed" -> ivfSearchFixedSql,
+    // merge(a,b) under surviving centroids ≡ the single full assignment
+    // (the incoming half re-assigns, so the same fixed-search SQL gates)
+    "ivf_merge_fixed" -> ivfSearchFixedSql,
     // removal = the fixed search over corpus-minus-removed
     "ivf_remove_fixed" -> ivfSearchFixedSqlOver("WHERE c.vec_id % 9 <> 3"),
     // and for the save→load→search lifecycle: a faithful round-trip
@@ -2905,6 +3031,8 @@ object SparkEntry {
     "hnsw_knn_exact" -> hnswExactKnnSql,
     "hnsw_persist_exact" -> hnswExactKnnSql,
     "hnsw_add_exact" -> hnswExactKnnSql,
+    // shard-union merge of two exhaustive half-graphs ≡ exhaustive
+    "hnsw_merge_exact" -> hnswExactKnnSql,
     "hnsw_remove_exact" -> hnswExactKnnSqlOver("AND c.vec_id % 9 <> 3"),
 
     "vec_mean_by_label" ->

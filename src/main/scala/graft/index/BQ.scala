@@ -257,6 +257,23 @@ object BQ {
       copy(codes = df, addsSinceCompact = n)
     }
 
+    /** Merge another BQ index into this one (cross-job compaction —
+      * see [[MergeOps]]). Sign codes cannot re-derive without raw
+      * vectors, and residual codes are taken AGAINST the cell centroid,
+      * so both models must share the coarse centroids bitwise plus the
+      * residual/rotation coding frame. Disjoint-id contract. */
+    def merge(other: Model): Model = {
+      require(residual == other.residual && rotated == other.rotated,
+        "BQ.merge: coding frames differ (residual/rotated) — codes are not comparable")
+      require(MergeOps.sameGrid(centroids, other.centroids),
+        "BQ.merge: coarse centroids differ — sign codes cannot re-derive; rebuild instead")
+      val (df, n) = Lineage.compact(
+        codes.unionByName(other.codes), addsSinceCompact)
+      copy(codes = df,
+        clusterSizes = MergeOps.satAdd(clusterSizes, other.clusterSizes),
+        addsSinceCompact = n)
+    }
+
     /** Persist: codes partitioned by cluster (partition pruning on
       * probe), centroids + params as [[SQ8.Model.save]]. */
     def save(dir: String): Unit = {

@@ -255,6 +255,37 @@ object HNSW {
         removed = removed -- newRows.valuesIterator.flatten.map(_._1))
     }
 
+    /** Merge another HNSW index into this one — shard union: the other
+      * model's shards keep their graphs bit-untouched and are renumbered
+      * past this model's range (no deserialization, no re-insert; the
+      * cheapest possible compaction — sharding means a union of shard
+      * sets IS a valid index). Search fans out across the combined
+      * shards exactly as over a single build. Routed models merge their
+      * router cells side by side (each query then probes its nearest
+      * cells from EITHER half); a routed/unrouted mix falls back to
+      * all-shard fan-out (routers dropped — correctness-maximal).
+      * Tombstone sets union. Disjoint-id contract as for add. */
+    def merge(other: Model): Model = {
+      require(params == other.params,
+        s"HNSW.merge: graph params differ ($params vs ${other.params})")
+      val spark = shards.sparkSession
+      import spark.implicits._
+      val off = numShards
+      val shifted = other.shards.map(s => ShardBlob(s.shard + off, s.blob))
+      val (mergedRouters, mergedCells) = (routers, other.routers) match {
+        case (Some(a), Some(b)) =>
+          (Some(a ++ b),
+            Some(cellMap(a.length) ++
+              other.cellMap(b.length).map(_.map(_ + off))))
+        case _ => (None, None)
+      }
+      copy(numShards = numShards + other.numShards,
+        shards = shards.union(shifted),
+        routers = mergedRouters,
+        removed = removed ++ other.removed,
+        cellShards = mergedCells)
+    }
+
     def save(dir: String): Unit = {
       val spark = shards.sparkSession
       import spark.implicits._

@@ -132,6 +132,38 @@ object IVFFlat {
       copy(indexed = df, addsSinceCompact = n)
     }
 
+    /** Merge another IVFFlat index into this one — cross-job/cross-day
+      * compaction (two builds over disjoint corpus slices become one
+      * servable index with no full rebuild). THIS model's centroids
+      * survive. When the other model shares them bitwise, its rows
+      * union in directly and per-cell sizes add (no job at all);
+      * otherwise the other corpus re-assigns under the surviving
+      * centroids — the same narrow broadcast-argmin pass add() runs —
+      * and its per-cell counts are re-counted (one small aggregate over
+      * the incoming rows only; the resident corpus is untouched).
+      * Caller contract (as for add): id sets are disjoint. */
+    def merge(other: Model): Model = {
+      require(other.centroids(0).length == centroids(0).length,
+        s"merge: dim mismatch (${centroids(0).length} vs ${other.centroids(0).length})")
+      if (MergeOps.sameGrid(centroids, other.centroids)) {
+        val (df, n) = Lineage.compact(
+          indexed.unionByName(other.indexed), addsSinceCompact)
+        copy(indexed = df,
+          clusterSizes = MergeOps.satAdd(clusterSizes, other.clusterSizes),
+          addsSinceCompact = n)
+      } else {
+        val reassigned = assign(other.indexed, "id", "vector", centroids)
+        val extra = new Array[Long](clusterSizes.length)
+        reassigned.groupBy("cluster").count().collect()
+          .foreach(r => extra(r.getInt(0)) = r.getLong(1))
+        val (df, n) = Lineage.compact(
+          indexed.unionByName(reassigned), addsSinceCompact)
+        copy(indexed = df,
+          clusterSizes = MergeOps.satAdd(clusterSizes, extra),
+          addsSinceCompact = n)
+      }
+    }
+
     /** Warm-start re-clustering — the rebalancing job the add/remove
       * scaladocs defer to: `iterations` Lloyd's steps starting FROM the
       * current centroids over the CURRENT rows (post-add/remove drift),

@@ -185,6 +185,25 @@ object IVFPQ {
       copy(codes = df, addsSinceCompact = n)
     }
 
+    /** Merge another IVFPQ index into this one (cross-job compaction —
+      * see [[MergeOps]]). Codes decode against the codebooks AND — when
+      * residual — against the cell centroid they were recentered on, so
+      * both models must share coarse centroids and codebooks bitwise.
+      * Disjoint-id contract. */
+    def merge(other: Model): Model = {
+      require(residual == other.residual,
+        "IVFPQ.merge: residual coding frames differ — codes are not comparable")
+      require(MergeOps.sameGrid(coarse, other.coarse),
+        "IVFPQ.merge: coarse centroids differ — codes cannot re-derive; rebuild instead")
+      require(MergeOps.sameBooks(codebooks, other.codebooks),
+        "IVFPQ.merge: codebooks differ — codes cannot re-encode; rebuild instead")
+      val (df, n) = Lineage.compact(
+        codes.unionByName(other.codes), addsSinceCompact)
+      copy(codes = df,
+        clusterSizes = MergeOps.satAdd(clusterSizes, other.clusterSizes),
+        addsSinceCompact = n)
+    }
+
     /** Persist: codes partitioned by cluster (→ partition pruning on
       * probe), coarse centroids + codebooks as parquet, params JSON. */
     def save(dir: String): Unit = {

@@ -135,6 +135,21 @@ object PQ {
       copy(codes = df, addsSinceCompact = n)
     }
 
+    /** Merge another PQ index into this one (cross-job compaction —
+      * see [[MergeOps]]). Codes decode only against their codebooks, so
+      * both models must share them bitwise (and the rotation frame /
+      * padded dim). The union is free — a flat PQ code row carries no
+      * coarse state at all. Disjoint-id contract. */
+    def merge(other: Model): Model = {
+      require(rotated == other.rotated && dim == other.dim,
+        "PQ.merge: coding frames differ (rotated/dim) — codes are not comparable")
+      require(MergeOps.sameBooks(codebooks, other.codebooks),
+        "PQ.merge: codebooks differ — codes cannot re-encode; rebuild instead")
+      val (df, n) = Lineage.compact(
+        codes.unionByName(other.codes), addsSinceCompact)
+      copy(codes = df, addsSinceCompact = n)
+    }
+
     /** ADC shortlist (factor×k) + exact re-rank against the
       * full-precision vectors: the standard PQ serving shape — the
       * corpus is scanned once for the shortlist join (broadcast probe

@@ -173,6 +173,24 @@ object SQ8 {
       copy(codes = df, addsSinceCompact = n)
     }
 
+    /** Merge another SQ8 index into this one (cross-job compaction —
+      * see [[MergeOps]]). Codes carry no raw vectors, so the incoming
+      * rows cannot re-assign: both models must share the coarse
+      * centroids bitwise (and the rotation frame). The union is free —
+      * per-vector affine codes are cell-independent, only the cluster
+      * column ties a row to the coarse grid. Disjoint-id contract. */
+    def merge(other: Model): Model = {
+      require(rotated == other.rotated,
+        "SQ8.merge: rotation frames differ — codes are not comparable")
+      require(MergeOps.sameGrid(centroids, other.centroids),
+        "SQ8.merge: coarse centroids differ — codes carry no raw vectors to re-assign; rebuild instead")
+      val (df, n) = Lineage.compact(
+        codes.unionByName(other.codes), addsSinceCompact)
+      copy(codes = df,
+        clusterSizes = MergeOps.satAdd(clusterSizes, other.clusterSizes),
+        addsSinceCompact = n)
+    }
+
     /** Persist: codes partitioned by cluster (partition pruning on
       * probe), centroids + params like [[IVFFlat.Model.save]]. */
     def save(dir: String): Unit = {
