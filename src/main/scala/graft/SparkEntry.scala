@@ -1325,6 +1325,38 @@ object SparkEntry {
         .orderBy(col("n").desc, col("token"))
         .limit(100)),
 
+    // REAL BPE tokenizer training (operators/Bpe): capped word counts →
+    // 12 merge iterations (distributed pair counting, driver merge
+    // table). Every step is deterministic — cap order, (count DESC,
+    // pair ASC) winner, greedy left-to-right application — so DuckDB
+    // replays the whole training loop (spaced-symbol replace chain,
+    // bpeTrainSql) and the driver gates tokenizer TRAINING itself
+    // hash-for-hash. bpeishCount (text_tokens_bpe) remains the
+    // train-free estimator face.
+    "bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents").filter(expr(BpeDocFilter))
+      graft.operators.Bpe.train(docs, "text", BpeMerges, BpeMaxWords)
+        .map(m => (m.step, m.left, m.right, m.freq))
+        .toDF("step", "lhs", "rhs", "freq")
+        .orderBy(col("step"))
+    }),
+
+    // Tokenization under the trained merges (Bpe.encode): per pinned
+    // doc, the subword count and the space-joined subword sequence —
+    // the oracle re-derives the merge table AND re-applies it per word
+    // as the same replace chain.
+    "bpe_tokenize" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").filter(expr(BpeDocFilter))
+      val ms = graft.operators.Bpe.train(docs, "text", BpeMerges, BpeMaxWords)
+        .map(m => (m.left, m.right))
+      graft.operators.Bpe.encode(docs, "doc_id", "text", ms)
+        .select(col("id").as("doc_id"),
+          size(col("subwords")).cast("long").as("n_sub"),
+          array_join(col("subwords"), " ").as("sub_str"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Eval-integrity audit: minhash near-dup pairs straddling a
     // train/val/test boundary — benchmark-leakage detection. Composes
     // the gated pair generator with the gated split assignment.
@@ -1838,6 +1870,73 @@ object SparkEntry {
   /** Shared DuckDB fragments mirroring TextOps (tokens/shingles). */
   private val toksSql =
     """list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)"""
+
+  /** BPE lane constants: pinned corpus, merge count, word cap —
+    * identical on both engines. */
+  private val BpeMerges = 12
+  private val BpeMaxWords = 1000
+  private val BpeDocFilter = "doc_id % 25 = 0"
+
+  /** CTE chain replaying [[graft.operators.Bpe.train]] in DuckDB: the
+    * capped word counts, the spaced-symbol rendering (every symbol
+    * wrapped in single spaces ⇒ exactly two spaces between adjacent
+    * symbols), then per step i the pair counts (pᵢ), the (count DESC,
+    * pair ASC) winner (bᵢ), and the merge applied as a left-to-right
+    * string replace (wᵢ) — bitwise the trainer's greedy non-overlapping
+    * pass. MATERIALIZED is load-bearing: each wᵢ is referenced twice
+    * (pᵢ₊₁ and wᵢ₊₁), so an inlined chain re-evaluates exponentially. */
+  private def bpeChainCtes: String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""words AS MATERIALIZED (SELECT token AS word, count(*) AS freq FROM (
+         |    SELECT unnest($toksSql) AS token FROM documents WHERE $BpeDocFilter)
+         |  GROUP BY 1 ORDER BY freq DESC, word LIMIT $BpeMaxWords),
+         |w0 AS MATERIALIZED (SELECT ' ' || array_to_string(
+         |    list_transform(range(1, len(word) + 1),
+         |      i -> substring(word, CAST(i AS INTEGER), 1)), '  ') || ' ' AS s,
+         |  freq FROM words)""".stripMargin)
+    for (i <- 1 to BpeMerges) {
+      sb.append(
+        s""",
+           |p$i AS MATERIALIZED (SELECT pr['a'] AS s1, pr['b'] AS s2, SUM(freq) AS c FROM (
+           |  SELECT unnest(list_transform(range(1, len(syms)),
+           |      j -> {'a': syms[j], 'b': syms[j + 1]})) AS pr, freq
+           |  FROM (SELECT string_split(trim(s), '  ') AS syms, freq FROM w${i - 1}))
+           |  GROUP BY 1, 2),
+           |b$i AS MATERIALIZED (SELECT s1, s2, c FROM p$i ORDER BY c DESC, s1, s2 LIMIT 1),
+           |w$i AS MATERIALIZED (SELECT replace(s, ' ' || b.s1 || '  ' || b.s2 || ' ',
+           |    ' ' || b.s1 || b.s2 || ' ') AS s, freq FROM w${i - 1}, b$i b)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  private def bpeTrainSql: String = {
+    val union = (1 to BpeMerges)
+      .map(i => s"SELECT $i AS step, s1 AS lhs, s2 AS rhs, CAST(c AS BIGINT) AS freq FROM b$i")
+      .mkString(" UNION ALL ")
+    s"WITH $bpeChainCtes\nSELECT * FROM ($union) ORDER BY step"
+  }
+
+  private def bpeTokenizeSql: String = {
+    val mcols = (1 to BpeMerges)
+      .map(i => s"(SELECT s1 FROM b$i) AS l$i, (SELECT s2 FROM b$i) AS r$i")
+      .mkString(", ")
+    // per word w: spaced chars, then the 12-step replace chain
+    var e = "(' ' || array_to_string(list_transform(range(1, len(w) + 1), " +
+      "i -> substring(w, CAST(i AS INTEGER), 1)), '  ') || ' ')"
+    for (i <- 1 to BpeMerges)
+      e = s"replace($e, ' ' || m.l$i || '  ' || m.r$i || ' ', ' ' || m.l$i || m.r$i || ' ')"
+    s"""WITH $bpeChainCtes,
+       |m AS MATERIALIZED (SELECT $mcols),
+       |d AS (SELECT doc_id, $toksSql AS toks FROM documents WHERE $BpeDocFilter)
+       |SELECT doc_id,
+       |  CASE WHEN sub_str = '' THEN 0 ELSE len(string_split(sub_str, ' ')) END AS n_sub,
+       |  sub_str
+       |FROM (SELECT doc_id,
+       |  replace(trim(array_to_string(list_transform(toks, w -> trim($e)), '  ')), '  ', ' ') AS sub_str
+       |  FROM d, m)
+       |ORDER BY doc_id""".stripMargin
+  }
   private val shinglesSql =
     """CASE WHEN len(toks) >= 3
       | THEN list_transform(range(1, len(toks) - 1),
@@ -2659,6 +2758,11 @@ object SparkEntry {
         |  x -> len(x) > 0)) AS token FROM documents)
         |SELECT token, count(*) AS n FROM t GROUP BY token
         |ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
+    // the full BPE training loop replayed in SQL (see bpeChainCtes)
+    "bpe_train" -> bpeTrainSql,
+    // and the trained merges re-applied per word as a replace chain
+    "bpe_tokenize" -> bpeTokenizeSql,
 
     // directed-containment max over the same inverted index
     "dedup_containment" ->
