@@ -81,11 +81,15 @@ object VectorOps {
 
   /** Exact-equality key over the float array — the reference's `HashKey`
     * reinterprets f32 bits as u32 for bitwise dedup (base.rs:113-117).
-    * Value-equality on the array column is the relational equivalent (the
-    * only divergence is ±0.0/NaN bit-patterns, which the synthetic data
-    * cannot produce); `xxhash64` over a canonical string is used where a
-    * scalar key is needed for joins/windows. */
-  def vecKey(v: Column): Column = xxhash64(v.cast("array<float>").cast("string"))
+    * `xxhash64` over the RAW bit-pattern ints ([[FloatBitsExpr]]), so
+    * the key honours the reference's bitwise contract exactly: distinct
+    * NaN payloads and ±0.0 key differently, and no float-formatting
+    * rendering sits between the value and the hash. */
+  def vecKey(v: Column): Column = {
+    import org.apache.spark.sql.GraftShims
+    xxhash64(GraftShims.column(
+      FloatBitsExpr(GraftShims.expression(v.cast("array<float>")))))
+  }
 
   /** Elementwise mean of a *group* of vectors: Σvᵢ / n, via double-summing
     * aggregate over posexploded elements is expensive; this is the cheap

@@ -227,4 +227,50 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getInt(0))
     assert(nFps.forall(n => n > 0 && n < a.length - 4))
   }
+
+  test("vecKey keys on raw float bits: ±0.0 and NaN payloads stay distinct") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    import graft.functions.{FloatBitsExpr, VectorOps}
+
+    // expression level (Spark's row writers canonicalize NaN on store,
+    // so payload distinction is only observable pre-storage — exactly
+    // where the reference's to_hashkey runs, base.rs:113-117)
+    def bitsOf(fs: Array[Float]): Seq[Int] = {
+      val arr = FloatBitsExpr(Literal(
+        new GenericArrayData(fs.map(x => x: Any)), ArrayType(FloatType)))
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      arr.toIntArray().toSeq
+    }
+    val payloadNaN = java.lang.Float.intBitsToFloat(0x7fc00001)
+    assert(bitsOf(Array(payloadNaN)) != bitsOf(Array(Float.NaN)))
+    assert(bitsOf(Array(0.0f)) == Seq(0))
+    assert(bitsOf(Array(-0.0f)) == Seq(Int.MinValue)) // sign bit only
+    assert(bitsOf(Array(1.5f, -2.25f)) ==
+      Seq(java.lang.Float.floatToRawIntBits(1.5f),
+        java.lang.Float.floatToRawIntBits(-2.25f)))
+
+    // column level: ±0.0 key differently; bit-equal vectors key equal
+    val df = Seq((1L, Array(0.0f)), (2L, Array(-0.0f)), (3L, Array(0.0f)))
+      .toDF("id", "v")
+    val keys = df.select(col("id"), VectorOps.vecKey(col("v")).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keys(1L) == keys(3L))
+    assert(keys(1L) != keys(2L))
+
+    // property: key equality ⟺ bit equality on random vectors
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.tabulate(64)(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val kmap = vecs.toDF("id", "v")
+      .select(col("id"), VectorOps.vecKey(col("v")).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((ia, va) <- vecs; (ib, vb) <- vecs) {
+      val bitEq = va.map(java.lang.Float.floatToRawIntBits).toSeq ==
+        vb.map(java.lang.Float.floatToRawIntBits).toSeq
+      assert((kmap(ia) == kmap(ib)) == bitEq,
+        s"vecKey equality must track bit equality for ($ia, $ib)")
+    }
+  }
 }
