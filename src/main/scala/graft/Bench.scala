@@ -54,7 +54,15 @@ object Bench {
       "\"" + k + "\":{\"build\":" + b + ",\"search\":" + sch + "}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$ph,"ok":$oks,"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$ph,"ok":$oks,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // file artifact next to BASELINE.md: per-query numbers must survive
+    // the round even when a harness tail-parse misses the stdout line
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -1402,6 +1402,22 @@ object SparkEntry {
       est.crossJoin(sh.select(countDistinct(col("s")).as("exact")))
     }),
 
+    // The small-range (linear-counting) branch of the HLL estimate:
+    // ~30 distinct values against m=256 buckets is squarely the regime
+    // where the raw estimator is biased high and hllEstimate must
+    // switch to m·ln(m/empty). ln is libm (1-ulp engine variance), so
+    // the lane gates the estimate QUANTIZED to 10⁻³ next to the exact
+    // count — the raw-branch lane above stays full-precision.
+    "sketch_hll_small" -> ((s, dir) => {
+      val vals = tbl(s, dir, "documents").select((col("doc_id") % 30).as("v"))
+      val est = graft.operators.Sketches.hllEstimate(
+        graft.operators.Sketches.hllRegisters(vals, "v", p = 8), p = 8)
+      est.crossJoin(vals.select(countDistinct(col("v")).as("exact")))
+        .select(col("m"), col("nonempty"),
+          floor(col("estimate") * lit(1000.0d)).cast("long").as("est_q3"),
+          col("exact"))
+    }),
+
     // Count-min heavy-hitter audit: a depth-3 × 2^12 CMS over token
     // occurrences (counter table ≤ 3·4096 rows, shuffle bounded by the
     // sketch, never the corpus), probed for the exact top-20 tokens —
@@ -1691,6 +1707,39 @@ object SparkEntry {
           k = 10, nprobe = model.params.k)
         .count()
       val t2 = System.nanoTime()
+      ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+    }),
+    // BQ twin of the SQ8 split: build = assign + sign-pack (forced),
+    // search = probe-all asymmetric scan.
+    "bq_asym_all" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val t0 = System.nanoTime()
+      val cents = fixedCentroids(emb)
+      val sizes = Array.fill(cents.length)(Long.MaxValue)
+      val bq = graft.index.BQ.compress(IVFFlat.Model(
+        IVFFlat.Params(cents.length), cents, sizes,
+        graft.index.IVFFlat.assign(emb, "vec_id", "embedding", cents)))
+      val model = bq.copy(codes = bq.codes.localCheckpoint(true))
+      val t1 = System.nanoTime()
+      model.searchManyAsym(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = model.params.k)
+        .count()
+      val t2 = System.nanoTime()
+      ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+    }),
+    // Winnow split: build = fingerprint posting-list materialization
+    // (the per-doc gram+winnow pass), search = the df-capped
+    // inverted-index pair join — separates the narrow fingerprint scan
+    // from the join cost the dfCap bounds.
+    "dedup_winnow" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val t0 = System.nanoTime()
+      val ex = Dedup.winnowPostings(docs, "doc_id", "text").persist()
+      ex.count()
+      val t1 = System.nanoTime()
+      Dedup.jaccardPairsOf(Dedup.capPostings(ex, 64), 0.5).count()
+      val t2 = System.nanoTime()
+      ex.unpersist()
       ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
     }),
   )
@@ -2606,6 +2655,33 @@ object SparkEntry {
          |      (x, y) -> x + y) AS estimate,
          |  e.exact
          |FROM agg a, ex2 e""".stripMargin,
+
+    // the small-range branch: raw ≤ 2.5·m switches to linear counting
+    // m·ln(m/empty); ln is libm (1-ulp engine variance) so the lane
+    // compares floor(est·10³) — margin from any quantization boundary
+    // is ~10 orders of magnitude above an ulp
+    "sketch_hll_small" ->
+      """WITH vals AS (SELECT doc_id % 30 AS v FROM documents),
+        |h AS (SELECT CAST(concat('0x', substr(md5(CAST(v AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM vals),
+        |r AS (SELECT CAST(h & 255 AS INT) AS bucket,
+        |  CAST(CASE WHEN (h >> 8) = 0 THEN 53
+        |       ELSE 53 - len(ltrim(bin(h >> 8), '0')) END AS INT) AS rho FROM h),
+        |regs AS (SELECT bucket, max(rho) AS rho FROM r GROUP BY bucket),
+        |agg AS (SELECT CAST(count(*) AS INT) AS nonempty,
+        |  list(power(2.0, 0.0 - CAST(rho AS DOUBLE)) ORDER BY bucket) AS vals
+        |  FROM regs),
+        |ex2 AS (SELECT CAST(count(DISTINCT v) AS BIGINT) AS exact FROM vals),
+        |est AS (SELECT a.nonempty,
+        |  (0.7213 / (1 + 1.079 / 256.0)) * 256.0 * 256.0 /
+        |    list_reduce(list_prepend(CAST(256 - a.nonempty AS DOUBLE), a.vals),
+        |      (x, y) -> x + y) AS raw
+        |  FROM agg a)
+        |SELECT 256 AS m, e.nonempty,
+        |  CAST(floor((CASE WHEN e.nonempty < 256 AND e.raw <= 640.0
+        |    THEN 256.0 * ln(256.0 / CAST(256 - e.nonempty AS DOUBLE))
+        |    ELSE e.raw END) * 1000.0) AS BIGINT) AS est_q3,
+        |  x.exact
+        |FROM est e, ex2 x""".stripMargin,
 
     // CMS counters replicated in SQL: depth-3 salted md5 columns,
     // GROUP BY (row, col) counts, probe = least over the 3 counters

@@ -41,7 +41,13 @@ object BqMath {
   }
 
   /** Popcount(xor) over two packed sign bitmaps (INT; shorter-prefix
-    * rule on a byte length mismatch, same as every fused kernel). */
+    * rule on a byte length mismatch, same as every fused kernel).
+    * CAVEAT: the prefix rule means a dimension-mismatch bug (e.g. a
+    * rotated 128-pad query against 64-dim codes) yields a plausible
+    * PARTIAL score, not an error — which is why the index-level entry
+    * points ([[graft.index.BQ.Model]] probeFrame) require equal dims
+    * before any kernel runs; both operands are framework-produced with
+    * equal lengths inside this repo. */
   def hammingDist(a: Column, b: Column): Column = {
     import org.apache.spark.sql.GraftShims
     GraftShims.column(HammingDistExpr(
@@ -49,7 +55,9 @@ object BqMath {
   }
 
   /** Σ qᵢ · (bitᵢ ? +1 : −1) in double, 0.0-seeded left-to-right —
-    * the asymmetric BQ score (bigger = more aligned). */
+    * the asymmetric BQ score (bigger = more aligned). n = min(|q|,
+    * 8·|codes|): the same silent-truncation caveat as [[hammingDist]],
+    * guarded at the index entry points. */
   def asymDot(codes: Column, q: Column): Column = {
     import org.apache.spark.sql.GraftShims
     GraftShims.column(BqAsymDotExpr(

@@ -101,24 +101,31 @@ object BQ {
     def probeSet(query: Array[Float], k: Int, minProbe: Int = 1): Seq[Int] =
       IVFFlat.probeOrder(centroids, clusterSizes, query, k, minProbe)
 
+    /** Residual codes live in PER-CELL coding frames: their Hamming
+      * distances are not comparable across cells (only the asymmetric
+      * path carries the cross-cell scale, rnorm), so the symmetric
+      * entry points refuse residual models rather than return a
+      * plausible-looking global ranking of incomparable scores. */
+    private def requireSymmetricComparable(): Unit =
+      require(!residual,
+        "BQ symmetric search on a residual model compares Hamming scores " +
+          "across per-cell coding frames — use searchManyAsym (rnorm-scaled, " +
+          "cross-cell-comparable) or compress without residual")
+
     /** Single-query symmetric search: partition-pruned scan of probed
-      * cells → XOR+popcount vs the sign-packed query literal (per-cell
-      * literals when residual) → TakeOrderedAndProject. */
+      * cells → XOR+popcount vs the sign-packed query literal →
+      * TakeOrderedAndProject. Refuses residual models (see
+      * [[requireSymmetricComparable]]). */
     def search(query: Array[Float], k: Int, minProbe: Int = 1): DataFrame = {
+      requireSymmetricComparable()
       val probed = probeSet(query, k, minProbe)
-      val scans = probed.map { c =>
-        val qBits =
-          if (residual)
-            BqMath.packBitsD(codeFrame(residualOf(query, centroids(c))))
-          else if (rotated)
-            BqMath.packBitsD(codeFrame(query.map(_.toDouble)))
-          else BqMath.packBits(query)
-        codes.filter(col("cluster") === c)
-          .select(col("id"),
-            BqMath.hammingDist(col("codes"), lit(qBits))
-              .cast("double").as("distance"))
-      }
-      scans.reduce(_ unionByName _)
+      val qBits =
+        if (rotated) BqMath.packBitsD(codeFrame(query.map(_.toDouble)))
+        else BqMath.packBits(query)
+      codes.filter(col("cluster").isin(probed: _*))
+        .select(col("id"),
+          BqMath.hammingDist(col("codes"), lit(qBits))
+            .cast("double").as("distance"))
         .orderBy(col("distance"), col("id")).limit(k)
     }
 
@@ -139,6 +146,11 @@ object BQ {
         .as[(Long, Array[Float])]
         .flatMap { case (qid, qvec) =>
           val (cents, sizes, res, rot) = bc.value
+          // dim guard: BqMath's kernels score the shorter prefix on a
+          // byte-length mismatch (documented there) — fail loudly here
+          // instead of returning a plausible partial score
+          require(qvec.length == cents(0).length,
+            s"BQ query dim ${qvec.length} != index dim ${cents(0).length}")
           IVFFlat.probeOrder(cents, sizes, qvec, k, nprobe).map { c =>
             if (res) {
               // qc2 = ‖q−c‖² BEFORE rotation (the pinned side of the
@@ -173,9 +185,11 @@ object BQ {
 
     /** Symmetric batch search: the query is sign-quantized in the scan
       * projection and distance is XOR+popcount over packed bytes —
-      * (qid, id, distance) with distance = Hamming as double. */
+      * (qid, id, distance) with distance = Hamming as double. Refuses
+      * residual models (see [[requireSymmetricComparable]]). */
     def searchMany(queries: DataFrame, qIdCol: String, qVecCol: String,
                    k: Int, nprobe: Int = 2): DataFrame = {
+      requireSymmetricComparable()
       val probes = probeFrame(queries, qIdCol, qVecCol, k, nprobe)
       topKPerQuery(
         codes.join(broadcast(probes), Seq("cluster"))

@@ -257,18 +257,24 @@ object Dedup {
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
                   threshold: Double = 0.5, k: Int = 5, w: Int = 4,
                   dfCap: Int = 64): DataFrame = {
-    // two projections: grams materialize once per row, the winnow
-    // lambda slices the stored array (see TextOps.winnowOfGrams)
-    val ex = docs.select(col(idCol).cast("long").as("id"),
-        TextOps.charGramHashes(col(textCol), k).as("h"))
-      .select(col("id"),
-        explode(TextOps.winnowOfGrams(col("h"), w)).as("sh"))
-      .persist()
+    val ex = winnowPostings(docs, idCol, textCol, k, w).persist()
     val out = jaccardPairsOf(capPostings(ex, dfCap), threshold)
       .localCheckpoint(true)
     ex.unpersist()
     out
   }
+
+  /** The winnow fingerprint posting list (id, sh) — [[winnowPairs]]'s
+    * first phase, exposed so the bench can time fingerprinting and the
+    * pair join separately. Two projections: grams materialize once per
+    * row, the winnow lambda slices the stored array (see
+    * TextOps.winnowOfGrams). */
+  def winnowPostings(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 5, w: Int = 4): DataFrame =
+    docs.select(col(idCol).cast("long").as("id"),
+        TextOps.charGramHashes(col(textCol), k).as("h"))
+      .select(col("id"),
+        explode(TextOps.winnowOfGrams(col("h"), w)).as("sh"))
 
   /** Distinct word-3-shingle posting list (id, sh) per doc. */
   private def shinglePostings(docs: DataFrame, idCol: String,
@@ -287,7 +293,7 @@ object Dedup {
 
   /** hot-shingle blacklist: at most (total postings / cap) entries, so
     * it broadcasts; the anti-join never shuffles the posting lists */
-  private def capPostings(ex: DataFrame, dfCap: Int): DataFrame =
+  private[graft] def capPostings(ex: DataFrame, dfCap: Int): DataFrame =
     if (dfCap > 0) {
       val hot = ex.groupBy("sh").agg(count(lit(1)).as("df"))
         .filter(col("df") > dfCap).select("sh")

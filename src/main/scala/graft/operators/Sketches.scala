@@ -63,24 +63,36 @@ object Sketches {
       .groupBy("bucket").agg(max("rho").as("rho"))
   }
 
-  /** Raw HLL estimate α_m·m²/Σ2^{−M_j} from a register table (empty
-    * buckets contribute 2^0). The Σ is a SORTED-by-bucket left fold
-    * seeded with the empty-bucket count — every addend is a power of
-    * two, every rounding decision identical in any IEEE engine, so the
-    * estimate itself is oracle-gateable. One row:
-    * (m, nonempty, estimate). */
+  /** HLL estimate from a register table, with the standard small-range
+    * correction: the raw estimator α_m·m²/Σ2^{−M_j} (empty buckets
+    * contribute 2^0) is biased high below ~2.5·m (an empty input reads
+    * ~0.72·m), so when raw ≤ 2.5·m and empty buckets exist the estimate
+    * switches to linear counting m·ln(m/empty) (Flajolet et al. 2007
+    * §4) — an empty register table then estimates exactly 0. The raw Σ
+    * is a SORTED-by-bucket left fold seeded with the empty-bucket count
+    * — every addend is a power of two, every rounding decision
+    * identical in any IEEE engine, so the raw branch is oracle-gateable
+    * at full double precision; the ln in the corrected branch is libm
+    * (1-ulp engine variance possible), so oracle lanes gate it
+    * QUANTIZED (see sketch_hll_small). One row: (m, nonempty,
+    * estimate). */
   def hllEstimate(registers: DataFrame, p: Int): DataFrame = {
     val m = 1 << p
     val alpha = 0.7213 / (1.0 + 1.079 / m)
+    def raw =
+      lit(alpha) * lit(m.toDouble) * lit(m.toDouble) /
+        aggregate(col("regs"),
+          (lit(m) - col("nonempty")).cast("double"),
+          (acc, r) => acc + pow(lit(2.0d), -r.getField("rho").cast("double")))
     registers
       .agg(count(lit(1)).cast("int").as("nonempty"),
         sort_array(collect_list(struct(col("bucket"), col("rho"))))
           .as("regs"))
       .select(lit(m).as("m"), col("nonempty"),
-        (lit(alpha) * lit(m.toDouble) * lit(m.toDouble) /
-          aggregate(col("regs"),
-            (lit(m) - col("nonempty")).cast("double"),
-            (acc, r) => acc + pow(lit(2.0d), -r.getField("rho").cast("double"))))
+        when(col("nonempty") < m && raw <= lit(2.5 * m),
+          lit(m.toDouble) * log(lit(m.toDouble) /
+            (lit(m) - col("nonempty")).cast("double")))
+          .otherwise(raw)
           .as("estimate"))
   }
 

@@ -127,6 +127,20 @@ class BQSpec extends SparkSpec {
       s"mean recall ${recalls.sum / recalls.size}")
   }
 
+  test("symmetric search refuses residual models (per-cell frames)") {
+    val bqr = BQ.compressResidual(ivf)
+    val q = emb.filter($"vec_id" === 4)
+    intercept[IllegalArgumentException] {
+      bqr.searchMany(q, "vec_id", "embedding", k = 5)
+    }
+    intercept[IllegalArgumentException] {
+      bqr.search(new Array[Float](64), k = 5)
+    }
+    // the asymmetric path (rnorm-scaled, cross-cell-comparable) accepts
+    assert(bqr.searchManyAsym(q, "vec_id", "embedding", k = 5,
+      nprobe = bqr.params.k).count() == 5)
+  }
+
   test("residual codes: probe-all asym matches the driver-computed score") {
     val bqr = BQ.compressResidual(ivf)
     val q = emb.filter($"vec_id" === 4)

@@ -107,4 +107,28 @@ class SketchesSpec extends SparkSpec {
     assert(shuffles.isEmpty,
       s"probe plan shuffles:\n${df.queryExecution.executedPlan.toString.take(800)}")
   }
+
+  test("hllEstimate switches to linear counting below 2.5m") {
+    import spark.implicits._
+    val p = 8; val m = 1 << p
+    // 30 distinct values « 2.5·m = 640: raw HLL is biased high here,
+    // linear counting is within a few percent
+    val small = spark.range(30).select(col("id").cast("string").as("v"))
+    val est = Sketches.hllEstimate(Sketches.hllRegisters(small, "v", p), p)
+      .head()
+    val nonempty = est.getInt(1)
+    val expected = m * math.log(m.toDouble / (m - nonempty))
+    assert(math.abs(est.getDouble(2) - expected) < 1e-9)
+    assert(math.abs(est.getDouble(2) - 30.0) / 30.0 < 0.15)
+    // empty input → estimate exactly 0 (ln(m/m)), not 0.72·m
+    val empty = spark.emptyDataset[String].toDF("v")
+    val e0 = Sketches.hllEstimate(Sketches.hllRegisters(empty, "v", p), p)
+      .head()
+    assert(e0.getInt(1) == 0 && e0.getDouble(2) == 0.0)
+    // far above the threshold the raw estimator is untouched
+    val big = spark.range(100000).select(col("id").cast("string").as("v"))
+    val eb = Sketches.hllEstimate(Sketches.hllRegisters(big, "v", p), p)
+      .head()
+    assert(math.abs(eb.getDouble(2) - 100000.0) / 100000.0 < 0.2)
+  }
 }
