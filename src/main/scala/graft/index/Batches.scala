@@ -1,0 +1,42 @@
+package graft.index
+
+import org.apache.spark.sql.Dataset
+
+/** The driver-collect serving budget — enforcement for the documented
+  * "queries/adds are the SMALL side" contract of the batch entry points
+  * that collect + broadcast their batch (HNSW.searchMany/add,
+  * PQ/IVFPQ.searchMany). Those paths are O(batch × dim × 4 B) on the
+  * driver and every executor; a corpus-sized "batch" silently becomes a
+  * driver OOM hours into a job. This turns the contract into a fast,
+  * actionable failure at submit time instead.
+  *
+  * The budget is rows, configurable per session via
+  * `graft.serving.maxBatch` (default 2²⁰ ≈ 1M rows ≈ 0.5 GB at 128f).
+  * The check costs nothing extra: the collect is capped at budget+1
+  * rows, so an oversized batch never materializes driver-side at all.
+  */
+private[graft] object Batches {
+
+  val MaxBatchKey = "graft.serving.maxBatch"
+  val DefaultMaxBatch: Int = 1 << 20
+
+  def maxBatch(ds: Dataset[_]): Int =
+    ds.sparkSession.conf.getOption(MaxBatchKey).map(_.toInt)
+      .getOrElse(DefaultMaxBatch)
+
+  /** Collect a serving batch under the budget; refuse (with the
+    * distributed alternative named) when it exceeds it. */
+  def bounded[T](ds: Dataset[T], what: String): Array[T] = {
+    val max = maxBatch(ds)
+    val rows = ds.limit(max + 1).collect()
+    require(rows.length <= max,
+      s"$what batch exceeds the driver-collect serving budget ($max rows, " +
+        s"conf $MaxBatchKey): this entry point collects and broadcasts the " +
+        "batch (O(batch × dim) driver+executor memory) — the serving " +
+        "contract is that the batch is the SMALL side. For corpus-sized " +
+        "workloads use the distributed path instead: " +
+        "Dedup.embeddingPairsViaLSH for join-all-against-all similarity, " +
+        "HNSW.build / the index build APIs for bulk ingest.")
+    rows
+  }
+}

@@ -74,7 +74,10 @@ object HNSW {
       * removed id resurfaces it (point-in-time semantics, matching the
       * other four index types' anti-join removes). */
     def remove(ids: DataFrame, idCol: String): Model = {
-      val del = ids.select(col(idCol).cast("long")).collect().map(_.getLong(0))
+      val spark = ids.sparkSession
+      import spark.implicits._
+      val del = Batches.bounded(
+        ids.select(col(idCol).cast("long")).as[Long], "HNSW.remove takedown")
       copy(removed = removed ++ del)
     }
 
@@ -128,10 +131,10 @@ object HNSW {
                    k: Int, probeShards: Int = 0): DataFrame = {
       val spark = queries.sparkSession
       import spark.implicits._
-      val qRows = queries
+      val qRows = Batches.bounded(queries
         .select(col(qIdCol).cast("long"),
           normalizeF(col(qVecCol).cast("array<float>")))
-        .as[(Long, Array[Float])].collect()
+        .as[(Long, Array[Float])], "HNSW.searchMany query")
       // qid → probed shard set, None = probe all (no routers, or the
       // caller asked for full fan-out). Router order by sqdist of the
       // normalized query ≡ cosine order on the unit sphere. probeShards
@@ -221,10 +224,10 @@ object HNSW {
           }
         case None => (id, _) => math.floorMod(id, P.toLong).toInt
       }
-      val newRows = rows
+      val newRows = Batches.bounded(rows
         .select(col(idCol).cast("long"),
           normalizeF(col(vecCol).cast("array<float>")))
-        .as[(Long, Array[Float])].collect()
+        .as[(Long, Array[Float])], "HNSW.add ingest")
         .groupBy { case (id, v) => shardOf(id, v) }
       val bcNew = spark.sparkContext.broadcast(newRows)
       val updated = shards.map { s =>

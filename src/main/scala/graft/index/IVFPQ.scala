@@ -63,10 +63,10 @@ object IVFPQ {
       import spark.implicits._
       val m = pqParams.m
       val res = residual
-      val qRows = queries
+      val qRows = Batches.bounded(queries
         .select(col(qIdCol).cast("long"),
                 col(qVecCol).cast("array<float>"))
-        .as[(Long, Array[Float])].collect()
+        .as[(Long, Array[Float])], "IVFPQ.searchMany query")
       if (qRows.isEmpty)
         return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "id", "distance")
       val bcState = spark.sparkContext.broadcast((coarse, codebooks))

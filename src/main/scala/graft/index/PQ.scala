@@ -69,9 +69,9 @@ object PQ {
       val spark = queries.sparkSession
       import spark.implicits._
       val m = params.m
-      val qRows = queries
+      val qRows = Batches.bounded(queries
         .select(col(qIdCol).cast("long"), vecProj(qVecCol, rotated))
-        .as[(Long, Array[Float])].collect()
+        .as[(Long, Array[Float])], "PQ.searchMany query")
       if (qRows.isEmpty)
         return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "id", "distance")
       val bcCb = spark.sparkContext.broadcast(codebooks)
