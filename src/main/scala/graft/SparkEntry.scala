@@ -1570,6 +1570,33 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // REAL video container metadata (operators/Mp4): a pinned-parameter
+    // MP4 skeleton is generated per row (ISO-BMFF ftyp+moov structure)
+    // and parsed back by the box walker — brand, mvhd duration, tkhd
+    // 16.16 dimensions, stsd codec fourcc. The oracle recomputes the
+    // generator parameters directly, so the lane gates that parse
+    // inverts the public container format exactly. (The decode kernel
+    // stays stubbed — the JDK ships no video codec — but the metadata
+    // path is real; see Multimodal.videoMeta for crawl-shaped use.)
+    "multimodal_video_meta" -> ((s, dir) => {
+      import s.implicits._
+      tbl(s, dir, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = (16L * (id % 8 + 1)).toInt
+          val h = (16L * (id % 5 + 1)).toInt
+          val dur = 1000L + id * 37L
+          val codecs = Array("avc1", "hvc1", "vp09", "av01")
+          val codec = codecs((id % 4).toInt)
+          val bytes = graft.operators.Mp4.buildMinimal(1000, dur, w, h, codec)
+          val m = graft.operators.Mp4.parse(bytes).get
+          (id, m.container, m.durationMs, m.width, m.height, m.codec, m.nTracks)
+        }
+        .toDF("doc_id", "container", "duration_ms", "width", "height",
+          "codec", "n_tracks")
+        .orderBy(col("doc_id"))
+    }),
+
     // Tumbling 5-min event-time aggregation — the batch face of the
     // streaming.Streaming.windowCounts transformation (ns-long ts →
     // timestamp via µs truncation, idiomatic window()).
@@ -2903,6 +2930,18 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS digest
         |FROM documents ORDER BY id""".stripMargin,
+
+    // ground truth = the generator parameters: the Spark side must
+    // build the ISO-BMFF bytes from them and parse them back exactly
+    "multimodal_video_meta" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, 'isom' AS container,
+        |  1000 + doc_id * 37 AS duration_ms,
+        |  CAST(16 * (doc_id % 8 + 1) AS INT) AS width,
+        |  CAST(16 * (doc_id % 5 + 1) AS INT) AS height,
+        |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'avc1' WHEN 1 THEN 'hvc1'
+        |       WHEN 2 THEN 'vp09' ELSE 'av01' END AS codec,
+        |  1 AS n_tracks
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
 
     "events_window" ->
       """SELECT ((epoch_ns(ts) // 1000) // 300000000) * 300 AS w_start,

@@ -182,6 +182,29 @@ object Multimodal {
     }
   }
 
+  /** Container metadata for video rows — REAL ISO-BMFF box parsing
+    * ([[Mp4.parse]]: ftyp brand, mvhd duration, tkhd dimensions, stsd
+    * codec fourcc; no decoder involved). One narrow map; unparseable
+    * bytes surface as parsed=false sentinel rows, never errors — at
+    * crawl scale a corrupt container is data, not an exception. */
+  def videoMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("media_type") === "video")
+      .select(col("id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, c) =>
+        Mp4.parse(c) match {
+          case Some(m) =>
+            (id, true, m.container, m.durationMs, m.width, m.height,
+              m.codec, m.nTracks)
+          case None => (id, false, "", -1L, -1, -1, "", 0)
+        }
+      }
+      .toDF("id", "parsed", "container", "duration_ms", "width", "height",
+        "codec", "n_tracks")
+  }
+
   /** Frame sampling for video rows: emits `n` (frame_idx, byte-offset
     * slice) rows per video via posexplode — real distributed fan-out
     * plumbing; the slice bounds are what a real demuxer would seek. */

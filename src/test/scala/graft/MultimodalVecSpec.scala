@@ -157,4 +157,38 @@ class MultimodalVecSpec extends SparkSpec {
     val q = hold(0).getAs[scala.collection.Seq[Float]](1)
     assert(math.abs(q(1) - 0.6f) < 1e-6 && math.abs(q(2) - 0.8f) < 1e-6)
   }
+
+  test("MP4 metadata: parse inverts buildMinimal; garbage parses to None") {
+    import graft.operators.Mp4
+    val bytes = Mp4.buildMinimal(timescale = 600, duration = 3000L,
+      w = 1920, h = 1080, codec = "hvc1")
+    val m = Mp4.parse(bytes).get
+    assert(m.container == "isom" && m.timescale == 600)
+    assert(m.durationMs == 5000L) // 3000 ticks at 600/s
+    assert(m.width == 1920 && m.height == 1080)
+    assert(m.codec == "hvc1" && m.nTracks == 1)
+    // not a container / truncated container → None, never a throw
+    assert(Mp4.parse("not an mp4 at all".getBytes).isEmpty)
+    assert(Mp4.parse(Array.emptyByteArray).isEmpty)
+    assert(Mp4.parse(bytes.take(40)).isEmpty)
+    val corrupt = bytes.clone(); corrupt(0) = 0x7f // absurd top box size
+    assert(Mp4.parse(corrupt).isEmpty)
+  }
+
+  test("videoMeta: real parse for containers, sentinel row for garbage") {
+    import spark.implicits._
+    val good = graft.operators.Mp4.buildMinimal(1000, 2000L, 640, 480, "avc1")
+    val media = Seq(
+      (1L, good, "video"),
+      (2L, "junk".getBytes, "video"),
+      (3L, good, "image")) // non-video rows are filtered out
+      .toDF("id", "content", "media_type")
+    val rows = graft.operators.Multimodal.videoMeta(media)
+      .orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getBoolean(1) && rows(0).getLong(3) == 2000L &&
+      rows(0).getInt(4) == 640 && rows(0).getInt(5) == 480 &&
+      rows(0).getString(6) == "avc1")
+    assert(!rows(1).getBoolean(1) && rows(1).getLong(3) == -1L)
+  }
 }
