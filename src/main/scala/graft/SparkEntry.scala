@@ -1570,6 +1570,34 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // The .vec source under the driver oracle (sources/VecFile —
+    // utils.rs:7-66 semantics): a pinned integer-formula fixture is
+    // written as a real .vec text file inside the query, loaded with a
+    // holdout word, and the corpus re-emitted per element. Gates header
+    // skip, whitespace parse, L2 normalization (the hnswExactKnnSql
+    // REAL-round-trip pattern), holdout diversion, and dense file-order
+    // ids — the oracle recomputes everything from the same formula.
+    "vec_file_load" -> ((s, dir) => {
+      val n = 20; val dim = 8
+      val tmp = java.nio.file.Files.createTempDirectory("vecfile")
+      val f = tmp.resolve("fixture.vec")
+      val sb = new StringBuilder(s"$n $dim\n")
+      for (i <- 0 until n) {
+        sb.append(s"w$i")
+        for (j <- 0 until dim) sb.append(" " + ((i * 7 + j * 3) % 11 - 5))
+        sb.append("\n")
+      }
+      java.nio.file.Files.writeString(f, sb.toString)
+      val loaded = graft.sources.VecFile.read(s, f.toString,
+        holdoutWord = Some("w3"))
+      loaded.corpus
+        .select(col("id"), col("word"),
+          posexplode(col("vector")).as(Seq("dim", "val")))
+        .select(col("id"), col("word"), col("dim").cast("int").as("dim"),
+          col("val").cast("double").as("val"))
+        .orderBy(col("id"), col("dim"))
+    }),
+
     // REAL video container metadata (operators/Mp4): a pinned-parameter
     // MP4 skeleton is generated per row (ISO-BMFF ftyp+moov structure)
     // and parsed back by the box walker — brand, mvhd duration, tkhd
@@ -2930,6 +2958,24 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS digest
         |FROM documents ORDER BY id""".stripMargin,
+
+    // ground truth = the fixture formula: raw(i,j) = (7i+3j) mod 11 − 5,
+    // L2-normalized with the REAL round-trip (normalizeF replica),
+    // holdout row i=3 diverted, ids re-ranked dense
+    "vec_file_load" ->
+      """WITH rows_ AS (SELECT i, list_transform(range(0, 8),
+        |    j -> CAST(((i * 7 + j * 3) % 11) - 5 AS DOUBLE)) AS raw
+        |  FROM (SELECT unnest(range(0, 20)) AS i)),
+        |n AS (SELECT i, list_transform(raw, x ->
+        |    CAST(CAST(x / sqrt(list_reduce(list_transform(raw, y -> y * y),
+        |      (a, b) -> a + b)) AS REAL) AS DOUBLE)) AS v
+        |  FROM rows_),
+        |kept AS (SELECT CAST(CASE WHEN i < 3 THEN i ELSE i - 1 END AS BIGINT) AS id,
+        |    'w' || CAST(i AS VARCHAR) AS word, v
+        |  FROM n WHERE i <> 3)
+        |SELECT id, word, CAST(u.j AS INT) AS dim, v[u.j + 1] AS val
+        |FROM kept, (SELECT unnest(range(0, 8)) AS j) u
+        |ORDER BY id, dim""".stripMargin,
 
     // ground truth = the generator parameters: the Spark side must
     // build the ISO-BMFF bytes from them and parse them back exactly
