@@ -25,8 +25,23 @@ object VecFile {
   case class Loaded(corpus: DataFrame /* id, word, vector */,
                     holdout: DataFrame /* word, vector */)
 
+  /** Rows above this refuse the single-partition dense-rank window —
+    * the reference-parity path is for embedding files that fit one
+    * task; larger corpora should land in parquet once (see scale note
+    * above). Override via `graft.vecfile.maxRows`. */
+  val MaxRowsKey = "graft.vecfile.maxRows"
+  val DefaultMaxRows: Long = 10000000L
+
   def read(spark: SparkSession, path: String,
            holdoutWord: Option[String] = None): Loaded = {
+    val maxRows = spark.conf.getOption(MaxRowsKey).map(_.toLong)
+      .getOrElse(DefaultMaxRows)
+    val nLines = spark.read.text(path).count()
+    require(nLines <= maxRows,
+      s".vec file has $nLines lines > $MaxRowsKey=$maxRows: the dense-id " +
+        "ranking is a single-partition window (reference-parity only, " +
+        "utils.rs:44-47) — convert the file to parquet with pre-assigned " +
+        "ids for corpora beyond one task's memory")
     val lines = spark.read.text(path)
       .withColumn("_file_order", monotonically_increasing_id())
     val parsed = lines

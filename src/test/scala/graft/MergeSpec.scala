@@ -40,6 +40,28 @@ class MergeSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("merge keeps the corpus narrow: no exchange in the merged frame") {
+    // different grid forces the re-assign branch; assign is a narrow
+    // broadcast-argmin map, so the merged frame is union(scan, map(scan))
+    // — any ShuffleExchange means the corpus started moving at merge
+    val otherCents = cents.map(_.map(v => v + 0.5f))
+    val a = ivfHalf(col("vec_id") % 2 === 0)
+    val b = IVFFlat.Model(IVFFlat.Params(otherCents.length), otherCents,
+      new Array[Long](otherCents.length),
+      IVFFlat.assign(emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", otherCents))
+    val m = a.merge(b)
+    m.indexed.collect()
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+    : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: p.children.flatMap(flatten)
+    val shuffles = flatten(m.indexed.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty,
+      s"merged corpus frame shuffles:\n${m.indexed.queryExecution.executedPlan.toString.take(600)}")
+  }
+
   test("merge size saturation keeps forced-probe configs intact") {
     assert(graft.index.MergeOps.satAdd(
       Array(Long.MaxValue, 3L), Array(Long.MaxValue, 4L)).toSeq ==

@@ -158,6 +158,22 @@ class MultimodalVecSpec extends SparkSpec {
     assert(math.abs(q(1) - 0.6f) < 1e-6 && math.abs(q(2) - 0.8f) < 1e-6)
   }
 
+  test(".vec source refuses corpus-sized files (single-partition rank guard)") {
+    val dir = java.nio.file.Files.createTempDirectory("vecguard")
+    val f = dir.resolve("big.vec")
+    java.nio.file.Files.writeString(f,
+      "4 2\na 1 0\nb 0 1\nc 1 1\nd 2 1\n")
+    spark.conf.set(graft.sources.VecFile.MaxRowsKey, "3")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        VecFile.read(spark, f.toString)
+      }
+      assert(e.getMessage.contains("single-partition window"))
+    } finally spark.conf.unset(graft.sources.VecFile.MaxRowsKey)
+    // under the budget it loads fine
+    assert(VecFile.read(spark, f.toString).corpus.count() == 4)
+  }
+
   test("MP4 metadata: parse inverts buildMinimal; garbage parses to None") {
     import graft.operators.Mp4
     val bytes = Mp4.buildMinimal(timescale = 600, duration = 3000L,
