@@ -1001,6 +1001,23 @@ object SparkEntry {
         .orderBy(col("qid"), col("distance"), col("id"))
     }),
 
+    // Model.merge driver gate for the forest: the surviving forest's
+    // planes re-route the incoming half (the add() descent), so two
+    // degenerate-exact half-forests merge into the exhaustive search
+    // over the whole corpus — the knn oracle gates merge hash-for-hash.
+    "lsh_merge_exact" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val p = LSHForest.Params(numTrees = 1, maxNodeSize = Int.MaxValue,
+        dedupExact = false)
+      val a = LSHForest.build(
+        emb.filter(col("vec_id") % 7 =!= 0), "vec_id", "embedding", p)
+      val b = LSHForest.build(
+        emb.filter(col("vec_id") % 7 === 0), "vec_id", "embedding", p)
+      a.merge(b)
+        .searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
     // Sharded HNSW top-10 under cosine distance for 5 queries. No SQL
     // oracle (graph search isn't SQL-expressible) → driver rows-only
     // check; recall vs the exhaustive oracle is gated in HNSWSpec.
@@ -3288,6 +3305,9 @@ object SparkEntry {
 
     // degenerate forest + add stays exhaustive (root-leaf descent)
     "lsh_add_exact" -> exhaustiveKnnSql,
+    // merge routes the incoming half through the surviving planes (the
+    // add descent), so the merged degenerate forest stays exhaustive
+    "lsh_merge_exact" -> exhaustiveKnnSql,
 
     // degenerate-config HNSW search IS exhaustive cosine over the
     // normalized vectors (HNSWSpec gates the equivalence); the same

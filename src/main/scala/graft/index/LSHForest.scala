@@ -278,6 +278,18 @@ object LSHForest {
       if (overflowed) updated.rebuildLeaves() else updated
     }
 
+    /** Merge another forest into this one — cross-job compaction (see
+      * [[MergeOps]]): the surviving forest's planes re-route the
+      * incoming rows through the [[add]] descent (a narrow broadcast
+      * map), so merge(a, b) ≡ a.add(b's rows). The argument's own tree
+      * structure is necessarily discarded — split planes are
+      * data-dependent, two forests' trees cannot union — exactly the
+      * IVFFlat different-grid re-assign semantics. Leaf-overflow
+      * compaction fires on add's usual watermark. Disjoint-id
+      * contract. */
+    def merge(other: Model): Model =
+      add(other.indexed.select(col("id"), col("vector")), "id", "vector")
+
     /** Takedown twin of [[IVFFlat.Model.remove]]: anti-join on id, the
       * corpus never shuffles. The driver-held leafSizes skeleton keeps
       * its pre-removal counts — overcounts are safe in both uses

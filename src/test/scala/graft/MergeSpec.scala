@@ -109,6 +109,23 @@ class MergeSpec extends SparkSpec {
     }
   }
 
+  test("LSHForest merge routes the incoming half through surviving planes") {
+    import graft.index.LSHForest
+    val p = LSHForest.Params(numTrees = 4, maxNodeSize = 64)
+    val a = LSHForest.build(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", p)
+    val b = LSHForest.build(emb.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", p)
+    val m = a.merge(b)
+    assert(m.indexed.count() == emb.count())
+    // a query drawn from the INCOMING half finds itself at distance 0
+    val qv = emb.filter(col("vec_id") === 7)
+      .select(col("embedding").cast("array<float>")).head()
+      .getAs[scala.collection.Seq[Float]](0).toArray
+    val hit = m.search(qv, k = 1).head()
+    assert(hit.getLong(0) == 7L && hit.getDouble(1) == 0.0)
+  }
+
   test("HNSW merge guards refuse differing graph params") {
     val pa = HNSWGraph.Params(numLayers = 4, efConstruction = 32,
       efSearch = 32, m = 8)
