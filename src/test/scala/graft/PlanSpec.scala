@@ -69,6 +69,24 @@ class PlanSpec extends SparkSpec {
     case _ => p +: p.children.flatMap(flatten)
   }
 
+  test("BPE word counts: the corpus crosses exactly one exchange") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val df = graft.operators.Bpe.wordCounts(docs, "text", maxWords = 1000)
+    df.collect()
+    val nodes = flatten(df.queryExecution.executedPlan)
+    val shuffles = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    // one word-keyed aggregation exchange (partial agg map-side); the
+    // deterministic cap is TakeOrdered, never a full sort exchange —
+    // this is the ONLY corpus-sized stage of BPE training
+    assert(shuffles == 1, s"expected 1 shuffle, got $shuffles:\n" +
+      df.queryExecution.executedPlan.toString.take(1200))
+    assert(flatten(df.queryExecution.executedPlan).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      "word cap must plan as TakeOrderedAndProject:\n" +
+        df.queryExecution.executedPlan.toString.take(1200))
+  }
+
   test("LSH searchMany: exactly one row shuffle, probe side broadcast") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val model = graft.index.LSHForest.build(emb, "vec_id", "embedding",
