@@ -805,6 +805,31 @@ object SparkEntry {
         .orderBy(col("qid"), col("distance"), col("id"))
     }),
 
+    // The grid-union merge twin (IVFFlat.mergeGridUnion): both trained
+    // grids survive side by side — metadata-only merge, a narrow
+    // renumber over the incoming rows. Probing ALL cells of the
+    // combined grid is exhaustive over the union corpus, so the plain
+    // knn oracle gates the whole renumber+union+search path.
+    "ivf_merge_union_all" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = fixedCentroids(emb)
+      val sizes = Array.fill(cents.length)(Long.MaxValue)
+      val a = IVFFlat.Model(IVFFlat.Params(cents.length), cents, sizes,
+        IVFFlat.assign(emb.filter(col("vec_id") % 7 =!= 0),
+          "vec_id", "embedding", cents))
+      val bCents = emb.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+        .orderBy(col("vec_id")).select(col("embedding").cast("array<float>"))
+        .collect().map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+      val b = IVFFlat.Model(IVFFlat.Params(bCents.length), bCents,
+        Array.fill(bCents.length)(Long.MaxValue),
+        IVFFlat.assign(emb.filter(col("vec_id") % 7 === 0),
+          "vec_id", "embedding", bCents))
+      val m = a.mergeGridUnion(b)
+      m.searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = m.params.k)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
     // Persistence round-trip under the driver oracle — the
     // save→load→search lifecycle every production index performs
     // (base.rs:31-58; utils.rs:140-148 runs it in every reference
@@ -3297,6 +3322,8 @@ object SparkEntry {
     // merge(a,b) under surviving centroids ≡ the single full assignment
     // (the incoming half re-assigns, so the same fixed-search SQL gates)
     "ivf_merge_fixed" -> ivfSearchFixedSql,
+    // grid-union merge probed across ALL combined cells ⇒ exhaustive
+    "ivf_merge_union_all" -> exhaustiveKnnSql,
     // removal = the fixed search over corpus-minus-removed
     "ivf_remove_fixed" -> ivfSearchFixedSqlOver("WHERE c.vec_id % 9 <> 3"),
     // and for the save→load→search lifecycle: a faithful round-trip

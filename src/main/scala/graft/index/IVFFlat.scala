@@ -164,6 +164,33 @@ object IVFFlat {
       }
     }
 
+    /** Grid-union merge — the metadata-only alternative to [[merge]]
+      * when the two models trained DIFFERENT centroid grids: keep both
+      * grids side by side (cells k..k+k₂−1 are the other model's,
+      * renumbered in a narrow map over the incoming rows only), so each
+      * half keeps being served by the grid that was trained FOR it —
+      * no re-assignment pass, no recount job, and no quality loss from
+      * forcing one grid onto the other's data. The price is a wider
+      * probe fan-out: adaptive probing now widens across k₁+k₂ cells,
+      * so per-query cost grows toward 2× at equal halves — the
+      * trade to re-assigning [[merge]] is merge-time work vs
+      * serving-time probes. Params keep the surviving model's training
+      * config; `params.k` tracks the combined cell count. Disjoint-id
+      * contract. */
+    def mergeGridUnion(other: Model): Model = {
+      require(other.centroids(0).length == centroids(0).length,
+        s"mergeGridUnion: dim mismatch (${centroids(0).length} vs ${other.centroids(0).length})")
+      val off = centroids.length
+      val shifted = other.indexed
+        .withColumn("cluster", (col("cluster") + lit(off)).cast("int"))
+      val (df, n) = Lineage.compact(
+        indexed.unionByName(shifted), addsSinceCompact)
+      copy(params = params.copy(k = off + other.centroids.length),
+        centroids = centroids ++ other.centroids,
+        clusterSizes = clusterSizes ++ other.clusterSizes,
+        indexed = df, addsSinceCompact = n)
+    }
+
     /** Warm-start re-clustering — the rebalancing job the add/remove
       * scaladocs defer to: `iterations` Lloyd's steps starting FROM the
       * current centroids over the CURRENT rows (post-add/remove drift),

@@ -62,6 +62,34 @@ class MergeSpec extends SparkSpec {
       s"merged corpus frame shuffles:\n${m.indexed.queryExecution.executedPlan.toString.take(600)}")
   }
 
+  test("grid-union merge keeps both grids and routes adds across them") {
+    val a = ivfHalf(col("vec_id") % 2 === 0)
+    val otherCents = cents.map(_.map(v => v * 0.9f))
+    val bRows = IVFFlat.assign(emb.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", otherCents)
+    val bSizes = new Array[Long](otherCents.length)
+    bRows.groupBy("cluster").count().collect()
+      .foreach(r => bSizes(r.getInt(0)) = r.getLong(1))
+    val b = IVFFlat.Model(IVFFlat.Params(otherCents.length), otherCents,
+      bSizes, bRows)
+    val m = a.mergeGridUnion(b)
+    assert(m.params.k == a.centroids.length + b.centroids.length)
+    assert(m.centroids.length == m.params.k &&
+      m.clusterSizes.toSeq == (a.clusterSizes ++ b.clusterSizes).toSeq)
+    assert(m.indexed.count() == emb.count())
+    // incoming rows keep their own grid's cells, renumbered past A's
+    val bClusters = m.indexed.filter(col("id") % 2 === 1)
+      .select(min(col("cluster"))).head().getInt(0)
+    assert(bClusters >= a.centroids.length)
+    // a query from the incoming half finds itself at distance 0 under
+    // generous probing
+    val qv = emb.filter(col("vec_id") === 7)
+      .select(col("embedding").cast("array<float>")).head()
+      .getAs[scala.collection.Seq[Float]](0).toArray
+    val hit = m.search(qv, k = 1, minProbe = m.params.k).head()
+    assert(hit.getLong(0) == 7L && hit.getDouble(1) == 0.0)
+  }
+
   test("merge size saturation keeps forced-probe configs intact") {
     assert(graft.index.MergeOps.satAdd(
       Array(Long.MaxValue, 3L), Array(Long.MaxValue, 4L)).toSeq ==
