@@ -362,6 +362,55 @@ object Streaming {
       .start()
   }
 
+  /** Accumulator state for [[ingestIntoHNSWSideMerge]]: the serving
+    * model, the pending (not yet searchable) row buffer, and the
+    * batch counter driving the merge cadence. */
+  case class HnswSideMergeState(main: graft.index.HNSW.Model,
+                                pending: Option[DataFrame],
+                                batches: Int)
+
+  /** HNSW ingest via SIDE-BUILD + periodic [[graft.index.HNSW.Model.merge]]
+    * — the compaction-shaped alternative to [[ingestIntoHNSW]]: add()
+    * deserializes + re-serializes every touched shard blob EVERY
+    * microbatch (O(shard) work for O(batch) rows), while this twin only
+    * buffers rows per batch and, every `mergeEvery` batches, builds a
+    * fresh side graph from the buffer (executor-local, sized by
+    * `shardRows`) and merges it in as new shards — a renumber + union,
+    * no existing blob touched (measured 0.93 s at 1M, BASELINE r8).
+    * The trade is freshness: buffered rows are invisible to search
+    * until the cadence fires. Shard count grows by ⌈buffer/shardRows⌉
+    * per cycle; the long-horizon compaction is a periodic full
+    * [[graft.index.HNSW.build]], exactly as rebuildLeaves is for LSH. */
+  def ingestIntoHNSWSideMerge(stream: DataFrame, idCol: String, vecCol: String,
+                              state: java.util.concurrent.atomic.AtomicReference[HnswSideMergeState],
+                              mergeEvery: Int = 8, shardRows: Int = 30000)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(mergeEvery > 0 && shardRows > 0)
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // single-writer foreachBatch: see ingestIntoIVF
+          val s = state.get()
+          val rows = batch.select(col(idCol).cast("long").as("id"),
+            col(vecCol).cast("array<float>").as("vector"))
+          // eager checkpoint: the buffer must not re-read source batches
+          val pend = s.pending.map(_.unionByName(rows)).getOrElse(rows)
+            .localCheckpoint(true)
+          if (s.batches + 1 >= mergeEvery) {
+            val n = pend.count()
+            val shards = math.max(1, math.ceil(n.toDouble / shardRows).toInt)
+            val side = graft.index.HNSW.build(pend, "id", "vector",
+              s.main.params, numShards = shards)
+            state.set(HnswSideMergeState(s.main.merge(side), None, 0))
+          } else {
+            state.set(s.copy(pending = Some(pend), batches = s.batches + 1))
+          }
+        }
+      }
+      .start()
+  }
+
   /** LSH-forest twin of [[ingestIntoIVF]]: each microbatch descends the
     * frozen planes (LSHForest.Model.add); once a leaf crosses the
     * compaction watermark the add itself re-splits it

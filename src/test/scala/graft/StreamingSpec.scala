@@ -130,6 +130,47 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(hit.getAs[Double]("distance")) < 1e-6)
   }
 
+  test("HNSW side-merge ingest: buffered batches land as merged shards") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val base = emb.filter($"vec_id" < 480)
+    val p = SparkEntry.hnswExactParams // exhaustive per shard ⇒ comparable
+    val model = graft.index.HNSW.build(base, "vec_id", "embedding", p,
+      numShards = 1)
+    val state = new java.util.concurrent.atomic.AtomicReference(
+      Streaming.HnswSideMergeState(model, None, 0))
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Streaming.ingestIntoHNSWSideMerge(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", state,
+      mergeEvery = 2, shardRows = 8)
+    val held = emb.filter($"vec_id" >= 480)
+      .select($"vec_id", $"embedding".cast("array<float>"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1) // 20 rows
+    // batch 1 buffers (invisible), batch 2 triggers the side build+merge
+    mem.addData(held.take(10).toSeq)
+    q.processAllAvailable()
+    assert(state.get().batches == 1 && state.get().pending.isDefined)
+    mem.addData(held.drop(10).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val s = state.get()
+    assert(s.batches == 0 && s.pending.isEmpty)
+    // 20 rows / shardRows=8 → 3 side shards joined the model untouched
+    assert(s.main.numShards == 1 + 3)
+    // every ingested row is searchable; exhaustive config ⇒ the merged
+    // search equals the single-build search over the full corpus
+    val hit = s.main.search(held.head._2, k = 1).head()
+    assert(hit.getAs[Long]("id") == held.head._1 &&
+      math.abs(hit.getAs[Double]("distance")) < 1e-6)
+    val whole = graft.index.HNSW.build(emb, "vec_id", "embedding", p,
+      numShards = 1)
+    def res(m: graft.index.HNSW.Model) =
+      m.searchMany(emb.filter($"vec_id" < 3), "vec_id", "embedding", k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.rint(r.getDouble(2) * 1e12))).toSet
+    assert(res(s.main) == res(whole))
+  }
+
   test("streaming ingest patches the LSH forest (Index::add analogue)") {
     implicit val sqlCtx = spark.sqlContext
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
