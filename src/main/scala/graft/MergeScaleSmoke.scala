@@ -151,14 +151,41 @@ object MergeScaleSmoke {
     out += "ivf_rebuilt_recall_at10" -> f"${recallOf(fullRes, truth)}%.3f"
     out += "ivf_rebuilt_batch100_s" -> f"$tFullS%.2f"
 
+    // ---- grid-union merge A/B: both trained grids survive (metadata
+    // + a narrow renumber of the incoming rows) — zero re-assign work,
+    // each half served by the grid trained FOR it; probes fan across
+    // the combined 512 cells (nprobe doubled to keep the candidate
+    // budget per grid comparable).
+    val (gridUnion, tGU) = timed {
+      val m = ivfA.mergeGridUnion(ivfB)
+      m.indexed.cache().count(); m
+    }
+    val (guRes, tGUS) = timed {
+      val df = gridUnion.searchMany(queries, "vec_id", "embedding", k,
+        nprobe = 16).cache()
+      df.count(); df
+    }
+    out += "ivf_gridunion_merge_s" -> f"$tGU%.2f"
+    out += "ivf_gridunion_batch100_s" -> f"$tGUS%.2f"
+    out += "ivf_gridunion_recall_at10" -> f"${recallOf(guRes, truth)}%.3f"
+
     // ---- SQ8 merge: same coarse grid on both sides (the compressed
-    // tiers require it) — the union-only fast path.
+    // tiers require it) — the union-only fast path. Each half carries
+    // its OWN per-cell counts so the merged satAdd sizes are the true
+    // totals (full sizes on both halves would double them and skew
+    // adaptive probe widening).
+    def cellSizes(rows: DataFrame): Array[Long] = {
+      val sz = new Array[Long](full.centroids.length)
+      rows.groupBy("cluster").count().collect()
+        .foreach(r => sz(r.getInt(0)) = r.getLong(1))
+      sz
+    }
+    val rowsA = full.indexed.filter(col("id") % 2 === 0)
+    val rowsB = full.indexed.filter(col("id") % 2 === 1)
     val sq8A = index.SQ8.compress(
-      index.IVFFlat.Model(full.params, full.centroids, full.clusterSizes,
-        full.indexed.filter(col("id") % 2 === 0)))
+      index.IVFFlat.Model(full.params, full.centroids, cellSizes(rowsA), rowsA))
     val sq8B = index.SQ8.compress(
-      index.IVFFlat.Model(full.params, full.centroids, full.clusterSizes,
-        full.indexed.filter(col("id") % 2 === 1)))
+      index.IVFFlat.Model(full.params, full.centroids, cellSizes(rowsB), rowsB))
     val (sq8M, tSq8Merge) = timed {
       val m = sq8A.merge(sq8B)
       m.codes.cache().count(); m

@@ -118,6 +118,8 @@ object BQ {
       * [[requireSymmetricComparable]]). */
     def search(query: Array[Float], k: Int, minProbe: Int = 1): DataFrame = {
       requireSymmetricComparable()
+      require(query.length == centroids(0).length,
+        s"BQ query dim ${query.length} != index dim ${centroids(0).length}")
       val probed = probeSet(query, k, minProbe)
       val qBits =
         if (rotated) BqMath.packBitsD(codeFrame(query.map(_.toDouble)))

@@ -351,9 +351,14 @@ object LSHForest {
   }
 
   /** The sign fold shared by build, driver descent and [[pointIsAbove]]:
-    * Σ coeffsᵢ·vᵢ folded from 0.0, constant added last, ≥ 0. */
+    * Σ coeffsᵢ·vᵢ folded from 0.0, constant added last, ≥ 0. The dim
+    * guard fails loudly on a mismatched vector (merge/add of a
+    * different-dim corpus) instead of silently routing by a coordinate
+    * prefix — the [[graft.index.BQ]] probeFrame guard's forest twin. */
   @inline private[graft] def signBit(coeffs: Array[Double], const: Double,
                                      v: Array[Float]): Boolean = {
+    require(v.length == coeffs.length,
+      s"LSH plane dim ${coeffs.length} != vector dim ${v.length}")
     var s = 0.0; var i = 0
     while (i < coeffs.length) { s += coeffs(i) * v(i); i += 1 }
     s + const >= 0

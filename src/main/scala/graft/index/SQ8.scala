@@ -78,6 +78,8 @@ object SQ8 {
     /** Single-query search: partition-pruned scan of probed cells →
       * fused SQ8 distance → TakeOrderedAndProject. */
     def search(query: Array[Float], k: Int, minProbe: Int = 1): DataFrame = {
+      require(query.length == centroids(0).length,
+        s"SQ8 query dim ${query.length} != index dim ${centroids(0).length}")
       val probed = probeSet(query, k, minProbe)
       codes.filter(col("cluster").isin(probed: _*))
         .select(col("id"),
@@ -101,6 +103,10 @@ object SQ8 {
         .as[(Long, Array[Float])]
         .flatMap { case (qid, qvec) =>
           val (cents, sizes) = bc.value
+          // dim guard: the byte kernels score the shorter prefix on a
+          // mismatch (see BqMath caveat) — fail loudly instead
+          require(qvec.length == cents(0).length,
+            s"SQ8 query dim ${qvec.length} != index dim ${cents(0).length}")
           // probe in the original frame; carry the code-frame query
           // (double-widened — exact — and rotated iff the codes are)
           val qd = new Array[Double](qvec.length)

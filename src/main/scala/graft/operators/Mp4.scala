@@ -69,9 +69,14 @@ object Mp4 {
           t2 match {
             case "mvhd" if e2 - s2 >= 20 =>
               val v = content(s2) & 0xff
-              if (v == 1 && e2 - s2 >= 32) {
-                timescale = be32(content, s2 + 20)
-                duration = be64(content, s2 + 24)
+              if (v == 1) {
+                // a truncated v1 payload must NOT fall through to the
+                // v0 offsets (they'd read the middle of the creation
+                // time as a "timescale" and report garbage as parsed)
+                if (e2 - s2 >= 32) {
+                  timescale = be32(content, s2 + 20)
+                  duration = be64(content, s2 + 24)
+                }
               } else {
                 timescale = be32(content, s2 + 12)
                 duration = be32(content, s2 + 16)

@@ -36,9 +36,12 @@ object VecFile {
            holdoutWord: Option[String] = None): Loaded = {
     val maxRows = spark.conf.getOption(MaxRowsKey).map(_.toLong)
       .getOrElse(DefaultMaxRows)
-    val nLines = spark.read.text(path).count()
-    require(nLines <= maxRows,
-      s".vec file has $nLines lines > $MaxRowsKey=$maxRows: the dense-id " +
+    // capped count (the Batches.bounded trick): the guard must not
+    // itself scan an over-budget file end-to-end; +1 for the header
+    // line, +1 as the over-budget sentinel
+    val nLines = spark.read.text(path).limit((maxRows + 2).toInt).count()
+    require(nLines <= maxRows + 1,
+      s".vec file exceeds $MaxRowsKey=$maxRows vector rows: the dense-id " +
         "ranking is a single-partition window (reference-parity only, " +
         "utils.rs:44-47) — convert the file to parquet with pre-assigned " +
         "ids for corpora beyond one task's memory")

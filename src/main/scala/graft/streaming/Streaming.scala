@@ -386,6 +386,13 @@ object Streaming {
                               mergeEvery: Int = 8, shardRows: Int = 30000)
   : org.apache.spark.sql.streaming.StreamingQuery = {
     require(mergeEvery > 0 && shardRows > 0)
+    // side builds are unrouted, and merge's routed/unrouted fallback
+    // would silently drop a routed main's routers on the first cadence
+    // — refuse up front; routed models ingest via ingestIntoHNSW
+    require(state.get().main.routers.isEmpty,
+      "ingestIntoHNSWSideMerge on a ROUTED model would drop its routers " +
+        "at the first merge (side builds are unrouted) — use " +
+        "ingestIntoHNSW, or rebuild routed on a maintenance cadence")
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -402,7 +409,14 @@ object Streaming {
             val shards = math.max(1, math.ceil(n.toDouble / shardRows).toInt)
             val side = graft.index.HNSW.build(pend, "id", "vector",
               s.main.params, numShards = shards)
-            state.set(HnswSideMergeState(s.main.merge(side), None, 0))
+            val merged = s.main.merge(side)
+            // eager checkpoint per cadence: an uncompacted merge chain
+            // stacks one union node per cycle forever — the exact
+            // per-microbatch lineage blowup HNSW.add checkpoints
+            // against (see its comment and Lineage.scala)
+            state.set(HnswSideMergeState(
+              merged.copy(shards = merged.shards.localCheckpoint(true)),
+              None, 0))
           } else {
             state.set(s.copy(pending = Some(pend), batches = s.batches + 1))
           }

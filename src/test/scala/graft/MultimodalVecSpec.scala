@@ -189,6 +189,16 @@ class MultimodalVecSpec extends SparkSpec {
     assert(Mp4.parse(bytes.take(40)).isEmpty)
     val corrupt = bytes.clone(); corrupt(0) = 0x7f // absurd top box size
     assert(Mp4.parse(corrupt).isEmpty)
+    // truncated VERSION-1 mvhd must parse to None — not fall through to
+    // the v0 offsets and report the middle of a creation time as a
+    // plausible timescale
+    val bos = new java.io.ByteArrayOutputStream
+    val o = new java.io.DataOutputStream(bos)
+    o.writeInt(8 + 8 + 24); o.writeBytes("moov")
+    o.writeInt(8 + 24); o.writeBytes("mvhd")
+    o.writeInt(0x01000000) // version 1, flags 0
+    (0 until 5).foreach(_ => o.writeInt(7)) // 20 junk bytes, payload 24 < 32
+    assert(Mp4.parse(bos.toByteArray).isEmpty)
   }
 
   test("videoMeta: real parse for containers, sentinel row for garbage") {
