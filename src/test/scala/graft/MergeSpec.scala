@@ -90,6 +90,22 @@ class MergeSpec extends SparkSpec {
     assert(hit.getLong(0) == 7L && hit.getDouble(1) == 0.0)
   }
 
+  test("loaded models merge on the fast path: grids round-trip bitwise") {
+    val sizes = Array.fill(cents.length)(Long.MaxValue)
+    def half(cond: org.apache.spark.sql.Column) = SQ8.compress(
+      IVFFlat.Model(IVFFlat.Params(cents.length), cents, sizes,
+        IVFFlat.assign(emb.filter(cond), "vec_id", "embedding", cents)))
+    val dirA = java.nio.file.Files.createTempDirectory("sq8_mA").toString
+    val dirB = java.nio.file.Files.createTempDirectory("sq8_mB").toString
+    half(col("vec_id") % 2 === 0).save(dirA)
+    half(col("vec_id") % 2 === 1).save(dirB)
+    // parquet round-trips floats exactly, so the two loaded grids are
+    // bitwise-identical and the union-only fast path must accept them
+    val m = SQ8.load(spark, dirA).merge(SQ8.load(spark, dirB))
+    assert(m.codes.count() == emb.count())
+    assert(m.clusterSizes.sum == emb.count())
+  }
+
   test("merge size saturation keeps forced-probe configs intact") {
     assert(graft.index.MergeOps.satAdd(
       Array(Long.MaxValue, 3L), Array(Long.MaxValue, 4L)).toSeq ==
