@@ -1667,6 +1667,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The Matroska/WebM twin of multimodal_video_meta (operators/Mkv):
+    // a pinned-parameter EBML skeleton generated per row and parsed
+    // back — Segment/Info duration at the default 1 ms timestamp
+    // scale, video TrackEntry pixel dimensions, CodecID string. Same
+    // contract: the oracle recomputes the generator parameters, so the
+    // lane gates that parse inverts the public EBML format exactly.
+    "multimodal_video_meta_mkv" -> ((s, dir) => {
+      import s.implicits._
+      tbl(s, dir, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = (32L * (id % 6 + 1)).toInt
+          val h = (24L * (id % 4 + 1)).toInt
+          val ticks = (2000L + id * 41L).toDouble // 1 tick = 1 ms
+          val codecs = Array("V_MPEG4/ISO/AVC", "V_MPEGH/ISO/HEVC",
+            "V_VP9", "V_AV1")
+          val codec = codecs((id % 4).toInt)
+          val bytes = graft.operators.Mkv.buildMinimal(1000000L, ticks,
+            w, h, codec)
+          val m = graft.operators.Mkv.parse(bytes).get
+          (id, m.durationMs, m.width, m.height, m.codec, m.nTracks)
+        }
+        .toDF("doc_id", "duration_ms", "width", "height", "codec", "n_tracks")
+        .orderBy(col("doc_id"))
+    }),
+
     // Tumbling 5-min event-time aggregation — the batch face of the
     // streaming.Streaming.windowCounts transformation (ns-long ts →
     // timestamp via µs truncation, idiomatic window()).
@@ -3018,6 +3044,19 @@ object SparkEntry {
         |SELECT id, word, CAST(u.j AS INT) AS dim, v[u.j + 1] AS val
         |FROM kept, (SELECT unnest(range(0, 8)) AS j) u
         |ORDER BY id, dim""".stripMargin,
+
+    // same contract for the Matroska twin: the EBML generator
+    // parameters are the ground truth
+    "multimodal_video_meta_mkv" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  2000 + doc_id * 41 AS duration_ms,
+        |  CAST(32 * (doc_id % 6 + 1) AS INT) AS width,
+        |  CAST(24 * (doc_id % 4 + 1) AS INT) AS height,
+        |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'V_MPEG4/ISO/AVC'
+        |       WHEN 1 THEN 'V_MPEGH/ISO/HEVC'
+        |       WHEN 2 THEN 'V_VP9' ELSE 'V_AV1' END AS codec,
+        |  1 AS n_tracks
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
 
     // ground truth = the generator parameters: the Spark side must
     // build the ISO-BMFF bytes from them and parse them back exactly

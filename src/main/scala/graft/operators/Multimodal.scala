@@ -182,11 +182,14 @@ object Multimodal {
     }
   }
 
-  /** Container metadata for video rows — REAL ISO-BMFF box parsing
-    * ([[Mp4.parse]]: ftyp brand, mvhd duration, tkhd dimensions, stsd
-    * codec fourcc; no decoder involved). One narrow map; unparseable
-    * bytes surface as parsed=false sentinel rows, never errors — at
-    * crawl scale a corrupt container is data, not an exception. */
+  /** Container metadata for video rows — REAL parsing of the two
+    * public container families: ISO-BMFF ([[Mp4.parse]]: ftyp brand,
+    * mvhd duration, tkhd dimensions, stsd codec fourcc) and
+    * Matroska/WebM ([[Mkv.parse]]: EBML Segment/Info duration +
+    * timestamp scale, video TrackEntry dimensions, CodecID). No
+    * decoder involved. One narrow map; unparseable bytes surface as
+    * parsed=false sentinel rows, never errors — at crawl scale a
+    * corrupt container is data, not an exception. */
   def videoMeta(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -198,7 +201,12 @@ object Multimodal {
           case Some(m) =>
             (id, true, m.container, m.durationMs, m.width, m.height,
               m.codec, m.nTracks)
-          case None => (id, false, "", -1L, -1, -1, "", 0)
+          case None => Mkv.parse(c) match {
+            case Some(m) =>
+              (id, true, "matroska", m.durationMs, m.width, m.height,
+                m.codec, m.nTracks)
+            case None => (id, false, "", -1L, -1, -1, "", 0)
+          }
         }
       }
       .toDF("id", "parsed", "container", "duration_ms", "width", "height",

@@ -201,20 +201,45 @@ class MultimodalVecSpec extends SparkSpec {
     assert(Mp4.parse(bos.toByteArray).isEmpty)
   }
 
-  test("videoMeta: real parse for containers, sentinel row for garbage") {
+  test("MKV metadata: parse inverts buildMinimal; garbage parses to None") {
+    import graft.operators.Mkv
+    val bytes = Mkv.buildMinimal(timestampScaleNs = 1000000L,
+      durationTicks = 4500.0, w = 1280, h = 720, codec = "V_VP9")
+    val m = Mkv.parse(bytes).get
+    assert(m.timestampScaleNs == 1000000L && m.durationMs == 4500L)
+    assert(m.width == 1280 && m.height == 720)
+    assert(m.codec == "V_VP9" && m.nTracks == 1)
+    // non-default timestamp scale: 100 µs ticks
+    val m2 = Mkv.parse(Mkv.buildMinimal(100000L, 50.0, 64, 48, "V_AV1")).get
+    assert(m2.durationMs == 5L) // 50 ticks × 0.1 ms
+    assert(Mkv.parse("definitely not ebml".getBytes).isEmpty)
+    assert(Mkv.parse(Array.emptyByteArray).isEmpty)
+    assert(Mkv.parse(bytes.take(6)).isEmpty)
+    // an MP4 is not an MKV and vice versa (the videoMeta dispatch)
+    assert(Mkv.parse(graft.operators.Mp4.buildMinimal(1000, 1L, 2, 2, "avc1")).isEmpty)
+    assert(graft.operators.Mp4.parse(bytes).isEmpty)
+  }
+
+  test("videoMeta: real parse for both containers, sentinel for garbage") {
     import spark.implicits._
-    val good = graft.operators.Mp4.buildMinimal(1000, 2000L, 640, 480, "avc1")
+    val mp4 = graft.operators.Mp4.buildMinimal(1000, 2000L, 640, 480, "avc1")
+    val mkv = graft.operators.Mkv.buildMinimal(1000000L, 3000.0, 320, 240,
+      "V_AV1")
     val media = Seq(
-      (1L, good, "video"),
+      (1L, mp4, "video"),
       (2L, "junk".getBytes, "video"),
-      (3L, good, "image")) // non-video rows are filtered out
+      (3L, mp4, "image"), // non-video rows are filtered out
+      (4L, mkv, "video"))
       .toDF("id", "content", "media_type")
     val rows = graft.operators.Multimodal.videoMeta(media)
       .orderBy("id").collect()
-    assert(rows.length == 2)
+    assert(rows.length == 3)
     assert(rows(0).getBoolean(1) && rows(0).getLong(3) == 2000L &&
       rows(0).getInt(4) == 640 && rows(0).getInt(5) == 480 &&
       rows(0).getString(6) == "avc1")
     assert(!rows(1).getBoolean(1) && rows(1).getLong(3) == -1L)
+    assert(rows(2).getBoolean(1) && rows(2).getString(2) == "matroska" &&
+      rows(2).getLong(3) == 3000L && rows(2).getInt(4) == 320 &&
+      rows(2).getInt(5) == 240 && rows(2).getString(6) == "V_AV1")
   }
 }
