@@ -105,6 +105,28 @@ object SparkEntry {
   private def q(c: org.apache.spark.sql.Column, scale: Double) =
     floor(c.cast("double") * lit(scale) + lit(0.5d)).cast("long")
 
+  /** PII-planting augmentation for the pii_* lanes: the synthetic
+    * corpus has no natural PII, so append one deterministic instance
+    * per doc_id residue class (email / dotted-quad / phone+ssn /
+    * nothing). Replayed token-for-token by [[piiAugSql]] — every
+    * function used (concat, lpad, %) is engine-portable.
+    */
+  private[graft] def piiAugmented(df: DataFrame): DataFrame = {
+    val idS = col("doc_id").cast("string")
+    val tail = when(pmod(col("doc_id"), lit(4L)) === 0,
+        concat(lit(" contact user"), idS, lit("@example.com now")))
+      .when(pmod(col("doc_id"), lit(4L)) === 1,
+        concat(lit(" host 10."), pmod(col("doc_id"), lit(200L)).cast("string"),
+          lit(".0."), pmod(col("doc_id"), lit(250L)).cast("string"), lit(" up")))
+      .when(pmod(col("doc_id"), lit(4L)) === 2,
+        concat(lit(" call 415-555-"),
+          lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"),
+          lit(" ssn 123-45-"),
+          lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
+      .otherwise(lit(""))
+    df.withColumn("t", concat(col("text"), tail))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H-Q1-shaped pricing summary: grouped sums as fixed-point
@@ -1755,6 +1777,102 @@ object SparkEntry {
     "events_sessions" -> ((s, dir) => {
       Streaming.sessionize(tbl(s, dir, "events"), gapSec = 1800L)
         .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // PII scan (operators/Pii): per-doc counts of the four scrub
+    // classes over deterministically PII-augmented text (the synthetic
+    // corpus carries no natural PII, so the lane plants one class per
+    // doc_id residue — replayed verbatim in the oracle — and gates the
+    // detector regexes on both engines).
+    "pii_scan" -> ((s, dir) => {
+      import graft.operators.Pii
+      piiAugmented(tbl(s, dir, "documents"))
+        .select(col("doc_id"),
+          Pii.countEmails(col("t")).cast("long").as("n_email"),
+          Pii.countIpv4(col("t")).cast("long").as("n_ip"),
+          Pii.countPhones(col("t")).cast("long").as("n_phone"),
+          Pii.countSsns(col("t")).cast("long").as("n_ssn"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII redaction: the four-pattern replace chain (email → ssn →
+    // phone → ip), gated by digest + length of the redacted text —
+    // byte-for-byte equality with the oracle's replay.
+    "pii_redact" -> ((s, dir) => {
+      import graft.operators.Pii
+      piiAugmented(tbl(s, dir, "documents"))
+        .select(col("doc_id"),
+          md5(Pii.redact(col("t"))).as("red_digest"),
+          length(Pii.redact(col("t"))).cast("long").as("red_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Benchmark decontamination (operators/Decontam): distinct token
+    // trigram overlap of every candidate doc against the doc_id%97==0
+    // "benchmark" subset — the GPT-3-style n-gram collision check at
+    // the granularity that catches quoted answers inside otherwise
+    // original pages. Benchmark gram set broadcasts; corpus never
+    // shuffles its text.
+    "contam_ngram" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      graft.operators.Decontam.ngramOverlap(
+          docs.filter(pmod(col("doc_id"), lit(97L)) =!= 0), "doc_id", "text",
+          docs.filter(pmod(col("doc_id"), lit(97L)) === 0), "doc_id", "text",
+          n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Temperature-weighted source mixing (operators/Splits): keep rate
+    // (n_min/n_src)^(1-alpha) per source at alpha = 0.5 (the
+    // sqrt-portable configuration), membership content-addressed — the
+    // multilingual rebalancing stage.
+    "mix_temperature" -> ((s, dir) =>
+      graft.operators.Splits.mixByTemperature(
+          tbl(s, dir, "documents"), "doc_id", "lang", alpha = 0.5)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    // Bigram-LM corpus likelihood (operators/LangModel): add-one
+    // smoothed p(w2|w1) trained on the corpus itself, per-doc sums of
+    // 1e-9-quantized probabilities — the CCNet-style in-domain quality
+    // signal, libm-free by construction.
+    "lm_bigram_score" -> ((s, dir) =>
+      graft.operators.LangModel.selfScore(
+          tbl(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // Z-order layout key (operators/Layout): exact-rank 256-bucket
+    // coordinates on (user_id, value), Morton-interleaved — the
+    // multi-dimensional file-clustering key whose prefix (zbin) tiles
+    // the space 16×16, so min/max footer stats prune on BOTH columns.
+    "layout_zorder" -> ((s, dir) => {
+      import graft.operators.Layout
+      tbl(s, dir, "events")
+        .select(col("event_id"),
+          Layout.rankBucket(col("user_id"), col("event_id"), 8).as("bu"),
+          Layout.rankBucket(col("value"), col("event_id"), 8).as("bv"))
+        .withColumn("zkey", Layout.interleaveBits(col("bu"), col("bv"), 8))
+        .withColumn("zbin", shiftright(col("zkey"), 8))
+        .orderBy(col("event_id"))
+    }),
+
+    // The data-skipping evidence for layout_zorder: per-zbin extents.
+    // Every zbin covers one 16×16 tile — max-min ≤ 15 in BOTH
+    // dimensions simultaneously (a single-column sort gives 15 in one,
+    // ~255 in the other).
+    "layout_zorder_stats" -> ((s, dir) => {
+      import graft.operators.Layout
+      tbl(s, dir, "events")
+        .select(col("event_id"),
+          Layout.rankBucket(col("user_id"), col("event_id"), 8).as("bu"),
+          Layout.rankBucket(col("value"), col("event_id"), 8).as("bv"))
+        .withColumn("zbin",
+          shiftright(Layout.interleaveBits(col("bu"), col("bv"), 8), 8))
+        .groupBy(col("zbin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("bu")).as("min_bu"), max(col("bu")).as("max_bu"),
+          min(col("bv")).as("min_bv"), max(col("bv")).as("max_bv"))
+        .orderBy(col("zbin"))
     }),
   )
 
@@ -3465,5 +3583,131 @@ object SparkEntry {
         |    ELSE CAST(a.n_grams - a.n_distinct AS DOUBLE) / CAST(a.n_grams AS DOUBLE) END AS dup_ratio
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "pii_scan" -> {
+      import graft.operators.Pii
+      s"""WITH aug AS ($piiAugSql)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '${Pii.EmailRe}')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(t, '${Pii.Ipv4Re}')) AS BIGINT) AS n_ip,
+         |  CAST(len(regexp_extract_all(t, '${Pii.PhoneRe}')) AS BIGINT) AS n_phone,
+         |  CAST(len(regexp_extract_all(t, '${Pii.SsnRe}')) AS BIGINT) AS n_ssn
+         |FROM aug ORDER BY doc_id""".stripMargin
+    },
+
+    // the same email → ssn → phone → ip replace chain as Pii.redact
+    "pii_redact" -> {
+      import graft.operators.Pii
+      s"""WITH aug AS ($piiAugSql)
+         |SELECT doc_id, md5(r) AS red_digest,
+         |  CAST(length(r) AS BIGINT) AS red_len
+         |FROM (SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+         |    '${Pii.EmailRe}', '${Pii.EmailTag}', 'g'),
+         |    '${Pii.SsnRe}', '${Pii.SsnTag}', 'g'),
+         |    '${Pii.PhoneRe}', '${Pii.PhoneTag}', 'g'),
+         |    '${Pii.Ipv4Re}', '${Pii.IpTag}', 'g') AS r
+         | FROM aug)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // distinct-trigram membership against the doc_id%97==0 benchmark
+    // subset, mirroring Decontam.ngramOverlap (left join keeps docs
+    // with zero/empty gram sets)
+    "contam_ngram" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+         |  THEN list_distinct(list_transform(range(1, len(toks) - 1),
+         |    i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+         |  ELSE [] END AS grams FROM t),
+         |bg AS (SELECT DISTINCT unnest(grams) AS g FROM g WHERE doc_id % 97 = 0),
+         |cand AS (SELECT doc_id, len(grams) AS n_grams, grams FROM g
+         |  WHERE doc_id % 97 <> 0),
+         |ex AS (SELECT doc_id, unnest(grams) AS g FROM cand),
+         |hits AS (SELECT ex.doc_id, count(*) AS n_hit
+         |  FROM ex JOIN bg USING (g) GROUP BY 1)
+         |SELECT c.doc_id, CAST(c.n_grams AS BIGINT) AS n_grams,
+         |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CASE WHEN c.n_grams > 0
+         |    THEN CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(c.n_grams AS DOUBLE)
+         |    ELSE 0.0 END AS overlap
+         |FROM cand c LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // keep rate sqrt(n_min/n_src) per source (alpha = 0.5), salted md5
+    // fraction membership — mirrors Splits.mixByTemperature
+    "mix_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n_src FROM documents GROUP BY lang),
+        |m AS (SELECT min(n_src) AS n_min FROM c),
+        |r AS (SELECT lang,
+        |  sqrt(CAST(n_min AS DOUBLE) / CAST(n_src AS DOUBLE)) AS mix_rate
+        | FROM c, m),
+        |f AS (SELECT doc_id, lang,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8)) AS BIGINT)
+        |    / 4294967296.0 AS frac
+        | FROM documents)
+        |SELECT f.doc_id, f.lang FROM f JOIN r USING (lang)
+        |WHERE f.frac < r.mix_rate ORDER BY doc_id""".stripMargin,
+
+    // add-one bigram LM trained and scored on the corpus, probabilities
+    // quantized to 1e-9 BIGINTs before the order-independent sum —
+    // mirrors LangModel.selfScore
+    "lm_bigram_score" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |bge AS (SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2 FROM (
+         |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+         |    THEN list_transform(range(1, len(toks)),
+         |      i -> {'w1': toks[i], 'w2': toks[i+1]})
+         |    ELSE [] END) AS b FROM t)),
+         |big AS (SELECT w1, w2, count(*) AS c2 FROM bge GROUP BY 1, 2),
+         |uni AS (SELECT w1, count(*) AS c1 FROM bge GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w) AS vocab
+         |  FROM (SELECT unnest(toks) AS w FROM t)),
+         |p AS (SELECT e.doc_id,
+         |  CAST(floor((CAST(b.c2 + 1 AS DOUBLE)
+         |      / (CAST(u.c1 AS DOUBLE) + CAST(v.vocab AS DOUBLE)))
+         |    * 1000000000.0 + 0.5) AS BIGINT) AS p_q
+         | FROM bge e JOIN big b USING (w1, w2) JOIN uni u USING (w1) CROSS JOIN v),
+         |s AS (SELECT doc_id, count(*) AS n_bigrams, sum(p_q) AS score_q
+         |  FROM p GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(coalesce(s.score_q, 0) AS BIGINT) AS score_q
+         |FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "layout_zorder" ->
+      s"""WITH b AS ($zBucketsSql)
+         |SELECT event_id, bu, bv, ${zInterleaveSql("bu", "bv", 8)} AS zkey,
+         |  (${zInterleaveSql("bu", "bv", 8)}) >> 8 AS zbin
+         |FROM b ORDER BY event_id""".stripMargin,
+
+    "layout_zorder_stats" ->
+      s"""WITH b AS ($zBucketsSql),
+         |z AS (SELECT bu, bv, ${zInterleaveSql("bu", "bv", 8)} AS zkey FROM b)
+         |SELECT zkey >> 8 AS zbin, count(*) AS n,
+         |  min(bu) AS min_bu, max(bu) AS max_bu,
+         |  min(bv) AS min_bv, max(bv) AS max_bv
+         |FROM z GROUP BY 1 ORDER BY zbin""".stripMargin,
   )
+
+  /** DuckDB replay of [[piiAugmented]] (ends in columns doc_id, t). */
+  private def piiAugSql: String =
+    """SELECT doc_id, text || CASE
+      |  WHEN doc_id % 4 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+      |  WHEN doc_id % 4 = 1 THEN ' host 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) || ' up'
+      |  WHEN doc_id % 4 = 2 THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |  ELSE '' END AS t FROM documents""".stripMargin
+
+  /** DuckDB replay of the two exact-rank 256-bucket coordinates of
+    * layout_zorder (ends in columns event_id, bu, bv). */
+  private def zBucketsSql: String =
+    """SELECT event_id,
+      |  CAST(ntile(256) OVER (ORDER BY user_id, event_id) - 1 AS BIGINT) AS bu,
+      |  CAST(ntile(256) OVER (ORDER BY value, event_id) - 1 AS BIGINT) AS bv
+      | FROM events""".stripMargin
+
+  /** The Morton interleave of [[graft.operators.Layout.interleaveBits]]
+    * as portable shift/mask SQL (disjoint bit positions sum safely). */
+  private def zInterleaveSql(a: String, b: String, bits: Int): String =
+    (0 until bits).flatMap(i => Seq(
+      s"((($a >> $i) & 1) << ${2 * i + 1})",
+      s"((($b >> $i) & 1) << ${2 * i})")).mkString(" + ")
 }

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination by token n-gram overlap (beyond the
+  * reference surface — the eval-integrity stage of a pretraining
+  * pipeline: a training document sharing long verbatim n-grams with a
+  * held-out benchmark is contaminated even when no whole-document
+  * near-dup fires).
+  *
+  * This complements the existing integrity operators: exact/MinHash
+  * dedup catch whole-doc copies, [[Splits.crossSplitPairs]] catches
+  * near-dup pairs straddling a split, `sketch_bloom_contamination`
+  * pre-filters by whole-doc digest — n-gram overlap is the standard
+  * finer instrument (GPT-3/PaLM-style "13-gram collision" checks) that
+  * catches a benchmark answer quoted INSIDE an otherwise-original page.
+  *
+  * Scale shape: the benchmark side is takedown-sized relative to the
+  * corpus (thousands of eval docs vs billions of pages), so its
+  * distinct-gram set broadcasts; the corpus side never shuffles — each
+  * doc's grams are generated, hashed, and probed map-side, and the only
+  * aggregation is the per-doc counter, which re-uses the doc's own
+  * partition (grams carry doc_id, the groupBy key is doc_id: one
+  * exchange of (doc_id, two counters), digest-sized). With a benchmark
+  * too big to broadcast the same plan degrades to a shuffled left-semi
+  * on gram hash — still posting-list-sized, never corpus × benchmark.
+  */
+object Decontam {
+
+  /** Distinct md5-hashed word n-grams per document. Two-step select so
+    * the transform lambda references a bound ATTRIBUTE (`toks`), never
+    * a re-evaluated expression — the O(d²) HOF-lambda trap documented
+    * in round 7.
+    */
+  private[graft] def gramSets(docs: DataFrame, idCol: String,
+                              textCol: String, n: Int): DataFrame = {
+    require(n >= 1, "n-gram order must be >= 1")
+    docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col(idCol),
+        when(size(col("toks")) >= n,
+          transform(sequence(lit(0), size(col("toks")) - n),
+            i => md5(concat_ws(" ", slice(col("toks"), i + lit(1), lit(n))))))
+          .otherwise(array().cast("array<string>")).as("grams"))
+      .select(col(idCol), array_distinct(col("grams")).as("grams"))
+  }
+
+  /** Per-candidate-doc contamination profile against `bench`:
+    * `n_grams` distinct n-grams, `n_hit` of them present anywhere in
+    * the benchmark set, and the overlap ratio. A doc with zero grams
+    * (shorter than n tokens) reports 0/0/0.0 — too short to convict.
+    *
+    * `broadcastBench` pins the benchmark gram set to a broadcast hash
+    * join (the intended regime); pass false only when the benchmark
+    * side outgrows executor memory.
+    */
+  def ngramOverlap(docs: DataFrame, idCol: String, textCol: String,
+                   bench: DataFrame, benchIdCol: String, benchTextCol: String,
+                   n: Int = 8, broadcastBench: Boolean = true): DataFrame = {
+    val benchGrams0 = gramSets(bench, benchIdCol, benchTextCol, n)
+      .select(explode(col("grams")).as("g")).distinct()
+    val benchGrams = if (broadcastBench) broadcast(benchGrams0) else benchGrams0
+    val docGrams = gramSets(docs, idCol, textCol, n)
+      .select(col(idCol), size(col("grams")).cast("long").as("n_grams"),
+        col("grams"))
+      .select(col(idCol), col("n_grams"), explode_outer(col("grams")).as("g"))
+    docGrams
+      .join(benchGrams.withColumn("hit", lit(1L)), Seq("g"), "left")
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .select(col(idCol), col("n_grams"), col("n_hit"),
+        when(col("n_grams") > 0,
+          col("n_hit").cast("double") / col("n_grams").cast("double"))
+          .otherwise(lit(0.0)).as("overlap"))
+  }
+
+  /** The admission face: candidate docs whose overlap ratio is at or
+    * above `threshold` (the drop list a decontamination pass emits).
+    */
+  def contaminated(docs: DataFrame, idCol: String, textCol: String,
+                   bench: DataFrame, benchIdCol: String, benchTextCol: String,
+                   n: Int = 8, threshold: Double = 0.5): DataFrame =
+    ngramOverlap(docs, idCol, textCol, bench, benchIdCol, benchTextCol, n)
+      .filter(col("overlap") >= threshold)
+}

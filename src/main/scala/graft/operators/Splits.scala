@@ -86,6 +86,40 @@ object Splits {
     df.filter(f < rate)
   }
 
+  /** Temperature-weighted source mixing — the data-mixing stage in its
+    * standard parameterization: target per-source mass ∝ n_s^alpha
+    * (alpha < 1 flattens the natural distribution toward uniform, the
+    * multilingual/multi-domain rebalancing move). With keep-only
+    * sampling (no duplication) that means per-source keep rate
+    * r_s = (n_min / n_s)^(1-alpha), normalized so the SMALLEST source
+    * keeps everything and larger sources downsample toward the
+    * flattened shares. Membership is content-addressed like [[assign]]
+    * (salted md5 fraction < r_s): stable across runs and partitioning.
+    *
+    * alpha = 0.5 routes through `sqrt` (IEEE-exact, engine-portable —
+    * the oracle-gated configuration); other alphas use `pow` (correct
+    * to ~1 ulp, fine for mixing, not hash-gated). Scale shape: one
+    * tiny per-source count aggregate broadcast back onto the corpus —
+    * the corpus itself never shuffles.
+    */
+  def mixByTemperature(df: DataFrame, idCol: String, sourceCol: String,
+                       alpha: Double = 0.5,
+                       salt: String = "mix"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_src"))
+    val withMin = counts.crossJoin(
+      broadcast(counts.agg(min(col("n_src")).as("n_min"))))
+    val ratio = col("n_min").cast("double") / col("n_src").cast("double")
+    val rate =
+      if (alpha == 0.5) sqrt(ratio)
+      else if (alpha == 1.0) lit(1.0)
+      else pow(ratio, lit(1.0 - alpha))
+    val rates = withMin.select(col(sourceCol), rate.as("mix_rate"))
+    val f = hashFrac(concat(col(idCol).cast("string"), lit(":" + salt)))
+    df.join(broadcast(rates), Seq(sourceCol))
+      .filter(f < col("mix_rate"))
+  }
+
   /** Train/test contamination audit — the eval-integrity operator:
     * near-dup PAIRS (from any pair generator in [[Dedup]]) that
     * straddle a split boundary. A benchmark answer leaking into train

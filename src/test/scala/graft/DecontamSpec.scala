@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Decontam
+
+class DecontamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val bench = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "pack my box with five dozen liquor jugs")
+  ).toDF("id", "text")
+
+  test("a verbatim copy of a benchmark doc reports full overlap") {
+    val cand = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),   // full copy
+      (11L, "completely unrelated words about data processing pipelines here"),
+      (12L, "he said the quick brown fox jumps over whatever") // partial quote
+    ).toDF("id", "text")
+    val r = Decontam.ngramOverlap(cand, "id", "text", bench, "id", "text", n = 3)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(10L) == ((7L, 7L, 1.0)))
+    assert(r(11L)._2 == 0L && r(11L)._3 == 0.0)
+    // "the quick brown", "quick brown fox", "brown fox jumps", "fox jumps over"
+    assert(r(12L)._2 == 4L && r(12L)._1 == 7L)
+  }
+
+  test("contaminated() applies the threshold; short docs never convict") {
+    val cand = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog"),
+      (21L, "fox jumps"),            // < n tokens: 0 grams
+      (22L, "other stuff entirely without any benchmark echo at all")
+    ).toDF("id", "text")
+    val hit = Decontam.contaminated(cand, "id", "text", bench, "id", "text",
+      n = 3, threshold = 0.5).select("id").as[Long].collect().toSet
+    assert(hit == Set(20L))
+    val all = Decontam.ngramOverlap(cand, "id", "text", bench, "id", "text", n = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(all(21L) == 0L) // present in output, zero grams
+  }
+
+  test("duplicate grams within a doc count once (distinct-gram semantics)") {
+    val cand = Seq((30L, "the quick brown fox the quick brown fox")).toDF("id", "text")
+    val r = Decontam.ngramOverlap(cand, "id", "text", bench, "id", "text", n = 3)
+      .head()
+    // 6 positional grams but only 4 distinct; 2 of them are benchmark grams
+    // ("the quick brown", "quick brown fox")
+    assert(r.getLong(1) == 4L && r.getLong(2) == 2L)
+  }
+
+  test("benchmark side plans as a broadcast join — corpus text never shuffles wide") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val plan = Decontam.ngramOverlap(
+      docs.filter($"doc_id" % 97 =!= 0), "doc_id", "text",
+      docs.filter($"doc_id" % 97 === 0), "doc_id", "text", n = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast of the benchmark gram set:\n$plan")
+  }
+}

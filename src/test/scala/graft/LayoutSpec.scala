@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Layout
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference Morton code in plain Scala. */
+  private def morton(a: Long, b: Long, bits: Int): Long =
+    (0 until bits).foldLeft(0L) { (acc, i) =>
+      acc | (((a >> i) & 1L) << (2 * i + 1)) | (((b >> i) & 1L) << (2 * i))
+    }
+
+  test("interleaveBits matches the reference Morton code over the full 8-bit grid") {
+    val grid = for (a <- 0L until 256L by 17L; b <- 0L until 256L by 13L)
+      yield (a, b)
+    val df = grid.toDF("a", "b")
+      .select($"a", $"b", Layout.interleaveBits($"a", $"b", 8).as("z"))
+    df.collect().foreach { r =>
+      assert(r.getLong(2) == morton(r.getLong(0), r.getLong(1), 8),
+        s"(${r.getLong(0)}, ${r.getLong(1)})")
+    }
+    // corners of the space
+    val corners = Seq((0L, 0L), (255L, 255L), (255L, 0L), (0L, 255L)).toDF("a", "b")
+      .select(Layout.interleaveBits($"a", $"b", 8)).as[Long].collect()
+    assert(corners.toSeq == Seq(0L, 65535L, 43690L, 21845L))
+  }
+
+  test("zbin prefix tiles the plane: every bin bounded 16x16 in BOTH dimensions") {
+    val events = spark.read.parquet(s"$sf001/events.parquet")
+    val b = events.select($"event_id",
+        Layout.rankBucket($"user_id", $"event_id", 8).as("bu"),
+        Layout.rankBucket($"value", $"event_id", 8).as("bv"))
+      .withColumn("zbin",
+        shiftright(Layout.interleaveBits($"bu", $"bv", 8), 8))
+    val spans = b.groupBy("zbin").agg(
+        (max($"bu") - min($"bu")).as("du"), (max($"bv") - min($"bv")).as("dv"))
+      .agg(max($"du"), max($"dv")).head()
+    assert(spans.getLong(0) <= 15L && spans.getLong(1) <= 15L)
+    // contrast: binning by bu alone leaves bv unbounded (~full range) —
+    // the reason single-column sort cannot serve two filter dimensions
+    val naive = b.groupBy(shiftright($"bu", 4)).agg(
+        (max($"bv") - min($"bv")).as("dv")).agg(max($"dv")).head().getLong(0)
+    assert(naive > 200L, s"naive layout should leave bv unbounded, got $naive")
+  }
+
+  test("cluster() range-partitions by zkey: partitions hold disjoint sorted key ranges") {
+    val events = spark.read.parquet(s"$sf001/events.parquet")
+    val keyed = events.select($"event_id",
+        Layout.rankBucket($"user_id", $"event_id", 8).as("bu"),
+        Layout.rankBucket($"value", $"event_id", 8).as("bv"))
+      .withColumn("zkey", Layout.interleaveBits($"bu", $"bv", 8))
+    val parts = Layout.cluster(keyed, "zkey", 8)
+      .select($"zkey").rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val ks = it.map(_.getLong(0)).toArray
+        if (ks.isEmpty) Iterator.empty
+        else Iterator((pid, ks.head, ks.last, ks.sameElements(ks.sorted)))
+      }.collect().sortBy(_._1)
+    assert(parts.forall(_._4), "each partition sorted within itself")
+    parts.sliding(2).foreach {
+      case Array((_, _, hiA, _), (_, loB, _, _)) => assert(hiA <= loB)
+      case _ =>
+    }
+  }
+}

@@ -131,4 +131,33 @@ class SplitsSpec extends SparkSpec {
     out.select($"doc_id", $"bin").collect()
       .foreach(r => assert(again(r.getLong(0)) == r.getLong(1)))
   }
+
+  test("mixByTemperature: per-stratum keep rates track (n_min/n_s)^(1-alpha)") {
+    val natural = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = natural.values.min
+    val kept = Splits.mixByTemperature(docs, "doc_id", "lang", alpha = 0.5)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    natural.foreach { case (l, n) =>
+      val expected = n * math.sqrt(nMin.toDouble / n)
+      // binomial noise: ±4 sigma
+      val sigma = math.sqrt(expected) + 1
+      assert(math.abs(kept.getOrElse(l, 0L) - expected) <= 4 * sigma,
+        s"$l: kept ${kept.getOrElse(l, 0L)} vs expected $expected")
+    }
+    // the smallest stratum keeps everything (rate exactly 1)
+    val smallest = natural.minBy(_._2)._1
+    assert(kept(smallest) == natural(smallest))
+  }
+
+  test("mixByTemperature: alpha=1 is a no-op; membership repartition-stable") {
+    val all = Splits.mixByTemperature(docs, "doc_id", "lang", alpha = 1.0)
+    assert(all.count() == docs.count())
+    val a = Splits.mixByTemperature(docs, "doc_id", "lang")
+      .select($"doc_id").as[Long].collect().toSet
+    val b = Splits.mixByTemperature(docs.repartition(11), "doc_id", "lang")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(a == b)
+  }
 }
