@@ -1874,6 +1874,20 @@ object SparkEntry {
           min(col("bv")).as("min_bv"), max(col("bv")).as("max_bv"))
         .orderBy(col("zbin"))
     }),
+
+    // Gopher-style heuristic quality battery (TextOps.gopherMetrics):
+    // word-count bounds, mean word length, alphabetic-word fraction,
+    // stopword evidence — the published web-pretraining rules, each an
+    // exact integer sum or single double division (engine-portable).
+    "quality_gopher" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      val (n, meanLen, fracAlpha, stops) = TextOps.gopherMetrics(col("toks"))
+      d.select(col("doc_id"), n.as("n_words"), meanLen.as("mean_wlen"),
+          fracAlpha.as("frac_alpha"), stops.as("n_stops"),
+          TextOps.gopherKeep(col("toks")).cast("long").as("keep"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Build-vs-search wall-second split for the index-building bench
@@ -3686,6 +3700,32 @@ object SparkEntry {
          |  min(bu) AS min_bu, max(bu) AS max_bu,
          |  min(bv) AS min_bv, max(bv) AS max_bv
          |FROM z GROUP BY 1 ORDER BY zbin""".stripMargin,
+
+    // the Gopher rule battery: exact integer sums + two single double
+    // divisions, the keep flag replayed threshold-for-threshold
+    "quality_gopher" -> {
+      val s = TextOps.stopwords
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_words,
+         |  CASE WHEN len(toks) > 0
+         |    THEN CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+         |       / CAST(len(toks) AS DOUBLE)
+         |    ELSE 0.0 END AS mean_wlen,
+         |  CASE WHEN len(toks) > 0
+         |    THEN CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+         |       / CAST(len(toks) AS DOUBLE)
+         |    ELSE 0.0 END AS frac_alpha,
+         |  CAST(${stopHitSql(s("en"))} + ${stopHitSql(s("de"))}
+         |     + ${stopHitSql(s("es"))} + ${stopHitSql(s("fr"))} AS BIGINT) AS n_stops
+         | FROM t)
+         |SELECT doc_id, n_words, mean_wlen, frac_alpha, n_stops,
+         |  CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+         |    AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
+         |    AND frac_alpha >= 0.8 AND n_stops >= 2
+         |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
   )
 
   /** DuckDB replay of [[piiAugmented]] (ends in columns doc_id, t). */

@@ -57,9 +57,23 @@ object Decontam {
     */
   def ngramOverlap(docs: DataFrame, idCol: String, textCol: String,
                    bench: DataFrame, benchIdCol: String, benchTextCol: String,
-                   n: Int = 8, broadcastBench: Boolean = true): DataFrame = {
-    val benchGrams0 = gramSets(bench, benchIdCol, benchTextCol, n)
+                   n: Int = 8, broadcastBench: Boolean = true): DataFrame =
+    ngramOverlapAgainstGrams(docs, idCol, textCol,
+      benchGramSet(bench, benchIdCol, benchTextCol, n), n, broadcastBench)
+
+  /** The benchmark's distinct gram set (column `g`) — precompute once
+    * and reuse across batches/streams; the benchmark is static while
+    * the corpus flows.
+    */
+  def benchGramSet(bench: DataFrame, benchIdCol: String,
+                   benchTextCol: String, n: Int = 8): DataFrame =
+    gramSets(bench, benchIdCol, benchTextCol, n)
       .select(explode(col("grams")).as("g")).distinct()
+
+  /** [[ngramOverlap]] against a precomputed [[benchGramSet]]. */
+  def ngramOverlapAgainstGrams(docs: DataFrame, idCol: String, textCol: String,
+                               benchGrams0: DataFrame, n: Int,
+                               broadcastBench: Boolean = true): DataFrame = {
     val benchGrams = if (broadcastBench) broadcast(benchGrams0) else benchGrams0
     val docGrams = gramSets(docs, idCol, textCol, n)
       .select(col(idCol), size(col("grams")).cast("long").as("n_grams"),

@@ -211,4 +211,44 @@ object TextOps {
     lit(0.4) * lenScore + lit(0.3) * (lit(1.0) - punct) +
       lit(0.3) * when(nTok > 0, stops / nTok).otherwise(lit(0.0))
   }
+
+  /** Gopher-style repetition-free quality rules (the public heuristic
+    * battery every web-pretraining pipeline runs — word-count bounds,
+    * mean-word-length bounds, alphabetic-word fraction, minimum
+    * stopword evidence). Each metric is a pure codegen column over a
+    * MATERIALIZED token column (HOF discipline: callers project
+    * [[tokens]] first), engine-portable: integer sums are exact, the
+    * two ratios are single double divisions.
+    *
+    * Returns (n_words, mean_wlen, frac_alpha, n_stops) as Columns;
+    * combine with [[gopherKeep]] for the admission boolean.
+    */
+  def gopherMetrics(toks: Column): (Column, Column, Column, Column) = {
+    val n = size(toks).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (a, t) => a + length(t).cast("long"))
+    val meanLen = when(n > 0, sumLen.cast("double") / n.cast("double"))
+      .otherwise(lit(0.0))
+    val alpha = size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
+    val fracAlpha = when(n > 0, alpha.cast("double") / n.cast("double"))
+      .otherwise(lit(0.0))
+    val stops = (stopHits(toks, "en") + stopHits(toks, "de") +
+      stopHits(toks, "es") + stopHits(toks, "fr")).cast("long")
+    (n, meanLen, fracAlpha, stops)
+  }
+
+  /** The Gopher admission rule over [[gopherMetrics]]: word count in
+    * [minWords, maxWords], mean word length in [minMeanLen, maxMeanLen],
+    * alphabetic-word fraction ≥ minFracAlpha, stopword hits ≥ minStops.
+    * Defaults are the published Gopher thresholds scaled to this
+    * corpus's short synthetic docs only where noted by the caller.
+    */
+  def gopherKeep(toks: Column,
+                 minWords: Long = 50L, maxWords: Long = 100000L,
+                 minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                 minFracAlpha: Double = 0.8, minStops: Long = 2L): Column = {
+    val (n, meanLen, fracAlpha, stops) = gopherMetrics(toks)
+    n >= minWords && n <= maxWords &&
+      meanLen >= minMeanLen && meanLen <= maxMeanLen &&
+      fracAlpha >= minFracAlpha && stops >= minStops
+  }
 }

@@ -603,4 +603,63 @@ object Streaming {
       }
       .start()
   }
+
+  /** PII scrub at ingest — [[graft.operators.Pii.redact]] as a
+    * STATELESS streaming transform: no state store, no watermark, the
+    * same Column expressions as the batch pii_redact lane, so
+    * stream ≡ batch holds by construction (still pinned in
+    * StreamingSpec). Composable before any other ingest stage —
+    * scrubbing belongs upstream of dedup/caps so redacted text is what
+    * gets digested and admitted. Returns the input columns with
+    * `textCol` replaced by its redaction plus a `pii_hits` count of
+    * what was removed.
+    */
+  def scrubStream(stream: DataFrame, textCol: String): DataFrame = {
+    import graft.operators.Pii
+    stream
+      .withColumn("pii_hits", Pii.totalHits(col(textCol)))
+      .withColumn(textCol, Pii.redact(col(textCol)))
+  }
+
+  /** State of [[ingestDecontam]]: `admitted` accumulates clean docs,
+    * `dropped` counts contaminated ones. */
+  case class DecontamIngestState(admitted: DataFrame, dropped: Long = 0L,
+                                 addsSinceCompact: Int = 0)
+
+  /** Benchmark decontamination at ingest — the stream-static shape:
+    * the benchmark gram set is computed ONCE
+    * ([[graft.operators.Decontam.benchGramSet]], takedown-sized) and
+    * re-broadcast against each microbatch; a batch doc whose distinct
+    * n-gram overlap reaches `threshold` is dropped before admission.
+    * Per-batch work is the batch operator verbatim, so stream ≡ batch
+    * admission is exact (pinned in StreamingSpec). */
+  def ingestDecontam(stream: DataFrame, idCol: String, textCol: String,
+                     benchGrams: DataFrame, n: Int, threshold: Double,
+                     state: java.util.concurrent.atomic.AtomicReference[DecontamIngestState])
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"ingestDecontam: threshold in (0, 1], got $threshold")
+    val frozenGrams = benchGrams.localCheckpoint(true)
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val st = state.get()
+          val inputCols = batch.columns.map(col)
+          val scored = graft.operators.Decontam.ngramOverlapAgainstGrams(
+            batch, idCol, textCol, frozenGrams, n)
+          val clean = batch.join(
+            scored.filter(col("overlap") < threshold).select(col(idCol)),
+            Seq(idCol), "left_semi").select(inputCols: _*)
+          val nBatch = batch.count()
+          val nClean = clean.count()
+          // single-writer foreachBatch: see ingestIntoIVF
+          val (admitted, adds) = graft.index.Lineage.compact(
+            st.admitted.unionByName(clean), st.addsSinceCompact)
+          state.set(DecontamIngestState(admitted,
+            st.dropped + (nBatch - nClean), adds))
+        }
+      }
+      .start()
+  }
 }

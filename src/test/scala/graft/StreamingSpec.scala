@@ -648,4 +648,61 @@ class StreamingSpec extends SparkSpec {
     assert(got(0).getAs[Array[Byte]]("codes").toSeq ==
       full.getAs[Array[Byte]]("codes").toSeq)
   }
+
+  test("scrubStream redacts in-flight exactly like the batch redact") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Pii
+    val rows = Seq(
+      (1L, "mail a@b.co and 10.1.2.3 please"),
+      (2L, "clean text with no pii at all"),
+      (3L, "ssn 123-45-6789 phone 415-555-0123"))
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.scrubStream(mem.toDF().toDF("doc_id", "text"), "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scrub_out").start()
+    mem.addData(rows)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("scrub_out")
+      .select($"doc_id", $"text", $"pii_hits").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val batch = rows.toDF("doc_id", "text")
+      .select($"doc_id", Pii.redact($"text"), Pii.totalHits($"text")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(streamed == batch)
+    assert(streamed(1L)._2 == 2L && streamed(2L)._2 == 0L && streamed(3L)._2 == 2L)
+    assert(!streamed(3L)._1.exists(_.isDigit))
+  }
+
+  test("streaming decontamination admits exactly the batch-clean set") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Decontam
+    import graft.streaming.Streaming.DecontamIngestState
+    val bench = Seq((900L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // contaminated
+      (2L, "totally original material about distributed query engines"),
+      (3L, "he quoted the quick brown fox and then moved on today"),
+      (4L, "short one"))
+    val grams = Decontam.benchGramSet(bench, "doc_id", "text", n = 3)
+    val state = new java.util.concurrent.atomic.AtomicReference(
+      DecontamIngestState(Seq.empty[(Long, String)].toDF("doc_id", "text")))
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.ingestDecontam(mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", grams, n = 3, threshold = 0.5, state)
+    rows.grouped(2).foreach { chunk =>
+      mem.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = state.get().admitted
+      .select($"doc_id").as[Long].collect().toSet
+    val batchDropped = Decontam.contaminated(rows.toDF("doc_id", "text"),
+        "doc_id", "text", bench, "doc_id", "text", n = 3, threshold = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(streamed == rows.map(_._1).toSet -- batchDropped)
+    assert(batchDropped == Set(1L))
+    assert(state.get().dropped == 1L)
+  }
 }
