@@ -1888,7 +1888,25 @@ object SparkEntry {
           TextOps.gopherKeep(col("toks")).cast("long").as("keep"))
         .orderBy(col("doc_id"))
     }),
+
+    // Linear quality classifier serving (operators.QualityLR): the
+    // fastText-stage shape with PINNED weights — the logit is a
+    // fixed-order multiply-add over deterministic features, so serving
+    // is oracle-hashed end to end (training itself is spec-gated:
+    // L-BFGS fold order isn't hash-stable by design).
+    "quality_lr_logit" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          graft.operators.QualityLR.logit(col("toks"), lrPinnedW).as("logit"),
+          graft.operators.QualityLR.keep(col("toks"), lrPinnedW)
+            .cast("long").as("keep"))
+        .orderBy(col("doc_id"))),
   )
+
+  /** Pinned serving weights for quality_lr_logit (bias-first, aligned
+    * with QualityLR.features) — shared with the oracle SQL below. */
+  private val lrPinnedW = Seq(-2.0, 1.5, 0.5, 1.0, 2.0)
 
   /** Build-vs-search wall-second split for the index-building bench
     * queries. The monolithic `queries` timings fold index construction
@@ -3725,6 +3743,38 @@ object SparkEntry {
          |    AND frac_alpha >= 0.8 AND n_stops >= 2
          |    THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    // pinned-weight linear classifier logit: the SAME left-fold
+    // multiply-add order as QualityLR.logit — bit-identical doubles
+    "quality_lr_logit" -> {
+      val s = TextOps.stopwords
+      val Seq(w0, w1, w2, w3, w4) = lrPinnedW
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_words,
+         |  CASE WHEN len(toks) > 0
+         |    THEN CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+         |       / CAST(len(toks) AS DOUBLE)
+         |    ELSE 0.0 END AS mean_wlen,
+         |  CASE WHEN len(toks) > 0
+         |    THEN CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+         |       / CAST(len(toks) AS DOUBLE)
+         |    ELSE 0.0 END AS frac_alpha,
+         |  CAST(${stopHitSql(s("en"))} + ${stopHitSql(s("de"))}
+         |     + ${stopHitSql(s("es"))} + ${stopHitSql(s("fr"))} AS BIGINT) AS n_stops
+         | FROM t),
+         |l AS (SELECT doc_id,
+         |  $w0 * 1.0
+         |  + $w1 * least(CAST(1.0 AS DOUBLE), CAST(n_words AS DOUBLE) / 100.0)
+         |  + $w2 * least(CAST(1.0 AS DOUBLE), mean_wlen / 10.0)
+         |  + $w3 * frac_alpha
+         |  + $w4 * least(CAST(1.0 AS DOUBLE), CASE WHEN n_words > 0
+         |      THEN CAST(n_stops AS DOUBLE) / CAST(n_words AS DOUBLE) * 10.0
+         |      ELSE 0.0 END) AS logit
+         | FROM m)
+         |SELECT doc_id, logit, CAST(CASE WHEN logit > 0.0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM l ORDER BY doc_id""".stripMargin
     },
   )
 

@@ -57,4 +57,32 @@ object Layout {
   def cluster(df: DataFrame, zkeyCol: String, numPartitions: Int): DataFrame =
     df.repartitionByRange(numPartitions, col(zkeyCol))
       .sortWithinPartitions(col(zkeyCol))
+
+  /** THE SCALE PATH for bucketization: 2^bits − 1 approximate quantile
+    * split points (one `approx_percentile` aggregate — a sketch, no
+    * global sort, no window) applied as a broadcast-literal bucket
+    * expression. Equal-frequency like [[rankBucket]] up to sketch
+    * accuracy, at a per-row cost of a 255-term codegen fold instead of
+    * a corpus-wide single-partition sort. Skewed columns stay
+    * equal-frequency — the property uniform `width_bucket` splits lose.
+    *
+    * Returns (bucketColumn, splits). Not oracle-gated (the sketch is
+    * approximate by design); LayoutSpec gates bucket balance on skewed
+    * data and tile-boundedness of the composed Z-key.
+    */
+  def quantileBuckets(df: DataFrame, valueCol: String,
+                      bits: Int = 8): (Column, Array[Double]) = {
+    require(bits >= 1 && bits <= 12, "quantileBuckets supports 1..12 bits")
+    val k = 1 << bits
+    val probs = (1 until k).map(_.toDouble / k)
+    val splits = df.select(
+        percentile_approx(col(valueCol).cast("double"),
+          typedLit(probs), lit(10000)).as("s"))
+      .head().getAs[scala.collection.Seq[Double]](0).toArray
+    // bucket = number of split points ≤ v — a codegen fold over the
+    // broadcast literal array; monotone, total, null-free for non-null v
+    val b = aggregate(typedLit(splits.toSeq), lit(0L),
+      (acc, s) => acc + when(col(valueCol).cast("double") >= s, 1L).otherwise(0L))
+    (b, splits)
+  }
 }

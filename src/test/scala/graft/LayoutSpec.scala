@@ -46,6 +46,31 @@ class LayoutSpec extends SparkSpec {
     assert(naive > 200L, s"naive layout should leave bv unbounded, got $naive")
   }
 
+  test("quantileBuckets: equal-frequency on skewed data, composes into bounded z-tiles") {
+    // heavily skewed column (quadratic density) — uniform splits would
+    // put ~half the rows in the top bucket pair
+    val df = spark.range(40000L)
+      .select($"id", ($"id" * $"id" % 65536L).as("v"),
+        ($"id" * 2654435761L % 65536L).as("u"))
+    val (bCol, splits) = Layout.quantileBuckets(df, "v", 6)
+    assert(splits.length == 63 && splits.toSeq == splits.sorted.toSeq)
+    val counts = df.select(bCol.as("b")).groupBy("b").count()
+      .collect().map(_.getLong(1))
+    val expected = 40000.0 / 64
+    // approx sketch at accuracy 10000: every bucket within 30% of fair share
+    assert(counts.length == 64)
+    assert(counts.forall(c => c > expected * 0.7 && c < expected * 1.3),
+      counts.sorted.mkString(","))
+    // composed z-key from two quantile-bucketed dims still tiles
+    val (uCol, _) = Layout.quantileBuckets(df, "u", 6)
+    val spans = df.select(bCol.as("bv"), uCol.as("bu"))
+      .withColumn("zbin", shiftright(Layout.interleaveBits($"bu", $"bv", 6), 6))
+      .groupBy("zbin").agg((max($"bu") - min($"bu")).as("du"),
+        (max($"bv") - min($"bv")).as("dv"))
+      .agg(max($"du"), max($"dv")).head()
+    assert(spans.getLong(0) <= 7L && spans.getLong(1) <= 7L)
+  }
+
   test("cluster() range-partitions by zkey: partitions hold disjoint sorted key ranges") {
     val events = spark.read.parquet(s"$sf001/events.parquet")
     val keyed = events.select($"event_id",
