@@ -1902,6 +1902,34 @@ object SparkEntry {
           graft.operators.QualityLR.keep(col("toks"), lrPinnedW)
             .cast("long").as("keep"))
         .orderBy(col("doc_id"))),
+
+    // The MODERN pretraining chain end-to-end, composing the curation
+    // wave in production order: PII scrub (on planted text) → Gopher
+    // quality gate → n-gram benchmark decontamination (threshold 0.08
+    // bites on this corpus: max natural overlap 0.111) → temperature
+    // mixing over surviving langs → group-aware split. One declarative
+    // plan, one end-to-end oracle. Complements pipeline_curate (the
+    // langid/dedup/cap chain) — together they cover both halves of a
+    // real curation stack.
+    "pipeline_pretrain" -> ((s, dir) => {
+      import graft.operators.{Decontam, Pii, Splits}
+      val red = piiAugmented(tbl(s, dir, "documents"))
+        .withColumn("rtext", Pii.redact(col("t")))
+      val toked = red.select(col("doc_id"), col("lang"), col("source"),
+        col("rtext"), TextOps.tokens(col("rtext")).as("toks"))
+      val gated = toked.filter(TextOps.gopherKeep(col("toks")))
+      val bench = gated.filter(pmod(col("doc_id"), lit(97L)) === 0)
+      val cand = gated.filter(pmod(col("doc_id"), lit(97L)) =!= 0)
+      val droppedIds = Decontam.ngramOverlap(cand, "doc_id", "rtext",
+          bench, "doc_id", "rtext", n = 3)
+        .filter(col("overlap") >= 0.08).select(col("doc_id"))
+      val clean = cand.join(droppedIds, Seq("doc_id"), "left_anti")
+      val mixed = Splits.mixByTemperature(clean, "doc_id", "lang", alpha = 0.5)
+      Splits.assignByGroup(mixed, "source")
+        .select(col("doc_id"), col("lang"), col("source"), col("split"),
+          md5(col("rtext")).as("red_digest"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Pinned serving weights for quality_lr_logit (bias-first, aligned
@@ -3775,6 +3803,75 @@ object SparkEntry {
          | FROM m)
          |SELECT doc_id, logit, CAST(CASE WHEN logit > 0.0 THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM l ORDER BY doc_id""".stripMargin
+    },
+
+    // the full pretrain chain: each CTE mirrors one already-gated stage
+    // (pii redact, gopher gate, trigram decontam, sqrt mixing, group
+    // split) in the SAME order the Spark query composes them; the
+    // redacted text is aliased `text` so the shared toks fragment
+    // applies unchanged
+    "pipeline_pretrain" -> {
+      val s = TextOps.stopwords
+      import graft.operators.Pii
+      s"""WITH aug AS ($piiAugSql),
+         |red AS (SELECT a.doc_id, d.lang, d.source,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(a.t,
+         |    '${Pii.EmailRe}', '${Pii.EmailTag}', 'g'),
+         |    '${Pii.SsnRe}', '${Pii.SsnTag}', 'g'),
+         |    '${Pii.PhoneRe}', '${Pii.PhoneTag}', 'g'),
+         |    '${Pii.Ipv4Re}', '${Pii.IpTag}', 'g') AS text
+         | FROM aug a JOIN documents d USING (doc_id)),
+         |tk AS (SELECT doc_id, lang, source, text, $toksSql AS toks FROM red),
+         |mt AS (SELECT doc_id, lang, source, text, toks,
+         |  CAST(len(toks) AS BIGINT) AS n_words,
+         |  CASE WHEN len(toks) > 0
+         |    THEN CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+         |       / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS mean_wlen,
+         |  CASE WHEN len(toks) > 0
+         |    THEN CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+         |       / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS frac_alpha,
+         |  CAST(${stopHitSql(s("en"))} + ${stopHitSql(s("de"))}
+         |     + ${stopHitSql(s("es"))} + ${stopHitSql(s("fr"))} AS BIGINT) AS n_stops
+         | FROM tk),
+         |g AS (SELECT doc_id, lang, source, text, toks FROM mt
+         |  WHERE n_words >= 50 AND n_words <= 100000 AND mean_wlen >= 3.0
+         |    AND mean_wlen <= 10.0 AND frac_alpha >= 0.8 AND n_stops >= 2),
+         |gr AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+         |  THEN list_distinct(list_transform(range(1, len(toks) - 1),
+         |    i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+         |  ELSE [] END AS grams FROM g),
+         |bg AS (SELECT DISTINCT unnest(grams) AS gm FROM gr WHERE doc_id % 97 = 0),
+         |cand AS (SELECT doc_id, len(grams) AS n_grams, grams FROM gr
+         |  WHERE doc_id % 97 <> 0),
+         |ex AS (SELECT doc_id, unnest(grams) AS gm FROM cand),
+         |hits AS (SELECT ex.doc_id, count(*) AS n_hit
+         |  FROM ex JOIN bg USING (gm) GROUP BY 1),
+         |dropped AS (SELECT c.doc_id FROM cand c JOIN hits h USING (doc_id)
+         |  WHERE c.n_grams > 0
+         |    AND CAST(h.n_hit AS DOUBLE) / CAST(c.n_grams AS DOUBLE) >= 0.08),
+         |clean AS (SELECT doc_id, lang, source, text FROM g
+         |  WHERE doc_id % 97 <> 0
+         |    AND doc_id NOT IN (SELECT doc_id FROM dropped)),
+         |c AS (SELECT lang, count(*) AS n_src FROM clean GROUP BY lang),
+         |mm AS (SELECT min(n_src) AS n_min FROM c),
+         |r AS (SELECT lang,
+         |  sqrt(CAST(n_min AS DOUBLE) / CAST(n_src AS DOUBLE)) AS mix_rate
+         | FROM c, mm),
+         |fm AS (SELECT cl.doc_id, cl.lang, cl.source, cl.text,
+         |  CAST(concat('0x', substr(md5(CAST(cl.doc_id AS VARCHAR) || ':mix'), 1, 8)) AS BIGINT)
+         |    / 4294967296.0 AS frac
+         | FROM clean cl),
+         |mixed AS (SELECT fm.doc_id, fm.lang, fm.source, fm.text
+         |  FROM fm JOIN r USING (lang) WHERE fm.frac < r.mix_rate),
+         |fin AS (SELECT doc_id, lang, source, text,
+         |  CAST(concat('0x', substr(md5(CAST(source AS VARCHAR)), 1, 8)) AS BIGINT)
+         |    / 4294967296.0 AS gfrac
+         | FROM mixed)
+         |SELECT doc_id, lang, source,
+         |  CASE WHEN gfrac < 0.8 THEN 'train'
+         |       WHEN gfrac < 0.9 THEN 'val' ELSE 'test' END AS split,
+         |  md5(text) AS red_digest
+         |FROM fin ORDER BY doc_id""".stripMargin
     },
   )
 

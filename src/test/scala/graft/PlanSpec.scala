@@ -353,4 +353,53 @@ class PlanSpec extends SparkSpec {
     val scan = probed.queryExecution.executedPlan.toString
     assert(scan.contains("PartitionFilters: [isnotnull(cluster"), scan.take(800))
   }
+
+  test("pii scrub lanes are shuffle-free narrow maps (modulo the presentation sort)") {
+    for (q <- Seq("pii_scan", "pii_redact")) {
+      val df = SparkEntry.queries(q)(spark, sf001)
+      val exchanges = flatten(df.queryExecution.executedPlan).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+      assert(exchanges.size <= 1, s"$q plans ${exchanges.size} shuffles")
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p.take(400))
+    }
+  }
+
+  test("decontamination broadcasts the benchmark; corpus text rides no shuffle") {
+    val df = SparkEntry.queries("contam_ngram")(spark, sf001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(plan.toString.contains("BroadcastExchange"), plan.toString.take(600))
+    flatten(plan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.foreach { e =>
+      assert(!e.output.map(_.name).contains("text"),
+        "corpus text in a shuffle:\n" + e.toString.take(600))
+    }
+  }
+
+  test("mix_temperature broadcasts rates onto the corpus; counts aggregate is the only pre-filter shuffle") {
+    val df = SparkEntry.queries("mix_temperature")(spark, sf001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(plan.toString.contains("BroadcastHashJoin"), plan.toString.take(600))
+    flatten(plan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.foreach { e =>
+      assert(!e.output.map(_.name).contains("text"),
+        "corpus text in a shuffle:\n" + e.toString.take(600))
+    }
+  }
+
+  test("lm_bigram_score shuffles gram counters only, never document text") {
+    val df = SparkEntry.queries("lm_bigram_score")(spark, sf001)
+    df.collect()
+    flatten(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.foreach { e =>
+      assert(!e.output.map(_.name).contains("text"),
+        "document text in a shuffle:\n" + e.toString.take(600))
+    }
+  }
 }
