@@ -1930,6 +1930,34 @@ object SparkEntry {
           md5(col("rtext")).as("red_digest"))
         .orderBy(col("doc_id"))
     }),
+
+    // Fuzzy decontamination (Decontam.fuzzyMinhash): MinHash band
+    // collisions across the candidate/benchmark (doc_id%7) boundary —
+    // the paraphrase-robust complement to contam_ngram's exact
+    // collision check; broadcast benchmark signatures, corpus never
+    // shuffles.
+    "contam_fuzzy" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      graft.operators.Decontam.fuzzyMinhash(
+          docs.filter(pmod(col("doc_id"), lit(7L)) =!= 0), "doc_id", "text",
+          docs.filter(pmod(col("doc_id"), lit(7L)) === 0), "doc_id", "text")
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
+    // Feature-hashing embedding (TextOps.hashEmbedding): the hashing
+    // trick as a narrow per-row fold; gated by exploding the nonzero
+    // coordinates — integer-exact, and the oracle recomputes them
+    // RELATIONALLY (explode → group-by-sum), proving the per-row map
+    // equals the aggregation semantics.
+    "text_hash_embed" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          posexplode(TextOps.hashEmbedding(col("toks"), 16))
+            .as(Seq("i", "v")))
+        .filter(col("v") =!= 0L)
+        .select(col("doc_id"), col("i").cast("long").as("i"), col("v"))
+        .orderBy(col("doc_id"), col("i"))),
   )
 
   /** Pinned serving weights for quality_lr_logit (bias-first, aligned
@@ -3873,6 +3901,29 @@ object SparkEntry {
          |  md5(text) AS red_digest
          |FROM fin ORDER BY doc_id""".stripMargin
     },
+
+    // band signatures over ALL docs once (the shared minhash CTE chain),
+    // then the cross-boundary join candidate %7<>0 × benchmark %7=0
+    "contam_fuzzy" ->
+      s"""WITH $minhashBandsCtes
+         |SELECT c.doc_id, b.doc_id AS bench_id, CAST(count(*) AS BIGINT) AS n_bands
+         |FROM bands c JOIN bands b ON c.band = b.band AND c.key = b.key
+         |WHERE c.doc_id % 7 <> 0 AND b.doc_id % 7 = 0
+         |GROUP BY 1, 2 ORDER BY c.doc_id, bench_id""".stripMargin,
+
+    // relational replay of the hashing-trick fold: same md5 index/sign
+    // per token, summed per (doc, dimension), zeros dropped
+    "text_hash_embed" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+         |h AS (SELECT doc_id,
+         |  CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 16 AS i,
+         |  CASE WHEN substr(md5(w), 9, 1) IN ('8','9','a','b','c','d','e','f')
+         |    THEN -1 ELSE 1 END AS s
+         | FROM tok)
+         |SELECT doc_id, CAST(i AS BIGINT) AS i, CAST(sum(s) AS BIGINT) AS v
+         |FROM h GROUP BY doc_id, i HAVING sum(s) <> 0
+         |ORDER BY doc_id, i""".stripMargin,
   )
 
   /** DuckDB replay of [[piiAugmented]] (ends in columns doc_id, t). */

@@ -97,4 +97,34 @@ object Decontam {
                    n: Int = 8, threshold: Double = 0.5): DataFrame =
     ngramOverlap(docs, idCol, textCol, bench, benchIdCol, benchTextCol, n)
       .filter(col("overlap") >= threshold)
+
+  /** FUZZY decontamination via MinHash bands — the paraphrase-robust
+    * complement to [[ngramOverlap]]: exact n-gram collision misses a
+    * benchmark answer that was lightly rewritten, but a rewrite that
+    * preserves most shingles still collides in MinHash band space
+    * (the same S-curve that powers near-dup detection, pointed
+    * across the candidate/benchmark boundary instead of within one
+    * corpus). Returns (idCol, bench_id, n_bands) per colliding pair —
+    * n_bands/numBands estimates the Jaccard similarity region.
+    *
+    * Scale shape: both sides reduce to band signatures (numBands rows
+    * per doc); the benchmark signature set is takedown-sized and
+    * broadcasts, so this is a map-side join against the candidate
+    * band stream — the corpus never shuffles, same contract as
+    * [[ngramOverlapAgainstGrams]].
+    */
+  def fuzzyMinhash(docs: DataFrame, idCol: String, textCol: String,
+                   bench: DataFrame, benchIdCol: String, benchTextCol: String,
+                   numHashes: Int = 12, bandSize: Int = 2,
+                   broadcastBench: Boolean = true): DataFrame = {
+    val cb = Dedup.minhashBands(docs, idCol, textCol, numHashes, bandSize)
+    val bb0 = Dedup.minhashBands(bench, benchIdCol, benchTextCol,
+        numHashes, bandSize)
+      .select(col("band"), col("key"), col("id").as("bench_id"))
+    val bb = if (broadcastBench) broadcast(bb0) else bb0
+    cb.join(bb, Seq("band", "key"))
+      .groupBy(col("id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_bands"))
+      .select(col("id").as(idCol), col("bench_id"), col("n_bands"))
+  }
 }

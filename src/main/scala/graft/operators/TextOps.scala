@@ -236,6 +236,30 @@ object TextOps {
     (n, meanLen, fracAlpha, stops)
   }
 
+  /** Feature-hashing text embedding (the hashing trick, Weinberger et
+    * al.) — a MODEL-FREE embedding: token t adds sign(t) ∈ {−1, +1} to
+    * dimension h(t) mod dim, both md5-derived (engine-portable). The
+    * result is an integer-valued ARRAY<BIGINT> whose dot products
+    * estimate token-multiset similarity, so every downstream ANN /
+    * embedding-dedup operator works on raw text with no trained model
+    * in the loop. Pure narrow per-row fold (no shuffle) — the oracle
+    * replays it relationally (explode → group), proving the map ≡
+    * the aggregation.
+    */
+  def hashEmbedding(toks: Column, dim: Int = 16): Column = {
+    require(dim >= 2 && dim <= 256, s"hashEmbedding: dim in [2,256], got $dim")
+    val zero = array_repeat(lit(0L), lit(dim))
+    aggregate(toks, zero, (acc, t) => {
+      val idx = pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"),
+        lit(dim.toLong))
+      val sign = when(substring(md5(t), 9, 1)
+          .isin("8", "9", "a", "b", "c", "d", "e", "f"), lit(-1L))
+        .otherwise(lit(1L))
+      transform(acc, (x, i) => x + when(i.cast("long") === idx, sign)
+        .otherwise(lit(0L)))
+    })
+  }
+
   /** The Gopher admission rule over [[gopherMetrics]]: word count in
     * [minWords, maxWords], mean word length in [minMeanLen, maxMeanLen],
     * alphabetic-word fraction ≥ minFracAlpha, stopword hits ≥ minStops.

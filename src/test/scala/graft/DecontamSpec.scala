@@ -50,6 +50,26 @@ class DecontamSpec extends SparkSpec {
     assert(r.getLong(1) == 4L && r.getLong(2) == 2L)
   }
 
+  test("fuzzyMinhash catches a light paraphrase the exact 8-gram check misses") {
+    // benchmark doc with enough tokens for stable minhash signatures
+    val benchDoc = (1 to 40).map(i => s"tok$i").mkString(" ")
+    // paraphrase: every 10th token replaced — no 8-gram survives intact,
+    // but ~90% of shingles do, so MinHash bands still collide
+    val para = (1 to 40).map(i =>
+      if (i % 10 == 0) s"alt$i" else s"tok$i").mkString(" ")
+    val b = Seq((900L, benchDoc)).toDF("id", "text")
+    val cand = Seq((10L, para),
+      (11L, (1 to 40).map(i => s"other$i").mkString(" "))).toDF("id", "text")
+    val exact = Decontam.ngramOverlap(cand, "id", "text", b, "id", "text", n = 8)
+      .filter($"overlap" >= 0.5).select("id").as[Long].collect().toSet
+    assert(!exact.contains(10L), "paraphrase should evade the exact check")
+    val fuzzy = Decontam.fuzzyMinhash(cand, "id", "text", b, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(fuzzy.exists(t => t._1 == 10L && t._2 == 900L && t._3 >= 1),
+      fuzzy.mkString(","))
+    assert(!fuzzy.exists(_._1 == 11L), "unrelated doc must not collide")
+  }
+
   test("benchmark side plans as a broadcast join — corpus text never shuffles wide") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val plan = Decontam.ngramOverlap(
