@@ -1917,7 +1917,12 @@ object SparkEntry {
         .withColumn("rtext", Pii.redact(col("t")))
       val toked = red.select(col("doc_id"), col("lang"), col("source"),
         col("rtext"), TextOps.tokens(col("rtext")).as("toks"))
+      // the scrub+gate prefix feeds three consumers (benchmark grams,
+      // candidate grams, the post-decontam join-back) — materialize it
+      // once or the regex-heavy redact/gopher chain re-runs per branch
+      // (measured 8.0 → 3.0 s warm at sf0.1)
       val gated = toked.filter(TextOps.gopherKeep(col("toks")))
+        .localCheckpoint(true)
       val bench = gated.filter(pmod(col("doc_id"), lit(97L)) === 0)
       val cand = gated.filter(pmod(col("doc_id"), lit(97L)) =!= 0)
       val droppedIds = Decontam.ngramOverlap(cand, "doc_id", "rtext",

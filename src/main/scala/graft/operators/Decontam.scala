@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination by token n-gram overlap (beyond the
@@ -28,23 +28,24 @@ import org.apache.spark.sql.functions._
   */
 object Decontam {
 
-  /** Distinct md5-hashed word n-grams per document. Two-step select so
-    * the transform lambda references a bound ATTRIBUTE (`toks`), never
-    * a re-evaluated expression — the O(d²) HOF-lambda trap documented
-    * in round 7.
-    */
-  private[graft] def gramSets(docs: DataFrame, idCol: String,
-                              textCol: String, n: Int): DataFrame = {
+  /** Distinct md5-hashed word n-grams of a MATERIALIZED token column
+    * (HOF discipline: `toks` must be a bound attribute, never an inline
+    * tokenize expression — the O(d²) re-evaluation trap documented in
+    * round 7). */
+  private[graft] def gramsOf(toks: Column, n: Int): Column = {
     require(n >= 1, "n-gram order must be >= 1")
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => md5(concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  private[graft] def gramSets(docs: DataFrame, idCol: String,
+                              textCol: String, n: Int): DataFrame =
     docs
       .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
-      .select(col(idCol),
-        when(size(col("toks")) >= n,
-          transform(sequence(lit(0), size(col("toks")) - n),
-            i => md5(concat_ws(" ", slice(col("toks"), i + lit(1), lit(n))))))
-          .otherwise(array().cast("array<string>")).as("grams"))
-      .select(col(idCol), array_distinct(col("grams")).as("grams"))
-  }
+      .select(col(idCol), gramsOf(col("toks"), n).as("grams"))
 
   /** Per-candidate-doc contamination profile against `bench`:
     * `n_grams` distinct n-grams, `n_hit` of them present anywhere in
@@ -97,6 +98,29 @@ object Decontam {
                    n: Int = 8, threshold: Double = 0.5): DataFrame =
     ngramOverlap(docs, idCol, textCol, bench, benchIdCol, benchTextCol, n)
       .filter(col("overlap") >= threshold)
+
+  /** Row-local overlap against a LITERAL benchmark gram set — the
+    * fully-stateless face for streams and tiny benchmarks: the gram
+    * set rides the plan as a literal array (collect it once with
+    * `benchGramSet(...).collect()`), so the decision is a pure narrow
+    * map — no join, no state store, usable inside a streaming
+    * transform with no watermark. Same distinct-gram semantics as
+    * [[ngramOverlap]]. Driver-collect contract: benchmark gram sets
+    * are takedown-sized; for anything larger use the broadcast-join
+    * path.
+    */
+  def overlapAgainstLiteral(docs: DataFrame, idCol: String, textCol: String,
+                            benchGrams: Array[String], n: Int): DataFrame = {
+    val benchLit = lit(benchGrams.sorted)
+    gramSets(docs, idCol, textCol, n)
+      .withColumn("n_grams", size(col("grams")).cast("long"))
+      .withColumn("n_hit",
+        size(array_intersect(col("grams"), benchLit)).cast("long"))
+      .withColumn("overlap", when(col("n_grams") > 0,
+        col("n_hit").cast("double") / col("n_grams").cast("double"))
+        .otherwise(lit(0.0)))
+      .drop("grams")
+  }
 
   /** FUZZY decontamination via MinHash bands — the paraphrase-robust
     * complement to [[ngramOverlap]]: exact n-gram collision misses a

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -619,6 +619,50 @@ object Streaming {
     stream
       .withColumn("pii_hits", Pii.totalHits(col(textCol)))
       .withColumn(textCol, Pii.redact(col(textCol)))
+  }
+
+  /** THE WHOLE PRETRAIN CHAIN AS A STATELESS STREAMING TRANSFORM —
+    * pipeline_pretrain's streaming face: PII scrub → Gopher quality
+    * gate → literal-gram decontamination → fixed-rate mixing →
+    * group-aware split, every stage a narrow codegen map (no state
+    * store, no watermark, no join), so it runs identically on a batch
+    * or streaming DataFrame and stream ≡ batch holds by construction
+    * (still pinned in StreamingSpec).
+    *
+    * The two frozen inputs are the online-serving contract: the
+    * benchmark gram set is a takedown-sized literal (same contract as
+    * [[graft.operators.Decontam.overlapAgainstLiteral]]), and
+    * `mixRates` are per-stratum keep rates computed OFFLINE (a stream
+    * cannot see the final source distribution; production recomputes
+    * rates per epoch and redeploys — exactly how batch-trained mixing
+    * weights ship today).
+    */
+  def pretrainStream(stream: DataFrame, idCol: String, srcCol: String,
+                     stratumCol: String, textCol: String,
+                     benchGrams: Array[String], n: Int, threshold: Double,
+                     mixRates: Map[String, Double],
+                     cuts: Seq[(String, Double)] = Seq(
+                       ("train", 0.8), ("val", 0.9), ("test", 1.0))): DataFrame = {
+    import graft.operators.{Decontam, Pii, Splits, TextOps}
+    val scrubbed = stream
+      .withColumn(textCol, Pii.redact(col(textCol)))
+      .withColumn("__toks", TextOps.tokens(col(textCol)))
+      .filter(TextOps.gopherKeep(col("__toks")))
+      .withColumn("__grams", Decontam.gramsOf(col("__toks"), n))
+      .withColumn("__hit",
+        size(array_intersect(col("__grams"), lit(benchGrams.sorted))).cast("long"))
+      .withColumn("__ng", size(col("__grams")).cast("long"))
+      .filter(when(col("__ng") > 0,
+        col("__hit").cast("double") / col("__ng").cast("double"))
+        .otherwise(lit(0.0)) < lit(threshold))
+    val rate = mixRates.toSeq.sortBy(_._1).foldRight(lit(1.0): Column) {
+      case ((k, v), rest) =>
+        when(col(stratumCol) === lit(k), lit(v)).otherwise(rest)
+    }
+    val mixed = scrubbed.filter(
+      Splits.hashFrac(concat(col(idCol).cast("string"), lit(":mix"))) < rate)
+    Splits.assignByGroup(mixed, srcCol, cuts)
+      .drop("__toks", "__grams", "__hit", "__ng")
   }
 
   /** State of [[ingestDecontam]]: `admitted` accumulates clean docs,

@@ -674,6 +674,53 @@ class StreamingSpec extends SparkSpec {
     assert(!streamed(3L)._1.exists(_.isDigit))
   }
 
+  test("pretrainStream over a MemoryStream equals the independent batch operators") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Decontam, Pii, Splits, TextOps}
+    val bench = Seq((900L, (1 to 60).map(i => s"tok$i").mkString(" ") + " the and of a"))
+      .toDF("doc_id", "text")
+    val grams = Decontam.benchGramSet(bench, "doc_id", "text", n = 3)
+      .collect().map(_.getString(0))
+    val mkDoc = (i: Int) => {
+      val filler = (0 until 60).map(j => s"w${(i * 13 + j * 7) % 400}")
+      (i.toLong, s"src${i % 3}", s"lang${i % 2}",
+        (filler ++ Seq("the", "and", "of", "a")).mkString(" ") +
+          (if (i % 10 == 0) " contact x@y.co now" else ""))
+    }
+    val rows = (0 until 80).map(mkDoc) :+
+      // planted contaminated doc: verbatim benchmark copy
+      (999L, "src0", "lang0", (1 to 60).map(i => s"tok$i").mkString(" ") + " the and of a")
+    val rates = Map("lang0" -> 0.7, "lang1" -> 1.0)
+    val mem = MemoryStream[(Long, String, String, String)]
+    val q = graft.streaming.Streaming.pretrainStream(
+        mem.toDF().toDF("doc_id", "source", "lang", "text"),
+        "doc_id", "source", "lang", "text", grams, n = 3, threshold = 0.5, rates)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pretrain_out").start()
+    rows.grouped(30).foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("pretrain_out")
+      .select($"doc_id", $"split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the same pipeline from the INDEPENDENT batch operators
+    val batchDf = rows.toDF("doc_id", "source", "lang", "text")
+      .withColumn("text", Pii.redact($"text"))
+      .withColumn("toks", TextOps.tokens($"text"))
+      .filter(TextOps.gopherKeep($"toks"))
+    val cleanIds = Decontam.overlapAgainstLiteral(
+        batchDf.select($"doc_id", $"text"), "doc_id", "text", grams, 3)
+      .filter($"overlap" < 0.5).select($"doc_id")
+    val mixed = batchDf.join(cleanIds, Seq("doc_id"), "left_semi")
+      .filter(Splits.hashFrac(concat($"doc_id".cast("string"), lit(":mix"))) <
+        when($"lang" === "lang0", 0.7).otherwise(1.0))
+    val batch = Splits.assignByGroup(mixed, "source")
+      .select($"doc_id", $"split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed == batch)
+    // the planted contaminated doc was dropped; the corpus wasn't
+    assert(!streamed.contains(999L) && streamed.size > 30)
+  }
+
   test("streaming decontamination admits exactly the batch-clean set") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Decontam
