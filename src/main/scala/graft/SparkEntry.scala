@@ -1875,6 +1875,23 @@ object SparkEntry {
         .orderBy(col("zbin"))
     }),
 
+    // Hilbert-curve layout key (Layout.withHilbertKey): the
+    // better-locality alternative to layout_zorder — consecutive keys
+    // are always grid NEIGHBOURS (pinned in LayoutSpec), so
+    // range-clustered files cover even tighter tiles; the xy2d state
+    // loop runs as chained codegen projections, replayed level by
+    // level in the oracle's CTE chain.
+    "layout_hilbert" -> ((s, dir) => {
+      import graft.operators.Layout
+      val b = tbl(s, dir, "events")
+        .select(col("event_id"),
+          Layout.rankBucket(col("user_id"), col("event_id"), 8).as("bu"),
+          Layout.rankBucket(col("value"), col("event_id"), 8).as("bv"))
+      Layout.withHilbertKey(b, "bu", "bv", 8)
+        .select(col("event_id"), col("bu"), col("bv"), col("hkey"))
+        .orderBy(col("event_id"))
+    }),
+
     // Gopher-style heuristic quality battery (TextOps.gopherMetrics):
     // word-count bounds, mean word length, alphabetic-word fraction,
     // stopword evidence — the published web-pretraining rules, each an
@@ -1963,6 +1980,23 @@ object SparkEntry {
         .filter(col("v") =!= 0L)
         .select(col("doc_id"), col("i").cast("long").as("i"), col("v"))
         .orderBy(col("doc_id"), col("i"))),
+
+    // Similarity search over RAW TEXT with no model in the loop: the
+    // hashing-trick embeddings feed the exhaustive kNN join, and
+    // because the coordinates are integers the squared-L2 distances
+    // are EXACT BIGINTs — the whole text→embed→search composition is
+    // oracle-hashed end to end.
+    "text_knn_hashembed" -> ((s, dir) => {
+      val emb = tbl(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          TextOps.hashEmbedding(col("toks"), 16).cast("array<float>").as("emb"))
+        .localCheckpoint(true) // feeds both knn sides — embed once
+      Exhaustive.knnJoin(emb.filter(col("doc_id") < 3), "doc_id", "emb",
+          emb, "doc_id", "emb", k = 5)
+        .select(col("qid"), col("id"), col("distance").cast("long").as("distance"))
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
   )
 
   /** Pinned serving weights for quality_lr_logit (bias-first, aligned
@@ -3780,6 +3814,12 @@ object SparkEntry {
          |  min(bv) AS min_bv, max(bv) AS max_bv
          |FROM z GROUP BY 1 ORDER BY zbin""".stripMargin,
 
+    "layout_hilbert" ->
+      s"""WITH b AS ($zBucketsSql),
+         |${hilbertCtesSql(8)}
+         |SELECT event_id, bu, bv, CAST(hd AS BIGINT) AS hkey
+         |FROM h8 ORDER BY event_id""".stripMargin,
+
     // the Gopher rule battery: exact integer sums + two single double
     // divisions, the keep flag replayed threshold-for-threshold
     "quality_gopher" -> {
@@ -3929,6 +3969,30 @@ object SparkEntry {
          |SELECT doc_id, CAST(i AS BIGINT) AS i, CAST(sum(s) AS BIGINT) AS v
          |FROM h GROUP BY doc_id, i HAVING sum(s) <> 0
          |ORDER BY doc_id, i""".stripMargin,
+
+    // densify the sparse hash-embedding sums over a doc × dim grid,
+    // then integer-exact squared-L2 top-5 with (distance, id) ties
+    "text_knn_hashembed" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+         |h AS (SELECT doc_id,
+         |  CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 16 AS i,
+         |  CASE WHEN substr(md5(w), 9, 1) IN ('8','9','a','b','c','d','e','f')
+         |    THEN -1 ELSE 1 END AS s
+         | FROM tok),
+         |sp AS (SELECT doc_id, i, sum(s) AS v FROM h GROUP BY 1, 2),
+         |grid AS (SELECT d.doc_id, gs.i FROM (SELECT DISTINCT doc_id FROM t) d
+         |  CROSS JOIN (SELECT unnest(range(0, 16)) AS i) gs),
+         |dense AS (SELECT g.doc_id, g.i, CAST(coalesce(sp.v, 0) AS BIGINT) AS v
+         |  FROM grid g LEFT JOIN sp ON g.doc_id = sp.doc_id AND g.i = sp.i),
+         |e AS (SELECT doc_id, list(v ORDER BY i) AS emb FROM dense GROUP BY doc_id),
+         |p AS (SELECT q.doc_id AS qid, c.doc_id AS id,
+         |  list_reduce(list_transform(list_zip(q.emb, c.emb),
+         |    x -> (x[1] - x[2]) * (x[1] - x[2])), (a, b) -> a + b) AS distance
+         | FROM e q, e c WHERE q.doc_id < 3)
+         |SELECT qid, id, CAST(distance AS BIGINT) AS distance FROM p
+         |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 5
+         |ORDER BY qid, distance, id""".stripMargin,
   )
 
   /** DuckDB replay of [[piiAugmented]] (ends in columns doc_id, t). */
@@ -3953,4 +4017,28 @@ object SparkEntry {
     (0 until bits).flatMap(i => Seq(
       s"((($a >> $i) & 1) << ${2 * i + 1})",
       s"((($b >> $i) & 1) << ${2 * i})")).mkString(" + ")
+
+  /** Per-level CTE replay of [[graft.operators.Layout.withHilbertKey]]'s
+    * xy2d state loop over the `b(event_id, bu, bv)` bucket frame —
+    * level k's (hx, hy, hd) computed from level k−1's, exactly the
+    * chained-projection shape the Spark side plans. */
+  private def hilbertCtesSql(bits: Int): String = {
+    val sb = new StringBuilder(
+      "h0 AS (SELECT event_id, bu, bv, bu AS hx, bv AS hy, " +
+        "CAST(0 AS BIGINT) AS hd FROM b)")
+    var k = 0
+    for (lvl <- (bits - 1) to 0 by -1) {
+      val s = 1L << lvl
+      sb.append(s""",
+         |h${k + 1} AS (SELECT event_id, bu, bv,
+         |  CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN ${s - 1} - hy ELSE hy END ELSE hx END AS hx,
+         |  CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN ${s - 1} - hx ELSE hx END ELSE hy END AS hy,
+         |  hd + ${s * s} * xor(3 * rx, ry) AS hd
+         | FROM (SELECT event_id, bu, bv, hx, hy, hd,
+         |   CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |   CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS ry FROM h$k))""".stripMargin)
+      k += 1
+    }
+    sb.toString
+  }
 }

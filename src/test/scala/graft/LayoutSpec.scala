@@ -71,6 +71,37 @@ class LayoutSpec extends SparkSpec {
     assert(spans.getLong(0) <= 7L && spans.getLong(1) <= 7L)
   }
 
+  test("hilbert key: a true space-filling walk — bijective and neighbour-continuous") {
+    val bits = 5
+    val n = 1 << bits // 32x32 grid
+    val grid = (for (x <- 0L until n; y <- 0L until n) yield (x, y)).toDF("x", "y")
+    val keyed = Layout.withHilbertKey(grid, "x", "y", bits)
+      .select($"hkey", $"x", $"y").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // bijection onto 0 .. n²−1
+    assert(keyed.map(_._1).toSeq == (0L until (n.toLong * n)).toSeq)
+    // THE Hilbert property: consecutive keys are grid neighbours
+    keyed.sliding(2).foreach {
+      case Array((_, x1, y1), (_, x2, y2)) =>
+        assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1L,
+          s"($x1,$y1) -> ($x2,$y2) not adjacent")
+      case _ =>
+    }
+  }
+
+  test("hilbert 256-key segments tile at least as tightly as Morton bins") {
+    val events = spark.read.parquet(s"$sf001/events.parquet")
+    val b = events.select($"event_id",
+      Layout.rankBucket($"user_id", $"event_id", 8).as("bu"),
+      Layout.rankBucket($"value", $"event_id", 8).as("bv"))
+    val spans = Layout.withHilbertKey(b, "bu", "bv", 8)
+      .withColumn("hbin", shiftright($"hkey", 8))
+      .groupBy("hbin").agg((max($"bu") - min($"bu")).as("du"),
+        (max($"bv") - min($"bv")).as("dv"))
+      .agg(max($"du"), max($"dv")).head()
+    assert(spans.getLong(0) <= 15L && spans.getLong(1) <= 15L, spans.toString)
+  }
+
   test("cluster() range-partitions by zkey: partitions hold disjoint sorted key ranges") {
     val events = spark.read.parquet(s"$sf001/events.parquet")
     val keyed = events.select($"event_id",
