@@ -919,6 +919,55 @@ object SparkEntry {
         .orderBy(col("qid"), col("distance"), col("id"))
     }),
 
+    // Corpus-scale self-kNN join (the kNN-graph primitive) at nprobe =
+    // ALL cells: Model.knnJoin is searchMany's shuffle-path twin — the
+    // query side equi-joins on cluster instead of broadcasting, so the
+    // query side may be the corpus itself. Probing every cell makes it
+    // exact, so the exhaustive self-join SQL is an exact oracle.
+    "ivf_knn_join_all" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = fixedCentroids(emb)
+      val indexed = IVFFlat.assign(emb, "vec_id", "embedding", cents)
+      val sizes = Array.fill(cents.length)(Long.MaxValue) // force nprobe exactly
+      val model = IVFFlat.Model(IVFFlat.Params(cents.length), cents, sizes, indexed)
+      model.knnJoin(emb, "vec_id", "embedding", k = 10, nprobe = cents.length)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
+    // The probed configuration of the same join (nprobe = 2 nearest of
+    // the 8 fixed cells per query) — deterministic end-to-end, so the
+    // oracle replays probe selection + within-probed re-rank for EVERY
+    // query row, gating the production kNN-graph shape hash-for-hash.
+    "ivf_knn_join_fixed" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = fixedCentroids(emb)
+      val indexed = IVFFlat.assign(emb, "vec_id", "embedding", cents)
+      val sizes = Array.fill(cents.length)(Long.MaxValue) // force nprobe exactly
+      val model = IVFFlat.Model(IVFFlat.Params(cents.length), cents, sizes, indexed)
+      model.knnJoin(emb, "vec_id", "embedding", k = 10, nprobe = 2)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
+    // SemDeDup candidate stage: within-cell cosine pairs over the
+    // fixed-centroid assignment — the semantic near-dup generator whose
+    // pair space is Σ|cell|², never corpus² (Dedup.semanticPairs).
+    "dedup_semantic_pairs" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = fixedCentroids(emb)
+      Dedup.semanticPairs(
+          IVFFlat.assign(emb, "vec_id", "embedding", cents), maxCosDist = 0.7)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SemDeDup end-to-end: cells → within-cell pairs → connected-
+    // component keep-first; survivors of the embeddings table.
+    "dedup_semantic" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = fixedCentroids(emb)
+      Dedup.semdedup(emb, "vec_id", "embedding", cents, maxCosDist = 0.7)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+
     // Real MLlib-KMeans IVFFlat build: cluster-size histogram (shape
     // check only — k-means|| init isn't SQL-reproducible, so this entry
     // has no oracle; correctness is gated in IVFFlatSpec).
@@ -2439,6 +2488,76 @@ object SparkEntry {
       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 10
       |ORDER BY qid, distance, id""".stripMargin
 
+  /** ivf_knn_join_all oracle: the self-kNN join is exact at nprobe =
+    * all cells, so the oracle is [[exhaustiveKnnSql]] with EVERY row as
+    * a query (the kNN-graph ground truth). */
+  private val exhaustiveSelfKnnSql: String =
+    """WITH scored AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS id,
+      |    list_reduce(list_transform(list_zip(c.embedding, q.embedding),
+      |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+      |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+      |      (a, b) -> a + b) AS distance
+      |  FROM embeddings c, embeddings q)
+      |SELECT qid, id, distance FROM scored
+      |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 10
+      |ORDER BY qid, distance, id""".stripMargin
+
+  /** ivf_knn_join_fixed oracle: probe selection (2 nearest of the 8
+    * fixed cells) + within-probed re-rank, for EVERY query row — the
+    * ivfSearchFixedSql shape with the query filter dropped. */
+  private val ivfKnnJoinFixedSql: String =
+    s"""WITH cent AS (
+      |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+      |assigned AS (
+      |  SELECT c.vec_id AS id, c.embedding AS vec, k.cid
+      |  FROM embeddings c CROSS JOIN cent k
+      |  QUALIFY row_number() OVER (PARTITION BY c.vec_id ORDER BY
+      |    list_reduce(list_transform(list_zip(k.cvec, c.embedding),
+      |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+      |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (a,b) -> a+b),
+      |    k.cid) = 1),
+      |probes AS (
+      |  SELECT q.vec_id AS qid, q.embedding AS qvec, k.cid
+      |  FROM embeddings q CROSS JOIN cent k
+      |  QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |    list_reduce(list_transform(list_zip(k.cvec, q.embedding),
+      |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+      |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (a,b) -> a+b),
+      |    k.cid) <= 2),
+      |cands AS (
+      |  SELECT p.qid, a.id,
+      |    list_reduce(list_transform(list_zip(a.vec, p.qvec),
+      |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+      |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (a,b) -> a+b) AS distance
+      |  FROM probes p JOIN assigned a ON a.cid = p.cid)
+      |SELECT qid, id, distance FROM cands
+      |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 10
+      |ORDER BY qid, distance, id""".stripMargin
+
+  /** Shared CTE prefix of the dedup_semantic_* oracles: fixed-centroid
+    * assignment (argmin, cid tie-break — the IVFFlat.assign contract)
+    * then within-cell cosine-distance pairs below 0.7 (the
+    * cosineDistance = 1 − dot kernel of the dedup_embed oracle). */
+  private val semanticPairsCtes: String =
+    """cent AS (
+      |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+      |assigned AS (
+      |  SELECT c.vec_id AS id, c.embedding AS vec, k.cid
+      |  FROM embeddings c CROSS JOIN cent k
+      |  QUALIFY row_number() OVER (PARTITION BY c.vec_id ORDER BY
+      |    list_reduce(list_transform(list_zip(k.cvec, c.embedding),
+      |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+      |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (a,b) -> a+b),
+      |    k.cid) = 1),
+      |sempairs AS (
+      |  SELECT l.id AS id_a, r.id AS id_b,
+      |    1.0 - list_reduce(list_transform(list_zip(l.vec, r.vec),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, b) -> a + b) AS distance
+      |  FROM assigned l JOIN assigned r ON l.cid = r.cid AND l.id < r.id
+      |  WHERE 1.0 - list_reduce(list_transform(list_zip(l.vec, r.vec),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, b) -> a + b) < 0.7)""".stripMargin
+
   /** sq8_search_all / sq8_persist_all oracle: quantize each corpus
     * vector with [[graft.functions.Quant]]'s floor-rounding affine int8
     * rule, dequantize, then exhaustive top-10 — probing every cell makes
@@ -3436,6 +3555,31 @@ object SparkEntry {
     // Probe-all IVF search IS exhaustive search (every cluster probed,
     // exact re-rank — same top-k, same distances).
     "ivf_search_all" -> exhaustiveKnnSql,
+
+    // self-kNN join at nprobe = all cells is exact → exhaustive
+    // self-join ground truth; the probed config replays probe
+    // selection + re-rank per query row
+    "ivf_knn_join_all" -> exhaustiveSelfKnnSql,
+    "ivf_knn_join_fixed" -> ivfKnnJoinFixedSql,
+
+    // SemDeDup: within-cell cosine pairs, then recursive
+    // connected-component keep-first over the pair graph
+    "dedup_semantic_pairs" ->
+      s"""WITH $semanticPairsCtes
+         |SELECT id_a, id_b, distance FROM sempairs
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_semantic" ->
+      s"""WITH RECURSIVE $semanticPairsCtes,
+         |edges AS (SELECT id_a AS s, id_b AS d FROM sempairs
+         |  UNION SELECT id_b, id_a FROM sempairs),
+         |reach(id, comp) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id),
+         |losers AS (SELECT id FROM reach GROUP BY id HAVING min(comp) <> id)
+         |SELECT vec_id FROM embeddings
+         |WHERE vec_id NOT IN (SELECT id FROM losers)
+         |ORDER BY vec_id""".stripMargin,
 
     "knn_cosine" ->
       """WITH scored AS (

@@ -107,6 +107,66 @@ object IVFFlat {
         .toDF("qid", "id", "distance")
     }
 
+    /** Corpus-scale batch kNN — [[searchMany]]'s shuffle-path twin for
+      * query sides too big to broadcast (the kNN-GRAPH primitive:
+      * `knnJoin(indexed corpus itself)` gives every document its k
+      * approximate nearest neighbours, the input of SemDeDup-style
+      * semantic curation and graph clustering). Same probe semantics
+      * (adaptive order, first `nprobe` cells per query), different
+      * movement plan:
+      *
+      *  - probes explode to (qid, qvec, cluster) and equi-JOIN on
+      *    `cluster` — a shuffle join, NOT a broadcast: each side moves
+      *    once, ≤ nprobe copies of the query side, never queries ×
+      *    corpus. With the corpus persisted partitioned by `cluster`
+      *    (the [[save]] layout) only the probe side actually moves.
+      *  - distances are computed codegen-narrow on the join output,
+      *    then each task cuts to k per query with bounded heaps BEFORE
+      *    the per-qid merge shuffle, which therefore carries ≤
+      *    (tasks × k) 24-byte triples per query — the
+      *    [[graft.operators.Exhaustive.knnJoin]] partial-then-merge
+      *    shape without its broadcast requirement.
+      *
+      * At nprobe = params.k this is the exact self-kNN join (every cell
+      * probed), which is the driver-oracle face (`ivf_knn_join_all`);
+      * the probed configuration is gated by `ivf_knn_join_fixed`. */
+    def knnJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
+                k: Int, nprobe: Int = 2): DataFrame = {
+      val spark = queries.sparkSession
+      val bc = spark.sparkContext.broadcast((centroids, clusterSizes))
+      import spark.implicits._
+      val probes = queries
+        .select(col(qIdCol).cast("long").as("qid"),
+                col(qVecCol).cast("array<float>").as("qvec"))
+        .as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val (cents, sizes) = bc.value
+          it.flatMap { case (qid, qvec) =>
+            IVFFlat.probeOrder(cents, sizes, qvec, k, nprobe)
+              .map(c => (qid, qvec, c)) }
+        }
+        .toDF("qid", "qvec", "cluster")
+      indexed.join(probes, Seq("cluster"))
+        .select(col("qid"), col("id"),
+          sqDist(col("vector"), col("qvec")).as("distance"))
+        .as[(Long, Long, Double)]
+        .mapPartitions { it =>
+          val heaps = scala.collection.mutable.HashMap
+            .empty[Long, graft.operators.Exhaustive.KHeap]
+          it.foreach { case (qid, id, d) =>
+            heaps.getOrElseUpdate(qid, new graft.operators.Exhaustive.KHeap(k))
+              .insert(id, d) }
+          heaps.iterator.flatMap { case (qid, h) =>
+            h.drain.map { case (id, d) => (qid, id, d) } }
+        }
+        .groupByKey(_._1)
+        .flatMapGroups { (qid, it) =>
+          graft.operators.Exhaustive.topKDedup(it.map(t => (t._2, t._3)), k)
+            .map { case (id, d) => (qid, id, d) }
+        }
+        .toDF("qid", "id", "distance")
+    }
+
     /** Incremental add: assign against frozen centroids, union. Caller ids
       * are honoured (fix of the ivfflat.rs:209 id-shadowing quirk).
       * Repeated adds compact their union lineage — see [[Lineage]]. */

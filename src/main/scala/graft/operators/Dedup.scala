@@ -458,4 +458,42 @@ object Dedup {
         cosineDistance(col("l.vec"), col("r.vec")).as("distance"))
       .filter(col("distance") < maxCosDist)
   }
+
+  /** Within-cell embedding near-dup pairs over a k-means-assigned frame
+    * `(id, vector, cluster)` — the candidate generator of SemDeDup-style
+    * semantic dedup (Abbas et al. 2023, "SemDeDup"): duplicates are only
+    * sought INSIDE a cluster, so the join is an equi-join on `cluster`
+    * and the pair space is Σ|cell|², never corpus². Distance is computed
+    * codegen-narrow inside the bucket join and the threshold filter runs
+    * before anything else shuffles — only surviving (id_a, id_b,
+    * distance) triples leave the join. Cell sizes bound the cost: cap
+    * skewed cells at build time ([[graft.index.IVFFlat]]'s rebalance /
+    * maxCellFactor machinery) the way dfCap bounds hot shingles. */
+  def semanticPairs(assigned: DataFrame, maxCosDist: Double = 0.2): DataFrame = {
+    val v = assigned.select(col("id").cast("long").as("id"),
+      col("vector").cast("array<float>").as("vec"), col("cluster"))
+    v.as("l").join(v.as("r"),
+        col("l.cluster") === col("r.cluster") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        cosineDistance(col("l.vec"), col("r.vec")).as("distance"))
+      .filter(col("distance") < maxCosDist)
+  }
+
+  /** SemDeDup end-to-end: k-means cells → within-cell cosine pairs
+    * < `maxCosDist` → connected-component keep-first over the pair
+    * graph. Returns the surviving rows of `emb` (all columns).
+    *
+    * Survivor rule deviation from the paper (documented): SemDeDup keeps
+    * the cluster member with the LOWEST similarity to its centroid; this
+    * suite's uniform convention is keep-first by id (deterministic,
+    * streaming-enforceable — the lsh.rs:113-130 rule every other dedup
+    * operator uses), and the pair graph is closed under components so
+    * chains of near-dups collapse to one survivor either way. */
+  def semdedup(emb: DataFrame, idCol: String, vecCol: String,
+               centroids: Array[Array[Float]],
+               maxCosDist: Double = 0.2): DataFrame = {
+    val assigned = graft.index.IVFFlat.assign(emb, idCol, vecCol, centroids)
+    keepFirstByPairs(emb, idCol, semanticPairs(assigned, maxCosDist),
+      "id_a", "id_b")
+  }
 }

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.index.IVFFlat
+import graft.operators.{Dedup, Exhaustive}
+
+/** Gates for the corpus-scale kNN join (IVFFlat.Model.knnJoin — the
+  * shuffle-path twin of searchMany) and the SemDeDup composition built
+  * on it (Dedup.semanticPairs / semdedup). */
+class KnnJoinSpec extends SparkSpec {
+
+  private lazy val emb =
+    spark.read.parquet(s"$sf0001/embeddings.parquet").cache()
+
+  private lazy val model = {
+    val cents = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+      .select(col("embedding").cast("array<float>")).collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+    val indexed = IVFFlat.assign(emb, "vec_id", "embedding", cents)
+    IVFFlat.Model(IVFFlat.Params(cents.length), cents,
+      Array.fill(cents.length)(Long.MaxValue), indexed)
+  }
+
+  private def asMap(df: org.apache.spark.sql.DataFrame) =
+    df.select("qid", "id", "distance").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+
+  test("knnJoin at nprobe=k equals the exhaustive self-kNN join exactly") {
+    val exact = asMap(Exhaustive.knnJoin(emb, "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 10))
+    val got = asMap(model.knnJoin(emb, "vec_id", "embedding",
+      k = 10, nprobe = model.params.k))
+    assert(got == exact)
+  }
+
+  test("knnJoin probed config: k rows per query, self always hit, recall floor") {
+    val n = emb.count()
+    val got = model.knnJoin(emb, "vec_id", "embedding", k = 10, nprobe = 2)
+    val perQ = got.groupBy("qid").count().collect()
+    assert(perQ.length == n && perQ.forall(_.getLong(1) == 10L))
+    // a query's own row lives in its top-1 probe cell, so it is always found
+    assert(got.filter(col("qid") === col("id")).count() == n)
+    val exact = Exhaustive.knnJoin(emb, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 10)
+      .select("qid", "id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val gotSets = got.select("qid", "id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recall = exact.keys.toSeq
+      .map(q => gotSets(q).intersect(exact(q)).size / 10.0).sum / exact.size
+    // near-uniform 64d corpus at 2/8 cells probed: data-bounded floor
+    assert(recall >= 0.4, s"recall@10 = $recall")
+  }
+
+  test("semanticPairs only emits pairs sharing a cell, below threshold, a<b") {
+    val assigned = IVFFlat.assign(emb, "vec_id", "embedding", model.centroids)
+    val pairs = Dedup.semanticPairs(assigned, maxCosDist = 0.9).cache()
+    val cellOf = assigned.select("id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = pairs.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, d) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(a < b && d < 0.9 && cellOf(a) == cellOf(b))
+    }
+  }
+
+  test("semdedup removes a planted in-cell duplicate, keeps the lower id") {
+    import spark.implicits._
+    val off = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+    val copies = emb.filter(col("vec_id") < 4)
+      .select((col("vec_id") + lit(off)).as("vec_id"), col("embedding"),
+        col("label"))
+    val planted = emb.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding"), col("label")).unionByName(copies)
+    val out = Dedup.semdedup(planted, "vec_id", "embedding",
+      model.centroids, maxCosDist = 1e-5)
+    val kept = out.select("vec_id").as[Long].collect().toSet
+    // exact copies: the original (lower id) survives, the copy does not
+    (0L until 4L).foreach { i =>
+      assert(kept.contains(i) && !kept.contains(i + off))
+    }
+    assert(kept.size == planted.count() - 4)
+  }
+}
