@@ -1531,6 +1531,45 @@ object SparkEntry {
           col("exact"))
     }),
 
+    // KMV bottom-R distinct sketch over the shingle stream (the
+    // HLL lane's value space): bounded per-task fold → ≤ tasks×R-long
+    // TakeOrderedAndProject cut, estimate = (R−1)·2^60/h_R next to the
+    // exact distinct count. At-capacity branch (shingles ≫ 256).
+    "sketch_kmv" -> ((s, dir) => {
+      import s.implicits._
+      val sh = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)].flatMap { case (_, t) =>
+          graft.operators.TextHashFast.shingles3(
+            graft.operators.TextHashFast.tokenize(t))
+        }.toDF("s")
+      graft.operators.Sketches.kmvEstimate(
+          graft.operators.Sketches.kmvSketch(sh, "s", r = 256), r = 256)
+        .crossJoin(sh.select(countDistinct(col("s")).as("exact")))
+    }),
+
+    // The under-capacity branch: 300 distinct values against R = 512 —
+    // the sketch holds everything and the estimate is the EXACT count.
+    "sketch_kmv_small" -> ((s, dir) => {
+      val vals = tbl(s, dir, "documents").select((col("doc_id") % 300).as("v"))
+      graft.operators.Sketches.kmvEstimate(
+        graft.operators.Sketches.kmvSketch(vals, "v", r = 512), r = 512)
+    }),
+
+    // Content-addressed bottom-128 row sample (hash60(doc_id) rank) →
+    // nearest-rank token-count quantiles over the sample — the
+    // corpus-stats face of the KMV machinery: deterministic,
+    // repartition-stable, and every reported value is an actual
+    // sampled doc's count (no interpolation arithmetic to port).
+    "sample_quantiles" -> ((s, dir) => {
+      val sample = graft.operators.Sketches.bottomKSample(
+        tbl(s, dir, "documents"), "doc_id", r = 128)
+      graft.operators.Sketches.sampleQuantiles(
+          sample.select(size(split(col("text"), "\\s+")).cast("long")
+            .as("n_toks")),
+          "n_toks", Seq(0.5, 0.9, 0.99))
+        .orderBy(col("q"))
+    }),
+
     // Count-min heavy-hitter audit: a depth-3 × 2^12 CMS over token
     // occurrences (counter table ≤ 3·4096 rows, shuffle bounded by the
     // sketch, never the corpus), probed for the exact top-20 tokens —
@@ -3169,6 +3208,50 @@ object SparkEntry {
         |    ELSE e.raw END) * 1000.0) AS BIGINT) AS est_q3,
         |  x.exact
         |FROM est e, ex2 x""".stripMargin,
+
+    // KMV bottom-R: distinct shingle hashes, ORDER BY h LIMIT R, then
+    // the (R−1)·2^60/h_R estimator (all operands exactly representable)
+    "sketch_kmv" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s2 AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+         |ex AS (SELECT DISTINCT unnest(sh) AS s FROM s2),
+         |h AS (SELECT DISTINCT CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h FROM ex),
+         |bot AS (SELECT h FROM h ORDER BY h LIMIT 256),
+         |agg AS (SELECT CAST(count(*) AS INT) AS n_held, max(h) AS h_r FROM bot),
+         |ex2 AS (SELECT CAST(count(*) AS BIGINT) AS exact FROM ex)
+         |SELECT 256 AS r, a.n_held,
+         |  CASE WHEN a.n_held < 256 THEN CAST(a.n_held AS DOUBLE)
+         |    ELSE 255.0 * CAST(1152921504606846976 AS DOUBLE) / CAST(a.h_r AS DOUBLE)
+         |  END AS estimate,
+         |  e.exact
+         |FROM agg a, ex2 e""".stripMargin,
+
+    // under-capacity: the sketch holds all 300 hashes, estimate = exact
+    "sketch_kmv_small" ->
+      """WITH vals AS (SELECT doc_id % 300 AS v FROM documents),
+        |h AS (SELECT DISTINCT CAST(concat('0x', substr(md5(CAST(v AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM vals),
+        |bot AS (SELECT h FROM h ORDER BY h LIMIT 512),
+        |agg AS (SELECT CAST(count(*) AS INT) AS n_held, max(h) AS h_r FROM bot)
+        |SELECT 512 AS r, a.n_held,
+        |  CASE WHEN a.n_held < 512 THEN CAST(a.n_held AS DOUBLE)
+        |    ELSE 511.0 * CAST(1152921504606846976 AS DOUBLE) / CAST(a.h_r AS DOUBLE)
+        |  END AS estimate
+        |FROM agg a""".stripMargin,
+
+    // bottom-128 sample by md5 rank of doc_id, then nearest-rank
+    // quantiles: rank = max(1, ceil(q·n)) over the sample's token
+    // counts — reported values are actual data values
+    "sample_quantiles" ->
+      """WITH w AS (SELECT doc_id, text,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents QUALIFY row_number() OVER (ORDER BY h) <= 128),
+        |v AS (SELECT CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS value FROM w),
+        |r AS (SELECT value, row_number() OVER (ORDER BY value) AS rn,
+        |  count(*) OVER () AS n FROM v)
+        |SELECT CAST(q.q AS DOUBLE) AS q, r.value
+        |FROM r JOIN (VALUES (0.5), (0.9), (0.99)) q(q)
+        |  ON r.rn = GREATEST(1, CAST(ceil(CAST(q.q AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT))
+        |ORDER BY q""".stripMargin,
 
     // CMS counters replicated in SQL: depth-3 salted md5 columns,
     // GROUP BY (row, col) counts, probe = least over the 3 counters

@@ -146,6 +146,104 @@ object Sketches {
         Seq(s"__pos$i", s"__w$i", s"__m$i", s"__b$i")): _*)
   }
 
+  // ---------------- KMV (bottom-k) sketch ----------------
+
+  /** KMV / bottom-R distinct sketch (Bar-Yossef et al. 2002): the R
+    * smallest 60-bit portable hashes over the DISTINCT values of
+    * `valueCol`. Returns ≤ R rows (h LONG), unordered (callers order).
+    *
+    * Plan shape: each task folds its rows into a bounded distinct
+    * bottom-R set (O(R) memory, duplicates absorbed locally), emits
+    * ≤ R hashes, and the global cut is `orderBy(h).limit(R)` —
+    * TakeOrderedAndProject, so the only movement is ≤ tasks × R longs.
+    * The exact distinct count this estimates costs a corpus-wide
+    * distinct shuffle (1,874 MB vs 1 MB at the 1M HLL smoke,
+    * BASELINE.md) — KMV buys the same answer class PLUS a mergeable
+    * uniform sample of the value space.
+    *
+    * Mergeable: bottomR(A ∪ B) = bottomR(bottomR(A) ∪ bottomR(B)) with
+    * duplicate hashes collapsed — the monoid
+    * [[graft.streaming.Streaming.ingestKmv]] folds per micro-batch. */
+  def kmvSketch(df: DataFrame, valueCol: String, r: Int): DataFrame = {
+    require(r >= 2 && r <= (1 << 16), s"r=$r out of range [2, 65536]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(hash60(col(valueCol)).as("h")).as[Long]
+      .mapPartitions { it =>
+        val set = new java.util.TreeSet[java.lang.Long]()
+        it.foreach { h =>
+          if (!set.contains(h)) {
+            if (set.size < r) set.add(h)
+            else if (h < set.last) { set.add(h); set.pollLast() }
+          }
+        }
+        scala.jdk.CollectionConverters.IteratorHasAsScala(set.iterator())
+          .asScala.map(Long.unbox)
+      }
+      .toDF("h")
+      // the same value seen in TWO partitions emits its hash from both
+      // bounded folds — collapse before the cut (the dedup shuffle sees
+      // only the ≤ tasks × R candidate hashes, never the corpus)
+      .dropDuplicates("h")
+      .orderBy(col("h")).limit(r)
+  }
+
+  /** Distinct-count estimate from a KMV sketch: when the sketch holds
+    * fewer than R hashes the count is EXACT (= n_held); at capacity the
+    * R-th smallest hash h_R estimates density on [0, 2^60) and the
+    * unbiased estimator is (R−1) · 2^60 / h_R. All arithmetic is one
+    * double multiply + divide over exactly-representable operands —
+    * bit-portable, oracle-gated un-quantized. One row:
+    * (r, n_held, estimate). */
+  def kmvEstimate(sketch: DataFrame, r: Int): DataFrame = {
+    val two60 = lit(1152921504606846976L).cast("double") // 2^60 exact
+    sketch
+      .agg(count(lit(1)).cast("int").as("n_held"),
+        max(col("h")).as("h_r"))
+      .select(lit(r).as("r"), col("n_held"),
+        when(col("n_held") < r, col("n_held").cast("double"))
+          .otherwise(lit((r - 1).toDouble) * two60 / col("h_r").cast("double"))
+          .as("estimate"))
+  }
+
+  /** Content-addressed uniform row sample: the rows whose hash60(id) is
+    * among the R smallest — the row-sampling face of [[kmvSketch]]
+    * (deterministic, repartition-stable; re-sampling a union re-ranks,
+    * so samples merge exactly like the sketch). The R winning hashes
+    * come from the bounded fold above and broadcast back as a semi-join
+    * key — the corpus never shuffles and is scanned twice (once to
+    * rank, once to select), both narrow. Ids must be distinct. */
+  def bottomKSample(df: DataFrame, idCol: String, r: Int): DataFrame = {
+    val winners = kmvSketch(df.select(col(idCol)), idCol, r)
+    df.withColumn("__h", hash60(col(idCol)))
+      .join(broadcast(winners.withColumnRenamed("h", "__h")),
+        Seq("__h"), "left_semi")
+      .drop("__h")
+  }
+
+  /** Nearest-rank quantiles of `valueCol` over a (sample-sized) frame:
+    * for each q the element at rank max(1, ⌈q·n⌉) in value order —
+    * integer ranks only, no interpolation, so the answer is an ACTUAL
+    * data value and bit-portable however the engines round. Meant for
+    * the ≤ R rows of [[bottomKSample]] (the global sort window is
+    * sample-sized — never call this on a corpus; the corpus-scale
+    * alternative is approx_percentile, cf. Layout.quantileBuckets).
+    * Returns (q DOUBLE, value) per requested quantile. */
+  def sampleQuantiles(sample: DataFrame, valueCol: String,
+                      qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = sample
+      .select(col(valueCol).as("value"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("value"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    val qdf = sample.sparkSession.createDataFrame(
+      qs.map(Tuple1(_))).toDF("q")
+    ranked.join(broadcast(qdf),
+        col("rn") === greatest(lit(1L),
+          ceil(col("q") * col("n").cast("double")).cast("long")))
+      .select(col("q"), col("value"))
+  }
+
   // ---------------- Count-min sketch ----------------
 
   /** Build a depth×2^logw count-min sketch over `valueCol` occurrences:

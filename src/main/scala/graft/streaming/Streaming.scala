@@ -586,6 +586,29 @@ object Streaming {
       .start()
   }
 
+  /** KMV twin of [[ingestHll]]: bottom-R monoid merge — union the
+    * standing sketch with the batch's bottom-R, collapse duplicate
+    * hashes, keep the R smallest. State stays ≤ R longs however long
+    * the stream runs, and after any prefix it equals the batch sketch
+    * over the same rows (stream ≡ batch, pinned in StreamingSpec). */
+  def ingestKmv(stream: DataFrame, valueCol: String, r: Int,
+                state: java.util.concurrent.atomic.AtomicReference[DataFrame])
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // single-writer foreachBatch: see ingestIntoIVF
+          val part = graft.operators.Sketches.kmvSketch(batch, valueCol, r)
+          val merged = state.get().unionByName(part)
+            .dropDuplicates("h")
+            .orderBy(org.apache.spark.sql.functions.col("h")).limit(r)
+          state.set(merged.localCheckpoint(true))
+        }
+      }
+      .start()
+  }
+
   /** BQ twin of [[ingestIntoIVF]]: each microbatch is assigned to its
     * frozen coarse cell and sign-packed to 1-bit codes in one narrow
     * pass (BQ.Model.add) — the streaming matrix now covers all seven

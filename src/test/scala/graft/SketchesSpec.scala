@@ -131,4 +131,61 @@ class SketchesSpec extends SparkSpec {
       .head()
     assert(math.abs(eb.getDouble(2) - 100000.0) / 100000.0 < 0.2)
   }
+
+  test("kmv: duplicates free, merge law, under-capacity exact") {
+    val vals = spark.range(5000).select(col("id").cast("string").as("v"))
+    val once = Sketches.kmvSketch(vals, "v", r = 128)
+      .orderBy("h").collect().map(_.getLong(0))
+    assert(once.length == 128 && once.toSeq == once.toSeq.sorted)
+    // duplicates are free
+    val dup = Sketches.kmvSketch(vals.union(vals), "v", r = 128)
+      .orderBy("h").collect().map(_.getLong(0))
+    assert(dup.toSeq == once.toSeq)
+    // merge law: bottomR(A ∪ B) == bottomR(bottomR(A) ∪ bottomR(B))
+    val a = vals.filter(col("v").substr(1, 1) =!= "1")
+    val b = vals.filter(col("v").substr(1, 1) === "1")
+    val merged = Sketches.kmvSketch(a, "v", 128)
+      .unionByName(Sketches.kmvSketch(b, "v", 128))
+      .dropDuplicates("h").orderBy("h").limit(128)
+      .collect().map(_.getLong(0))
+    assert(merged.toSeq == once.toSeq)
+    // under capacity the estimate is the exact distinct count
+    val small = spark.range(77).select(col("id").cast("string").as("v"))
+    val es = Sketches.kmvEstimate(Sketches.kmvSketch(small, "v", 128), 128)
+      .head()
+    assert(es.getInt(1) == 77 && es.getDouble(2) == 77.0)
+  }
+
+  test("kmv estimate within 3 standard errors at r=1024") {
+    val n = 50000
+    val vals = spark.range(n).select(col("id").cast("string").as("v"))
+    val est = Sketches.kmvEstimate(Sketches.kmvSketch(vals, "v", 1024), 1024)
+      .head().getAs[Double]("estimate")
+    val se = 1.0 / math.sqrt(1024.0 - 2) // ≈ 3.1%
+    assert(math.abs(est - n) / n < 3 * se,
+      s"estimate $est vs exact $n (rel ${math.abs(est - n) / n})")
+  }
+
+  test("bottomKSample is deterministic and repartition-stable; quantiles are data values") {
+    val docs = spark.range(1000)
+      .select(col("id").as("doc_id"), (col("id") % 37).as("len"))
+    val s1 = Sketches.bottomKSample(docs, "doc_id", 100)
+      .orderBy("doc_id").collect().map(_.getLong(0))
+    val s2 = Sketches.bottomKSample(docs.repartition(13), "doc_id", 100)
+      .orderBy("doc_id").collect().map(_.getLong(0))
+    assert(s1.length == 100 && s1.toSeq == s2.toSeq)
+    val qs = Sketches.sampleQuantiles(
+        Sketches.bottomKSample(docs, "doc_id", 100), "len", Seq(0.5, 0.9))
+      .orderBy("q").collect()
+    assert(qs.length == 2)
+    val lens = docs.select("len").collect().map(_.getLong(0)).toSet
+    qs.foreach(r => assert(lens.contains(r.getLong(1))))
+    // q=1.0 nearest-rank is the sample max
+    val qmax = Sketches.sampleQuantiles(
+        Sketches.bottomKSample(docs, "doc_id", 100), "len", Seq(1.0))
+      .head().getLong(1)
+    val smax = Sketches.bottomKSample(docs, "doc_id", 100)
+      .agg(max("len")).head().getLong(0)
+    assert(qmax == smax)
+  }
 }

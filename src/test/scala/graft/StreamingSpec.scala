@@ -615,6 +615,18 @@ class StreamingSpec extends SparkSpec {
       .orderBy("row", "col").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     assert(cmsGot.toSeq == cmsWant.toSeq)
+
+    // KMV: bottom-R monoid merge (duplicate hashes collapse)
+    val kmvState = new java.util.concurrent.atomic.AtomicReference(
+      Sketches.kmvSketch(empty, "v", r = 64))
+    val memK = MemoryStream[String]
+    val qk = Streaming.ingestKmv(memK.toDF().toDF("v"), "v", 64, kmvState)
+    batches.foreach { b => memK.addData(b: _*); qk.processAllAvailable() }
+    qk.stop()
+    val kmvGot = kmvState.get().orderBy("h").collect().map(_.getLong(0))
+    val kmvWant = Sketches.kmvSketch(all, "v", r = 64)
+      .orderBy("h").collect().map(_.getLong(0))
+    assert(kmvGot.toSeq == kmvWant.toSeq)
   }
 
   test("streaming ingest patches the BQ sign codes (Index::add analogue)") {
