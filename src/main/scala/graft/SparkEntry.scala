@@ -161,6 +161,28 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // Salted skew join: the planned mitigation for a hot join key —
+    // lineitem spreads each order's rows over 8 salt sub-keys
+    // (content-addressed from the line number) while orders replicates
+    // ×8, so a pathological order would occupy 8 reducers instead of
+    // one. Result is IDENTICAL to the plain join (the oracle is the
+    // un-salted SQL); PlanSpec gates that __salt actually reaches the
+    // exchange keys.
+    "join_salted" -> ((s, dir) => {
+      val l = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_discount"))
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+      graft.operators.Joins.saltedJoin(l, o, Seq("okey"),
+          concat_ws("_", col("okey"), col("l_linenumber")), s = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(q(col("l_extendedprice"), 100.0) *
+            (lit(100L) - q(col("l_discount"), 100.0))).as("revenue_u4"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Per-supplier top-3 lineitems by extended price — the window top-k
     // shape every per-group-k operator in the engine reduces to
     // (SURVEY §2.9 window note). Deterministic tie-breaks; price in
@@ -3605,6 +3627,16 @@ object SparkEntry {
         | CAST(sum(CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
         | count(*) AS count_order
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // salted ≡ plain: the oracle is the UN-salted join
+    "join_salted" ->
+      """SELECT o.o_orderpriority,
+        | CAST(sum(CAST(floor(CAST(l.l_extendedprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
+        |   * (100 - CAST(floor(CAST(l.l_discount AS DOUBLE) * 100.0 + 0.5) AS BIGINT))) AS BIGINT) AS revenue_u4,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q3_join" ->
       """SELECT l.l_orderkey,

@@ -45,6 +45,14 @@ class PlanSpec extends SparkSpec {
       p.take(900))
   }
 
+  test("join_salted: the salt reaches the join's partitioning keys") {
+    val p = plan("join_salted")
+    // the whole point of salting: the exchange hashes on (key, salt),
+    // so a hot key spreads over s reducers — gate the plan, not hope
+    assert("hashpartitioning\\(okey#\\d+L?, __salt".r.findFirstIn(p).isDefined,
+      p.take(1500))
+  }
+
   test("ivf batch search joins candidates via broadcast of the probe side") {
     val p = plan("ivf_search_fixed")
     assert(p.contains("BroadcastHashJoin"), p.take(600))
