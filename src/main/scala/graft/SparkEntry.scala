@@ -990,6 +990,38 @@ object SparkEntry {
         .select(col("vec_id")).orderBy(col("vec_id"))
     }),
 
+    // Prefix-causal SemDeDup (the streaming-enforceable admission
+    // rule): drop iff ANY lower-id same-cell row is within the
+    // threshold, admitted or not — non-recursive, so the oracle needs
+    // no component closure and the streaming twin decides once.
+    "dedup_semantic_prefix" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = fixedCentroids(emb)
+      Dedup.semanticPrefixKeepFirst(emb, "vec_id", "embedding", cents,
+          maxCosDist = 0.7)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+
+    // Corpus-internal verbatim repeated spans (the Lee et al. 2021
+    // span-level exact-dedup shape at 5-gram resolution): maximal
+    // token runs whose every 5-gram occurs in >= 2 distinct docs.
+    // Grams travel as md5 digests; the run merge is a per-doc window.
+    "dedup_spans" -> ((s, dir) =>
+      Dedup.repeatedSpans(tbl(s, dir, "documents"), "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"), col("start_tok"))),
+
+    // The scrub face: remove every span-covered token, reassemble the
+    // remainder in order. Gated on the digest of the scrubbed text +
+    // surviving token count per doc.
+    "dedup_spans_scrub" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val spans = Dedup.repeatedSpans(docs, "doc_id", "text", n = 5)
+      Dedup.scrubRepeatedSpans(docs, "doc_id", "text", spans)
+        .select(col("doc_id"), md5(col("scrubbed")).as("scrub_digest"),
+          col("n_kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Real MLlib-KMeans IVFFlat build: cluster-size histogram (shape
     // check only — k-means|| init isn't SQL-reproducible, so this entry
     // has no oracle; correctness is gated in IVFFlatSpec).
@@ -2619,6 +2651,22 @@ object SparkEntry {
       |  WHERE 1.0 - list_reduce(list_transform(list_zip(l.vec, r.vec),
       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, b) -> a + b) < 0.7)""".stripMargin
 
+  /** Shared CTE prefix of the dedup_spans* oracles: 0-based 5-gram
+    * positions as md5 digests, the df ≥ 2 shared set, and the
+    * gaps-and-islands run grouping (pos − row_number is constant
+    * within a run of consecutive repeated positions). */
+  private lazy val repeatedSpansCtes: String =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |g AS (SELECT doc_id, i - 1 AS pos,
+       |    md5(array_to_string(toks[i:i+4], ' ')) AS gram_h
+       |  FROM t, unnest(range(1, len(toks) - 3)) AS u(i)),
+       |shared AS (SELECT gram_h FROM g
+       |  GROUP BY gram_h HAVING count(DISTINCT doc_id) >= 2),
+       |m AS (SELECT g.doc_id, g.pos FROM g JOIN shared USING (gram_h)),
+       |runs AS (SELECT doc_id, pos,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM m)""".stripMargin
+
   /** sq8_search_all / sq8_persist_all oracle: quantize each corpus
     * vector with [[graft.functions.Quant]]'s floor-rounding affine int8
     * rule, dequantize, then exhaustive top-10 — probing every cell makes
@@ -3683,6 +3731,42 @@ object SparkEntry {
       s"""WITH $semanticPairsCtes
          |SELECT id_a, id_b, distance FROM sempairs
          |ORDER BY id_a, id_b""".stripMargin,
+    // prefix rule: no closure — drop iff any lower-id in-cell pair
+    "dedup_semantic_prefix" ->
+      s"""WITH $semanticPairsCtes,
+         |losers AS (SELECT DISTINCT id_b AS id FROM sempairs)
+         |SELECT vec_id FROM embeddings
+         |WHERE vec_id NOT IN (SELECT id FROM losers)
+         |ORDER BY vec_id""".stripMargin,
+
+    // repeated 5-gram positions → df >= 2 filter → gaps-and-islands
+    // run merge (pos − row_number groups consecutive positions)
+    "dedup_spans" ->
+      s"""WITH $repeatedSpansCtes
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_tok,
+         |  CAST(max(pos) + 4 AS BIGINT) AS end_tok,
+         |  CAST(count(*) AS BIGINT) AS n_grams
+         |FROM runs GROUP BY doc_id, grp
+         |ORDER BY doc_id, start_tok""".stripMargin,
+
+    "dedup_spans_scrub" ->
+      s"""WITH $repeatedSpansCtes,
+         |spans AS (
+         |  SELECT doc_id, min(pos) AS start_tok, max(pos) + 4 AS end_tok
+         |  FROM runs GROUP BY doc_id, grp),
+         |tok AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+         |  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+         |kept AS (SELECT k.doc_id, k.pos, k.tok FROM tok k
+         |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+         |    WHERE s.doc_id = k.doc_id
+         |      AND k.pos BETWEEN s.start_tok AND s.end_tok)),
+         |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS scrubbed,
+         |  CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, md5(coalesce(a.scrubbed, '')) AS scrub_digest,
+         |  coalesce(a.n_kept, 0) AS n_kept
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
     "dedup_semantic" ->
       s"""WITH RECURSIVE $semanticPairsCtes,
          |edges AS (SELECT id_a AS s, id_b AS d FROM sempairs

@@ -479,6 +479,92 @@ object Dedup {
       .filter(col("distance") < maxCosDist)
   }
 
+  /** Corpus-internal verbatim repeated spans — the span-level exact
+    * dedup shape of Lee et al. 2021 ("Deduplicating Training Data
+    * Makes Language Models Better"), at n-gram resolution instead of a
+    * suffix array: a token position is REPEATED when its n-gram occurs
+    * in at least `minDf` distinct documents; maximal runs of repeated
+    * positions merge into spans `(doc_id, start_tok, end_tok,
+    * n_grams)` (inclusive 0-based token bounds; a run of g consecutive
+    * repeated grams covers g + n − 1 tokens). Whole-doc dedup misses a
+    * boilerplate paragraph quoted inside an otherwise-original page —
+    * this is the operator that finds it, corpus-internally (the
+    * cross-set face is [[graft.operators.Decontam]]).
+    *
+    * Shuffle discipline: grams travel as md5 digests, never text; the
+    * df pass is one posting-list-sized groupBy; the run merge is a
+    * per-doc window (doc-sized partitions). Suffix-array resolution
+    * (arbitrary-length spans, not n-gram-quantized) costs a
+    * corpus-wide suffix sort — the n-gram quantization is the
+    * distributed trade, and n is the resolution knob. */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 5, minDf: Int = 2): DataFrame = {
+    require(n >= 2 && n <= 32, s"n=$n out of range [2,32]")
+    val grams = gramPositions(docs, idCol, textCol, n).persist()
+    val shared = grams.groupBy("gram_h")
+      .agg(countDistinct(col("id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("gram_h"))
+    val marked = grams.join(shared, Seq("gram_h"))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val out = marked
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("id"), col("grp"))
+      .agg(min(col("pos")).as("start_tok"),
+        (max(col("pos")) + lit(n - 1)).as("end_tok"),
+        count(lit(1)).as("n_grams"))
+      .select(col("id").as(idCol), col("start_tok").cast("long"),
+        col("end_tok").cast("long"), col("n_grams"))
+      .localCheckpoint(true)
+    grams.unpersist()
+    out
+  }
+
+  /** (id, pos, gram_h) for every n-gram position: pos is the 0-based
+    * index of the gram's first token, gram_h its md5 digest (32 hex
+    * chars however long the tokens — the digest-shuffle idiom of
+    * [[exactKeepFirst]]'s norm_h). The tokens array is projected FIRST
+    * and the lambda slices the attribute (the O(d²)-lambda rule:
+    * attributes are free to reference, expressions are not). */
+  private def gramPositions(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int): DataFrame =
+    docs.select(col(idCol).cast("long").as("id"),
+        TextOps.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), size(col("toks")) - lit(n)),
+        i => md5(array_join(slice(col("toks"), i + lit(1), lit(n)), " "))))
+        .as(Seq("pos", "gram_h")))
+
+  /** Remove every token covered by a span table (the scrub face of
+    * [[repeatedSpans]]): tokens outside all of the doc's spans are
+    * re-joined in order with single spaces. Docs may normalize
+    * whitespace first if byte-identical round-trips matter. The
+    * anti-join is per-doc (equi on id + range predicate); reassembly
+    * sorts WITHIN each doc group only. Returns (idCol, scrubbed,
+    * n_kept). */
+  def scrubRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                         spans: DataFrame): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as("id"),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val sp = spans.select(col(idCol).cast("long").as("id"),
+      col("start_tok"), col("end_tok"))
+    val kept = toks.as("t").join(sp.as("s"),
+        col("t.id") === col("s.id") &&
+          col("t.pos").between(col("s.start_tok"), col("s.end_tok")),
+        "left_anti")
+    val agg = kept.groupBy(col("id"))
+      .agg(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok"))).as("scrubbed"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col(idCol).cast("long").as("id"))
+      .join(agg, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("scrubbed"), lit("")).as("scrubbed"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** SemDeDup end-to-end: k-means cells → within-cell cosine pairs
     * < `maxCosDist` → connected-component keep-first over the pair
     * graph. Returns the surviving rows of `emb` (all columns).
@@ -495,5 +581,24 @@ object Dedup {
     val assigned = graft.index.IVFFlat.assign(emb, idCol, vecCol, centroids)
     keepFirstByPairs(emb, idCol, semanticPairs(assigned, maxCosDist),
       "id_a", "id_b")
+  }
+
+  /** Prefix-causal SemDeDup — the streaming-enforceable admission rule
+    * ([[prefixKeepFirst]]'s semantic twin): drop a row iff ANY
+    * lower-id row of the same cell sits within `maxCosDist`, whether
+    * or not that row itself survives. Non-recursive (no component
+    * closure), so a stream applying it row-by-row in id order decides
+    * each admission ONCE and never retracts —
+    * [[graft.streaming.Streaming.ingestSemdedup]] is the exact
+    * streaming face, stream ≡ batch pinned in StreamingSpec. */
+  def semanticPrefixKeepFirst(emb: DataFrame, idCol: String, vecCol: String,
+                              centroids: Array[Array[Float]],
+                              maxCosDist: Double = 0.2): DataFrame = {
+    val assigned = graft.index.IVFFlat.assign(emb, idCol, vecCol, centroids)
+    val losers = assigned.as("l").join(assigned.as("r"),
+        col("l.cluster") === col("r.cluster") && col("l.id") < col("r.id") &&
+          cosineDistance(col("l.vector"), col("r.vector")) < maxCosDist)
+      .select(col("r.id").as(idCol)).distinct()
+    emb.join(losers, Seq(idCol), "left_anti")
   }
 }

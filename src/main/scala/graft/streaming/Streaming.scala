@@ -191,6 +191,66 @@ object Streaming {
       .start()
   }
 
+  /** State of the streaming semantic dedup ([[ingestSemdedup]]):
+    * `admitted` accumulates surviving rows; `seen` accumulates EVERY
+    * row's (id, vector, cluster) — dropped rows included, which is
+    * what makes the rule exactly
+    * [[graft.operators.Dedup.semanticPrefixKeepFirst]] (drop iff any
+    * earlier same-cell row within the threshold, admitted or not). */
+  case class SemdedupIngestState(admitted: DataFrame, seen: DataFrame,
+                                 addsSinceCompact: Int = 0)
+
+  /** Streaming SemDeDup admission — [[ingestDedupMinhash]]'s semantic
+    * twin: each microbatch is assigned to its frozen k-means cell
+    * (broadcast centroids, narrow argmin), then drops (a) rows within
+    * `maxCosDist` of any SEEN same-cell row (state equi-join on
+    * `cluster`, distance filtered inside the join — the
+    * [[graft.operators.Dedup.semanticPairs]] shape) and (b) rows
+    * within the threshold of a lower-id row in the SAME batch.
+    * Survivors append to `admitted`; ALL batch rows append to `seen`.
+    * With id-ordered arrival this reproduces the batch
+    * `dedup_semantic_prefix` oracle rule exactly (StreamingSpec pins
+    * it). Per-batch cost: batch × same-cell-state candidates — the
+    * cell partition bounds the join the way band buckets bound the
+    * MinHash twin's. */
+  def ingestSemdedup(stream: DataFrame, idCol: String, vecCol: String,
+                     centroids: Array[Array[Float]], maxCosDist: Double,
+                     state: java.util.concurrent.atomic.AtomicReference[SemdedupIngestState])
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val st = state.get()
+          val b = graft.index.IVFFlat.assign(batch, idCol, vecCol, centroids)
+            .localCheckpoint(true)
+          val cosDist = (a: org.apache.spark.sql.Column,
+                         c: org.apache.spark.sql.Column) =>
+            graft.functions.VectorOps.cosineDistance(a, c)
+          val dupVsState = b.as("n").join(st.seen.as("s"),
+              col("n.cluster") === col("s.cluster") &&
+                cosDist(col("n.vector"), col("s.vector")) < maxCosDist)
+            .select(col("n.id").as("id"))
+          val dupIntra = b.as("l").join(b.as("r"),
+              col("l.cluster") === col("r.cluster") &&
+                col("l.id") < col("r.id") &&
+                cosDist(col("l.vector"), col("r.vector")) < maxCosDist)
+            .select(col("r.id").as("id"))
+          val losers = dupVsState.unionByName(dupIntra).distinct()
+            .withColumnRenamed("id", idCol)
+          val admittedBatch = batch.join(losers, Seq(idCol), "left_anti")
+            .localCheckpoint(true)
+          // single-writer foreachBatch: see ingestIntoIVF
+          val (admitted, n) = graft.index.Lineage.compact(
+            st.admitted.unionByName(admittedBatch), st.addsSinceCompact)
+          val (seen, _) = graft.index.Lineage.compact(
+            st.seen.unionByName(b), st.addsSinceCompact)
+          state.set(SemdedupIngestState(admitted, seen, n))
+        }
+      }
+      .start()
+  }
+
   /** State of the streaming per-source admission cap
     * ([[ingestSourceCap]]): `admitted` accumulates surviving rows;
     * `counts` is the per-source admitted tally (src, n) — the only

@@ -273,4 +273,50 @@ class DedupSpec extends SparkSpec {
         s"vecKey equality must track bit equality for ($ia, $ib)")
     }
   }
+
+  test("repeatedSpans finds exactly the shared boilerplate; scrub removes it") {
+    import spark.implicits._
+    val boiler = (1 to 6).map(i => s"B$i").mkString(" ")
+    def prose(p: String) = (0 until 10).map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"${prose("u")} $boiler ${prose("v")}"),
+      (1L, s"${prose("w")} $boiler ${prose("x")}"),
+      (2L, (0 until 26).map(i => s"y$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val spans = graft.operators.Dedup
+      .repeatedSpans(docs, "doc_id", "text", n = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // only grams FULLY inside the boilerplate are shared (context
+    // tokens differ), so the merged run covers exactly tokens 10..15
+    assert(spans.toSeq == Seq((0L, 10L, 15L, 2L), (1L, 10L, 15L, 2L)))
+    val scrubbed = graft.operators.Dedup
+      .scrubRepeatedSpans(docs, "doc_id", "text",
+        graft.operators.Dedup.repeatedSpans(docs, "doc_id", "text", n = 5))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(scrubbed(0) == ((0L, s"${prose("u")} ${prose("v")}", 20L)))
+    assert(scrubbed(1) == ((1L, s"${prose("w")} ${prose("x")}", 20L)))
+    assert(scrubbed(2)._2 == (0 until 26).map(i => s"y$i").mkString(" ")
+      && scrubbed(2)._3 == 26L)
+  }
+
+  test("repeatedSpans: a doc fully duplicated elsewhere is one whole-doc span") {
+    import spark.implicits._
+    val text = (0 until 12).map(i => s"t$i").mkString(" ")
+    val docs = Seq((0L, text), (1L, text)).toDF("doc_id", "text")
+    val spans = graft.operators.Dedup
+      .repeatedSpans(docs, "doc_id", "text", n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(spans.toSet == Set((0L, 0L, 11L), (1L, 0L, 11L)))
+    val scrubbed = graft.operators.Dedup
+      .scrubRepeatedSpans(docs, "doc_id", "text",
+        graft.operators.Dedup.repeatedSpans(docs, "doc_id", "text", n = 5))
+      .orderBy("doc_id").collect()
+    // everything scrubbed: empty remainder, zero kept — rows survive
+    assert(scrubbed.length == 2)
+    scrubbed.foreach { r =>
+      assert(r.getString(1) == "" && r.getLong(2) == 0L)
+    }
+  }
 }

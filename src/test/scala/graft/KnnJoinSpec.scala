@@ -82,5 +82,12 @@ class KnnJoinSpec extends SparkSpec {
       assert(kept.contains(i) && !kept.contains(i + off))
     }
     assert(kept.size == planted.count() - 4)
+
+    // the prefix rule agrees here (pair graph is copy→base stars) and
+    // is what the streaming twin enforces
+    val keptPrefix = Dedup.semanticPrefixKeepFirst(planted, "vec_id",
+        "embedding", model.centroids, maxCosDist = 1e-5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(keptPrefix == kept)
   }
 }

@@ -448,6 +448,48 @@ class StreamingSpec extends SparkSpec {
     assert(sigIds.forall(id => !streamed.contains(id + offset)))
   }
 
+  test("streaming semantic dedup equals the batch prefix rule") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    import graft.streaming.Streaming.SemdedupIngestState
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cents = emb.filter($"vec_id" < 8).orderBy($"vec_id")
+      .select($"embedding".cast("array<float>")).collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+    val base = emb.select($"vec_id".cast("long").as("vec_id"), $"embedding")
+      .orderBy($"vec_id").limit(60).cache()
+    val offset = base.agg(max($"vec_id")).head().getLong(0) + 1
+    // planted exact copies of the first 10 rows, ids after every base id
+    val all = base.unionByName(
+        base.filter($"vec_id" < 10)
+          .withColumn("vec_id", $"vec_id" + offset))
+      .cache()
+    val empty = all.filter(lit(false))
+    val state = new java.util.concurrent.atomic.AtomicReference(
+      SemdedupIngestState(empty,
+        IVFFlat.assign(empty, "vec_id", "embedding", cents)))
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Streaming.ingestSemdedup(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      cents, maxCosDist = 1e-5, state)
+    // id-ordered arrival across 4 microbatches
+    val rows = all.orderBy($"vec_id").as[(Long, Array[Float])].collect()
+    rows.grouped(rows.length / 4 + 1).foreach { chunk =>
+      mem.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = state.get().admitted
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val batch = Dedup.semanticPrefixKeepFirst(all, "vec_id", "embedding",
+        cents, maxCosDist = 1e-5)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch)
+    // every planted copy dropped, every base row admitted
+    assert((0L until 10L).forall(i => !streamed.contains(i + offset)))
+    assert(base.count() == streamed.size)
+  }
+
   test("80-microbatch dedup ingest keeps state plan depth bounded") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Dedup
