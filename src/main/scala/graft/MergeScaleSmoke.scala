@@ -32,6 +32,9 @@ object MergeScaleSmoke {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // TopKAggExpr buffers are O(k) primitives: keep millions of
+      // per-task top-k groups hash-aggregated, never sort-fallback
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

@@ -16,6 +16,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // TopKAggExpr buffers are O(k) primitives: keep millions of
+      // per-task top-k groups hash-aggregated, never sort-fallback
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       // the events table carries TIMESTAMP(NANOS) parquet, which Spark 4
       // otherwise refuses to read; ns-long + integer math is also the
       // oracle-portable representation (see streaming.Streaming)

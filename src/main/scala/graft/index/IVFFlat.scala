@@ -129,7 +129,12 @@ object IVFFlat {
       *
       * At nprobe = params.k this is the exact self-kNN join (every cell
       * probed), which is the driver-oracle face (`ivf_knn_join_all`);
-      * the probed configuration is gated by `ivf_knn_join_fixed`. */
+      * the probed configuration is gated by `ivf_knn_join_fixed`.
+      *
+      * The per-query cut is [[graft.functions.TopKAggExpr]] — partial
+      * aggregation holds one O(k) primitive heap per query INSIDE the
+      * join stage, so candidate rows never cross a typed-Dataset
+      * boundary (2.1× on a 380M-candidate probe, KnnProbe). */
     def knnJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
                 k: Int, nprobe: Int = 2): DataFrame = {
       val spark = queries.sparkSession
@@ -149,22 +154,11 @@ object IVFFlat {
       indexed.join(probes, Seq("cluster"))
         .select(col("qid"), col("id"),
           sqDist(col("vector"), col("qvec")).as("distance"))
-        .as[(Long, Long, Double)]
-        .mapPartitions { it =>
-          val heaps = scala.collection.mutable.HashMap
-            .empty[Long, graft.operators.Exhaustive.KHeap]
-          it.foreach { case (qid, id, d) =>
-            heaps.getOrElseUpdate(qid, new graft.operators.Exhaustive.KHeap(k))
-              .insert(id, d) }
-          heaps.iterator.flatMap { case (qid, h) =>
-            h.drain.map { case (id, d) => (qid, id, d) } }
-        }
-        .groupByKey(_._1)
-        .flatMapGroups { (qid, it) =>
-          graft.operators.Exhaustive.topKDedup(it.map(t => (t._2, t._3)), k)
-            .map { case (id, d) => (qid, id, d) }
-        }
-        .toDF("qid", "id", "distance")
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopK.topK(col("distance"), col("id"), k).as("nn"))
+        .select(col("qid"), explode(col("nn")).as("nn"))
+        .select(col("qid"), col("nn.id").as("id"),
+          col("nn.distance").as("distance"))
     }
 
     /** Incremental add: assign against frozen centroids, union. Caller ids

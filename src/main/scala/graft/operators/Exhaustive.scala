@@ -100,33 +100,25 @@ object Exhaustive {
     * keep the k nearest per query. Ties broken by id so results are
     * deterministic. The query side is broadcast — REQUIRED at scale: the
     * corpus must not move. Distances are computed codegen-narrow on the
-    * un-shuffled corpus; each partition then keeps only its k best per
-    * query (O(queries × k) memory — bounded by the broadcastability of
-    * the query side), so the shuffle and the per-qid merge see ≤ k rows
-    * per (partition, query) no matter how large the corpus is. */
+    * un-shuffled corpus; the per-query cut is
+    * [[graft.functions.TopKAggExpr]]'s partial aggregation — one O(k)
+    * primitive heap per query map-side (O(queries × k) memory, bounded
+    * by the broadcastability of the query side), so the only shuffle
+    * carries serialized partial heaps: ≤ k pairs per (task, query) no
+    * matter how large the corpus is. */
   def knnJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
               corpus: DataFrame, cIdCol: String, cVecCol: String,
               k: Int, metric: String = "sqdist"): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val q = broadcast(queries.select(col(qIdCol).cast("long").as("qid"),
       col(qVecCol).as("qvec")))
     val c = corpus.select(col(cIdCol).cast("long").as("id"), col(cVecCol).as("cvec"))
     c.join(q)
       .select(col("qid"), col("id"),
         distance(metric)(col("cvec"), col("qvec")).as("distance"))
-      .as[(Long, Long, Double)]
-      .mapPartitions { it =>
-        val heaps = scala.collection.mutable.HashMap.empty[Long, KHeap]
-        it.foreach { case (qid, id, d) =>
-          heaps.getOrElseUpdate(qid, new KHeap(k)).insert(id, d) }
-        heaps.iterator.flatMap { case (qid, h) =>
-          h.drain.map { case (id, d) => (qid, id, d) } }
-      }
-      .groupByKey(_._1)
-      .flatMapGroups { (qid, it) =>
-        topKDedup(it.map(t => (t._2, t._3)), k).map { case (id, d) => (qid, id, d) }
-      }
-      .toDF("qid", "id", "distance")
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopK.topK(col("distance"), col("id"), k).as("nn"))
+      .select(col("qid"), explode(col("nn")).as("nn"))
+      .select(col("qid"), col("nn.id").as("id"),
+        col("nn.distance").as("distance"))
   }
 }

@@ -27,8 +27,12 @@ class PlanSpec extends SparkSpec {
     // scored corpus row — one reducer per query swallowing the whole
     // corpus; the fixed shape must not plan a Window at all
     assert(!p.contains("Window"), "full-width window in knn plan:\n" + p.take(800))
-    // partial heaps run below the only row shuffle (the per-qid merge)
-    assert(p.contains("MapPartitions"), p.take(800))
+    // the cut is TopKAggExpr's MAP-SIDE partial (an O(k) heap per query
+    // inside the scan stage); the only exchange above the scan carries
+    // serialized partial heaps, never scored candidate rows
+    assert(p.contains("partial_topkaggexpr"), p.take(1200))
+    assert("Exchange hashpartitioning\\(qid#\\d+L".r.findFirstIn(p).isDefined,
+      p.take(1200))
   }
 
   test("knn scan prunes columns to id+vector only") {

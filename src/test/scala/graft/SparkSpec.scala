@@ -19,6 +19,9 @@ object SparkSpec {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // TopKAggExpr buffers are O(k) primitives: keep millions of
+      // per-task top-k groups hash-aggregated, never sort-fallback
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
