@@ -423,6 +423,36 @@ object SparkEntry {
         .orderBy(col("qid"), col("distance"), col("id"))
     }),
 
+    // Quantized corpus-scale kNN join: BQ.knnJoinAsym at probe-all over
+    // EVERY query row — the 32×-fewer-scan-bytes kNN-graph first pass,
+    // shuffle-joined (no broadcast), cut by TopKAggExpr partials.
+    "bq_knn_join_asym_all" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = fixedCentroids(emb)
+      val indexed = graft.index.IVFFlat.assign(emb, "vec_id", "embedding", cents)
+      val sizes = Array.fill(cents.length)(Long.MaxValue)
+      val bq = graft.index.BQ.compress(
+        IVFFlat.Model(IVFFlat.Params(cents.length), cents, sizes, indexed))
+      bq.knnJoinAsym(emb, "vec_id", "embedding", k = 10, nprobe = cents.length)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
+    // The two-stage corpus-scale shape: bit shortlist + exact float
+    // re-rank with no broadcast on either side. Shortlist ⊇ corpus at
+    // verify scale ⇒ equals float exhaustive bit-for-bit.
+    "bq_knn_join_rerank" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = fixedCentroids(emb)
+      val indexed = graft.index.IVFFlat.assign(emb, "vec_id", "embedding", cents)
+      val sizes = Array.fill(cents.length)(Long.MaxValue)
+      val bq = graft.index.BQ.compress(
+        IVFFlat.Model(IVFFlat.Params(cents.length), cents, sizes, indexed))
+      bq.knnJoinRefined(emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+          k = 10, factor = 50, emb, "vec_id", "embedding",
+          nprobe = cents.length)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
     // Model.merge driver gate for BQ: two sign-code halves under the
     // SAME frozen centroids merge into the single build's code table —
     // the probe-all asymmetric oracle gates merge hash-for-hash.
@@ -3875,6 +3905,30 @@ object SparkEntry {
     "bq_asym_all" -> bqAsymSql,
     // merged half-compressions under shared centroids ≡ single compress
     "bq_merge_asym_all" -> bqAsymSql,
+    // the self-join face: every row queries the sign codes (probe-all)
+    "bq_knn_join_asym_all" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS id,
+        |    0.0 - list_reduce(list_transform(list_zip(c.embedding, q.embedding),
+        |      x -> CASE WHEN x[1] > 0 THEN CAST(x[2] AS DOUBLE)
+        |           ELSE 0.0 - CAST(x[2] AS DOUBLE) END),
+        |      (a, b) -> a + b) AS distance
+        |  FROM embeddings c, embeddings q)
+        |SELECT qid, id, distance FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 10
+        |ORDER BY qid, distance, id""".stripMargin,
+    // shortlist ⊇ corpus ⇒ the two-stage join equals float exhaustive
+    "bq_knn_join_rerank" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS id,
+        |    list_reduce(list_transform(list_zip(c.embedding, q.embedding),
+        |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+        |      (a, b) -> a + b) AS distance
+        |  FROM embeddings c, embeddings q WHERE q.vec_id < 50)
+        |SELECT qid, id, distance FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 10
+        |ORDER BY qid, distance, id""".stripMargin,
     "bq_res_asym_all" -> bqResAsymSql,
     "bq_rerank_exact" -> exhaustiveKnnSql,
 

@@ -225,6 +225,61 @@ object BQ {
         k)
     }
 
+    /** Corpus-scale asymmetric kNN join — [[searchManyAsym]]'s shuffle
+      * twin for query sides too big to broadcast (the QUANTIZED
+      * kNN-graph primitive: at 100 TB of floats the probed cell payload
+      * is sign bits, 32× fewer scan/join bytes than
+      * [[IVFFlat.Model.knnJoin]]). Probes equi-join on `cluster`; the
+      * per-query cut is [[graft.functions.TopKAggExpr]]'s map-side
+      * partial heaps. Scores follow the model's coding (plain: −q·sign;
+      * residual: the cross-cell distance estimate). */
+    def knnJoinAsym(queries: DataFrame, qIdCol: String, qVecCol: String,
+                    k: Int, nprobe: Int = 2): DataFrame = {
+      val probes = probeFrame(queries, qIdCol, qVecCol, k, nprobe)
+      val scored = codes.join(probes, Seq("cluster"))
+      val dist =
+        if (residual) {
+          val inv = 2.0 / math.sqrt(codeDim.toDouble)
+          col("qc2") -
+            BqMath.asymDot(col("codes"), col("qvec")) * col("rnorm") * lit(inv) +
+            col("rnorm") * col("rnorm")
+        } else lit(0.0d) - BqMath.asymDot(col("codes"), col("qvec"))
+      scored.select(col("qid"), col("id"), dist.as("distance"))
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopK.topK(col("distance"), col("id"), k).as("nn"))
+        .select(col("qid"), explode(col("nn")).as("nn"))
+        .select(col("qid"), col("nn.id").as("id"),
+          col("nn.distance").as("distance"))
+    }
+
+    /** Two-stage corpus-scale retrieval: bit shortlist
+      * ([[knnJoinAsym]], factor×k) + exact float re-rank, with NO
+      * broadcast assumption on either side — the 100 TB kNN-graph
+      * shape. The float corpus is touched by an equi-join on `id` for
+      * the shortlist rows only (shortlist-sized, never corpus×corpus);
+      * queries re-join on `qid`. With shortlist ⊇ corpus this equals
+      * float exhaustive exactly (the bq_knn_join_rerank oracle). */
+    def knnJoinRefined(queries: DataFrame, qIdCol: String, qVecCol: String,
+                       k: Int, factor: Int,
+                       corpus: DataFrame, cIdCol: String, cVecCol: String,
+                       nprobe: Int = 2): DataFrame = {
+      val shortlist = knnJoinAsym(queries, qIdCol, qVecCol, k * factor, nprobe)
+        .select(col("qid"), col("id"))
+      val q = queries.select(col(qIdCol).cast("long").as("qid"),
+        col(qVecCol).cast("array<float>").as("qvec"))
+      val c = corpus.select(col(cIdCol).cast("long").as("id"),
+        col(cVecCol).cast("array<float>").as("cvec"))
+      shortlist.join(q, Seq("qid")).join(c, Seq("id"))
+        .select(col("qid"), col("id"),
+          graft.functions.VectorOps.sqDist(col("cvec"), col("qvec"))
+            .as("distance"))
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopK.topK(col("distance"), col("id"), k).as("nn"))
+        .select(col("qid"), explode(col("nn")).as("nn"))
+        .select(col("qid"), col("nn.id").as("id"),
+          col("nn.distance").as("distance"))
+    }
+
     /** Bit shortlist (factor×k, asymmetric score) + exact float re-rank
       * — the production BQ serving shape. The bit pass scans 32× fewer
       * bytes; the float pass touches shortlist×queries rows only

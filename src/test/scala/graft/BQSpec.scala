@@ -109,6 +109,31 @@ class BQSpec extends SparkSpec {
     assert(refined.toSeq == exact.toSeq)
   }
 
+  test("knnJoinAsym (shuffle path) equals searchManyAsym (broadcast path)") {
+    val queries = emb.filter($"vec_id" < 25)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id", "distance").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val shuffled = asSet(bq.knnJoinAsym(queries, "vec_id", "embedding",
+      k = 10, nprobe = bq.params.k))
+    val broadcasted = asSet(bq.searchManyAsym(queries, "vec_id", "embedding",
+      k = 10, nprobe = bq.params.k))
+    assert(shuffled == broadcasted)
+  }
+
+  test("knnJoinRefined with corpus-wide shortlist equals float exhaustive (self-join)") {
+    val refined = bq.knnJoinRefined(emb, "vec_id", "embedding",
+        k = 10, factor = 1000, emb, "vec_id", "embedding",
+        nprobe = bq.params.k)
+      .orderBy("qid", "distance", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exact = graft.operators.Exhaustive.knnJoin(
+        emb, "vec_id", "embedding", emb, "vec_id", "embedding", 10)
+      .orderBy("qid", "distance", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(refined.toSeq == exact.toSeq)
+  }
+
   test("asym shortlist (factor 10) + re-rank keeps recall@10 on sf0.001") {
     val queries = emb.filter($"vec_id" < 20)
     val exact = graft.operators.Exhaustive.knnJoin(
