@@ -153,6 +153,33 @@ object KnnGraphScaleSmoke extends Serializable {
     out += "knn_join_recall" -> f"$recall%.3f"
     graph.unpersist()
 
+    // ---- quantized two-stage graph: residual sign codes (the
+    // clustered-corpus coding) shortlist 4×k, exact float re-rank —
+    // the 32×-fewer-scan-bytes version of the same graph
+    Thread.sleep(500)
+    val beforeQ = shuffleBytes.get()
+    val bq = index.BQ.compressResidual(model)
+    bq.codes.cache().count()
+    val (qgraph, qS) = timed {
+      val g = bq.knnJoinRefined(emb, "vec_id", "embedding", k = 10,
+          factor = 4, emb, "vec_id", "embedding", nprobe = 2)
+        .cache()
+      g.count()
+      g
+    }
+    Thread.sleep(500)
+    out += "bq_graph_s" -> f"$qS%.1f"
+    out += "bq_graph_shuffle_mb" -> ((shuffleBytes.get() - beforeQ) / (1L << 20)).toString
+    val gotQ = qgraph.join(sample.select(col("vec_id").as("qid")), Seq("qid"))
+      .select("qid", "id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recallQ = truth.keys.toSeq
+      .map(q => gotQ.getOrElse(q, Set.empty).intersect(truth(q)).size / 10.0)
+      .sum / truth.size
+    out += "bq_graph_recall" -> f"$recallQ%.3f"
+    qgraph.unpersist()
+    bq.codes.unpersist()
+
     // ---- SemDeDup end-to-end at the planted threshold
     Thread.sleep(500)
     val before2 = shuffleBytes.get()

@@ -1408,6 +1408,43 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // Content-defined chunking (TextOps.cdcChunks): boundaries from
+    // local token content, not position — chunk digests survive edits
+    // that shift every fixed window (DedupSpec gates the realignment).
+    "doc_chunks_cdc" -> ((s, dir) =>
+      TextOps.cdcChunks(tbl(s, dir, "documents"), "doc_id", "text",
+          avgLen = 16)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // CDC chunk-level dedup: keep-first over the chunk digest, ranked
+    // by (doc, chunk) position — the edit-robust twin of
+    // chunk_dedup_keepfirst's fixed windows.
+    "chunk_dedup_cdc" -> ((s, dir) => {
+      val chunks = TextOps.cdcChunks(tbl(s, dir, "documents"),
+          "doc_id", "text", avgLen = 16)
+        .withColumn("rank",
+          col("doc_id") * lit(1000000L) + col("chunk_idx"))
+      Dedup.exactKeepFirst(chunks, "rank", Seq("digest"))
+        .select(col("doc_id"), col("chunk_idx"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // Mutual-kNN graph clustering: the exact self-kNN graph (probe-all)
+    // → edges kept iff BOTH endpoints rank each other top-5 → connected
+    // components. The embedding-space clustering the kNN-graph
+    // primitive exists to feed.
+    "knn_graph_clusters" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = fixedCentroids(emb)
+      val indexed = IVFFlat.assign(emb, "vec_id", "embedding", cents)
+      val sizes = Array.fill(cents.length)(Long.MaxValue)
+      val model = IVFFlat.Model(IVFFlat.Params(cents.length), cents, sizes, indexed)
+      graft.operators.KnnGraph.clusters(
+          model.knnJoin(emb, "vec_id", "embedding", k = 5,
+            nprobe = cents.length))
+        .orderBy(col("id"))
+    }),
+
     // Language ID by stopword-hit argmax (n-gram heuristic family).
     "text_langid" -> ((s, dir) => {
       tbl(s, dir, "documents")
@@ -2697,6 +2734,30 @@ object SparkEntry {
        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
        |  FROM m)""".stripMargin
 
+  /** Shared CTE prefix of the doc_chunks_cdc / chunk_dedup_cdc
+    * oracles: token stream, content-defined boundary flags
+    * (hash60(prev ⊔ tok) % 16 == 0, lag default ''), exclusive-prefix
+    * chunk index, per-chunk reassembly + digest. */
+  private lazy val cdcChunkCtes: String =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tok AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+       |  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+       |b AS (SELECT doc_id, pos, tok,
+       |    CASE WHEN (CAST(concat('0x', substr(md5(
+       |        concat(coalesce(lag(tok) OVER w, ''), ' ', tok)), 1, 15)) AS BIGINT)
+       |      % 16) = 0 THEN 1 ELSE 0 END AS bnd
+       |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |ci AS (SELECT doc_id, pos, tok,
+       |    CAST(coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS chunk_idx
+       |  FROM b),
+       |chunks AS (SELECT doc_id, chunk_idx,
+       |    CAST(count(*) AS BIGINT) AS n_toks,
+       |    string_agg(tok, ' ' ORDER BY pos) AS chunk,
+       |    md5(string_agg(tok, ' ' ORDER BY pos)) AS digest
+       |  FROM ci GROUP BY doc_id, chunk_idx)""".stripMargin
+
   /** sq8_search_all / sq8_persist_all oracle: quantize each corpus
     * vector with [[graft.functions.Quant]]'s floor-rounding affine int8
     * rule, dequantize, then exhaustive top-10 — probing every cell makes
@@ -3796,6 +3857,42 @@ object SparkEntry {
          |  coalesce(a.n_kept, 0) AS n_kept
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // CDC: boundary after token i iff hash60(tok_{i-1} ⊔ tok_i) % 16 == 0;
+    // chunk index = exclusive prefix sum of boundary flags
+    "doc_chunks_cdc" ->
+      s"""WITH $cdcChunkCtes
+         |SELECT doc_id, chunk_idx, n_toks, chunk, digest FROM chunks
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "chunk_dedup_cdc" ->
+      s"""WITH $cdcChunkCtes
+         |SELECT doc_id, chunk_idx FROM (
+         |  SELECT doc_id, chunk_idx, digest,
+         |    doc_id * 1000000 + chunk_idx AS rank FROM chunks)
+         |QUALIFY row_number() OVER (PARTITION BY digest ORDER BY rank) = 1
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // exact self-kNN (k=5) → mutual edges → recursive component closure
+    "knn_graph_clusters" ->
+      """WITH RECURSIVE scored AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS id,
+        |    list_reduce(list_transform(list_zip(c.embedding, q.embedding),
+        |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+        |      (a, b) -> a + b) AS distance
+        |  FROM embeddings c, embeddings q),
+        |knn AS (SELECT qid, id FROM scored
+        |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 5),
+        |mut AS (SELECT least(qid, id) AS a, greatest(qid, id) AS b
+        |  FROM knn WHERE qid <> id GROUP BY 1, 2 HAVING count(*) = 2),
+        |edges AS (SELECT a AS s, b AS d FROM mut UNION SELECT b, a FROM mut),
+        |reach(id, comp) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id)
+        |SELECT id, min(comp) AS comp FROM reach GROUP BY id
+        |ORDER BY id""".stripMargin,
 
     "dedup_semantic" ->
       s"""WITH RECURSIVE $semanticPairsCtes,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM-data pipelines, expressed as pure
@@ -46,6 +46,51 @@ object TextOps {
     * unicode property classes), collapse whitespace runs, trim. Two
     * docs differing only in case/punctuation/spacing normalize equal.
     * Pure codegen column fn — a narrow map at any scale. */
+  /** Content-defined chunking (CDC) at token granularity — the
+    * storage-dedup boundary rule (rsync/LBFS lineage) lifted to text:
+    * a chunk boundary falls AFTER token i iff
+    * `hash60(token_{i−1} ⊔ token_i) mod avgLen == 0`, so boundaries are
+    * functions of local CONTENT, not position. Insert one token at the
+    * head of a document and every fixed-window chunk
+    * ([[chunkTokens]]) shifts and re-digests; CDC chunks re-align at
+    * the first boundary and every chunk after it keeps its digest —
+    * which is what makes chunk-level dedup robust to edits
+    * (DedupSpec gates exactly this property).
+    *
+    * Output: (idCol, chunk_idx, n_toks, chunk, digest) — one row per
+    * chunk, expected length ≈ avgLen tokens (geometric; no min/max
+    * clamp: a clamp makes each boundary depend on the previous one,
+    * turning the narrow window pass into a sequential per-doc scan.
+    * Degenerate runs of one repeated token pair produce degenerate
+    * chunking, the documented CDC trade).
+    *
+    * Plan shape: one posexplode, one per-doc window cumsum (doc-sized
+    * partitions), one per-(doc, chunk) aggregate — corpus-linear, and
+    * the chunk digests are the only thing downstream dedup shuffles. */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+                avgLen: Int = 16): DataFrame = {
+    require(avgLen >= 2 && avgLen <= (1 << 16),
+      s"avgLen=$avgLen out of range [2, 65536]")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).cast("long").as("id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    toks
+      .withColumn("bnd", when(pmod(Sketches.hash60(
+          concat_ws(" ", lag(col("tok"), 1, "").over(w), col("tok"))),
+        lit(avgLen.toLong)) === 0L, 1L).otherwise(0L))
+      .withColumn("chunk_idx", coalesce(
+        sum(col("bnd")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .groupBy(col("id"), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_toks"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok"))).as("chunk"))
+      .select(col("id").as(idCol), col("chunk_idx"), col("n_toks"),
+        col("chunk"), md5(col("chunk")).as("digest"))
+  }
+
   def normalizeText(text: Column): Column =
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "))

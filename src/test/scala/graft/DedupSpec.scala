@@ -301,6 +301,39 @@ class DedupSpec extends SparkSpec {
       && scrubbed(2)._3 == 26L)
   }
 
+  test("cdcChunks realigns after a head insertion; fixed windows do not") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val base = (0 until 200).map(i => s"t${i * 7 % 97}x$i").mkString(" ")
+    val docs = Seq((0L, base), (1L, "INS " + base)).toDF("doc_id", "text")
+    val cdc = TextOps.cdcChunks(docs, "doc_id", "text", avgLen = 16)
+      .select($"doc_id", $"digest").as[(Long, String)].collect()
+    val d0 = cdc.filter(_._1 == 0L).map(_._2).toSet
+    val d1 = cdc.filter(_._1 == 1L).map(_._2).toSet
+    assert(d0.size >= 5, s"want several chunks, got ${d0.size}")
+    // only the chunk containing the insertion point changes — every
+    // later boundary is a function of local content and realigns
+    assert(d0.intersect(d1).size >= d0.size - 1,
+      s"cdc: ${d0.intersect(d1).size} of ${d0.size} digests survive")
+    // fixed windows all shift by one token: nothing realigns
+    val fixed = docs
+      .select($"doc_id",
+        posexplode(TextOps.chunkTokensOf(TextOps.tokens($"text"), 32, 32))
+          .as(Seq("i", "chunk")))
+      .filter($"chunk" =!= "")
+      .select($"doc_id", md5($"chunk").as("digest"))
+      .as[(Long, String)].collect()
+    val f0 = fixed.filter(_._1 == 0L).map(_._2).toSet
+    val f1 = fixed.filter(_._1 == 1L).map(_._2).toSet
+    assert(f0.intersect(f1).isEmpty, "fixed windows must all shift")
+    // chunks partition the token stream: concatenating in order
+    // reproduces the doc
+    val joined = TextOps.cdcChunks(docs, "doc_id", "text", avgLen = 16)
+      .filter($"doc_id" === 0L).orderBy($"chunk_idx")
+      .select($"chunk").as[String].collect().mkString(" ")
+    assert(joined == base)
+  }
+
   test("repeatedSpans: a doc fully duplicated elsewhere is one whole-doc span") {
     import spark.implicits._
     val text = (0 until 12).map(i => s"t$i").mkString(" ")

@@ -53,6 +53,27 @@ class KnnJoinSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall@10 = $recall")
   }
 
+  test("mutual-kNN clusters separate two tight blobs") {
+    import spark.implicits._
+    // ids 0..5 near center A, 6..11 near center B (64-dim unit-ish)
+    def pt(center: Int, i: Int): Array[Float] = {
+      val v = new Array[Float](64)
+      v(center) = 1.0f
+      v(32 + i % 8) = 0.01f * (i + 1)
+      v
+    }
+    val blobs = ((0 until 6).map(i => (i.toLong, pt(0, i))) ++
+      (6 until 12).map(i => (i.toLong, pt(1, i)))).toDF("vec_id", "embedding")
+    // k = 6 = self + the 5 blob-mates: the whole blob is mutual, and
+    // blob-mates crowd out every cross-blob candidate
+    val graph = Exhaustive.knnJoin(blobs, "vec_id", "embedding",
+      blobs, "vec_id", "embedding", k = 6)
+    val comp = graft.operators.KnnGraph.clusters(graph)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 6L).foreach(i => assert(comp(i) == 0L, s"id $i -> ${comp(i)}"))
+    (6L until 12L).foreach(i => assert(comp(i) == 6L, s"id $i -> ${comp(i)}"))
+  }
+
   test("semanticPairs only emits pairs sharing a cell, below threshold, a<b") {
     val assigned = IVFFlat.assign(emb, "vec_id", "embedding", model.centroids)
     val pairs = Dedup.semanticPairs(assigned, maxCosDist = 0.9).cache()
