@@ -127,6 +127,81 @@ object SparkEntry {
     df.withColumn("t", concat(col("text"), tail))
   }
 
+  /** Formula-derived µs intervals over the events era for the
+    * range-join lanes: lo = 2024-01-01 + ((key·salt) mod 28d) — all
+    * exact integer arithmetic, replayed verbatim by the oracle.
+    * Mostly sub-4h spans; every 97th key a 10-day outlier (exercises
+    * the broadcast diversion); `emptyEvery` plants hi == lo rows
+    * (must match nothing). */
+  private[graft] def rangeJoinIntervals(orders: DataFrame,
+                                        parity: Option[Int] = None,
+                                        salt: Long = 7919L,
+                                        emptyEvery: Long = 0L): DataFrame = {
+    val base = orders.filter(col("o_orderkey") < 2000)
+    val filtered = parity match {
+      case Some(p) => base.filter(pmod(col("o_orderkey"), lit(2L)) === p)
+      case None => base
+    }
+    val span = when(pmod(col("iid"), lit(97L)) === 0, lit(864000000000L))
+      .otherwise((lit(600L) + pmod(col("iid"), lit(7L)) * lit(1800L)) *
+        lit(1000000L))
+    val spanOrEmpty =
+      if (emptyEvery > 0L)
+        when(pmod(col("iid"), lit(emptyEvery)) === 0, lit(0L)).otherwise(span)
+      else span
+    filtered
+      .select(col("o_orderkey").as("iid"),
+        (lit(1704067200000000L) +
+          pmod(col("o_orderkey") * lit(salt), lit(2419200L)) *
+          lit(1000000L)).as("lo"))
+      .withColumn("hi", col("lo") + spanOrEmpty)
+  }
+
+  /** Pinned unigram vocabulary for the SQL-checkable tokenizer lanes:
+    * full a–z coverage at −14 micro-log-prob-M, common bigrams at −11M,
+    * trigrams at −9M — integer scores, so the Viterbi argmax is exact
+    * arithmetic on both engines (the oracle enumerates all
+    * segmentations in a recursive CTE and applies the identical
+    * (score DESC, pieces ASC, path ASC) tie-break). */
+  private[graft] val UnigramPinned: Array[graft.operators.Unigram.Piece] = {
+    import graft.operators.Unigram.Piece
+    val chars = ('a' to 'z').map(c => Piece(c.toString, -14000000L))
+    val bi = Seq("th", "he", "in", "er", "an", "re", "on", "at", "en", "nd")
+      .map(Piece(_, -11000000L))
+    val tri = Seq("the", "ing", "and", "ion", "ent", "ati")
+      .map(Piece(_, -9000000L))
+    (chars ++ bi ++ tri).toArray
+  }
+
+  /** The word frame both unigram lanes segment: pure-lowercase tokens
+    * (≤ 12 chars — bounds the oracle's segmentation enumeration) of
+    * the first 120 docs, with occurrence counts. */
+  private[graft] def unigramWords(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") < 120)
+      .select(explode(graft.operators.TextOps.tokens(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z]{1,12}$"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Writes the jsonl_* fixture: 40 formula-pinned lines — ids 0–19 in
+    * a plain shard, 20–39 gzipped (the published-corpus shape), every
+    * 9th line truncated mid-string. Returns the directory. */
+  private[graft] def jsonlFixture(): String = {
+    def line(i: Int): String =
+      if (i % 9 == 4) s"""{"id": $i, "text": "truncat"""
+      else {
+        val lang = Seq("en", "de", "fr")(i % 3)
+        s"""{"id": $i, "text": "doc $i body", "meta": {"lang": "$lang", "stars": ${i * 3 % 7}}}"""
+      }
+    val d = java.nio.file.Files.createTempDirectory("jsonl_lane")
+    java.nio.file.Files.writeString(d.resolve("part-0.jsonl"),
+      (0 until 20).map(line).mkString("", "\n", "\n"))
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(d.resolve("part-1.jsonl.gz")))
+    gz.write((20 until 40).map(line).mkString("", "\n", "\n").getBytes("UTF-8"))
+    gz.close()
+    d.toString
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H-Q1-shaped pricing summary: grouped sums as fixed-point
@@ -1591,6 +1666,42 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Unigram-LM segmentation (operators/Unigram — the SentencePiece
+    // family next to Bpe): Viterbi argmax over the pinned
+    // integer-score vocabulary, per distinct corpus word. The oracle
+    // enumerates EVERY segmentation of each word in a recursive CTE
+    // and applies the identical (score DESC, pieces ASC, path ASC)
+    // tie-break — the DP must equal the exhaustive argmax on all
+    // engine pairs, exact integers end to end.
+    "unigram_tokenize" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Unigram
+      val vmap = UnigramPinned.map(p => p.piece -> p.score).toMap
+      val maxLen = UnigramPinned.map(_.piece.length).max
+      val unk = UnigramPinned.map(_.score).min - 1000000L
+      unigramWords(tbl(s, dir, "documents"))
+        .select(col("word")).as[String]
+        .mapPartitions { it =>
+          it.map { w =>
+            val (ps, sc) = Unigram.segment(w, vmap, maxLen, unk)
+            (w, ps.mkString(" "), sc, ps.length.toLong)
+          }
+        }
+        .toDF("word", "pieces", "score", "n_pieces")
+        .orderBy(col("word"))
+    }),
+
+    // The trainer's E-step under the driver oracle (Unigram
+    // .pieceCounts): Viterbi-segment each distinct word once, count
+    // pieces weighted by corpus frequency — exact integer counts, the
+    // bit-deterministic hard-EM contract the trainer iterates on.
+    "unigram_estep" -> ((s, dir) => {
+      graft.operators.Unigram.pieceCounts(
+          unigramWords(tbl(s, dir, "documents")), UnigramPinned)
+        .select(col("piece"), col("n").cast("long").as("n"))
+        .orderBy(col("piece"))
+    }),
+
     // Eval-integrity audit: minhash near-dup pairs straddling a
     // train/val/test boundary — benchmark-leakage detection. Composes
     // the gated pair generator with the gated split assignment.
@@ -1871,6 +1982,37 @@ object SparkEntry {
         .orderBy(col("id"), col("dim"))
     }),
 
+    // JSON-Lines source (sources/JsonlFile) under the driver oracle: a
+    // formula-pinned ndjson fixture — one plain shard, one gzip shard,
+    // every 9th line truncated mid-string — read with an explicit
+    // nested schema. Gates schema-directed parse (incl. the nested
+    // struct), multi-codec shard handling, and that corrupt lines
+    // never leak into the good frame; the oracle recomputes the
+    // surviving rows from the generator formula.
+    "jsonl_load" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("text", StringType),
+        StructField("meta", StructType(Seq(StructField("lang", StringType),
+          StructField("stars", LongType))))))
+      graft.sources.JsonlFile.read(s, jsonlFixture(), schema).good
+        .select(col("id"), col("text"),
+          col("meta.lang").as("lang"), col("meta.stars").as("stars"))
+        .orderBy(col("id"))
+    }),
+
+    // The quarantine half of the same contract: malformed lines
+    // surface VERBATIM as data (corrupt-is-data, the Multimodal decode
+    // contract), never as exceptions — the oracle rebuilds the exact
+    // truncated strings from the same formula.
+    "jsonl_quarantine" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("text", StringType)))
+      graft.sources.JsonlFile.read(s, jsonlFixture(), schema).quarantine
+        .orderBy(col("raw"))
+    }),
+
     // REAL video container metadata (operators/Mp4): a pinned-parameter
     // MP4 skeleton is generated per row (ISO-BMFF ftyp+moov structure)
     // and parsed back by the box walker — brand, mvhd duration, tkhd
@@ -1986,6 +2128,42 @@ object SparkEntry {
     "events_sessions" -> ((s, dir) => {
       Streaming.sessionize(tbl(s, dir, "events"), gapSec = 1800L)
         .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // Bucketized point-in-interval join (operators/RangeJoin): event
+    // timestamps against formula-derived order intervals on the exact
+    // µs axis — 1h buckets, 10-day outliers diverted to the broadcast
+    // path (both paths land in the one aggregated answer the oracle
+    // replays as a plain BETWEEN join). The plan is equi-join work at
+    // any scale; PlanSpec pins the no-diversion shape.
+    "range_join_events" -> ((s, dir) => {
+      val pts = tbl(s, dir, "events")
+        .select(col("event_id"), expr("ts div 1000").as("tus"))
+      val iv = rangeJoinIntervals(tbl(s, dir, "orders"))
+      graft.operators.RangeJoin.pointInInterval(pts, "tus", iv, "lo", "hi",
+          width = 3600L * 1000000L, longCap = 64)
+        .groupBy("iid")
+        .agg(count(lit(1)).as("n_events"), sum("event_id").as("sum_ids"))
+        .orderBy(col("iid"))
+    }),
+
+    // Interval-overlap join, each overlapping pair emitted exactly
+    // once (first-shared-bucket proration — the aggregate counts would
+    // expose any double emission): even-key order intervals vs odd-key
+    // ones, with empty intervals on the b side and long outliers on
+    // both, all under the same 1h bucket width.
+    "interval_overlap_orders" -> ((s, dir) => {
+      val orders = tbl(s, dir, "orders")
+      val a = rangeJoinIntervals(orders, parity = Some(0))
+        .select(col("iid").as("aid"), col("lo").as("alo"), col("hi").as("ahi"))
+      val b = rangeJoinIntervals(orders, parity = Some(1), salt = 6689L,
+          emptyEvery = 13L)
+        .select(col("iid").as("bid"), col("lo").as("blo"), col("hi").as("bhi"))
+      graft.operators.RangeJoin.intervalOverlap(a, "alo", "ahi",
+          b, "blo", "bhi", width = 3600L * 1000000L, longCap = 64)
+        .groupBy("aid")
+        .agg(count(lit(1)).as("n_overlaps"), sum("bid").as("sum_bids"))
+        .orderBy(col("aid"))
     }),
 
     // PII scan (operators/Pii): per-doc counts of the four scrub
@@ -3571,6 +3749,80 @@ object SparkEntry {
     // and the trained merges re-applied per word as a replace chain
     "bpe_tokenize" -> bpeTokenizeSql,
 
+    // Exhaustive replay of the unigram Viterbi: enumerate EVERY
+    // segmentation of every word (recursive CTE over the pinned piece
+    // table — single-char coverage guarantees termination at
+    // pos = len), then the identical tie-break argmax. The Spark DP
+    // must match the enumeration exactly.
+    "unigram_tokenize" ->
+      s"""WITH RECURSIVE pieces AS (SELECT piece, sc FROM (
+         |    SELECT chr(97 + CAST(i AS INT)) AS piece,
+         |      CAST(-14000000 AS BIGINT) AS sc
+         |    FROM (SELECT unnest(range(0, 26)) AS i)
+         |    UNION ALL
+         |    SELECT piece, CAST(sc AS BIGINT) FROM (VALUES
+         |      ('th', -11000000), ('he', -11000000), ('in', -11000000),
+         |      ('er', -11000000), ('an', -11000000), ('re', -11000000),
+         |      ('on', -11000000), ('at', -11000000), ('en', -11000000),
+         |      ('nd', -11000000),
+         |      ('the', -9000000), ('ing', -9000000), ('and', -9000000),
+         |      ('ion', -9000000), ('ent', -9000000), ('ati', -9000000))
+         |      AS v(piece, sc)) u),
+         |words AS (SELECT DISTINCT t AS word FROM (
+         |    SELECT unnest($toksSql) AS t FROM documents WHERE doc_id < 120)
+         |  WHERE regexp_full_match(t, '[a-z]{1,12}')),
+         |states AS (
+         |  SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS sc, 0 AS np,
+         |    '' AS path FROM words
+         |  UNION ALL
+         |  SELECT s.word, s.pos + len(p.piece), s.sc + p.sc, s.np + 1,
+         |    CASE WHEN s.path = '' THEN p.piece
+         |         ELSE s.path || ' ' || p.piece END
+         |  FROM states s JOIN pieces p
+         |    ON substr(s.word, s.pos + 1, len(p.piece)) = p.piece),
+         |best AS (SELECT word, path, sc, np, row_number() OVER
+         |    (PARTITION BY word ORDER BY sc DESC, np ASC, path ASC) AS rn
+         |  FROM states WHERE pos = len(word))
+         |SELECT word, path AS pieces, sc AS score, CAST(np AS BIGINT) AS n_pieces
+         |FROM best WHERE rn = 1 ORDER BY word""".stripMargin,
+
+    // same enumeration, then frequency-weighted piece counting — the
+    // hard-EM E-step as exact integers
+    "unigram_estep" ->
+      s"""WITH RECURSIVE pieces AS (SELECT piece, sc FROM (
+         |    SELECT chr(97 + CAST(i AS INT)) AS piece,
+         |      CAST(-14000000 AS BIGINT) AS sc
+         |    FROM (SELECT unnest(range(0, 26)) AS i)
+         |    UNION ALL
+         |    SELECT piece, CAST(sc AS BIGINT) FROM (VALUES
+         |      ('th', -11000000), ('he', -11000000), ('in', -11000000),
+         |      ('er', -11000000), ('an', -11000000), ('re', -11000000),
+         |      ('on', -11000000), ('at', -11000000), ('en', -11000000),
+         |      ('nd', -11000000),
+         |      ('the', -9000000), ('ing', -9000000), ('and', -9000000),
+         |      ('ion', -9000000), ('ent', -9000000), ('ati', -9000000))
+         |      AS v(piece, sc)) u),
+         |wf AS (SELECT t AS word, count(*) AS freq FROM (
+         |    SELECT unnest($toksSql) AS t FROM documents WHERE doc_id < 120)
+         |  WHERE regexp_full_match(t, '[a-z]{1,12}') GROUP BY t),
+         |states AS (
+         |  SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS sc, 0 AS np,
+         |    '' AS path FROM wf
+         |  UNION ALL
+         |  SELECT s.word, s.pos + len(p.piece), s.sc + p.sc, s.np + 1,
+         |    CASE WHEN s.path = '' THEN p.piece
+         |         ELSE s.path || ' ' || p.piece END
+         |  FROM states s JOIN pieces p
+         |    ON substr(s.word, s.pos + 1, len(p.piece)) = p.piece),
+         |best AS (SELECT word, path, row_number() OVER
+         |    (PARTITION BY word ORDER BY sc DESC, np ASC, path ASC) AS rn
+         |  FROM states WHERE pos = len(word)),
+         |ex AS (SELECT word, unnest(string_split(path, ' ')) AS piece
+         |  FROM best WHERE rn = 1)
+         |SELECT piece, CAST(sum(freq) AS BIGINT) AS n
+         |FROM ex JOIN wf USING (word)
+         |GROUP BY piece ORDER BY piece""".stripMargin,
+
     // directed-containment max over the same inverted index
     "dedup_containment" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
@@ -3653,6 +3905,22 @@ object SparkEntry {
         |FROM kept, (SELECT unnest(range(0, 8)) AS j) u
         |ORDER BY id, dim""".stripMargin,
 
+    // ground truth = the jsonl fixture formula; the Spark side must
+    // round-trip it through real ndjson bytes (plain + gzip shards)
+    "jsonl_load" ->
+      """WITH ids AS (SELECT CAST(unnest(range(0, 40)) AS BIGINT) AS i)
+        |SELECT i AS id, 'doc ' || CAST(i AS VARCHAR) || ' body' AS text,
+        |  CASE CAST(i % 3 AS INT) WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+        |       ELSE 'fr' END AS lang,
+        |  i * 3 % 7 AS stars
+        |FROM ids WHERE i % 9 <> 4 ORDER BY id""".stripMargin,
+
+    // the corrupt lines, byte-for-byte as written into the fixture
+    "jsonl_quarantine" ->
+      """SELECT '{"id": ' || CAST(i AS VARCHAR) || ', "text": "truncat' AS raw
+        |FROM (SELECT unnest(range(0, 40)) AS i)
+        |WHERE i % 9 = 4 ORDER BY raw""".stripMargin,
+
     // same contract for the Matroska twin: the EBML generator
     // parameters are the ground truth
     "multimodal_video_meta_mkv" ->
@@ -3725,6 +3993,40 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(tns // 1000000000) AS start_s, max(tns // 1000000000) AS end_s
         |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // ground truth for the bucketized range join = the plain BETWEEN
+    // join over the same formula-derived intervals (µs integers)
+    "range_join_events" ->
+      """WITH pts AS (SELECT event_id, epoch_us(ts) AS tus FROM events),
+        |iv AS (SELECT o_orderkey AS iid,
+        |    1704067200000000 + (o_orderkey * 7919) % 2419200 * 1000000 AS lo
+        |  FROM orders WHERE o_orderkey < 2000),
+        |iv2 AS (SELECT iid, lo, lo + CASE WHEN iid % 97 = 0 THEN 864000000000
+        |    ELSE (600 + iid % 7 * 1800) * 1000000 END AS hi FROM iv)
+        |SELECT iid, count(*) AS n_events,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_ids
+        |FROM pts JOIN iv2 ON tus >= lo AND tus < hi
+        |GROUP BY iid ORDER BY iid""".stripMargin,
+
+    // overlap ground truth likewise; empty b-intervals (bhi = blo)
+    // must contribute nothing, and the exactly-once proration shows up
+    // as exact counts
+    "interval_overlap_orders" ->
+      """WITH a AS (SELECT o_orderkey AS aid,
+        |    1704067200000000 + (o_orderkey * 7919) % 2419200 * 1000000 AS alo
+        |  FROM orders WHERE o_orderkey < 2000 AND o_orderkey % 2 = 0),
+        |a2 AS (SELECT aid, alo, alo + CASE WHEN aid % 97 = 0 THEN 864000000000
+        |    ELSE (600 + aid % 7 * 1800) * 1000000 END AS ahi FROM a),
+        |b AS (SELECT o_orderkey AS bid,
+        |    1704067200000000 + (o_orderkey * 6689) % 2419200 * 1000000 AS blo
+        |  FROM orders WHERE o_orderkey < 2000 AND o_orderkey % 2 = 1),
+        |b2 AS (SELECT bid, blo, blo + CASE WHEN bid % 13 = 0 THEN 0
+        |    WHEN bid % 97 = 0 THEN 864000000000
+        |    ELSE (600 + bid % 7 * 1800) * 1000000 END AS bhi FROM b)
+        |SELECT aid, count(*) AS n_overlaps,
+        |  CAST(sum(bid) AS BIGINT) AS sum_bids
+        |FROM a2 JOIN b2 ON alo < bhi AND blo < ahi AND ahi > alo AND bhi > blo
+        |GROUP BY aid ORDER BY aid""".stripMargin,
 
     "dedup_embed" ->
       """SELECT l.vec_id AS id_a, r.vec_id AS id_b,

@@ -414,4 +414,28 @@ class PlanSpec extends SparkSpec {
         "document text in a shuffle:\n" + e.toString.take(600))
     }
   }
+
+  test("range joins never plan a cartesian product; long outliers broadcast") {
+    for (name <- Seq("range_join_events", "interval_overlap_orders")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n" + p.take(800))
+      // the bucketed branch is hash-equi-join work; the diverted long
+      // intervals ride a BROADCAST nested loop (small side by
+      // construction), never a shuffled one
+      assert(p.contains("HashJoin"), s"$name:\n" + p.take(800))
+      assert(!p.contains("ShuffledNestedLoop"), s"$name:\n" + p.take(800))
+    }
+  }
+
+  test("unigram E-step shuffles piece counters only, never words or text") {
+    val df = SparkEntry.queries("unigram_estep")(spark, sf001)
+    df.collect()
+    flatten(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.contains("text"),
+        "document text in a shuffle:\n" + e.toString.take(600))
+    }
+  }
 }
