@@ -51,6 +51,10 @@ object RangeJoin {
                       width: Long, longCap: Int = 64): DataFrame = {
     require(width > 0, "bucket width must be positive")
     require(longCap >= 1, "longCap must be at least 1")
+    val clash = points.columns.intersect(intervals.columns)
+    require(clash.isEmpty, s"point/interval column names collide: ${clash.mkString(",")}")
+    require(!(points.columns ++ intervals.columns).contains("__bucket"),
+      "__bucket is reserved")
     val loL = col(loCol).cast("long")
     val hiL = col(hiCol).cast("long")
     val nonEmpty = intervals.filter(hiL > loL)
@@ -95,6 +99,10 @@ object RangeJoin {
                       width: Long, longCap: Int = 64): DataFrame = {
     require(width > 0, "bucket width must be positive")
     require(longCap >= 1, "longCap must be at least 1")
+    val clash = a.columns.intersect(b.columns)
+    require(clash.isEmpty, s"a/b column names collide: ${clash.mkString(",")}")
+    require(!(a.columns ++ b.columns).exists(Set("__bucket", "__bbucket")),
+      "__bucket/__bbucket are reserved")
     def loL(c: String) = col(c).cast("long")
     val aNE = a.filter(loL(aHi) > loL(aLo))
     val bNE = b.filter(loL(bHi) > loL(bLo))

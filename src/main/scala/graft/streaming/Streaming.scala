@@ -748,6 +748,26 @@ object Streaming {
       .drop("__toks", "__grams", "__hit", "__ng")
   }
 
+  /** Point-in-interval enrichment at ingest —
+    * [[graft.operators.RangeJoin.pointInInterval]] as a STREAM-STATIC
+    * join: streaming points (event timestamps, packed IPs) against a
+    * frozen interval table (sessions, CIDR blocks, maintenance
+    * windows). The operator is already streaming-shaped — a narrow
+    * bucket map on the stream side, an equi-join against the exploded
+    * static side, the long-interval branch a stream-static broadcast
+    * nested loop; no state store, no watermark, per-batch work is the
+    * batch operator verbatim, so stream ≡ batch holds by construction
+    * (pinned in StreamingSpec). The static side is localCheckpointed
+    * once — microbatches must re-join a frozen plan, not recompute the
+    * interval frame's lineage per batch. */
+  def rangeJoinStream(points: DataFrame, pointCol: String,
+                      intervals: DataFrame, loCol: String, hiCol: String,
+                      width: Long, longCap: Int = 64): DataFrame = {
+    val frozen = intervals.localCheckpoint(true)
+    graft.operators.RangeJoin.pointInInterval(points, pointCol, frozen,
+      loCol, hiCol, width, longCap)
+  }
+
   /** State of [[ingestDecontam]]: `admitted` accumulates clean docs,
     * `dropped` counts contaminated ones. */
   case class DecontamIngestState(admitted: DataFrame, dropped: Long = 0L,

@@ -806,4 +806,37 @@ class StreamingSpec extends SparkSpec {
     assert(batchDropped == Set(1L))
     assert(state.get().dropped == 1L)
   }
+
+  test("rangeJoinStream over a stream equals the batch range join") {
+    implicit val sqlCtx = spark.sqlContext
+    def h(i: Int, salt: Int): Long = {
+      var x = i.toLong * 2654435761L + salt.toLong * 40503L
+      x ^= (x >>> 16); x *= 0x45d9f3b3335b369L; x ^= (x >>> 32)
+      math.abs(x)
+    }
+    val pts = (0 until 300).map(i => (i.toLong, h(i, 1) % 5000))
+    val ivs = (0 until 80).map { i =>
+      val lo = h(i, 2) % 4500
+      val span = if (i % 19 == 0) 3000L + h(i, 3) % 2000 else h(i, 3) % 150
+      (i.toLong, lo, lo + span)
+    }.toDF("iid", "lo", "hi")
+    val mem = MemoryStream[(Long, Long)]
+    val out = Streaming.rangeJoinStream(mem.toDF().toDF("pid", "p"), "p",
+      ivs, "lo", "hi", width = 128L, longCap = 8)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("rj_out").start()
+    pts.grouped(100).foreach { chunk =>
+      mem.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("rj_out")
+      .select($"pid", $"iid").as[(Long, Long)].collect()
+    val batch = graft.operators.RangeJoin.pointInInterval(
+        pts.toDF("pid", "p"), "p", ivs, "lo", "hi", width = 128L, longCap = 8)
+      .select($"pid", $"iid").as[(Long, Long)].collect()
+    assert(streamed.length == streamed.toSet.size, "duplicate emissions")
+    assert(streamed.toSet == batch.toSet)
+    assert(batch.nonEmpty)
+  }
 }
