@@ -695,6 +695,18 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // Embedding-column QC (operators/EmbedQC): per-cluster mean+2σ
+    // distance outliers against the pinned centroids, the whole rule
+    // in exact integer arithmetic over µ-quantized squared distances —
+    // the oracle replays assignment, quantization, and the
+    // multiplied-through k-sigma inequality verbatim.
+    "embed_outliers" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      graft.operators.EmbedQC.outliers(emb, "vec_id", "embedding",
+          fixedCentroids(emb), kSigma = 2)
+        .orderBy(col("id"))
+    }),
+
     // Product-quantization encode against PINNED codebooks (subspace
     // slices of the first 16 embeddings, m=4): per-subspace argmin-sqdist
     // code per row — the corpus-scale compression operator, made
@@ -1585,6 +1597,20 @@ object SparkEntry {
       Dedup.components(pairs, "doc_a", "doc_b").orderBy(col("id"))
     }),
 
+    // Canonical selection by quality (Dedup.keepBestByPairs): within
+    // each minhash duplicate component keep the row with the MOST
+    // characters (integer score — exact argmax; ties → smallest id),
+    // not the earliest id. The curation-grade answer to truncated /
+    // boilerplate-injected near-dups.
+    "dedup_keep_best" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val pairs = Dedup.minhashBandPairs(docs, "doc_id", "text")
+      Dedup.keepBestByPairs(docs, "doc_id", "n_chars", pairs,
+          "doc_a", "doc_b")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Normalization-aware exact dedup: keep-first over md5 of the
     // canonical text (lowercase, punctuation-stripped, whitespace-
     // collapsed) — catches trivially-reformatted copies before any
@@ -2290,6 +2316,20 @@ object SparkEntry {
       d.select(col("doc_id"), n.as("n_words"), meanLen.as("mean_wlen"),
           fracAlpha.as("frac_alpha"), stops.as("n_stops"),
           TextOps.gopherKeep(col("toks")).cast("long").as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-source quality calibration (Splits.calibratePerGroup): each
+    // doc's within-source percent_rank and decile bucket over an
+    // integer score — the "keep the top X% of EVERY source" primitive
+    // (raw scores are not comparable across sources). percent_rank
+    // tie semantics are engine-identical; the window sorts per source
+    // lane, never globally.
+    "quality_calibrated" -> ((s, dir) => {
+      graft.operators.Splits.calibratePerGroup(
+          tbl(s, dir, "documents"), "source", "n_chars", buckets = 10)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("q_rank"), col("q_bucket"))
         .orderBy(col("doc_id"))
     }),
 
@@ -3679,6 +3719,27 @@ object SparkEntry {
          |  SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id)
          |SELECT id, min(comp) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin,
 
+    // same component closure, then the keep-best argmax: the survivor
+    // of each component maximizes (n_chars, then smallest id); every
+    // non-survivor component member drops, singletons stay
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM mhpairs
+         |  UNION SELECT doc_b, doc_a FROM mhpairs),
+         |reach(id, comp) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id),
+         |comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+         |scored AS (SELECT c.id, c.comp, d.n_chars FROM comps c
+         |  JOIN documents d ON d.doc_id = c.id),
+         |losers AS (SELECT id FROM scored
+         |  QUALIFY row_number() OVER (PARTITION BY comp
+         |    ORDER BY n_chars DESC, id ASC) > 1)
+         |SELECT d.doc_id, d.n_chars FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT id FROM losers)
+         |ORDER BY d.doc_id""".stripMargin,
+
     "dedup_jaccard_capped" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |s2 AS (SELECT doc_id, $shinglesSql AS sh FROM t),
@@ -4355,6 +4416,32 @@ object SparkEntry {
         |  k.cid) = 1
         |ORDER BY id""".stripMargin,
 
+    // assignment + µ-quantized distance + the multiplied-through
+    // k-sigma inequality, all exact integers (DuckDB widens the sums
+    // to HUGEINT; only the boolean and the BIGINT q_dist are emitted)
+    "embed_outliers" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+        |asg AS (
+        |  SELECT c.vec_id AS id, CAST(k.cid AS INT) AS cluster,
+        |    CAST(floor(list_reduce(list_transform(list_zip(k.cvec, c.embedding),
+        |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (a,b) -> a+b)
+        |      * 1000000.0 + 0.5) AS BIGINT) AS q_dist
+        |  FROM embeddings c CROSS JOIN cent k
+        |  QUALIFY row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |    list_reduce(list_transform(list_zip(k.cvec, c.embedding),
+        |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (a,b) -> a+b),
+        |    k.cid) = 1),
+        |st AS (SELECT cluster, count(*) AS n, sum(q_dist) AS s,
+        |  sum(q_dist * q_dist) AS ss FROM asg GROUP BY cluster)
+        |SELECT asg.id, asg.cluster, asg.q_dist,
+        |  (st.n * asg.q_dist - st.s > 0 AND
+        |   (st.n * asg.q_dist - st.s) * (st.n * asg.q_dist - st.s)
+        |     > 4 * (st.n * st.ss - st.s * st.s)) AS is_outlier
+        |FROM asg JOIN st USING (cluster) ORDER BY asg.id""".stripMargin,
+
     // pinned-init Lloyd's: assign (fixed centroids) → fixed-point mean
     // update (BIGINT µ-sums / n in double → REAL; empty cluster → zeros)
     // → re-assign. dim=64 hardcoded like vec_mean_by_label.
@@ -4641,6 +4728,16 @@ object SparkEntry {
          |    THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM m ORDER BY doc_id""".stripMargin
     },
+
+    // percent_rank tie semantics are engine-identical; the bucket is
+    // floor(rank·10) capped at 9
+    "quality_calibrated" ->
+      """SELECT doc_id, source, n_chars,
+        |  percent_rank() OVER w AS q_rank,
+        |  CAST(least(floor(percent_rank() OVER w * 10), 9) AS INT) AS q_bucket
+        |FROM documents
+        |WINDOW w AS (PARTITION BY source ORDER BY n_chars)
+        |ORDER BY doc_id""".stripMargin,
 
     // pinned-weight linear classifier logit: the SAME left-fold
     // multiply-add order as QualityLR.logit — bit-identical doubles

@@ -94,6 +94,31 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Canonical selection by QUALITY instead of id order: within each
+    * duplicate component keep the row maximizing `scoreCol` (ties →
+    * smallest id — a total order, so the survivor is deterministic and
+    * engine-replayable; use an integer score to keep it exact). This
+    * is the curation-grade variant of [[keepFirstByPairs]]: when
+    * near-dups differ (truncations, boilerplate-injected copies), the
+    * kept copy should be the best one, not the earliest-crawled.
+    * Same scale shape: components over the pair graph (pair-graph-
+    * sized, never corpus-sized), one id equi-join to attach scores,
+    * a per-component argmax window bounded by component size, and a
+    * corpus anti-join on the losers. */
+  def keepBestByPairs(docs: DataFrame, idCol: String, scoreCol: String,
+                      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val scored = components(pairs, aCol, bCol).join(
+      docs.select(col(idCol).cast("long").as("id"),
+        col(scoreCol).as("__score")),
+      Seq("id"))
+    val w = Window.partitionBy("comp")
+      .orderBy(col("__score").desc, col("id").asc)
+    val losers = scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") =!= 1)
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** MinHash band-bucket keys `(id, band, key)` for each doc — the
     * signature stage shared by [[minhashBandPairs]] and the streaming
     * admission filter ([[graft.streaming.Streaming]]'s dedup ingest).

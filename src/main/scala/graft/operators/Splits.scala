@@ -120,6 +120,29 @@ object Splits {
       .filter(f < col("mix_rate"))
   }
 
+  /** Per-group quality calibration — the prerequisite of "keep the top
+    * X% of each source": raw quality scores are not comparable across
+    * sources (a mid-tier news article outscores the best forum post on
+    * most heuristics), so thresholds must be per-group quantiles, not
+    * global cuts. Emits each row's within-group `q_rank`
+    * (percent_rank: ties share a rank — engine-identical semantics)
+    * and its decile-style `q_bucket` in [0, buckets). Filtering
+    * `q_bucket >= b` then keeps the same FRACTION of every group.
+    *
+    * Scale shape: one window sort per group lane — groups are the
+    * partition key, so the sort is per-source and parallel (never a
+    * global single-partition window); the score column should be a
+    * cheap scalar, computed upstream. */
+  def calibratePerGroup(df: DataFrame, groupCol: String, scoreCol: String,
+                        buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, "need at least 2 buckets")
+    val w = Window.partitionBy(groupCol).orderBy(col(scoreCol))
+    df.withColumn("q_rank", percent_rank().over(w))
+      .withColumn("q_bucket",
+        least(floor(col("q_rank") * lit(buckets)), lit(buckets - 1))
+          .cast("int"))
+  }
+
   /** Train/test contamination audit — the eval-integrity operator:
     * near-dup PAIRS (from any pair generator in [[Dedup]]) that
     * straddle a split boundary. A benchmark answer leaking into train

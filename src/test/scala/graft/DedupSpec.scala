@@ -352,4 +352,24 @@ class DedupSpec extends SparkSpec {
       assert(r.getString(1) == "" && r.getLong(2) == 0L)
     }
   }
+
+  test("keepBestByPairs keeps the argmax-score member, ties to smallest id") {
+    import spark.implicits._
+    // components: {1,2,3} (chain), {5,6}; 9 is a singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val docs = Seq(
+      (1L, 10L), (2L, 30L), (3L, 20L), // best = 2 (score 30)
+      (5L, 7L), (6L, 7L),              // tie → smallest id 5
+      (9L, 1L)                         // untouched singleton
+    ).toDF("doc_id", "score")
+    val kept = graft.operators.Dedup
+      .keepBestByPairs(docs, "doc_id", "score", pairs, "doc_a", "doc_b")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 5L, 9L))
+    // keep-first would have chosen 1 — the two rules genuinely differ
+    val first = graft.operators.Dedup
+      .keepFirstByPairs(docs, "doc_id", pairs, "doc_a", "doc_b")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(first == Set(1L, 5L, 9L))
+  }
 }

@@ -160,4 +160,32 @@ class SplitsSpec extends SparkSpec {
       .select($"doc_id").as[Long].collect().toSet
     assert(a == b)
   }
+
+  test("calibratePerGroup: per-group quantile buckets keep equal fractions") {
+    val cal = Splits.calibratePerGroup(docs, "lang", "n_chars", buckets = 4)
+      .select($"doc_id", $"lang", $"q_rank", $"q_bucket").cache()
+    // rank within [0,1]; bucket within [0,4)
+    val rows = cal.collect()
+    rows.foreach { r =>
+      val (rank, b) = (r.getDouble(2), r.getInt(3))
+      assert(rank >= 0.0 && rank <= 1.0)
+      assert(b >= 0 && b < 4)
+    }
+    // "keep top quartile of every group" keeps ~1/4 of each group
+    val perLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val top = cal.filter($"q_bucket" === 3).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.filter(_._2 >= 20).foreach { case (l, n) =>
+      val frac = top.getOrElse(l, 0L).toDouble / n
+      assert(frac > 0.10 && frac < 0.40, s"$l: $frac of $n")
+    }
+    // repartition-stable (window is content-ordered, not partition-ordered)
+    val again = Splits.calibratePerGroup(docs.repartition(13), "lang",
+        "n_chars", buckets = 4)
+      .select($"doc_id", $"q_bucket").as[(Long, Int)].collect().toMap
+    val base = cal.select($"doc_id", $"q_bucket").as[(Long, Int)]
+      .collect().toMap
+    assert(again == base)
+  }
 }
