@@ -1,8 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.functions.VectorOps.normalizeF
 
@@ -14,53 +14,36 @@ import graft.functions.VectorOps.normalizeF
   * corpus (utils.rs:38-42, the "queen" test), and ids are dense 0..n−1 in
   * file order (utils.rs:44-47).
   *
-  * Scale note: `monotonically_increasing_id` is NOT dense; dense ranks
-  * need a total order. File order = (file line order) is reconstructed
-  * per-partition-offset-free via a window over the input order column —
-  * at 100 TB you'd pre-shard `.vec` into parquet once and never re-rank;
-  * this source exists for reference parity.
+  * Dense file-order ids are assigned DISTRIBUTED: `zipWithIndex` runs
+  * one per-split line count, prefix-sums the counts on the driver, and
+  * stamps ids in a narrow map — no single-partition window, no global
+  * sort, so an arbitrarily large `.vec` file loads at full parallelism
+  * (text splits are offset-ordered and narrow ops preserve per-split
+  * row order, so the index IS the file order, deterministically).
   */
 object VecFile {
 
   case class Loaded(corpus: DataFrame /* id, word, vector */,
                     holdout: DataFrame /* word, vector */)
 
-  /** Rows above this refuse the single-partition dense-rank window —
-    * the reference-parity path is for embedding files that fit one
-    * task; larger corpora should land in parquet once (see scale note
-    * above). Override via `graft.vecfile.maxRows`. */
-  val MaxRowsKey = "graft.vecfile.maxRows"
-  val DefaultMaxRows: Long = 10000000L
-
   def read(spark: SparkSession, path: String,
            holdoutWord: Option[String] = None): Loaded = {
-    val maxRows = spark.conf.getOption(MaxRowsKey).map(_.toLong)
-      .getOrElse(DefaultMaxRows)
-    // capped count (the Batches.bounded trick): the guard must not
-    // itself scan an over-budget file end-to-end; +1 for the header
-    // line, +1 as the over-budget sentinel
-    val nLines = spark.read.text(path).limit((maxRows + 2).toInt).count()
-    require(nLines <= maxRows + 1,
-      s".vec file exceeds $MaxRowsKey=$maxRows vector rows: the dense-id " +
-        "ranking is a single-partition window (reference-parity only, " +
-        "utils.rs:44-47) — convert the file to parquet with pre-assigned " +
-        "ids for corpora beyond one task's memory")
     val lines = spark.read.text(path)
-      .withColumn("_file_order", monotonically_increasing_id())
     val parsed = lines
       .withColumn("parts", split(trim(col("value")), "\\s+"))
       .filter(size(col("parts")) > 2) // drops the `n dim` header line
-      .select(col("_file_order"), col("parts").getItem(0).as("word"),
+      .select(col("parts").getItem(0).as("word"),
         normalizeF(expr("slice(parts, 2, size(parts) - 1)").cast("array<float>"))
           .as("vector"))
     val holdout = holdoutWord.map(w => parsed.filter(col("word") === w))
       .getOrElse(parsed.limit(0))
     val kept = holdoutWord.map(w => parsed.filter(col("word") =!= w))
       .getOrElse(parsed)
-    val w = Window.orderBy(col("_file_order"))
-    val corpus = kept
-      .withColumn("id", row_number().over(w).cast("long") - 1)
-      .select(col("id"), col("word"), col("vector"))
+    val schema = StructType(
+      StructField("id", LongType, nullable = false) +: kept.schema.fields)
+    val corpus = spark.createDataFrame(
+      kept.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(i +: r.toSeq) },
+      schema)
     Loaded(corpus, holdout.select(col("word"), col("vector")))
   }
 }

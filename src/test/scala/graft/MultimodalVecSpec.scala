@@ -158,20 +158,30 @@ class MultimodalVecSpec extends SparkSpec {
     assert(math.abs(q(1) - 0.6f) < 1e-6 && math.abs(q(2) - 0.8f) < 1e-6)
   }
 
-  test(".vec source refuses corpus-sized files (single-partition rank guard)") {
-    val dir = java.nio.file.Files.createTempDirectory("vecguard")
-    val f = dir.resolve("big.vec")
-    java.nio.file.Files.writeString(f,
-      "4 2\na 1 0\nb 0 1\nc 1 1\nd 2 1\n")
-    spark.conf.set(graft.sources.VecFile.MaxRowsKey, "3")
+  test(".vec dense ids stay file-ordered across MANY input splits") {
+    // 5000 rows forced into dozens of text splits: the distributed
+    // zipWithIndex ranking must still produce dense 0..n−1 ids in
+    // exact file order (splits are offset-ordered; narrow ops keep
+    // per-split row order)
+    val dir = java.nio.file.Files.createTempDirectory("vecsplit")
+    val f = dir.resolve("many.vec")
+    val sb = new StringBuilder("5000 2\n")
+    for (i <- 0 until 5000) sb.append(s"w$i ${i % 7} ${i % 5 + 1}\n")
+    java.nio.file.Files.writeString(f, sb.toString)
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
     try {
-      val e = intercept[IllegalArgumentException] {
-        VecFile.read(spark, f.toString)
+      val loaded = VecFile.read(spark, f.toString, holdoutWord = Some("w17"))
+      val got = loaded.corpus.orderBy("id")
+        .select("id", "word").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(got.length == 4999)
+      got.foreach { case (id, w) =>
+        val fileIdx = w.drop(1).toInt
+        val expected = if (fileIdx < 17) fileIdx.toLong else fileIdx - 1L
+        assert(id == expected, s"$w: id $id")
       }
-      assert(e.getMessage.contains("single-partition window"))
-    } finally spark.conf.unset(graft.sources.VecFile.MaxRowsKey)
-    // under the budget it loads fine
-    assert(VecFile.read(spark, f.toString).corpus.count() == 4)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
   test("MP4 metadata: parse inverts buildMinimal; garbage parses to None") {
