@@ -2305,6 +2305,29 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Sort-key window blocking (Dedup.neighborPairsByKey over the
+    // Hilbert layout key): candidate pairs = events within key
+    // distance < 3 on the locality curve — record-linkage blocking as
+    // a single bucketed equi-join, each unordered pair exactly once.
+    // The oracle replays the full Hilbert chain and a plain abs-diff
+    // self-join.
+    "dedup_neighbor_keys" -> ((s, dir) => {
+      import graft.operators.Layout
+      val b = tbl(s, dir, "events")
+        .select(col("event_id"),
+          Layout.rankBucket(col("user_id"), col("event_id"), 8).as("bu"),
+          Layout.rankBucket(col("value"), col("event_id"), 8).as("bv"))
+      // materialize the key: the blocking join references the key
+      // column ~20×, and inlining the 8-level Hilbert expression into
+      // every reference blows the codegen tree up multiplicatively
+      // (the O(d²) expression-duplication class — see BASELINE r7)
+      val keyed = Layout.withHilbertKey(b, "bu", "bv", 8)
+        .select(col("event_id"), col("hkey"))
+        .localCheckpoint(true)
+      Dedup.neighborPairsByKey(keyed, "event_id", "hkey", delta = 3L)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Gopher-style heuristic quality battery (TextOps.gopherMetrics):
     // word-count bounds, mean word length, alphabetic-word fraction,
     // stopword evidence — the published web-pretraining rules, each an
@@ -4702,6 +4725,18 @@ object SparkEntry {
          |${hilbertCtesSql(8)}
          |SELECT event_id, bu, bv, CAST(hd AS BIGINT) AS hkey
          |FROM h8 ORDER BY event_id""".stripMargin,
+
+    // same Hilbert chain, then the blocking window as a plain
+    // abs-diff self-join ground truth
+    "dedup_neighbor_keys" ->
+      s"""WITH b AS ($zBucketsSql),
+         |${hilbertCtesSql(8)},
+         |k AS (SELECT event_id, CAST(hd AS BIGINT) AS hkey FROM h8)
+         |SELECT l.event_id AS id_a, r.event_id AS id_b,
+         |  abs(l.hkey - r.hkey) AS key_dist
+         |FROM k l JOIN k r
+         |  ON l.event_id < r.event_id AND abs(l.hkey - r.hkey) < 3
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // the Gopher rule battery: exact integer sums + two single double
     // divisions, the keep flag replayed threshold-for-threshold

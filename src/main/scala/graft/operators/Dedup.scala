@@ -119,6 +119,42 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Sort-key window blocking — the "sorted neighborhood" method in
+    * its value-window form: candidate pairs are rows whose 1-D
+    * locality keys (a [[graft.operators.Layout]] Hilbert/Z-order key,
+    * a simhash, a timestamp) differ by less than `delta`. A locality
+    * key puts similar rows at nearby values, so a tight key window is
+    * a cheap blocking stage feeding any verifier (cosine, Jaccard,
+    * edit distance) — the record-linkage classic, here as pure
+    * equi-join work: each row becomes the interval [key, key+delta)
+    * and pairs fall out of [[RangeJoin.intervalOverlap]]
+    * (|ka − kb| < delta ⇔ the intervals overlap). Spans are uniform
+    * by construction, so no diversion branch exists and the plan is a
+    * single bucketed hash join; each unordered pair emits exactly
+    * once (id_a < id_b). Emits `key_dist` for downstream ranking.
+    *
+    * PASS A MATERIALIZED KEY COLUMN: the join references `keyCol`
+    * many times, and Catalyst inlines the column's defining expression
+    * into every reference — an expensive key expression (a Hilbert
+    * chain, a simhash) duplicates multiplicatively in codegen. Put an
+    * exchange/localCheckpoint between key computation and this call
+    * (the O(d²) expression-duplication class, BASELINE r7). */
+  def neighborPairsByKey(df: DataFrame, idCol: String, keyCol: String,
+                         delta: Long): DataFrame = {
+    require(delta > 0, "delta must be positive")
+    val a = df.select(col(idCol).cast("long").as("id_a"),
+        col(keyCol).cast("long").as("__ka"))
+      .withColumn("__ka_hi", col("__ka") + lit(delta))
+    val b = df.select(col(idCol).cast("long").as("id_b"),
+        col(keyCol).cast("long").as("__kb"))
+      .withColumn("__kb_hi", col("__kb") + lit(delta))
+    RangeJoin.intervalOverlap(a, "__ka", "__ka_hi", b, "__kb", "__kb_hi",
+        width = delta, longCap = Int.MaxValue)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        abs(col("__ka") - col("__kb")).as("key_dist"))
+  }
+
   /** MinHash band-bucket keys `(id, band, key)` for each doc — the
     * signature stage shared by [[minhashBandPairs]] and the streaming
     * admission filter ([[graft.streaming.Streaming]]'s dedup ingest).

@@ -372,4 +372,27 @@ class DedupSpec extends SparkSpec {
       .select($"doc_id").as[Long].collect().toSet
     assert(first == Set(1L, 5L, 9L))
   }
+
+  test("neighborPairsByKey == naive |ka-kb| < delta self-join, once per pair") {
+    import spark.implicits._
+    def h(i: Int): Long = {
+      var x = i.toLong * 2654435761L + 12345L
+      x ^= (x >>> 16); x *= 0x45d9f3b3335b369L; x ^= (x >>> 32)
+      math.abs(x) % 500
+    }
+    val rows = (0 until 300).map(i => (i.toLong, h(i))).toDF("id", "key")
+    for (delta <- Seq(1L, 4L, 37L)) {
+      val got = graft.operators.Dedup
+        .neighborPairsByKey(rows, "id", "key", delta)
+        .select($"id_a", $"id_b", $"key_dist")
+        .as[(Long, Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"dupes at delta $delta")
+      val naive = rows.toDF("id_a", "ka")
+        .crossJoin(rows.toDF("id_b", "kb"))
+        .filter($"id_a" < $"id_b" && abs($"ka" - $"kb") < delta)
+        .select($"id_a", $"id_b", abs($"ka" - $"kb").as("d"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got.toSet == naive, s"mismatch at delta $delta")
+    }
+  }
 }
