@@ -1597,6 +1597,19 @@ object SparkEntry {
       Dedup.components(pairs, "doc_a", "doc_b").orderBy(col("id"))
     }),
 
+    // Two-stage near-dup: minhash blocking recalls candidates, exact
+    // Levenshtein confirms them (Dedup.editVerifyPairs) — the
+    // record-linkage block-then-verify shape, exact-integer on both
+    // engines. maxDist 6 keeps the true ~4-edit near-dups and drops
+    // coincidental band collisions.
+    "dedup_edit_verify" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Dedup.editVerifyPairs(
+          Dedup.minhashBandPairs(docs, "doc_id", "text"), "doc_a", "doc_b",
+          docs, "doc_id", "text", maxDist = 6)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Canonical selection by quality (Dedup.keepBestByPairs): within
     // each minhash duplicate component keep the row with the MOST
     // characters (integer score — exact argmax; ties → smallest id),
@@ -3523,6 +3536,18 @@ object SparkEntry {
     "dedup_minhash" ->
       s"""WITH $minhashPairsCtes
          |SELECT doc_a, doc_b, n_bands FROM mhpairs ORDER BY 1, 2""".stripMargin,
+
+    // blocking recall, exact-verify precision: the minhash candidates
+    // confirmed by textbook unit-cost Levenshtein on both engines
+    "dedup_edit_verify" ->
+      s"""WITH $minhashPairsCtes
+         |SELECT p.doc_a, p.doc_b,
+         |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+         |FROM mhpairs p
+         |JOIN documents da ON da.doc_id = p.doc_a
+         |JOIN documents db ON db.doc_id = p.doc_b
+         |WHERE levenshtein(da.text, db.text) <= 6
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // same pipeline at r = 3 (4 bands of 3 minima, md5-fold band keys)
     "dedup_minhash_r3" ->

@@ -155,6 +155,33 @@ object Dedup {
         abs(col("__ka") - col("__kb")).as("key_dist"))
   }
 
+  /** Verification stage for any blocking/pair generator in this file:
+    * exact Levenshtein distance over the candidate pairs' texts, kept
+    * iff ≤ `maxDist`. Blocking recalls candidates cheaply; this
+    * confirms them exactly — the standard two-stage record-linkage
+    * shape made explicit. Scale: the pair frame is takedown-sized
+    * relative to the corpus, so the two id equi-joins move only
+    * candidate texts; the O(len²) distance runs once per CANDIDATE,
+    * never per corpus pair (that is the point of blocking). Both
+    * engines implement textbook unit-cost Levenshtein, so the lane is
+    * exact-integer oracle-portable. */
+  def editVerifyPairs(pairs: DataFrame, aCol: String, bCol: String,
+                      docs: DataFrame, idCol: String, textCol: String,
+                      maxDist: Int): DataFrame = {
+    require(maxDist >= 0, "maxDist must be nonnegative")
+    val t = docs.select(col(idCol).cast("long").as("__id"),
+      col(textCol).as("__t"))
+    pairs
+      .join(t.withColumnRenamed("__id", aCol)
+        .withColumnRenamed("__t", "__ta"), aCol)
+      .join(t.withColumnRenamed("__id", bCol)
+        .withColumnRenamed("__t", "__tb"), bCol)
+      .withColumn("edit_dist",
+        levenshtein(col("__ta"), col("__tb")).cast("long"))
+      .filter(col("edit_dist") <= maxDist)
+      .select(col(aCol), col(bCol), col("edit_dist"))
+  }
+
   /** MinHash band-bucket keys `(id, band, key)` for each doc — the
     * signature stage shared by [[minhashBandPairs]] and the streaming
     * admission filter ([[graft.streaming.Streaming]]'s dedup ingest).

@@ -75,4 +75,18 @@ object JsonlFile {
       .select(col("raw"))
     Loaded(good, quarantine)
   }
+
+  /** Write a frame back out as sharded ndjson — the publishing half of
+    * the interchange contract (gzip-sharded by default, the format
+    * those corpora ship in; gzip shards are the parallelism unit on
+    * re-read, so pick `shards` near the consumer's task parallelism,
+    * not 1). `shards = None` keeps the input partitioning (no extra
+    * shuffle). */
+  def write(df: DataFrame, path: String, compress: Boolean = true,
+            shards: Option[Int] = None): Unit = {
+    shards.foreach(s => require(s > 0, "shards must be positive"))
+    val base = shards.map(df.repartition(_)).getOrElse(df)
+    val w = base.write.mode("overwrite")
+    (if (compress) w.option("compression", "gzip") else w).json(path)
+  }
 }

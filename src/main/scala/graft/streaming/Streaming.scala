@@ -748,6 +748,18 @@ object Streaming {
       .drop("__toks", "__grams", "__hit", "__ng")
   }
 
+  /** Subword tokenization at ingest — [[graft.operators.Unigram
+    * .encode]] as a STATELESS streaming transform: the piece table
+    * broadcasts (trained offline, like the pretrainStream mix rates —
+    * a stream cannot see corpus-wide piece statistics; production
+    * retrains per epoch and redeploys), segmentation is a narrow
+    * mapPartitions, no state store, no watermark — the SAME code runs
+    * on batch or stream, so stream ≡ batch holds by construction
+    * (pinned in StreamingSpec). */
+  def tokenizeStream(stream: DataFrame, idCol: String, textCol: String,
+                     pieces: Array[graft.operators.Unigram.Piece]): DataFrame =
+    graft.operators.Unigram.encode(stream, idCol, textCol, pieces)
+
   /** Point-in-interval enrichment at ingest —
     * [[graft.operators.RangeJoin.pointInInterval]] as a STREAM-STATIC
     * join: streaming points (event timestamps, packed IPs) against a

@@ -373,6 +373,28 @@ class DedupSpec extends SparkSpec {
     assert(first == Set(1L, 5L, 9L))
   }
 
+  test("editVerifyPairs confirms close candidates, rejects band collisions") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brown fux"),   // dist 1 from doc 1
+      (3L, "a completely different sentence"),
+      (4L, "the quick brown fox!")   // dist 1 from doc 1, 2 from doc 2
+    ).toDF("doc_id", "text")
+    val candidates = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 4L))
+      .toDF("doc_a", "doc_b")
+    val got = graft.operators.Dedup.editVerifyPairs(candidates,
+        "doc_a", "doc_b", docs, "doc_id", "text", maxDist = 1)
+      .select($"doc_a", $"doc_b", $"edit_dist")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1L), (1L, 4L, 1L)))
+    // widening the budget admits the dist-2 pair, never the far one
+    val wide = graft.operators.Dedup.editVerifyPairs(candidates,
+        "doc_a", "doc_b", docs, "doc_id", "text", maxDist = 2)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(wide == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+
   test("neighborPairsByKey == naive |ka-kb| < delta self-join, once per pair") {
     import spark.implicits._
     def h(i: Int): Long = {

@@ -75,4 +75,18 @@ class JsonlFileSpec extends SparkSpec {
       JsonlFile.read(spark, dir, bad)
     }
   }
+
+  test("write → read round-trips through gzip ndjson shards") {
+    val out = Files.createTempDirectory("jsonlw").resolve("out").toString
+    val df = (0 until 100).map(i => (i.toLong, s"text $i")).toDF("id", "text")
+    JsonlFile.write(df, out, compress = true, shards = Some(4))
+    val files = new java.io.File(out).listFiles().map(_.getName)
+    assert(files.count(_.endsWith(".json.gz")) == 4, files.mkString(","))
+    val rtSchema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val back = JsonlFile.read(spark, out, rtSchema)
+    assert(back.quarantine.count() == 0)
+    val got = back.good.as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == (0 until 100).map(i => (i.toLong, s"text $i")))
+  }
 }

@@ -807,6 +807,32 @@ class StreamingSpec extends SparkSpec {
     assert(state.get().dropped == 1L)
   }
 
+  test("tokenizeStream over a stream equals batch Unigram.encode") {
+    implicit val sqlCtx = spark.sqlContext
+    val pieces = SparkEntry.UnigramPinned
+    val rows = Seq((1L, "the rain in spain"), (2L, "entangle the ending"),
+      (3L, "zz qq"), (4L, ""))
+    val mem = MemoryStream[(Long, String)]
+    val out = Streaming.tokenizeStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", pieces)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("tok_out").start()
+    rows.grouped(2).foreach { chunk =>
+      mem.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("tok_out")
+      .select($"id", $"subwords").as[(Long, Array[String])].collect()
+      .map { case (id, s) => id -> s.toSeq }.toMap
+    val batch = graft.operators.Unigram.encode(
+        rows.toDF("doc_id", "text"), "doc_id", "text", pieces)
+      .select($"id", $"subwords").as[(Long, Array[String])].collect()
+      .map { case (id, s) => id -> s.toSeq }.toMap
+    assert(streamed == batch)
+    assert(batch(1L).take(1) == Seq("the"))
+  }
+
   test("rangeJoinStream over a stream equals the batch range join") {
     implicit val sqlCtx = spark.sqlContext
     def h(i: Int, salt: Int): Long = {
