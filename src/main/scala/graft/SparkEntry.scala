@@ -1610,6 +1610,24 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // THE CANONICAL-DEDUP CHAIN, end to end — the third flagship next
+    // to pipeline_curate/pipeline_pretrain: minhash blocking recalls
+    // candidate pairs, exact Levenshtein verification confirms them,
+    // and keep-best selection retains each verified component's
+    // highest-quality member. One declarative plan, one end-to-end
+    // oracle replaying every stage (band join → edit filter →
+    // recursive closure → argmax → anti-join).
+    "pipeline_dedup" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val verified = Dedup.editVerifyPairs(
+        Dedup.minhashBandPairs(docs, "doc_id", "text"), "doc_a", "doc_b",
+        docs, "doc_id", "text", maxDist = 6)
+      Dedup.keepBestByPairs(docs, "doc_id", "n_chars", verified,
+          "doc_a", "doc_b")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Canonical selection by quality (Dedup.keepBestByPairs): within
     // each minhash duplicate component keep the row with the MOST
     // characters (integer score — exact argmax; ties → smallest id),
@@ -3536,6 +3554,30 @@ object SparkEntry {
     "dedup_minhash" ->
       s"""WITH $minhashPairsCtes
          |SELECT doc_a, doc_b, n_bands FROM mhpairs ORDER BY 1, 2""".stripMargin,
+
+    // the whole chain replayed: band join → edit filter → closure
+    // over VERIFIED pairs only → per-component argmax → anti-join
+    "pipeline_dedup" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |vp AS (SELECT p.doc_a, p.doc_b FROM mhpairs p
+         |  JOIN documents da ON da.doc_id = p.doc_a
+         |  JOIN documents db ON db.doc_id = p.doc_b
+         |  WHERE levenshtein(da.text, db.text) <= 6),
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM vp
+         |  UNION SELECT doc_b, doc_a FROM vp),
+         |reach(id, comp) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id),
+         |comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+         |scored AS (SELECT c.id, c.comp, d.n_chars FROM comps c
+         |  JOIN documents d ON d.doc_id = c.id),
+         |losers AS (SELECT id FROM scored
+         |  QUALIFY row_number() OVER (PARTITION BY comp
+         |    ORDER BY n_chars DESC, id ASC) > 1)
+         |SELECT d.doc_id, d.source, d.n_chars FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT id FROM losers)
+         |ORDER BY d.doc_id""".stripMargin,
 
     // blocking recall, exact-verify precision: the minhash candidates
     // confirmed by textbook unit-cost Levenshtein on both engines
