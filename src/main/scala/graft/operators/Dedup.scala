@@ -44,16 +44,20 @@ object Dedup {
     * component label; keep-first = keep rows where id == comp
     * ([[keepFirstByPairs]]).
     *
-    * Min-label propagation, one round per graph hop. Near-dup graphs
-    * are short chains and cliques around shared sources (diameter a few
-    * hops), so rounds stay single-digit; a general graph would want
-    * large-star/small-star contraction (O(log n) rounds), which this
-    * converges to only linearly. Per round: one equi-join + one
-    * partial-aggregated groupBy — labels and edges shuffle, pairs never
-    * expand — and the label state localCheckpoints per round so the
-    * plan stays O(1) deep at any round count (the [[graft.index.Lineage]]
-    * discipline). `maxRounds` bounds pathological graphs; labels only
-    * ever decrease, so the changed-count convergence test is exact. */
+    * Min-label propagation with POINTER HALVING: each round first
+    * pushes labels one hop along edges, then shortcuts every node's
+    * label to its label's label (comp := label(comp) — valid because a
+    * label is always itself a node id, and labels only decrease). The
+    * shortcut compounds, so a diameter-d chain converges in O(log d)
+    * rounds instead of d — the property that matters when the pair
+    * graph has long chains (boilerplate families, embedding-space
+    * filaments), at the cost of one extra label-table self-join per
+    * round (label tables are pair-graph-sized, never corpus-sized).
+    * Per round: two equi-joins + one partial-aggregated groupBy, and
+    * the label state localCheckpoints so the plan stays O(1) deep at
+    * any round count (the [[graft.index.Lineage]] discipline).
+    * `maxRounds` bounds pathological graphs; labels only ever
+    * decrease, so the changed-count convergence test is exact. */
   def components(pairs: DataFrame, aCol: String, bCol: String,
                  maxRounds: Int = 50): DataFrame = {
     val e = pairs.select(col(aCol).cast("long").as("src"),
@@ -68,9 +72,19 @@ object Dedup {
     while (changed > 0 && round < maxRounds) {
       val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("comp"))
-      val next = labels.unionByName(prop)
+      // checkpointed: the halving step reads it twice, and the label
+      // state must stay O(1)-deep across rounds
+      val hopped = labels.unionByName(prop)
         .groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint(true)
+      // pointer halving: comp := label(comp); left join because a
+      // label may predate this round's min (still a node id), and
+      // labels monotonically decrease so least() is safe
+      val next = hopped
+        .join(hopped.select(col("id").as("comp"), col("comp").as("comp2")),
+          Seq("comp"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"))
       changed = next.join(labels.select(col("id"), col("comp").as("prev")), "id")
         .filter(col("comp") < col("prev")).count()
       labels = next

@@ -373,6 +373,17 @@ class DedupSpec extends SparkSpec {
     assert(first == Set(1L, 5L, 9L))
   }
 
+  test("components converges on a 300-node path within default maxRounds (pointer halving)") {
+    import spark.implicits._
+    // a single long chain: one-hop propagation needs 299 rounds and
+    // would silently mislabel under maxRounds = 50; halving needs ~log
+    val pairs = (0 until 299).map(i => (i.toLong, i + 1L)).toDF("a", "b")
+    val comps = graft.operators.Dedup.components(pairs, "a", "b")
+      .as[(Long, Long)].collect()
+    assert(comps.length == 300)
+    assert(comps.forall(_._2 == 0L), comps.filter(_._2 != 0L).take(5).mkString(","))
+  }
+
   test("editVerifyPairs confirms close candidates, rejects band collisions") {
     import spark.implicits._
     val docs = Seq(
