@@ -1748,6 +1748,49 @@ object SparkEntry {
         .orderBy(col("word"))
     }),
 
+    // The tokenizer lifecycle under the driver oracle: save the pinned
+    // vocabulary to parquet, load it back, tokenize with the LOADED
+    // pieces — hash equality with the unigram_tokenize oracle proves
+    // persistence is identity (the index tiers' *_persist contract,
+    // extended to the tokenizer).
+    "unigram_persist" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Unigram
+      val tmp = java.nio.file.Files.createTempDirectory("unigram_vocab")
+      Unigram.save(UnigramPinned, s, tmp.resolve("vocab").toString)
+      val loaded = Unigram.load(s, tmp.resolve("vocab").toString)
+      val vmap = loaded.map(p => p.piece -> p.score).toMap
+      val maxLen = loaded.map(_.piece.length).max
+      val unk = loaded.map(_.score).min - 1000000L
+      unigramWords(tbl(s, dir, "documents"))
+        .select(col("word")).as[String]
+        .mapPartitions { it =>
+          it.map { w =>
+            val (ps, sc) = Unigram.segment(w, vmap, maxLen, unk)
+            (w, ps.mkString(" "), sc, ps.length.toLong)
+          }
+        }
+        .toDF("word", "pieces", "score", "n_pieces")
+        .orderBy(col("word"))
+    }),
+
+    // same lifecycle for BPE: train → save → load → encode, gated by
+    // the bpe_tokenize oracle (training-order persistence is the
+    // semantics — merges replay in step order)
+    "bpe_persist" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").filter(expr(BpeDocFilter))
+      val ms = graft.operators.Bpe.train(docs, "text", BpeMerges, BpeMaxWords)
+      val tmp = java.nio.file.Files.createTempDirectory("bpe_merges")
+      graft.operators.Bpe.save(ms, s, tmp.resolve("merges").toString)
+      val loaded = graft.operators.Bpe.load(s, tmp.resolve("merges").toString)
+        .map(m => (m.left, m.right))
+      graft.operators.Bpe.encode(docs, "doc_id", "text", loaded)
+        .select(col("id").as("doc_id"),
+          size(col("subwords")).cast("long").as("n_sub"),
+          array_join(col("subwords"), " ").as("sub_str"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The trainer's E-step under the driver oracle (Unigram
     // .pieceCounts): Viterbi-segment each distinct word once, count
     // pieces weighted by corpus frequency — exact integer counts, the
@@ -2768,6 +2811,42 @@ object SparkEntry {
   /** Shared DuckDB fragments mirroring TextOps (tokens/shingles). */
   private val toksSql =
     """list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)"""
+
+  /** The unigram-Viterbi exhaustive-enumeration oracle, shared by the
+    * direct (unigram_tokenize) and save→load (unigram_persist) lanes —
+    * persistence must be identity, so both hash against the same
+    * ground truth. */
+  private lazy val unigramTokenizeSql: String =
+    s"""WITH RECURSIVE pieces AS (SELECT piece, sc FROM (
+       |    SELECT chr(97 + CAST(i AS INT)) AS piece,
+       |      CAST(-14000000 AS BIGINT) AS sc
+       |    FROM (SELECT unnest(range(0, 26)) AS i)
+       |    UNION ALL
+       |    SELECT piece, CAST(sc AS BIGINT) FROM (VALUES
+       |      ('th', -11000000), ('he', -11000000), ('in', -11000000),
+       |      ('er', -11000000), ('an', -11000000), ('re', -11000000),
+       |      ('on', -11000000), ('at', -11000000), ('en', -11000000),
+       |      ('nd', -11000000),
+       |      ('the', -9000000), ('ing', -9000000), ('and', -9000000),
+       |      ('ion', -9000000), ('ent', -9000000), ('ati', -9000000))
+       |      AS v(piece, sc)) u),
+       |words AS (SELECT DISTINCT t AS word FROM (
+       |    SELECT unnest($toksSql) AS t FROM documents WHERE doc_id < 120)
+       |  WHERE regexp_full_match(t, '[a-z]{1,12}')),
+       |states AS (
+       |  SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS sc, 0 AS np,
+       |    '' AS path FROM words
+       |  UNION ALL
+       |  SELECT s.word, s.pos + len(p.piece), s.sc + p.sc, s.np + 1,
+       |    CASE WHEN s.path = '' THEN p.piece
+       |         ELSE s.path || ' ' || p.piece END
+       |  FROM states s JOIN pieces p
+       |    ON substr(s.word, s.pos + 1, len(p.piece)) = p.piece),
+       |best AS (SELECT word, path, sc, np, row_number() OVER
+       |    (PARTITION BY word ORDER BY sc DESC, np ASC, path ASC) AS rn
+       |  FROM states WHERE pos = len(word))
+       |SELECT word, path AS pieces, sc AS score, CAST(np AS BIGINT) AS n_pieces
+       |FROM best WHERE rn = 1 ORDER BY word""".stripMargin
 
   /** BPE lane constants: pinned corpus, merge count, word cap —
     * identical on both engines. */
@@ -3905,37 +3984,12 @@ object SparkEntry {
     // table — single-char coverage guarantees termination at
     // pos = len), then the identical tie-break argmax. The Spark DP
     // must match the enumeration exactly.
-    "unigram_tokenize" ->
-      s"""WITH RECURSIVE pieces AS (SELECT piece, sc FROM (
-         |    SELECT chr(97 + CAST(i AS INT)) AS piece,
-         |      CAST(-14000000 AS BIGINT) AS sc
-         |    FROM (SELECT unnest(range(0, 26)) AS i)
-         |    UNION ALL
-         |    SELECT piece, CAST(sc AS BIGINT) FROM (VALUES
-         |      ('th', -11000000), ('he', -11000000), ('in', -11000000),
-         |      ('er', -11000000), ('an', -11000000), ('re', -11000000),
-         |      ('on', -11000000), ('at', -11000000), ('en', -11000000),
-         |      ('nd', -11000000),
-         |      ('the', -9000000), ('ing', -9000000), ('and', -9000000),
-         |      ('ion', -9000000), ('ent', -9000000), ('ati', -9000000))
-         |      AS v(piece, sc)) u),
-         |words AS (SELECT DISTINCT t AS word FROM (
-         |    SELECT unnest($toksSql) AS t FROM documents WHERE doc_id < 120)
-         |  WHERE regexp_full_match(t, '[a-z]{1,12}')),
-         |states AS (
-         |  SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS sc, 0 AS np,
-         |    '' AS path FROM words
-         |  UNION ALL
-         |  SELECT s.word, s.pos + len(p.piece), s.sc + p.sc, s.np + 1,
-         |    CASE WHEN s.path = '' THEN p.piece
-         |         ELSE s.path || ' ' || p.piece END
-         |  FROM states s JOIN pieces p
-         |    ON substr(s.word, s.pos + 1, len(p.piece)) = p.piece),
-         |best AS (SELECT word, path, sc, np, row_number() OVER
-         |    (PARTITION BY word ORDER BY sc DESC, np ASC, path ASC) AS rn
-         |  FROM states WHERE pos = len(word))
-         |SELECT word, path AS pieces, sc AS score, CAST(np AS BIGINT) AS n_pieces
-         |FROM best WHERE rn = 1 ORDER BY word""".stripMargin,
+    "unigram_tokenize" -> unigramTokenizeSql,
+
+    // persistence is identity: the save→load→tokenize lane must hash
+    // exactly like direct tokenization
+    "unigram_persist" -> unigramTokenizeSql,
+    "bpe_persist" -> bpeTokenizeSql,
 
     // same enumeration, then frequency-weighted piece counting — the
     // hard-EM E-step as exact integers

@@ -114,6 +114,28 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Persist a trained merge table as parquet — the tokenizer's
+    * lifecycle contract (train once, serve everywhere). Step order is
+    * the semantics (merges apply in training order), so save keeps the
+    * step column and load re-sorts by it; the round-trip encodes
+    * bit-identically (gated by the bpe_persist lane). */
+  def save(merges: Seq[Merge], spark: org.apache.spark.sql.SparkSession,
+           dir: String): Unit = {
+    import spark.implicits._
+    merges.map(m => (m.step, m.left, m.right, m.freq))
+      .toDF("step", "lhs", "rhs", "freq").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a persisted merge table in training (step) order. */
+  def load(spark: org.apache.spark.sql.SparkSession,
+           dir: String): Seq[Merge] = {
+    import spark.implicits._
+    spark.read.parquet(dir).select("step", "lhs", "rhs", "freq")
+      .as[(Int, String, String, Long)].collect()
+      .sortBy(_._1).map { case (st, l, r, f) => Merge(st, l, r, f) }.toSeq
+  }
+
   /** Tokenize with a trained merge table: (id, subwords ARRAY<STRING>).
     * One narrow map — encoding is embarrassingly parallel at any scale
     * (the merge table broadcasts; typical tables are KBs). */

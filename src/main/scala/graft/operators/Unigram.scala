@@ -176,6 +176,28 @@ object Unigram {
     keep.sortBy(_.piece)
   }
 
+  /** Persist a trained vocabulary as parquet — the tokenizer's
+    * lifecycle contract, same as the index tiers' save/load: train
+    * once (expensive corpus pass), serve everywhere. Pieces round-trip
+    * exactly ((String, Long) columns), so load(save(v)) tokenizes
+    * bit-identically (gated by the unigram_persist lane). */
+  def save(pieces: Array[Piece], spark: org.apache.spark.sql.SparkSession,
+           dir: String): Unit = {
+    import spark.implicits._
+    pieces.toSeq.toDF("piece", "score").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a persisted vocabulary, (piece ASC)-ordered — the same
+    * canonical order [[train]] returns. */
+  def load(spark: org.apache.spark.sql.SparkSession,
+           dir: String): Array[Piece] = {
+    import spark.implicits._
+    spark.read.parquet(dir).select("piece", "score")
+      .as[(String, Long)].collect()
+      .sortBy(_._1).map { case (p, s) => Piece(p, s) }
+  }
+
   /** Tokenize with a trained/pinned vocabulary: (id, subwords). One
     * narrow map, vocab broadcast — embarrassingly parallel. */
   def encode(docs: DataFrame, idCol: String, textCol: String,

@@ -53,4 +53,19 @@ class BpeSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(words == Seq(("b", 2L), ("c", 2L)))
   }
+
+  test("save/load round-trips the merge table in training order") {
+    val docs = Seq((1L, "abab abab cdcd")).toDF("doc_id", "text")
+    val ms = Bpe.train(docs, "text", numMerges = 4, maxWords = 10)
+    val dir = java.nio.file.Files.createTempDirectory("bpem")
+      .resolve("m").toString
+    Bpe.save(ms, spark, dir)
+    val back = Bpe.load(spark, dir)
+    assert(back == ms)
+    // loaded merges encode identically
+    val pairs = ms.map(m => (m.left, m.right))
+    val backPairs = back.map(m => (m.left, m.right))
+    assert(Bpe.applyMerges("ababcd", backPairs.toArray).toSeq ==
+      Bpe.applyMerges("ababcd", pairs.toArray).toSeq)
+  }
 }

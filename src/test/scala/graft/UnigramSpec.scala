@@ -87,6 +87,20 @@ class UnigramSpec extends SparkSpec {
     assert(out(1L).take(1).toSeq == Seq("the"))
   }
 
+  test("save/load round-trips a vocabulary exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("uvocab")
+      .resolve("v").toString
+    Unigram.save(vocab, spark, dir)
+    val back = Unigram.load(spark, dir)
+    assert(back.toSeq == vocab.sortBy(_.piece).toSeq)
+    // loaded vocab segments identically
+    val w = "entanglement"
+    val (p1, s1) = Unigram.segment(w,
+      back.map(p => p.piece -> p.score).toMap, 3, unk)
+    val (p2, s2) = Unigram.segment(w, vmap, maxLen, unk)
+    assert(p1.toSeq == p2.toSeq && s1 == s2)
+  }
+
   test("pieceCounts weights by word frequency with exact integer counts") {
     val words = Seq(("the", 10L), ("then", 3L)).toDF("word", "freq")
     val counts = Unigram.pieceCounts(words, vocab)
