@@ -1073,6 +1073,24 @@ object SparkEntry {
         .orderBy(col("qid"), col("distance"), col("id"))
     }),
 
+    // Hard-negative mining (KnnGraph.hardNegatives) over the exact
+    // self-kNN graph: per anchor, the 3 nearest neighbors inside the
+    // (1.0, 1.45] distance band — too close is a near-dup/positive,
+    // too far carries no gradient. The oracle replays kNN + band +
+    // per-anchor re-rank exactly.
+    "mine_hard_negatives" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = fixedCentroids(emb)
+      val indexed = IVFFlat.assign(emb, "vec_id", "embedding", cents)
+      val sizes = Array.fill(cents.length)(Long.MaxValue)
+      val model = IVFFlat.Model(IVFFlat.Params(cents.length), cents, sizes, indexed)
+      graft.operators.KnnGraph.hardNegatives(
+          model.knnJoin(emb, "vec_id", "embedding", k = 10,
+            nprobe = cents.length),
+          dupMax = 1.0, easyMax = 1.45, perAnchor = 3)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // The probed configuration of the same join (nprobe = 2 nearest of
     // the 8 fixed cells per query) — deterministic end-to-end, so the
     // oracle replays probe selection + within-probed re-rank for EVERY
@@ -4321,6 +4339,25 @@ object SparkEntry {
     // self-join ground truth; the probed config replays probe
     // selection + re-rank per query row
     "ivf_knn_join_all" -> exhaustiveSelfKnnSql,
+
+    // same exhaustive kNN, then the band filter + per-anchor re-rank
+    "mine_hard_negatives" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS id,
+        |    list_reduce(list_transform(list_zip(c.embedding, q.embedding),
+        |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+        |      (a, b) -> a + b) AS distance
+        |  FROM embeddings c, embeddings q),
+        |knn AS (SELECT qid, id, distance FROM scored
+        |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 10),
+        |band AS (SELECT qid, id, distance FROM knn
+        |  WHERE qid <> id AND distance > 1.0 AND distance <= 1.45)
+        |SELECT qid, id, distance,
+        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY distance, id) AS BIGINT) AS rank
+        |FROM band
+        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 3
+        |ORDER BY qid, rank""".stripMargin,
     "ivf_knn_join_fixed" -> ivfKnnJoinFixedSql,
 
     // SemDeDup: within-cell cosine pairs, then recursive

@@ -18,6 +18,29 @@ import org.apache.spark.sql.functions._
   * [[Dedup.components]] min-label propagation. */
 object KnnGraph {
 
+  /** Hard-negative mining over the kNN graph — the contrastive-
+    * training data stage: for each anchor, keep its nearest neighbors
+    * inside a DISTANCE BAND (dupMax, easyMax]. Below the band the
+    * neighbor is a near-duplicate/positive (training on it as a
+    * negative poisons the loss); above it the negative is too easy to
+    * carry gradient. The band endpoints come from the corpus's dedup
+    * threshold and distance distribution — calibrate per embedding
+    * model. Per-anchor rank is a window bounded by k (the graph
+    * already caps rows per qid), so this is a narrow reshape of the
+    * graph — corpus-linear like everything else in this file. */
+  def hardNegatives(graph: DataFrame, dupMax: Double, easyMax: Double,
+                    perAnchor: Int = 5): DataFrame = {
+    require(dupMax < easyMax, "band must be non-empty: dupMax < easyMax")
+    require(perAnchor >= 1, "perAnchor must be at least 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("distance"), col("id"))
+    graph.filter(col("qid") =!= col("id") &&
+        col("distance") > dupMax && col("distance") <= easyMax)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= perAnchor)
+      .select(col("qid"), col("id"), col("distance"), col("rank"))
+  }
+
   /** Undirected mutual edges of a directed kNN graph: (id_a, id_b)
     * with id_a < id_b, present iff both (a→b) and (b→a) are graph
     * rows. Self-edges are dropped. One groupBy on the normalized pair

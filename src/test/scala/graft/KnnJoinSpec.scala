@@ -111,4 +111,23 @@ class KnnJoinSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     assert(keptPrefix == kept)
   }
+
+  test("hardNegatives keeps only in-band neighbors, ranked, self excluded") {
+    import spark.implicits._
+    import graft.operators.KnnGraph
+    // a synthetic graph: self row, a near-dup, two in-band, one easy
+    val graph = Seq(
+      (1L, 1L, 0.0), (1L, 2L, 0.3), (1L, 3L, 1.1), (1L, 4L, 1.2),
+      (1L, 5L, 1.9),
+      (2L, 6L, 1.05), (2L, 7L, 1.05) // distance tie → id order
+    ).toDF("qid", "id", "distance")
+    val got = KnnGraph.hardNegatives(graph, dupMax = 1.0, easyMax = 1.45,
+        perAnchor = 1)
+      .select($"qid", $"id", $"rank").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(got == Set((1L, 3L, 1L), (2L, 6L, 1L)))
+    val wide = KnnGraph.hardNegatives(graph, 1.0, 1.45, perAnchor = 5)
+      .select($"qid", $"id").as[(Long, Long)].collect().toSet
+    assert(wide == Set((1L, 3L), (1L, 4L), (2L, 6L), (2L, 7L)))
+  }
 }
