@@ -416,7 +416,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("range joins never plan a cartesian product; long outliers broadcast") {
-    for (name <- Seq("range_join_events", "interval_overlap_orders")) {
+    for (name <- Seq("range_join_events", "interval_overlap_orders",
+        "dedup_neighbor_keys")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name:\n" + p.take(800))
       // the bucketed branch is hash-equi-join work; the diverted long
