@@ -62,9 +62,16 @@ object Bench {
     // file artifact next to BASELINE.md: per-query numbers must survive
     // the round even when a harness tail-parse misses the stdout line
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    // ... and a per-round copy (bench_rNN.json) that the session COMMITS
+    // with its close, so the reading of record survives even when the
+    // driver's BENCH_r{N}.json tail-truncates (r8: parsed:null twice)
+    val roundOut = sys.env.get("SPARK_GRAFT_ROUND")
+      .map(r => s"bench_r$r.json")
+    (Seq(out) ++ roundOut).foreach { p =>
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $p: ${e.getMessage}")
+      }
     }
     spark.stop()
   }

@@ -40,14 +40,12 @@ object BqMath {
     GraftShims.column(PackSignBitsExpr(GraftShims.expression(vec)))
   }
 
-  /** Popcount(xor) over two packed sign bitmaps (INT; shorter-prefix
-    * rule on a byte length mismatch, same as every fused kernel).
-    * CAVEAT: the prefix rule means a dimension-mismatch bug (e.g. a
-    * rotated 128-pad query against 64-dim codes) yields a plausible
-    * PARTIAL score, not an error — which is why the index-level entry
-    * points ([[graft.index.BQ.Model]] probeFrame) require equal dims
-    * before any kernel runs; both operands are framework-produced with
-    * equal lengths inside this repo. */
+  /** Popcount(xor) over two packed sign bitmaps (INT). STRICT on
+    * length: a byte-length mismatch throws instead of scoring a
+    * prefix — a dimension-mismatch bug (e.g. a rotated 128-pad query
+    * against 64-dim codes) must fail loudly, not return a plausible
+    * partial score (the rotated tiers make that mismatch reachable;
+    * VERDICT r8 §wrong #1). */
   def hammingDist(a: Column, b: Column): Column = {
     import org.apache.spark.sql.GraftShims
     GraftShims.column(HammingDistExpr(
@@ -55,9 +53,10 @@ object BqMath {
   }
 
   /** Σ qᵢ · (bitᵢ ? +1 : −1) in double, 0.0-seeded left-to-right —
-    * the asymmetric BQ score (bigger = more aligned). n = min(|q|,
-    * 8·|codes|): the same silent-truncation caveat as [[hammingDist]],
-    * guarded at the index entry points. */
+    * the asymmetric BQ score (bigger = more aligned). STRICT on
+    * dimension: the code must be exactly the packed width of the
+    * query, |codes| == ceil(|q|/8), else the kernel throws (same
+    * loud-failure contract as [[hammingDist]]). */
   def asymDot(codes: Column, q: Column): Column = {
     import org.apache.spark.sql.GraftShims
     GraftShims.column(BqAsymDotExpr(
@@ -133,7 +132,9 @@ case class PackSignBitsExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
-/** popcount(a XOR b) over the shorter byte prefix (INT). */
+/** popcount(a XOR b) over equal-length packed codes (INT); throws on a
+  * byte-length mismatch — partial Hamming over a prefix is always a
+  * caller bug, never a meaningful score. */
 case class HammingDistExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = IntegerType
@@ -147,20 +148,26 @@ case class HammingDistExpr(left: Expression, right: Expression)
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[Array[Byte]]; val b = r.asInstanceOf[Array[Byte]]
-    val n = math.min(a.length, b.length)
+    if (a.length != b.length) throw new IllegalArgumentException(
+      s"hammingDist: code length mismatch (${a.length} vs ${b.length} " +
+        "bytes) — operands must be packed from equal-dimension vectors")
     var s = 0; var i = 0
-    while (i < n) { s += Integer.bitCount((a(i) ^ b(i)) & 0xff); i += 1 }
+    while (i < a.length) { s += Integer.bitCount((a(i) ^ b(i)) & 0xff); i += 1 }
     s
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i"); val n = ctx.freshName("n")
-      val s = ctx.freshName("s")
+      val i = ctx.freshName("i"); val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.length, $b.length);
+         |if ($a.length != $b.length) {
+         |  throw new IllegalArgumentException(
+         |    "hammingDist: code length mismatch (" + $a.length + " vs " +
+         |    $b.length + " bytes) — operands must be packed from " +
+         |    "equal-dimension vectors");
+         |}
          |int $s = 0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |for (int $i = 0; $i < $a.length; $i++) {
          |  $s += java.lang.Integer.bitCount(($a[$i] ^ $b[$i]) & 0xff);
          |}
          |${ev.value} = $s;
@@ -172,7 +179,7 @@ case class HammingDistExpr(left: Expression, right: Expression)
 }
 
 /** Σ qᵢ · (codes bit i ? +1.0 : −1.0) in double, 0.0-seeded
-  * left-to-right; n = min(|q|, 8·|codes|). */
+  * left-to-right; requires |codes| == ceil(|q|/8) (throws otherwise). */
 case class BqAsymDotExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -194,7 +201,10 @@ case class BqAsymDotExpr(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val codes = l.asInstanceOf[Array[Byte]]
     val q = r.asInstanceOf[ArrayData]
-    val n = math.min(q.numElements(), codes.length * 8)
+    val n = q.numElements()
+    if (codes.length != (n + 7) >> 3) throw new IllegalArgumentException(
+      s"bqAsymDot: code/query dimension mismatch (${codes.length} code " +
+        s"bytes vs $n query dims, expected ${(n + 7) >> 3} bytes)")
     var s = 0.0; var i = 0
     while (i < n) {
       val qi = if (qIsFloat) q.getFloat(i).toDouble else q.getDouble(i)
@@ -211,7 +221,13 @@ case class BqAsymDotExpr(left: Expression, right: Expression)
       val s = ctx.freshName("s"); val qi = ctx.freshName("qi")
       val qAcc = if (qIsFloat) s"(double) $q.getFloat($i)" else s"$q.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($q.numElements(), $c.length * 8);
+         |int $n = $q.numElements();
+         |if ($c.length != (($n + 7) >> 3)) {
+         |  throw new IllegalArgumentException(
+         |    "bqAsymDot: code/query dimension mismatch (" + $c.length +
+         |    " code bytes vs " + $n + " query dims, expected " +
+         |    (($n + 7) >> 3) + " bytes)");
+         |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $qi = $qAcc;

@@ -26,17 +26,25 @@ private[graft] object Batches {
 
   /** Collect a serving batch under the budget; refuse (with the
     * distributed alternative named) when it exceeds it. */
-  def bounded[T](ds: Dataset[T], what: String): Array[T] = {
+  def bounded[T](ds: Dataset[T], what: String): Array[T] =
+    bounded(ds, what,
+      "For corpus-sized workloads use the distributed path instead: " +
+        "Dedup.embeddingPairsViaLSH for join-all-against-all similarity, " +
+        "HNSW.build / the index build APIs for bulk ingest.")
+
+  /** [[bounded]] with a caller-supplied remedy line — the same budget
+    * enforcement for non-serving collects whose contract is
+    * broadcast-sized (tokenizer vocabularies, codebooks): a corrupt or
+    * mis-pointed path fails fast instead of collecting unbounded rows.
+    */
+  def bounded[T](ds: Dataset[T], what: String, remedy: String): Array[T] = {
     val max = maxBatch(ds)
     val rows = ds.limit(max + 1).collect()
     require(rows.length <= max,
-      s"$what batch exceeds the driver-collect serving budget ($max rows, " +
-        s"conf $MaxBatchKey): this entry point collects and broadcasts the " +
-        "batch (O(batch × dim) driver+executor memory) — the serving " +
-        "contract is that the batch is the SMALL side. For corpus-sized " +
-        "workloads use the distributed path instead: " +
-        "Dedup.embeddingPairsViaLSH for join-all-against-all similarity, " +
-        "HNSW.build / the index build APIs for bulk ingest.")
+      s"$what exceeds the driver-collect serving budget ($max rows, " +
+        s"conf $MaxBatchKey): this entry point collects and broadcasts " +
+        s"(O(rows × width) driver+executor memory) — the contract is that " +
+        s"this side is SMALL. $remedy")
     rows
   }
 }

@@ -127,12 +127,19 @@ object Bpe {
       .write.mode("overwrite").parquet(dir)
   }
 
-  /** Load a persisted merge table in training (step) order. */
+  /** Load a persisted merge table in training (step) order. The
+    * collect is budget-capped ([[graft.index.Batches]]): merge tables
+    * are KBs by contract, so a corpus-sized parquet at `dir` is a
+    * mis-pointed path and fails fast instead of OOMing the driver. */
   def load(spark: org.apache.spark.sql.SparkSession,
            dir: String): Seq[Merge] = {
     import spark.implicits._
-    spark.read.parquet(dir).select("step", "lhs", "rhs", "freq")
-      .as[(Int, String, String, Long)].collect()
+    graft.index.Batches.bounded(
+        spark.read.parquet(dir).select("step", "lhs", "rhs", "freq")
+          .as[(Int, String, String, Long)],
+        s"Bpe.load merge table at $dir",
+        "A BPE merge table is numMerges rows — check the path points at " +
+          "a table written by Bpe.save, not at a corpus.")
       .sortBy(_._1).map { case (st, l, r, f) => Merge(st, l, r, f) }.toSeq
   }
 

@@ -156,12 +156,25 @@ object Dedup {
   def neighborPairsByKey(df: DataFrame, idCol: String, keyCol: String,
                          delta: Long): DataFrame = {
     require(delta > 0, "delta must be positive")
+    // keys must leave delta headroom below Long.MaxValue: hi = key +
+    // delta is unchecked Long addition, and a wrapped hi would emit
+    // WRONG candidate pairs silently (r8 ADVICE). The guard is per-row
+    // and loud; level-capped locality keys (the 8-level Hilbert keys
+    // the lanes use, ≤ 2⁴⁸) never trip it — only full-width 64-bit
+    // keys do, and those must be right-shifted first.
+    def guardedHi(k: Column): Column = coalesce(
+      when(k > lit(Long.MaxValue - delta),
+        raise_error(concat(lit("neighborPairsByKey: key "),
+          k.cast("string"),
+          lit(s" + delta $delta overflows Long — shift keys down first")))
+          .cast("long")),
+      k + lit(delta))
     val a = df.select(col(idCol).cast("long").as("id_a"),
         col(keyCol).cast("long").as("__ka"))
-      .withColumn("__ka_hi", col("__ka") + lit(delta))
+      .withColumn("__ka_hi", guardedHi(col("__ka")))
     val b = df.select(col(idCol).cast("long").as("id_b"),
         col(keyCol).cast("long").as("__kb"))
-      .withColumn("__kb_hi", col("__kb") + lit(delta))
+      .withColumn("__kb_hi", guardedHi(col("__kb")))
     RangeJoin.intervalOverlap(a, "__ka", "__ka_hi", b, "__kb", "__kb_hi",
         width = delta, longCap = Int.MaxValue)
       .filter(col("id_a") < col("id_b"))

@@ -20,9 +20,14 @@ import org.apache.spark.sql.functions._
   *   outlier  ⇔ n·q − Σq > 0  ∧  (n·q − Σq)² > k²·(n·Σq² − (Σq)²)
   *
   * — the k-sigma inequality multiplied through by n², so no division
-  * and no float compare ever happens. Overflow bound: needs
-  * n·scale·d² < ~3·10⁹ per cluster (lower `scale` for huge clusters
-  * or unnormalized embeddings).
+  * and no float compare ever happens. The products are formed in
+  * DECIMAL(38,0), never BIGINT (the r8 ADVICE class: a long product
+  * wraps silently under non-ANSI Spark while the DuckDB oracle widens
+  * to HUGEINT — the engines would diverge exactly in the overflow
+  * regime). Exactness bound: both sides stay under 10³⁸ iff
+  * k·n·max(q) < 10¹⁹ per cluster, enforced LOUDLY — a per-row
+  * raise_error fires when a cluster's k·n·max(q) exceeds the bound
+  * (lower `scale` for clusters that trip it).
   *
   * Scale shape: one narrow assignment pass (centroids broadcast, the
   * [[graft.index.IVFFlat.assign]] loop with the distance kept), one
@@ -61,14 +66,29 @@ object EmbedQC {
         }
       }
       .toDF("id", "cluster", "q_dist")
+    // DECIMAL(38,0) lanes: q ≤ mx, so |n·q − s| ≤ n·mx and
+    // n·ss − s² ≤ (n·mx)² — with k·n·mx < 10¹⁹ every product below
+    // fits 38 digits exactly. Sums widen to decimal too (Σq² over a
+    // huge cluster can itself pass 2⁶³).
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val stats = assigned.groupBy("cluster")
-      .agg(count(lit(1)).as("__n"), sum("q_dist").as("__s"),
-        sum(col("q_dist") * col("q_dist")).as("__ss"))
-    val lhs = col("__n") * col("q_dist") - col("__s")
-    val rhs = lit(kSigma.toLong * kSigma) *
+      .agg(count(lit(1)).cast(dec).as("__n"),
+        sum(col("q_dist").cast(dec)).as("__s"),
+        sum(col("q_dist").cast(dec) * col("q_dist").cast(dec)).as("__ss"),
+        max("q_dist").cast(dec).as("__mx"))
+    val guard = when(
+      lit(kSigma.toLong).cast(dec) * col("__n") * col("__mx") >=
+        lit(BigDecimal(10).pow(19)).cast(dec),
+      raise_error(concat(lit("EmbedQC.outliers: cluster "),
+        col("cluster").cast("string"),
+        lit(" exceeds the exact-arithmetic bound k·n·max(q) < 1e19 — "),
+        lit("lower `scale`"))).cast(dec))
+    val q = col("q_dist").cast(dec)
+    val lhs = coalesce(guard, col("__n") * q - col("__s"))
+    val rhs = lit(kSigma.toLong * kSigma).cast(dec) *
       (col("__n") * col("__ss") - col("__s") * col("__s"))
     assigned.join(broadcast(stats), Seq("cluster"))
-      .withColumn("is_outlier", lhs > 0 && lhs * lhs > rhs)
+      .withColumn("is_outlier", lhs > lit(0).cast(dec) && lhs * lhs > rhs)
       .select(col("id"), col("cluster"), col("q_dist"), col("is_outlier"))
   }
 }

@@ -32,11 +32,21 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  /** Mathematical floor-division of an integral column by w, exact for
-    * |quotient| < 2^53 (pmod keeps the remainder nonnegative, so the
-    * double division is of an exact multiple). */
-  private[graft] def fdiv(a: Column, w: Long): Column =
-    ((a - pmod(a, lit(w))) / lit(w)).cast("long")
+  /** Mathematical floor-division of an integral column by w, in pure
+    * 64-bit integer arithmetic: (a − pmod(a, w)) is the exact floor
+    * multiple and `IntegralDivide` divides it without a double round
+    * trip — exact over the whole LONG range (epoch nanoseconds
+    * included; the r8 ADVICE flagged the former double-division form,
+    * which silently misbuckets beyond 2⁵³). Sole edge: a within w of
+    * Long.MinValue underflows the subtraction — unreachable for real
+    * coordinates (timestamps, packed IPs, locality keys). */
+  private[graft] def fdiv(a: Column, w: Long): Column = {
+    import org.apache.spark.sql.GraftShims
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    GraftShims.column(IntegralDivide(
+      GraftShims.expression((a.cast("long") - pmod(a.cast("long"), lit(w)))),
+      GraftShims.expression(lit(w)))).cast("long")
+  }
 
   /** Join `points` to every interval of `intervals` containing them:
     * emit pointCol ∈ [loCol, hiCol). Output = all point columns + all

@@ -189,12 +189,18 @@ object Unigram {
   }
 
   /** Load a persisted vocabulary, (piece ASC)-ordered — the same
-    * canonical order [[train]] returns. */
+    * canonical order [[train]] returns. Budget-capped collect
+    * ([[graft.index.Batches]]): vocabularies are ≤ vocabSize rows by
+    * contract, so a mis-pointed/corrupt path fails fast instead of
+    * collecting unbounded rows driver-side. */
   def load(spark: org.apache.spark.sql.SparkSession,
            dir: String): Array[Piece] = {
     import spark.implicits._
-    spark.read.parquet(dir).select("piece", "score")
-      .as[(String, Long)].collect()
+    graft.index.Batches.bounded(
+        spark.read.parquet(dir).select("piece", "score").as[(String, Long)],
+        s"Unigram.load vocabulary at $dir",
+        "A unigram vocabulary is vocabSize rows — check the path points " +
+          "at a table written by Unigram.save, not at a corpus.")
       .sortBy(_._1).map { case (p, s) => Piece(p, s) }
   }
 

@@ -20,11 +20,29 @@ import graft.functions.VectorOps.normalizeF
   * sort, so an arbitrarily large `.vec` file loads at full parallelism
   * (text splits are offset-ordered and narrow ops preserve per-split
   * row order, so the index IS the file order, deterministically).
+  *
+  * Order contract: "file order" is guaranteed for a SINGLE file path
+  * (splits of one file are offset-ordered). For a directory or glob,
+  * ids are dense over Spark's file-enumeration order — stable for a
+  * fixed listing, but the concatenation order across files is the
+  * enumerator's, not the caller's (pass one file when ids must equal
+  * line numbers, the reference's contract — utils.rs loads one file).
+  *
+  * The parse lineage (split + normalize + holdout filter) is persisted
+  * (MEMORY_AND_DISK) around `zipWithIndex`, which needs one extra
+  * count job: without the persist that lineage runs twice — once for
+  * the per-split counts, once for the read (r8 ADVICE). Call
+  * [[Loaded.unpersist]] once the corpus is materialized downstream.
   */
 object VecFile {
 
   case class Loaded(corpus: DataFrame /* id, word, vector */,
-                    holdout: DataFrame /* word, vector */)
+                    holdout: DataFrame /* word, vector */,
+                    private val cached: org.apache.spark.rdd.RDD[Row]) {
+    /** Release the parse cache once the corpus has been materialized
+      * (written, checkpointed, or indexed) downstream. */
+    def unpersist(): Unit = { cached.unpersist(blocking = false); () }
+  }
 
   def read(spark: SparkSession, path: String,
            holdoutWord: Option[String] = None): Loaded = {
@@ -39,11 +57,13 @@ object VecFile {
       .getOrElse(parsed.limit(0))
     val kept = holdoutWord.map(w => parsed.filter(col("word") =!= w))
       .getOrElse(parsed)
+    val keptRdd = kept.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val schema = StructType(
       StructField("id", LongType, nullable = false) +: kept.schema.fields)
     val corpus = spark.createDataFrame(
-      kept.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(i +: r.toSeq) },
+      keptRdd.zipWithIndex.map { case (r, i) => Row.fromSeq(i +: r.toSeq) },
       schema)
-    Loaded(corpus, holdout.select(col("word"), col("vector")))
+    Loaded(corpus, holdout.select(col("word"), col("vector")), keptRdd)
   }
 }

@@ -298,4 +298,27 @@ class BQSpec extends SparkSpec {
     h += Integer.bitCount((codes(1)(0) ^ codes(2)(0)) & 0xff)
     assert(h == 0) // signs agree element-wise (0.0 and -0.0 are both "not > 0")
   }
+
+  test("dimension-mismatched kernels throw, never score a prefix") {
+    // a 128-pad rotated query against 64-dim codes is the reachable bug
+    // class (VERDICT r8): a partial score is plausible-looking and
+    // silently wrong, so the kernels are strict on length
+    val df = Seq((1L, Array.fill(64)(1.0f), Array.fill(128)(1.0f)))
+      .toDF("id", "v64", "v128")
+    val hammingMismatch = df.select(BqMath.hammingDist(
+      BqMath.packSignBits(col("v64")), BqMath.packSignBits(col("v128"))))
+    val eH = intercept[Throwable](hammingMismatch.collect())
+    assert(hasMsg(eH, "mismatch"), s"hammingDist must name the mismatch: $eH")
+    val asymMismatch = df.select(BqMath.asymDot(
+      BqMath.packSignBits(col("v64")), col("v128")))
+    val eA = intercept[Throwable](asymMismatch.collect())
+    assert(hasMsg(eA, "mismatch"), s"asymDot must name the mismatch: $eA")
+    // equal dims still score
+    assert(df.select(BqMath.hammingDist(BqMath.packSignBits(col("v64")),
+      BqMath.packSignBits(col("v64")))).head().getInt(0) == 0)
+  }
+
+  private def hasMsg(t: Throwable, needle: String): Boolean =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+      .exists(e => e.getMessage != null && e.getMessage.contains(needle))
 }

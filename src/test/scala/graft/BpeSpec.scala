@@ -68,4 +68,20 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.applyMerges("ababcd", backPairs.toArray).toSeq ==
       Bpe.applyMerges("ababcd", pairs.toArray).toSeq)
   }
+
+  test("load refuses a corpus-sized table under the driver-collect budget") {
+    // mis-pointing load at a big parquet must fail fast (Batches), not
+    // collect unbounded rows driver-side
+    val dir = java.nio.file.Files.createTempDirectory("bpebig")
+      .resolve("m").toString
+    (0 until 64).map(i => (i, s"l$i", s"r$i", i.toLong))
+      .toDF("step", "lhs", "rhs", "freq").write.parquet(dir)
+    spark.conf.set(graft.index.Batches.MaxBatchKey, "16")
+    try {
+      val e = intercept[IllegalArgumentException](Bpe.load(spark, dir))
+      assert(e.getMessage.contains("Bpe.save"), e.getMessage)
+    } finally spark.conf.unset(graft.index.Batches.MaxBatchKey)
+    // within budget the same table loads
+    assert(Bpe.load(spark, dir).length == 64)
+  }
 }

@@ -428,4 +428,21 @@ class DedupSpec extends SparkSpec {
       assert(got.toSet == naive, s"mismatch at delta $delta")
     }
   }
+
+  test("neighborPairsByKey: keys without delta headroom raise, not wrap") {
+    import spark.implicits._
+    val rows = Seq((1L, Long.MaxValue - 2L), (2L, Long.MaxValue - 1L))
+      .toDF("id", "key")
+    val e = intercept[Throwable] {
+      graft.operators.Dedup.neighborPairsByKey(rows, "id", "key", 8L)
+        .collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+      .flatMap(x => Option(x.getMessage))
+    assert(msgs.exists(_.contains("overflows Long")), e.toString)
+    // with headroom the same keys pair fine
+    val ok = Seq((1L, 100L), (2L, 103L)).toDF("id", "key")
+    assert(graft.operators.Dedup.neighborPairsByKey(ok, "id", "key", 8L)
+      .count() == 1L)
+  }
 }

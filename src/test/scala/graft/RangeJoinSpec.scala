@@ -94,4 +94,22 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("coordinates beyond 2^53 bucketize exactly (epoch-nanosecond range)") {
+    // the r8 ADVICE class: fdiv through a double misbuckets above 2^53
+    // (epoch nanos ~1.7e18) — fdiv is now pure integer arithmetic, so
+    // adjacent nano-scale points land in their true buckets
+    val base = 1700000000000000000L // ≈ 2026 in epoch nanos, > 2^60
+    val pts = (0L until 8L).map(i => (i, base + i)).toDF("pid", "p")
+    val ivs = Seq((100L, base + 2L, base + 5L), // covers p ∈ {2,3,4}
+                  (200L, base - 10L, base + 1L)) // covers p ∈ {0}
+      .toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(pts, "p", ivs, "lo", "hi",
+        width = 2, longCap = Int.MaxValue)
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    val want = pts.crossJoin(ivs).filter($"p" >= $"lo" && $"p" < $"hi")
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    assert(got == want, s"got $got want $want")
+    assert(want == Set((2L, 100L), (3L, 100L), (4L, 100L), (0L, 200L)))
+  }
 }

@@ -111,4 +111,17 @@ class UnigramSpec extends SparkSpec {
     assert(counts("th") == 3L && counts("en") == 3L, counts.toString)
     assert(!counts.contains("n"), counts.toString)
   }
+
+  test("load refuses a corpus-sized table under the driver-collect budget") {
+    val dir = java.nio.file.Files.createTempDirectory("uvbig")
+      .resolve("v").toString
+    (0 until 64).map(i => (s"p$i", -1000000L - i))
+      .toDF("piece", "score").write.parquet(dir)
+    spark.conf.set(graft.index.Batches.MaxBatchKey, "16")
+    try {
+      val e = intercept[IllegalArgumentException](Unigram.load(spark, dir))
+      assert(e.getMessage.contains("Unigram.save"), e.getMessage)
+    } finally spark.conf.unset(graft.index.Batches.MaxBatchKey)
+    assert(Unigram.load(spark, dir).length == 64)
+  }
 }
