@@ -1481,6 +1481,32 @@ object SparkEntry {
           "doc_id", "text", budget = 1000, shards = 8)
         .orderBy(col("doc_id"))),
 
+    // Packing budgeted by the TRAINED tokenizer's subwords (the budget
+    // a pretrain pipeline actually fills): per-doc counts from the
+    // pinned unigram vocabulary's Viterbi segmentation, then the same
+    // lane window — the oracle re-segments every distinct corpus word
+    // in the recursive CTE and replays the pack chain over the summed
+    // piece counts.
+    "doc_pack_subword" -> ((s, dir) =>
+      graft.operators.Splits.packSubwords(tbl(s, dir, "documents"),
+          "doc_id", "text", UnigramPinned, budget = 1000, shards = 8)
+        .orderBy(col("doc_id"))),
+
+    // Temperature mixing weighted by subword counts — the token-mass
+    // flattening a pretrain mixture actually runs (doc-count mixing
+    // over-weights sources with short docs).
+    "mix_temperature_subword" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val withW = docs.select(col("doc_id"), col("source"))
+        .join(graft.operators.Unigram.subwordCounts(
+            docs, "doc_id", "text", UnigramPinned)
+          .withColumnRenamed("id", "doc_id"), "doc_id")
+      graft.operators.Splits.mixByTemperatureWeighted(withW,
+          "doc_id", "source", "n_subwords", alpha = 0.5)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Sliding-window token chunking (32-token chunks, stride 24 →
     // 8-token overlap) — the chunk→embed→index preprocessor.
     "doc_chunks" -> ((s, dir) =>
@@ -2327,6 +2353,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Span-level decontamination (Decontam.scrubContaminatedSpans):
+    // only the token spans colliding with benchmark n-grams are
+    // excised — the page survives with the quote cut out, instead of
+    // dropping whole (the curation-grade rule). The oracle replays
+    // gram-hit positions → gaps-and-islands spans → covered-token
+    // anti-join → in-order reassembly.
+    "contam_scrub_spans" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      graft.operators.Decontam.scrubContaminatedSpans(
+          docs.filter(pmod(col("doc_id"), lit(97L)) =!= 0), "doc_id", "text",
+          docs.filter(pmod(col("doc_id"), lit(97L)) === 0), "doc_id", "text",
+          n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // Temperature-weighted source mixing (operators/Splits): keep rate
     // (n_min/n_src)^(1-alpha) per source at alpha = 0.5 (the
     // sqrt-portable configuration), membership content-addressed — the
@@ -2830,12 +2871,13 @@ object SparkEntry {
   private val toksSql =
     """list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)"""
 
-  /** The unigram-Viterbi exhaustive-enumeration oracle, shared by the
-    * direct (unigram_tokenize) and save→load (unigram_persist) lanes —
-    * persistence must be identity, so both hash against the same
-    * ground truth. */
-  private lazy val unigramTokenizeSql: String =
-    s"""WITH RECURSIVE pieces AS (SELECT piece, sc FROM (
+  /** pieces → words → exhaustive-enumeration states → per-word best
+    * segmentation: the unigram-Viterbi CTE chain shared by every
+    * unigram-oracle lane. `wordsWhere` narrows the word universe (the
+    * tokenize lanes pin doc_id < 120 to bound enumeration; the
+    * pack/mix lanes segment the whole corpus's 31-word vocabulary). */
+  private def unigramBestCtes(wordsWhere: String): String =
+    s"""pieces AS (SELECT piece, sc FROM (
        |    SELECT chr(97 + CAST(i AS INT)) AS piece,
        |      CAST(-14000000 AS BIGINT) AS sc
        |    FROM (SELECT unnest(range(0, 26)) AS i)
@@ -2849,7 +2891,7 @@ object SparkEntry {
        |      ('ion', -9000000), ('ent', -9000000), ('ati', -9000000))
        |      AS v(piece, sc)) u),
        |words AS (SELECT DISTINCT t AS word FROM (
-       |    SELECT unnest($toksSql) AS t FROM documents WHERE doc_id < 120)
+       |    SELECT unnest($toksSql) AS t FROM documents $wordsWhere)
        |  WHERE regexp_full_match(t, '[a-z]{1,12}')),
        |states AS (
        |  SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS sc, 0 AS np,
@@ -2862,9 +2904,70 @@ object SparkEntry {
        |    ON substr(s.word, s.pos + 1, len(p.piece)) = p.piece),
        |best AS (SELECT word, path, sc, np, row_number() OVER
        |    (PARTITION BY word ORDER BY sc DESC, np ASC, path ASC) AS rn
-       |  FROM states WHERE pos = len(word))
+       |  FROM states WHERE pos = len(word))""".stripMargin
+
+  /** The unigram-Viterbi exhaustive-enumeration oracle, shared by the
+    * direct (unigram_tokenize) and save→load (unigram_persist) lanes —
+    * persistence must be identity, so both hash against the same
+    * ground truth. */
+  private lazy val unigramTokenizeSql: String =
+    s"""WITH RECURSIVE ${unigramBestCtes("WHERE doc_id < 120")}
        |SELECT word, path AS pieces, sc AS score, CAST(np AS BIGINT) AS n_pieces
        |FROM best WHERE rn = 1 ORDER BY word""".stripMargin
+
+  /** Per-doc subword counts under the pinned vocabulary — the shared
+    * tail of the subword pack/mix oracles: every distinct corpus word
+    * Viterbi-segments once (`best`), then each doc sums its tokens'
+    * piece counts. */
+  private def subwordCountCtes: String =
+    s"""${unigramBestCtes("")},
+       |wnp AS (SELECT word, np FROM best WHERE rn = 1),
+       |dt AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+       |dc AS (SELECT d.doc_id, CAST(SUM(w.np) AS BIGINT) AS n_tokens
+       |  FROM dt d JOIN wnp w ON d.t = w.word GROUP BY 1)""".stripMargin
+
+  /** doc_pack replayed over SQL-segmented SUBWORD counts: the same
+    * split/shard/prefix-sum/bin chain, budgeted by the pinned unigram
+    * tokenizer's per-doc piece counts instead of whitespace tokens. */
+  private lazy val docPackSubwordSql: String =
+    s"""WITH RECURSIVE $subwordCountCtes,
+       |f AS (SELECT doc_id,
+       |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       |    / 4294967296.0 AS frac
+       | FROM documents),
+       |sp AS (SELECT f.doc_id,
+       |  CASE WHEN frac < 0.8 THEN 'train'
+       |       WHEN frac < 0.9 THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  f.doc_id % 8 AS shard, dc.n_tokens
+       | FROM f JOIN dc ON f.doc_id = dc.doc_id),
+       |c AS (SELECT doc_id, split, shard, n_tokens,
+       |  COALESCE(SUM(n_tokens) OVER (PARTITION BY split, shard
+       |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |    0) AS prior
+       | FROM sp)
+       |SELECT doc_id, split, shard, n_tokens,
+       |  CAST(prior // 1000 AS BIGINT) AS bin
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Temperature mixing weighted by subword counts: per-source mass is
+    * Σ n_subwords (the token mass a pretrain mixture balances), keep
+    * rate √(w_min/w_s), membership content-addressed — the oracle
+    * replays Splits.mixByTemperatureWeighted end to end. */
+  private lazy val mixTemperatureSubwordSql: String =
+    s"""WITH RECURSIVE $subwordCountCtes,
+       |w AS (SELECT d.source, SUM(dc.n_tokens) AS w_src
+       |  FROM documents d JOIN dc ON d.doc_id = dc.doc_id GROUP BY 1),
+       |m AS (SELECT MIN(w_src) AS w_min FROM w),
+       |r AS (SELECT source,
+       |  sqrt(CAST(w_min AS DOUBLE) / CAST(w_src AS DOUBLE)) AS mix_rate
+       | FROM w, m),
+       |f AS (SELECT doc_id, source,
+       |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8)) AS BIGINT)
+       |    / 4294967296.0 AS frac
+       | FROM documents)
+       |SELECT f.doc_id, f.source FROM f JOIN r USING (source)
+       |WHERE f.frac < r.mix_rate ORDER BY doc_id""".stripMargin
 
   /** BPE lane constants: pinned corpus, merge count, word cap —
     * identical on both engines. */
@@ -3613,6 +3716,9 @@ object SparkEntry {
          |SELECT doc_id, split, shard, n_tokens,
          |  CAST(prior // 1000 AS BIGINT) AS bin
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "doc_pack_subword" -> docPackSubwordSql,
+    "mix_temperature_subword" -> mixTemperatureSubwordSql,
 
     "doc_winnow" ->
       s"""$winnowFpsCtes
@@ -4823,6 +4929,37 @@ object SparkEntry {
          |    THEN CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(c.n_grams AS DOUBLE)
          |    ELSE 0.0 END AS overlap
          |FROM cand c LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // gram-hit positions → gaps-and-islands spans → covered-token
+    // anti-join → in-order reassembly — mirrors
+    // Decontam.scrubContaminatedSpans + Dedup.scrubRepeatedSpans
+    "contam_scrub_spans" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |cand AS (SELECT * FROM t WHERE doc_id % 97 <> 0),
+         |bg AS (SELECT DISTINCT md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g
+         |  FROM (SELECT toks, unnest(range(1, len(toks) - 1)) AS i
+         |        FROM t WHERE doc_id % 97 = 0 AND len(toks) >= 3)),
+         |hitpos AS (SELECT doc_id, i - 1 AS pos FROM (
+         |    SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+         |    FROM cand WHERE len(toks) >= 3) x
+         |  WHERE md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) IN
+         |    (SELECT g FROM bg)),
+         |isl AS (SELECT doc_id, pos,
+         |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         | FROM hitpos),
+         |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 2 AS e
+         | FROM isl GROUP BY doc_id, grp),
+         |tok AS (SELECT doc_id, u['pos'] AS pos, u['tok'] AS tok FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+         |    i -> {'pos': i - 1, 'tok': toks[i]})) AS u FROM cand)),
+         |kept AS (SELECT k.doc_id, k.pos, k.tok FROM tok k
+         |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+         |    WHERE s.doc_id = k.doc_id AND k.pos BETWEEN s.s AND s.e)),
+         |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS scrubbed,
+         |  count(*) AS n_kept FROM kept GROUP BY 1)
+         |SELECT c.doc_id, COALESCE(a.scrubbed, '') AS scrubbed,
+         |  CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept
+         |FROM cand c LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // keep rate sqrt(n_min/n_src) per source (alpha = 0.5), salted md5
     // fraction membership — mirrors Splits.mixByTemperature

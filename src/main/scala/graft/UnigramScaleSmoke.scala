@@ -88,6 +88,53 @@ object UnigramScaleSmoke {
     out += "encode_s" -> f"$tEnc%.1f"
     out += "encoded_subwords" -> nSub.toString
 
+    // -- subword-budget packing + token-weighted mixing over the full
+    // corpus under the TRAINED vocab: counting is the same narrow
+    // Viterbi map as encode (no subword arrays ever shuffle — only the
+    // (id, count) pairs move through the lane window), so the claim
+    // under test is corpus-linear wall + count-sized shuffle
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+    val before = shuffleBytes.get()
+    val ((nBins, totTok), tPack) = timed {
+      val packed = operators.Splits.packSubwords(docs, "doc_id", "text",
+        pieces, budget = 2048, shards = 64)
+      packed.selectExpr("count(distinct split || '/' || shard || '/' || bin)",
+          "sum(n_tokens)")
+        .as[(Long, Long)].head()
+    }
+    out += "pack_s" -> f"$tPack%.1f"
+    out += "pack_shuffle_mb" -> ((shuffleBytes.get() - before) / (1L << 20)).toString
+    out += "pack_bins" -> nBins.toString
+    out += "pack_tokens" -> totTok.toString
+
+    val before2 = shuffleBytes.get()
+    val (keptTok, tMix) = timed {
+      // zipf-ish source tiers (source s_k gets ~n/2^(k+1) docs, via
+      // trailing zeros of a hash: x & -x isolates the lowest set bit,
+      // bit_count(lowbit - 1) counts the zeros below it) so the
+      // temperature flattening has real mass skew to flatten
+      val withSrc = docs.withColumn("source",
+        org.apache.spark.sql.functions.expr(
+          "concat('s', cast(bit_count(((pmod(hash(doc_id), 256) + 256) & " +
+            "-(pmod(hash(doc_id), 256) + 256)) - 1) as string))"))
+      val counted = operators.Unigram.subwordCounts(
+          withSrc, "doc_id", "text", pieces)
+        .withColumnRenamed("id", "doc_id")
+        .join(withSrc.select("doc_id", "source"), "doc_id")
+      operators.Splits.mixByTemperatureWeighted(counted, "doc_id", "source",
+          "n_subwords", alpha = 0.5)
+        .selectExpr("sum(n_subwords)").as[Long].head()
+    }
+    out += "mix_s" -> f"$tMix%.1f"
+    out += "mix_shuffle_mb" -> ((shuffleBytes.get() - before2) / (1L << 20)).toString
+    out += "mix_kept_tokens" -> keptTok.toString
+
     out.foreach { case (k, v) => println(s"$k=$v") }
     spark.stop()
   }

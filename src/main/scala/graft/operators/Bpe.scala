@@ -143,6 +143,15 @@ object Bpe {
       .sortBy(_._1).map { case (st, l, r, f) => Merge(st, l, r, f) }.toSeq
   }
 
+  /** Per-doc subword count under a trained merge table: (id,
+    * n_subwords) — the BPE token-budget counter for
+    * [[Splits.packSubwordsBpe]]/[[Splits.mixByTemperatureWeighted]]
+    * (see [[Unigram.subwordCounts]] for why budgets count subwords). */
+  def subwordCounts(docs: DataFrame, idCol: String, textCol: String,
+                    merges: Seq[(String, String)]): DataFrame =
+    encode(docs, idCol, textCol, merges)
+      .select(col("id"), size(col("subwords")).cast("long").as("n_subwords"))
+
   /** Tokenize with a trained merge table: (id, subwords ARRAY<STRING>).
     * One narrow map — encoding is embarrassingly parallel at any scale
     * (the merge table broadcasts; typical tables are KBs). */

@@ -122,6 +122,66 @@ object Decontam {
       .drop("grams")
   }
 
+  /** SPAN-LEVEL contamination map — the surgical face of
+    * decontamination: instead of convicting whole documents
+    * ([[contaminated]] drops a page because one quoted benchmark
+    * answer sits in its middle), locate the contaminated token spans
+    * themselves. Each candidate gram POSITION that collides with the
+    * benchmark gram set marks tokens [pos, pos+n−1]; maximal runs of
+    * consecutive colliding positions merge into one span by the
+    * gaps-and-islands rule (pos − row_number, the
+    * [[Dedup.repeatedSpans]] machinery pointed across the
+    * corpus/benchmark boundary instead of within one corpus). Returns
+    * (idCol, start_tok, end_tok, n_grams) — directly consumable by
+    * [[Dedup.scrubRepeatedSpans]].
+    *
+    * Scale shape: same as [[ngramOverlapAgainstGrams]] — the benchmark
+    * gram set broadcasts, candidate gram positions probe it map-side,
+    * and the only shuffle is the per-doc islands window over HIT
+    * positions (contamination-sized, not corpus-sized: clean docs
+    * contribute zero rows). */
+  def contaminatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                        benchGrams0: DataFrame, n: Int,
+                        broadcastBench: Boolean = true): DataFrame = {
+    require(n >= 1, "n-gram order must be >= 1")
+    val benchGrams = (if (broadcastBench) broadcast(benchGrams0)
+                      else benchGrams0)
+      .select(col("g").as("gram_h"))
+    val pos = docs
+      .select(col(idCol).cast("long").as("id"),
+        TextOps.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), size(col("toks")) - lit(n)),
+        i => md5(concat_ws(" ", slice(col("toks"), i + lit(1), lit(n))))))
+        .as(Seq("pos", "gram_h")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    pos.join(benchGrams, Seq("gram_h"))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("id"), col("grp"))
+      .agg(min(col("pos")).cast("long").as("start_tok"),
+        (max(col("pos")) + lit(n - 1)).cast("long").as("end_tok"),
+        count(lit(1)).as("n_grams"))
+      .select(col("id").as(idCol), col("start_tok"), col("end_tok"),
+        col("n_grams"))
+  }
+
+  /** Scrub ONLY the contaminated spans — the curation-grade
+    * decontamination: the page survives with the benchmark quote
+    * excised, instead of the whole doc dropping ([[contaminated]]'s
+    * blunt rule wastes every clean token around a one-line quote).
+    * Composes [[contaminatedSpans]] with [[Dedup.scrubRepeatedSpans]];
+    * returns (idCol, scrubbed, n_kept) over ALL input docs (clean docs
+    * pass through with their full token count). */
+  def scrubContaminatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                             bench: DataFrame, benchIdCol: String,
+                             benchTextCol: String, n: Int = 8,
+                             broadcastBench: Boolean = true): DataFrame =
+    Dedup.scrubRepeatedSpans(docs, idCol, textCol,
+      contaminatedSpans(docs, idCol, textCol,
+        benchGramSet(bench, benchIdCol, benchTextCol, n), n, broadcastBench))
+
   /** FUZZY decontamination via MinHash bands — the paraphrase-robust
     * complement to [[ngramOverlap]]: exact n-gram collision misses a
     * benchmark answer that was lightly rewritten, but a rewrite that

@@ -161,11 +161,15 @@ object Splits {
       .select(col(aCol), col(bCol), col("split_a"), col("split_b"))
   }
 
-  /** Token-budget sequence packing: within each (split, shard) lane,
-    * docs pack greedily in id order — bin = exclusive-prefix-sum of
-    * token counts over the lane, integer-divided by `budget` (so a bin
-    * holds docs until their combined tokens cross the budget; one doc
-    * may straddle, the standard drop-or-truncate point downstream).
+  /** Token-budget sequence packing over a PRECOMPUTED per-doc count —
+    * the pluggable-counter face of packing: any counter (whitespace
+    * tokens, trained BPE/Unigram SUBWORDS, characters) produces an
+    * (id, count) frame and this stage bins it. Within each (split,
+    * shard) lane, docs pack greedily in id order — bin =
+    * exclusive-prefix-sum of counts over the lane, integer-divided by
+    * `budget` (so a bin holds docs until their combined tokens cross
+    * the budget; one doc may straddle, the standard drop-or-truncate
+    * point downstream).
     *
     * The lane window is the packing semantics, not an implementation
     * shortcut: packing is inherently a sequential scan, and `shards`
@@ -174,13 +178,15 @@ object Splits {
     * task parallelism; membership stays deterministic because the lane
     * key (id mod shards) and the order (id) are content-addressed, not
     * partition-addressed. */
-  def packTokens(docs: DataFrame, idCol: String, textCol: String,
-                 budget: Int = 1000, shards: Int = 8,
-                 cuts: Seq[(String, Double)] = Seq(
-                   ("train", 0.8), ("val", 0.9), ("test", 1.0))): DataFrame = {
-    val withSplit = assign(docs, idCol, cuts)
+  def packCounted(counts: DataFrame, idCol: String, countCol: String,
+                  budget: Int = 1000, shards: Int = 8,
+                  cuts: Seq[(String, Double)] = Seq(
+                    ("train", 0.8), ("val", 0.9), ("test", 1.0))): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(shards > 0, "shards must be positive")
+    val withSplit = assign(counts, idCol, cuts)
       .withColumn("shard", pmod(col(idCol).cast("long"), lit(shards.toLong)))
-      .withColumn("n_tokens", size(TextOps.tokens(col(textCol))).cast("long"))
+      .withColumn("n_tokens", col(countCol).cast("long"))
     val lane = Window.partitionBy("split", "shard").orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     withSplit
@@ -188,5 +194,73 @@ object Splits {
       .withColumn("bin", (col("prior") / lit(budget.toLong)).cast("long"))
       .select(col(idCol), col("split"), col("shard"), col("n_tokens"),
         col("bin"))
+  }
+
+  /** [[packCounted]] with the train-free whitespace counter — the
+    * estimation-grade default (a real pretrain pipeline budgets by its
+    * TRAINED tokenizer's subwords: [[packSubwords]]). */
+  def packTokens(docs: DataFrame, idCol: String, textCol: String,
+                 budget: Int = 1000, shards: Int = 8,
+                 cuts: Seq[(String, Double)] = Seq(
+                   ("train", 0.8), ("val", 0.9), ("test", 1.0))): DataFrame =
+    packCounted(
+      docs.select(col(idCol),
+        size(TextOps.tokens(col(textCol))).cast("long").as("__n_ws")),
+      idCol, "__n_ws", budget, shards, cuts)
+
+  /** [[packCounted]] under a TRAINED unigram tokenizer — the budget a
+    * pretrain pipeline actually packs by is subwords of the tokenizer
+    * it will train with, not whitespace tokens (a CJK or code-heavy
+    * doc is several subwords per "word"; budgeting by whitespace
+    * over-packs it). Counting is [[Unigram.subwordCounts]]: one narrow
+    * Viterbi map with the vocab broadcast, then the same lane window —
+    * the whole stage adds zero extra shuffles over [[packTokens]]. */
+  def packSubwords(docs: DataFrame, idCol: String, textCol: String,
+                   pieces: Array[Unigram.Piece],
+                   budget: Int = 1000, shards: Int = 8,
+                   cuts: Seq[(String, Double)] = Seq(
+                     ("train", 0.8), ("val", 0.9), ("test", 1.0))): DataFrame =
+    packCounted(
+      Unigram.subwordCounts(docs, idCol, textCol, pieces)
+        .withColumnRenamed("id", idCol),
+      idCol, "n_subwords", budget, shards, cuts)
+
+  /** [[packSubwords]] for a trained BPE merge table. */
+  def packSubwordsBpe(docs: DataFrame, idCol: String, textCol: String,
+                      merges: Seq[(String, String)],
+                      budget: Int = 1000, shards: Int = 8,
+                      cuts: Seq[(String, Double)] = Seq(
+                        ("train", 0.8), ("val", 0.9), ("test", 1.0))): DataFrame =
+    packCounted(
+      Bpe.subwordCounts(docs, idCol, textCol, merges)
+        .withColumnRenamed("id", idCol),
+      idCol, "n_subwords", budget, shards, cuts)
+
+  /** Temperature mixing by a WEIGHT column instead of doc count — the
+    * subword-budget face of [[mixByTemperature]]: per-source mass is
+    * Σ weight (e.g. trained-tokenizer subword counts, the mass a
+    * pretrain mixture actually balances), so keep rate r_s =
+    * (w_min / w_s)^(1−alpha) — token-weighted temperature flattening.
+    * Same scale shape: one tiny per-source aggregate broadcast back;
+    * the corpus never shuffles. alpha = 0.5 routes through `sqrt`
+    * (IEEE-exact, oracle-gated); membership is content-addressed. */
+  def mixByTemperatureWeighted(df: DataFrame, idCol: String,
+                               sourceCol: String, weightCol: String,
+                               alpha: Double = 0.5,
+                               salt: String = "mix"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    val counts = df.groupBy(col(sourceCol))
+      .agg(sum(col(weightCol).cast("long")).as("w_src"))
+    val withMin = counts.crossJoin(
+      broadcast(counts.agg(min(col("w_src")).as("w_min"))))
+    val ratio = col("w_min").cast("double") / col("w_src").cast("double")
+    val rate =
+      if (alpha == 0.5) sqrt(ratio)
+      else if (alpha == 1.0) lit(1.0)
+      else pow(ratio, lit(1.0 - alpha))
+    val rates = withMin.select(col(sourceCol), rate.as("mix_rate"))
+    val f = hashFrac(concat(col(idCol).cast("string"), lit(":" + salt)))
+    df.join(broadcast(rates), Seq(sourceCol))
+      .filter(f < col("mix_rate"))
   }
 }

@@ -204,6 +204,18 @@ object Unigram {
       .sortBy(_._1).map { case (p, s) => Piece(p, s) }
   }
 
+  /** Per-doc subword count under a trained/pinned vocabulary:
+    * (id, n_subwords) — the TOKEN-BUDGET counter for packing/mixing
+    * ([[Splits.packSubwords]], [[Splits.mixByTemperatureWeighted]]):
+    * training budgets are denominated in the tokenizer's subwords, so
+    * the pack/mix stage must count those, not whitespace tokens. Same
+    * narrow broadcast-vocab map as [[encode]], count kept instead of
+    * the array (no array bytes ever shuffle). */
+  def subwordCounts(docs: DataFrame, idCol: String, textCol: String,
+                    pieces: Array[Piece]): DataFrame =
+    encode(docs, idCol, textCol, pieces)
+      .select(col("id"), size(col("subwords")).cast("long").as("n_subwords"))
+
   /** Tokenize with a trained/pinned vocabulary: (id, subwords). One
     * narrow map, vocab broadcast — embarrassingly parallel. */
   def encode(docs: DataFrame, idCol: String, textCol: String,

@@ -760,6 +760,74 @@ object Streaming {
                      pieces: Array[graft.operators.Unigram.Piece]): DataFrame =
     graft.operators.Unigram.encode(stream, idCol, textCol, pieces)
 
+  /** State of [[ingestPackSubwords]]: `packed` accumulates the binned
+    * docs; `totals` is one row per (split, shard) lane — its running
+    * token total, the only cross-batch memory packing needs. */
+  case class PackIngestState(packed: DataFrame, totals: DataFrame,
+                             addsSinceCompact: Int = 0)
+
+  /** Subword-budget packing AT INGEST — doc_pack_subword's streaming
+    * twin: each microbatch is tokenized with the broadcast vocabulary
+    * ([[graft.operators.Unigram.subwordCounts]]), splits/shards are
+    * content-addressed exactly as in batch, and the bin is the batch
+    * rule's exclusive prefix sum — the batch-LOCAL lane window plus
+    * the lane's RUNNING total carried in state (lane-count-sized: one
+    * row per (split, shard)). With id-ordered arrival this reproduces
+    * [[graft.operators.Splits.packSubwords]] batch-for-batch (stream ≡
+    * batch pinned in StreamingSpec). Per-batch shuffle: one lane
+    * window over the batch + a broadcast join against the tiny totals
+    * frame. */
+  def ingestPackSubwords(stream: DataFrame, idCol: String, textCol: String,
+                         pieces: Array[graft.operators.Unigram.Piece],
+                         budget: Int, shards: Int,
+                         state: java.util.concurrent.atomic.AtomicReference[PackIngestState],
+                         cuts: Seq[(String, Double)] = Seq(
+                           ("train", 0.8), ("val", 0.9), ("test", 1.0)))
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(budget > 0, s"ingestPackSubwords: budget must be positive")
+    require(shards > 0, s"ingestPackSubwords: shards must be positive")
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val st = state.get()
+          val counted = graft.operators.Unigram
+            .subwordCounts(batch, idCol, textCol, pieces)
+            .withColumnRenamed("id", idCol)
+          val withSplit = graft.operators.Splits.assign(counted, idCol, cuts)
+            .withColumn("shard",
+              pmod(col(idCol).cast("long"), lit(shards.toLong)))
+            .withColumn("n_tokens", col("n_subwords"))
+          val lane = org.apache.spark.sql.expressions.Window
+            .partitionBy("split", "shard").orderBy(col(idCol))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+          val packedBatch = withSplit
+            .withColumn("__bprior",
+              coalesce(sum(col("n_tokens")).over(lane), lit(0L)))
+            .join(broadcast(st.totals), Seq("split", "shard"), "left")
+            .withColumn("prior", col("__bprior") + coalesce(col("tok"), lit(0L)))
+            .withColumn("bin", (col("prior") / lit(budget.toLong)).cast("long"))
+            .select(col(idCol), col("split"), col("shard"), col("n_tokens"),
+              col("bin"))
+            .localCheckpoint(true)
+          // derive totals from the CHECKPOINTED packed frame: a lazy
+          // aggregate over the raw batch would re-scan the source on a
+          // later evaluation, when it holds more rows (the foreachBatch
+          // re-evaluation trap every state frame here guards against)
+          val batchTotals = packedBatch.groupBy("split", "shard")
+            .agg(sum("n_tokens").as("tok"))
+          val (packed, n) = graft.index.Lineage.compact(
+            st.packed.unionByName(packedBatch), st.addsSinceCompact)
+          val (totals, _) = graft.index.Lineage.compact(
+            st.totals.unionByName(batchTotals)
+              .groupBy("split", "shard").agg(sum("tok").as("tok")),
+            st.addsSinceCompact)
+          state.set(PackIngestState(packed, totals, n))
+        }
+      }
+      .start()
+  }
+
   /** Point-in-interval enrichment at ingest —
     * [[graft.operators.RangeJoin.pointInInterval]] as a STREAM-STATIC
     * join: streaming points (event timestamps, packed IPs) against a

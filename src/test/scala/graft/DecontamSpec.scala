@@ -79,4 +79,33 @@ class DecontamSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"expected broadcast of the benchmark gram set:\n$plan")
   }
+
+  test("span scrub excises exactly the planted benchmark quote, keeps the rest") {
+    import spark.implicits._
+    // bench doc = the quote; candidate 1 embeds it mid-page, candidate
+    // 2 is clean, candidate 3 is the quote twice with clean gaps
+    val quote = "the quick brown fox jumps over lazy dogs"
+    val bench = Seq((0L, quote)).toDF("doc_id", "text")
+    val pre = "alpha beta gamma delta epsilon"
+    val post = "zeta eta theta iota kappa"
+    val cand = Seq(
+      (1L, s"$pre $quote $post"),
+      (2L, s"$pre $post"),
+      (3L, s"$quote one two three four five six seven $quote"))
+      .toDF("doc_id", "text")
+    val spans = Decontam.contaminatedSpans(cand, "doc_id", "text",
+        Decontam.benchGramSet(bench, "doc_id", "text", 3), n = 3)
+      .select($"doc_id", $"start_tok", $"end_tok")
+      .as[(Long, Long, Long)].collect().toSet
+    // quote = 8 tokens; in doc 1 it occupies positions 5..12
+    assert(spans == Set((1L, 5L, 12L), (3L, 0L, 7L), (3L, 15L, 22L)), spans)
+    val scrubbed = Decontam.scrubContaminatedSpans(cand, "doc_id", "text",
+        bench, "doc_id", "text", n = 3)
+      .select($"doc_id", $"scrubbed", $"n_kept")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(scrubbed(1L) == (s"$pre $post", 10L), scrubbed(1L))
+    assert(scrubbed(2L) == (s"$pre $post", 10L))
+    assert(scrubbed(3L) == ("one two three four five six seven", 7L))
+  }
 }

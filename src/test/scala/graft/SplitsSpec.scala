@@ -188,4 +188,71 @@ class SplitsSpec extends SparkSpec {
       .collect().toMap
     assert(again == base)
   }
+
+  test("packSubwords budgets by Viterbi subword counts, not whitespace") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text").cache()
+    val pieces = SparkEntry.UnigramPinned
+    val sub = Splits.packSubwords(docs, "doc_id", "text", pieces,
+        budget = 500, shards = 4)
+      .select($"doc_id", $"n_tokens", $"bin")
+      .as[(Long, Long, Long)].collect()
+    assert(sub.nonEmpty)
+    // per-doc counts equal an independently computed segment-and-sum
+    val vmap = pieces.map(p => p.piece -> p.score).toMap
+    val maxLen = pieces.map(_.piece.length).max
+    val unk = pieces.map(_.score).min - 1000000L
+    val direct = docs.as[(Long, String)].collect().map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty)
+        .map(w => graft.operators.Unigram.segment(w, vmap, maxLen, unk)
+          ._1.length.toLong).sum
+    }.toMap
+    sub.foreach { case (id, n, _) =>
+      assert(n == direct(id), s"doc $id: packed $n vs direct ${direct(id)}")
+    }
+    // subword counts differ from whitespace counts (the budget is a
+    // different denomination, not a relabeling)
+    val ws = Splits.packTokens(docs, "doc_id", "text", budget = 500,
+        shards = 4)
+      .select($"doc_id", $"n_tokens").as[(Long, Long)].collect().toMap
+    assert(sub.count { case (id, n, _) => n != ws(id) } > sub.length / 2)
+    // BPE variant packs by its own denomination and stays consistent
+    val ms = graft.operators.Bpe.train(docs.limit(40), "text",
+      numMerges = 8, maxWords = 100).map(m => (m.left, m.right))
+    val bpe = Splits.packSubwordsBpe(docs, "doc_id", "text", ms,
+        budget = 500, shards = 4)
+      .select($"doc_id", $"n_tokens").as[(Long, Long)].collect().toMap
+    val enc = graft.operators.Bpe.encode(docs, "doc_id", "text", ms)
+      .select($"id", size($"subwords").cast("long")).as[(Long, Long)]
+      .collect().toMap
+    assert(bpe == enc)
+  }
+
+  test("mixByTemperatureWeighted: keep rates track token mass, not doc count") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"source", $"text").cache()
+    val w = docs.withColumn("wt",
+      size(graft.operators.TextOps.tokens($"text")).cast("long"))
+    val kept = Splits.mixByTemperatureWeighted(w, "doc_id", "source", "wt",
+      alpha = 0.5)
+    // per-source kept token mass ∝ sqrt-flattened: rate_s ≈ sqrt(w_min/w_s)
+    val mass = w.groupBy("source").agg(sum($"wt").as("m")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wMin = mass.values.min.toDouble
+    val keptN = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totalN = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    mass.foreach { case (s, m) =>
+      val expRate = math.sqrt(wMin / m.toDouble)
+      val gotRate = keptN.getOrElse(s, 0L).toDouble / totalN(s)
+      assert(math.abs(gotRate - expRate) < 0.25,
+        s"$s: got $gotRate expected ~$expRate")
+    }
+    // content-addressed: repartition-stable membership
+    val a = kept.select($"doc_id").as[Long].collect().toSet
+    val b = Splits.mixByTemperatureWeighted(w.repartition(11), "doc_id",
+      "source", "wt", alpha = 0.5).select($"doc_id").as[Long].collect().toSet
+    assert(a == b)
+  }
 }

@@ -865,4 +865,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSet == batch.toSet)
     assert(batch.nonEmpty)
   }
+
+  test("streaming subword packing equals batch packSubwords") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streaming.PackIngestState
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text").cache()
+    val pieces = SparkEntry.UnigramPinned
+    val schema = "doc_id LONG, split STRING, shard LONG, n_tokens LONG, bin LONG"
+    val state = new java.util.concurrent.atomic.AtomicReference(
+      PackIngestState(
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(schema)),
+        Seq.empty[(String, Long, Long)].toDF("split", "shard", "tok")))
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.ingestPackSubwords(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", pieces,
+      budget = 1000, shards = 8, state)
+    // id-ordered arrival over 5 microbatches — the packing order
+    // assumption, batch boundaries cutting lanes mid-bin
+    val rows = docs.orderBy($"doc_id").as[(Long, String)].collect()
+    rows.grouped(rows.length / 5 + 1).foreach { chunk =>
+      mem.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = state.get().packed
+      .select($"doc_id", $"split", $"shard", $"n_tokens", $"bin")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    val batch = graft.operators.Splits.packSubwords(docs, "doc_id", "text",
+        pieces, budget = 1000, shards = 8)
+      .select($"doc_id", $"split", $"shard", $"n_tokens", $"bin")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+    // the lane totals agree with the packed frame
+    val totals = state.get().totals.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val fromPacked = batch.groupBy(t => (t._2, t._3))
+      .view.mapValues(_.toSeq.map(_._4).sum).toMap
+    assert(totals == fromPacked)
+  }
 }
