@@ -180,21 +180,33 @@ object KnnGraphScaleSmoke extends Serializable {
     qgraph.unpersist()
     bq.codes.unpersist()
 
-    // ---- SemDeDup end-to-end at the planted threshold
-    Thread.sleep(500)
-    val before2 = shuffleBytes.get()
-    val (nKept, semS) = timed {
-      operators.Dedup.semdedup(emb, "vec_id", "embedding",
-        model.centroids, maxCosDist = 0.05).count()
+    // ---- SemDeDup end-to-end at the planted threshold: A/B of the
+    // single-assignment scan (marginSq = 1, the r8 behavior — planted
+    // recall 0.992, the 0.008 being cell-boundary straddle) vs top-2
+    // multi-assignment (the boundary repair), with the extra pair cost
+    // measured
+    for ((label, msq) <- Seq(("single", 1.0), ("multi", 1.5))) {
+      Thread.sleep(500)
+      val before2 = shuffleBytes.get()
+      val ((nKept, nPairs), semS) = timed {
+        val kept = operators.Dedup.semdedup(emb, "vec_id", "embedding",
+          model.centroids, maxCosDist = 0.05, marginSq = msq).count()
+        val pairs = operators.Dedup.semanticPairsMulti(
+          graft.index.IVFFlat.assignMulti(emb, "vec_id", "embedding",
+            model.centroids, msq), maxCosDist = 0.05).count()
+        (kept, pairs)
+      }
+      Thread.sleep(500)
+      out += s"semdedup_${label}_s" -> f"$semS%.1f"
+      out += s"semdedup_${label}_shuffle_mb" ->
+        ((shuffleBytes.get() - before2) / (1L << 20)).toString
+      out += s"semdedup_${label}_kept" -> nKept.toString
+      out += s"semdedup_${label}_pairs" -> nPairs.toString
+      // every planted copy should lose to its base (or a fellow copy)
+      val removed = (nBase + nDup) - nKept
+      out += s"semdedup_${label}_removed" -> removed.toString
+      out += s"semdedup_${label}_planted_recall" -> f"${removed.toDouble / nDup}%.3f"
     }
-    Thread.sleep(500)
-    out += "semdedup_s" -> f"$semS%.1f"
-    out += "semdedup_shuffle_mb" -> ((shuffleBytes.get() - before2) / (1L << 20)).toString
-    out += "semdedup_kept" -> nKept.toString
-    // every planted copy should lose to its base (or a fellow copy)
-    val removed = (nBase + nDup) - nKept
-    out += "semdedup_removed" -> removed.toString
-    out += "semdedup_planted_recall" -> f"${removed.toDouble / nDup}%.3f"
 
     println(out.map { case (kk, vv) => s""""$kk":$vv""" }
       .mkString("KNNGRAPH_SMOKE {", ",", "}"))

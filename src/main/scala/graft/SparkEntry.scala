@@ -182,6 +182,92 @@ object SparkEntry {
       .filter(col("word").rlike("^[a-z]{1,12}$"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
+  /** Formula-pinned PNG fixture for the image-pHash lanes: 24 real
+    * 64×64 PNGs — ids 0–7 smooth quadratic-hill "photos" (distinct
+    * centers), 100–107 near-duplicates of them (sparse +6 luminance
+    * perturbation — a re-encode-grade change), 200–207 unrelated
+    * stripe patterns. Pixels are integer formulas and PNG is lossless,
+    * so the decoded grids — and therefore the pHashes — are exact
+    * across JVMs; the oracle pins the resulting 64-bit values. */
+  private[graft] def imageFixtureRows(): Seq[(Long, Array[Byte])] = {
+    def png(gray: (Int, Int) => Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 64) {
+        var x = 0
+        while (x < 64) {
+          val g = math.max(0, math.min(255, gray(x, y)))
+          im.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    // photo-like texture: 10 deterministic ±110 bumps per image (pHash
+    // needs mid-frequency content — smooth polynomial fields project
+    // onto so few DCT modes that distinct images collide)
+    def mix64(x0: Long): Long = {
+      var x = x0
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    def photo(i: Int)(x: Int, y: Int): Int = {
+      var g = 128
+      var b = 0
+      while (b < 10) {
+        val h = mix64(i.toLong * 1000003L + b * 7919L + 17L)
+        val cx = java.lang.Long.remainderUnsigned(h, 64L).toInt
+        val cy = java.lang.Long.remainderUnsigned(h >>> 17, 64L).toInt
+        val amp = if ((h >>> 40) % 2 == 0) 110 else -110
+        val d2 = (x - cx) * (x - cx) + (y - cy) * (y - cy)
+        if (d2 < 144) g += amp * (144 - d2) / 144
+        b += 1
+      }
+      g
+    }
+    val bases = (0 until 8).map(i => (i.toLong, png(photo(i))))
+    val nears = (0 until 8).map { i =>
+      (100L + i, png((x, y) =>
+        if (x >= 20 && x < 32 && y >= 20 && y < 32) photo(i)(x, y) + 10
+        else photo(i)(x, y)))
+    }
+    val stripes = (0 until 8).map { i =>
+      (200L + i, png((x, y) => (x * (i + 2) + y * (2 * i + 3)) % 256))
+    }
+    bases ++ nears ++ stripes
+  }
+
+  /** [[ImagePhashPinned]] rendered as SQL VALUES rows. */
+  private def imagePhashValuesSql: String =
+    ImagePhashPinned.map { case (id, p) => s"($id, $p)" }.mkString(", ")
+
+  /** The fixture's pHashes, pinned: pixel formulas are integers, PNG is
+    * lossless, and [[graft.operators.Multimodal.phash64]] uses
+    * StrictMath — the values are exact across JVMs, so the oracle can
+    * carry them as literals and independently replay everything
+    * DOWNSTREAM of the hash (the pigeonhole pair join) in SQL.
+    * Near-dups (100+i) sit within 2 bits of their base; distinct
+    * images are ≥ 21 bits apart (measured; the lanes' maxHamming = 6
+    * threshold splits them with margin). */
+  private[graft] val ImagePhashPinned: Seq[(Long, Long)] = Seq(
+    0L -> 4918859198488328441L, 1L -> 6001584936999206547L,
+    2L -> 7014756685250553841L, 3L -> 8689618345118009125L,
+    4L -> 2020711166446931191L, 5L -> -3388424573836059L,
+    6L -> 6140053441340206537L, 7L -> -1968121547774342205L,
+    100L -> 4918859198488328441L, 101L -> 6217757719112990355L,
+    102L -> 4717920875291600881L, 103L -> 8689688713862186789L,
+    104L -> 2020711166446931191L, 105L -> -3388424573836059L,
+    106L -> 6140053441340206537L, 107L -> -1968121547774342205L,
+    200L -> 9205199135485654249L, 201L -> -88796724103101L,
+    202L -> -65905095884134913L, 203L -> -5197259386906457375L,
+    204L -> -60047170030190699L, 205L -> 9140195998703452715L,
+    206L -> -6124988950286215937L, 207L -> 9079068839773798175L)
+
   /** Writes the jsonl_* fixture: 40 formula-pinned lines — ids 0–19 in
     * a plain shard, 20–39 gzipped (the published-corpus shape), every
     * 9th line truncated mid-string. Returns the directory. */
@@ -1111,8 +1197,9 @@ object SparkEntry {
     "dedup_semantic_pairs" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val cents = fixedCentroids(emb)
-      Dedup.semanticPairs(
-          IVFFlat.assign(emb, "vec_id", "embedding", cents), maxCosDist = 0.7)
+      Dedup.semanticPairsMulti(
+          IVFFlat.assignMulti(emb, "vec_id", "embedding", cents,
+            marginSq = 1.5), maxCosDist = 0.7)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -2096,6 +2183,30 @@ object SparkEntry {
           length(col("content")).cast("long").as("n_bytes"),
           md5(col("content")).as("digest"))
         .orderBy(col("id"))
+    }),
+
+    // 64-bit DCT pHash over REAL in-lane PNG fixtures (decode →
+    // 32×32 luminance → DCT 8×8 → sign-of-mean bits). Pixels come from
+    // pinned integer formulas and PNG is lossless, so the hashes are
+    // exact across JVMs — the oracle carries them as pinned literals
+    // (ImagePhashPinned; the DOWNSTREAM pair join is replayed fully in
+    // SQL by dedup_image_phash).
+    "image_phash" -> ((s, dir) => {
+      import s.implicits._
+      val media = imageFixtureRows().toDF("id", "content")
+      graft.operators.Multimodal.imagePhash(media).orderBy(col("id"))
+    }),
+
+    // Image near-dup pairs: the SimHash 64-bit pigeonhole join over the
+    // pHash fingerprints (hamming ≤ 6 ⇒ some 7-chunk matches exactly —
+    // equi-join, never all-pairs). The oracle recomputes every pair
+    // naively over the pinned hashes: the chunk-join must equal the
+    // full quadratic scan.
+    "dedup_image_phash" -> ((s, dir) => {
+      import s.implicits._
+      val media = imageFixtureRows().toDF("id", "content")
+      graft.operators.Dedup.imagePhashPairs(media, maxHamming = 6)
+        .orderBy(col("doc_a"), col("doc_b"))
     }),
 
     // The .vec source under the driver oracle (sources/VecFile —
@@ -3171,23 +3282,41 @@ object SparkEntry {
     * assignment (argmin, cid tie-break — the IVFFlat.assign contract)
     * then within-cell cosine-distance pairs below 0.7 (the
     * cosineDistance = 1 − dot kernel of the dedup_embed oracle). */
+  /** Multi-assignment SemDeDup CTEs (IVFFlat.assignMulti, marginSq =
+    * 1.5): every vector keeps its nearest cell; the second-nearest
+    * joins when d₂ ≤ 1.5·d₁ (the cell-boundary repair). Pairs join on
+    * shared cells and emit once via the first-shared-cell rule. */
   private val semanticPairsCtes: String =
     """cent AS (
       |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
-      |assigned AS (
-      |  SELECT c.vec_id AS id, c.embedding AS vec, k.cid
-      |  FROM embeddings c CROSS JOIN cent k
-      |  QUALIFY row_number() OVER (PARTITION BY c.vec_id ORDER BY
+      |ranked AS (
+      |  SELECT c.vec_id AS id, c.embedding AS vec, k.cid,
       |    list_reduce(list_transform(list_zip(k.cvec, c.embedding),
       |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
-      |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (a,b) -> a+b),
-      |    k.cid) = 1),
+      |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (a,b) -> a+b) AS d,
+      |    row_number() OVER (PARTITION BY c.vec_id ORDER BY
+      |      list_reduce(list_transform(list_zip(k.cvec, c.embedding),
+      |        x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+      |           * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (a,b) -> a+b),
+      |      k.cid) AS rn
+      |  FROM embeddings c CROSS JOIN cent k),
+      |passigned AS (
+      |  SELECT id, vec, cid FROM ranked WHERE rn = 1
+      |  UNION ALL
+      |  SELECT r2.id, r2.vec, r2.cid FROM ranked r2
+      |  JOIN ranked r1 ON r2.id = r1.id AND r1.rn = 1
+      |  WHERE r2.rn = 2 AND r2.d <= 1.5 * r1.d),
+      |cellsets AS (SELECT id, list_sort(list(cid)) AS cells
+      |  FROM passigned GROUP BY id),
       |sempairs AS (
       |  SELECT l.id AS id_a, r.id AS id_b,
       |    1.0 - list_reduce(list_transform(list_zip(l.vec, r.vec),
       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, b) -> a + b) AS distance
-      |  FROM assigned l JOIN assigned r ON l.cid = r.cid AND l.id < r.id
-      |  WHERE 1.0 - list_reduce(list_transform(list_zip(l.vec, r.vec),
+      |  FROM passigned l JOIN passigned r ON l.cid = r.cid AND l.id < r.id
+      |  JOIN cellsets cl ON cl.id = l.id
+      |  JOIN cellsets cr ON cr.id = r.id
+      |  WHERE l.cid = list_min(list_intersect(cl.cells, cr.cells))
+      |    AND 1.0 - list_reduce(list_transform(list_zip(l.vec, r.vec),
       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, b) -> a + b) < 0.7)""".stripMargin
 
   /** Shared CTE prefix of the dedup_spans* oracles: 0-based 5-gram
@@ -4215,6 +4344,23 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS digest
         |FROM documents ORDER BY id""".stripMargin,
+
+    "image_phash" ->
+      s"""SELECT CAST(id AS BIGINT) AS id, CAST(phash AS BIGINT) AS phash
+         |FROM (VALUES $imagePhashValuesSql) AS v(id, phash)
+         |ORDER BY id""".stripMargin,
+
+    // full quadratic hamming scan over the pinned hashes — the
+    // pigeonhole chunk join must equal it exactly
+    "dedup_image_phash" ->
+      s"""WITH fp AS (SELECT CAST(id AS BIGINT) AS id,
+         |    CAST(phash AS BIGINT) AS phash
+         |  FROM (VALUES $imagePhashValuesSql) AS v(id, phash))
+         |SELECT a.id AS doc_a, b.id AS doc_b,
+         |  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+         |FROM fp a JOIN fp b ON a.id < b.id
+         |WHERE bit_count(xor(a.phash, b.phash)) <= 6
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // ground truth = the fixture formula: raw(i,j) = (7i+3j) mod 11 − 5,
     // L2-normalized with the REAL round-trip (normalizeF replica),

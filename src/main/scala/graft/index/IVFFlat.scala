@@ -331,6 +331,51 @@ object IVFFlat {
       .toDF("id", "vector", "cluster")
   }
 
+  /** Multi-assignment for boundary vectors — the SemDeDup
+    * cell-boundary repair (VERDICT r8 #3): a vector whose
+    * second-nearest cell is within the margin (d₂ ≤ marginSq·d₁ on
+    * squared distances, i.e. distance ratio ≤ √marginSq) is assigned
+    * to BOTH cells, so an ε-duplicate pair straddling a k-means cell
+    * boundary still shares a cell in the pair scan. Emits one row per
+    * assigned cell plus the row's full sorted cell-set `cells` — pair
+    * generators emit each pair once via the first-shared-cell rule
+    * (cluster == min(cells_a ∩ cells_b), the
+    * [[graft.operators.RangeJoin]] proration idiom). marginSq = 1
+    * degenerates to single assignment (ties only); pair-space cost
+    * grows by the boundary fraction, never quadratically. Same narrow
+    * broadcast-centroid shape as [[assign]]. */
+  def assignMulti(emb: DataFrame, idCol: String, vecCol: String,
+                  centroids: Array[Array[Float]],
+                  marginSq: Double = 1.5): DataFrame = {
+    require(marginSq >= 1.0, s"marginSq must be >= 1, got $marginSq")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    emb.select(col(idCol).cast("long").as("id"),
+               col(vecCol).cast("array<float>").as("vector"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        val cents = bc.value
+        var best = 0; var bestD = Double.MaxValue
+        var second = -1; var secondD = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          val d = sqDistLocal(cents(c), v)
+          if (d < bestD) {
+            second = best; secondD = bestD
+            best = c; bestD = d
+          } else if (d < secondD) { second = c; secondD = d }
+          c += 1
+        }
+        val cells =
+          if (second >= 0 && secondD <= marginSq * bestD)
+            Array(math.min(best, second), math.max(best, second))
+          else Array(best)
+        cells.map(cell => (id, v, cell, cells))
+      }
+      .toDF("id", "vector", "cluster", "cells")
+  }
+
   /** One Lloyd's update step: per-cluster elementwise mean with the
     * reference's empty-cluster→zero-vector rule (ivfflat.rs:47-71),
     * via the [[graft.operators.VectorMean]] aggregator (map-side

@@ -522,6 +522,28 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
   }
 
+  /** IMAGE near-dup pairs via 64-bit DCT perceptual hash — the visual
+    * face of the dedup family (r8 gap #3: image-heavy corpora deduped
+    * only on exact bytes): fingerprints from
+    * [[Multimodal.imagePhash]] (decode → 32×32 luminance → DCT 8×8 →
+    * sign-of-mean bits; re-encode/resize survivable), pairs via the
+    * SAME 64-bit pigeonhole join as SimHash ([[simhashPairsOf]]:
+    * hamming ≤ maxHamming ⇒ some (maxHamming+1)-chunk matches exactly
+    * — an equi-join, never all-pairs). Emits (doc_a, doc_b, hamming);
+    * feed [[keepFirstByPairs]]/[[keepBestByPairs]] for survivors.
+    * Scale: fingerprint table is 8 B/image; the join cost is the
+    * pigeonhole bucket structure, exactly SimHash's. */
+  def imagePhashPairs(media: DataFrame, idCol: String = "id",
+                      contentCol: String = "content",
+                      maxHamming: Int = 6): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming=$maxHamming out of range [0,64)")
+    simhashPairsOf(
+      Multimodal.imagePhash(media, idCol, contentCol)
+        .select(col("id"), col("phash").as("sim")),
+      maxHamming, bits = 64)
+  }
+
   /** Embedding near-dup pairs via LSH-forest bucket prefilter — the
     * 100 TB path: candidates meet only inside a shared leaf bucket of
     * one of the forest's trees (equi-join on leaf paths, never
@@ -589,6 +611,31 @@ object Dedup {
       col("vector").cast("array<float>").as("vec"), col("cluster"))
     v.as("l").join(v.as("r"),
         col("l.cluster") === col("r.cluster") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        cosineDistance(col("l.vec"), col("r.vec")).as("distance"))
+      .filter(col("distance") < maxCosDist)
+  }
+
+  /** [[semanticPairs]] over a MULTI-assigned frame
+    * ([[graft.index.IVFFlat.assignMulti]]: one row per assigned cell +
+    * the row's sorted `cells` set) — the cell-boundary repair: an
+    * ε-dup pair straddling a cell boundary is invisible to the
+    * single-assignment scan (r8: 83 of 10,000 planted 1M dups
+    * survived exactly this way); with boundary vectors in both their
+    * top-2 cells the pair shares a cell again. Each pair emits EXACTLY
+    * once via the first-shared-cell rule — cluster ==
+    * min(cells_a ∩ cells_b), a per-row filter, no distinct shuffle
+    * (the [[RangeJoin]] proration idiom). Pair space grows only by
+    * the boundary fraction: Σ|cell∪boundary|², never corpus². */
+  def semanticPairsMulti(massigned: DataFrame,
+                         maxCosDist: Double = 0.2): DataFrame = {
+    val v = massigned.select(col("id").cast("long").as("id"),
+      col("vector").cast("array<float>").as("vec"), col("cluster"),
+      col("cells"))
+    v.as("l").join(v.as("r"),
+        col("l.cluster") === col("r.cluster") && col("l.id") < col("r.id"))
+      .filter(col("l.cluster") ===
+        array_min(array_intersect(col("l.cells"), col("r.cells"))))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         cosineDistance(col("l.vec"), col("r.vec")).as("distance"))
       .filter(col("distance") < maxCosDist)
@@ -684,6 +731,11 @@ object Dedup {
     * < `maxCosDist` → connected-component keep-first over the pair
     * graph. Returns the surviving rows of `emb` (all columns).
     *
+    * Boundary vectors multi-assign to their top-2 cells
+    * ([[graft.index.IVFFlat.assignMulti]], default marginSq = 1.5) so
+    * an ε-dup pair straddling a cell boundary still collides —
+    * marginSq = 1 recovers the single-assignment scan.
+    *
     * Survivor rule deviation from the paper (documented): SemDeDup keeps
     * the cluster member with the LOWEST similarity to its centroid; this
     * suite's uniform convention is keep-first by id (deterministic,
@@ -692,24 +744,30 @@ object Dedup {
     * chains of near-dups collapse to one survivor either way. */
   def semdedup(emb: DataFrame, idCol: String, vecCol: String,
                centroids: Array[Array[Float]],
-               maxCosDist: Double = 0.2): DataFrame = {
-    val assigned = graft.index.IVFFlat.assign(emb, idCol, vecCol, centroids)
-    keepFirstByPairs(emb, idCol, semanticPairs(assigned, maxCosDist),
+               maxCosDist: Double = 0.2,
+               marginSq: Double = 1.5): DataFrame = {
+    val massigned = graft.index.IVFFlat.assignMulti(emb, idCol, vecCol,
+      centroids, marginSq)
+    keepFirstByPairs(emb, idCol, semanticPairsMulti(massigned, maxCosDist),
       "id_a", "id_b")
   }
 
   /** Prefix-causal SemDeDup — the streaming-enforceable admission rule
     * ([[prefixKeepFirst]]'s semantic twin): drop a row iff ANY
-    * lower-id row of the same cell sits within `maxCosDist`, whether
-    * or not that row itself survives. Non-recursive (no component
+    * lower-id row sharing a cell sits within `maxCosDist`, whether
+    * or not that row itself survives. Boundary vectors multi-assign
+    * like [[semdedup]] (losers need no first-shared-cell dedup — the
+    * distinct absorbs double hits). Non-recursive (no component
     * closure), so a stream applying it row-by-row in id order decides
     * each admission ONCE and never retracts —
     * [[graft.streaming.Streaming.ingestSemdedup]] is the exact
     * streaming face, stream ≡ batch pinned in StreamingSpec. */
   def semanticPrefixKeepFirst(emb: DataFrame, idCol: String, vecCol: String,
                               centroids: Array[Array[Float]],
-                              maxCosDist: Double = 0.2): DataFrame = {
-    val assigned = graft.index.IVFFlat.assign(emb, idCol, vecCol, centroids)
+                              maxCosDist: Double = 0.2,
+                              marginSq: Double = 1.5): DataFrame = {
+    val assigned = graft.index.IVFFlat.assignMulti(emb, idCol, vecCol,
+      centroids, marginSq)
     val losers = assigned.as("l").join(assigned.as("r"),
         col("l.cluster") === col("r.cluster") && col("l.id") < col("r.id") &&
           cosineDistance(col("l.vector"), col("r.vector")) < maxCosDist)

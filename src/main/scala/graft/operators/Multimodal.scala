@@ -111,6 +111,97 @@ object Multimodal {
     }
   }
 
+  /** 64-bit perceptual hash (DCT pHash) — the image near-dup
+    * fingerprint: decode → 32×32 nearest-neighbor luminance grid
+    * (integer index math, same sampling discipline as [[imageFeature]])
+    * → 2-D DCT-II → keep the 8×8 low-frequency block → bit(u·8+v) set
+    * iff coeff(u,v) > mean of the 63 non-DC coefficients. Re-encodes,
+    * resizes, and format shifts preserve low-frequency structure, so
+    * near-identical images land within a few bits — exactly the
+    * property [[Dedup.imagePhashPairs]]'s pigeonhole join needs.
+    * Deterministic across JVMs: StrictMath cosine, integer pixel
+    * sampling, lossless PNG decode. None on undecodable bytes. */
+  private[graft] def phash64(content: Array[Byte]): Option[Long] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    img.filter(im => im.getWidth > 0 && im.getHeight > 0).map { im =>
+      val T = 32
+      val w = im.getWidth; val h = im.getHeight
+      val gray = new Array[Double](T * T)
+      var y = 0
+      while (y < T) {
+        var x = 0
+        while (x < T) {
+          val rgb = im.getRGB(x * w / T, y * h / T)
+          gray(y * T + x) = 0.299 * ((rgb >>> 16) & 0xFF) +
+            0.587 * ((rgb >>> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+          x += 1
+        }
+        y += 1
+      }
+      // C(u,v) = Σ_{x,y} gray(x,y)·cos(π(2x+1)u/2T)·cos(π(2y+1)v/2T),
+      // u,v < 8 — 64 coefficients over 1024 pixels, O(64·T²) with the
+      // cosine table hoisted
+      val cos = Array.tabulate(8, T)((u, x) =>
+        StrictMath.cos(StrictMath.PI * (2 * x + 1) * u / (2.0 * T)))
+      val coef = new Array[Double](64)
+      var u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          var s = 0.0
+          var yy = 0
+          while (yy < T) {
+            var xx = 0
+            val cu = cos(u)
+            val rowBase = yy * T
+            val cvy = cos(v)(yy)
+            while (xx < T) {
+              s += gray(rowBase + xx) * cu(xx) * cvy
+              xx += 1
+            }
+            yy += 1
+          }
+          coef(u * 8 + v) = s
+          v += 1
+        }
+        u += 1
+      }
+      var mean = 0.0
+      var i = 1
+      while (i < 64) { mean += coef(i); i += 1 }
+      mean /= 63.0
+      var bits = 0L
+      i = 0
+      while (i < 64) {
+        if (coef(i) > mean) bits |= (1L << i)
+        i += 1
+      }
+      bits
+    }
+  }
+
+  /** Perceptual-hash frame over a media table: (id, phash LONG) for
+    * every decodable image row — the fingerprint stage of image
+    * near-dup dedup (pairs via [[Dedup.imagePhashPairs]]). Narrow
+    * per-partition decode, one long per image leaves the scan —
+    * at 100 TB of images the fingerprint table is corpus-count × 8 B.
+    * Undecodable rows are dropped here (the quarantine pattern:
+    * anti-join this result against the input to surface them). */
+  def imagePhash(media: DataFrame, idCol: String = "id",
+                 contentCol: String = "content"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long").as("id"),
+        col(contentCol).cast("binary").as("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        phash64(bytes).map(p => (id, p))
+      })
+      .toDF("id", "phash")
+  }
+
   /** STUB decode+featurize kernel for the one modality the JDK has no
     * codec for (video): a deterministic PRNG seeded from the
     * content bytes stands in for a real decoder+encoder. Replace the body

@@ -201,11 +201,14 @@ object Streaming {
                                  addsSinceCompact: Int = 0)
 
   /** Streaming SemDeDup admission — [[ingestDedupMinhash]]'s semantic
-    * twin: each microbatch is assigned to its frozen k-means cell
-    * (broadcast centroids, narrow argmin), then drops (a) rows within
-    * `maxCosDist` of any SEEN same-cell row (state equi-join on
+    * twin: each microbatch is assigned to its frozen k-means cell(s)
+    * (broadcast centroids, narrow argmin; boundary vectors
+    * multi-assign to their top-2 cells exactly like the batch rule —
+    * [[graft.index.IVFFlat.assignMulti]]), then drops (a) rows within
+    * `maxCosDist` of any SEEN shared-cell row (state equi-join on
     * `cluster`, distance filtered inside the join — the
-    * [[graft.operators.Dedup.semanticPairs]] shape) and (b) rows
+    * [[graft.operators.Dedup.semanticPairsMulti]] shape; double hits
+    * via two shared cells are absorbed by the distinct) and (b) rows
     * within the threshold of a lower-id row in the SAME batch.
     * Survivors append to `admitted`; ALL batch rows append to `seen`.
     * With id-ordered arrival this reproduces the batch
@@ -215,14 +218,17 @@ object Streaming {
     * MinHash twin's. */
   def ingestSemdedup(stream: DataFrame, idCol: String, vecCol: String,
                      centroids: Array[Array[Float]], maxCosDist: Double,
-                     state: java.util.concurrent.atomic.AtomicReference[SemdedupIngestState])
+                     state: java.util.concurrent.atomic.AtomicReference[SemdedupIngestState],
+                     marginSq: Double = 1.5)
   : org.apache.spark.sql.streaming.StreamingQuery = {
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val st = state.get()
-          val b = graft.index.IVFFlat.assign(batch, idCol, vecCol, centroids)
+          val b = graft.index.IVFFlat.assignMulti(batch, idCol, vecCol,
+              centroids, marginSq)
+            .drop("cells")
             .localCheckpoint(true)
           val cosDist = (a: org.apache.spark.sql.Column,
                          c: org.apache.spark.sql.Column) =>

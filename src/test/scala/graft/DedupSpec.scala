@@ -429,6 +429,53 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("semantic multi-assignment catches the cell-boundary pair single-assign misses") {
+    import spark.implicits._
+    import graft.index.IVFFlat
+    import graft.operators.Dedup
+    // unit centroids at 0° and 90°; an ε-dup pair straddles the 45°
+    // boundary: one lands in cell 0, the other in cell 1 — invisible
+    // to the single-assignment scan, caught with top-2 multi-assign
+    def unit(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val cents = Array(unit(0), unit(90))
+    val emb = Seq(
+      (0L, unit(44)),  // nearest cell 0, boundary
+      (1L, unit(46)),  // nearest cell 1, boundary — ε-dup of 0
+      (2L, unit(1)),   // deep in cell 0
+      (3L, unit(89)))  // deep in cell 1
+      .toDF("vec_id", "embedding")
+    def pairsAt(marginSq: Double): Set[(Long, Long)] =
+      Dedup.semanticPairsMulti(
+          IVFFlat.assignMulti(emb, "vec_id", "embedding", cents, marginSq),
+          maxCosDist = 0.01)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val single = pairsAt(1.0)
+    val multi = pairsAt(1.5)
+    assert(!single.contains((0L, 1L)),
+      s"single-assign should miss the straddling pair: $single")
+    assert(multi.contains((0L, 1L)), s"multi-assign must catch it: $multi")
+    // no duplicate emissions when a pair shares BOTH cells
+    val both = Dedup.semanticPairsMulti(
+        IVFFlat.assignMulti(
+          Seq((0L, unit(44.5)), (1L, unit(45.5))).toDF("vec_id", "embedding"),
+          "vec_id", "embedding", cents, marginSq = 2.0),
+        maxCosDist = 1.0)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    assert(both.length == 1 && both.head == ((0L, 1L)), both.mkString(","))
+    // deep-cell rows never multi-assign: cells array stays length 1
+    val deep = IVFFlat.assignMulti(emb, "vec_id", "embedding", cents, 1.5)
+      .filter($"id".isin(2L, 3L)).select(size($"cells")).collect()
+    assert(deep.forall(_.getInt(0) == 1))
+    // end-to-end: semdedup collapses the boundary pair to one survivor
+    val survivors = Dedup.semdedup(emb, "vec_id", "embedding", cents,
+        maxCosDist = 0.01)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(survivors == Set(0L, 2L, 3L), survivors)
+  }
+
   test("neighborPairsByKey: keys without delta headroom raise, not wrap") {
     import spark.implicits._
     val rows = Seq((1L, Long.MaxValue - 2L), (2L, Long.MaxValue - 1L))

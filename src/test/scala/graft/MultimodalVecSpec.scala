@@ -252,4 +252,32 @@ class MultimodalVecSpec extends SparkSpec {
       rows(2).getLong(3) == 3000L && rows(2).getInt(4) == 320 &&
       rows(2).getInt(5) == 240 && rows(2).getString(6) == "V_AV1")
   }
+
+  test("pHash: near-identical images pair, distinct images do not, junk drops") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Multimodal}
+    val rows = SparkEntry.imageFixtureRows()
+    // planted perturbation stays within a couple of bits
+    val hs = rows.map { case (id, b) => id -> Multimodal.phash64(b).get }.toMap
+    (0 until 8).foreach { i =>
+      val d = java.lang.Long.bitCount(hs(i.toLong) ^ hs(100L + i))
+      assert(d <= 6, s"near-dup $i at hamming $d")
+    }
+    // every non-planted pair stays far apart
+    for ((a, ha) <- hs; (b, hb) <- hs if a < b && b != a + 100) {
+      val d = java.lang.Long.bitCount(ha ^ hb)
+      assert(d > 6, s"cross pair $a-$b unexpectedly close: $d")
+    }
+    // the pair generator finds each planted pair exactly once
+    val media = (rows :+ (999L, "not an image".getBytes)).toDF("id", "content")
+    val pairs = Dedup.imagePhashPairs(media, maxHamming = 6)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    assert(pairs.length == pairs.toSet.size, "duplicate emissions")
+    (0 until 8).foreach { i =>
+      assert(pairs.contains((i.toLong, 100L + i)), s"missing planted pair $i")
+    }
+    // undecodable bytes drop at the fingerprint stage, never crash
+    assert(!pairs.exists(p => p._1 == 999L || p._2 == 999L))
+    assert(Multimodal.imagePhash(media).count() == rows.length)
+  }
 }
