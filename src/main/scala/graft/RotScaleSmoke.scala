@@ -187,6 +187,37 @@ object RotScaleSmoke {
       pq.codes.unpersist()
     }
 
+    // ---- PQ under the TRAINED OPQ rotation (index/Opq: Procrustes
+    // alternation) — same storage, same Lloyd budget per alternation;
+    // the claim is recall above BOTH the plain and Hadamard rows on
+    // this decaying-spectrum corpus
+    {
+      val (opq, tT) = timed {
+        index.Opq.train(corpus, "vec_id", "embedding",
+          index.PQ.Params(m = 16, k = 256, iterations = 4, seed = seed),
+          opqIters = 3)
+      }
+      val rotCorpus = index.Opq.rotateFrame(corpus, "vec_id", "embedding",
+        opq.r).persist()
+      val (pq, tE) = timed {
+        val m = index.PQ.withCodebooks(rotCorpus, "id", "vector",
+          opq.cbs, opq.params)
+        m.codes.cache().count(); m
+      }
+      val rotQueries = index.Opq.rotateFrame(queries, "vec_id", "embedding",
+        opq.r)
+      val (res, tS) = timed {
+        val df = pq.searchMany(rotQueries, "id", "vector", k).cache()
+        df.count(); df
+      }
+      out += "pq_opq_train_s" -> f"$tT%.2f"
+      out += "pq_opq_encode_s" -> f"$tE%.2f"
+      out += "pq_opq_batch100_s" -> f"$tS%.2f"
+      out += "pq_opq_recall_at10" -> f"${recallOf(res, truth)}%.3f"
+      pq.codes.unpersist()
+      rotCorpus.unpersist()
+    }
+
     out.foreach { case (kk, v) => println(s"$kk=$v") }
     spark.stop()
   }

@@ -735,6 +735,28 @@ object SparkEntry {
         .orderBy(col("qid"), col("distance"), col("id"))
     }),
 
+    // PQ under an ARBITRARY-R rotation (the OPQ serving shape,
+    // index/Opq): corpus and queries pre-rotate through the pinned
+    // 3-4-5 Givens/permutation matrix (exact-literal entries — the
+    // TRAINED R from Opq.train serves identically but its SVD isn't
+    // SQL-replayable; OpqSpec gates training), codebooks are slices of
+    // the rotated first 16, then plain ADC. The oracle rebuilds the
+    // rotated frame per-dim from the same ±0.6/±0.8 formula.
+    "pq_opq_fixed" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val r = graft.index.Opq.pythagoreanR(64)
+      val rotated = graft.index.Opq.rotateFrame(emb, "vec_id", "embedding", r)
+        .localCheckpoint(true)
+      val base16 = rotated.filter(col("id") < 16).orderBy(col("id"))
+        .select(col("vector")).collect()
+        .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+      val cbs = Array.tabulate(4)(sub => base16.map(_.slice(sub * 16, (sub + 1) * 16)))
+      val model = graft.index.PQ.withCodebooks(rotated, "id", "vector",
+        cbs, graft.index.PQ.Params(m = 4, k = 16))
+      model.searchMany(rotated.filter(col("id") < 5), "id", "vector", 10)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
     // Structured orthogonal rotation (functions/Rotate): y = (1/√d)HDx
     // — the OPQ-lite preprocessing that balances energy across
     // subspaces for PQ and makes sign bits informative for BQ. Gated
@@ -3483,6 +3505,36 @@ object SparkEntry {
        |ORDER BY qid, distance, id""".stripMargin
   }
 
+  /** pq_opq_fixed oracle: the pinned 3-4-5 Givens rotation rebuilt
+    * per-dim (even i: 0.6·x[p(i)] + 0.8·x[p(i+1)]; odd i: −0.8·x[p(i−1)]
+    * + 0.6·x[p(i)], p(j) = (5j+3) mod 64 — two-term sums, so IEEE
+    * addition commutativity makes the fold order irrelevant), rounded
+    * REAL, then the standard pinned-codebook ADC over that frame. */
+  private lazy val pqOpqFixedSql: String = {
+    val d = (0 until 4).map(s =>
+      pqSliceSqSql(s"k$s.cvec", "q.qvec", s * 16 + 1, (s + 1) * 16))
+    s"""WITH ropq AS (SELECT vec_id, list_transform(range(0, 64),
+       |    i -> CAST(CASE WHEN i % 2 = 0
+       |      THEN 0.6 * CAST(embedding[(5*i+3) % 64 + 1] AS DOUBLE)
+       |         + 0.8 * CAST(embedding[(5*(i+1)+3) % 64 + 1] AS DOUBLE)
+       |      ELSE -0.8 * CAST(embedding[(5*(i-1)+3) % 64 + 1] AS DOUBLE)
+       |         + 0.6 * CAST(embedding[(5*i+3) % 64 + 1] AS DOUBLE)
+       |      END AS REAL)) AS embedding
+       |  FROM embeddings),
+       |${pqAssignCtesSqlOver("ropq")},
+       |q AS (SELECT vec_id AS qid, embedding AS qvec FROM ropq WHERE vec_id < 5),
+       |cands AS (
+       |  SELECT q.qid, a.id, ${d(0)} + ${d(1)} + ${d(2)} + ${d(3)} AS distance
+       |  FROM assigned a CROSS JOIN q
+       |  JOIN cb k0 ON k0.cid = a.c0
+       |  JOIN cb k1 ON k1.cid = a.c1
+       |  JOIN cb k2 ON k2.cid = a.c2
+       |  JOIN cb k3 ON k3.cid = a.c3)
+       |SELECT qid, id, distance FROM cands
+       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 10
+       |ORDER BY qid, distance, id""".stripMargin
+  }
+
   /** bq_hamming_all / bq_persist_all oracle: with every cell probed,
     * symmetric BQ search is exactly "count the sign disagreements"
     * between query and corpus vectors (bit i = 1 iff xᵢ > 0, the
@@ -4790,6 +4842,7 @@ object SparkEntry {
     "sq8_rot_all" -> sq8RotAllSql,
     "bq_rot_asym_all" -> bqRotAsymSql,
     "pq_rot_fixed" -> pqRotFixedSql,
+    "pq_opq_fixed" -> pqOpqFixedSql,
     "sq8_persist_all" -> sq8ExactKnnSql,
     "sq8_rerank_exact" -> exhaustiveKnnSql,
     "vec_rotate" -> vecRotateSql,

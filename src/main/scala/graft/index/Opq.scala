@@ -1,0 +1,245 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** OPQ — trained orthogonal rotation for product quantization (Ge et
+  * al. 2013, "Optimized Product Quantization", the non-parametric
+  * alternation; public method). The data-agnostic Hadamard rotation
+  * ([[graft.functions.Rotate]]) spreads energy uniformly but cannot
+  * ALIGN the coordinate frame with the data: on adversarial spectra
+  * (a few dominant correlated directions) the per-subspace codebooks
+  * still straddle correlated dimensions and recall collapses (the 1M
+  * A/B in BASELINE r8: PQ trained recall 0.130 under Hadamard). OPQ
+  * learns R by alternating two exact steps:
+  *
+  *   1. fix R → train/encode PQ codebooks on the rotated frame Y = XR;
+  *   2. fix the reconstructions Ŷ → the orthogonal R minimizing
+  *      ‖XR − Ŷ‖² is the Procrustes solution R = VUᵀ from the SVD
+  *      UΣVᵀ = M = Σ_rows x·ŷᵀ.
+  *
+  * Deployment shape (the standard one): rotation is a PREPROCESSING
+  * stage — [[rotateFrame]] the corpus once, build ANY index tier over
+  * the rotated frame, rotate queries with the same R. No Model type
+  * changes; the rotation persists like a codebook ([[saveR]]/[[loadR]]).
+  *
+  * Scale shape: each alternation costs one Lloyd's pass over the
+  * corpus (the [[PQ.lloydCodebooks]] single-job design) plus ONE
+  * mapPartitions pass accumulating the d×d correlation M as
+  * per-partition partials (d² doubles each — KBs; merged driver-side
+  * in partition order so double sums are deterministic) and one d×d
+  * SVD on the driver (breeze, milliseconds at embedding dims). The
+  * corpus never shuffles.
+  */
+object Opq {
+
+  /** Trained rotation + the codebooks of its final alternation. */
+  case class Trained(r: Array[Array[Double]],
+                     cbs: Array[Array[Array[Float]]],
+                     params: PQ.Params)
+
+  /** y = R·x in double, rounded to the float32 coordinate frame (the
+    * [[graft.functions.Rotate.rotateF]] contract: rotated corpora are
+    * "just another float corpus" to the codebooks). */
+  def applyRF(v: Array[Float], r: Array[Array[Double]]): Array[Float] = {
+    val d = r.length
+    val out = new Array[Float](d)
+    var i = 0
+    while (i < d) {
+      val ri = r(i)
+      var s = 0.0
+      var j = 0
+      while (j < v.length) { s += ri(j) * v(j); j += 1 }
+      out(i) = s.toFloat
+      i += 1
+    }
+    out
+  }
+
+  /** Rotate an (id, vector) frame: one narrow map, R broadcast —
+    * the preprocessing stage for corpus AND queries. Returns
+    * (id LONG, vector ARRAY<FLOAT>). */
+  def rotateFrame(df: DataFrame, idCol: String, vecCol: String,
+                  r: Array[Array[Double]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(r)
+    df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("vector"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, applyRF(v, bc.value)) }
+      .toDF("id", "vector")
+  }
+
+  /** The d×d identity. */
+  def identityR(d: Int): Array[Array[Double]] =
+    Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+
+  /** PINNED exact-literal orthogonal rotation for the oracle lanes:
+    * 3-4-5 Givens blocks (entries ±0.6/±0.8 — literals both engines
+    * parse to identical doubles) over the pinned permutation
+    * p(j) = (5j + 3) mod d (gcd(5, d) = 1 for power-of-two d, so p is
+    * a bijection and the 2×2 blocks act on disjoint coordinate pairs
+    * ⇒ R is exactly orthogonal). Row i: even i reads (0.6, 0.8) at
+    * columns (p(i), p(i+1)); odd i reads (−0.8, 0.6) at (p(i−1), p(i)).
+    */
+  def pythagoreanR(d: Int): Array[Array[Double]] = {
+    require(d % 2 == 0, s"pythagoreanR needs even d, got $d")
+    require(d % 5 != 0, s"pythagoreanR's stride-5 permutation needs gcd(5,d)=1")
+    def p(j: Int): Int = (5 * j + 3) % d
+    val r = Array.fill(d, d)(0.0)
+    var i = 0
+    while (i < d) {
+      if (i % 2 == 0) { r(i)(p(i)) = 0.6; r(i)(p(i + 1)) = 0.8 }
+      else { r(i)(p(i - 1)) = -0.8; r(i)(p(i)) = 0.6 }
+      i += 1
+    }
+    r
+  }
+
+  /** Train R by `opqIters` alternations of codebook-fit / Procrustes;
+    * returns the final rotation with codebooks retrained under it.
+    * `r0` seeds the alternation (identity by default; pass a Hadamard
+    * matrix for warm-started spectra). Deterministic: Lloyd's is the
+    * deterministic [[PQ.lloydCodebooks]], M merges partials in
+    * partition order, and breeze's pure-Java SVD is reproducible. */
+  def train(emb: DataFrame, idCol: String, vecCol: String,
+            params: PQ.Params, opqIters: Int = 4,
+            r0: Option[Array[Array[Double]]] = None): Trained = {
+    require(opqIters >= 1, "opqIters must be >= 1")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val rows = emb.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("vector"))
+      .persist()
+    val first = rows.as[(Long, Array[Float])].take(1)
+    require(first.nonEmpty, "Opq.train: input is empty")
+    val d = first(0)._2.length
+    require(d % params.m == 0, s"dim $d not divisible by m=${params.m}")
+    val dsub = d / params.m
+    var r = r0.getOrElse(identityR(d))
+    require(r.length == d && r(0).length == d, s"r0 must be $d×$d")
+
+    var cbs: Array[Array[Array[Float]]] = null
+    var kk = params.k
+    var iter = 0
+    while (iter < opqIters) {
+      val rot = rotateFrame(rows, "id", "vector", r).persist()
+      val (c, _, k2) = PQ.lloydCodebooks(rot, params)
+      rot.unpersist(blocking = false)
+      cbs = c; kk = k2
+      // M = Σ x·ŷᵀ over the corpus — per-partition d×d partials,
+      // merged in partition order (deterministic double sums)
+      val bcR = spark.sparkContext.broadcast(r)
+      val bcC = spark.sparkContext.broadcast(c)
+      val partials = rows.as[(Long, Array[Float])].mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val rr = bcR.value; val cc = bcC.value
+        val m = new Array[Double](d * d)
+        var any = false
+        it.foreach { case (_, x) =>
+          any = true
+          val y = applyRF(x, rr)
+          // ŷ = per-subspace nearest centroid of y
+          val yhat = new Array[Float](d)
+          var s = 0
+          var off = 0
+          while (s < cc.length) {
+            val ci = PQ.nearestSub(cc(s), y, off)
+            System.arraycopy(cc(s)(ci), 0, yhat, off, dsub)
+            s += 1
+            off += dsub
+          }
+          var i = 0
+          while (i < d) {
+            val xi = x(i).toDouble
+            var j = 0
+            while (j < d) { m(i * d + j) += xi * yhat(j); j += 1 }
+            i += 1
+          }
+        }
+        if (any) Iterator.single((pid, m)) else Iterator.empty
+      }.collect().sortBy(_._1)
+      val m = new Array[Double](d * d)
+      partials.foreach { case (_, pm) =>
+        var i = 0
+        while (i < d * d) { m(i) += pm(i); i += 1 }
+      }
+      // tr(R·M) is maximized at R = VUᵀ for M = UΣVᵀ
+      val mb = new breeze.linalg.DenseMatrix[Double](d, d)
+      var i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) { mb(i, j) = m(i * d + j); j += 1 }
+        i += 1
+      }
+      val svdR = breeze.linalg.svd(mb)
+      val rNew = svdR.Vt.t * svdR.U.t
+      r = Array.tabulate(d, d)((a, b) => rNew(a, b))
+      iter += 1
+    }
+    // retrain codebooks under the final rotation
+    val rotF = rotateFrame(rows, "id", "vector", r).persist()
+    val (cF, _, kF) = PQ.lloydCodebooks(rotF, params)
+    rotF.unpersist(blocking = false)
+    rows.unpersist(blocking = false)
+    Trained(r, cF, params.copy(k = kF))
+  }
+
+  /** Mean squared reconstruction error of `emb` under (R, codebooks) —
+    * the quantity OPQ minimizes; the A/B yardstick. One narrow pass. */
+  def reconstructionError(emb: DataFrame, idCol: String, vecCol: String,
+                          t: Trained): Double = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bcR = spark.sparkContext.broadcast(t.r)
+    val bcC = spark.sparkContext.broadcast(t.cbs)
+    val d = t.r.length
+    val dsub = d / t.cbs.length
+    val (errSum, n) = emb.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("vector"))
+      .as[(Long, Array[Float])]
+      .map { case (_, x) =>
+        val y = applyRF(x, bcR.value)
+        val cc = bcC.value
+        var e = 0.0
+        var s = 0
+        var off = 0
+        while (s < cc.length) {
+          val ci = PQ.nearestSub(cc(s), y, off)
+          val cb = cc(s)(ci)
+          var i = 0
+          while (i < dsub) {
+            val t0 = y(off + i).toDouble - cb(i).toDouble
+            e += t0 * t0
+            i += 1
+          }
+          s += 1
+          off += dsub
+        }
+        (e, 1L)
+      }
+      .toDF("e", "n").agg(sum("e"), sum("n"))
+      .as[(Double, Long)].head()
+    errSum / math.max(1L, n)
+  }
+
+  /** Persist the rotation like a codebook: one row per matrix row. */
+  def saveR(r: Array[Array[Double]], spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    r.zipWithIndex.map { case (row, i) => (i, row.toSeq) }.toSeq
+      .toDF("i", "vals").coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a persisted rotation (budget-capped collect — a rotation is
+    * d rows by contract; a mis-pointed path fails fast). */
+  def loadR(spark: SparkSession, dir: String): Array[Array[Double]] = {
+    import spark.implicits._
+    Batches.bounded(
+        spark.read.parquet(dir).select("i", "vals").as[(Int, Seq[Double])],
+        s"Opq.loadR rotation at $dir",
+        "An OPQ rotation is d rows — check the path points at a table " +
+          "written by Opq.saveR, not at a corpus.")
+      .sortBy(_._1).map(_._2.toArray)
+  }
+}
