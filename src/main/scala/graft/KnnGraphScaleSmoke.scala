@@ -124,60 +124,63 @@ object KnnGraphScaleSmoke extends Serializable {
     model.indexed.cache().count()
     out += "build_s" -> f"$buildS%.1f"
 
-    // ---- self-kNN graph, nprobe=2
-    Thread.sleep(500)
-    val before = shuffleBytes.get()
-    val (graph, knnS) = timed {
-      val g = model.knnJoin(emb, "vec_id", "embedding", k = 10, nprobe = 2)
-        .cache()
-      g.count()
-      g
-    }
-    Thread.sleep(500)
-    out += "knn_join_s" -> f"$knnS%.1f"
-    out += "knn_join_shuffle_mb" -> ((shuffleBytes.get() - before) / (1L << 20)).toString
-    out += "knn_join_rows" -> graph.count().toString
-
-    // recall@10 of the graph rows vs exhaustive truth on a 1k sample
+    // recall@10 truth on a 1k sample, shared by every graph variant
     val sample = emb.filter(pmod(col("vec_id"), lit(1000L)) === 7L)
     val truth = operators.Exhaustive.knnJoin(sample, "vec_id", "embedding",
         emb, "vec_id", "embedding", k = 10)
       .select("qid", "id").collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
-    val got = graph.join(sample.select(col("vec_id").as("qid")), Seq("qid"))
-      .select("qid", "id").collect()
-      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
-    val recall = truth.keys.toSeq
-      .map(q => got.getOrElse(q, Set.empty).intersect(truth(q)).size / 10.0)
-      .sum / truth.size
-    out += "knn_join_recall" -> f"$recall%.3f"
-    graph.unpersist()
+    def recallOf(g: org.apache.spark.sql.DataFrame): Double = {
+      val got = g.join(sample.select(col("vec_id").as("qid")), Seq("qid"))
+        .select("qid", "id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      truth.keys.toSeq
+        .map(q => got.getOrElse(q, Set.empty).intersect(truth(q)).size / 10.0)
+        .sum / truth.size
+    }
+
+    // ---- self-kNN graph: the nprobe cost/recall CURVE (r8 left the
+    // graph at nprobe=2 / recall 0.803 with the lever undocumented —
+    // this measures it so graph consumers inherit a chosen default)
+    for (np <- Seq(2, 4, 8)) {
+      Thread.sleep(500)
+      val before = shuffleBytes.get()
+      val (graph, knnS) = timed {
+        val g = model.knnJoin(emb, "vec_id", "embedding", k = 10, nprobe = np)
+          .cache()
+        g.count()
+        g
+      }
+      Thread.sleep(500)
+      out += s"knn_join_np${np}_s" -> f"$knnS%.1f"
+      out += s"knn_join_np${np}_shuffle_mb" ->
+        ((shuffleBytes.get() - before) / (1L << 20)).toString
+      out += s"knn_join_np${np}_recall" -> f"${recallOf(graph)}%.3f"
+      graph.unpersist()
+    }
 
     // ---- quantized two-stage graph: residual sign codes (the
     // clustered-corpus coding) shortlist 4×k, exact float re-rank —
-    // the 32×-fewer-scan-bytes version of the same graph
-    Thread.sleep(500)
-    val beforeQ = shuffleBytes.get()
+    // the 32×-fewer-scan-bytes route up the same curve
     val bq = index.BQ.compressResidual(model)
     bq.codes.cache().count()
-    val (qgraph, qS) = timed {
-      val g = bq.knnJoinRefined(emb, "vec_id", "embedding", k = 10,
-          factor = 4, emb, "vec_id", "embedding", nprobe = 2)
-        .cache()
-      g.count()
-      g
+    for (np <- Seq(2, 4)) {
+      Thread.sleep(500)
+      val beforeQ = shuffleBytes.get()
+      val (qgraph, qS) = timed {
+        val g = bq.knnJoinRefined(emb, "vec_id", "embedding", k = 10,
+            factor = 4, emb, "vec_id", "embedding", nprobe = np)
+          .cache()
+        g.count()
+        g
+      }
+      Thread.sleep(500)
+      out += s"bq_graph_np${np}_s" -> f"$qS%.1f"
+      out += s"bq_graph_np${np}_shuffle_mb" ->
+        ((shuffleBytes.get() - beforeQ) / (1L << 20)).toString
+      out += s"bq_graph_np${np}_recall" -> f"${recallOf(qgraph)}%.3f"
+      qgraph.unpersist()
     }
-    Thread.sleep(500)
-    out += "bq_graph_s" -> f"$qS%.1f"
-    out += "bq_graph_shuffle_mb" -> ((shuffleBytes.get() - beforeQ) / (1L << 20)).toString
-    val gotQ = qgraph.join(sample.select(col("vec_id").as("qid")), Seq("qid"))
-      .select("qid", "id").collect()
-      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
-    val recallQ = truth.keys.toSeq
-      .map(q => gotQ.getOrElse(q, Set.empty).intersect(truth(q)).size / 10.0)
-      .sum / truth.size
-    out += "bq_graph_recall" -> f"$recallQ%.3f"
-    qgraph.unpersist()
     bq.codes.unpersist()
 
     // ---- SemDeDup end-to-end at the planted threshold: A/B of the

@@ -134,7 +134,17 @@ object IVFFlat {
       * The per-query cut is [[graft.functions.TopKAggExpr]] — partial
       * aggregation holds one O(k) primitive heap per query INSIDE the
       * join stage, so candidate rows never cross a typed-Dataset
-      * boundary (2.1× on a 380M-candidate probe, KnnProbe). */
+      * boundary (2.1× on a 380M-candidate probe, KnnProbe).
+      *
+      * nprobe is the recall/cost lever, measured at 1M/512 cells
+      * (BASELINE r9): nprobe 2 → recall@10 0.803 (354 s / 1.8 GB
+      * shuffle), 4 → 0.977 (565 s / 2.9 GB), 8 → 1.000 (1,244 s /
+      * 5.1 GB) — wall and shuffle scale ~linearly in nprobe. FOR
+      * GRAPH-BUILD CONSUMERS (mutual-kNN clustering, hard-negative
+      * mining, SemDeDup feeds) use nprobe = 4: consumers inherit
+      * whatever the graph missed, and 0.80 leaves a fifth of true
+      * edges absent. The parameter default stays 2 (the cheap
+      * exploratory setting the pinned lanes gate). */
     def knnJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
                 k: Int, nprobe: Int = 2): DataFrame = {
       val spark = queries.sparkSession
