@@ -194,8 +194,8 @@ object RotScaleSmoke {
     {
       val (opq, tT) = timed {
         index.Opq.train(corpus, "vec_id", "embedding",
-          index.PQ.Params(m = 16, k = 256, iterations = 4, seed = seed),
-          opqIters = 3)
+          index.PQ.Params(m = 16, k = 256, iterations = 2, seed = seed),
+          opqIters = 10, r0 = Some(index.Opq.hadamardR(dim)))
       }
       val rotCorpus = index.Opq.rotateFrame(corpus, "vec_id", "embedding",
         opq.r).persist()
@@ -216,6 +216,60 @@ object RotScaleSmoke {
       out += "pq_opq_recall_at10" -> f"${recallOf(res, truth)}%.3f"
       pq.codes.unpersist()
       rotCorpus.unpersist()
+    }
+
+    // ---- CORRELATED spectrum: dim j+d/2 nearly duplicates dim j, so
+    // every correlated pair straddles the m=16 subspace grid — the
+    // regime where a data-agnostic rotation (Hadamard spreads energy
+    // but cannot ALIGN it) leaves recall on the table and OPQ's
+    // Procrustes alternation is the published fix. Same three-way A/B
+    // at identical storage.
+    {
+      val corr = corpus
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .map { case (id, v) =>
+          val c = new Array[Float](dim)
+          var j = 0
+          while (j < dim / 2) {
+            c(j) = v(j)
+            c(j + dim / 2) = v(j) + 0.05f * v(j + dim / 2)
+            j += 1
+          }
+          (id, c)
+        }.toDF("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism).persist()
+      corr.count()
+      val qCorr = corr.filter(col("vec_id") < nQ).persist()
+      val truthC = operators.Exhaustive.knnJoin(qCorr, "vec_id", "embedding",
+          corr, "vec_id", "embedding", k)
+        .select("qid", "id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      for (rot <- Seq(false, true)) {
+        val tag = if (rot) "rot" else "plain"
+        val pq = index.PQ.train(corr, "vec_id", "embedding",
+          index.PQ.Params(m = 16, k = 256, iterations = 4, seed = seed),
+          rotated = rot)
+        pq.codes.cache().count()
+        val res = pq.searchMany(qCorr, "vec_id", "embedding", k)
+        out += s"corr_pq_${tag}_recall_at10" -> f"${recallOf(res, truthC)}%.3f"
+        pq.codes.unpersist()
+      }
+      val opqC = index.Opq.train(corr, "vec_id", "embedding",
+        index.PQ.Params(m = 16, k = 256, iterations = 2, seed = seed),
+        opqIters = 10, r0 = Some(index.Opq.hadamardR(dim)))
+      val rotC = index.Opq.rotateFrame(corr, "vec_id", "embedding", opqC.r)
+        .persist()
+      val pqC = index.PQ.withCodebooks(rotC, "id", "vector", opqC.cbs,
+        opqC.params)
+      pqC.codes.cache().count()
+      val resC = pqC.searchMany(
+        index.Opq.rotateFrame(qCorr, "vec_id", "embedding", opqC.r),
+        "id", "vector", k)
+      out += "corr_pq_opq_recall_at10" -> f"${recallOf(resC, truthC)}%.3f"
+      pqC.codes.unpersist()
+      rotC.unpersist()
+      corr.unpersist()
     }
 
     out.foreach { case (kk, v) => println(s"$kk=$v") }

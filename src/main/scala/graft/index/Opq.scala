@@ -75,6 +75,25 @@ object Opq {
   def identityR(d: Int): Array[Array[Double]] =
     Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
 
+  /** The [[graft.functions.Rotate]] transform as an explicit matrix —
+    * the recommended [[train]] seed: R(i)(j) = (1/√d)·(−1)^popcount(i&j)
+    * ·sign(j) (FWHT with the md5-addressed diagonal). OPQ's Procrustes
+    * fixed point from the IDENTITY is near-identity on independent
+    * decaying spectra (M is ~symmetric PSD ⇒ the SVD update returns
+    * ~I — measured at 1M: identity-seeded OPQ = plain PQ recall);
+    * seeding with the energy-balancing Hadamard starts the alternation
+    * in a balanced frame and lets Procrustes refine FROM there. d must
+    * be a power of two (pad upstream otherwise). */
+  def hadamardR(d: Int): Array[Array[Double]] = {
+    require((d & (d - 1)) == 0 && d > 0, s"hadamardR needs a power of two, got $d")
+    val inv = 1.0 / math.sqrt(d.toDouble)
+    Array.tabulate(d, d) { (i, j) =>
+      val h = if (java.lang.Integer.bitCount(i & j) % 2 == 0) 1.0 else -1.0
+      val s = if (graft.functions.Rotate.signPositive(j)) 1.0 else -1.0
+      inv * h * s
+    }
+  }
+
   /** PINNED exact-literal orthogonal rotation for the oracle lanes:
     * 3-4-5 Givens blocks (entries ±0.6/±0.8 — literals both engines
     * parse to identical doubles) over the pinned permutation

@@ -182,6 +182,58 @@ object Decontam {
       contaminatedSpans(docs, idCol, textCol,
         benchGramSet(bench, benchIdCol, benchTextCol, n), n, broadcastBench))
 
+  /** ROW-LOCAL span scrub — the streaming face of
+    * [[scrubContaminatedSpans]]: the whole pipeline (gram-hit
+    * positions → islands → excise) runs inside one narrow map per doc
+    * with the benchmark gram set broadcast, because every step is
+    * doc-local once the gram set is in hand (no join, no window, no
+    * state — usable inside any streaming transform, the
+    * [[graft.streaming.Streaming.scrubStream]] discipline). Same
+    * md5-gram semantics and island rule as the distributed version
+    * (DecontamSpec pins row-local ≡ distributed). Driver-collect
+    * contract: benchmark gram sets are takedown-sized — collect them
+    * once via `benchGramSet(...).collect()`. */
+  def scrubSpansRowLocal(docs: DataFrame, idCol: String, textCol: String,
+                         benchGrams: Array[String], n: Int): DataFrame = {
+    require(n >= 1, "n-gram order must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(benchGrams.toSet)
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("__t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val grams = bc.value
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val toks = text.split("\\s+").filter(_.nonEmpty)
+          // hit positions
+          val hits = new scala.collection.mutable.ArrayBuffer[Int]()
+          var p = 0
+          while (p + n <= toks.length) {
+            md.reset()
+            val hex = md.digest(toks.slice(p, p + n).mkString(" ")
+                .getBytes("UTF-8"))
+              .map(b => f"$b%02x").mkString
+            if (grams.contains(hex)) hits += p
+            p += 1
+          }
+          // islands → covered flags
+          val covered = new Array[Boolean](toks.length)
+          var i = 0
+          while (i < hits.length) {
+            var j = i
+            while (j + 1 < hits.length && hits(j + 1) == hits(j) + 1) j += 1
+            var t = hits(i)
+            while (t <= hits(j) + n - 1) { covered(t) = true; t += 1 }
+            i = j + 1
+          }
+          val kept = toks.indices.filter(!covered(_)).map(toks)
+          (id, kept.mkString(" "), kept.length.toLong)
+        }
+      }
+      .toDF(idCol, "scrubbed", "n_kept")
+  }
+
   /** FUZZY decontamination via MinHash bands — the paraphrase-robust
     * complement to [[ngramOverlap]]: exact n-gram collision misses a
     * benchmark answer that was lightly rewritten, but a rewrite that

@@ -834,6 +834,26 @@ object Streaming {
       .start()
   }
 
+  /** Span-level decontamination at ingest — contam_scrub_spans'
+    * streaming face: the benchmark gram set rides as a broadcast
+    * literal and the whole gram-hit → islands → excise pipeline runs
+    * row-local ([[graft.operators.Decontam.scrubSpansRowLocal]] — no
+    * join, no window, no state store), so the SAME code serves batch
+    * and stream and stream ≡ batch holds by construction (pinned in
+    * StreamingSpec against the distributed scrubContaminatedSpans). */
+  def scrubContamStream(stream: DataFrame, idCol: String, textCol: String,
+                        benchGrams: Array[String], n: Int): DataFrame =
+    graft.operators.Decontam.scrubSpansRowLocal(stream, idCol, textCol,
+      benchGrams, n)
+
+  /** Image fingerprinting at ingest — image_phash's streaming face:
+    * pHash is a pure narrow map (decode → DCT → bits, no state), so
+    * [[graft.operators.Multimodal.imagePhash]] runs on the stream
+    * verbatim; undecodable rows drop in-flight exactly like batch. */
+  def phashStream(stream: DataFrame, idCol: String = "id",
+                  contentCol: String = "content"): DataFrame =
+    graft.operators.Multimodal.imagePhash(stream, idCol, contentCol)
+
   /** Point-in-interval enrichment at ingest —
     * [[graft.operators.RangeJoin.pointInInterval]] as a STREAM-STATIC
     * join: streaming points (event timestamps, packed IPs) against a

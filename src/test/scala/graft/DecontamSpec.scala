@@ -107,5 +107,31 @@ class DecontamSpec extends SparkSpec {
     assert(scrubbed(1L) == (s"$pre $post", 10L), scrubbed(1L))
     assert(scrubbed(2L) == (s"$pre $post", 10L))
     assert(scrubbed(3L) == ("one two three four five six seven", 7L))
+    // the row-local (streaming-safe) face is semantics-identical
+    val grams = Decontam.benchGramSet(bench, "doc_id", "text", 3)
+      .as[String].collect()
+    val local = Decontam.scrubSpansRowLocal(cand, "doc_id", "text", grams, 3)
+      .select($"doc_id", $"scrubbed", $"n_kept")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(local == scrubbed, s"row-local $local vs distributed $scrubbed")
+  }
+
+  test("row-local scrub equals the distributed scrub on real corpus text") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val cand = docs.filter($"doc_id" % 97 =!= 0)
+    val bench = docs.filter($"doc_id" % 97 === 0)
+    val dist = Decontam.scrubContaminatedSpans(cand, "doc_id", "text",
+        bench, "doc_id", "text", n = 3)
+      .select($"doc_id", $"scrubbed", $"n_kept")
+      .as[(Long, String, Long)].collect().toSet
+    val grams = Decontam.benchGramSet(bench, "doc_id", "text", 3)
+      .as[String].collect()
+    val local = Decontam.scrubSpansRowLocal(cand, "doc_id", "text", grams, 3)
+      .select($"doc_id", $"scrubbed", $"n_kept")
+      .as[(Long, String, Long)].collect().toSet
+    assert(local == dist)
+    assert(dist.nonEmpty)
   }
 }

@@ -866,6 +866,47 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming span scrub and pHash equal their batch operators") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Decontam, Multimodal}
+    // span scrub: stream-static with the gram set as broadcast literal
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val cand = docs.filter($"doc_id" % 97 =!= 0)
+      .select($"doc_id", $"text").limit(120).cache()
+    val bench = docs.filter($"doc_id" % 97 === 0)
+    val grams = Decontam.benchGramSet(bench, "doc_id", "text", 3)
+      .as[String].collect()
+    val mem = MemoryStream[(Long, String)]
+    val out = Streaming.scrubContamStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", grams, 3)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("scrub_out").start()
+    val rows = cand.as[(Long, String)].collect()
+    rows.grouped(50).foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("scrub_out")
+      .select($"doc_id", $"scrubbed", $"n_kept")
+      .as[(Long, String, Long)].collect().toSet
+    val batch = Decontam.scrubContaminatedSpans(cand, "doc_id", "text",
+        bench, "doc_id", "text", n = 3)
+      .select($"doc_id", $"scrubbed", $"n_kept")
+      .as[(Long, String, Long)].collect().toSet
+    assert(streamed == batch)
+    // pHash: narrow fingerprint map at ingest
+    val fixture = SparkEntry.imageFixtureRows()
+    val memI = MemoryStream[(Long, Array[Byte])]
+    val outI = Streaming.phashStream(
+      memI.toDF().toDF("id", "content"))
+    val qI = outI.writeStream.outputMode("append")
+      .format("memory").queryName("phash_out").start()
+    memI.addData(fixture)
+    qI.processAllAvailable()
+    qI.stop()
+    val streamedH = spark.table("phash_out")
+      .as[(Long, Long)].collect().toSet
+    assert(streamedH == SparkEntry.ImagePhashPinned.toSet)
+  }
+
   test("streaming subword packing equals batch packSubwords") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.Streaming.PackIngestState
