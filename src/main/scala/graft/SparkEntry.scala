@@ -1601,6 +1601,19 @@ object SparkEntry {
           "doc_id", "text", UnigramPinned, budget = 1000, shards = 8)
         .orderBy(col("doc_id"))),
 
+    // Packing under the TRAINED BPE merge table (packSubwordsBpe):
+    // merges re-derived from the pinned training corpus, every doc
+    // budgeted by its BPE subword count — the second tokenizer family
+    // through the same pluggable counter.
+    "doc_pack_bpe" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val ms = graft.operators.Bpe.train(docs.filter(expr(BpeDocFilter)),
+        "text", BpeMerges, BpeMaxWords).map(m => (m.left, m.right))
+      graft.operators.Splits.packSubwordsBpe(docs, "doc_id", "text", ms,
+          budget = 1000, shards = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // Temperature mixing weighted by subword counts — the token-mass
     // flattening a pretrain mixture actually runs (doc-count mixing
     // over-weights sources with short docs).
@@ -2229,6 +2242,24 @@ object SparkEntry {
       val media = imageFixtureRows().toDF("id", "content")
       graft.operators.Dedup.imagePhashPairs(media, maxHamming = 6)
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Image dedup END-TO-END: decode → pHash → pigeonhole pairs →
+    // connected-component keep-first — the whole visual-dedup chain as
+    // one declarative plan; the oracle replays pairs + closure over
+    // the pinned hashes and must produce the same survivors.
+    "pipeline_image_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val media = imageFixtureRows().toDF("id", "content")
+      val survivors = graft.operators.Dedup.keepFirstByPairs(media, "id",
+        graft.operators.Dedup.imagePhashPairs(media, maxHamming = 6),
+        "doc_a", "doc_b")
+      // survivors carry their fingerprint (PNG byte length would be
+      // encoder-specific — the hash is the portable witness)
+      survivors.join(
+          graft.operators.Multimodal.imagePhash(media), Seq("id"))
+        .select(col("id"), col("phash"))
+        .orderBy(col("id"))
     }),
 
     // The .vec source under the driver oracle (sources/VecFile —
@@ -3059,12 +3090,11 @@ object SparkEntry {
        |dc AS (SELECT d.doc_id, CAST(SUM(w.np) AS BIGINT) AS n_tokens
        |  FROM dt d JOIN wnp w ON d.t = w.word GROUP BY 1)""".stripMargin
 
-  /** doc_pack replayed over SQL-segmented SUBWORD counts: the same
-    * split/shard/prefix-sum/bin chain, budgeted by the pinned unigram
-    * tokenizer's per-doc piece counts instead of whitespace tokens. */
-  private lazy val docPackSubwordSql: String =
-    s"""WITH RECURSIVE $subwordCountCtes,
-       |f AS (SELECT doc_id,
+  /** The split/shard/prefix-sum/bin replay over whatever (doc_id,
+    * n_tokens) CTE `dc` a counting prefix provides — shared by the
+    * unigram- and BPE-counted packing oracles. */
+  private def packReplayTailSql: String =
+    s"""f AS (SELECT doc_id,
        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
        |    / 4294967296.0 AS frac
        | FROM documents),
@@ -3082,6 +3112,38 @@ object SparkEntry {
        |SELECT doc_id, split, shard, n_tokens,
        |  CAST(prior // 1000 AS BIGINT) AS bin
        |FROM c ORDER BY doc_id""".stripMargin
+
+  /** doc_pack replayed over SQL-segmented SUBWORD counts: the same
+    * split/shard/prefix-sum/bin chain, budgeted by the pinned unigram
+    * tokenizer's per-doc piece counts instead of whitespace tokens. */
+  private lazy val docPackSubwordSql: String =
+    s"""WITH RECURSIVE $subwordCountCtes,
+       |$packReplayTailSql""".stripMargin
+
+  /** doc_pack under the TRAINED BPE merge table: the bpe_train replay
+    * chain re-derives the merges, every DISTINCT corpus word segments
+    * through the replace chain once, per-doc counts sum — then the
+    * same pack replay. */
+  private lazy val docPackBpeSql: String = {
+    val mcols = (1 to BpeMerges)
+      .map(i => s"(SELECT s1 FROM b$i) AS l$i, (SELECT s2 FROM b$i) AS r$i")
+      .mkString(", ")
+    var e = "(' ' || array_to_string(list_transform(range(1, len(word) + 1), " +
+      "i -> substring(word, CAST(i AS INTEGER), 1)), '  ') || ' ')"
+    for (i <- 1 to BpeMerges)
+      e = s"replace($e, ' ' || m.l$i || '  ' || m.r$i || ' ', ' ' || m.l$i || m.r$i || ' ')"
+    s"""WITH $bpeChainCtes,
+       |m AS MATERIALIZED (SELECT $mcols),
+       |w AS (SELECT DISTINCT t AS word FROM (
+       |    SELECT unnest($toksSql) AS t FROM documents)),
+       |wn AS (SELECT word,
+       |  CASE WHEN seg = '' THEN 0 ELSE len(string_split(seg, ' ')) END AS n_sub
+       |  FROM (SELECT word, replace(trim($e), '  ', ' ') AS seg FROM w, m)),
+       |dt AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+       |dc AS (SELECT d.doc_id, CAST(SUM(wn.n_sub) AS BIGINT) AS n_tokens
+       |  FROM dt d JOIN wn ON d.t = wn.word GROUP BY 1),
+       |$packReplayTailSql""".stripMargin
+  }
 
   /** Temperature mixing weighted by subword counts: per-source mass is
     * Σ n_subwords (the token mass a pretrain mixture balances), keep
@@ -3899,6 +3961,7 @@ object SparkEntry {
          |FROM c ORDER BY doc_id""".stripMargin,
 
     "doc_pack_subword" -> docPackSubwordSql,
+    "doc_pack_bpe" -> docPackBpeSql,
     "mix_temperature_subword" -> mixTemperatureSubwordSql,
 
     "doc_winnow" ->
@@ -4413,6 +4476,26 @@ object SparkEntry {
          |FROM fp a JOIN fp b ON a.id < b.id
          |WHERE bit_count(xor(a.phash, b.phash)) <= 6
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // pairs + recursive component closure + keep-first over the pinned
+    // hashes — the end-to-end image-dedup survivors
+    "pipeline_image_dedup" ->
+      s"""WITH RECURSIVE fp AS (SELECT CAST(id AS BIGINT) AS id,
+         |    CAST(phash AS BIGINT) AS phash
+         |  FROM (VALUES $imagePhashValuesSql) AS v(id, phash)),
+         |vp AS (SELECT a.id AS doc_a, b.id AS doc_b
+         |  FROM fp a JOIN fp b ON a.id < b.id
+         |  WHERE bit_count(xor(a.phash, b.phash)) <= 6),
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM vp
+         |  UNION SELECT doc_b, doc_a FROM vp),
+         |reach(id, comp) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id),
+         |losers AS (SELECT id FROM reach GROUP BY id HAVING min(comp) <> id)
+         |SELECT id, phash FROM fp
+         |WHERE id NOT IN (SELECT id FROM losers)
+         |ORDER BY id""".stripMargin,
 
     // ground truth = the fixture formula: raw(i,j) = (7i+3j) mod 11 − 5,
     // L2-normalized with the REAL round-trip (normalizeF replica),

@@ -78,4 +78,63 @@ class PropertySpec extends SparkSpec {
       assert(r.getString(1) == expect)
     }
   }
+
+  test("packCounted replays as a local prefix-sum per lane; repartition-stable") {
+    val rnd = new scala.util.Random(17L)
+    val counts = (0 until 400)
+      .map(i => (i.toLong * 3 + 1, (rnd.nextInt(300) + 1).toLong))
+    val df = counts.toDF("doc_id", "n")
+    val got = Splits.packCounted(df, "doc_id", "n", budget = 500, shards = 4)
+      .select(col("doc_id"), col("split"), col("shard"), col("n_tokens"),
+        col("bin"))
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(got.length == counts.length)
+    // local replay: within each (split, shard) lane sorted by id, bin =
+    // floor(exclusive-prefix-sum / budget)
+    got.groupBy(t => (t._2, t._3)).foreach { case (_, lane) =>
+      var acc = 0L
+      lane.sortBy(_._1).foreach { case (_, _, _, n, bin) =>
+        assert(bin == acc / 500, s"bin $bin vs ${acc / 500} at acc $acc")
+        acc += n
+      }
+    }
+    // bins are non-decreasing in id within a lane, starting at 0
+    got.groupBy(t => (t._2, t._3)).foreach { case (_, lane) =>
+      val bins = lane.sortBy(_._1).map(_._5)
+      assert(bins.head == 0L)
+      assert(bins.zip(bins.tail).forall { case (a, b) => b >= a })
+    }
+    // repartition-stable (content-addressed lanes + order)
+    val again = Splits.packCounted(df.repartition(13), "doc_id", "n",
+        budget = 500, shards = 4)
+      .select(col("doc_id"), col("bin")).as[(Long, Long)].collect().toMap
+    assert(again == got.map(t => t._1 -> t._5).toMap)
+  }
+
+  test("pHash is a function of decoded pixels: format- and upscale-invariant") {
+    import graft.operators.Multimodal
+    // the same pixel grid through PNG and BMP (both lossless) must
+    // hash identically, and a 2x nearest-neighbor upscale samples the
+    // same 32x32 grid so the hash is bit-identical too
+    def img(scale: Int, fmt: String): Array[Byte] = {
+      val base = 64
+      val im = new java.awt.image.BufferedImage(base * scale, base * scale,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until base * scale; x <- 0 until base * scale) {
+        val (ox, oy) = (x / scale, y / scale)
+        val g = math.max(0, math.min(255,
+          128 + ((ox * ox - oy * oy) / 16) % 100 +
+            (if ((ox / 8 + oy / 8) % 2 == 0) 40 else -40)))
+        im.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, fmt, bos)
+      bos.toByteArray
+    }
+    val hPng = Multimodal.phash64(img(1, "png")).get
+    val hBmp = Multimodal.phash64(img(1, "bmp")).get
+    val hUp = Multimodal.phash64(img(2, "png")).get
+    assert(hPng == hBmp, "lossless formats must decode to the same hash")
+    assert(hPng == hUp, "2x nearest-neighbor upscale must sample identically")
+  }
 }
