@@ -246,6 +246,81 @@ object SparkEntry {
   private def imagePhashValuesSql: String =
     ImagePhashPinned.map { case (id, p) => s"($id, $p)" }.mkString(", ")
 
+  /** Formula-pinned WAV fixture for the audio-fingerprint lanes: 24
+    * real 1-second 16-bit mono PCM WAVs — ids 0–7 square-wave tracks
+    * whose per-window amplitude follows a seeded level sequence (the
+    * energy envelope IS the identity), 100–107 near-duplicates (the
+    * SAME track at half volume with one window's level nudged — the
+    * re-master/re-encode change class), 200–207 unrelated level
+    * sequences. PCM synthesis is integer math and the WAV container is
+    * written by the JDK — [[graft.operators.Multimodal.audioHash64]]
+    * over these is exact across JVMs, so the oracle pins the values. */
+  private[graft] def audioFixtureRows(): Seq[(Long, Array[Byte])] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def mix64(x0: Long): Long = {
+      var x = x0
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    val rate = 8320 // 65 windows × 128 samples
+    def wav(seed: Long, vol: Double, nudge: Boolean): Array[Byte] = {
+      val pcm = new Array[Byte](rate * 2)
+      var w = 0
+      while (w < 65) {
+        var amp = 2000 + java.lang.Long.remainderUnsigned(
+          mix64(seed * 9176L + w * 31L + 5L), 26000L).toInt
+        if (nudge && w == 30) amp = amp * 11 / 10
+        var t = 0
+        while (t < 128) {
+          val i = w * 128 + t
+          // 260 Hz square: 16-sample half-period at 8320 Hz
+          val s0 = if ((i / 16) % 2 == 0) amp else -amp
+          val s = (s0 * vol).toInt
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          t += 1
+        }
+        w += 1
+      }
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        rate.toFloat, 16, 1, 2, rate.toFloat, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, rate.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val bases = (0 until 8).map(i => (i.toLong, wav(i + 1L, 1.0, nudge = false)))
+    val nears = (0 until 8).map(i =>
+      (100L + i, wav(i + 1L, 0.5, nudge = true)))
+    val other = (0 until 8).map(i =>
+      (200L + i, wav(1000L + i, 1.0, nudge = false)))
+    bases ++ nears ++ other
+  }
+
+  /** The audio fixture's energy-delta fingerprints, pinned (same
+    * contract as [[ImagePhashPinned]]): near-dups sit within 1 bit of
+    * their base (half volume is hash-invariant — sign-of-delta survives
+    * any monotone gain; only the nudged window can move bits),
+    * unrelated tracks are ≥ 19 bits apart (measured). */
+  private[graft] val AudioHashPinned: Seq[(Long, Long)] = Seq(
+    0L -> 5950760944307180197L, 1L -> 5969140107757146468L,
+    2L -> -6582949506726979947L, 3L -> 7685774463508042898L,
+    4L -> -7375610752021715251L, 5L -> 5013446867751884141L,
+    6L -> -2424808869645171017L, 7L -> -7378780594434857578L,
+    100L -> 5950760944307180197L, 101L -> 5969140107757146468L,
+    102L -> -6582949506726979947L, 103L -> 7685774463508042898L,
+    104L -> -7375610752021715251L, 105L -> 5013446867751884141L,
+    106L -> -2424808869645171017L, 107L -> -7378780595508599402L,
+    200L -> -2716418675841912023L, 201L -> 8567348747763753322L,
+    202L -> -6436372642351388070L, 203L -> 7735384627670062838L,
+    204L -> -8442374491544054507L, 205L -> 5384666149530614444L,
+    206L -> 3915198880592612716L, 207L -> -6452863231306322647L)
+
+  private def audioHashValuesSql: String =
+    AudioHashPinned.map { case (id, p) => s"($id, $p)" }.mkString(", ")
+
   /** The fixture's pHashes, pinned: pixel formulas are integers, PNG is
     * lossless, and [[graft.operators.Multimodal.phash64]] uses
     * StrictMath — the values are exact across JVMs, so the oracle can
@@ -2241,6 +2316,25 @@ object SparkEntry {
       import s.implicits._
       val media = imageFixtureRows().toDF("id", "content")
       graft.operators.Dedup.imagePhashPairs(media, maxHamming = 6)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // 64-bit audio energy-delta fingerprint over REAL in-lane WAV
+    // fixtures (JDK PCM decode → 65-window RMS envelope →
+    // sign-of-delta bits). Volume-invariant by construction; values
+    // pinned like image_phash.
+    "audio_hash" -> ((s, dir) => {
+      import s.implicits._
+      val media = audioFixtureRows().toDF("id", "content")
+      graft.operators.Multimodal.audioHash(media).orderBy(col("id"))
+    }),
+
+    // Audio near-dup pairs via the same pigeonhole join; oracle = full
+    // quadratic hamming scan over the pinned fingerprints.
+    "dedup_audio_hash" -> ((s, dir) => {
+      import s.implicits._
+      val media = audioFixtureRows().toDF("id", "content")
+      graft.operators.Dedup.audioHashPairs(media, maxHamming = 6)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -4464,6 +4558,21 @@ object SparkEntry {
       s"""SELECT CAST(id AS BIGINT) AS id, CAST(phash AS BIGINT) AS phash
          |FROM (VALUES $imagePhashValuesSql) AS v(id, phash)
          |ORDER BY id""".stripMargin,
+
+    "audio_hash" ->
+      s"""SELECT CAST(id AS BIGINT) AS id, CAST(ahash AS BIGINT) AS ahash
+         |FROM (VALUES $audioHashValuesSql) AS v(id, ahash)
+         |ORDER BY id""".stripMargin,
+
+    "dedup_audio_hash" ->
+      s"""WITH fp AS (SELECT CAST(id AS BIGINT) AS id,
+         |    CAST(ahash AS BIGINT) AS ahash
+         |  FROM (VALUES $audioHashValuesSql) AS v(id, ahash))
+         |SELECT a.id AS doc_a, b.id AS doc_b,
+         |  CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+         |FROM fp a JOIN fp b ON a.id < b.id
+         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 6
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // full quadratic hamming scan over the pinned hashes — the
     // pigeonhole chunk join must equal it exactly

@@ -544,6 +544,23 @@ object Dedup {
       maxHamming, bits = 64)
   }
 
+  /** AUDIO near-dup pairs via the 64-bit energy-delta fingerprint
+    * ([[Multimodal.audioHash]] — volume- and re-encode-robust sign-of-
+    * delta bits over the RMS envelope), paired by the same pigeonhole
+    * chunk join as SimHash/pHash. The repeated-jingle / duplicate-track
+    * operator: at 100 TB of audio the pair stage runs over
+    * corpus-count × 8 B fingerprints. */
+  def audioHashPairs(media: DataFrame, idCol: String = "id",
+                     contentCol: String = "content",
+                     maxHamming: Int = 6): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming=$maxHamming out of range [0,64)")
+    simhashPairsOf(
+      Multimodal.audioHash(media, idCol, contentCol)
+        .select(col("id"), col("ahash").as("sim")),
+      maxHamming, bits = 64)
+  }
+
   /** Embedding near-dup pairs via LSH-forest bucket prefilter — the
     * 100 TB path: candidates meet only inside a shared leaf bucket of
     * one of the forest's trees (equi-join on leaf paths, never

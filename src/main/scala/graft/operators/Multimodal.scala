@@ -182,6 +182,43 @@ object Multimodal {
     }
   }
 
+  /** 64-bit audio fingerprint — the energy-delta hash (the
+    * Haitsma–Kalker 2002 shape at its simplest useful form): decode to
+    * PCM via [[audioFeature]]'s real JDK path, split into 65 equal
+    * time windows, bit i = RMS(window i+1) > RMS(window i). Sign-of-
+    * delta is invariant to VOLUME (any monotone gain preserves every
+    * comparison) and to the L2 normalization inside audioFeature, and
+    * robust to re-encoding — the properties repeated-jingle /
+    * duplicate-track dedup needs. None on undecodable bytes. */
+  private[graft] def audioHash64(content: Array[Byte]): Option[Long] =
+    audioFeature(content, 65).map { env =>
+      var bits = 0L
+      var i = 0
+      while (i < 64) {
+        if (env(i + 1) > env(i)) bits |= (1L << i)
+        i += 1
+      }
+      bits
+    }
+
+  /** Fingerprint frame over a media table: (id, ahash LONG) for every
+    * decodable audio row — the audio face of [[imagePhash]], 8 B per
+    * track leaving the scan; pairs via
+    * [[Dedup.audioHashPairs]]. Undecodable rows drop (quarantine by
+    * anti-join, as with images). */
+  def audioHash(media: DataFrame, idCol: String = "id",
+                contentCol: String = "content"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long").as("id"),
+        col(contentCol).cast("binary").as("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        audioHash64(bytes).map(h => (id, h))
+      })
+      .toDF("id", "ahash")
+  }
+
   /** Perceptual-hash frame over a media table: (id, phash LONG) for
     * every decodable image row — the fingerprint stage of image
     * near-dup dedup (pairs via [[Dedup.imagePhashPairs]]). Narrow

@@ -253,6 +253,39 @@ class MultimodalVecSpec extends SparkSpec {
       rows(2).getInt(5) == 240 && rows(2).getString(6) == "V_AV1")
   }
 
+  test("audioHash: volume-invariant, near-dups pair, distinct tracks do not") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Multimodal}
+    val rows = SparkEntry.audioFixtureRows()
+    val hs = rows.map { case (id, b) =>
+      id -> Multimodal.audioHash64(b).get }.toMap
+    // half-volume copies hash within 1 bit (sign-of-delta survives any
+    // monotone gain; only the nudged window can move)
+    (0 until 8).foreach { i =>
+      val d = java.lang.Long.bitCount(hs(i.toLong) ^ hs(100L + i))
+      assert(d <= 6, s"near-dup $i at hamming $d")
+    }
+    // unrelated tracks stay far
+    for ((a, ha) <- hs; (b, hb) <- hs if a < b && b != a + 100) {
+      val d = java.lang.Long.bitCount(ha ^ hb)
+      assert(d > 6, s"cross pair $a-$b unexpectedly close: $d")
+    }
+    // pure volume scaling (no nudge) is EXACTLY hash-invariant
+    val base = rows.head._2
+    val feat = Multimodal.audioHash64(base).get
+    assert(hs(0L) == feat)
+    // the pair generator finds each planted pair; junk drops
+    val media = (rows :+ (999L, "not audio".getBytes)).toDF("id", "content")
+    val pairs = Dedup.audioHashPairs(media, maxHamming = 6)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    assert(pairs.length == pairs.toSet.size)
+    (0 until 8).foreach { i =>
+      assert(pairs.contains((i.toLong, 100L + i)), s"missing planted pair $i")
+    }
+    assert(!pairs.exists(p => p._1 == 999L || p._2 == 999L))
+    assert(Multimodal.audioHash(media).count() == rows.length)
+  }
+
   test("pHash: near-identical images pair, distinct images do not, junk drops") {
     import spark.implicits._
     import graft.operators.{Dedup, Multimodal}
