@@ -147,11 +147,17 @@ object Opq {
       val (c, _, k2) = PQ.lloydCodebooks(rot, params)
       rot.unpersist(blocking = false)
       cbs = c; kk = k2
-      // M = Σ x·ŷᵀ over the corpus — per-partition d×d partials,
-      // merged in partition order (deterministic double sums)
+      // M = Σ x·ŷᵀ over the corpus — per-partition d×d partials merged
+      // by a DETERMINISTIC two-level tree: partials reduce inside
+      // 256-partition buckets in pid order (one small shuffle of
+      // d²-double rows), bucket results fold on the driver in bucket
+      // order. A flat collect would put partitions × d² doubles on the
+      // driver (4 GB at 32k tasks / d = 128 — a real cluster's shape);
+      // the tree keeps the driver at buckets × d² while every double
+      // sums in a fixed order, so retraining is bit-reproducible.
       val bcR = spark.sparkContext.broadcast(r)
       val bcC = spark.sparkContext.broadcast(c)
-      val partials = rows.as[(Long, Array[Float])].mapPartitions { it =>
+      val buckets = rows.as[(Long, Array[Float])].mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val rr = bcR.value; val cc = bcC.value
         val m = new Array[Double](d * d)
@@ -178,9 +184,20 @@ object Opq {
           }
         }
         if (any) Iterator.single((pid, m)) else Iterator.empty
-      }.collect().sortBy(_._1)
+      }
+        .groupByKey(_._1 >> 8)
+        .mapGroups { (bucket, it) =>
+          val sorted = it.toArray.sortBy(_._1)
+          val acc = new Array[Double](d * d)
+          sorted.foreach { case (_, pm) =>
+            var i = 0
+            while (i < d * d) { acc(i) += pm(i); i += 1 }
+          }
+          (bucket, acc)
+        }
+        .collect().sortBy(_._1)
       val m = new Array[Double](d * d)
-      partials.foreach { case (_, pm) =>
+      buckets.foreach { case (_, pm) =>
         var i = 0
         while (i < d * d) { m(i) += pm(i); i += 1 }
       }
