@@ -2338,6 +2338,21 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Prefix-causal image admission (prefixKeepFirstByPairs over the
+    // pHash pairs): drop iff ANY lower-id image within the threshold,
+    // admitted or not — the streaming-enforceable rule
+    // (Streaming.ingestDedupFingerprint is its exact ingest face).
+    "dedup_image_prefix" -> ((s, dir) => {
+      import s.implicits._
+      val media = imageFixtureRows().toDF("id", "content")
+      graft.operators.Dedup.prefixKeepFirstByPairs(media, "id",
+          graft.operators.Dedup.imagePhashPairs(media, maxHamming = 6),
+          "doc_a", "doc_b")
+        .join(graft.operators.Multimodal.imagePhash(media), Seq("id"))
+        .select(col("id"), col("phash"))
+        .orderBy(col("id"))
+    }),
+
     // Image dedup END-TO-END: decode → pHash → pigeonhole pairs →
     // connected-component keep-first — the whole visual-dedup chain as
     // one declarative plan; the oracle replays pairs + closure over
@@ -4585,6 +4600,17 @@ object SparkEntry {
          |FROM fp a JOIN fp b ON a.id < b.id
          |WHERE bit_count(xor(a.phash, b.phash)) <= 6
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // prefix rule: drop iff any lower-id hash within the threshold
+    "dedup_image_prefix" ->
+      s"""WITH fp AS (SELECT CAST(id AS BIGINT) AS id,
+         |    CAST(phash AS BIGINT) AS phash
+         |  FROM (VALUES $imagePhashValuesSql) AS v(id, phash)),
+         |losers AS (SELECT DISTINCT b.id FROM fp a JOIN fp b ON a.id < b.id
+         |  WHERE bit_count(xor(a.phash, b.phash)) <= 6)
+         |SELECT id, phash FROM fp
+         |WHERE id NOT IN (SELECT id FROM losers)
+         |ORDER BY id""".stripMargin,
 
     // pairs + recursive component closure + keep-first over the pinned
     // hashes — the end-to-end image-dedup survivors

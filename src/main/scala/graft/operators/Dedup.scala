@@ -480,6 +480,59 @@ object Dedup {
 
   /** Un-checkpointed pigeonhole-chunk join plan over a prepared
     * (id, sim) fingerprint frame (see [[prefixKeepFirstOf]]). */
+  /** The pigeonhole chunk explosion of a fingerprint frame `(…, sim)`:
+    * one row per (maxHamming+1)-chunk with its extracted key — two
+    * frames chunked the same way equi-join on (chunk, ckey) and a
+    * hamming ≤ maxHamming pair is GUARANTEED to collide on at least
+    * one chunk (pigeonhole). */
+  private[graft] def simChunksOf(sims: DataFrame, maxHamming: Int,
+                                 bits: Int): DataFrame = {
+    val nChunks = maxHamming + 1
+    val bitsPer = bits / nChunks
+    sims.select(col("sim"), posexplode(array(
+      (0 until nChunks).map { c =>
+        val lo = c * bitsPer
+        val width = if (c == nChunks - 1) bits - lo else bitsPer
+        val mask = if (width >= 64) -1L else (1L << width) - 1L
+        shiftrightunsigned(col("sim"), lo).bitwiseAND(lit(mask))
+      }: _*))).toDF("sim", "chunk", "ckey")
+  }
+
+  /** CROSS-frame Hamming pairs: every (a.id, b.id) with
+    * hamming(a.sim, b.sim) ≤ maxHamming, a from `a` and b from `b` —
+    * the batch-vs-state probe of streaming fingerprint dedup. Same
+    * complete-candidates pigeonhole guarantee as [[simhashPairsOf]];
+    * distinct-sim chunk join, ids expanded after. */
+  private[graft] def crossHammingPairs(a: DataFrame, b: DataFrame,
+                                       maxHamming: Int,
+                                       bits: Int): DataFrame = {
+    val ca = simChunksOf(a.select(col("sim")).distinct(), maxHamming, bits)
+    val cb = simChunksOf(b.select(col("sim")).distinct(), maxHamming, bits)
+    val simPairs = ca.as("l").join(cb.as("r"),
+        col("l.chunk") === col("r.chunk") && col("l.ckey") === col("r.ckey"))
+      .select(col("l.sim").as("sa"), col("r.sim").as("sb"),
+        bit_count(col("l.sim").bitwiseXOR(col("r.sim"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("sa", "sb")
+    a.as("x").join(broadcast(simPairs), col("x.sim") === col("sa"))
+      .join(b.as("y"), col("y.sim") === col("sb"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("hamming").cast("int").as("hamming"))
+  }
+
+  /** Prefix-causal keep-first over a CANONICAL pair frame (aCol <
+    * bCol): drop a row iff it is the LARGER id of any pair — the
+    * non-recursive admission rule a stream can apply row-by-row in id
+    * order (the [[prefixKeepFirst]] family, generalized to any pair
+    * generator: pHash, audio hash, SimHash). Unlike
+    * [[keepFirstByPairs]] there is no component closure: B drops
+    * because of A whether or not A itself survives. */
+  def prefixKeepFirstByPairs(df: DataFrame, idCol: String,
+                             pairs: DataFrame, aCol: String,
+                             bCol: String): DataFrame =
+    df.join(pairs.select(col(bCol).cast("long").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   private[graft] def simhashPairsOf(fp: DataFrame, maxHamming: Int,
                                     bits: Int): DataFrame = {
     val nChunks = maxHamming + 1

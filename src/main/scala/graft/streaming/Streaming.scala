@@ -834,6 +834,60 @@ object Streaming {
       .start()
   }
 
+  /** State of [[ingestDedupFingerprint]]: `admitted` accumulates
+    * surviving media rows; `fps` accumulates EVERY row's (id, sim)
+    * fingerprint — dropped rows included (prefix semantics: a
+    * duplicate of a dropped row is still a duplicate). 16 B per row
+    * ever seen. */
+  case class FingerprintIngestState(admitted: DataFrame, fps: DataFrame,
+                                    addsSinceCompact: Int = 0)
+
+  /** Perceptual-fingerprint dedup AT INGEST — the image/audio twin of
+    * [[ingestDedupMinhash]]: each microbatch fingerprints with the
+    * supplied narrow kernel ([[graft.operators.Multimodal.imagePhash]]
+    * / audioHash — pass it pre-renamed to (id, sim)), then drops
+    * (a) rows within `maxHamming` of any SEEN fingerprint (the
+    * cross-frame pigeonhole chunk join,
+    * [[graft.operators.Dedup.crossHammingPairs]] — batch×state moves
+    * chunk keys, never media bytes) and (b) rows within the threshold
+    * of a lower-id row in the SAME batch. Survivors append to
+    * `admitted`; ALL batch fingerprints append to `fps`. With
+    * id-ordered arrival this reproduces the batch
+    * [[graft.operators.Dedup.prefixKeepFirstByPairs]] over the full
+    * pair frame exactly (StreamingSpec pins it for pHash). */
+  def ingestDedupFingerprint(stream: DataFrame, idCol: String,
+                             fingerprint: DataFrame => DataFrame,
+                             maxHamming: Int,
+                             state: java.util.concurrent.atomic.AtomicReference[FingerprintIngestState])
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"ingestDedupFingerprint: maxHamming in [0,64), got $maxHamming")
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val st = state.get()
+          val bfp = fingerprint(batch).localCheckpoint(true) // (id, sim)
+          val dupVsState = graft.operators.Dedup
+            .crossHammingPairs(bfp, st.fps, maxHamming, bits = 64)
+            .select(col("id_a").as("id"))
+          val dupIntra = graft.operators.Dedup
+            .simhashPairsOf(bfp, maxHamming, bits = 64)
+            .select(col("doc_b").as("id"))
+          val losers = dupVsState.unionByName(dupIntra).distinct()
+            .withColumnRenamed("id", idCol)
+          val admittedBatch = batch.join(losers, Seq(idCol), "left_anti")
+            .localCheckpoint(true)
+          val (admitted, n) = graft.index.Lineage.compact(
+            st.admitted.unionByName(admittedBatch), st.addsSinceCompact)
+          val (fps, _) = graft.index.Lineage.compact(
+            st.fps.unionByName(bfp), st.addsSinceCompact)
+          state.set(FingerprintIngestState(admitted, fps, n))
+        }
+      }
+      .start()
+  }
+
   /** Span-level decontamination at ingest — contam_scrub_spans'
     * streaming face: the benchmark gram set rides as a broadcast
     * literal and the whole gram-hit → islands → excise pipeline runs

@@ -907,6 +907,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamedH == SparkEntry.ImagePhashPinned.toSet)
   }
 
+  test("streaming fingerprint dedup admits exactly the batch prefix rule") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Dedup, Multimodal}
+    import graft.streaming.Streaming.FingerprintIngestState
+    val rows = SparkEntry.imageFixtureRows()
+    val media = rows.toDF("id", "content")
+    val emptyAdmitted = media.filter(lit(false))
+    val emptyFps = Seq.empty[(Long, Long)].toDF("id", "sim")
+    val state = new java.util.concurrent.atomic.AtomicReference(
+      FingerprintIngestState(emptyAdmitted, emptyFps))
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = Streaming.ingestDedupFingerprint(
+      mem.toDF().toDF("id", "content"), "id",
+      b => Multimodal.imagePhash(b, "id", "content")
+        .withColumnRenamed("phash", "sim"),
+      maxHamming = 6, state)
+    // id-ordered arrival: bases, then dups, then stripes — the dup
+    // batch must drop against STATE fingerprints, not its own batch
+    rows.sortBy(_._1).grouped(8).foreach { chunk =>
+      mem.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = state.get().admitted.select($"id")
+      .as[Long].collect().toSet
+    val batch = Dedup.prefixKeepFirstByPairs(media, "id",
+        Dedup.imagePhashPairs(media, maxHamming = 6), "doc_a", "doc_b")
+      .select($"id").as[Long].collect().toSet
+    assert(streamed == batch)
+    // the 8 planted dups (ids 100-107) all dropped; bases/stripes kept
+    assert(batch == (0L until 8L).toSet ++ (200L until 208L).toSet)
+    // state fingerprints cover EVERY row, dropped included
+    assert(state.get().fps.count() == rows.length)
+  }
+
   test("streaming subword packing equals batch packSubwords") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.Streaming.PackIngestState
