@@ -491,8 +491,11 @@ object Dedup {
     val bitsPer = bits / nChunks
     sims.select(col("sim"), posexplode(array(
       (0 until nChunks).map { c =>
+        // chunk c: bits [c*bitsPer, ...) — last chunk takes the remainder
         val lo = c * bitsPer
         val width = if (c == nChunks - 1) bits - lo else bitsPer
+        // width == 64 (maxHamming=0, bits=64): 1L<<64 wraps to 1 (Java
+        // shift mod 64) → mask 0 would collapse every key; use -1L
         val mask = if (width >= 64) -1L else (1L << width) - 1L
         shiftrightunsigned(col("sim"), lo).bitwiseAND(lit(mask))
       }: _*))).toDF("sim", "chunk", "ckey")
@@ -535,8 +538,6 @@ object Dedup {
 
   private[graft] def simhashPairsOf(fp: DataFrame, maxHamming: Int,
                                     bits: Int): DataFrame = {
-    val nChunks = maxHamming + 1
-    val bitsPer = bits / nChunks
     // the fingerprint space is far smaller than the corpus (2^16) or at
     // least heavily collapsed by near-dups (64-bit): run the chunk join
     // over DISTINCT fingerprints (quadratically less fanout). Only the
@@ -544,17 +545,8 @@ object Dedup {
     // the near-dup structure, while fp itself scales with the corpus
     // and must never be broadcast; doc-pair expansion is a shuffle
     // equi-join on sim.
-    val sims = fp.select(col("sim")).distinct()
-    val chunks = sims.select(col("sim"), posexplode(array(
-      (0 until nChunks).map { c =>
-        // chunk c: bits [c*bitsPer, ...) — last chunk takes the remainder
-        val lo = c * bitsPer
-        val width = if (c == nChunks - 1) bits - lo else bitsPer
-        // width == 64 (maxHamming=0, bits=64): 1L<<64 wraps to 1 (Java
-        // shift mod 64) → mask 0 would collapse every key; use -1L
-        val mask = if (width >= 64) -1L else (1L << width) - 1L
-        shiftrightunsigned(col("sim"), lo).bitwiseAND(lit(mask))
-      }: _*))).toDF("sim", "chunk", "ckey")
+    val chunks = simChunksOf(fp.select(col("sim")).distinct(), maxHamming,
+      bits)
     val simPairs = chunks.as("l").join(chunks.as("r"),
         col("l.chunk") === col("r.chunk") && col("l.ckey") === col("r.ckey") &&
           col("l.sim") < col("r.sim"))

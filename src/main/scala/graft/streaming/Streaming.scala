@@ -191,6 +191,34 @@ object Streaming {
       .start()
   }
 
+  /** Persist / restore the long-running dedup-ingest states — restart
+    * durability, the dedup analogue of the index tiers' save/load
+    * (base.rs:31's only durability story): a stream restart that
+    * loses its fingerprint/band memory silently re-admits every
+    * future duplicate of the pre-restart corpus. Layout: one parquet
+    * table per state frame. The save runs on a checkpoint cadence of
+    * the caller's choosing (the localCheckpoint compaction inside the
+    * ingest twins is executor-memory durability only). */
+  object DedupStateIO {
+    def save(st: DedupIngestState, dir: String): Unit = {
+      st.admitted.write.mode("overwrite").parquet(s"$dir/admitted")
+      st.bands.write.mode("overwrite").parquet(s"$dir/bands")
+    }
+    def load(spark: org.apache.spark.sql.SparkSession,
+             dir: String): DedupIngestState =
+      DedupIngestState(spark.read.parquet(s"$dir/admitted"),
+        spark.read.parquet(s"$dir/bands"))
+
+    def save(st: FingerprintIngestState, dir: String): Unit = {
+      st.admitted.write.mode("overwrite").parquet(s"$dir/admitted")
+      st.fps.write.mode("overwrite").parquet(s"$dir/fps")
+    }
+    def loadFingerprint(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): FingerprintIngestState =
+      FingerprintIngestState(spark.read.parquet(s"$dir/admitted"),
+        spark.read.parquet(s"$dir/fps"))
+  }
+
   /** State of the streaming semantic dedup ([[ingestSemdedup]]):
     * `admitted` accumulates surviving rows; `seen` accumulates EVERY
     * row's (id, vector, cluster) — dropped rows included, which is

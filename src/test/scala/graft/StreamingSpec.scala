@@ -942,6 +942,40 @@ class StreamingSpec extends SparkSpec {
     assert(state.get().fps.count() == rows.length)
   }
 
+  test("dedup state survives a save/load restart: no re-admitted duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Multimodal
+    import graft.streaming.Streaming.{DedupStateIO, FingerprintIngestState}
+    val rows = SparkEntry.imageFixtureRows().sortBy(_._1)
+    val (bases, rest) = rows.partition(_._1 < 100)
+    val media = (ids: Seq[(Long, Array[Byte])]) => ids.toDF("id", "content")
+    val fp = (b: org.apache.spark.sql.DataFrame) =>
+      Multimodal.imagePhash(b, "id", "content").withColumnRenamed("phash", "sim")
+    // phase 1: ingest the bases, then persist the state
+    val st1 = new java.util.concurrent.atomic.AtomicReference(
+      FingerprintIngestState(media(rows).filter(lit(false)),
+        Seq.empty[(Long, Long)].toDF("id", "sim")))
+    val mem1 = MemoryStream[(Long, Array[Byte])]
+    val q1 = Streaming.ingestDedupFingerprint(
+      mem1.toDF().toDF("id", "content"), "id", fp, maxHamming = 6, st1)
+    mem1.addData(bases); q1.processAllAvailable(); q1.stop()
+    val dir = java.nio.file.Files.createTempDirectory("fpstate").toString
+    DedupStateIO.save(st1.get(), dir)
+    // phase 2: RESTART from the persisted state, ingest dups + stripes
+    val st2 = new java.util.concurrent.atomic.AtomicReference(
+      DedupStateIO.loadFingerprint(spark, dir))
+    val mem2 = MemoryStream[(Long, Array[Byte])]
+    val q2 = Streaming.ingestDedupFingerprint(
+      mem2.toDF().toDF("id", "content"), "id", fp, maxHamming = 6, st2)
+    mem2.addData(rest); q2.processAllAvailable(); q2.stop()
+    val admitted = st2.get().admitted.select($"id").as[Long].collect().toSet
+    // pre-restart bases + post-restart stripes; every planted dup of a
+    // PRE-RESTART base dropped — the memory the save/load preserves
+    assert(admitted == (0L until 8L).toSet ++ (200L until 208L).toSet,
+      admitted.toSeq.sorted.mkString(","))
+    assert(st2.get().fps.count() == rows.length)
+  }
+
   test("streaming subword packing equals batch packSubwords") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.Streaming.PackIngestState
