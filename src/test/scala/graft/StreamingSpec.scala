@@ -974,6 +974,20 @@ class StreamingSpec extends SparkSpec {
     assert(admitted == (0L until 8L).toSet ++ (200L until 208L).toSet,
       admitted.toSeq.sorted.mkString(","))
     assert(st2.get().fps.count() == rows.length)
+    // the minhash band state round-trips through the same IO
+    import graft.streaming.Streaming.DedupIngestState
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text").limit(40)
+    val bands = graft.operators.Dedup.minhashBands(docs, "doc_id", "text",
+      numHashes = 12, bandSize = 2)
+    val mhDir = java.nio.file.Files.createTempDirectory("mhstate").toString
+    DedupStateIO.save(DedupIngestState(docs, bands), mhDir)
+    val back = DedupStateIO.load(spark, mhDir)
+    assert(back.admitted.count() == docs.count())
+    assert(back.bands.select($"band", $"key", $"id")
+      .as[(Int, Long, Long)].collect().toSet ==
+      bands.select($"band", $"key", $"id")
+        .as[(Int, Long, Long)].collect().toSet)
   }
 
   test("streaming subword packing equals batch packSubwords") {
