@@ -191,13 +191,18 @@ object Streaming {
       .start()
   }
 
-  /** Persist / restore the long-running dedup-ingest states — restart
-    * durability, the dedup analogue of the index tiers' save/load
+  /** Persist / restore EVERY long-running ingest state — restart
+    * durability, the streaming analogue of the index tiers' save/load
     * (base.rs:31's only durability story): a stream restart that
-    * loses its fingerprint/band memory silently re-admits every
-    * future duplicate of the pre-restart corpus. Layout: one parquet
-    * table per state frame. The save runs on a checkpoint cadence of
-    * the caller's choosing (the localCheckpoint compaction inside the
+    * loses its fingerprint/band/seen-vector/digest/tally memory
+    * silently re-admits every future duplicate of the pre-restart
+    * corpus (or resets its caps / lane totals / sketch registers).
+    * One overload pair per state family — minhash bands, perceptual
+    * fingerprints, semantic seen-vectors, source-cap tallies, the
+    * curate digest+tally pair, pack lane totals, decontam admissions,
+    * and the four monoid sketches. Layout: one parquet table per
+    * state frame. The save runs on a checkpoint cadence of the
+    * caller's choosing (the localCheckpoint compaction inside the
     * ingest twins is executor-memory durability only). */
   object DedupStateIO {
     def save(st: DedupIngestState, dir: String): Unit = {
@@ -217,6 +222,69 @@ object Streaming {
                         dir: String): FingerprintIngestState =
       FingerprintIngestState(spark.read.parquet(s"$dir/admitted"),
         spark.read.parquet(s"$dir/fps"))
+
+    def save(st: SemdedupIngestState, dir: String): Unit = {
+      st.admitted.write.mode("overwrite").parquet(s"$dir/admitted")
+      st.seen.write.mode("overwrite").parquet(s"$dir/seen")
+    }
+    def loadSemdedup(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): SemdedupIngestState =
+      SemdedupIngestState(spark.read.parquet(s"$dir/admitted"),
+        spark.read.parquet(s"$dir/seen"))
+
+    def save(st: SourceCapState, dir: String): Unit = {
+      st.admitted.write.mode("overwrite").parquet(s"$dir/admitted")
+      st.counts.write.mode("overwrite").parquet(s"$dir/counts")
+    }
+    def loadSourceCap(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): SourceCapState =
+      SourceCapState(spark.read.parquet(s"$dir/admitted"),
+        spark.read.parquet(s"$dir/counts"))
+
+    def save(st: CurateIngestState, dir: String): Unit = {
+      st.admitted.write.mode("overwrite").parquet(s"$dir/admitted")
+      st.digests.write.mode("overwrite").parquet(s"$dir/digests")
+      st.counts.write.mode("overwrite").parquet(s"$dir/counts")
+    }
+    def loadCurate(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): CurateIngestState =
+      CurateIngestState(spark.read.parquet(s"$dir/admitted"),
+        spark.read.parquet(s"$dir/digests"),
+        spark.read.parquet(s"$dir/counts"))
+
+    def save(st: PackIngestState, dir: String): Unit = {
+      st.packed.write.mode("overwrite").parquet(s"$dir/packed")
+      st.totals.write.mode("overwrite").parquet(s"$dir/totals")
+    }
+    def loadPack(spark: org.apache.spark.sql.SparkSession,
+                 dir: String): PackIngestState =
+      PackIngestState(spark.read.parquet(s"$dir/packed"),
+        spark.read.parquet(s"$dir/totals"))
+
+    def save(st: DecontamIngestState, dir: String): Unit = {
+      st.admitted.write.mode("overwrite").parquet(s"$dir/admitted")
+      // the dropped tally is a scalar — one-row parquet keeps the
+      // layout uniform (no side-channel JSON to keep in sync)
+      st.admitted.sparkSession.range(1)
+        .select(lit(st.dropped).as("dropped"))
+        .write.mode("overwrite").parquet(s"$dir/meta")
+    }
+    def loadDecontam(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): DecontamIngestState =
+      DecontamIngestState(spark.read.parquet(s"$dir/admitted"),
+        spark.read.parquet(s"$dir/meta").head().getAs[Long]("dropped"))
+
+    /** The four sketch ingests (HLL / Bloom / CMS / KMV) keep their
+      * whole state in ONE bounded DataFrame (registers / words /
+      * counters / bottom-R hashes — they're monoids), so persistence
+      * is a single parquet table. The load localCheckpoints so the
+      * restarted stream folds batches into a frozen plan, exactly like
+      * the in-memory state it replaces. */
+    def saveSketch(state: DataFrame, dir: String): Unit =
+      state.write.mode("overwrite").parquet(dir)
+    def loadSketch(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): DataFrame =
+      spark.read.parquet(dir).localCheckpoint(true)
   }
 
   /** State of the streaming semantic dedup ([[ingestSemdedup]]):

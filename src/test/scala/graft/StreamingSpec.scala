@@ -990,6 +990,202 @@ class StreamingSpec extends SparkSpec {
         .as[(Int, Long, Long)].collect().toSet)
   }
 
+  test("semantic dedup state survives a save/load restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streaming.{DedupStateIO, SemdedupIngestState}
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cents = emb.filter($"vec_id" < 8).orderBy($"vec_id")
+      .select($"embedding".cast("array<float>")).collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+    val base = emb.select($"vec_id".cast("long").as("vec_id"), $"embedding")
+      .orderBy($"vec_id").limit(40).cache()
+    val offset = base.agg(max($"vec_id")).head().getLong(0) + 1
+    val empty = base.filter(lit(false))
+    // phase 1: ingest the bases, persist the state
+    val st1 = new java.util.concurrent.atomic.AtomicReference(
+      SemdedupIngestState(empty,
+        IVFFlat.assign(empty, "vec_id", "embedding", cents)))
+    val mem1 = MemoryStream[(Long, Array[Float])]
+    val q1 = Streaming.ingestSemdedup(
+      mem1.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      cents, maxCosDist = 1e-5, st1)
+    mem1.addData(base.orderBy($"vec_id").as[(Long, Array[Float])].collect().toSeq)
+    q1.processAllAvailable(); q1.stop()
+    val dir = java.nio.file.Files.createTempDirectory("semstate").toString
+    DedupStateIO.save(st1.get(), dir)
+    // phase 2: RESTART, ingest exact copies of PRE-restart rows + fresh rows
+    val st2 = new java.util.concurrent.atomic.AtomicReference(
+      DedupStateIO.loadSemdedup(spark, dir))
+    val fresh = emb.select($"vec_id".cast("long").as("vec_id"), $"embedding")
+      .orderBy($"vec_id".desc).limit(5)
+      .withColumn("vec_id", $"vec_id" + offset + 100)
+    val dups = base.filter($"vec_id" < 10).withColumn("vec_id", $"vec_id" + offset)
+    val mem2 = MemoryStream[(Long, Array[Float])]
+    val q2 = Streaming.ingestSemdedup(
+      mem2.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      cents, maxCosDist = 1e-5, st2)
+    mem2.addData(dups.unionByName(fresh).orderBy($"vec_id")
+      .as[(Long, Array[Float])].collect().toSeq)
+    q2.processAllAvailable(); q2.stop()
+    val admitted2 = st2.get().admitted.select($"vec_id")
+      .as[Long].collect().toSet
+    // every planted dup of a PRE-restart row dropped; fresh rows admitted
+    assert((0L until 10L).forall(i => !admitted2.contains(i + offset)),
+      admitted2.toSeq.sorted.mkString(","))
+    assert(fresh.select($"vec_id").as[Long].collect().forall(admitted2.contains))
+    // seen-state covers every row ever ingested, dups included
+    assert(st2.get().seen.count() >= base.count() + 10 + 5)
+  }
+
+  test("source-cap and curate states survive a save/load restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streaming.{CurateIngestState, DedupStateIO, SourceCapState}
+    // --- source cap: tallies must carry across the restart ---
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"source").orderBy($"doc_id").limit(60).cache()
+    val st1 = new java.util.concurrent.atomic.AtomicReference(
+      SourceCapState(docs.filter(lit(false)),
+        Seq.empty[(String, Long)].toDF("src", "n")))
+    val mem1 = MemoryStream[(Long, String)]
+    val q1 = Streaming.ingestSourceCap(
+      mem1.toDF().toDF("doc_id", "source"), "doc_id", "source", cap = 2, st1)
+    val rows = docs.as[(Long, String)].collect()
+    val (pre, post0) = rows.splitAt(rows.length / 2)
+    mem1.addData(pre.toSeq); q1.processAllAvailable(); q1.stop()
+    val capDir = java.nio.file.Files.createTempDirectory("capstate").toString
+    DedupStateIO.save(st1.get(), capDir)
+    val st2 = new java.util.concurrent.atomic.AtomicReference(
+      DedupStateIO.loadSourceCap(spark, capDir))
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = Streaming.ingestSourceCap(
+      mem2.toDF().toDF("doc_id", "source"), "doc_id", "source", cap = 2, st2)
+    mem2.addData(post0.toSeq); q2.processAllAvailable(); q2.stop()
+    val streamed = st2.get().admitted.select($"doc_id").as[Long].collect().toSet
+    // the state carries both the admitted history AND the tally, so
+    // the restarted stream's full admitted set equals the batch prefix
+    // rule over the whole corpus (a lost tally would re-admit cap
+    // fresh docs per source after the restart)
+    val batch = graft.operators.TermStats
+      .prefixSourceCap(docs, "doc_id", "source", cap = 2)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(streamed == batch, streamed.toSeq.sorted.mkString(","))
+    // the cap actually bound: some POST-restart doc was rejected
+    // because of PRE-restart admissions
+    assert(batch.size < rows.length)
+    assert(post0.map(_._1).toSet.exists(id => !streamed.contains(id)))
+    // --- curate: digest memory must survive (planted pre-restart dup) ---
+    val cdocs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"source", $"text").orderBy($"doc_id").limit(40).cache()
+    val emptyDocs = cdocs.filter(lit(false))
+    val cst1 = new java.util.concurrent.atomic.AtomicReference(
+      CurateIngestState(emptyDocs,
+        emptyDocs.select(md5($"text").as("norm_h")),
+        Seq.empty[(String, Long)].toDF("src", "n")))
+    val cmem1 = MemoryStream[(Long, String, String)]
+    val cq1 = Streaming.ingestCurate(
+      cmem1.toDF().toDF("doc_id", "source", "text"),
+      "doc_id", "source", "text", cap = 50, cst1)
+    cmem1.addData(cdocs.as[(Long, String, String)].collect().toSeq)
+    cq1.processAllAvailable(); cq1.stop()
+    val curDir = java.nio.file.Files.createTempDirectory("curstate").toString
+    DedupStateIO.save(cst1.get(), curDir)
+    val cst2 = new java.util.concurrent.atomic.AtomicReference(
+      DedupStateIO.loadCurate(spark, curDir))
+    val cmem2 = MemoryStream[(Long, String, String)]
+    val cq2 = Streaming.ingestCurate(
+      cmem2.toDF().toDF("doc_id", "source", "text"),
+      "doc_id", "source", "text", cap = 50, cst2)
+    val cOffset = 100000L
+    // exact copies of PRE-restart docs, new ids — must ALL be rejected
+    cmem2.addData(cdocs.withColumn("doc_id", $"doc_id" + cOffset)
+      .as[(Long, String, String)].collect().toSeq)
+    cq2.processAllAvailable(); cq2.stop()
+    val cAdmitted = cst2.get().admitted.select($"doc_id").as[Long].collect().toSet
+    assert(cAdmitted.forall(_ < cOffset), cAdmitted.toSeq.sorted.mkString(","))
+    assert(cAdmitted == cst1.get().admitted.select($"doc_id").as[Long].collect().toSet)
+  }
+
+  test("pack, decontam and sketch states survive a save/load restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streaming.{DecontamIngestState, DedupStateIO, PackIngestState}
+    // --- pack: lane totals carry, so bins continue where they left off ---
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text").orderBy($"doc_id").limit(60).cache()
+    val pieces = SparkEntry.UnigramPinned
+    val schema = "doc_id LONG, split STRING, shard LONG, n_tokens LONG, bin LONG"
+    def emptyPack() = new java.util.concurrent.atomic.AtomicReference(
+      PackIngestState(
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(schema)),
+        Seq.empty[(String, Long, Long)].toDF("split", "shard", "tok")))
+    val pst1 = emptyPack()
+    val pmem1 = MemoryStream[(Long, String)]
+    val pq1 = Streaming.ingestPackSubwords(
+      pmem1.toDF().toDF("doc_id", "text"), "doc_id", "text", pieces,
+      budget = 500, shards = 4, pst1)
+    val prows = docs.as[(Long, String)].collect()
+    val (ppre, ppost) = prows.splitAt(prows.length / 2)
+    pmem1.addData(ppre.toSeq); pq1.processAllAvailable(); pq1.stop()
+    val packDir = java.nio.file.Files.createTempDirectory("packstate").toString
+    DedupStateIO.save(pst1.get(), packDir)
+    val pst2 = new java.util.concurrent.atomic.AtomicReference(
+      DedupStateIO.loadPack(spark, packDir))
+    val pmem2 = MemoryStream[(Long, String)]
+    val pq2 = Streaming.ingestPackSubwords(
+      pmem2.toDF().toDF("doc_id", "text"), "doc_id", "text", pieces,
+      budget = 500, shards = 4, pst2)
+    pmem2.addData(ppost.toSeq); pq2.processAllAvailable(); pq2.stop()
+    val streamedPack = pst2.get().packed
+      .select($"doc_id", $"split", $"shard", $"n_tokens", $"bin")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    val batchPack = graft.operators.Splits.packSubwords(docs, "doc_id", "text",
+        pieces, budget = 500, shards = 4)
+      .select($"doc_id", $"split", $"shard", $"n_tokens", $"bin")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    // bins across the restart equal the uninterrupted batch packing —
+    // a lost lane total would restart every lane's prefix sum at 0
+    assert(streamedPack == batchPack)
+    // --- decontam: admissions + dropped tally carry ---
+    val bench = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text").orderBy($"doc_id".desc).limit(5)
+    val grams = graft.operators.Decontam.benchGramSet(bench, "doc_id", "text", n = 3)
+    val dst1 = new java.util.concurrent.atomic.AtomicReference(
+      DecontamIngestState(docs.filter(lit(false))))
+    val dmem1 = MemoryStream[(Long, String)]
+    val dq1 = Streaming.ingestDecontam(
+      dmem1.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      grams, n = 3, threshold = 0.5, dst1)
+    dmem1.addData(ppre.toSeq); dq1.processAllAvailable(); dq1.stop()
+    val decDir = java.nio.file.Files.createTempDirectory("decstate").toString
+    DedupStateIO.save(dst1.get(), decDir)
+    val back = DedupStateIO.loadDecontam(spark, decDir)
+    assert(back.dropped == dst1.get().dropped)
+    assert(back.admitted.select($"doc_id").as[Long].collect().toSet ==
+      dst1.get().admitted.select($"doc_id").as[Long].collect().toSet)
+    // --- sketches: the monoid state round-trips; restarted stream ≡ batch ---
+    val vals = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"source").limit(200).cache()
+    val sst1 = new java.util.concurrent.atomic.AtomicReference(
+      graft.operators.Sketches.hllRegisters(vals.filter(lit(false)), "source", p = 6))
+    val smem1 = MemoryStream[String]
+    val sq1 = Streaming.ingestHll(smem1.toDF().toDF("source"), "source", p = 6, sst1)
+    val svals = vals.as[String].collect()
+    val (spre, spost) = svals.splitAt(svals.length / 2)
+    smem1.addData(spre.toSeq); sq1.processAllAvailable(); sq1.stop()
+    val hllDir = java.nio.file.Files.createTempDirectory("hllstate").toString
+    DedupStateIO.saveSketch(sst1.get(), hllDir)
+    val sst2 = new java.util.concurrent.atomic.AtomicReference(
+      DedupStateIO.loadSketch(spark, hllDir))
+    val smem2 = MemoryStream[String]
+    val sq2 = Streaming.ingestHll(smem2.toDF().toDF("source"), "source", p = 6, sst2)
+    smem2.addData(spost.toSeq); sq2.processAllAvailable(); sq2.stop()
+    val streamedRegs = sst2.get().select($"bucket", $"rho")
+      .as[(Int, Int)].collect().toSet
+    val batchRegs = graft.operators.Sketches.hllRegisters(vals, "source", p = 6)
+      .select($"bucket", $"rho").as[(Int, Int)].collect().toSet
+    assert(streamedRegs == batchRegs)
+  }
+
   test("streaming subword packing equals batch packSubwords") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.Streaming.PackIngestState
