@@ -321,6 +321,69 @@ object SparkEntry {
   private def audioHashValuesSql: String =
     AudioHashPinned.map { case (id, p) => s"($id, $p)" }.mkString(", ")
 
+  /** WAV fixture for the SHIFT-ROBUST audio lanes — the dup class
+    * [[audioFixtureRows]] can't express: ids 0–3 are 1-second tracks
+    * whose amplitude re-rolls every 50 samples (a seeded envelope rich
+    * enough that every 32-bit block sub-fingerprint is effectively
+    * unique), 100–103 are the SAME signals with the first 0.125 s
+    * REMOVED (the silence-trim / intro-clip dup — every global-hash
+    * window boundary shifts, so [[graft.operators.Multimodal.audioHash64]]
+    * diverges, while the fixed-duration block fingerprints align at a
+    * constant 2-hop offset), 200–203 unrelated envelopes. Integer PCM
+    * synthesis + JDK WAV container: block hashes are exact across
+    * JVMs, so the oracle replays the whole pair join over them. */
+  private[graft] def audioShiftFixtureRows(): Seq[(Long, Array[Byte])] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def mix64(x0: Long): Long = {
+      var x = x0
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    val rate = 8000
+    // `skip` trims the head of the UN-shifted signal: sample i of the
+    // output is sample i+skip of the seed's infinite envelope, so a
+    // trimmed track is bit-identical to its base over the overlap
+    def wav(seed: Long, nSamples: Int, skip: Int): Array[Byte] = {
+      val pcm = new Array[Byte](nSamples * 2)
+      var i = 0
+      while (i < nSamples) {
+        val src = i + skip
+        val amp = 2000 + java.lang.Long.remainderUnsigned(
+          mix64(seed * 7919L + (src / 50) * 131L + 17L), 26000L).toInt
+        // 250 Hz square carrier: 16-sample half-period at 8 kHz
+        val s = if ((src / 16) % 2 == 0) amp else -amp
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        rate.toFloat, 16, 1, 2, rate.toFloat, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val bases = (0 until 4).map(i => (i.toLong, wav(i + 1L, 8000, 0)))
+    val trimmed = (0 until 4).map(i => (100L + i, wav(i + 1L, 7000, 1000)))
+    val other = (0 until 4).map(i => (200L + i, wav(3000L + i, 8000, 0)))
+    bases ++ trimmed ++ other
+  }
+
+  /** The shift fixture's block sub-fingerprints rendered as VALUES
+    * rows — computed by the DETERMINISTIC kernel at oracle-dump time
+    * (integer PCM, exact float reduction), same trust model as the
+    * pinned-literal hashes: the oracle independently replays
+    * everything DOWNSTREAM (df cap → anchor join → offset vote) in
+    * SQL. The kernel itself is pinned by MultimodalVecSpec. */
+  private lazy val audioBlockValuesSql: String =
+    audioShiftFixtureRows().flatMap { case (id, bytes) =>
+      graft.operators.Multimodal.audioBlockHashes(bytes).get.map {
+        case (blk, fp) => s"($id, $blk, $fp)"
+      }
+    }.mkString(", ")
+
   /** The fixture's pHashes, pinned: pixel formulas are integers, PNG is
     * lossless, and [[graft.operators.Multimodal.phash64]] uses
     * StrictMath — the values are exact across JVMs, so the oracle can
@@ -2336,6 +2399,28 @@ object SparkEntry {
       val media = audioFixtureRows().toDF("id", "content")
       graft.operators.Dedup.audioHashPairs(media, maxHamming = 6)
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Shift-robust per-block audio sub-fingerprints (Haitsma–Kalker
+    // fixed-duration frames): the posting-list the silence-trim dedup
+    // runs on. Values replayed by the oracle from the deterministic
+    // kernel (audioBlockValuesSql).
+    "audio_block_fp" -> ((s, dir) => {
+      import s.implicits._
+      val media = audioShiftFixtureRows().toDF("id", "content")
+      graft.operators.Multimodal.audioBlockFingerprints(media)
+        .orderBy(col("id"), col("block"))
+    }),
+
+    // Silence-trimmed dup pairs: anchor equi-join on identical block
+    // sub-fingerprints + offset-agreement vote — catches the trimmed
+    // copies (off = 2 hops) the global 65-window hash structurally
+    // misses. Oracle replays cap → join → vote over the same values.
+    "dedup_audio_shift" -> ((s, dir) => {
+      import s.implicits._
+      val media = audioShiftFixtureRows().toDF("id", "content")
+      graft.operators.Dedup.audioBlockPairs(media)
+        .orderBy(col("doc_a"), col("doc_b"), col("off"))
     }),
 
     // Prefix-causal image admission (prefixKeepFirstByPairs over the
@@ -4588,6 +4673,31 @@ object SparkEntry {
          |FROM fp a JOIN fp b ON a.id < b.id
          |WHERE bit_count(xor(a.ahash, b.ahash)) <= 6
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "audio_block_fp" ->
+      s"""SELECT CAST(id AS BIGINT) AS id, CAST(block AS INTEGER) AS block,
+         |  CAST(bfp AS INTEGER) AS bfp
+         |FROM (VALUES $audioBlockValuesSql) AS v(id, block, bfp)
+         |ORDER BY id, block""".stripMargin,
+
+    // df cap -> anchor equi-join -> distinct-block offset vote, the
+    // whole pair generator replayed over the kernel's block values
+    "dedup_audio_shift" ->
+      s"""WITH blocks AS (SELECT CAST(id AS BIGINT) AS id,
+         |    CAST(block AS INTEGER) AS block, CAST(bfp AS INTEGER) AS bfp
+         |  FROM (VALUES $audioBlockValuesSql) AS v(id, block, bfp)),
+         |rare AS (SELECT bfp FROM blocks
+         |  GROUP BY bfp HAVING COUNT(DISTINCT id) <= 64),
+         |posted AS (SELECT b.* FROM blocks b
+         |  WHERE b.bfp IN (SELECT bfp FROM rare))
+         |SELECT a.id AS doc_a, b.id AS doc_b,
+         |  CAST(a.block - b.block AS INTEGER) AS off,
+         |  CAST(COUNT(DISTINCT a.block) AS BIGINT) AS n_matches
+         |FROM posted a JOIN posted b
+         |  ON a.bfp = b.bfp AND a.id < b.id
+         |GROUP BY a.id, b.id, a.block - b.block
+         |HAVING COUNT(DISTINCT a.block) >= 4
+         |ORDER BY doc_a, doc_b, off""".stripMargin,
 
     // full quadratic hamming scan over the pinned hashes — the
     // pigeonhole chunk join must equal it exactly

@@ -606,6 +606,51 @@ object Dedup {
       maxHamming, bits = 64)
   }
 
+  /** SHIFT-ROBUST audio near-dup pairs — the Haitsma–Kalker matching
+    * shape over [[Multimodal.audioBlockFingerprints]], catching the
+    * dup class the whole-track hash ([[audioHashPairs]]) structurally
+    * misses: silence-trimmed / intro-clipped copies. Two stages, both
+    * equi-joins:
+    *
+    *  1. ANCHOR: tracks sharing an identical 32-bit block
+    *     sub-fingerprint meet in an equi-join on `bfp` (H-K's exact
+    *     sub-fingerprint lookup). A `dfCap` drops sub-fingerprints
+    *     appearing in more than that many DISTINCT tracks first —
+    *     silence and ubiquitous motifs would otherwise be quadratic
+    *     hot keys (the same posting-list cap as [[jaccardPairs]]).
+    *  2. VOTE: a real trimmed copy matches at ONE consistent block
+    *     offset (blockA − blockB = trim/hop for every aligned frame),
+    *     so pairs qualify iff ≥ `minMatches` DISTINCT anchor blocks
+    *     agree on the same offset — random single-frame collisions
+    *     can't vote themselves in.
+    *
+    * Emits (doc_a, doc_b, off, n_matches) with doc_a < doc_b, one row
+    * per qualifying offset; feed [[keepFirstByPairs]] /
+    * [[prefixKeepFirstByPairs]] for survivors. Scale: the join moves
+    * 16 B posting rows (≈16/track-second), never media bytes; the
+    * vote is a groupBy on pair+offset keys — both shapes hold at
+    * 100 TB the way every band/bucket generator here does. */
+  def audioBlockPairs(media: DataFrame, idCol: String = "id",
+                      contentCol: String = "content",
+                      frameSec: Double = 0.25, hopSec: Double = 0.0625,
+                      minMatches: Int = 4, dfCap: Int = 64): DataFrame = {
+    require(minMatches >= 1, s"audioBlockPairs: minMatches >= 1, got $minMatches")
+    require(dfCap >= 2, s"audioBlockPairs: dfCap >= 2, got $dfCap")
+    val blocks = Multimodal.audioBlockFingerprints(media, idCol, contentCol,
+      frameSec, hopSec)
+    val rare = blocks.groupBy(col("bfp"))
+      .agg(countDistinct(col("id")).as("_df"))
+      .filter(col("_df") <= dfCap)
+      .select(col("bfp"))
+    val posted = blocks.join(rare, Seq("bfp"), "left_semi")
+    posted.as("a").join(posted.as("b"),
+        col("a.bfp") === col("b.bfp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        (col("a.block") - col("b.block")).as("off"))
+      .agg(countDistinct(col("a.block")).as("n_matches"))
+      .filter(col("n_matches") >= minMatches)
+  }
+
   /** Embedding near-dup pairs via LSH-forest bucket prefilter — the
     * 100 TB path: candidates meet only inside a shared leaf bucket of
     * one of the forest's trees (equi-join on leaf paths, never

@@ -286,6 +286,43 @@ class MultimodalVecSpec extends SparkSpec {
     assert(Multimodal.audioHash(media).count() == rows.length)
   }
 
+  test("audioBlockPairs: silence-trimmed copies caught at a constant offset; global hash misses them") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Multimodal}
+    val rows = SparkEntry.audioShiftFixtureRows()
+    val byId = rows.toMap
+    // THE BLIND SPOT: the whole-track 65-window hash diverges on a
+    // 0.125 s head trim (every window boundary shifts)
+    (0 until 4).foreach { i =>
+      val d = java.lang.Long.bitCount(
+        Multimodal.audioHash64(byId(i.toLong)).get ^
+          Multimodal.audioHash64(byId(100L + i)).get)
+      assert(d > 6, s"global hash unexpectedly survived the trim: $d bits")
+    }
+    // block fingerprints of the trimmed copy EQUAL the base's at a
+    // constant 2-hop offset (bit-identical PCM over the overlap)
+    val base0 = Multimodal.audioBlockHashes(byId(0L)).get.toMap
+    val trim0 = Multimodal.audioBlockHashes(byId(100L)).get.toMap
+    assert(base0.size == 13 && trim0.size == 11)
+    trim0.foreach { case (k, fp) => assert(base0(k + 2) == fp) }
+    // the pair generator: every planted (base, trimmed) pair at off=2
+    // with a full 11-block vote; no unrelated or cross pair; junk drops
+    val media = (rows :+ (999L, "not audio".getBytes)).toDF("id", "content")
+    val pairs = Dedup.audioBlockPairs(media)
+      .select($"doc_a", $"doc_b", $"off", $"n_matches")
+      .as[(Long, Long, Int, Long)].collect()
+    val expected = (0 until 4).map(i => (i.toLong, 100L + i, 2, 11L)).toSet
+    assert(pairs.toSet == expected, pairs.mkString(","))
+    // kernel pinned against drift (the oracle's VALUES are generated
+    // by this kernel, so the lane alone can't catch a silent change):
+    // first and last sub-fingerprints of track 0 as literals
+    assert(base0(0) == 1488015951 && base0(12) == -1316330184,
+      s"kernel drift: ${base0(0)} ${base0(12)}")
+    // the streaming/batch fingerprint face emits one row per block
+    assert(Multimodal.audioBlockFingerprints(media).count() ==
+      4 * 13 + 4 * 11 + 4 * 13)
+  }
+
   test("pHash: near-identical images pair, distinct images do not, junk drops") {
     import spark.implicits._
     import graft.operators.{Dedup, Multimodal}
