@@ -6,8 +6,10 @@ import org.apache.spark.sql.SparkSession
   * ([[graft.operators.Multimodal.imagePhash]] →
   * [[graft.operators.Dedup.imagePhashPairs]] → keep-first): nBase real
   * 64×64 PNGs (photo-like multi-bump textures, encoded with ImageIO in
-  * the executors) plus nDup planted near-duplicates (a +10 luminance
-  * block over a copy of base id % nBase — a re-encode-grade change),
+  * the executors) plus nDup planted near-duplicates of base id % nBase
+  * cycling three dup classes — +10 luminance block (re-encode-grade),
+  * MIRROR, and 180° ROTATION (the dihedral classes the canonical
+  * unsigned-min hash must catch) —,
   * measuring fingerprint wall (decode+DCT per image), pair-join wall +
   * shuffle (the 64-bit pigeonhole chunk join at maxHamming = 4: 5
   * chunks of ~13 bits, so candidate fanout is bucket-bounded), planted
@@ -24,9 +26,12 @@ object ImageScaleSmoke {
   }
 
   /** Photo-like 64×64 gray texture: 10 deterministic ±110 bumps (the
-    * SparkEntry fixture formula, id-parameterized). */
-  private def png(imgSeed: Long, perturb: Boolean): Array[Byte] = {
-    def gray(x: Int, y: Int): Int = {
+    * SparkEntry fixture formula, id-parameterized). Variants: 0 =
+    * original, 1 = +10 luminance block (re-encode-grade), 2 = MIRROR,
+    * 3 = 180° ROTATION — the dihedral dup classes the canonical hash
+    * must catch. */
+  private def png(imgSeed: Long, variant: Int): Array[Byte] = {
+    def gray0(x: Int, y: Int): Int = {
       var g = 128
       var b = 0
       while (b < 10) {
@@ -38,7 +43,14 @@ object ImageScaleSmoke {
         if (d2 < 144) g += amp * (144 - d2) / 144
         b += 1
       }
-      if (perturb && x >= 20 && x < 32 && y >= 20 && y < 32) g + 10 else g
+      g
+    }
+    def gray(x: Int, y: Int): Int = variant match {
+      case 1 => if (x >= 20 && x < 32 && y >= 20 && y < 32) gray0(x, y) + 10
+                else gray0(x, y)
+      case 2 => gray0(63 - x, y)
+      case 3 => gray0(63 - x, 63 - y)
+      case _ => gray0(x, y)
     }
     val im = new java.awt.image.BufferedImage(64, 64,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -77,13 +89,15 @@ object ImageScaleSmoke {
       }
     })
 
-    // ids [0, nBase) originals; [nBase, nBase+nDup) perturbed copies of
-    // base id % nBase. PNG bytes are generated (and later decoded) in
-    // the executors — the corpus never sits on the driver.
+    // ids [0, nBase) originals; [nBase, nBase+nDup) copies of base
+    // id % nBase, cycling the three dup classes (perturbed / mirrored /
+    // 180°-rotated) by id % 3. PNG bytes are generated (and later
+    // decoded) in the executors — the corpus never sits on the driver.
     val media = spark.range(nBase + nDup).as[Long]
       .mapPartitions(_.map { id =>
         val isDup = id >= nBase
-        (id, png(if (isDup) id % nBase else id, perturb = isDup))
+        (id, png(if (isDup) id % nBase else id,
+          if (isDup) 1 + (id % 3).toInt else 0))
       })
       .toDF("id", "content")
       .repartition(spark.sparkContext.defaultParallelism).persist()
@@ -132,6 +146,15 @@ object ImageScaleSmoke {
           col("doc_a") % nBase === col("doc_b") % nBase)).count()
     out += "pairs_planted" -> planted.toString
     out += "pairs_other" -> (nPairs - planted).toString
+    // per-dup-class hit counts (1 = perturbed, 2 = mirrored, 3 = rot180)
+    val dupHit = pairs.filter(col("doc_b") >= nBase &&
+        col("doc_a") === col("doc_b") % nBase)
+      .select((col("doc_b") % 3).as("cls")).groupBy("cls").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // variant = 1 + (id % 3): cls 0 → perturb, 1 → mirror, 2 → rot180
+    Seq(0L -> "perturb", 1L -> "mirror", 2L -> "rot180").foreach { case (c, name) =>
+      out += s"dup_hits_$name" -> dupHit.getOrElse(c, 0L).toString
+    }
 
     // ---- keep-first over the pair graph: every planted dup should drop
     val (nKept, tK) = timed {

@@ -389,22 +389,24 @@ object SparkEntry {
     * StrictMath — the values are exact across JVMs, so the oracle can
     * carry them as literals and independently replay everything
     * DOWNSTREAM of the hash (the pigeonhole pair join) in SQL.
-    * Near-dups (100+i) sit within 2 bits of their base; distinct
-    * images are ≥ 21 bits apart (measured; the lanes' maxHamming = 6
-    * threshold splits them with margin). */
+    * Near-dups (100+i) sit within 3 bits of their base; distinct
+    * images are ≥ 12 bits apart (measured; the lanes' maxHamming = 6
+    * threshold splits them with margin). Values are the DIHEDRAL
+    * CANONICAL hashes (content-chosen orientation over the
+    * box-filtered grid — r10). */
   private[graft] val ImagePhashPinned: Seq[(Long, Long)] = Seq(
-    0L -> 4918859198488328441L, 1L -> 6001584936999206547L,
-    2L -> 7014756685250553841L, 3L -> 8689618345118009125L,
-    4L -> 2020711166446931191L, 5L -> -3388424573836059L,
-    6L -> 6140053441340206537L, 7L -> -1968121547774342205L,
-    100L -> 4918859198488328441L, 101L -> 6217757719112990355L,
-    102L -> 4717920875291600881L, 103L -> 8689688713862186789L,
-    104L -> 2020711166446931191L, 105L -> -3388424573836059L,
-    106L -> 6140053441340206537L, 107L -> -1968121547774342205L,
-    200L -> 9205199135485654249L, 201L -> -88796724103101L,
-    202L -> -65905095884134913L, 203L -> -5197259386906457375L,
-    204L -> -60047170030190699L, 205L -> 9140195998703452715L,
-    206L -> -6124988950286215937L, 207L -> 9079068839773798175L)
+    0L -> 223404980991616767L, 1L -> 478432804322306873L,
+    2L -> 3459635640682308039L, 3L -> -8134531494580604573L,
+    4L -> 219283409942094839L, 5L -> -7455834139664227025L,
+    6L -> -31542063814817949L, 7L -> 5739267420346179945L,
+    100L -> 223404980991616767L, 101L -> 181054491427498809L,
+    102L -> 3468642839937049031L, 103L -> -8134390757092249245L,
+    104L -> 219283409942094839L, 105L -> -7455834139664227025L,
+    106L -> -31533269869279389L, 107L -> 5667209826308252009L,
+    200L -> 1089659990588273083L, 201L -> 3864102945784484875L,
+    202L -> -2229471996747875031L, 203L -> 8785952167810979827L,
+    204L -> 5807406584594500869L, 205L -> 8077786035968937355L,
+    206L -> -727905396728662555L, 207L -> -5341069731096889887L)
 
   /** Writes the jsonl_* fixture: 40 formula-pinned lines — ids 0–19 in
     * a plain shard, 20–39 gzipped (the published-corpus shape), every
@@ -891,6 +893,34 @@ object SparkEntry {
       val cbs = Array.tabulate(4)(sub => base16.map(_.slice(sub * 16, (sub + 1) * 16)))
       val model = graft.index.PQ.withCodebooks(rotated, "id", "vector",
         cbs, graft.index.PQ.Params(m = 4, k = 16))
+      model.searchMany(rotated.filter(col("id") < 5), "id", "vector", 10)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
+    // OPQ ONE-CALL LIFECYCLE: the same pinned-R trained bundle as
+    // pq_opq_fixed, but round-tripped through Opq.save/load (rotation
+    // + codebooks + params in one dir) before serving — the persisted
+    // artifact must produce the identical ADC top-k (same oracle SQL).
+    "pq_opq_persist_fixed" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val r = graft.index.Opq.pythagoreanR(64)
+      val rotated0 = graft.index.Opq.rotateFrame(emb, "vec_id", "embedding", r)
+        .localCheckpoint(true)
+      val base16 = rotated0.filter(col("id") < 16).orderBy(col("id"))
+        .select(col("vector")).collect()
+        .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+      val cbs = Array.tabulate(4)(sub => base16.map(_.slice(sub * 16, (sub + 1) * 16)))
+      val trained = graft.index.Opq.Trained(r, cbs,
+        graft.index.PQ.Params(m = 4, k = 16))
+      val tmp = java.nio.file.Files.createTempDirectory("opq_persist").toString
+      graft.index.Opq.save(trained, s, tmp)
+      val back = graft.index.Opq.load(s, tmp)
+      // serve ENTIRELY from the loaded bundle: re-rotate with the
+      // loaded R, encode against the loaded codebooks
+      val rotated = graft.index.Opq.rotateFrame(emb, "vec_id", "embedding", back.r)
+        .localCheckpoint(true)
+      val model = graft.index.PQ.withCodebooks(rotated, "id", "vector",
+        back.cbs, back.params)
       model.searchMany(rotated.filter(col("id") < 5), "id", "vector", 10)
         .orderBy(col("qid"), col("distance"), col("id"))
     }),
@@ -5171,6 +5201,8 @@ object SparkEntry {
     "bq_rot_asym_all" -> bqRotAsymSql,
     "pq_rot_fixed" -> pqRotFixedSql,
     "pq_opq_fixed" -> pqOpqFixedSql,
+    // the save/load round-trip must serve the identical ADC top-k
+    "pq_opq_persist_fixed" -> pqOpqFixedSql,
     "sq8_persist_all" -> sq8ExactKnnSql,
     "sq8_rerank_exact" -> exhaustiveKnnSql,
     "vec_rotate" -> vecRotateSql,

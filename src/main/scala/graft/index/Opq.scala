@@ -43,6 +43,12 @@ object Opq {
     * "just another float corpus" to the codebooks). */
   def applyRF(v: Array[Float], r: Array[Array[Double]]): Array[Float] = {
     val d = r.length
+    // strict-dimension contract (the BqMath.hammingDist discipline): a
+    // shorter vector would silently yield a TRUNCATED rotation — a
+    // plausible-but-wrong frame in the serving path — and a longer one
+    // an opaque AIOOBE
+    require(v.length == d,
+      s"Opq.applyRF: vector dim ${v.length} != rotation dim $d")
     val out = new Array[Float](d)
     var i = 0
     while (i < d) {
@@ -258,6 +264,44 @@ object Opq {
       .toDF("e", "n").agg(sum("e"), sum("n"))
       .as[(Double, Long)].head()
     errSum / math.max(1L, n)
+  }
+
+  /** One-call OPQ lifecycle: persist the WHOLE [[Trained]] — rotation,
+    * the final alternation's codebooks, and params — in one directory,
+    * so serving needs no hand-replumbing through PQ persistence (every
+    * other tier has a one-call save/load; this is OPQ's). Layout:
+    * `rotation/` ([[saveR]]'s one-row-per-matrix-row table),
+    * `codebooks/` (the PQ (s, j, centroid) layout), and the ParamsIO
+    * JSON. */
+  def save(t: Trained, spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    saveR(t.r, spark, s"$dir/rotation")
+    t.cbs.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (cv, j) => (s, j, cv.toSeq) }
+    }.toSeq.toDF("s", "j", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    ParamsIO.write(spark, dir,
+      s"""{"m":${t.params.m},"k":${t.params.k},"iterations":${t.params.iterations},"seed":${t.params.seed},"dim":${t.r.length}}""")
+  }
+
+  /** Restore a [[Trained]] written by [[save]]: ready to
+    * [[rotateFrame]] corpora/queries and serve through
+    * [[PQ.withCodebooks]] directly. */
+  def load(spark: SparkSession, dir: String): Trained = {
+    val json = ParamsIO.read(spark, dir)
+    def num(key: String): Long = ParamsIO.num(json, key)
+    val params = PQ.Params(num("m").toInt, num("k").toInt,
+      num("iterations").toInt, num("seed"))
+    val r = loadR(spark, s"$dir/rotation")
+    require(r.length == num("dim").toInt,
+      s"Opq.load: rotation is ${r.length}×${r.length} but params say dim=${num("dim")}")
+    val rows = spark.read.parquet(s"$dir/codebooks").collect()
+    val byS = rows.groupBy(_.getInt(0))
+    val cbs = (0 until params.m).map { s =>
+      byS(s).sortBy(_.getInt(1))
+        .map(_.getAs[scala.collection.Seq[Float]](2).toArray)
+    }.toArray
+    Trained(r, cbs, params)
   }
 
   /** Persist the rotation like a codebook: one row per matrix row. */

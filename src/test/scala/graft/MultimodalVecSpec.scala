@@ -323,6 +323,40 @@ class MultimodalVecSpec extends SparkSpec {
       4 * 13 + 4 * 11 + 4 * 13)
   }
 
+  test("pHash is dihedral-invariant: mirrored and rotated copies stay in threshold") {
+    import graft.operators.Multimodal
+    import java.awt.image.BufferedImage
+    def reRender(bytes: Array[Byte])(f: (Int, Int, Int, Int) => (Int, Int)): Array[Byte] = {
+      val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val out = new BufferedImage(im.getWidth, im.getHeight, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until im.getHeight; x <- 0 until im.getWidth) {
+        val (sx, sy) = f(x, y, im.getWidth, im.getHeight)
+        out.setRGB(x, y, im.getRGB(sx, sy))
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+    val rows = SparkEntry.imageFixtureRows().take(8)
+    rows.foreach { case (id, bytes) =>
+      val h = Multimodal.phash64(bytes).get
+      val mirror = Multimodal.phash64(
+        reRender(bytes)((x, y, w, _) => (w - 1 - x, y))).get
+      val rot90 = Multimodal.phash64(
+        reRender(bytes)((x, y, _, h0) => (y, h0 - 1 - x))).get
+      val rot180 = Multimodal.phash64(
+        reRender(bytes)((x, y, w, h0) => (w - 1 - x, h0 - 1 - y))).get
+      // each dihedral copy lands within the pair threshold (exact
+      // equality up to the one-pixel sampling-grid offset of the
+      // mirrored 64→32 downsample)
+      Seq("mirror" -> mirror, "rot90" -> rot90, "rot180" -> rot180)
+        .foreach { case (name, hh) =>
+          val d = java.lang.Long.bitCount(h ^ hh)
+          assert(d <= 6, s"image $id $name drifted $d bits")
+        }
+    }
+  }
+
   test("pHash: near-identical images pair, distinct images do not, junk drops") {
     import spark.implicits._
     import graft.operators.{Dedup, Multimodal}

@@ -95,6 +95,39 @@ class OpqSpec extends SparkSpec {
     assert(got.count() == 15)
   }
 
+  test("full Trained round-trips through save/load and serves identically") {
+    val opq = Opq.train(aniso, "vec_id", "embedding", params, opqIters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("opqfull").toString
+    Opq.save(opq, spark, dir)
+    val back = Opq.load(spark, dir)
+    // every component bit-identical: R, codebooks, params
+    assert(back.r.flatten.toSeq == opq.r.flatten.toSeq)
+    assert(back.params == opq.params)
+    assert(back.cbs.length == opq.cbs.length)
+    back.cbs.zip(opq.cbs).foreach { case (a, b) =>
+      assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    }
+    // one-call serving from the loaded bundle: same ADC results as
+    // serving from the in-memory Trained
+    def serve(t: Opq.Trained) = {
+      val rot = Opq.rotateFrame(aniso, "vec_id", "embedding", t.r)
+        .localCheckpoint(true)
+      PQ.withCodebooks(rot, "id", "vector", t.cbs, t.params)
+        .searchMany(rot.filter($"id" < 3), "id", "vector", 5)
+        .select($"qid", $"id", $"distance")
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    assert(serve(back) == serve(opq))
+  }
+
+  test("applyRF rejects a mis-dimensioned vector instead of truncating") {
+    val r = Opq.identityR(8)
+    val e = intercept[IllegalArgumentException](
+      Opq.applyRF(new Array[Float](4), r))
+    assert(e.getMessage.contains("dim 4"), e.getMessage)
+    intercept[IllegalArgumentException](Opq.applyRF(new Array[Float](9), r))
+  }
+
   test("loadR refuses a corpus-sized table under the driver-collect budget") {
     val dir = java.nio.file.Files.createTempDirectory("opqbig")
       .resolve("r").toString
