@@ -2506,12 +2506,18 @@ object SparkEntry {
       java.nio.file.Files.writeString(f, sb.toString)
       val loaded = graft.sources.VecFile.read(s, f.toString,
         holdoutWord = Some("w3"))
-      loaded.corpus
+      // materialize eagerly, then release the parse cache — the
+      // Loaded.unpersist contract (an un-released cache pins executor
+      // memory for the session)
+      val out = loaded.corpus
         .select(col("id"), col("word"),
           posexplode(col("vector")).as(Seq("dim", "val")))
         .select(col("id"), col("word"), col("dim").cast("int").as("dim"),
           col("val").cast("double").as("val"))
         .orderBy(col("id"), col("dim"))
+        .localCheckpoint(true)
+      loaded.unpersist()
+      out
     }),
 
     // JSON-Lines source (sources/JsonlFile) under the driver oracle: a

@@ -144,9 +144,14 @@ object Decontam {
                         benchGrams0: DataFrame, n: Int,
                         broadcastBench: Boolean = true): DataFrame = {
     require(n >= 1, "n-gram order must be >= 1")
+    // distinct BEFORE the probe join: a duplicate gram_h row would make
+    // a hit position appear twice, shifting the pos − row_number island
+    // key and corrupting every later span in the doc. Free for internal
+    // callers ([[benchGramSet]] is already distinct); defensive for
+    // caller-supplied frames.
     val benchGrams = (if (broadcastBench) broadcast(benchGrams0)
                       else benchGrams0)
-      .select(col("g").as("gram_h"))
+      .select(col("g").as("gram_h")).distinct()
     val pos = docs
       .select(col(idCol).cast("long").as("id"),
         TextOps.tokens(col(textCol)).as("toks"))

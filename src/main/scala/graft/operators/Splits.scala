@@ -251,13 +251,20 @@ object Splits {
     require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
     val counts = df.groupBy(col(sourceCol))
       .agg(sum(col(weightCol).cast("long")).as("w_src"))
+    // w_min over POSITIVE-mass sources only: one pathological zero-mass
+    // source would otherwise set w_min = 0, zero every rate, and filter
+    // out the ENTIRE corpus. Zero-mass sources themselves keep rate 1
+    // below — their docs consume no token budget, so flattening has
+    // nothing to shave.
     val withMin = counts.crossJoin(
-      broadcast(counts.agg(min(col("w_src")).as("w_min"))))
+      broadcast(counts.filter(col("w_src") > 0)
+        .agg(min(col("w_src")).as("w_min"))))
     val ratio = col("w_min").cast("double") / col("w_src").cast("double")
-    val rate =
+    val rate0 =
       if (alpha == 0.5) sqrt(ratio)
       else if (alpha == 1.0) lit(1.0)
       else pow(ratio, lit(1.0 - alpha))
+    val rate = when(col("w_src") <= 0, lit(1.0)).otherwise(rate0)
     val rates = withMin.select(col(sourceCol), rate.as("mix_rate"))
     val f = hashFrac(concat(col(idCol).cast("string"), lit(":" + salt)))
     df.join(broadcast(rates), Seq(sourceCol))

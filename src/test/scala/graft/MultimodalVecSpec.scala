@@ -156,6 +156,7 @@ class MultimodalVecSpec extends SparkSpec {
     assert(hold.length == 1 && hold(0).getString(0) == "queen")
     val q = hold(0).getAs[scala.collection.Seq[Float]](1)
     assert(math.abs(q(1) - 0.6f) < 1e-6 && math.abs(q(2) - 0.8f) < 1e-6)
+    loaded.unpersist()
   }
 
   test(".vec dense ids stay file-ordered across MANY input splits") {
@@ -181,6 +182,7 @@ class MultimodalVecSpec extends SparkSpec {
         val expected = if (fileIdx < 17) fileIdx.toLong else fileIdx - 1L
         assert(id == expected, s"$w: id $id")
       }
+      loaded.unpersist()
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 

@@ -255,4 +255,29 @@ class SplitsSpec extends SparkSpec {
       "source", "wt", alpha = 0.5).select($"doc_id").as[Long].collect().toSet
     assert(a == b)
   }
+
+  test("mixByTemperatureWeighted: a zero-mass source cannot zero the corpus") {
+    // one source whose docs all weigh 0: w_min must come from the
+    // POSITIVE sources (not collapse to 0 and filter everything), and
+    // the zero-mass docs keep rate 1 (they consume no token budget)
+    val w = (
+      (0 until 40).map(i => (i.toLong, "big", 10L)) ++
+      (40 until 60).map(i => (i.toLong, "small", 5L)) ++
+      (60 until 70).map(i => (i.toLong, "empty", 0L))
+    ).toDF("doc_id", "source", "wt")
+    val kept = Splits.mixByTemperatureWeighted(w, "doc_id", "source", "wt",
+      alpha = 0.5)
+    val bySrc = kept.groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every zero-mass doc survives; the positive sources mix normally
+    // (small is the min-mass source → rate 1 → all 20 kept)
+    assert(bySrc.getOrElse("empty", 0L) == 10L, bySrc.toString)
+    assert(bySrc.getOrElse("small", 0L) == 20L, bySrc.toString)
+    assert(bySrc.getOrElse("big", 0L) > 0L, bySrc.toString)
+    // all-zero corpus: everything keeps (nothing to flatten)
+    val allZero = (0 until 10).map(i => (i.toLong, s"s${i % 2}", 0L))
+      .toDF("doc_id", "source", "wt")
+    assert(Splits.mixByTemperatureWeighted(allZero, "doc_id", "source", "wt",
+      alpha = 0.5).count() == 10L)
+  }
 }
