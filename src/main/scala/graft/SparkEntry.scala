@@ -1271,11 +1271,11 @@ object SparkEntry {
     // save→load→search lifecycle every production index performs
     // (base.rs:31-58; utils.rs:140-148 runs it in every reference
     // test): build on the fixed centroids, save (parquet partitioned
-    // by cluster + params JSON) to a temp dir, LOAD, search the loaded
-    // model. Loaded cluster sizes are re-counted from the data, so they
-    // are pinned back to the same force-exactly-nprobe contract the
-    // build-side config uses — the ivf_search_fixed oracle then gates
-    // the whole lifecycle hash-for-hash.
+    // by cluster + params JSON with sidecar sizes) to a temp dir,
+    // LOAD, search the loaded model. Loaded cluster sizes are pinned
+    // back to the same force-exactly-nprobe contract the build-side
+    // config uses — the ivf_search_fixed oracle then gates the whole
+    // lifecycle hash-for-hash.
     "ivf_persist_fixed" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val cents = fixedCentroids(emb)

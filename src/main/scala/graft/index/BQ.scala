@@ -356,7 +356,7 @@ object BQ {
         .toDF("cluster", "vector")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
       ParamsIO.write(spark, dir,
-        s"""{"k":${params.k},"numAttempts":${params.numAttempts},"maxIterations":${params.maxIterations},"seed":${params.seed},"tol":${params.tol},"residual":${if (residual) 1 else 0},"rotated":${if (rotated) 1 else 0}}""")
+        s"""{"k":${params.k},"numAttempts":${params.numAttempts},"maxIterations":${params.maxIterations},"seed":${params.seed},"tol":${params.tol},"residual":${if (residual) 1 else 0},"rotated":${if (rotated) 1 else 0},"sizes":${ParamsIO.longsJson(clusterSizes)}}""")
     }
   }
 
@@ -404,9 +404,13 @@ object BQ {
       col("cluster").cast("int").as("cluster"))
     val codes = raw.select(
       (if (isResidual) base :+ col("rnorm") else base): _*)
-    val sizes = new Array[Long](params.k)
-    codes.groupBy("cluster").count().collect()
-      .foreach(r => sizes(r.getInt(0)) = r.getLong(1))
+    // sidecar sizes skip the recount job (see IVFFlat.load)
+    val sizes = ParamsIO.longs(json, "sizes").getOrElse {
+      val s = new Array[Long](params.k)
+      codes.groupBy("cluster").count().collect()
+        .foreach(r => s(r.getInt(0)) = r.getLong(1))
+      s
+    }
     Model(params, cents, sizes, codes, residual = isResidual,
       rotated = ParamsIO.dbl(json, "rotated", 0.0) != 0.0)
   }

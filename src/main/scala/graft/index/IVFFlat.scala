@@ -294,7 +294,7 @@ object IVFFlat {
         .toDF("cluster", "vector")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
       ParamsIO.write(spark, dir,
-        s"""{"k":${params.k},"numAttempts":${params.numAttempts},"maxIterations":${params.maxIterations},"seed":${params.seed},"tol":${params.tol}}""")
+        s"""{"k":${params.k},"numAttempts":${params.numAttempts},"maxIterations":${params.maxIterations},"seed":${params.seed},"tol":${params.tol},"sizes":${ParamsIO.longsJson(clusterSizes)}}""")
     }
   }
 
@@ -448,9 +448,14 @@ object IVFFlat {
       .map(_.getAs[scala.collection.Seq[Float]]("vector").toArray)
     val indexed = spark.read.parquet(s"$dir/indexed")
       .select(col("id"), col("vector"), col("cluster").cast("int").as("cluster"))
-    val sizes = new Array[Long](params.k)
-    indexed.groupBy("cluster").count().collect()
-      .foreach(r => sizes(r.getInt(0)) = r.getLong(1))
+    // sizes ride in the sidecar (save writes them): no full-corpus
+    // recount job at load. Fall back to the count for pre-field dirs.
+    val sizes = ParamsIO.longs(json, "sizes").getOrElse {
+      val s = new Array[Long](params.k)
+      indexed.groupBy("cluster").count().collect()
+        .foreach(r => s(r.getInt(0)) = r.getLong(1))
+      s
+    }
     Model(params, cents, sizes, indexed)
   }
 }

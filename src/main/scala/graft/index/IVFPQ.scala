@@ -220,7 +220,7 @@ object IVFPQ {
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
       val p = pqParams
       ParamsIO.write(spark, dir,
-        s"""{"m":${p.m},"k":${p.k},"iterations":${p.iterations},"seed":${p.seed},"dim":$dim,"numCells":${coarse.length},"residual":${if (residual) 1 else 0}}""")
+        s"""{"m":${p.m},"k":${p.k},"iterations":${p.iterations},"seed":${p.seed},"dim":$dim,"numCells":${coarse.length},"residual":${if (residual) 1 else 0},"sizes":${ParamsIO.longsJson(clusterSizes)}}""")
     }
   }
 
@@ -329,9 +329,13 @@ object IVFPQ {
     }.toArray
     val codes = spark.read.parquet(s"$dir/codes")
       .select(col("id"), col("cluster").cast("int").as("cluster"), col("code"))
-    val sizes = new Array[Long](num("numCells").toInt)
-    codes.groupBy("cluster").count().collect()
-      .foreach(r => sizes(r.getInt(0)) = r.getLong(1))
+    // sidecar sizes skip the recount job (see IVFFlat.load)
+    val sizes = ParamsIO.longs(json, "sizes").getOrElse {
+      val s = new Array[Long](num("numCells").toInt)
+      codes.groupBy("cluster").count().collect()
+        .foreach(r => s(r.getInt(0)) = r.getLong(1))
+      s
+    }
     Model(cents, sizes, pqParams, num("dim").toInt,
       num("residual") == 1L, cbs, codes)
   }

@@ -37,4 +37,20 @@ object ParamsIO {
   def dbl(json: String, key: String, default: Double): Double =
     s""""$key":(-?[\\d.eE+-]+)""".r.findFirstMatchIn(json)
       .map(_.group(1).toDouble).getOrElse(default)
+
+  /** Long-array field (`"key":[1,2,3]`), None when absent — how the
+    * index tiers carry per-cluster sizes in the sidecar so load skips
+    * the full-codes recount job (sizes are k longs, driver-sized by
+    * the same contract as the collected centroids). Absent = sidecar
+    * written before the field existed → caller falls back to the
+    * count. */
+  def longs(json: String, key: String): Option[Array[Long]] =
+    s""""$key":\\[([^\\]]*)\\]""".r.findFirstMatchIn(json).map { m =>
+      val body = m.group(1).trim
+      if (body.isEmpty) Array.empty[Long]
+      else body.split(",").map(_.trim.toLong)
+    }
+
+  /** [[longs]]'s writer face. */
+  def longsJson(sizes: Array[Long]): String = sizes.mkString("[", ",", "]")
 }

@@ -208,7 +208,7 @@ object SQ8 {
         .toDF("cluster", "vector")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
       ParamsIO.write(spark, dir,
-        s"""{"k":${params.k},"numAttempts":${params.numAttempts},"maxIterations":${params.maxIterations},"seed":${params.seed},"tol":${params.tol},"rotated":${if (rotated) 1 else 0}}""")
+        s"""{"k":${params.k},"numAttempts":${params.numAttempts},"maxIterations":${params.maxIterations},"seed":${params.seed},"tol":${params.tol},"rotated":${if (rotated) 1 else 0},"sizes":${ParamsIO.longsJson(clusterSizes)}}""")
     }
   }
 
@@ -234,9 +234,13 @@ object SQ8 {
     val codes = spark.read.parquet(s"$dir/codes")
       .select(col("id"), col("lo"), col("scale"), col("codes"),
         col("cluster").cast("int").as("cluster"))
-    val sizes = new Array[Long](params.k)
-    codes.groupBy("cluster").count().collect()
-      .foreach(r => sizes(r.getInt(0)) = r.getLong(1))
+    // sidecar sizes skip the recount job (see IVFFlat.load)
+    val sizes = ParamsIO.longs(json, "sizes").getOrElse {
+      val s = new Array[Long](params.k)
+      codes.groupBy("cluster").count().collect()
+        .foreach(r => s(r.getInt(0)) = r.getLong(1))
+      s
+    }
     Model(params, cents, sizes, codes,
       rotated = ParamsIO.dbl(json, "rotated", 0.0) != 0.0)
   }

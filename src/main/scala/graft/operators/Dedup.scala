@@ -381,15 +381,26 @@ object Dedup {
 
   /** The winnow fingerprint posting list (id, sh) — [[winnowPairs]]'s
     * first phase, exposed so the bench can time fingerprinting and the
-    * pair join separately. Two projections: grams materialize once per
-    * row, the winnow lambda slices the stored array (see
-    * TextOps.winnowOfGrams). */
+    * pair join separately. Runs the [[TextHashFast.winnowFps]] JVM
+    * kernel per partition (O(L) deque min; value-equivalent to the
+    * Column pipeline charGramHashes → winnowOfGrams — DedupSpec pins
+    * the equivalence, the oracle replays the Column semantics in
+    * SQL). */
   def winnowPostings(docs: DataFrame, idCol: String, textCol: String,
-                     k: Int = 5, w: Int = 4): DataFrame =
+                     k: Int = 5, w: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     docs.select(col(idCol).cast("long").as("id"),
-        TextOps.charGramHashes(col(textCol), k).as("h"))
-      .select(col("id"),
-        explode(TextOps.winnowOfGrams(col("h"), w)).as("sh"))
+        col(textCol).cast("string").as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          TextHashFast.winnowFps(md, text, k, w).iterator.map(s => (id, s))
+        }
+      }
+      .toDF("id", "sh")
+  }
 
   /** Distinct word-3-shingle posting list (id, sh) per doc. */
   private def shinglePostings(docs: DataFrame, idCol: String,

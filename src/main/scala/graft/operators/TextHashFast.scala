@@ -130,4 +130,61 @@ object TextHashFast {
     while (j < 64) { if (votes(j) > 0) sim |= 1L << j; j += 1 }
     sim
   }
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** Winnowing fingerprints (Schleimer et al.) as a JVM kernel —
+    * value-equivalent to [[TextOps.winnow]] (md5-hex char-k-grams by
+    * CODEPOINT windows, lexicographic w-window min, per-doc distinct;
+    * lowercase-hex ASCII makes UTF8String and java.lang.String compare
+    * identically) but O(L) per doc via a monotonic deque, where the
+    * Catalyst `transform(…, slice(h, i, w))` form allocates and scans
+    * a w-array per window — measured ~2× on dedup_winnow's postings
+    * phase at sf0.1. */
+  def winnowFps(md: MessageDigest, text: String, k: Int, w: Int): Array[String] = {
+    if (text == null) return Array.empty
+    // codepoint addressing: Column length()/substr() count codepoints,
+    // not UTF-16 units — match exactly on non-BMP text
+    val cps = text.codePoints().toArray
+    val L = cps.length
+    if (L < k) return Array.empty
+    val n = L - k + 1
+    val grams = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      val d = md.digest(
+        new String(cps, i, k).getBytes(StandardCharsets.UTF_8))
+      val cs = new Array[Char](32)
+      var j = 0
+      while (j < 16) {
+        cs(2 * j) = HexChars((d(j) >>> 4) & 0xf)
+        cs(2 * j + 1) = HexChars(d(j) & 0xf)
+        j += 1
+      }
+      grams(i) = new String(cs)
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[String]()
+    if (n < w) {
+      var m = grams(0)
+      i = 1
+      while (i < n) { if (grams(i) < m) m = grams(i); i += 1 }
+      out.add(m)
+    } else {
+      // indices of a non-decreasing gram run; head is the window min
+      val dq = new Array[Int](n)
+      var head = 0
+      var tail = 0
+      i = 0
+      while (i < n) {
+        while (tail > head && grams(dq(tail - 1)) >= grams(i)) tail -= 1
+        dq(tail) = i
+        tail += 1
+        if (dq(head) <= i - w) head += 1
+        if (i >= w - 1) out.add(grams(dq(head)))
+        i += 1
+      }
+    }
+    out.toArray(new Array[String](out.size))
+  }
 }

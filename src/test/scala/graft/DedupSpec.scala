@@ -228,6 +228,27 @@ class DedupSpec extends SparkSpec {
     assert(nFps.forall(n => n > 0 && n < a.length - 4))
   }
 
+  test("winnowPostings JVM kernel equals the Column winnow pipeline") {
+    import spark.implicits._
+    // real corpus text + crafted edges: shorter than k, exactly k,
+    // between k and k+w-1 grams, whitespace-free, non-ASCII
+    val edges = Seq((90001L, "abc"), (90002L, "abcde"), (90003L, "abcdefg"),
+      (90004L, ""), (90005L, "ñandú-àéîõü-日本語テキスト-çğş"))
+      .toDF("doc_id", "text")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text").limit(120).unionByName(edges)
+    val fast = Dedup.winnowPostings(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toSet
+    val column = docs
+      .select($"doc_id".cast("long").as("id"),
+        graft.operators.TextOps.charGramHashes($"text", 5).as("h"))
+      .select($"id",
+        explode(graft.operators.TextOps.winnowOfGrams($"h", 4)).as("sh"))
+      .as[(Long, String)].collect().toSet
+    assert(fast == column)
+    assert(fast.nonEmpty)
+  }
+
   test("vecKey keys on raw float bits: ±0.0 and NaN payloads stay distinct") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.GenericArrayData

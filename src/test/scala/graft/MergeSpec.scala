@@ -103,7 +103,20 @@ class MergeSpec extends SparkSpec {
     // bitwise-identical and the union-only fast path must accept them
     val m = SQ8.load(spark, dirA).merge(SQ8.load(spark, dirB))
     assert(m.codes.count() == emb.count())
-    assert(m.clusterSizes.sum == emb.count())
+    // sizes now ride the sidecar: the SAVED forced-probe sentinels
+    // round-trip verbatim (the old load recounted and silently
+    // destroyed probe-all configs) and satAdd keeps them saturated
+    assert(m.clusterSizes.forall(_ == Long.MaxValue))
+    // a model saved with TRUE counts round-trips those counts
+    val cSizes = new Array[Long](cents.length)
+    val cRows = IVFFlat.assign(emb, "vec_id", "embedding", cents)
+    cRows.groupBy("cluster").count().collect()
+      .foreach(r => cSizes(r.getInt(0)) = r.getLong(1))
+    val dirC = java.nio.file.Files.createTempDirectory("sq8_mC").toString
+    SQ8.compress(IVFFlat.Model(IVFFlat.Params(cents.length), cents,
+      cSizes, cRows)).save(dirC)
+    assert(SQ8.load(spark, dirC).clusterSizes.toSeq == cSizes.toSeq)
+    assert(SQ8.load(spark, dirC).clusterSizes.sum == emb.count())
   }
 
   test("merge size saturation keeps forced-probe configs intact") {
