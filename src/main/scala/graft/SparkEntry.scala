@@ -2453,6 +2453,18 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"), col("off"))
     }),
 
+    // Prefix-causal audio admission over the block pairs: drop iff a
+    // consistent-offset block match against ANY lower-id track — the
+    // rule Streaming.ingestDedupAudioBlocks enforces at ingest.
+    "dedup_audio_prefix" -> ((s, dir) => {
+      import s.implicits._
+      val media = audioShiftFixtureRows().toDF("id", "content")
+      graft.operators.Dedup.prefixKeepFirstByPairs(media, "id",
+          graft.operators.Dedup.audioBlockPairs(media), "doc_a", "doc_b")
+        .select(col("id"))
+        .orderBy(col("id"))
+    }),
+
     // Prefix-causal image admission (prefixKeepFirstByPairs over the
     // pHash pairs): drop iff ANY lower-id image within the threshold,
     // admitted or not — the streaming-enforceable rule
@@ -4734,6 +4746,24 @@ object SparkEntry {
          |GROUP BY a.id, b.id, a.block - b.block
          |HAVING COUNT(DISTINCT a.block) >= 4
          |ORDER BY doc_a, doc_b, off""".stripMargin,
+
+    // prefix rule over the block-pair generator: survivors = every id
+    // that never appears as the higher side of a qualifying pair
+    "dedup_audio_prefix" ->
+      s"""WITH blocks AS (SELECT CAST(id AS BIGINT) AS id,
+         |    CAST(block AS INTEGER) AS block, CAST(bfp AS INTEGER) AS bfp
+         |  FROM (VALUES $audioBlockValuesSql) AS v(id, block, bfp)),
+         |rare AS (SELECT bfp FROM blocks
+         |  GROUP BY bfp HAVING COUNT(DISTINCT id) <= 64),
+         |posted AS (SELECT b.* FROM blocks b
+         |  WHERE b.bfp IN (SELECT bfp FROM rare)),
+         |losers AS (SELECT DISTINCT b.id FROM posted a JOIN posted b
+         |  ON a.bfp = b.bfp AND a.id < b.id
+         |  GROUP BY a.id, b.id, a.block - b.block
+         |  HAVING COUNT(DISTINCT a.block) >= 4)
+         |SELECT DISTINCT id FROM blocks
+         |WHERE id NOT IN (SELECT id FROM losers)
+         |ORDER BY id""".stripMargin,
 
     // full quadratic hamming scan over the pinned hashes — the
     // pigeonhole chunk join must equal it exactly

@@ -647,8 +647,16 @@ object Dedup {
                       minMatches: Int = 4, dfCap: Int = 64): DataFrame = {
     require(minMatches >= 1, s"audioBlockPairs: minMatches >= 1, got $minMatches")
     require(dfCap >= 2, s"audioBlockPairs: dfCap >= 2, got $dfCap")
-    val blocks = Multimodal.audioBlockFingerprints(media, idCol, contentCol,
-      frameSec, hopSec)
+    audioBlockPairsOf(
+      Multimodal.audioBlockFingerprints(media, idCol, contentCol,
+        frameSec, hopSec),
+      minMatches, dfCap)
+  }
+
+  /** [[audioBlockPairs]] over an already-fingerprinted (id, block,
+    * bfp) frame — the form the streaming admission face reuses. */
+  private[graft] def audioBlockPairsOf(blocks: DataFrame, minMatches: Int,
+                                       dfCap: Int): DataFrame = {
     val rare = blocks.groupBy(col("bfp"))
       .agg(countDistinct(col("id")).as("_df"))
       .filter(col("_df") <= dfCap)
@@ -660,6 +668,26 @@ object Dedup {
         (col("a.block") - col("b.block")).as("off"))
       .agg(countDistinct(col("a.block")).as("n_matches"))
       .filter(col("n_matches") >= minMatches)
+  }
+
+  /** Cross-frame block-anchor matches — which `probe` ids match ANY
+    * `state` id at a consistent offset with ≥ minMatches distinct
+    * anchor blocks (the batch×state face of [[audioBlockPairsOf]];
+    * the df cap applies to the state side, where the posting lists
+    * accumulate). Emits the matching probe ids. */
+  private[graft] def audioBlockHitsVs(probe: DataFrame, state: DataFrame,
+                                      minMatches: Int, dfCap: Int): DataFrame = {
+    val rare = state.groupBy(col("bfp"))
+      .agg(countDistinct(col("id")).as("_df"))
+      .filter(col("_df") <= dfCap)
+      .select(col("bfp"))
+    val posted = state.join(rare, Seq("bfp"), "left_semi")
+    probe.as("n").join(posted.as("s"), col("n.bfp") === col("s.bfp"))
+      .groupBy(col("n.id").as("id"), col("s.id").as("sid"),
+        (col("n.block") - col("s.block")).as("off"))
+      .agg(countDistinct(col("n.block")).as("nm"))
+      .filter(col("nm") >= minMatches)
+      .select(col("id")).distinct()
   }
 
   /** Embedding near-dup pairs via LSH-forest bucket prefilter — the

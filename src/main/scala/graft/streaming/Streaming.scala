@@ -274,6 +274,15 @@ object Streaming {
       DecontamIngestState(spark.read.parquet(s"$dir/admitted"),
         spark.read.parquet(s"$dir/meta").head().getAs[Long]("dropped"))
 
+    def save(st: AudioBlockIngestState, dir: String): Unit = {
+      st.admitted.write.mode("overwrite").parquet(s"$dir/admitted")
+      st.blocks.write.mode("overwrite").parquet(s"$dir/blocks")
+    }
+    def loadAudioBlocks(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): AudioBlockIngestState =
+      AudioBlockIngestState(spark.read.parquet(s"$dir/admitted"),
+        spark.read.parquet(s"$dir/blocks"))
+
     /** The four sketch ingests (HLL / Bloom / CMS / KMV) keep their
       * whole state in ONE bounded DataFrame (registers / words /
       * counters / bottom-R hashes — they're monoids), so persistence
@@ -979,6 +988,64 @@ object Streaming {
           val (fps, _) = graft.index.Lineage.compact(
             st.fps.unionByName(bfp), st.addsSinceCompact)
           state.set(FingerprintIngestState(admitted, fps, n))
+        }
+      }
+      .start()
+  }
+
+  /** State of [[ingestDedupAudioBlocks]]: `admitted` accumulates
+    * surviving media rows; `blocks` accumulates EVERY row's (id,
+    * block, bfp) sub-fingerprints — dropped rows included (prefix
+    * semantics). ~16 B per hop ever seen. */
+  case class AudioBlockIngestState(admitted: DataFrame, blocks: DataFrame,
+                                   addsSinceCompact: Int = 0)
+
+  /** SHIFT-ROBUST audio dedup AT INGEST — the block-fingerprint twin
+    * of [[ingestDedupFingerprint]], catching silence-trimmed /
+    * intro-clipped copies of earlier tracks: each microbatch is
+    * block-fingerprinted ([[graft.operators.Multimodal.audioBlockFingerprints]]),
+    * then drops (a) rows matching any SEEN track at a consistent
+    * block offset with ≥ `minMatches` distinct anchors (the
+    * batch×state anchor equi-join + offset vote,
+    * [[graft.operators.Dedup.audioBlockHitsVs]] — moves 16 B posting
+    * rows, never audio bytes) and (b) rows matching a lower-id row in
+    * the SAME batch ([[graft.operators.Dedup.audioBlockPairsOf]]).
+    * Survivors append to `admitted`; ALL batch blocks append to
+    * `blocks`. With id-ordered arrival this reproduces batch
+    * [[graft.operators.Dedup.prefixKeepFirstByPairs]] over
+    * [[graft.operators.Dedup.audioBlockPairs]] exactly (StreamingSpec
+    * pins it). */
+  def ingestDedupAudioBlocks(stream: DataFrame, idCol: String,
+                             contentCol: String,
+                             state: java.util.concurrent.atomic.AtomicReference[AudioBlockIngestState],
+                             frameSec: Double = 0.25, hopSec: Double = 0.0625,
+                             minMatches: Int = 4, dfCap: Int = 64)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(minMatches >= 1,
+      s"ingestDedupAudioBlocks: minMatches >= 1, got $minMatches")
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val st = state.get()
+          val bblk = graft.operators.Multimodal
+            .audioBlockFingerprints(batch, idCol, contentCol, frameSec, hopSec)
+            .localCheckpoint(true)
+          val dupVsState = graft.operators.Dedup
+            .audioBlockHitsVs(bblk, st.blocks, minMatches, dfCap)
+          val dupIntra = graft.operators.Dedup
+            .audioBlockPairsOf(bblk, minMatches, dfCap)
+            .select(col("doc_b").as("id"))
+          val losers = dupVsState.unionByName(dupIntra).distinct()
+            .withColumnRenamed("id", idCol)
+          val admittedBatch = batch.join(losers, Seq(idCol), "left_anti")
+            .localCheckpoint(true)
+          // single-writer foreachBatch: see ingestIntoIVF
+          val (admitted, n) = graft.index.Lineage.compact(
+            st.admitted.unionByName(admittedBatch), st.addsSinceCompact)
+          val (blocks, _) = graft.index.Lineage.compact(
+            st.blocks.unionByName(bblk), st.addsSinceCompact)
+          state.set(AudioBlockIngestState(admitted, blocks, n))
         }
       }
       .start()

@@ -1186,6 +1186,51 @@ class StreamingSpec extends SparkSpec {
     assert(streamedRegs == batchRegs)
   }
 
+  test("streaming audio-block dedup drops trimmed copies across a restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streaming.{AudioBlockIngestState, DedupStateIO}
+    val rows = SparkEntry.audioShiftFixtureRows()
+    val byId = rows.toMap
+    def media(ids: Seq[Long]) = ids.map(i => (i, byId(i))).toDF("id", "content")
+    // phase 1: the four base tracks
+    val empty = media(Seq.empty)
+    val st1 = new java.util.concurrent.atomic.AtomicReference(
+      AudioBlockIngestState(empty.filter(lit(false)),
+        graft.operators.Multimodal.audioBlockFingerprints(
+          empty.filter(lit(false)))))
+    val mem1 = MemoryStream[(Long, Array[Byte])]
+    val q1 = Streaming.ingestDedupAudioBlocks(
+      mem1.toDF().toDF("id", "content"), "id", "content", st1)
+    mem1.addData((0L until 4L).map(i => (i, byId(i))))
+    q1.processAllAvailable(); q1.stop()
+    assert(st1.get().admitted.count() == 4)
+    // persist + RESTART
+    val dir = java.nio.file.Files.createTempDirectory("ablkstate").toString
+    DedupStateIO.save(st1.get(), dir)
+    val st2 = new java.util.concurrent.atomic.AtomicReference(
+      DedupStateIO.loadAudioBlocks(spark, dir))
+    val mem2 = MemoryStream[(Long, Array[Byte])]
+    val q2 = Streaming.ingestDedupAudioBlocks(
+      mem2.toDF().toDF("id", "content"), "id", "content", st2)
+    // phase 2: trimmed copies of PRE-restart bases + unrelated tracks
+    mem2.addData(Seq(100L, 101L, 102L, 103L, 200L, 201L, 202L, 203L)
+      .map(i => (i, byId(i))))
+    q2.processAllAvailable(); q2.stop()
+    val admitted = st2.get().admitted.select($"id").as[Long].collect().toSet
+    // every trimmed copy of a pre-restart base dropped; unrelated kept
+    assert(admitted == (0L until 4L).toSet ++ (200L until 204L).toSet,
+      admitted.toSeq.sorted.mkString(","))
+    // stream ≡ batch prefix rule over the full corpus
+    val batch = graft.operators.Dedup.prefixKeepFirstByPairs(
+        rows.toDF("id", "content"), "id",
+        graft.operators.Dedup.audioBlockPairs(rows.toDF("id", "content")),
+        "doc_a", "doc_b")
+      .select($"id").as[Long].collect().toSet
+    assert(admitted == batch)
+    // block state covers every row ever seen, dropped included
+    assert(st2.get().blocks.select($"id").distinct().count() == rows.length)
+  }
+
   test("streaming subword packing equals batch packSubwords") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.Streaming.PackIngestState
