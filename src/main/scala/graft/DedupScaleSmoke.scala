@@ -121,6 +121,11 @@ object DedupScaleSmoke extends Serializable {
       out += s"${name}_shuffle_mb" -> (sb / (1L << 20)).toString
       out += s"${name}_pairs" -> found.toString
       out += s"${name}_planted_recall" -> f"${hit.toDouble / nPlanted}%.3f"
+      // let the ContextCleaner reclaim the finished phase's shuffle
+      // files: with a large heap the driver may not GC for the whole
+      // run, and accumulated shuffle scratch across ~10 phases is what
+      // fills /tmp at 10M docs (measured: ENOSPC on a 10M run)
+      System.gc()
     }
 
     phase("minhash", planted, nDup) {
@@ -316,7 +321,17 @@ object DedupScaleSmoke extends Serializable {
     // ---- embedding corpus: clustered unit vectors (128 centers, the
     // ScaleSmoke regime — same-cluster background pairs sit at cosine
     // distance ≈ 0.2); planted dup = base + ε noise ⇒ distance ≈ 1e-5,
-    // so maxCosDist = 0.05 separates planted pairs from the background
+    // so maxCosDist = 0.05 separates planted pairs from the background.
+    // SPARK_GRAFT_SKIP_EMBED=1 skips this section — the 10M text-dedup
+    // budget run's knob (the embedding ops have their own 1M smokes;
+    // at 10M the extra vector corpus + LSH scoring is scratch-disk
+    // pressure without new information).
+    if (sys.env.get("SPARK_GRAFT_SKIP_EMBED").exists(_ == "1")) {
+      println(out.map { case (kk, vv) => s""""$kk":$vv""" }
+        .mkString("DEDUP_SMOKE {", ",", "}"))
+      spark.stop()
+      return
+    }
     val nClusters = 128
     val noiseAmp = 0.08
     val centers = Array.tabulate(nClusters) { c =>
