@@ -106,6 +106,18 @@ object DedupScaleSmoke extends Serializable {
     val out = scala.collection.mutable.LinkedHashMap[String, String]()
     out += "n_base" -> nBase.toString += "n_dup" -> nDup.toString
 
+    // SPARK_GRAFT_PHASES=minhash,jaccard,… runs a subset — the 10M
+    // budget rows run ONE phase per JVM so no single run's shuffle
+    // scratch exceeds the box's /tmp (a 10M jaccard alone is tens of
+    // GB in flight). emit() prints the accumulated metrics after every
+    // phase so a crashed run still yields its completed rows.
+    val phasesEnv: Option[Set[String]] = sys.env.get("SPARK_GRAFT_PHASES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def phaseOn(name: String): Boolean = phasesEnv.forall(_.contains(name))
+    def emit(): Unit =
+      println(out.map { case (kk, vv) => s""""$kk":$vv""" }
+        .mkString("DEDUP_SMOKE_PARTIAL {", ",", "}"))
+
     def phase(name: String, plantedDf: DataFrame, nPlanted: Int)
              (op: => DataFrame): Unit = {
       Thread.sleep(500) // settle listener events from the previous phase
@@ -126,9 +138,10 @@ object DedupScaleSmoke extends Serializable {
       // run, and accumulated shuffle scratch across ~10 phases is what
       // fills /tmp at 10M docs (measured: ENOSPC on a 10M run)
       System.gc()
+      emit()
     }
 
-    phase("minhash", planted, nDup) {
+    if (phaseOn("minhash")) phase("minhash", planted, nDup) {
       operators.Dedup.minhashBandPairs(docs, "doc_id", "text",
         numHashes = 12, bandSize = 2)
     }
@@ -137,7 +150,7 @@ object DedupScaleSmoke extends Serializable {
     // scale. The planted graph is 10k disjoint (base, dup) edges plus
     // whatever the banding adds, so propagation converges in ~2 rounds;
     // survivors ≈ corpus − recalled planted dups.
-    {
+    if (phaseOn("components")) {
       Thread.sleep(500)
       val before = shuffleBytes.get()
       val (survivors, t) = timed {
@@ -151,6 +164,7 @@ object DedupScaleSmoke extends Serializable {
       out += "components_shuffle_mb" ->
         ((shuffleBytes.get() - before) / (1L << 20)).toString
       out += "components_survivors" -> survivors.toString
+      System.gc(); emit()
     }
     // streaming-admission rule at corpus scale: drop iff any band
     // bucket is shared with a lower id (the dedup_prefix_keepfirst
@@ -158,7 +172,7 @@ object DedupScaleSmoke extends Serializable {
     // ARE the streaming ingest filter's scale envelope). Every planted
     // dup's base has a lower id, so planted drop-recall mirrors the
     // banding recall above.
-    {
+    if (phaseOn("prefix")) {
       Thread.sleep(500)
       val before = shuffleBytes.get()
       val (res, t) = timed {
@@ -173,13 +187,14 @@ object DedupScaleSmoke extends Serializable {
       out += "prefix_survivors" -> res.count().toString
       out += "prefix_planted_drop_recall" ->
         f"${(nDup - survivingDups).toDouble / nDup}%.3f"
+      System.gc(); emit()
     }
 
-    phase("simhash64_h3", planted, nDup) {
+    if (phaseOn("simhash")) phase("simhash64_h3", planted, nDup) {
       operators.Dedup.simhashPairs(docs, "doc_id", "text",
         maxHamming = 3, bits = 64)
     }
-    phase("jaccard_capped", planted, nDup) {
+    if (phaseOn("jaccard")) phase("jaccard_capped", planted, nDup) {
       operators.Dedup.jaccardPairs(docs, "doc_id", "text",
         threshold = 0.5, dfCap = 100)
     }
@@ -193,6 +208,7 @@ object DedupScaleSmoke extends Serializable {
     // is the insurance payout, measured. Near-dup RESULTS are identical
     // either side: one shared shingle of ~100 puts Jaccard ≈ 0.005,
     // nowhere near threshold — the hot shingle is pure join poison.
+    if (phaseOn("hot")) {
     val nHot = math.min(nBase, 20000)
     val hotDocs = spark.range(nHot).as[Long].map { id =>
       val toks = docTokens(id)
@@ -223,6 +239,8 @@ object DedupScaleSmoke extends Serializable {
         threshold = 0.5, dfCap = 100)
     }
     hotDocs.unpersist()
+    System.gc(); emit()
+    }
 
     // ---- the curation chain (pipeline_curate's exact stage order) at
     // 1M docs: langid gate (a stopword prefix makes the synthetic
@@ -232,7 +250,7 @@ object DedupScaleSmoke extends Serializable {
     // the bounded-heap fold's reason to exist), normalized exact
     // dedup, group-aware split. Measures the composed wall + shuffle,
     // not per-stage (the stages are individually phased elsewhere).
-    {
+    if (phaseOn("curate")) {
       Thread.sleep(500)
       val before = shuffleBytes.get()
       val cdocs = docs.select(col("doc_id"),
@@ -258,6 +276,7 @@ object DedupScaleSmoke extends Serializable {
       out += "curate_shuffle_mb" ->
         ((shuffleBytes.get() - before) / (1L << 20)).toString
       out += "curate_survivors" -> survivors.toString
+      System.gc(); emit()
     }
 
     // ---- sketches at corpus scale: the constant-shuffle answers next
@@ -267,7 +286,7 @@ object DedupScaleSmoke extends Serializable {
     // membership pass over the train split's doc digests probed by the
     // whole corpus (fp-calibration at 1M keys; planted dups are
     // mutated, so true cross-split digest hits are ~0 by construction).
-    {
+    if (phaseOn("sketches")) {
       val ex = docs.select(col("doc_id"), col("text")).as[(Long, String)]
         .flatMap { case (id, t) =>
           operators.TextHashFast.shingles3(
@@ -316,6 +335,7 @@ object DedupScaleSmoke extends Serializable {
         ((shuffleBytes.get() - before) / (1L << 20)).toString
       out += "bloom_flagged" -> flagged.toString
       out += "bloom_probe_n" -> nTest.toString
+      System.gc(); emit()
     }
 
     // ---- embedding corpus: clustered unit vectors (128 centers, the
@@ -326,7 +346,8 @@ object DedupScaleSmoke extends Serializable {
     // budget run's knob (the embedding ops have their own 1M smokes;
     // at 10M the extra vector corpus + LSH scoring is scratch-disk
     // pressure without new information).
-    if (sys.env.get("SPARK_GRAFT_SKIP_EMBED").exists(_ == "1")) {
+    if (!phaseOn("embed") ||
+        sys.env.get("SPARK_GRAFT_SKIP_EMBED").exists(_ == "1")) {
       println(out.map { case (kk, vv) => s""""$kk":$vv""" }
         .mkString("DEDUP_SMOKE {", ",", "}"))
       spark.stop()
