@@ -234,12 +234,16 @@ class PlanSpec extends SparkSpec {
         graft.index.LSHForest.Params(numTrees = 2, maxNodeSize = 64))
       .indexed.select(col("id"), col("vector"),
         posexplode(col("paths")).as(Seq("tree", "path")))
+    val audioBlocks = graft.operators.Multimodal.audioBlockFingerprints(
+      SparkEntry.audioShiftFixtureRows().toDF("id", "content"))
     val cases: Seq[(String, DataFrame)] = Seq(
       "minhash_pairs" -> Dedup.minhashPairsOf(bands),
       "prefix_keepfirst" -> Dedup.prefixKeepFirstOf(docs, "doc_id", bands),
       "jaccard_pairs" -> Dedup.jaccardPairsOf(postings, 0.2),
       "simhash64_pairs" -> Dedup.simhashPairsOf(fp, maxHamming = 3, bits = 64),
-      "embed_lsh_pairs" -> Dedup.embeddingPairsOf(lshIdx, 0.2))
+      "embed_lsh_pairs" -> Dedup.embeddingPairsOf(lshIdx, 0.2),
+      "audio_block_pairs" -> Dedup.audioBlockPairsOf(audioBlocks,
+        minMatches = 4, dfCap = 64))
     cases.foreach { case (name, df) =>
       df.collect() // finalize the adaptive plan
       val plan = flatten(df.queryExecution.executedPlan)
