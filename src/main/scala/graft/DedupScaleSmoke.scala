@@ -323,10 +323,16 @@ object DedupScaleSmoke extends Serializable {
       val (flagged, tBloom) = timed {
         val train = dig.join(sp.filter(col("split") === "train"), "doc_id")
           .select("h")
-        val bloom = operators.Sketches.bloomBuild(train, "h", logm = 24, k = 3)
+          .localCheckpoint(true)
+        // size the bitmap from the key count — a fixed logm=24 at 8.1M
+        // train keys is fp ~ 0.37 (the r10 10M run's failure mode)
+        val logm = operators.Sketches.bloomLogmFor(
+          math.max(1L, train.count()), k = 3, targetFp = 0.01)
+        out += "bloom_logm" -> logm.toString
+        val bloom = operators.Sketches.bloomBuild(train, "h", logm = logm, k = 3)
           .localCheckpoint(true)
         val probe = dig.join(sp.filter(col("split") === "test"), "doc_id")
-        operators.Sketches.bloomProbe(bloom, probe, "h", logm = 24, k = 3)
+        operators.Sketches.bloomProbe(bloom, probe, "h", logm = logm, k = 3)
           .filter(col("maybe_member")).count()
       }
       val nTest = sp.filter(col("split") === "test").count()

@@ -98,6 +98,26 @@ object Sketches {
 
   // ---------------- Bloom filter ----------------
 
+  /** Smallest logm whose 2^logm-bit filter holds `nKeys` at ≤
+    * `targetFp` false-positive rate with k hashes (fp ≈
+    * (1 − e^{−k·n/m})^k, the standard estimate). Size the bitmap from
+    * the key count instead of guessing: the 10M budget smoke measured
+    * the under-sizing failure mode — logm = 24 at 8.1M train keys is
+    * fp ≈ 0.37, flagging 45% of probes (BASELINE.md r10 row). Errors
+    * past logm = 30 (a 128 MB bitmap; beyond it revisit k or fp). */
+  def bloomLogmFor(nKeys: Long, k: Int = 3, targetFp: Double = 0.01): Int = {
+    require(nKeys > 0, s"bloomLogmFor: nKeys must be positive, got $nKeys")
+    require(k >= 1, s"bloomLogmFor: k must be >= 1, got $k")
+    require(targetFp > 0 && targetFp < 1,
+      s"bloomLogmFor: targetFp in (0,1), got $targetFp")
+    (5 to 30).find { logm =>
+      val m = math.pow(2.0, logm)
+      math.pow(1.0 - math.exp(-k.toDouble * nKeys / m), k) <= targetFp
+    }.getOrElse(throw new IllegalArgumentException(
+      s"bloomLogmFor: no logm <= 30 reaches fp $targetFp for $nKeys keys " +
+        s"at k=$k — relax targetFp or raise k toward the optimum"))
+  }
+
   /** Build an m = 2^logm bit Bloom filter over `valueCol` with k salted
     * hash positions per value: returns (word LONG, bits LONG) — the
     * bitmap packed 32 bits/row (bit 32..63 unused: engines that check

@@ -188,4 +188,30 @@ class SketchesSpec extends SparkSpec {
       .agg(max("len")).head().getLong(0)
     assert(qmax == smax)
   }
+
+  test("bloomLogmFor sizes the bitmap from the key count") {
+    // the 10M smoke's failure mode: 8.1M keys at logm=24/k=3 is
+    // fp≈0.37 — the helper must size well past it
+    assert(Sketches.bloomLogmFor(8100000L, k = 3, targetFp = 0.01) >= 27)
+    // and the chosen size actually meets the target, the next below doesn't
+    val n = 1000000L
+    val lm = Sketches.bloomLogmFor(n, k = 3, targetFp = 0.01)
+    def fp(logm: Int) =
+      math.pow(1.0 - math.exp(-3.0 * n / math.pow(2.0, logm)), 3)
+    assert(fp(lm) <= 0.01 && fp(lm - 1) > 0.01, s"logm=$lm")
+    // measured calibration at small scale: build at the chosen size,
+    // probe disjoint keys, observed fp within 3x of target
+    import spark.implicits._
+    val keys = (0 until 20000).map(i => s"k$i").toDF("h")
+    val probes = (0 until 20000).map(i => s"p$i").toDF("h")
+    val lmS = Sketches.bloomLogmFor(20000L, k = 3, targetFp = 0.01)
+    val bloom = Sketches.bloomBuild(keys, "h", logm = lmS, k = 3)
+      .localCheckpoint(true)
+    val flagged = Sketches.bloomProbe(bloom, probes, "h", logm = lmS, k = 3)
+      .filter(col("maybe_member")).count()
+    assert(flagged <= (20000 * 0.03).toLong, s"observed fp ${flagged / 20000.0}")
+    // unreachable targets error instead of silently under-sizing
+    intercept[IllegalArgumentException](
+      Sketches.bloomLogmFor(Long.MaxValue / 4, k = 3, targetFp = 1e-9))
+  }
 }
