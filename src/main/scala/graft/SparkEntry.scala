@@ -484,6 +484,36 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Bucketed co-located join: both fact tables written ONCE, hash-
+    // bucketed 8 ways on the join key (sources/Bucketed — one file per
+    // bucket, sorted), then read back through the catalog so
+    // scan → SortMergeJoin → same-key agg all reuse the bucket
+    // partitioning: ZERO Exchange operators in the whole plan
+    // (BucketedSpec gates the exchange-free plan against a shuffling
+    // non-bucketed twin). This is the layout that deletes the
+    // per-query double fact-table shuffle at 100 TB; the oracle gates
+    // values — bucketed ≡ the plain join it replaces.
+    "bucket_join_colocated" -> ((s, dir) => {
+      val run = java.util.UUID.randomUUID().toString.replace("-", "")
+      val base = java.nio.file.Files.createTempDirectory("bucket_join").toString
+      val (to, tl) = (s"graft_bko_$run", s"graft_bkl_$run")
+      graft.sources.Bucketed.write(
+        tbl(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        to, s"$base/orders", numBuckets = 8, bucketCol = "o_orderkey")
+      graft.sources.Bucketed.write(
+        tbl(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
+        tl, s"$base/lineitem", numBuckets = 8, bucketCol = "l_orderkey")
+      val o = graft.sources.Bucketed.table(s, to)
+      val l = graft.sources.Bucketed.table(s, tl)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderpriority"))
+        .agg(sum(q(col("l_quantity"), 100.0)).as("sum_qty_c"),
+          sum(q(col("l_extendedprice"), 100.0)).as("sum_price_c"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_orderkey"))
+    }),
+
     // Per-supplier top-3 lineitems by extended price — the window top-k
     // shape every per-group-k operator in the engine reduces to
     // (SURVEY §2.9 window note). Deterministic tie-breaks; price in
@@ -4999,6 +5029,16 @@ object SparkEntry {
         |FROM lineitem l
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // bucketed layout ≡ plain join: the oracle is the un-bucketed SQL
+    "bucket_join_colocated" ->
+      """SELECT l.l_orderkey, o.o_orderpriority,
+        | CAST(sum(CAST(floor(CAST(l.l_quantity AS DOUBLE) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        | CAST(sum(CAST(floor(CAST(l.l_extendedprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_c,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
     "q3_join" ->
       """SELECT l.l_orderkey,
