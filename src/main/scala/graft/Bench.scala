@@ -21,7 +21,13 @@ object Bench {
     // into the first entry, dwarfing its real cost
     spark.range(1 << 16).selectExpr("sum(id * id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=a,b,c — measure a lane subset while iterating
+    // locally (bands of record still come from full quiet-box runs)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failed query must be visible as ok:false, never as a fast time
       val err = try { fn(spark, sfDir).count(); None } catch {
@@ -36,7 +42,9 @@ object Bench {
     // build-vs-search split for the index queries: run each phase twin
     // once more and report {build, search} seconds — separates the fixed
     // index-construction cost from the per-query serving cost
-    val phases = SparkEntry.benchPhases.toSeq.map { case (name, fn) =>
+    val phases = SparkEntry.benchPhases.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val bs = try { val (b, sch) = fn(spark, sfDir); Some((b, sch)) } catch {
         case _: Throwable => None
       }
