@@ -1781,6 +1781,16 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // Deterministic weighted sampling — priority sampling (Duffield–
+    // Lund–Thorup): exactly-k sample by q = w/u (content-addressed
+    // uniform u), plus the unbiased subset-sum estimator max(w, τ).
+    // One narrow map + TakeOrdered(k+1); the corpus never shuffles.
+    "doc_sample_weighted" -> ((s, dir) =>
+      graft.operators.Splits.sampleWeightedTopK(
+          tbl(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", k = 200)
+        .orderBy(col("doc_id"))),
+
     // Token-budget sequence packing: greedy bins from the exclusive
     // prefix-sum of token counts within parallel (split, shard) lanes.
     "doc_pack" -> ((s, dir) =>
@@ -4210,6 +4220,22 @@ object SparkEntry {
         |                   WHEN lang = 'zh' THEN 0.25
         |                   ELSE 1.0 END)
         |ORDER BY doc_id""".stripMargin,
+
+    // priority sampling replay: same u, same one-division priority,
+    // τ = the 201st priority, estimator = max(w, τ)
+    "doc_sample_weighted" ->
+      """WITH p AS (SELECT doc_id, n_chars,
+        |  CAST(n_chars AS DOUBLE) /
+        |    ((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':wsample'), 1, 8)) AS BIGINT) + 1.0)
+        |      / 4294967296.0) AS pri
+        | FROM documents),
+        |r AS (SELECT doc_id, n_chars, pri,
+        |  ROW_NUMBER() OVER (ORDER BY pri DESC, doc_id) AS rn FROM p),
+        |t AS (SELECT max(CASE WHEN rn = 201 THEN pri END) AS tau FROM r)
+        |SELECT r.doc_id, r.n_chars,
+        |  CASE WHEN t.tau IS NULL THEN CAST(r.n_chars AS DOUBLE)
+        |       ELSE greatest(CAST(r.n_chars AS DOUBLE), t.tau) END AS est_w
+        |FROM r, t WHERE r.rn <= 200 ORDER BY r.doc_id""".stripMargin,
 
     "doc_pack" ->
       s"""WITH f AS (SELECT doc_id, text,

@@ -270,4 +270,48 @@ object Splits {
     df.join(broadcast(rates), Seq(sourceCol))
       .filter(f < col("mix_rate"))
   }
+
+  /** Deterministic weighted sample of exactly k rows — priority
+    * sampling (Duffield–Lund–Thorup, JACM 2007): each row draws a
+    * content-addressed uniform u ∈ (0,1] (the salted md5 fraction of
+    * [[assign]], +1 in the numerator so u is never 0) and gets
+    * priority q = w/u; the k highest priorities are the sample, with
+    * ids breaking exact ties. Alongside each kept row the unbiased
+    * subset-sum estimator `est_w` = max(w, τ), where the threshold τ
+    * is the (k+1)-th priority: Σ est_w over any subset of the sample
+    * estimates that subset's true total weight — the property that
+    * lets a k-row sample audit per-source token mass on the full
+    * corpus (SplitsSpec gates estimator totals).
+    *
+    * Engine-portability: u is exact in a double, q is one IEEE
+    * division, τ a comparison — all bit-identical across engines, so
+    * the selected set and estimator are oracle-checkable. Scale
+    * shape: one narrow map + TakeOrdered(k+1) (per-partition top-k
+    * heaps, driver merges 32 heaps of k+1 rows) + a 1-row broadcast
+    * of τ — the corpus never shuffles, k bounds driver memory.
+    */
+  def sampleWeightedTopK(df: DataFrame, idCol: String, weightCol: String,
+                         k: Int, salt: String = "wsample"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (conv(substring(md5(concat(col(idCol).cast("string"),
+        lit(":" + salt))), 1, 8), 16, 10).cast("double") + lit(1.0)) /
+      lit(4294967296.0)
+    val q = col(weightCol).cast("double") / u
+    val top = df.withColumn("__priority", q)
+      .orderBy(col("__priority").desc, col(idCol))
+      .limit(k + 1)
+      .localCheckpoint(true) // one TakeOrdered pass feeds τ AND the sample
+    // τ = the (k+1)-th priority iff k+1 rows exist, else null (corpus
+    // smaller than k: everything kept, estimator = true weight)
+    val tau = top.agg(
+      when(count(lit(1)) === k + 1, min(col("__priority")))
+        .as("__tau"))
+    top.crossJoin(broadcast(tau))
+      .orderBy(col("__priority").desc, col(idCol))
+      .limit(k)
+      .withColumn("est_w",
+        when(col("__tau").isNull, col(weightCol).cast("double"))
+          .otherwise(greatest(col(weightCol).cast("double"), col("__tau"))))
+      .drop("__priority", "__tau")
+  }
 }

@@ -280,4 +280,51 @@ class SplitsSpec extends SparkSpec {
     assert(Splits.mixByTemperatureWeighted(allZero, "doc_id", "source", "wt",
       alpha = 0.5).count() == 10L)
   }
+
+  test("sampleWeightedTopK: exact k, repartition-stable, estimator tracks mass") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val k = 200
+    val samp = Splits.sampleWeightedTopK(docs, "doc_id", "n_chars", k)
+      .localCheckpoint(true)
+    assert(samp.count() == k)
+    // content-addressed: the selected id set ignores partitioning
+    val again = Splits.sampleWeightedTopK(docs.repartition(17), "doc_id",
+      "n_chars", k)
+    val ids = samp.select("doc_id").as[Long].collect().toSet
+    assert(again.select("doc_id").as[Long].collect().toSet == ids)
+    // priority-sampling estimator: sum(est_w) over the sample estimates
+    // the corpus' total weight; over a per-source slice, that source's
+    // mass — the audit-by-sample property (one fixed draw: loose bands)
+    val total = docs.agg(sum(col("n_chars").cast("long"))).head().getLong(0)
+    val est = samp.agg(sum(col("est_w"))).head().getDouble(0)
+    assert(math.abs(est - total) / total < 0.15,
+      s"total $total est $est")
+    val perSrcTrue = docs.groupBy("source")
+      .agg(sum(col("n_chars").cast("long")).as("w")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perSrcEst = samp.groupBy("source").agg(sum(col("est_w")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    perSrcTrue.foreach { case (src, w) =>
+      val e = perSrcEst.getOrElse(src, 0.0)
+      assert(math.abs(e - w) / w < 0.5, s"source $src true $w est $e")
+    }
+    // weighted: heavy rows are over-represented vs uniform sampling
+    val meanAll = total.toDouble / docs.count()
+    val meanSamp = samp.agg(avg(col("n_chars").cast("double")))
+      .head().getDouble(0)
+    assert(meanSamp > meanAll, s"sample mean $meanSamp vs corpus $meanAll")
+    samp.unpersist()
+  }
+
+  test("sampleWeightedTopK: corpus smaller than k keeps all, est_w = w") {
+    import spark.implicits._
+    val tiny = (0 until 7).map(i => (i.toLong, (i + 1) * 10))
+      .toDF("doc_id", "wt")
+    val out = Splits.sampleWeightedTopK(tiny, "doc_id", "wt", k = 50)
+      .collect()
+    assert(out.length == 7)
+    assert(out.forall(r => r.getAs[Double]("est_w") == r.getAs[Int]("wt").toDouble))
+  }
 }
