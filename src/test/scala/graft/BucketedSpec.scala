@@ -86,5 +86,26 @@ class BucketedSpec extends SparkSpec {
       s"expected one file per bucket, got ${files.map(_.getName).mkString(", ")}")
     // round-trip: catalog read sees every row exactly once
     assert(sources.Bucketed.table(spark, "bspec_files").count() == o.count())
+
+    // bucket pruning: an equality filter on the bucket column scans
+    // exactly one bucket file — at 100 TB, point lookups touch 1/n of
+    // the table without any index structure
+    // the auto-bucketed-scan rule turns bucketed reading off for
+    // filter-only plans (no partitioning consumer) — pin it on so the
+    // pruning path is observable
+    val prevAuto = spark.conf
+      .get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+      "false")
+    try {
+      val key = o.select(min(col("o_orderkey"))).head().getLong(0)
+      val pruned = sources.Bucketed.table(spark, "bspec_files")
+        .filter(col("o_orderkey") === key)
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 4"),
+        plan.take(1200))
+      assert(pruned.count() == 1)
+    } finally spark.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
   }
 }
