@@ -2867,6 +2867,28 @@ object SparkEntry {
         .orderBy(col("zbin"))
     }),
 
+    // Size-targeted re-layout (Layout.writeSized — the compaction
+    // operator): lineitem written into sample-calibrated ~256 KB
+    // range-clustered parquet files, read back and aggregated — the
+    // oracle gates that re-layout loses or duplicates NOTHING (the
+    // checksum ≡ the same aggregate off the source table); LayoutSpec
+    // gates the file-count/size behavior itself.
+    "layout_write_sized" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("write_sized").toString + "/t"
+      val src = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
+      graft.operators.Layout.writeSized(src, out,
+        targetFileBytes = 256L << 10, sortCols = Seq("l_orderkey"))
+      s.read.parquet(out)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(q(col("l_quantity"), 100.0)).as("sum_qty_c"),
+          sum(q(col("l_extendedprice"), 100.0)).as("sum_price_c"))
+        .orderBy(col("l_orderkey"))
+    }),
+
     // Hilbert-curve layout key (Layout.withHilbertKey): the
     // better-locality alternative to layout_zorder — consecutive keys
     // are always grid NEIGHBOURS (pinned in LayoutSpec), so
@@ -5667,6 +5689,13 @@ object SparkEntry {
          |SELECT event_id, bu, bv, ${zInterleaveSql("bu", "bv", 8)} AS zkey,
          |  (${zInterleaveSql("bu", "bv", 8)}) >> 8 AS zbin
          |FROM b ORDER BY event_id""".stripMargin,
+
+    // re-layout is lossless: the oracle aggregates the SOURCE table
+    "layout_write_sized" ->
+      """SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(floor(CAST(l_quantity AS DOUBLE) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        | CAST(sum(CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_c
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "layout_zorder_stats" ->
       s"""WITH b AS ($zBucketsSql),

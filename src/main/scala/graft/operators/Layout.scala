@@ -118,6 +118,61 @@ object Layout {
     * approximate by design); LayoutSpec gates bucket balance on skewed
     * data and tile-boundedness of the composed Z-key.
     */
+  /** Size-targeted parquet write — the output-compaction operator: a
+    * 100-TB pipeline stage that inherits its parent's partitioning
+    * writes whatever file sizes the shuffle left behind (thousands of
+    * KB-scale files after a selective filter, or multi-GB monoliths
+    * after a coalesce), and both extremes poison the NEXT reader:
+    * small files cost a task+open each, oversized files break
+    * split-parallelism for non-splittable stages and straggle.
+    *
+    * Calibration is MEASURED, not guessed: a `sampleRows`-row slice is
+    * written to a scratch dir in the real output format, so the
+    * per-row estimate includes parquet encoding + compression exactly
+    * as configured. File count = ceil(rows × bytesPerRow / target),
+    * laid out round-robin, or range-clustered by `sortCols` (footer
+    * min/max stats then prune on those columns — compose with a
+    * [[interleaveBits]]/[[withHilbertKey]] key for multi-dim pruning).
+    * A dictionary-heavy column compresses better at full scale than in
+    * the sample, so real files land at-or-under target — the safe
+    * side. Cost: one count job + one sample write + the output
+    * exchange the re-layout requires anyway.
+    *
+    * Returns (files written, calibrated bytes/row). Data fidelity is
+    * oracle-gated (layout_write_sized: read-back ≡ source); size
+    * behavior is gated in LayoutSpec.
+    */
+  def writeSized(df: DataFrame, path: String,
+                 targetFileBytes: Long = 128L << 20,
+                 sortCols: Seq[String] = Nil,
+                 sampleRows: Int = 10000): (Int, Double) = {
+    require(targetFileBytes > 0 && sampleRows > 0,
+      "targetFileBytes and sampleRows must be positive")
+    val spark = df.sparkSession
+    val cached = df.localCheckpoint(true) // count + sample + write: one lineage
+    try {
+      val total = cached.count()
+      if (total == 0L) { cached.limit(0).write.parquet(path); return (0, 0.0) }
+      val scratch = java.nio.file.Files
+        .createTempDirectory("write_sized_probe").toString
+      cached.limit(sampleRows).coalesce(1).write
+        .mode("overwrite").parquet(scratch)
+      val sampled = math.min(total, sampleRows.toLong)
+      val sampleBytes = new java.io.File(scratch).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).map(_.length()).sum
+      val bytesPerRow = sampleBytes.toDouble / sampled
+      val nFiles = math.max(1L,
+        math.ceil(total * bytesPerRow / targetFileBytes).toLong).toInt
+      val laid =
+        if (sortCols.isEmpty) cached.repartition(nFiles)
+        else cached
+          .repartitionByRange(nFiles, sortCols.map(col).toIndexedSeq: _*)
+          .sortWithinPartitions(sortCols.map(col).toIndexedSeq: _*)
+      laid.write.mode("overwrite").parquet(path)
+      (nFiles, bytesPerRow)
+    } finally cached.unpersist()
+  }
+
   def quantileBuckets(df: DataFrame, valueCol: String,
                       bits: Int = 8): (Column, Array[Double]) = {
     require(bits >= 1 && bits <= 12, "quantileBuckets supports 1..12 bits")

@@ -121,4 +121,45 @@ class LayoutSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("writeSized: sample-calibrated file count, sizes near target, lossless") {
+    val src = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+    val out = java.nio.file.Files.createTempDirectory("ws_spec").toString + "/t"
+    val (nFiles, bpr) = graft.operators.Layout.writeSized(src, out,
+      targetFileBytes = 64L << 10, sortCols = Seq("l_orderkey"))
+    assert(bpr > 0.0)
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    assert(files.length == nFiles, s"$nFiles planned, ${files.length} on disk")
+    assert(nFiles > 1, "60k rows at 64 KB target must split")
+    // every file within a loose band of target: the calibration claim.
+    // (footers + dictionary amortization make small files noisy — 3x band)
+    files.foreach { f =>
+      assert(f.length() < 3L * (64L << 10), s"${f.getName}: ${f.length()} B")
+    }
+    // lossless: count and content survive
+    val back = spark.read.parquet(out)
+    assert(back.count() == src.count())
+    assert(back.agg(sum(col("l_orderkey"))).head().getLong(0) ==
+      src.agg(sum(col("l_orderkey"))).head().getLong(0))
+    // range-clustered: per-file l_orderkey extents don't interleave
+    val extents = back.select(input_file_name().as("f"), col("l_orderkey"))
+      .groupBy("f").agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    extents.sliding(2).foreach {
+      case Array((_, hiA), (loB, _)) => assert(hiA <= loB,
+        s"file extents interleave: $hiA > $loB")
+      case _ =>
+    }
+  }
+
+  test("writeSized: corpus under one target lands in exactly one file") {
+    val src = spark.read.parquet(s"$sf001/region.parquet")
+    val out = java.nio.file.Files.createTempDirectory("ws_one").toString + "/t"
+    val (nFiles, _) = graft.operators.Layout.writeSized(src, out,
+      targetFileBytes = 128L << 20)
+    assert(nFiles == 1)
+    assert(spark.read.parquet(out).count() == src.count())
+  }
 }
