@@ -172,18 +172,18 @@ object BQ {
         .toDF("qid", "qvec", "cluster", "qc2")
     }
 
-    private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
-      val spark = scored.sparkSession
-      import spark.implicits._
+    // partial-aggregating top-k: k rows per query per task cross the
+    // shuffle, never the scored candidates (the 10M smoke measured
+    // 580 MB through the old whole-candidate groupByKey drain; probed
+    // cells are disjoint ⇒ unique ids per query, and TopKAggExpr's
+    // (distance, id) order matches topKDedup's exactly)
+    private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
       scored
-        .as[(Long, Long, Double)]
-        .groupByKey(_._1)
-        .flatMapGroups { (qid, it) =>
-          graft.operators.Exhaustive.topKDedup(it.map(t => (t._2, t._3)), k)
-            .map { case (id, d) => (qid, id, d) }
-        }
-        .toDF("qid", "id", "distance")
-    }
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopK.topK(col("distance"), col("id"), k).as("nn"))
+        .select(col("qid"), explode(col("nn")).as("nn"))
+        .select(col("qid"), col("nn.id").as("id"),
+          col("nn.distance").as("distance"))
 
     /** Symmetric batch search: the query is sign-quantized in the scan
       * projection and distance is XOR+popcount over packed bytes —
@@ -262,14 +262,25 @@ object BQ {
     def knnJoinRefined(queries: DataFrame, qIdCol: String, qVecCol: String,
                        k: Int, factor: Int,
                        corpus: DataFrame, cIdCol: String, cVecCol: String,
-                       nprobe: Int = 2): DataFrame = {
-      val shortlist = knnJoinAsym(queries, qIdCol, qVecCol, k * factor, nprobe)
+                       nprobe: Int = 2,
+                       broadcastShortlist: Boolean = false): DataFrame = {
+      val shortlist0 = knnJoinAsym(queries, qIdCol, qVecCol, k * factor, nprobe)
         .select(col("qid"), col("id"))
-      val q = queries.select(col(qIdCol).cast("long").as("qid"),
+      // Serving batches (bounded queries): broadcast the |q|·k·factor
+      // shortlist so the float corpus is PRUNED at its scan instead of
+      // shuffled — AQE can't help here (both join sides' shuffles are
+      // materialized before it picks a strategy; the 10M smoke measured
+      // 5.3 GB corpus shuffle without the hint, ~0 with). Keep false
+      // for corpus×corpus kNN-graph builds, where the shortlist is
+      // corpus-sized and must not be broadcast.
+      val shortlist =
+        if (broadcastShortlist) broadcast(shortlist0) else shortlist0
+      val q0 = queries.select(col(qIdCol).cast("long").as("qid"),
         col(qVecCol).cast("array<float>").as("qvec"))
+      val q = if (broadcastShortlist) broadcast(q0) else q0
       val c = corpus.select(col(cIdCol).cast("long").as("id"),
         col(cVecCol).cast("array<float>").as("cvec"))
-      shortlist.join(q, Seq("qid")).join(c, Seq("id"))
+      c.join(shortlist, Seq("id")).join(q, Seq("qid"))
         .select(col("qid"), col("id"),
           graft.functions.VectorOps.sqDist(col("cvec"), col("qvec"))
             .as("distance"))

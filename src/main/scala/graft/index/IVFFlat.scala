@@ -91,20 +91,22 @@ object IVFFlat {
             .map(c => (qid, qvec, c))
         }
         .toDF("qid", "qvec", "cluster")
-      // distance computed codegen-narrow before the only shuffle, which
-      // moves (qid, id, distance) triples — never vectors; per-query
-      // top-k in one bounded-heap pass (probed clusters are disjoint, so
-      // the dedup in topKDedup is a no-op here)
+      // distance computed codegen-narrow, then per-query top-k via the
+      // PARTIAL-aggregating heap expression: each task ships at most k
+      // rows per query it touched, so the only shuffle is k-bounded —
+      // never candidate-count-sized (the 10M smoke measured 579 MB of
+      // (qid,id,distance) triples through the old whole-candidate
+      // groupByKey drain). Probed clusters are disjoint, so ids are
+      // unique per query and no dedup is needed; TopKAggExpr's
+      // (distance, id) order matches topKDedup's exactly.
       indexed.join(broadcast(probes), Seq("cluster"))
         .select(col("qid"), col("id"),
           sqDist(col("vector"), col("qvec")).as("distance"))
-        .as[(Long, Long, Double)]
-        .groupByKey(_._1)
-        .flatMapGroups { (qid, it) =>
-          graft.operators.Exhaustive.topKDedup(it.map(t => (t._2, t._3)), k)
-            .map { case (id, d) => (qid, id, d) }
-        }
-        .toDF("qid", "id", "distance")
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopK.topK(col("distance"), col("id"), k).as("nn"))
+        .select(col("qid"), explode(col("nn")).as("nn"))
+        .select(col("qid"), col("nn.id").as("id"),
+          col("nn.distance").as("distance"))
     }
 
     /** Corpus-scale batch kNN — [[searchMany]]'s shuffle-path twin for

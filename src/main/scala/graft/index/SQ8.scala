@@ -117,17 +117,18 @@ object SQ8 {
             .map(c => (qid, qf, c))
         }
         .toDF("qid", "qvec", "cluster")
+      // partial-aggregating top-k: k rows per query per task cross the
+      // shuffle, never the probed-cell candidates (disjoint cells ⇒
+      // unique ids; TopKAggExpr's (distance, id) order ≡ topKDedup's)
       codes.join(broadcast(probes), Seq("cluster"))
         .select(col("qid"), col("id"),
           Sq8Math.sq8Dist(col("codes"), col("lo"), col("scale"),
             col("qvec")).as("distance"))
-        .as[(Long, Long, Double)]
-        .groupByKey(_._1)
-        .flatMapGroups { (qid, it) =>
-          graft.operators.Exhaustive.topKDedup(it.map(t => (t._2, t._3)), k)
-            .map { case (id, d) => (qid, id, d) }
-        }
-        .toDF("qid", "id", "distance")
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopK.topK(col("distance"), col("id"), k).as("nn"))
+        .select(col("qid"), explode(col("nn")).as("nn"))
+        .select(col("qid"), col("nn.id").as("id"),
+          col("nn.distance").as("distance"))
     }
 
     /** SQ8 shortlist (factor×k over the byte codes) + exact re-rank

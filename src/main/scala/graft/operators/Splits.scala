@@ -293,16 +293,31 @@ object Splits {
   def sampleWeightedTopK(df: DataFrame, idCol: String, weightCol: String,
                          k: Int, salt: String = "wsample"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val u = (conv(substring(md5(concat(col(idCol).cast("string"),
-        lit(":" + salt))), 1, 8), 16, 10).cast("double") + lit(1.0)) /
-      lit(4294967296.0)
-    val q = col(weightCol).cast("double") / u
-    val top = df.withColumn("__priority", q)
+    val top = df.withColumn("__priority", priorityOf(idCol, weightCol, salt))
       .orderBy(col("__priority").desc, col(idCol))
       .limit(k + 1)
       .localCheckpoint(true) // one TakeOrdered pass feeds τ AND the sample
-    // τ = the (k+1)-th priority iff k+1 rows exist, else null (corpus
-    // smaller than k: everything kept, estimator = true weight)
+    finishSample(top, idCol, weightCol, k)
+  }
+
+  /** The priority-sampling coordinate q = w/u: content-addressed
+    * uniform u ∈ (0,1] (salted md5 fraction, +1 so u is never 0), one
+    * IEEE division — bit-portable across engines and batch/stream. */
+  private[graft] def priorityOf(idCol: String, weightCol: String,
+                                salt: String): Column =
+    col(weightCol).cast("double") / (
+      (conv(substring(md5(concat(col(idCol).cast("string"),
+          lit(":" + salt))), 1, 8), 16, 10).cast("double") + lit(1.0)) /
+        lit(4294967296.0))
+
+  /** Turn a top-(k+1)-by-`__priority` frame into the final sample:
+    * τ = the (k+1)-th priority iff k+1 rows exist, else null (input
+    * smaller than k: everything kept, estimator = true weight). Shared
+    * by the batch operator above and the streaming state's read-out
+    * ([[graft.streaming.Streaming.weightedSampleOf]] — the stream
+    * keeps exactly this top-(k+1) frame as its whole state). */
+  private[graft] def finishSample(top: DataFrame, idCol: String,
+                                  weightCol: String, k: Int): DataFrame = {
     val tau = top.agg(
       when(count(lit(1)) === k + 1, min(col("__priority")))
         .as("__tau"))

@@ -780,6 +780,50 @@ object Streaming {
       .start()
   }
 
+  /** Priority-sampling twin of [[ingestHll]] — a weighted sample of
+    * exactly k rows maintained over an unbounded stream: the whole
+    * state is the current top-(k+1) frame by the content-addressed
+    * priority q = w/u ([[graft.operators.Splits.sampleWeightedTopK]]
+    * — priorities depend only on (id, weight), so merging per-batch
+    * priorities IS the batch computation: stream ≡ batch exactly, the
+    * StreamingSpec pin). Replayed ids collapse via dropDuplicates
+    * (same id ⇒ same priority). State is k+1 rows — bounded, a
+    * monoid, persisted for restarts with the one-frame
+    * [[DedupStateIO.saveSketch]] path. Read the finished sample (with
+    * the unbiased subset-sum estimator est_w) via
+    * [[weightedSampleOf]]. */
+  def ingestSampleWeighted(stream: DataFrame, idCol: String,
+                           weightCol: String, k: Int,
+                           salt: String = "wsample",
+                           state: java.util.concurrent.atomic.AtomicReference[DataFrame])
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // single-writer foreachBatch: see ingestIntoIVF
+          val part = batch
+            .select(col(idCol), col(weightCol))
+            .withColumn("__priority",
+              graft.operators.Splits.priorityOf(idCol, weightCol, salt))
+          val merged = state.get().unionByName(part)
+            .dropDuplicates(idCol)
+            .orderBy(col("__priority").desc, col(idCol))
+            .limit(k + 1)
+          state.set(merged.localCheckpoint(true))
+        }
+      }
+      .start()
+  }
+
+  /** Read-out face of [[ingestSampleWeighted]]: the final k-row sample
+    * + estimator from the live (or [[DedupStateIO.loadSketch]]-
+    * restored) top-(k+1) state — identical to what the batch operator
+    * returns over the union of every batch. */
+  def weightedSampleOf(state: DataFrame, idCol: String, weightCol: String,
+                       k: Int): DataFrame =
+    graft.operators.Splits.finishSample(state, idCol, weightCol, k)
+
   /** BQ twin of [[ingestIntoIVF]]: each microbatch is assigned to its
     * frozen coarse cell and sign-packed to 1-bit codes in one narrow
     * pass (BQ.Model.add) — the streaming matrix now covers all seven

@@ -166,12 +166,18 @@ class PlanSpec extends SparkSpec {
     }
     assert(shuffles.nonEmpty) // the per-query top-k group-by
     // the probe side broadcasts (query-batch-sized); the only SHUFFLE
-    // payload is (qid, id, distance) — a BINARY codes column or a float
-    // array in a shuffle means the compressed corpus started moving
+    // payload is the partial top-k heap buffer `buf` (O(k) primitives
+    // per query per task — TopKAggExpr's map-side combine) — a BINARY
+    // codes column or a float array under any OTHER name means the
+    // compressed corpus started moving
+    assert(df.queryExecution.executedPlan.toString
+      .contains("partial_topkaggexpr"),
+      "per-query top-k must partially aggregate map-side")
     shuffles.foreach { e =>
       val bad = e.output.filter(a =>
-        a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
-          a.dataType == org.apache.spark.sql.types.BinaryType)
+        (a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+          a.dataType == org.apache.spark.sql.types.BinaryType) &&
+          a.name != "buf")
       assert(bad.isEmpty,
         s"SQ8 shuffle carries ${bad.map(_.name).mkString(",")}:\n" +
           e.toString.take(600))
@@ -195,12 +201,17 @@ class PlanSpec extends SparkSpec {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
       }
       assert(shuffles.nonEmpty) // the per-query top-k group-by
-      // only (qid, id, distance) may move: a BINARY sign code or float
-      // array in a shuffle means the compressed corpus started moving
+      // only the O(k) partial top-k buffer `buf` may move: a BINARY
+      // sign code or float array under any other name means the
+      // compressed corpus started moving
+      assert(df.queryExecution.executedPlan.toString
+        .contains("partial_topkaggexpr"),
+        s"$what: per-query top-k must partially aggregate map-side")
       shuffles.foreach { e =>
         val bad = e.output.filter(a =>
-          a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
-            a.dataType == org.apache.spark.sql.types.BinaryType)
+          (a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+            a.dataType == org.apache.spark.sql.types.BinaryType) &&
+            a.name != "buf")
         assert(bad.isEmpty,
           s"$what shuffle carries ${bad.map(_.name).mkString(",")}:\n" +
             e.toString.take(600))

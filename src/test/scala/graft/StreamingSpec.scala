@@ -1271,4 +1271,45 @@ class StreamingSpec extends SparkSpec {
       .view.mapValues(_.toSeq.map(_._4).sum).toMap
     assert(totals == fromPacked)
   }
+
+  test("streaming weighted sample == batch across replay and restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streaming.DedupStateIO
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select($"doc_id", $"n_chars")
+    val rows = docs.as[(Long, Long)].collect()
+    val (pre, post) = rows.splitAt(rows.length / 2)
+    val k = 50
+    val st1 = new java.util.concurrent.atomic.AtomicReference(
+      docs.limit(0).withColumn("__priority", lit(0.0d)))
+    val mem1 = MemoryStream[(Long, Long)]
+    val q1 = Streaming.ingestSampleWeighted(
+      mem1.toDF().toDF("doc_id", "n_chars"), "doc_id", "n_chars", k,
+      state = st1)
+    mem1.addData(pre.toSeq); q1.processAllAvailable()
+    // replayed ids carry identical priorities: the state must not move
+    val snapshot = st1.get().select($"doc_id").as[Long].collect().toSet
+    mem1.addData(pre.take(100).toSeq); q1.processAllAvailable(); q1.stop()
+    assert(st1.get().select($"doc_id").as[Long].collect().toSet == snapshot)
+    // restart: persist the k+1-row monoid state, resume in a new stream
+    val dir = java.nio.file.Files.createTempDirectory("wsample_state").toString
+    DedupStateIO.saveSketch(st1.get(), dir)
+    val st2 = new java.util.concurrent.atomic.AtomicReference(
+      DedupStateIO.loadSketch(spark, dir))
+    val mem2 = MemoryStream[(Long, Long)]
+    val q2 = Streaming.ingestSampleWeighted(
+      mem2.toDF().toDF("doc_id", "n_chars"), "doc_id", "n_chars", k,
+      state = st2)
+    mem2.addData(post.toSeq); q2.processAllAvailable(); q2.stop()
+    assert(st2.get().count() == k + 1)
+    // the read-out sample + estimator is EXACTLY the batch operator
+    // over the union of everything either stream instance saw
+    val streamed = Streaming.weightedSampleOf(st2.get(), "doc_id",
+        "n_chars", k)
+      .select($"doc_id", $"est_w").as[(Long, Double)].collect().toSet
+    val batch = graft.operators.Splits.sampleWeightedTopK(docs, "doc_id",
+        "n_chars", k)
+      .select($"doc_id", $"est_w").as[(Long, Double)].collect().toSet
+    assert(streamed == batch)
+  }
 }
