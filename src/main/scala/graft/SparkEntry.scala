@@ -1791,6 +1791,16 @@ object SparkEntry {
           "doc_id", "n_chars", k = 200)
         .orderBy(col("doc_id"))),
 
+    // Stratified face: k-per-language weighted sample, each language
+    // carrying its own threshold τ and estimator — one partition-by-
+    // group exchange of (id, w, group) triples, content never moves.
+    "doc_sample_weighted_lang" -> ((s, dir) =>
+      graft.operators.Splits.sampleWeightedPerGroup(
+          tbl(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("n_chars")),
+          "doc_id", "n_chars", "lang", k = 40)
+        .orderBy(col("doc_id"))),
+
     // Token-budget sequence packing: greedy bins from the exclusive
     // prefix-sum of token counts within parallel (split, shard) lanes.
     "doc_pack" -> ((s, dir) =>
@@ -4258,6 +4268,22 @@ object SparkEntry {
         |  CASE WHEN t.tau IS NULL THEN CAST(r.n_chars AS DOUBLE)
         |       ELSE greatest(CAST(r.n_chars AS DOUBLE), t.tau) END AS est_w
         |FROM r, t WHERE r.rn <= 200 ORDER BY r.doc_id""".stripMargin,
+
+    // stratified replay: per-language rank and per-language τ
+    "doc_sample_weighted_lang" ->
+      """WITH p AS (SELECT doc_id, lang, n_chars,
+        |  CAST(n_chars AS DOUBLE) /
+        |    ((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':wsample'), 1, 8)) AS BIGINT) + 1.0)
+        |      / 4294967296.0) AS pri
+        | FROM documents),
+        |r AS (SELECT doc_id, lang, n_chars, pri,
+        |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY pri DESC, doc_id) AS rn FROM p),
+        |t AS (SELECT lang, pri AS tau FROM r WHERE rn = 41)
+        |SELECT r.lang, r.doc_id, r.n_chars,
+        |  CASE WHEN t.tau IS NULL THEN CAST(r.n_chars AS DOUBLE)
+        |       ELSE greatest(CAST(r.n_chars AS DOUBLE), t.tau) END AS est_w
+        |FROM r LEFT JOIN t ON r.lang = t.lang
+        |WHERE r.rn <= 40 ORDER BY r.doc_id""".stripMargin,
 
     "doc_pack" ->
       s"""WITH f AS (SELECT doc_id, text,

@@ -310,6 +310,36 @@ object Splits {
           lit(":" + salt))), 1, 8), 16, 10).cast("double") + lit(1.0)) /
         lit(4294967296.0))
 
+  /** Per-group weighted sampling — [[sampleWeightedTopK]] run
+    * independently inside every value of `groupCol` (the stratified
+    * face: k docs per source/language weighted by quality or length,
+    * each group carrying its own threshold τ and unbiased estimator).
+    * One hash-partition-by-group exchange + a window rank — the rows
+    * that cross the wire are the corpus' (id, w, group) triples, never
+    * content. Groups smaller than k keep everything with est_w = w
+    * (their rank-(k+1) τ is null), exactly like the global operator on
+    * a small corpus. */
+  def sampleWeightedPerGroup(df: DataFrame, idCol: String,
+                             weightCol: String, groupCol: String,
+                             k: Int, salt: String = "wsample"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("__priority").desc, col(idCol))
+    val ranked = df
+      .withColumn("__priority", priorityOf(idCol, weightCol, salt))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k + 1)
+    val taus = ranked.filter(col("__rn") === k + 1)
+      .select(col(groupCol), col("__priority").as("__tau"))
+    ranked.filter(col("__rn") <= k)
+      .join(broadcast(taus), Seq(groupCol), "left")
+      .withColumn("est_w",
+        when(col("__tau").isNull, col(weightCol).cast("double"))
+          .otherwise(greatest(col(weightCol).cast("double"), col("__tau"))))
+      .drop("__priority", "__rn", "__tau")
+  }
+
   /** Turn a top-(k+1)-by-`__priority` frame into the final sample:
     * τ = the (k+1)-th priority iff k+1 rows exist, else null (input
     * smaller than k: everything kept, estimator = true weight). Shared

@@ -318,6 +318,40 @@ class SplitsSpec extends SparkSpec {
     samp.unpersist()
   }
 
+  test("sampleWeightedPerGroup: per-group k, per-group tau, small groups whole") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val k = 30
+    val out = Splits.sampleWeightedPerGroup(docs, "doc_id", "n_chars",
+      "lang", k).localCheckpoint(true)
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (lang, n) =>
+      assert(got.getOrElse(lang, 0L) == math.min(n, k.toLong),
+        s"$lang: corpus $n sample ${got.getOrElse(lang, 0L)}")
+    }
+    // per-group slice of the stratified operator == the global operator
+    // run on that group alone (same salt => same priorities)
+    val langs = sizes.keys.toSeq.sorted.take(2)
+    langs.foreach { lang =>
+      val alone = Splits.sampleWeightedTopK(
+          docs.filter(col("lang") === lang), "doc_id", "n_chars", k)
+        .select($"doc_id", $"est_w").as[(Long, Double)].collect().toSet
+      val sliced = out.filter(col("lang") === lang)
+        .select($"doc_id", $"est_w").as[(Long, Double)].collect().toSet
+      assert(sliced == alone, s"$lang")
+    }
+    // small groups: everything kept with est_w = w
+    sizes.filter(_._2 <= k).keys.foreach { lang =>
+      assert(out.filter(col("lang") === lang)
+        .filter(col("est_w") =!= col("n_chars").cast("double")).count() == 0L)
+    }
+    out.unpersist()
+  }
+
   test("sampleWeightedTopK: corpus smaller than k keeps all, est_w = w") {
     import spark.implicits._
     val tiny = (0 until 7).map(i => (i.toLong, (i + 1) * 10))
