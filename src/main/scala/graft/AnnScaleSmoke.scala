@@ -236,6 +236,36 @@ object AnnScaleSmoke {
       emit()
     }
 
+    // ---- hnsw: routed graph index at 10M (its own phase — run it in
+    // a separate JVM via SPARK_GRAFT_PHASES=hnsw when memory-tight:
+    // shard graphs + corpus together are the peak footprint)
+    if (phaseOn("hnsw")) {
+      phaseStart()
+      val (hnsw, tB) = timed {
+        index.HNSW.buildRouted(corpus, "vec_id", "embedding",
+          index.HNSWGraph.Params(numLayers = 8, efConstruction = 100,
+            efSearch = 64, m = 16, seed = seed),
+          numShards = 128, routerIterations = 10,
+          maxCellFactor = 2.0, routerSampleRows = 200000L)
+      }
+      out += "hnsw_build_s" -> f"$tB%.1f"
+      out += "hnsw_build_shuffle_mb" -> phaseMb().toString
+      for (probe <- Seq(16, 0)) {
+        phaseStart()
+        val (res, tS) = timed {
+          val r = hnsw.searchMany(queries, "vec_id", "embedding", k,
+              probeShards = probe)
+            .localCheckpoint(true)
+          r.count(); r
+        }
+        val tag = if (probe == 0) "all" else probe.toString
+        out += s"hnsw_search_p${tag}_s" -> f"$tS%.1f"
+        out += s"hnsw_search_p${tag}_recall" -> f"${recallOf(res)}%.3f"
+        out += s"hnsw_search_p${tag}_shuffle_mb" -> phaseMb().toString
+        emit()
+      }
+    }
+
     spark.stop()
   }
 }

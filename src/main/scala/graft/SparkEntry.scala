@@ -2843,6 +2843,15 @@ object SparkEntry {
           tbl(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // Interpolated Kneser–Ney bigram scoring (the KenLM/CCNet
+    // smoothing family): discounted seen mass + continuation-count
+    // backoff, fixed-point quantized — the oracle replays every IEEE
+    // step from its own count CTEs.
+    "lm_kn_score" -> ((s, dir) =>
+      graft.operators.LangModel.selfScoreKN(
+          tbl(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // Z-order layout key (operators/Layout): exact-rank 256-bucket
     // coordinates on (user_id, value), Morton-interleaved — the
     // multi-dimensional file-clustering key whose prefix (zbin) tiles
@@ -5704,6 +5713,33 @@ object SparkEntry {
          |      / (CAST(u.c1 AS DOUBLE) + CAST(v.vocab AS DOUBLE)))
          |    * 1000000000.0 + 0.5) AS BIGINT) AS p_q
          | FROM bge e JOIN big b USING (w1, w2) JOIN uni u USING (w1) CROSS JOIN v),
+         |s AS (SELECT doc_id, count(*) AS n_bigrams, sum(p_q) AS score_q
+         |  FROM p GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(coalesce(s.score_q, 0) AS BIGINT) AS score_q
+         |FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // KN replay: self-scored, so every bigram/context is seen and the
+    // inner joins walk the seen path of scoreKN exactly
+    "lm_kn_score" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |bge AS (SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2 FROM (
+         |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+         |    THEN list_transform(range(1, len(toks)),
+         |      i -> {'w1': toks[i], 'w2': toks[i+1]})
+         |    ELSE [] END) AS b FROM t)),
+         |big AS (SELECT w1, w2, count(*) AS c2 FROM bge GROUP BY 1, 2),
+         |uni AS (SELECT w1, sum(c2) AS c1, count(*) AS nf FROM big GROUP BY 1),
+         |cont AS (SELECT w2, count(*) AS np FROM big GROUP BY 1),
+         |tt AS (SELECT count(*) AS t FROM big),
+         |p AS (SELECT e.doc_id,
+         |  CAST(floor((greatest(CAST(b.c2 AS DOUBLE) - 0.75, 0.0)
+         |      / CAST(u.c1 AS DOUBLE)
+         |    + ((0.75 * CAST(u.nf AS DOUBLE)) / CAST(u.c1 AS DOUBLE))
+         |      * (CAST(c.np AS DOUBLE) / CAST(tt.t AS DOUBLE)))
+         |    * 1000000000.0 + 0.5) AS BIGINT) AS p_q
+         | FROM bge e JOIN big b USING (w1, w2) JOIN uni u USING (w1)
+         |  JOIN cont c USING (w2) CROSS JOIN tt),
          |s AS (SELECT doc_id, count(*) AS n_bigrams, sum(p_q) AS score_q
          |  FROM p GROUP BY 1)
          |SELECT d.doc_id, CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,

@@ -96,4 +96,72 @@ object LangModel {
     val (uni, big, v) = train(docs, idCol, textCol)
     score(docs, idCol, textCol, uni, big, v)
   }
+
+  /** Absolute discount for the Kneser–Ney path (the standard fixed
+    * value; Chen & Goodman's count-of-counts estimate lands near it on
+    * natural text). */
+  val KnDiscount = 0.75
+
+  /** Train interpolated Kneser–Ney bigram statistics — the smoothing
+    * family the CCNet/KenLM perplexity filters actually use (Kneser &
+    * Ney 1995; Chen & Goodman 1999), fixing add-one's two failure
+    * modes: it discounts mass by a constant D instead of drowning rare
+    * contexts in +1s, and its backoff weights a word by HOW MANY
+    * CONTEXTS it completes (the continuation count N1+(·w2)), not raw
+    * frequency — so "Francisco" (frequent, one context) stops looking
+    * like a plausible continuation everywhere.
+    *
+    * Returns (uni(w1, c1, nf), big(w1, w2, c2), cont(w2, np), T):
+    * c1 = Σ_w2 c(w1,w2), nf = N1+(w1·) distinct followers,
+    * np = N1+(·w2) distinct predecessors, T = distinct bigram types.
+    * All three frames aggregate off the bigram-type table — corpus
+    * statistics, orders of magnitude below the occurrence stream. */
+  def trainKN(docs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame, DataFrame, Long) = {
+    val bg = bigrams(docs, idCol, textCol).filter(col("w1").isNotNull)
+    val big = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .localCheckpoint(true) // three aggregates + T read one materialization
+    val uni = big.groupBy("w1")
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("nf"))
+    val cont = big.groupBy("w2").agg(count(lit(1)).as("np"))
+    (uni, big, cont, big.count())
+  }
+
+  /** Score documents under interpolated Kneser–Ney:
+    * p(w2|w1) = max(c2 − D, 0)/c1 + (D·nf/c1)·(np/T), backing off to
+    * the continuation probability np/T alone when w1 is an unseen
+    * context. Same 1e-9 fixed-point quantization, output schema, and
+    * posting-list join shape as [[score]] (one extra tiny join on the
+    * continuation table); every double step is one IEEE op in a
+    * pinned order, replayed verbatim by the lm_kn_score oracle. */
+  def scoreKN(docs: DataFrame, idCol: String, textCol: String,
+              uni: DataFrame, big: DataFrame, cont: DataFrame,
+              tTypes: Long): DataFrame = {
+    require(tTypes > 0, "scoreKN needs a non-empty training corpus")
+    val bg = bigrams(docs, idCol, textCol)
+    val pCont = coalesce(col("np").cast("double"), lit(0.0)) /
+      lit(tTypes.toDouble)
+    val pSeen =
+      greatest(coalesce(col("c2"), lit(0L)).cast("double") - lit(KnDiscount),
+        lit(0.0)) / col("c1").cast("double") +
+      ((lit(KnDiscount) * col("nf").cast("double")) /
+        col("c1").cast("double")) * pCont
+    val p = when(col("c1").isNull, pCont).otherwise(pSeen)
+    val pQ = floor(p * lit(ProbScale.toDouble) + lit(0.5)).cast("long")
+    bg
+      .join(big, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .select(col(idCol), when(col("w1").isNotNull, pQ).as("p_q"))
+      .groupBy(col(idCol))
+      .agg(count(col("p_q")).as("n_bigrams"),
+        coalesce(sum(col("p_q")), lit(0L)).as("score_q"))
+  }
+
+  /** Train-on-self Kneser–Ney — [[selfScore]]'s KN twin. */
+  def selfScoreKN(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val (uni, big, cont, t) = trainKN(docs, idCol, textCol)
+    scoreKN(docs, idCol, textCol, uni, big, cont, t)
+  }
 }

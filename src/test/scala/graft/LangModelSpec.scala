@@ -47,4 +47,53 @@ class LangModelSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(a == b)
   }
+
+  test("KN: seen mass discounted by D, backoff weights contexts not frequency") {
+    // corpus engineered so 'x' is FREQUENT but completes only one
+    // context, while 'y' is rarer but completes three: continuation
+    // backoff must prefer y after an unseen context
+    val docs = Seq(
+      (1L, "q x q x q x q x q x"),
+      (2L, "a y b y c y")).toDF("id", "text")
+    val (uni, big, cont, t) = LangModel.trainKN(docs, "id", "text")
+    val nf = uni.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val np = cont.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(np("x") == 1L && np("y") == 3L) // continuation counts
+    assert(nf("q") == 1L)                  // q is always followed by x
+    // hand-check p(x|q): c(q,x)=5, c(q.)=5? (q x)*5 minus trailing...
+    // derive from the tables instead of re-counting prose:
+    val c2qx = big.filter(col("w1") === "q" && col("w2") === "x")
+      .head().getLong(2)
+    val c1q = uni.filter(col("w1") === "q").head().getLong(1)
+    val expected = (c2qx - 0.75) / c1q +
+      ((0.75 * nf("q")) / c1q) * (np("x").toDouble / t)
+    val probe = Seq((10L, "q x")).toDF("id", "text")
+    val got = LangModel.scoreKN(probe, "id", "text", uni, big, cont, t)
+      .head().getLong(2)
+    assert(got == math.floor(expected * 1e9 + 0.5).toLong)
+    // unseen left context backs off to continuation probability alone:
+    // p(y|zzz) = np(y)/T > p(x|zzz) = np(x)/T despite x's frequency
+    val back = Seq((20L, "zzz y"), (21L, "zzz x")).toDF("id", "text")
+    val b = LangModel.scoreKN(back, "id", "text", uni, big, cont, t)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(b(20L) > b(21L),
+      s"continuation backoff must rank y (${b(20L)}) over x (${b(21L)})")
+    assert(b(21L) == math.floor((np("x").toDouble / t) * 1e9 + 0.5).toLong)
+  }
+
+  test("KN self-score: per-context probabilities sum to 1 over the vocab") {
+    val docs = Seq((1L, "a b a c a b")).toDF("id", "text")
+    val (uni, big, cont, t) = LangModel.trainKN(docs, "id", "text")
+    // sum over ALL w2 (seen and unseen) of p(w2|'a'):
+    //   seen: sum max(c2-D,0)/c1 ; backoff: (D*nf/c1) * sum_w2 np(w2)/T
+    // where sum over FULL vocab of np/T = 1 only if every vocab word
+    // has a predecessor; here vocab = {a,b,c} all appear as w2
+    val c1a = uni.filter(col("w1") === "a").head().getLong(1)
+    val nfa = uni.filter(col("w1") === "a").head().getLong(2)
+    val seen = big.filter(col("w1") === "a").collect()
+      .map(r => math.max(r.getLong(2) - 0.75, 0.0) / c1a).sum
+    val npSum = cont.collect().map(_.getLong(1)).sum.toDouble
+    val total = seen + ((0.75 * nfa) / c1a) * (npSum / t)
+    assert(math.abs(total - 1.0) < 1e-12, s"mass $total")
+  }
 }
