@@ -824,6 +824,49 @@ object Streaming {
                        k: Int): DataFrame =
     graft.operators.Splits.finishSample(state, idCol, weightCol, k)
 
+  /** Per-group twin of [[ingestSampleWeighted]] (the stratified
+    * stream: k per source/language over unbounded input): state is the
+    * per-group top-(k+1) frame — bounded at groups × (k+1) rows, same
+    * monoid merge (per-group rank of the union), same one-frame
+    * [[DedupStateIO.saveSketch]] durability. Read out with
+    * [[weightedSamplePerGroupOf]]. */
+  def ingestSampleWeightedPerGroup(stream: DataFrame, idCol: String,
+                                   weightCol: String, groupCol: String,
+                                   k: Int, salt: String = "wsample",
+                                   state: java.util.concurrent.atomic.AtomicReference[DataFrame])
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // single-writer foreachBatch: see ingestIntoIVF
+          val part = batch
+            .select(col(idCol), col(weightCol), col(groupCol))
+            .withColumn("__priority",
+              graft.operators.Splits.priorityOf(idCol, weightCol, salt))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(groupCol))
+            .orderBy(col("__priority").desc, col(idCol))
+          val merged = state.get().unionByName(part)
+            .dropDuplicates(idCol)
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") <= k + 1)
+            .drop("__rn")
+          state.set(merged.localCheckpoint(true))
+        }
+      }
+      .start()
+  }
+
+  /** Read-out face of [[ingestSampleWeightedPerGroup]]: priorities are
+    * content-addressed, so the batch operator run ON THE STATE is the
+    * batch operator run on everything the stream ever saw. */
+  def weightedSamplePerGroupOf(state: DataFrame, idCol: String,
+                               weightCol: String, groupCol: String,
+                               k: Int, salt: String = "wsample"): DataFrame =
+    graft.operators.Splits.sampleWeightedPerGroup(
+      state.drop("__priority"), idCol, weightCol, groupCol, k, salt)
+
   /** BQ twin of [[ingestIntoIVF]]: each microbatch is assigned to its
     * frozen coarse cell and sign-packed to 1-bit codes in one narrow
     * pass (BQ.Model.add) — the streaming matrix now covers all seven

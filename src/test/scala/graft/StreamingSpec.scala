@@ -1312,4 +1312,42 @@ class StreamingSpec extends SparkSpec {
       .select($"doc_id", $"est_w").as[(Long, Double)].collect().toSet
     assert(streamed == batch)
   }
+
+  test("streaming per-group weighted sample == batch across a restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streaming.DedupStateIO
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select($"doc_id", $"n_chars", $"lang")
+    val rows = docs.as[(Long, Long, String)].collect()
+    val (pre, post) = rows.splitAt(rows.length / 2)
+    val k = 25
+    val st1 = new java.util.concurrent.atomic.AtomicReference(
+      docs.limit(0).withColumn("__priority", lit(0.0d)))
+    val mem1 = MemoryStream[(Long, Long, String)]
+    val q1 = Streaming.ingestSampleWeightedPerGroup(
+      mem1.toDF().toDF("doc_id", "n_chars", "lang"), "doc_id", "n_chars",
+      "lang", k, state = st1)
+    mem1.addData(pre.toSeq); q1.processAllAvailable(); q1.stop()
+    val dir = java.nio.file.Files.createTempDirectory("wsg_state").toString
+    DedupStateIO.saveSketch(st1.get(), dir)
+    val st2 = new java.util.concurrent.atomic.AtomicReference(
+      DedupStateIO.loadSketch(spark, dir))
+    val mem2 = MemoryStream[(Long, Long, String)]
+    val q2 = Streaming.ingestSampleWeightedPerGroup(
+      mem2.toDF().toDF("doc_id", "n_chars", "lang"), "doc_id", "n_chars",
+      "lang", k, state = st2)
+    mem2.addData(post.toSeq); q2.processAllAvailable(); q2.stop()
+    // state bounded at groups x (k+1)
+    val nGroups = docs.select($"lang").distinct().count()
+    assert(st2.get().count() <= nGroups * (k + 1))
+    val streamed = Streaming.weightedSamplePerGroupOf(st2.get(), "doc_id",
+        "n_chars", "lang", k)
+      .select($"lang", $"doc_id", $"est_w")
+      .as[(String, Long, Double)].collect().toSet
+    val batch = graft.operators.Splits.sampleWeightedPerGroup(docs, "doc_id",
+        "n_chars", "lang", k)
+      .select($"lang", $"doc_id", $"est_w")
+      .as[(String, Long, Double)].collect().toSet
+    assert(streamed == batch)
+  }
 }
