@@ -2852,6 +2852,15 @@ object SparkEntry {
           tbl(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // Full interpolated KN trigram chain (the KenLM n=3 shape): raw
+    // counts at the top, continuation-type counts at every lower
+    // order; the oracle replays the whole three-level interpolation
+    // IEEE-step-for-step from its own CTEs.
+    "lm_kn3_score" -> ((s, dir) =>
+      graft.operators.LangModel.selfScoreKN3(
+          tbl(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // Z-order layout key (operators/Layout): exact-rank 256-bucket
     // coordinates on (user_id, value), Morton-interleaved — the
     // multi-dimensional file-clustering key whose prefix (zbin) tiles
@@ -5743,6 +5752,48 @@ object SparkEntry {
          |s AS (SELECT doc_id, count(*) AS n_bigrams, sum(p_q) AS score_q
          |  FROM p GROUP BY 1)
          |SELECT d.doc_id, CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(coalesce(s.score_q, 0) AS BIGINT) AS score_q
+         |FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // trigram-KN replay: self-scored, so every context level is seen
+    // and the inner joins walk scoreKN3's fully-interpolated path
+    "lm_kn3_score" ->
+      s"""WITH t AS MATERIALIZED (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tge AS MATERIALIZED (SELECT doc_id, g['w1'] AS w1, g['w2'] AS w2, g['w3'] AS w3 FROM (
+         |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+         |    THEN list_transform(range(1, len(toks) - 1),
+         |      i -> {'w1': toks[i], 'w2': toks[i+1], 'w3': toks[i+2]})
+         |    ELSE [] END) AS g FROM t)),
+         |tri AS MATERIALIZED (SELECT w1, w2, w3, count(*) AS c3 FROM tge GROUP BY 1, 2, 3),
+         |ctx AS MATERIALIZED (SELECT w1, w2, sum(c3) AS c12, count(*) AS nf12 FROM tri GROUP BY 1, 2),
+         |mid AS MATERIALIZED (SELECT w2, w3, count(*) AS n1c FROM tri GROUP BY 1, 2),
+         |midctx AS MATERIALIZED (SELECT w2, sum(n1c) AS n1c2, count(*) AS nf2c FROM mid GROUP BY 1),
+         |bge AS MATERIALIZED (SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2 FROM (
+         |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+         |    THEN list_transform(range(1, len(toks)),
+         |      i -> {'w1': toks[i], 'w2': toks[i+1]})
+         |    ELSE [] END) AS b FROM t)),
+         |b2 AS MATERIALIZED (SELECT DISTINCT w1, w2 FROM bge),
+         |np1 AS MATERIALIZED (SELECT w2 AS w3, count(*) AS np FROM b2 GROUP BY 1),
+         |tt AS MATERIALIZED (SELECT count(*) AS t2 FROM b2),
+         |p AS (SELECT e.doc_id,
+         |  CAST(floor((
+         |    greatest(CAST(r.c3 AS DOUBLE) - 0.75, 0.0) / CAST(x.c12 AS DOUBLE)
+         |    + ((0.75 * CAST(x.nf12 AS DOUBLE)) / CAST(x.c12 AS DOUBLE))
+         |      * (greatest(CAST(m.n1c AS DOUBLE) - 0.75, 0.0) / CAST(mc.n1c2 AS DOUBLE)
+         |        + ((0.75 * CAST(mc.nf2c AS DOUBLE)) / CAST(mc.n1c2 AS DOUBLE))
+         |          * (CAST(n.np AS DOUBLE) / CAST(tt.t2 AS DOUBLE)))
+         |  ) * 1000000000.0 + 0.5) AS BIGINT) AS p_q
+         | FROM tge e
+         |  JOIN tri r ON e.w1 = r.w1 AND e.w2 = r.w2 AND e.w3 = r.w3
+         |  JOIN ctx x ON e.w1 = x.w1 AND e.w2 = x.w2
+         |  JOIN mid m ON e.w2 = m.w2 AND e.w3 = m.w3
+         |  JOIN midctx mc ON e.w2 = mc.w2
+         |  JOIN np1 n ON e.w3 = n.w3
+         |  CROSS JOIN tt),
+         |s AS (SELECT doc_id, count(*) AS n_trigrams, sum(p_q) AS score_q
+         |  FROM p GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(s.n_trigrams, 0) AS BIGINT) AS n_trigrams,
          |  CAST(coalesce(s.score_q, 0) AS BIGINT) AS score_q
          |FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
 

@@ -164,4 +164,98 @@ object LangModel {
     val (uni, big, cont, t) = trainKN(docs, idCol, textCol)
     scoreKN(docs, idCol, textCol, uni, big, cont, t)
   }
+
+  /** Per-document trigram occurrence stream: (id, w1, w2, w3). */
+  private[graft] def trigrams(docs: DataFrame, idCol: String,
+                              textCol: String): DataFrame =
+    docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col(idCol),
+        when(size(col("toks")) >= 3,
+          transform(sequence(lit(0), size(col("toks")) - 3),
+            i => struct(element_at(col("toks"), i + 1).as("w1"),
+              element_at(col("toks"), i + 2).as("w2"),
+              element_at(col("toks"), i + 3).as("w3"))))
+          .otherwise(array()
+            .cast("array<struct<w1:string,w2:string,w3:string>>"))
+          .as("tgs"))
+      .select(col(idCol), explode_outer(col("tgs")).as("tg"))
+      .select(col(idCol), col("tg.w1").as("w1"), col("tg.w2").as("w2"),
+        col("tg.w3").as("w3"))
+
+  /** Trained trigram-KN statistics. Every frame is a TYPE-table
+    * aggregate (Zipf-small): `tri(w1,w2,w3,c3)` raw counts;
+    * `ctx(w1,w2,c12,nf12)` context totals + N1+(w1w2·);
+    * `mid(w2,w3,n1c)` = N1+(·w2w3) distinct left contexts;
+    * `midCtx(w2,n1c2,nf2c)` = N1+(·w2·) + distinct followers of w2;
+    * `cont(w3,np)` = N1+(·w3) over BIGRAM types; `t2` = bigram types. */
+  case class KN3(tri: DataFrame, ctx: DataFrame, mid: DataFrame,
+                 midCtx: DataFrame, cont: DataFrame, t2: Long)
+
+  /** Train the full interpolated Kneser–Ney trigram chain (Chen &
+    * Goodman's formulation — the KenLM shape the CCNet filter runs,
+    * at n=3): the top order discounts RAW counts; every lower order
+    * is estimated from CONTINUATION (type) counts of the order above,
+    * not raw frequency — the property that keeps frequent-but-
+    * context-bound words from inflating backoff mass. */
+  def trainKN3(docs: DataFrame, idCol: String, textCol: String): KN3 = {
+    val tg = trigrams(docs, idCol, textCol).filter(col("w1").isNotNull)
+    val tri = tg.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+      .localCheckpoint(true)
+    val ctx = tri.groupBy("w1", "w2")
+      .agg(sum(col("c3")).as("c12"), count(lit(1)).as("nf12"))
+    val mid = tri.groupBy("w2", "w3").agg(count(lit(1)).as("n1c"))
+      .localCheckpoint(true)
+    val midCtx = mid.groupBy("w2")
+      .agg(sum(col("n1c")).as("n1c2"), count(lit(1)).as("nf2c"))
+    val b2 = bigrams(docs, idCol, textCol).filter(col("w1").isNotNull)
+      .select("w1", "w2").distinct().localCheckpoint(true)
+    val cont = b2.groupBy("w2").agg(count(lit(1)).as("np"))
+      .withColumnRenamed("w2", "w3")
+    KN3(tri, ctx, mid, midCtx, cont, b2.count())
+  }
+
+  /** Score documents under the interpolated KN trigram chain:
+    * p3 = max(c3−D,0)/c12 + (D·nf12/c12)·p2
+    * p2 = max(N1+(·w2w3)−D,0)/N1+(·w2·) + (D·nf2c/N1+(·w2·))·p1
+    * p1 = N1+(·w3)/T2,
+    * each level backing off one step when its context is unseen.
+    * Output (id, n_trigrams, score_q) on the [[score]] fixed-point
+    * contract; ≤2-token documents report 0/0. Join shape: the
+    * occurrence stream against five type tables, all posting-sized. */
+  def scoreKN3(docs: DataFrame, idCol: String, textCol: String,
+               m: KN3): DataFrame = {
+    require(m.t2 > 0, "scoreKN3 needs a non-empty training corpus")
+    val tg = trigrams(docs, idCol, textCol)
+    val dD = lit(KnDiscount)
+    val p1 = coalesce(col("np").cast("double"), lit(0.0)) /
+      lit(m.t2.toDouble)
+    val p2 = when(col("n1c2").isNull, p1).otherwise(
+      greatest(coalesce(col("n1c"), lit(0L)).cast("double") - dD,
+        lit(0.0)) / col("n1c2").cast("double") +
+      ((dD * col("nf2c").cast("double")) /
+        col("n1c2").cast("double")) * p1)
+    val p3 = when(col("c12").isNull, p2).otherwise(
+      greatest(coalesce(col("c3"), lit(0L)).cast("double") - dD,
+        lit(0.0)) / col("c12").cast("double") +
+      ((dD * col("nf12").cast("double")) /
+        col("c12").cast("double")) * p2)
+    val pQ = floor(p3 * lit(ProbScale.toDouble) + lit(0.5)).cast("long")
+    tg
+      .join(m.tri, Seq("w1", "w2", "w3"), "left")
+      .join(m.ctx, Seq("w1", "w2"), "left")
+      .join(m.mid, Seq("w2", "w3"), "left")
+      .join(m.midCtx, Seq("w2"), "left")
+      .join(m.cont, Seq("w3"), "left")
+      .select(col(idCol), when(col("w1").isNotNull, pQ).as("p_q"))
+      .groupBy(col(idCol))
+      .agg(count(col("p_q")).as("n_trigrams"),
+        coalesce(sum(col("p_q")), lit(0L)).as("score_q"))
+  }
+
+  /** Train-on-self trigram KN — the n=3 in-domain quality signal. */
+  def selfScoreKN3(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    scoreKN3(docs, idCol, textCol, trainKN3(docs, idCol, textCol))
+  }
 }

@@ -96,4 +96,63 @@ class LangModelSpec extends SparkSpec {
     val total = seen + ((0.75 * nfa) / c1a) * (npSum / t)
     assert(math.abs(total - 1.0) < 1e-12, s"mass $total")
   }
+
+  test("KN3: hand-checked interpolation; per-context mass sums to 1") {
+    val docs = Seq((1L, "a b c a b d a b c"), (2L, "b c d")).toDF("id", "text")
+    val m = LangModel.trainKN3(docs, "id", "text")
+    // p3(c | a b): c3(a,b,c)=2, c12(a,b)=3, nf12(a,b)=2 (c and d)
+    val c3 = m.tri.filter(col("w1") === "a" && col("w2") === "b" &&
+      col("w3") === "c").head().getLong(3)
+    assert(c3 == 2L)
+    val ctxRow = m.ctx.filter(col("w1") === "a" && col("w2") === "b").head()
+    val (c12, nf12) = (ctxRow.getLong(2), ctxRow.getLong(3))
+    assert(c12 == 3L && nf12 == 2L)
+    val midRow = m.mid.filter(col("w2") === "b" && col("w3") === "c").head()
+    val n1c = midRow.getLong(2)
+    val mcRow = m.midCtx.filter(col("w2") === "b").head()
+    val (n1c2, nf2c) = (mcRow.getLong(1), mcRow.getLong(2))
+    val np = m.cont.filter(col("w3") === "c").head().getLong(1)
+    val p1 = np.toDouble / m.t2
+    val p2 = math.max(n1c - 0.75, 0.0) / n1c2 + ((0.75 * nf2c) / n1c2) * p1
+    val p3 = math.max(c3 - 0.75, 0.0) / c12 + ((0.75 * nf12) / c12) * p2
+    val probe = Seq((10L, "a b c")).toDF("id", "text")
+    val got = LangModel.scoreKN3(probe, "id", "text", m).head().getLong(2)
+    assert(got == math.floor(p3 * 1e9 + 0.5).toLong, s"$got vs $p3")
+    // mass: sum over the FULL vocab of p3(w3|a,b) = 1 when every vocab
+    // word occurs as a w3 and as a bigram continuation (true here for
+    // {b,c,d}; 'a' contributes only its backoff share) — check the
+    // interpolation telescopes: seen + lambda * (mid-seen + lambda2 * 1)
+    val vocabW3 = m.cont.collect().map(_.getString(0)).toSet
+    val sumP3 = vocabW3.toSeq.map { w =>
+      val c3w = m.tri.filter(col("w1") === "a" && col("w2") === "b" &&
+        col("w3") === w).collect().headOption.map(_.getLong(3)).getOrElse(0L)
+      val n1cw = m.mid.filter(col("w2") === "b" && col("w3") === w)
+        .collect().headOption.map(_.getLong(2)).getOrElse(0L)
+      val npw = m.cont.filter(col("w3") === w).head().getLong(1)
+      val p1w = npw.toDouble / m.t2
+      val p2w = math.max(n1cw - 0.75, 0.0) / n1c2 +
+        ((0.75 * nf2c) / n1c2) * p1w
+      math.max(c3w - 0.75, 0.0) / c12 + ((0.75 * nf12) / c12) * p2w
+    }.sum
+    // sum over vocab of p1 = (sum np)/T2 = 1 exactly (every bigram type
+    // counted once) => the full chain sums to 1
+    val p1Mass = m.cont.collect().map(_.getLong(1)).sum.toDouble / m.t2
+    assert(math.abs(p1Mass - 1.0) < 1e-12)
+    assert(math.abs(sumP3 - 1.0) < 1e-12, s"mass $sumP3")
+  }
+
+  test("KN3: unseen contexts back off level by level; short docs 0/0") {
+    val docs = Seq((1L, "a b c a b c")).toDF("id", "text")
+    val m = LangModel.trainKN3(docs, "id", "text")
+    val probe = Seq(
+      (10L, "z z a"),   // both trigram ctx (z,z) and middle z unseen -> p1(a)
+      (11L, "a b"),     // too short for a trigram
+      (12L, "")).toDF("id", "text")
+    val got = LangModel.scoreKN3(probe, "id", "text", m).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(11L) == ((0L, 0L)) && got(12L) == ((0L, 0L)))
+    val npA = m.cont.filter(col("w3") === "a").head().getLong(1)
+    assert(got(10L)._2 ==
+      math.floor((npA.toDouble / m.t2) * 1e9 + 0.5).toLong)
+  }
 }
