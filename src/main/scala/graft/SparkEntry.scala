@@ -1226,6 +1226,23 @@ object SparkEntry {
         .orderBy(col("qid"), col("distance"), col("id"))
     }),
 
+    // Metadata-filtered ANN on the INDEX tier (the vector-DB "where"
+    // clause at the serving layer, knn_filtered's probed twin): the
+    // predicate restricts the indexed frame BELOW the probe join —
+    // composable because index row state IS a DataFrame, so filtered
+    // serving costs one narrow filter, not a rebuild.
+    "ivf_search_filtered" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = fixedCentroids(emb)
+      val indexed = IVFFlat.assign(
+        emb.filter(col("label") === 2), "vec_id", "embedding", cents)
+      val sizes = Array.fill(cents.length)(Long.MaxValue) // force nprobe exactly
+      val model = IVFFlat.Model(IVFFlat.Params(cents.length), cents, sizes, indexed)
+      model.searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = 2)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
     // Index::add driver gate for IVFFlat (ivfflat.rs:200-213): assign
     // ~6/7 of the corpus, Model.add the rest against the frozen
     // centroids — end state equals the full assignment, so the
@@ -5507,6 +5524,7 @@ object SparkEntry {
     "ivf_merge_union_all" -> exhaustiveKnnSql,
     // removal = the fixed search over corpus-minus-removed
     "ivf_remove_fixed" -> ivfSearchFixedSqlOver("WHERE c.vec_id % 9 <> 3"),
+    "ivf_search_filtered" -> ivfSearchFixedSqlOver("WHERE c.label = 2"),
     // and for the save→load→search lifecycle: a faithful round-trip
     // reproduces the in-memory search bit-for-bit
     "ivf_persist_fixed" -> ivfSearchFixedSql,
