@@ -35,9 +35,9 @@ object AnnScaleSmoke {
     val k = 10
     val seed = 42L
     val nGenClusters = 1024 // true structure: ~n/1024 per cluster
-    val coarseK = 512       // IVF cells: ~20k vectors each at 10M
+    val coarseK = sys.env.getOrElse("SPARK_GRAFT_COARSE_K", "512").toInt // cells: ~n/coarseK each
     val trainRows = 500000  // sample-trained coarse layer
-    val nprobe = 8
+    val nprobe = sys.env.getOrElse("SPARK_GRAFT_NPROBE", "8").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

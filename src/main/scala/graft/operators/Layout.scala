@@ -152,7 +152,10 @@ object Layout {
     val cached = df.localCheckpoint(true) // count + sample + write: one lineage
     try {
       val total = cached.count()
-      if (total == 0L) { cached.limit(0).write.parquet(path); return (0, 0.0) }
+      if (total == 0L) {
+        cached.limit(0).write.mode("overwrite").parquet(path)
+        return (0, 0.0)
+      }
       val scratch = java.nio.file.Files
         .createTempDirectory("write_sized_probe").toString
       cached.limit(sampleRows).coalesce(1).write
