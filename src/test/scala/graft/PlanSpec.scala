@@ -219,6 +219,43 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
+    // the OTHER half of the skew story: join_salted gates the PLANNED
+    // mitigation; this gates Spark's runtime one — AQE detecting an
+    // oversized shuffle partition after materialization and splitting
+    // it, which is what catches the hot keys nobody salted for.
+    // Thresholds are lowered so test-sized data trips the detector.
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      // one hot key carrying ~50x the median partition's bytes
+      val left = spark.range(60000).select(
+        when(col("id") < 50000, lit(0L)).otherwise(col("id")).as("k"),
+        md5(col("id").cast("string")).as("payload"))
+      val right = spark.range(2000).select(col("id").as("k"),
+        md5((col("id") * 7).cast("string")).as("tag"))
+      val joined = left.join(right, "k")
+      // execute THIS frame (count() would execute a different tree and
+      // leave this one's adaptive plan unfinalized)
+      assert(joined.collect().length == 50000) // hot key's rows; tail misses
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        "AQE must mark the skewed join side split: " + plan.take(1500))
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+    }
+  }
+
   test("dedup pair generators never plan a cartesian/nested-loop join") {
     import graft.operators.Dedup
     import org.apache.spark.sql.DataFrame
