@@ -326,10 +326,14 @@ object Splits {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(col("__priority").desc, col(idCol))
+    // materialize the groups×(k+1) survivors once: τ and the sample
+    // both read this frame, and without the checkpoint each would
+    // re-run the corpus-wide window exchange
     val ranked = df
       .withColumn("__priority", priorityOf(idCol, weightCol, salt))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k + 1)
+      .localCheckpoint(true)
     val taus = ranked.filter(col("__rn") === k + 1)
       .select(col(groupCol), col("__priority").as("__tau"))
     ranked.filter(col("__rn") <= k)
