@@ -3107,6 +3107,32 @@ object SparkEntry {
     * SAME params as its `queries` twin and forces materialization at the
     * phase boundary. */
   def benchPhases: Map[String, (SparkSession, String) => (Double, Double)] = Map(
+    // build = the two one-time bucketed writes; search = the join+agg
+    // they buy (exchange-free — at scale the write amortizes over
+    // every join on the key, so the split is the honest reading)
+    "bucket_join_colocated" -> ((s, dir) => {
+      val run = java.util.UUID.randomUUID().toString.replace("-", "")
+      val base = java.nio.file.Files.createTempDirectory("bucket_ph").toString
+      val (to, tl) = (s"graft_bpo_$run", s"graft_bpl_$run")
+      val t0 = System.nanoTime()
+      graft.sources.Bucketed.write(
+        tbl(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        to, s"$base/orders", numBuckets = 8, bucketCol = "o_orderkey")
+      graft.sources.Bucketed.write(
+        tbl(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
+        tl, s"$base/lineitem", numBuckets = 8, bucketCol = "l_orderkey")
+      val t1 = System.nanoTime()
+      val o = graft.sources.Bucketed.table(s, to)
+      val l = graft.sources.Bucketed.table(s, tl)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderpriority"))
+        .agg(sum(q(col("l_quantity"), 100.0)).as("sum_qty_c"),
+          count(lit(1)).as("n"))
+        .count()
+      val t2 = System.nanoTime()
+      ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+    }),
     "hnsw_knn" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val t0 = System.nanoTime()
