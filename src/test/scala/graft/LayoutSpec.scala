@@ -162,4 +162,53 @@ class LayoutSpec extends SparkSpec {
     assert(nFiles == 1)
     assert(spark.read.parquet(out).count() == src.count())
   }
+
+  test("z-clustered layout reads fewer bytes than random for a 2-dim filter") {
+    // the data-skipping claim MEASURED: same rows, same filter, two
+    // layouts — the z-clustered files carry tight min/max footers on
+    // BOTH interleaved dimensions, so parquet row-group stats prune
+    // most of the corpus; a random layout's per-file ranges each span
+    // the whole domain and prune nothing
+    val n = 200000
+    val rows = spark.range(n).select(
+      pmod(col("id") * 2654435761L, lit(256L)).as("x"),
+      pmod(col("id") * 97L, lit(256L)).as("y"),
+      md5(col("id").cast("string")).as("payload"))
+      .withColumn("zkey", graft.operators.Layout.interleaveBits(
+        col("x"), col("y"), 8))
+    val base = java.nio.file.Files.createTempDirectory("zskip").toString
+    Layout.cluster(rows, "zkey", numPartitions = 32)
+      .write.parquet(s"$base/clustered")
+    rows.repartition(32) // round-robin: every file spans both domains
+      .write.parquet(s"$base/random")
+
+    val readBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) readBytes.addAndGet(m.inputMetrics.bytesRead)
+        }
+      })
+    def bytesFor(dir: String): (Long, Long) = {
+      Thread.sleep(500) // let prior tasks' end events drain
+      val before = readBytes.get()
+      val cnt = spark.read.parquet(dir)
+        .filter(col("x") >= 32 && col("x") < 48 &&
+          col("y") >= 96 && col("y") < 112).count()
+      Thread.sleep(500)
+      (cnt, readBytes.get() - before)
+    }
+    val (cClustered, bClustered) = bytesFor(s"$base/clustered")
+    val (cRandom, bRandom) = bytesFor(s"$base/random")
+    assert(cClustered == cRandom && cClustered > 0,
+      s"layouts must agree: $cClustered vs $cRandom")
+    // a 16x16 tile of a 256x256 domain is 1/256 of the data; with 32
+    // z-clustered files the filter touches a handful of row-groups.
+    // Demand at least a 3x read cut (observed ~10x+; 3x keeps the gate
+    // robust to footer overhead at this corpus size)
+    assert(bClustered * 3 <= bRandom,
+      s"z-clustering must cut scan bytes: clustered=$bClustered random=$bRandom")
+  }
 }
