@@ -102,12 +102,12 @@ object PQ {
               h.drain.map { case (id, d) => (qid, id, d) }
             }
           }
-          .groupByKey(_._1)
-          .flatMapGroups { (qid, it) =>
-            graft.operators.Exhaustive.topKDedup(it.map(t => (t._2, t._3)), k)
-              .map { case (id, d) => (qid, id, d) }
-          }
           .toDF("qid", "id", "distance")
+          .groupBy(col("qid"))
+          .agg(graft.functions.TopK.topK(col("distance"), col("id"), k).as("nn"))
+          .select(col("qid"), explode(col("nn")).as("nn"))
+          .select(col("qid"), col("nn.id").as("id"),
+            col("nn.distance").as("distance"))
       }.toSeq
       chunkResults.reduce(_.unionByName(_))
     }
@@ -169,13 +169,11 @@ object PQ {
       c.join(broadcast(shortlist.join(broadcast(q), "qid")), Seq("id"))
         .select(col("qid"), col("id"),
           graft.functions.VectorOps.sqDist(col("cvec"), col("qvec")).as("distance"))
-        .as[(Long, Long, Double)]
-        .groupByKey(_._1)
-        .flatMapGroups { (qid, it) =>
-          graft.operators.Exhaustive.topKDedup(it.map(t => (t._2, t._3)), k)
-            .map { case (id, d) => (qid, id, d) }
-        }
-        .toDF("qid", "id", "distance")
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopK.topK(col("distance"), col("id"), k).as("nn"))
+        .select(col("qid"), explode(col("nn")).as("nn"))
+        .select(col("qid"), col("nn.id").as("id"),
+          col("nn.distance").as("distance"))
     }
 
     def save(dir: String): Unit = {
