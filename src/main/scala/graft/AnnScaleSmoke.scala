@@ -142,7 +142,7 @@ object AnnScaleSmoke {
 
     // ---- coarse layer: sample-train + one full assign pass
     var ivf: index.IVFFlat.Model = null
-    if (phaseOn("ivf") || phaseOn("bq")) {
+    if (phaseOn("ivf") || phaseOn("bq") || phaseOn("sq8")) {
       phaseStart()
       val (cents, tTrain) = timed {
         val sample = corpus.sample(withReplacement = false,
@@ -233,6 +233,29 @@ object AnnScaleSmoke {
       out += "bq_serve_rerank50_s" -> f"$tSR%.1f"
       out += "bq_serve_rerank50_recall" -> f"${recallOf(sr)}%.3f"
       out += "bq_serve_rerank50_shuffle_mb" -> phaseMb().toString
+      emit()
+    }
+
+    // ---- sq8: the int8 middle tier at 10M (4x fewer scan bytes,
+    // near-float recall — brackets BQ from the accuracy side)
+    if (phaseOn("sq8")) {
+      phaseStart()
+      val (sq8, tC) = timed {
+        val m = index.SQ8.compress(ivf)
+        m.codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .count(); m
+      }
+      out += "sq8_compress_s" -> f"$tC%.1f"
+      out += "sq8_compress_shuffle_mb" -> phaseMb().toString
+      phaseStart()
+      val (res, tS) = timed {
+        val r = sq8.searchMany(queries, "vec_id", "embedding", k, nprobe)
+          .localCheckpoint(true)
+        r.count(); r
+      }
+      out += "sq8_search_s" -> f"$tS%.1f"
+      out += "sq8_search_recall" -> f"${recallOf(res)}%.3f"
+      out += "sq8_search_shuffle_mb" -> phaseMb().toString
       emit()
     }
 

@@ -234,8 +234,15 @@ object BQ {
       * partial heaps. Scores follow the model's coding (plain: −q·sign;
       * residual: the cross-cell distance estimate). */
     def knnJoinAsym(queries: DataFrame, qIdCol: String, qVecCol: String,
-                    k: Int, nprobe: Int = 2): DataFrame = {
-      val probes = probeFrame(queries, qIdCol, qVecCol, k, nprobe)
+                    k: Int, nprobe: Int = 2,
+                    broadcastProbes: Boolean = false): DataFrame = {
+      // broadcastProbes: bounded query batches going through the JOIN
+      // face (e.g. knnJoinRefined's shortlist stage) — the codes table
+      // is then scanned in place instead of co-shuffled with the
+      // probes (344 MB at 10M codes). Keep false for corpus-sized
+      // query sides: a corpus×nprobe probe frame must not broadcast.
+      val probes0 = probeFrame(queries, qIdCol, qVecCol, k, nprobe)
+      val probes = if (broadcastProbes) broadcast(probes0) else probes0
       val scored = codes.join(probes, Seq("cluster"))
       val dist =
         if (residual) {
@@ -264,7 +271,8 @@ object BQ {
                        corpus: DataFrame, cIdCol: String, cVecCol: String,
                        nprobe: Int = 2,
                        broadcastShortlist: Boolean = false): DataFrame = {
-      val shortlist0 = knnJoinAsym(queries, qIdCol, qVecCol, k * factor, nprobe)
+      val shortlist0 = knnJoinAsym(queries, qIdCol, qVecCol, k * factor,
+          nprobe, broadcastProbes = broadcastShortlist)
         .select(col("qid"), col("id"))
       // Serving batches (bounded queries): broadcast the |q|·k·factor
       // shortlist so the float corpus is PRUNED at its scan instead of
