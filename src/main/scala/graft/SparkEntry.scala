@@ -550,6 +550,21 @@ object SparkEntry {
         .orderBy(col("qid"), col("distance"), col("id"))
     }),
 
+    // Matryoshka serving: shortlist on the first 16 of 64 dims (a
+    // 4×-smaller scan when the prefix is its own column), exact
+    // re-rank on the full vector — deterministic end-to-end (both
+    // stages tie-break by id), so the two-stage plan is replayed
+    // verbatim in the oracle. dPrefix = d reproduces knn_exhaustive
+    // bit-for-bit (ExhaustiveSpec gate).
+    "knn_matryoshka" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+      Exhaustive.knnJoinMatryoshka(queries, "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 10, dPrefix = 16, factor = 4,
+          metric = "sqdist")
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
     // The MIPS 100 TB path: norm-augmentation (operators.Mips) turns
     // the L2 IVF index into an exact MIPS index — augmented sqdist
     // rank IS inner-product rank. Probe-all over pinned augmented
@@ -2286,6 +2301,57 @@ object SparkEntry {
       val vals = tbl(s, dir, "documents").select((col("doc_id") % 300).as("v"))
       graft.operators.Sketches.kmvEstimate(
         graft.operators.Sketches.kmvSketch(vals, "v", r = 512), r = 512)
+    }),
+
+    // KMV set-overlap: each doc-id-parity half of the corpus folds
+    // ONCE into a 256-hash sketch, and Jaccard / |A∪B| / |A∩B| come
+    // from combining the two sketches — the O(KB) train/eval-leakage
+    // triage (the exact form equi-joins the full shingle sets). The
+    // exact counts ride along in the same gated row.
+    "sketch_kmv_overlap" -> ((s, dir) => {
+      import s.implicits._
+      def half(par: Int) = tbl(s, dir, "documents")
+        .filter(col("doc_id") % 2 === par)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)].flatMap { case (_, t) =>
+          graft.operators.TextHashFast.shingles3(
+            graft.operators.TextHashFast.tokenize(t))
+        }.toDF("s")
+      val est = graft.operators.Sketches.kmvOverlap(
+        graft.operators.Sketches.kmvSketch(half(0), "s", r = 256),
+        graft.operators.Sketches.kmvSketch(half(1), "s", r = 256), r = 256)
+      val exact = half(0).distinct()
+        .select(col("s"), lit(1).as("a"), lit(0).as("b"))
+        .unionAll(half(1).distinct()
+          .select(col("s"), lit(0).as("a"), lit(1).as("b")))
+        .groupBy("s").agg(max("a").as("a"), max("b").as("b"))
+        .agg(coalesce(sum(col("a") * col("b")), lit(0L)).cast("long")
+            .as("exact_inter"),
+          count(lit(1)).as("exact_union"))
+      est.crossJoin(exact)
+    }),
+
+    // Per-source HLL: distinct shingles per source in ONE pass —
+    // register shuffle ≤ sources × 256 triples (the per-key face of
+    // sketch_hll; "distinct URLs per domain" at 100 TB). Gated
+    // quantized like sketch_hll_small: sources land on either side of
+    // the linear-counting switch and ln is libm.
+    "sketch_hll_by_source" -> ((s, dir) => {
+      import s.implicits._
+      val sh = tbl(s, dir, "documents").select(col("source"), col("text"))
+        .as[(String, String)].flatMap { case (src, t) =>
+          graft.operators.TextHashFast.shingles3(
+            graft.operators.TextHashFast.tokenize(t)).map(g => (src, g))
+        }.toDF("source", "s")
+      val est = graft.operators.Sketches.hllEstimateByKey(
+        graft.operators.Sketches.hllRegistersByKey(sh, "source", "s", p = 8),
+        "source", p = 8)
+      val exact = sh.groupBy("source").agg(countDistinct(col("s")).as("exact"))
+      est.join(exact, Seq("source"))
+        .select(col("source"), col("nonempty"),
+          floor(col("estimate") * lit(1000.0d)).cast("long").as("est_q3"),
+          col("exact"))
+        .orderBy(col("source"))
     }),
 
     // Content-addressed bottom-128 row sample (hash60(doc_id) rank) →
@@ -4561,6 +4627,77 @@ object SparkEntry {
         |  END AS estimate
         |FROM agg a""".stripMargin,
 
+    // KMV overlap: two bottom-256 sketches over the parity halves'
+    // shingle hashes, combined to the bottom-256 of the union with
+    // per-sketch membership flags; Jaccard = flagged/|K|, union via
+    // the (R−1)·2^60/h_R estimator, intersection = product — all
+    // exact-operand arithmetic, gated un-quantized next to the exact
+    // counts
+    "sketch_kmv_overlap" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s2 AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+         |ea AS (SELECT DISTINCT unnest(sh) AS s FROM s2 WHERE doc_id % 2 = 0),
+         |eb AS (SELECT DISTINCT unnest(sh) AS s FROM s2 WHERE doc_id % 2 = 1),
+         |ha AS (SELECT DISTINCT CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h FROM ea),
+         |hb AS (SELECT DISTINCT CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h FROM eb),
+         |sa AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+         |sb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+         |u AS (SELECT h, max(a) AS ina, max(b) AS inb FROM (
+         |    SELECT h, 1 AS a, 0 AS b FROM sa
+         |    UNION ALL SELECT h, 0 AS a, 1 AS b FROM sb) z
+         |  GROUP BY h ORDER BY h LIMIT 256),
+         |agg AS (SELECT CAST(count(*) AS INT) AS n_held, max(h) AS h_r,
+         |  CAST(coalesce(sum(ina * inb), 0) AS BIGINT) AS n_both FROM u),
+         |exu AS (SELECT s, max(a) AS a, max(b) AS b FROM (
+         |    SELECT s, 1 AS a, 0 AS b FROM ea
+         |    UNION ALL SELECT s, 0 AS a, 1 AS b FROM eb) z GROUP BY s),
+         |ex AS (SELECT CAST(coalesce(sum(a * b), 0) AS BIGINT) AS exact_inter,
+         |  CAST(count(*) AS BIGINT) AS exact_union FROM exu)
+         |SELECT 256 AS r, a.n_held, a.n_both,
+         |  (CASE WHEN a.n_held = 0 THEN 0.0
+         |    ELSE CAST(a.n_both AS DOUBLE) / CAST(a.n_held AS DOUBLE) END)
+         |    AS jaccard,
+         |  (CASE WHEN a.n_held < 256 THEN CAST(a.n_held AS DOUBLE)
+         |    ELSE 255.0 * CAST(1152921504606846976 AS DOUBLE) / CAST(a.h_r AS DOUBLE)
+         |  END) AS union_est,
+         |  (CASE WHEN a.n_held = 0 THEN 0.0
+         |    ELSE CAST(a.n_both AS DOUBLE) / CAST(a.n_held AS DOUBLE) END)
+         |  * (CASE WHEN a.n_held < 256 THEN CAST(a.n_held AS DOUBLE)
+         |    ELSE 255.0 * CAST(1152921504606846976 AS DOUBLE) / CAST(a.h_r AS DOUBLE)
+         |  END) AS inter_est,
+         |  e.exact_inter, e.exact_union
+         |FROM agg a, ex e""".stripMargin,
+
+    // per-source registers (GROUP BY source, bucket) and the same
+    // sorted-fold estimate per source, quantized to 10⁻³ (sources sit
+    // on both sides of the linear-counting switch; ln is libm)
+    "sketch_hll_by_source" ->
+      s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
+         |s2 AS (SELECT source, $shinglesSql AS sh FROM t),
+         |ex AS (SELECT source, unnest(sh) AS s FROM s2),
+         |h AS (SELECT source, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h FROM ex),
+         |r AS (SELECT source, CAST(h & 255 AS INT) AS bucket,
+         |  CAST(CASE WHEN (h >> 8) = 0 THEN 53
+         |       ELSE 53 - len(ltrim(bin(h >> 8), '0')) END AS INT) AS rho FROM h),
+         |regs AS (SELECT source, bucket, max(rho) AS rho FROM r GROUP BY source, bucket),
+         |agg AS (SELECT source, CAST(count(*) AS INT) AS nonempty,
+         |  list(power(2.0, 0.0 - CAST(rho AS DOUBLE)) ORDER BY bucket) AS vals
+         |  FROM regs GROUP BY source),
+         |est AS (SELECT source, nonempty,
+         |  (0.7213 / (1 + 1.079 / 256.0)) * 256.0 * 256.0 /
+         |    list_reduce(list_prepend(CAST(256 - nonempty AS DOUBLE), vals),
+         |      (x, y) -> x + y) AS raw
+         |  FROM agg),
+         |ex2 AS (SELECT source, CAST(count(DISTINCT s) AS BIGINT) AS exact
+         |  FROM ex GROUP BY source)
+         |SELECT e.source, e.nonempty,
+         |  CAST(floor((CASE WHEN e.nonempty < 256 AND e.raw <= 640.0
+         |    THEN 256.0 * ln(256.0 / CAST(256 - e.nonempty AS DOUBLE))
+         |    ELSE e.raw END) * 1000.0) AS BIGINT) AS est_q3,
+         |  x.exact
+         |FROM est e JOIN ex2 x USING (source)
+         |ORDER BY source""".stripMargin,
+
     // bottom-128 sample by md5 rank of doc_id, then nearest-rank
     // quantiles: rank = max(1, ceil(q·n)) over the sample's token
     // counts — reported values are actual data values
@@ -5197,6 +5334,32 @@ object SparkEntry {
         |ORDER BY l_suppkey, rk""".stripMargin,
 
     "knn_exhaustive" -> exhaustiveKnnSql,
+
+    // matryoshka two-stage replayed verbatim: top-40 by (16-dim prefix
+    // sqdist, id), then top-10 by (full sqdist, id) within the
+    // shortlist — both stages' folds are the bit-portable sqdist chain
+    "knn_matryoshka" ->
+      """WITH pre AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS id,
+        |    list_reduce(list_transform(list_zip(c.embedding[1:16], q.embedding[1:16]),
+        |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+        |      (a, b) -> a + b) AS pd
+        |  FROM embeddings c, embeddings q WHERE q.vec_id < 5),
+        |short AS (
+        |  SELECT qid, id FROM pre
+        |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY pd, id) <= 40),
+        |scored AS (
+        |  SELECT s.qid, s.id,
+        |    list_reduce(list_transform(list_zip(c.embedding, q.embedding),
+        |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+        |      (a, b) -> a + b) AS distance
+        |  FROM short s JOIN embeddings c ON c.vec_id = s.id
+        |    JOIN embeddings q ON q.vec_id = s.qid)
+        |SELECT qid, id, distance FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 10
+        |ORDER BY qid, distance, id""".stripMargin,
 
     // Degenerate-config LSH forest search IS exhaustive search
     // (LSHForestSpec gates the equivalence; same output shape).

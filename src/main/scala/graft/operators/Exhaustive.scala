@@ -121,4 +121,62 @@ object Exhaustive {
       .select(col("qid"), col("nn.id").as("id"),
         col("nn.distance").as("distance"))
   }
+
+  /** Matryoshka (prefix-dimension) kNN: shortlist on the first
+    * `dPrefix` dims, exact re-rank on the full vector — the serving
+    * pattern for truncation-trained embeddings (Kusupati et al. 2022),
+    * where the energy-ordered prefix preserves neighborhood rank well
+    * enough that a k·`factor` prefix shortlist recovers the full-dim
+    * top-k.
+    *
+    * Scale shape: stage 1 is [[knnJoin]] over `corpusPrefix` — at
+    * 100 TB that frame should be a physically separate (dPrefix/d-
+    * sized) column or table so the scan reads dPrefix floats per row,
+    * not a slice of the full column; stage 2 broadcasts the
+    * queries × k·factor shortlist back over the full-width corpus, so
+    * the big table is scanned once per stage and never shuffled
+    * (the BQ.knnJoinRefined broadcast-shortlist shape). Fully
+    * deterministic — both stages break ties by id — and, unlike the
+    * quantized tiers, the shortlist scores are true prefix distances,
+    * so dPrefix = d reproduces [[knnJoin]] bit-for-bit at any factor.
+    * Output (qid, id, distance) ascending per query, distance on the
+    * FULL vector. */
+  def knnJoinMatryoshka(queries: DataFrame, qIdCol: String, qVecCol: String,
+                        corpusPrefix: DataFrame, corpusFull: DataFrame,
+                        cIdCol: String, cVecCol: String,
+                        k: Int, dPrefix: Int, factor: Int,
+                        metric: String = "sqdist"): DataFrame = {
+    require(k >= 1 && factor >= 1, s"k=$k factor=$factor must be >= 1")
+    require(dPrefix >= 1, s"dPrefix=$dPrefix must be >= 1")
+    val qPrefix = queries.select(col(qIdCol),
+      slice(col(qVecCol), 1, dPrefix).as(qVecCol))
+    val shortlist = knnJoin(qPrefix, qIdCol, qVecCol,
+        corpusPrefix, cIdCol, cVecCol, k * factor, metric)
+      .select(col("qid"), col("id"))
+    val q = broadcast(queries.select(col(qIdCol).cast("long").as("qid"),
+      col(qVecCol).as("qvec")))
+    val c = corpusFull.select(col(cIdCol).cast("long").as("id"),
+      col(cVecCol).as("cvec"))
+    broadcast(shortlist).join(c, Seq("id"))
+      .join(q, Seq("qid"))
+      .select(col("qid"), col("id"),
+        distance(metric)(col("cvec"), col("qvec")).as("distance"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopK.topK(col("distance"), col("id"), k).as("nn"))
+      .select(col("qid"), explode(col("nn")).as("nn"))
+      .select(col("qid"), col("nn.id").as("id"),
+        col("nn.distance").as("distance"))
+  }
+
+  /** Single-frame convenience: derive the prefix tier by slicing
+    * `cVecCol` (correct, but scans the full column twice — at corpus
+    * scale materialize the prefix as its own table and call the
+    * two-frame overload). */
+  def knnJoinMatryoshka(queries: DataFrame, qIdCol: String, qVecCol: String,
+                        corpus: DataFrame, cIdCol: String, cVecCol: String,
+                        k: Int, dPrefix: Int, factor: Int,
+                        metric: String): DataFrame =
+    knnJoinMatryoshka(queries, qIdCol, qVecCol,
+      corpus.select(col(cIdCol), slice(col(cVecCol), 1, dPrefix).as(cVecCol)),
+      corpus, cIdCol, cVecCol, k, dPrefix, factor, metric)
 }

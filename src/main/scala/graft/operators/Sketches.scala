@@ -96,6 +96,54 @@ object Sketches {
           .as("estimate"))
   }
 
+  /** Per-key HLL registers: one independent register table per value of
+    * `keyCol` — "distinct URLs per domain", "distinct shingles per
+    * source" — in ONE pass. Returns (key, bucket, rho), ≤ keys · 2^p
+    * rows; the only shuffle is the partial-aggregated
+    * (key, bucket, max rho) triples, bounded by keys · m and never by
+    * the corpus (the per-key face of [[hllRegisters]] — same hash,
+    * same register contract, so per-key tables merge with the global
+    * one's monoid: max by (key, bucket)). */
+  def hllRegistersByKey(df: DataFrame, keyCol: String, valueCol: String,
+                        p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"p=$p out of range [4,16]")
+    val w = 60 - p
+    val h = hash60(col(valueCol))
+    val bucket = h.bitwiseAND(lit((1L << p) - 1)).cast("int")
+    val rest = shiftright(h, p)
+    val rho = when(rest === 0L, lit(w + 1))
+      .otherwise(lit(w + 1) - length(ltrim(bin(rest), "0"))).cast("int")
+    df.select(col(keyCol), bucket.as("bucket"), rho.as("rho"))
+      .groupBy(col(keyCol), col("bucket")).agg(max("rho").as("rho"))
+  }
+
+  /** Per-key HLL estimates from a [[hllRegistersByKey]] table: the
+    * [[hllEstimate]] arithmetic (sorted-by-bucket fold, small-range
+    * linear-counting switch) applied independently per key. One row
+    * per key present in the registers: (key, nonempty, estimate) —
+    * keys with no rows never appear (their estimate is 0). */
+  def hllEstimateByKey(registers: DataFrame, keyCol: String,
+                       p: Int): DataFrame = {
+    val m = 1 << p
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    def raw =
+      lit(alpha) * lit(m.toDouble) * lit(m.toDouble) /
+        aggregate(col("regs"),
+          (lit(m) - col("nonempty")).cast("double"),
+          (acc, r) => acc + pow(lit(2.0d), -r.getField("rho").cast("double")))
+    registers
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("int").as("nonempty"),
+        sort_array(collect_list(struct(col("bucket"), col("rho"))))
+          .as("regs"))
+      .select(col(keyCol), col("nonempty"),
+        when(col("nonempty") < m && raw <= lit(2.5 * m),
+          lit(m.toDouble) * log(lit(m.toDouble) /
+            (lit(m) - col("nonempty")).cast("double")))
+          .otherwise(raw)
+          .as("estimate"))
+  }
+
   // ---------------- Bloom filter ----------------
 
   /** Smallest logm whose 2^logm-bit filter holds `nKeys` at ≤
@@ -206,6 +254,47 @@ object Sketches {
       // only the ≤ tasks × R candidate hashes, never the corpus)
       .dropDuplicates("h")
       .orderBy(col("h")).limit(r)
+  }
+
+  /** Set-overlap estimates from TWO KMV sketches (Beyer et al. 2007,
+    * the theta-sketch idiom): combine `skA`/`skB` (each a ≤ R-row
+    * (h LONG) frame from [[kmvSketch]]) into the bottom-R of their
+    * union K, then
+    *
+    *  - Jaccard ≈ |{h ∈ K : h ∈ A ∧ h ∈ B}| / |K| — valid because
+    *    K's threshold θ = max(K) is ≤ both per-sketch thresholds, so
+    *    below θ sketch membership ⟺ set membership;
+    *  - |A ∪ B| from K via the [[kmvEstimate]] estimator;
+    *  - |A ∩ B| = Jaccard · |A ∪ B|.
+    *
+    * Under capacity (|K| < R) all three are EXACT. This is the O(KB)
+    * answer to "how much does corpus A overlap corpus B?" (train/eval
+    * leakage triage, cross-source duplication rate): the corpora are
+    * each folded ONCE into an R-row sketch and never joined — the
+    * exact form is an equi-join that shuffles the smaller corpus'
+    * whole value set. All arithmetic is count ratios and the KMV
+    * divide over exactly-representable operands — bit-portable,
+    * oracle-gated un-quantized. One row:
+    * (r, n_held, n_both, jaccard, union_est, inter_est). */
+  def kmvOverlap(skA: DataFrame, skB: DataFrame, r: Int): DataFrame = {
+    require(r >= 2 && r <= (1 << 16), s"r=$r out of range [2, 65536]")
+    val k = skA.select(col("h"), lit(1).as("ina"), lit(0).as("inb"))
+      .unionAll(skB.select(col("h"), lit(0).as("ina"), lit(1).as("inb")))
+      .groupBy("h").agg(max("ina").as("ina"), max("inb").as("inb"))
+      .orderBy(col("h")).limit(r)
+    val two60 = lit(1152921504606846976L).cast("double") // 2^60 exact
+    k.agg(count(lit(1)).cast("int").as("n_held"),
+        max(col("h")).as("h_r"),
+        coalesce(sum(col("ina") * col("inb")), lit(0L)).cast("long")
+          .as("n_both"))
+      .select(lit(r).as("r"), col("n_held"), col("n_both"),
+        when(col("n_held") === 0, lit(0.0d))
+          .otherwise(col("n_both").cast("double") / col("n_held").cast("double"))
+          .as("jaccard"),
+        when(col("n_held") < r, col("n_held").cast("double"))
+          .otherwise(lit((r - 1).toDouble) * two60 / col("h_r").cast("double"))
+          .as("union_est"))
+      .withColumn("inter_est", col("jaccard") * col("union_est"))
   }
 
   /** Distinct-count estimate from a KMV sketch: when the sketch holds

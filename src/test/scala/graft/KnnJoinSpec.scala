@@ -130,4 +130,42 @@ class KnnJoinSpec extends SparkSpec {
       .select($"qid", $"id").as[(Long, Long)].collect().toSet
     assert(wide == Set((1L, 3L), (1L, 4L), (2L, 6L), (2L, 7L)))
   }
+
+  test("matryoshka at dPrefix = d reproduces the exact kNN join bit-for-bit") {
+    val exact = asMap(Exhaustive.knnJoin(emb, "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 10))
+    val got = asMap(Exhaustive.knnJoinMatryoshka(emb, "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 10, dPrefix = 64, factor = 1,
+      metric = "sqdist"))
+    assert(got == exact)
+  }
+
+  test("matryoshka prefix config: k rows per query, self hit, recall monotone in factor") {
+    val n = emb.count()
+    val truth = Exhaustive.knnJoin(emb, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 10)
+      .select("qid", "id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    def recall(factor: Int): Double = {
+      val got = Exhaustive.knnJoinMatryoshka(emb, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 10, dPrefix = 16, factor = factor,
+        metric = "sqdist")
+      val perQ = got.groupBy("qid").count().collect()
+      assert(perQ.length == n && perQ.forall(_.getLong(1) == 10L))
+      // the query's own row has prefix distance 0 → always shortlisted
+      assert(got.filter(col("qid") === col("id")).count() == n)
+      val sets = got.select("qid", "id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      truth.keys.toSeq.map(q =>
+        (sets(q) & truth(q)).size.toDouble / truth(q).size).sum / truth.size
+    }
+    // a growing factor grows the shortlist as a superset: every true
+    // top-k member already shortlisted stays in the output, so recall
+    // is monotone (these embeddings are i.i.d.-dim — the 16/64 prefix
+    // holds 1/4 of the energy, the WORST case for truncation;
+    // truncation-trained embeddings concentrate energy in the prefix)
+    val r2 = recall(2); val r4 = recall(4); val r8 = recall(8)
+    assert(r2 <= r4 && r4 <= r8, s"recall not monotone: $r2 $r4 $r8")
+    assert(r4 > 0.40, s"recall at factor=4: $r4")
+  }
 }

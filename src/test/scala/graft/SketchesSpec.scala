@@ -214,4 +214,73 @@ class SketchesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sketches.bloomLogmFor(Long.MaxValue / 4, k = 3, targetFp = 1e-9))
   }
+
+  test("kmvOverlap under capacity is exact (jaccard, union, intersection)") {
+    import spark.implicits._
+    // |A|=60, |B|=50, |A∩B|=30 → |A∪B|=80, J=0.375; r=256 holds it all
+    val a = (0 until 60).map(i => s"v$i").toDF("v")
+    val b = (30 until 80).map(i => s"v$i").toDF("v")
+    val row = Sketches.kmvOverlap(
+      Sketches.kmvSketch(a, "v", r = 256),
+      Sketches.kmvSketch(b, "v", r = 256), r = 256).head()
+    assert(row.getAs[Int]("n_held") == 80)
+    assert(row.getAs[Long]("n_both") == 30L)
+    assert(row.getAs[Double]("jaccard") == 30.0 / 80.0)
+    assert(row.getAs[Double]("union_est") == 80.0)
+    assert(row.getAs[Double]("inter_est") == (30.0 / 80.0) * 80.0)
+    // disjoint sets → zero overlap, exactly
+    val c = (1000 until 1050).map(i => s"v$i").toDF("v")
+    val dz = Sketches.kmvOverlap(
+      Sketches.kmvSketch(a, "v", r = 256),
+      Sketches.kmvSketch(c, "v", r = 256), r = 256).head()
+    assert(dz.getAs[Long]("n_both") == 0L &&
+      dz.getAs[Double]("jaccard") == 0.0 &&
+      dz.getAs[Double]("inter_est") == 0.0)
+  }
+
+  test("kmvOverlap at capacity estimates a planted 50% overlap") {
+    import spark.implicits._
+    // |A|=|B|=20k, |A∩B|=10k → |A∪B|=30k, J=1/3
+    val a = (0 until 20000).map(i => s"v$i").toDF("v")
+    val b = (10000 until 30000).map(i => s"v$i").toDF("v")
+    val row = Sketches.kmvOverlap(
+      Sketches.kmvSketch(a, "v", r = 512),
+      Sketches.kmvSketch(b, "v", r = 512), r = 512).head()
+    assert(row.getAs[Int]("n_held") == 512)
+    // SE ≈ sqrt(J(1−J)/r) ≈ 0.021 → 3σ band; union SE ≈ 1/sqrt(r)
+    val j = row.getAs[Double]("jaccard")
+    assert(math.abs(j - 1.0 / 3.0) < 0.07, s"jaccard $j")
+    val u = row.getAs[Double]("union_est")
+    assert(math.abs(u - 30000.0) / 30000.0 < 0.14, s"union $u")
+    val i = row.getAs[Double]("inter_est")
+    assert(math.abs(i - 10000.0) / 10000.0 < 0.25, s"inter $i")
+  }
+
+  test("per-key HLL equals the global HLL run on each key's slice") {
+    import spark.implicits._
+    // skewed per-key cardinalities: key k holds (k+1)·300 values
+    val df = (0 until 4).flatMap(k =>
+      (0 until (k + 1) * 300).map(i => (s"key$k", s"k$k-v$i")))
+      .toDF("key", "v")
+    val byKey = Sketches.hllEstimateByKey(
+        Sketches.hllRegistersByKey(df, "key", "v", p = 8), "key", p = 8)
+      .collect().map(r => (r.getString(0),
+        (r.getInt(1), r.getAs[Double]("estimate")))).toMap
+    assert(byKey.keySet == Set("key0", "key1", "key2", "key3"))
+    (0 until 4).foreach { k =>
+      val slice = df.filter(col("key") === s"key$k").select("v")
+      val g = Sketches.hllEstimate(
+        Sketches.hllRegisters(slice, "v", p = 8), p = 8).head()
+      assert(byKey(s"key$k") == ((g.getAs[Int]("nonempty"),
+        g.getAs[Double]("estimate"))), s"key$k")
+    }
+    // and the per-key registers fold back to the global ones: max by
+    // bucket across keys == registers of the un-keyed stream
+    val folded = Sketches.hllRegistersByKey(df, "key", "v", p = 8)
+      .groupBy("bucket").agg(max("rho").as("rho"))
+      .orderBy("bucket").collect().map(r => (r.getInt(0), r.getInt(1)))
+    val global = Sketches.hllRegisters(df.select("v"), "v", p = 8)
+      .orderBy("bucket").collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(folded.toSeq == global.toSeq)
+  }
 }
