@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps._
 import graft.index.{HNSW, HNSWGraph, IVFFlat, LSHForest}
-import graft.operators.{Dedup, Exhaustive, TextOps}
+import graft.operators.{Dedup, Dsir, Exhaustive, Retrieval, TextOps}
 import graft.streaming.Streaming
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -3159,6 +3159,72 @@ object SparkEntry {
         .select(col("qid"), col("id"), col("distance").cast("long").as("distance"))
         .orderBy(col("qid"), col("distance"), col("id"))
     }),
+
+    // DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    // hashed unigram+bigram bucket models, target = the corpus's own
+    // English slice — "score raw docs by how target-like they look".
+    // Weights are integer dot-products of per-doc bucket counts and
+    // 1e-6-quantized log-ratios, so the lane hash-gates end to end;
+    // the one ln per bucket (m=256 total) is the sketch_hll libm
+    // concession class. Shuffle = doc→bucket postings + two ≤m-row
+    // models; the ratio table broadcasts.
+    "dsir_weights" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Dsir.weights(docs, "doc_id", "text",
+          docs.filter(col("lang") === "en"), "text", m = 256)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Greedy DSIR selection: the 50 most-target-like documents,
+    // TakeOrderedAndProject global top-n (per-partition heaps, never a
+    // one-partition corpus window), then ranked. Deterministic ties by
+    // doc_id.
+    "dsir_select" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Dsir.selectTop(docs, "doc_id", "text",
+          docs.filter(col("lang") === "en"), "text", n = 50, m = 256)
+        .orderBy(col("rank"))
+    }),
+
+    // BM25 lexical top-10 for 5 text queries (the corpus's own first 5
+    // docs — every query has a perfect-match candidate). Rational
+    // Robertson-Spärck-Jones idf (zero libm), per-term scores
+    // 1e-9-quantized to BIGINT before the order-free per-pair sum;
+    // candidate volume is Σ df over query terms (term-keyed posting
+    // join), never |docs| × |queries|.
+    "bm25_topk" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      Retrieval.bm25TopK(docs, "doc_id", "text", qs, "qid", "qtext", k = 10)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Hybrid lexical+vector search: BM25 top-10 fused (reciprocal-rank,
+    // k0=60) with exact-kNN top-10 for 3 queries that carry both faces.
+    // rrf = two IEEE divisions + one add per fused row — deterministic;
+    // fusion touches only the ≤20 candidates per query.
+    "rrf_hybrid" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val emb = tbl(s, dir, "embeddings")
+      val qs = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      Retrieval.hybridSearch(docs, "doc_id", "text",
+          emb, "vec_id", "embedding", qs, "qid", "qtext",
+          emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 10)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Exact radius search (FAISS range_search shape): every corpus
+    // point within sqdist ≤ 1.8 of each of 5 queries — broadcast
+    // queries, ONE corpus scan, no shuffle (cheapest query shape in
+    // Exhaustive); boundary inclusive.
+    "range_search" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Exhaustive.rangeSearch(emb.filter(col("vec_id") < 5), "vec_id",
+          "embedding", emb, "vec_id", "embedding", radius = 1.8)
+        .orderBy(col("qid"), col("id"))
+    }),
   )
 
   /** Pinned serving weights for quality_lr_logit (bias-first, aligned
@@ -3700,6 +3766,73 @@ object SparkEntry {
          | THEN CAST('$v' AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
     }.mkString(" | ")
   }
+
+  /** DSIR CTE chain (mirrors Dsir.weights with target = lang='en',
+    * raw = all documents): hashed unigram+bigram buckets (m=256),
+    * add-one-smoothed corpus models over ALL buckets, ln quantized to
+    * 1e-6 BIGINT (the sketch_hll libm concession — margin ~6e-9 per
+    * bucket), integer dot-product weights, zero-filled for gramless
+    * docs. Ends in wf(doc_id, n_grams, weight_q). */
+  private lazy val dsirCtes: String =
+    s"""WITH tok AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+       |gr AS (SELECT doc_id, lang, unnest(list_concat(toks,
+       |  list_transform(range(1, len(toks)),
+       |    i -> toks[i] || ' ' || toks[i+1]))) AS gram FROM tok),
+       |bk AS (SELECT doc_id, lang,
+       |  CAST(CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT)
+       |    & 255 AS INT) AS bucket FROM gr),
+       |db AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM bk GROUP BY 1, 2),
+       |tcnt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ct FROM bk
+       |  WHERE lang = 'en' GROUP BY 1),
+       |rcnt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM bk
+       |  GROUP BY 1),
+       |ab AS (SELECT CAST(unnest(range(0, 256)) AS INT) AS bucket),
+       |j AS (SELECT ab.bucket, coalesce(tcnt.ct, 0) AS ct,
+       |  coalesce(rcnt.cr, 0) AS cr
+       |  FROM ab LEFT JOIN tcnt USING(bucket) LEFT JOIN rcnt USING(bucket)),
+       |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS st,
+       |  CAST(sum(cr) AS BIGINT) AS sr FROM j),
+       |lr AS (SELECT bucket, CAST(floor(ln(
+       |    ((CAST(ct AS DOUBLE) + 1.0) / (CAST(st AS DOUBLE) + 256.0)) /
+       |    ((CAST(cr AS DOUBLE) + 1.0) / (CAST(sr AS DOUBLE) + 256.0)))
+       |  * 1000000.0 + 0.5) AS BIGINT) AS lr_q FROM j, tot),
+       |w AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+       |  CAST(sum(cnt * lr_q) AS BIGINT) AS weight_q
+       |  FROM db JOIN lr USING(bucket) GROUP BY 1),
+       |wf AS (SELECT d.doc_id, coalesce(w.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+       |  coalesce(w.weight_q, CAST(0 AS BIGINT)) AS weight_q
+       |  FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id)""".stripMargin
+
+  /** BM25 candidate-scoring CTE chain (mirrors Retrieval.bm25 with
+    * queries = the corpus's own docs with doc_id < `nq`): tf/df/dl
+    * posting tables, rational RSJ idf, Spark's exact double operand
+    * order (k1=1.2, b=0.75 → literals 2.2 / 1.2 / 0.25 / 0.75), score
+    * quantized to 1e-9 BIGINT before the order-free per-pair sum.
+    * Ends in bagg(qid, doc_id, n_hit, score_q). */
+  private def bm25AggCtes(nq: Int): String =
+    s"""WITH btok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+       |btf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM btok GROUP BY 1, 2),
+       |bdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM btf GROUP BY 1),
+       |bdl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM btf GROUP BY 1),
+       |bst AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM bdl),
+       |bqt AS (SELECT DISTINCT qid, term FROM (
+       |  SELECT doc_id AS qid, unnest($toksSql) AS term FROM documents
+       |  WHERE doc_id < $nq)),
+       |bsc AS (SELECT q.qid, f.doc_id,
+       |  CAST(floor(
+       |    ((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+       |      / (CAST(d.df AS DOUBLE) + 0.5))
+       |    * ((CAST(f.tf AS DOUBLE) * 2.2)
+       |      / (CAST(f.tf AS DOUBLE)
+       |         + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE) / s.avgdl))))
+       |    * 1000000000.0 + 0.5) AS BIGINT) AS s_q
+       |  FROM bqt q JOIN btf f USING(term) JOIN bdf d USING(term)
+       |  JOIN bdl l ON l.doc_id = f.doc_id, bst s),
+       |bagg AS (SELECT qid, doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+       |  CAST(sum(s_q) AS BIGINT) AS score_q FROM bsc GROUP BY 1, 2)""".stripMargin
 
   /** Brute MIPS oracle (−dot top-10) — shared by knn_mips and the
     * norm-augmentation reduction (mips_ivf_exact). */
@@ -6226,6 +6359,67 @@ object SparkEntry {
          |SELECT qid, id, CAST(distance AS BIGINT) AS distance FROM p
          |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance, id) <= 5
          |ORDER BY qid, distance, id""".stripMargin,
+
+    "dsir_weights" ->
+      s"""$dsirCtes
+         |SELECT doc_id, n_grams, weight_q FROM wf ORDER BY doc_id""".stripMargin,
+
+    "dsir_select" ->
+      s"""$dsirCtes
+         |SELECT doc_id, weight_q,
+         |  CAST(row_number() OVER (ORDER BY weight_q DESC, doc_id) AS INTEGER)
+         |    AS rank
+         |FROM wf
+         |QUALIFY rank <= 50
+         |ORDER BY rank""".stripMargin,
+
+    "bm25_topk" ->
+      s"""${bm25AggCtes(5)}
+         |SELECT qid, doc_id, score_q,
+         |  CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY score_q DESC, doc_id) AS INTEGER) AS rank
+         |FROM bagg
+         |QUALIFY rank <= 10
+         |ORDER BY qid, rank""".stripMargin,
+
+    // replay of hybridSearch: the two top-10 rankers, full-outer fused
+    // on (qid, id) with rrf = Σ 1/(60 + rank), re-ranked (rrf DESC, id)
+    "rrf_hybrid" ->
+      s"""${bm25AggCtes(3)},
+         |lex AS (SELECT qid, doc_id AS id,
+         |  CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY score_q DESC, doc_id) AS BIGINT) AS rank_a
+         |  FROM bagg QUALIFY rank_a <= 10),
+         |vsc AS (SELECT q.vec_id AS qid, c.vec_id AS id,
+         |  list_reduce(list_transform(list_zip(c.embedding, q.embedding),
+         |    x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+         |       * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+         |    (a, b) -> a + b) AS distance
+         |  FROM embeddings c, embeddings q WHERE q.vec_id < 3),
+         |vec AS (SELECT qid, id,
+         |  CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY distance, id) AS BIGINT) AS rank_b
+         |  FROM vsc QUALIFY rank_b <= 10),
+         |fused AS (SELECT coalesce(l.qid, v.qid) AS qid,
+         |  coalesce(l.id, v.id) AS id,
+         |  coalesce(1.0 / (60.0 + CAST(l.rank_a AS DOUBLE)), 0.0)
+         |    + coalesce(1.0 / (60.0 + CAST(v.rank_b AS DOUBLE)), 0.0) AS rrf
+         |  FROM lex l FULL OUTER JOIN vec v ON l.qid = v.qid AND l.id = v.id)
+         |SELECT qid, id, rrf,
+         |  CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY rrf DESC, id) AS INTEGER) AS rank
+         |FROM fused ORDER BY qid, rank""".stripMargin,
+
+    "range_search" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS id,
+        |    list_reduce(list_transform(list_zip(c.embedding, q.embedding),
+        |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+        |      (a, b) -> a + b) AS distance
+        |  FROM embeddings c, embeddings q WHERE q.vec_id < 5)
+        |SELECT qid, id, distance FROM scored WHERE distance <= 1.8
+        |ORDER BY qid, id""".stripMargin,
   )
 
   /** DuckDB replay of [[piiAugmented]] (ends in columns doc_id, t). */

@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data Selection with Importance Resampling (DSIR; Xie et al. 2023,
+  * arXiv:2302.03169) — select raw-corpus documents that look like a
+  * small target corpus, using hashed n-gram bag-of-buckets models:
+  * cheap enough to score 100 TB (two integer hashes per token) yet
+  * measurably better than heuristics at matching a target domain.
+  * Extends the reference's surface (vers has no text ops) alongside
+  * QualityLR (discriminative) — DSIR is the generative counterpart:
+  * no labels, just a target corpus.
+  *
+  *  1. Features: word unigrams + bigrams, hashed into `m` buckets
+  *     ([[Sketches.hash60]], the engine's portable md5 hash).
+  *  2. Bucket unigram models with add-one smoothing for the target
+  *     and the raw corpus: p(b) = (count_b + 1)/(total + m).
+  *  3. Per-document importance weight: log p_target(doc) −
+  *     p_raw(doc) = Σ_b count_doc(b) · log(p_t(b)/p_r(b)).
+  *
+  * Precision contract: the per-bucket log-ratio is the ONLY libm call
+  * (one `ln` per bucket, m total — the HLL-estimate concession, same
+  * class as sketch_hll's documented ln). It is quantized to a 1e-6
+  * BIGINT immediately, so every per-document weight is an INTEGER
+  * dot-product of (count, quantized-log-ratio) — order-free,
+  * oracle-exact given the m quantized bucket values match.
+  *
+  * Scale shape: documents tokenize once into (doc, bucket, cnt) —
+  * partial-aggregated map-side, ≤ m distinct buckets per doc; the two
+  * corpus models shuffle ≤ m rows each; scoring is a bucket-keyed
+  * equi-join against a broadcast m-row ratio table. Nothing
+  * corpus-sized crosses the wire except the doc→bucket postings.
+  */
+object Dsir {
+
+  /** Hashed n-gram bucket counts per document: word unigrams + bigrams
+    * → md5-bucket in [0, m); output (doc_id, bucket, cnt). Docs with
+    * no tokens yield no rows (their weight is 0 by definition — an
+    * empty product). m must be a power of two (mask-extracted). */
+  def gramBuckets(docs: DataFrame, idCol: String, textCol: String,
+                  m: Int): DataFrame = {
+    require(m >= 2 && (m & (m - 1)) == 0 && m <= (1 << 20),
+      s"m=$m must be a power of two in [2, 2^20]")
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      TextOps.tokens(col(textCol)).as("toks"))
+    val grams = toks.select(col("doc_id"), explode(concat(col("toks"),
+      when(size(col("toks")) >= 2,
+        zip_with(slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => concat(a, lit(" "), b)))
+        .otherwise(array()))).as("gram"))
+    grams.select(col("doc_id"),
+        Sketches.hash60(col("gram")).bitwiseAND(lit((m - 1).toLong))
+          .cast("int").as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-corpus bucket totals: (bucket, `cntName`) summed over a
+    * gram-bucket posting frame (the [[gramBuckets]] output shape). */
+  private def bucketTotalsOf(gb: DataFrame, cntName: String): DataFrame =
+    gb.groupBy("bucket").agg(sum("cnt").as(cntName))
+
+  /** The m-row quantized log-ratio table from two bucket-total frames
+    * (target ct, raw cr): (bucket, lr_q) for EVERY bucket in [0, m),
+    * lr_q = floor(ln(p_t/p_r)·1e6 + 0.5) with add-one smoothing —
+    * absent buckets carry the smoothed floor, exactly as the paper's
+    * multinomial requires. Output is broadcast-sized (m rows). */
+  private def logRatioQOf(t: DataFrame, r: DataFrame, m: Int): DataFrame = {
+    val spark = t.sparkSession
+    val all = spark.range(m).select(col("id").cast("int").as("bucket"))
+    val joined = all.join(t, Seq("bucket"), "left")
+      .join(r, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+    // grand totals ride as one broadcast row; the probability ratio is
+    // assembled in a fixed operand order so DuckDB replays it IEEE-
+    // step-for-step before its own ln
+    val totals = joined.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+    val pt = (col("ct").cast("double") + lit(1.0d)) /
+      (col("tt").cast("double") + lit(m.toDouble))
+    val pr = (col("cr").cast("double") + lit(1.0d)) /
+      (col("tr").cast("double") + lit(m.toDouble))
+    joined.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        floor(log(pt / pr) * lit(1000000.0d) + lit(0.5d)).cast("long")
+          .as("lr_q"))
+  }
+
+  /** [[logRatioQOf]] from two raw-text corpora (the standalone face;
+    * [[weights]] derives the raw model from its scoring postings
+    * instead, saving a second corpus pass). */
+  def bucketLogRatioQ(target: DataFrame, targetTextCol: String,
+                      raw: DataFrame, rawTextCol: String,
+                      m: Int): DataFrame = {
+    def totals(df: DataFrame, textCol: String, cntName: String) =
+      bucketTotalsOf(gramBuckets(
+        df.select(monotonically_increasing_id().as("__id"), col(textCol)),
+        "__id", textCol, m), cntName)
+    logRatioQOf(totals(target, targetTextCol, "ct"),
+      totals(raw, rawTextCol, "cr"), m)
+  }
+
+  /** Importance weight per raw document against a target corpus:
+    * (doc_id, n_grams, weight_q) for every `docs` row — weight_q the
+    * integer dot-product Σ_b cnt_b · lr_q(b), n_grams the hashed gram
+    * count (0-gram docs keep weight 0). Higher = more target-like.
+    *
+    * The corpus tokenizes ONCE: the persisted doc→bucket posting frame
+    * feeds both the raw corpus model (a ≤m-row re-aggregation) and the
+    * scoring join — only the target (small by construction) gets its
+    * own gram pass. */
+  def weights(docs: DataFrame, idCol: String, textCol: String,
+              target: DataFrame, targetTextCol: String,
+              m: Int = 256): DataFrame = {
+    val gb = gramBuckets(docs, idCol, textCol, m).persist()
+    val t = bucketTotalsOf(gramBuckets(
+      target.select(monotonically_increasing_id().as("__id"),
+        col(targetTextCol)), "__id", targetTextCol, m), "ct")
+    val lr = logRatioQOf(t, bucketTotalsOf(gb, "cr"), m)
+    val scored = gb
+      .join(broadcast(lr), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_grams"),
+        sum(col("cnt") * col("lr_q")).as("weight_q"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("weight_q"), lit(0L)).as("weight_q"))
+  }
+
+  /** Greedy DSIR selection: the `n` highest-weight documents (ties by
+    * doc_id ascending — deterministic). The paper resamples with
+    * Gumbel noise to avoid mode collapse at the domain boundary; the
+    * greedy face is the deterministic (and oracle-exact) variant —
+    * compose [[weights]] with Splits.sampleWeighted for the noised
+    * one. Output (doc_id, weight_q, rank). */
+  def selectTop(docs: DataFrame, idCol: String, textCol: String,
+                target: DataFrame, targetTextCol: String,
+                n: Int, m: Int = 256): DataFrame = {
+    require(n >= 1, s"n=$n must be >= 1")
+    // global top-n via orderBy+limit (TakeOrderedAndProject: bounded
+    // per-partition heaps + driver merge — never a one-partition
+    // window over the corpus); the rank window then runs on ≤ n rows
+    val w = Window.orderBy(col("weight_q").desc, col("doc_id").asc)
+    weights(docs, idCol, textCol, target, targetTextCol, m)
+      .orderBy(col("weight_q").desc, col("doc_id").asc).limit(n)
+      .withColumn("rank", row_number().over(w))
+      .select(col("doc_id"), col("weight_q"), col("rank"))
+  }
+}

@@ -168,6 +168,29 @@ object Exhaustive {
         col("nn.distance").as("distance"))
   }
 
+  /** Exact radius (range) search: EVERY corpus point within `radius`
+    * of each query — the FAISS range_search counterpart, for
+    * "everything closer than τ" jobs (duplicate sweeps at a distance
+    * threshold, recall audits) where top-k's fixed cutoff is the wrong
+    * contract. Boundary is inclusive (distance ≤ radius, matching
+    * FAISS's convention for L2).
+    *
+    * Scale shape: broadcast the query side, scan the corpus ONCE with
+    * a codegen'd distance + filter — no top-k aggregation, no shuffle
+    * at all (the cheapest query shape in the file); result size is
+    * data-dependent, so callers at 100 TB should write it out rather
+    * than collect. Output (qid, id, distance) unordered. */
+  def rangeSearch(queries: DataFrame, qIdCol: String, qVecCol: String,
+                  corpus: DataFrame, cIdCol: String, cVecCol: String,
+                  radius: Double, metric: String = "sqdist"): DataFrame = {
+    val q = broadcast(queries.select(col(qIdCol).cast("long").as("qid"),
+      col(qVecCol).as("qvec")))
+    corpus.select(col(cIdCol).cast("long").as("id"), col(cVecCol).as("cvec"))
+      .join(q, distance(metric)(col("cvec"), col("qvec")) <= lit(radius))
+      .select(col("qid"), col("id"),
+        distance(metric)(col("cvec"), col("qvec")).as("distance"))
+  }
+
   /** Single-frame convenience: derive the prefix tier by slicing
     * `cVecCol` (correct, but scans the full column twice — at corpus
     * scale materialize the prefix as its own table and call the

@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval and rank fusion — BM25 scoring over an inverted
+  * posting layout and reciprocal-rank fusion of heterogeneous rankers
+  * (the lexical+vector "hybrid search" serving pattern). Extends the
+  * reference's surface (vers is vector-only) alongside TermStats per
+  * the driver's north star: a training-data pipeline needs lexical
+  * retrieval for targeted corpus mining ("find documents about X"),
+  * and hybrid fusion is the standard way to combine it with the
+  * engine's ANN tiers.
+  *
+  * Precision contract (shared with the DuckDB oracles): the idf is the
+  * rational Robertson–Spärck Jones form (N − df + 0.5)/(df + 0.5) —
+  * same monotone ranking as its log wrapper, zero libm (the TermStats
+  * idiom). Per-term BM25 scores are IEEE-replayable (integer-derived
+  * doubles through a fixed multiply/divide order), quantized to 1e-9
+  * BIGINTs before the order-independent per-(query, doc) sum — the
+  * LangModel.selfScore discipline.
+  */
+object Retrieval {
+
+  /** BM25 relevance of every (query, document) pair sharing ≥ 1 term.
+    *
+    * score(q, d) = Σ_{t ∈ q ∩ d} idf(t) · tf·(k1+1) / (tf + k1·(1 − b
+    * + b·dl/avgdl)), with rational idf (see object doc) and DISTINCT
+    * query terms (the common qtf-free simplification; a repeated query
+    * term scores once).
+    *
+    * Plan shape (the 100 TB discipline): documents tokenize ONCE into
+    * a (doc, term, tf) posting table (persisted — it feeds df, dl and
+    * the probe join); df shuffles distinct terms, dl distinct docs;
+    * the query⋈posting join is term-keyed (AQE broadcasts the query
+    * term list when small — the serving case), so candidate volume is
+    * Σ_t df(t) over query terms, never |docs| × |queries|. N and
+    * avgdl ride in as a broadcast 1-row frame, not driver math inside
+    * the plan.
+    *
+    * Output: (qid, doc_id, n_hit, score_q) — one row per candidate
+    * pair, n_hit = matched term count, score_q the 1e-9-quantized
+    * BIGINT sum (order-free, oracle-exact). Unordered; callers rank
+    * ([[bm25TopK]]). */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queries: DataFrame, qIdCol: String, qTextCol: String,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist()
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    // one broadcast row: corpus size + average doc length (in tokens,
+    // over docs with ≥1 token — empty docs have no postings to score)
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot"))
+      .select(col("n_docs"),
+        (col("tot").cast("double") / col("n_docs").cast("double"))
+          .as("avgdl"))
+    val qt = queries
+      .select(col(qIdCol).cast("long").as("qid"),
+        explode(TextOps.tokens(col(qTextCol))).as("term"))
+      .distinct()
+    val tfD = col("tf").cast("double")
+    val idf = (col("n_docs").cast("double") - col("df").cast("double")
+        + lit(0.5d)) / (col("df").cast("double") + lit(0.5d))
+    val dlNorm = lit(k1) * (lit(1.0d - b) +
+      lit(b) * (col("dl").cast("double") / col("avgdl")))
+    val s = idf * ((tfD * lit(k1 + 1.0d)) / (tfD + dlNorm))
+    qt.join(tf, Seq("term"))
+      .join(df, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("doc_id"),
+        floor(s * lit(1000000000.0d) + lit(0.5d)).cast("long").as("s_q"))
+      .groupBy("qid", "doc_id")
+      .agg(count(lit(1)).as("n_hit"), sum("s_q").as("score_q"))
+  }
+
+  /** Top-`k` documents per query by BM25, rank 1 = best; ties break by
+    * doc_id ascending (deterministic). Output (qid, doc_id, score_q,
+    * rank) — the window is query-partitioned over candidate pairs
+    * (Σ df over query terms), never the corpus. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, qIdCol: String, qTextCol: String,
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score_q").desc, col("doc_id").asc)
+    bm25(docs, idCol, textCol, queries, qIdCol, qTextCol, k1, b)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("doc_id"), col("score_q"), col("rank"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of two
+    * ranked lists: rrf(q, id) = Σ_lists 1/(k0 + rank), absent-from-a-
+    * list contributes 0. Inputs are (qid, id, rank) frames with rank
+    * 1 = best; k0 = 60 is the paper's constant. The fusion is a full
+    * outer equi-join on (qid, id) — candidate-list-sized, never
+    * corpus-sized — and the score is two IEEE divisions and one add
+    * (deterministic, oracle-exact un-quantized). Output (qid, id,
+    * rrf) unordered; ties rank by id at the caller. */
+  def rrfFuse(a: DataFrame, bdf: DataFrame, k0: Int = 60): DataFrame = {
+    require(k0 >= 1, s"k0=$k0 must be >= 1")
+    def side(df: DataFrame, r: String) =
+      df.select(col("qid").cast("long").as("qid"),
+        col("id").cast("long").as("id"), col("rank").cast("long").as(r))
+    side(a, "rank_a").join(side(bdf, "rank_b"), Seq("qid", "id"), "full_outer")
+      .select(col("qid"), col("id"),
+        (coalesce(lit(1.0d) / (lit(k0.toDouble) + col("rank_a").cast("double")),
+            lit(0.0d)) +
+          coalesce(lit(1.0d) / (lit(k0.toDouble) + col("rank_b").cast("double")),
+            lit(0.0d))).as("rrf"))
+  }
+
+  /** Hybrid lexical+vector search: BM25 top-`k` per text query fused
+    * (RRF) with exact-kNN top-`k` per vector query, for queries that
+    * carry BOTH faces (`queries` rows join `qVecs` rows on qid). The
+    * 100 TB shape is the two rankers' own: BM25 probes postings,
+    * the vector side is [[Exhaustive.knnJoin]] here (swap in an index
+    * tier's searchMany for serving) — fusion touches only the ≤ 2k
+    * candidate rows per query. Output (qid, id, rrf, rank) with rank
+    * 1 = best fused, ties by id. */
+  def hybridSearch(docs: DataFrame, idCol: String, textCol: String,
+                   corpus: DataFrame, cIdCol: String, cVecCol: String,
+                   queries: DataFrame, qIdCol: String, qTextCol: String,
+                   qVecs: DataFrame, qvIdCol: String, qVecCol: String,
+                   k: Int, k0: Int = 60): DataFrame = {
+    val lex = bm25TopK(docs, idCol, textCol, queries, qIdCol, qTextCol, k)
+      .select(col("qid"), col("doc_id").as("id"), col("rank"))
+    val wv = Window.partitionBy(col("qid"))
+      .orderBy(col("distance").asc, col("id").asc)
+    val vec = Exhaustive.knnJoin(qVecs, qvIdCol, qVecCol,
+        corpus, cIdCol, cVecCol, k)
+      .withColumn("rank", row_number().over(wv))
+      .select(col("qid"), col("id"), col("rank"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("id").asc)
+    rrfFuse(lex, vec, k0).withColumn("rank", row_number().over(w))
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Exhaustive, Retrieval}
+
+/** Gates for lexical retrieval (BM25 over posting joins), reciprocal-
+  * rank fusion, hybrid lexical+vector search, and exact radius search. */
+class RetrievalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("bm25 ranks rare-term matches above common-term matches") {
+    // 'zebra' appears in one doc, 'the' in all four: a query holding
+    // both must rank the zebra doc first (idf dominates), and a doc
+    // sharing no term must not appear at all
+    val docs = Seq(
+      (0L, "the zebra grazes"),
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat"),
+      (3L, "entirely disjoint words here")).toDF("doc_id", "text")
+    val qs = Seq((0L, "the zebra")).toDF("qid", "qtext")
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text", qs, "qid", "qtext",
+        k = 10)
+      .orderBy(col("rank")).collect()
+    assert(got.map(_.getAs[Long]("doc_id")).head == 0L)
+    // doc 3 shares no query term → absent; docs 1 and 2 match 'the'
+    assert(!got.map(_.getAs[Long]("doc_id")).contains(3L))
+    assert(got.length == 3)
+    // scores strictly ordered and positive idf path sane
+    val scores = got.map(_.getAs[Long]("score_q"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("bm25 length normalization: same tf, shorter doc scores higher") {
+    val docs = Seq(
+      (0L, "apple pie"),
+      (1L, "apple pie with a very long tail of extra filler words")
+    ).toDF("doc_id", "text")
+    val qs = Seq((0L, "apple")).toDF("qid", "qtext")
+    val byDoc = Retrieval.bm25(docs, "doc_id", "text", qs, "qid", "qtext")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_q"))
+      .toMap
+    assert(byDoc(0L) > byDoc(1L), s"length norm inverted: $byDoc")
+  }
+
+  test("bm25 query terms are distinct and scores are symmetric in term order") {
+    val docs = Seq((0L, "alpha beta"), (1L, "beta gamma")).toDF("doc_id", "text")
+    val q1 = Seq((0L, "alpha beta")).toDF("qid", "qtext")
+    val q2 = Seq((0L, "beta alpha beta")).toDF("qid", "qtext")
+    def m(q: org.apache.spark.sql.DataFrame) =
+      Retrieval.bm25(docs, "doc_id", "text", q, "qid", "qtext")
+        .collect().map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[Long]("n_hit"), r.getAs[Long]("score_q"))).toSet
+    assert(m(q1) == m(q2))
+  }
+
+  test("rrfFuse: overlap beats single-list rank-1; absent side contributes 0") {
+    val a = Seq((0L, 10L, 1L), (0L, 11L, 2L)).toDF("qid", "id", "rank")
+    val b = Seq((0L, 11L, 1L), (0L, 12L, 2L)).toDF("qid", "id", "rank")
+    val got = Retrieval.rrfFuse(a, b).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("rrf")).toMap
+    assert(got.keySet == Set(10L, 11L, 12L))
+    assert(got(10L) == 1.0 / 61.0)
+    assert(got(12L) == 1.0 / 62.0)
+    assert(got(11L) == 1.0 / 62.0 + 1.0 / 61.0)
+    assert(got(11L) > got(10L) && got(10L) > got(12L))
+  }
+
+  test("hybridSearch fuses the two rankers over real tables") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val qs = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("qid"), col("text").as("qtext"))
+    val qv = emb.filter(col("vec_id") < 3)
+    val got = Retrieval.hybridSearch(docs, "doc_id", "text",
+      emb, "vec_id", "embedding", qs, "qid", "qtext",
+      qv, "vec_id", "embedding", k = 10)
+    val rows = got.collect()
+    // 3 queries, each ≤ 20 fused candidates, ranks contiguous from 1
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.foreach { case (_, rs) =>
+      assert(rs.length >= 10 && rs.length <= 20)
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length))
+    }
+    // the vector rank-1 for qid=q is q itself (self distance 0); its
+    // fused score therefore ≥ 1/61 and it must sit in the fused list
+    assert(rows.count(r => r.getAs[Long]("qid") == r.getAs[Long]("id")) == 3)
+  }
+
+  test("rangeSearch equals the distance-filtered exhaustive join, radius inclusive") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 5)
+    // pick the radius as some query's true 10-NN distance so the
+    // boundary row itself is exercised (inclusive contract)
+    val full = Exhaustive.knnJoin(qs, "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 10)
+    val radius = full.agg(max("distance")).head().getDouble(0)
+    val got = Exhaustive.rangeSearch(qs, "vec_id", "embedding",
+        emb, "vec_id", "embedding", radius)
+      .select("qid", "id", "distance").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val emb2 = emb.select(col("vec_id").as("id"), col("embedding").as("cvec"))
+    val want = qs.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .crossJoin(emb2)
+      .select(col("qid"), col("id"),
+        Exhaustive.distance("sqdist")(col("cvec"), col("qvec")).as("distance"))
+      .filter(col("distance") <= radius)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want)
+    // boundary row present: at least one pair sits exactly at radius
+    assert(got.exists(_._3 == radius))
+    // self-pairs at distance 0 all present
+    assert((0L until 5L).forall(q => got.contains((q, q, 0.0))))
+  }
+}
