@@ -3200,6 +3200,21 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // BM25 index lifecycle: build → save → load → serve. The loaded
+    // index answers the same 5 queries from its persisted posting /
+    // df / dl / stats frames — raw text never re-tokenizes at serving
+    // time; oracle = the bm25_topk SQL verbatim.
+    "bm25_persist" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      val tmp = java.nio.file.Files.createTempDirectory("bm25_persist")
+        .toString
+      Retrieval.buildIndex(docs, "doc_id", "text").save(tmp)
+      Retrieval.loadIndex(s, tmp).searchTopK(qs, "qid", "qtext", k = 10)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Hybrid lexical+vector search: BM25 top-10 fused (reciprocal-rank,
     // k0=60) with exact-kNN top-10 for 3 queries that carry both faces.
     // rrf = two IEEE divisions + one add per fused row — deterministic;
@@ -6374,6 +6389,16 @@ object SparkEntry {
          |ORDER BY rank""".stripMargin,
 
     "bm25_topk" ->
+      s"""${bm25AggCtes(5)}
+         |SELECT qid, doc_id, score_q,
+         |  CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY score_q DESC, doc_id) AS INTEGER) AS rank
+         |FROM bagg
+         |QUALIFY rank <= 10
+         |ORDER BY qid, rank""".stripMargin,
+
+    // the loaded index serves the identical ranking — same SQL
+    "bm25_persist" ->
       s"""${bm25AggCtes(5)}
          |SELECT qid, doc_id, score_q,
          |  CAST(row_number() OVER (PARTITION BY qid

@@ -23,77 +23,135 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
-  /** BM25 relevance of every (query, document) pair sharing ≥ 1 term.
-    *
-    * score(q, d) = Σ_{t ∈ q ∩ d} idf(t) · tf·(k1+1) / (tf + k1·(1 − b
-    * + b·dl/avgdl)), with rational idf (see object doc) and DISTINCT
-    * query terms (the common qtf-free simplification; a repeated query
-    * term scores once).
-    *
-    * Plan shape (the 100 TB discipline): documents tokenize ONCE into
-    * a (doc, term, tf) posting table (persisted — it feeds df, dl and
-    * the probe join); df shuffles distinct terms, dl distinct docs;
-    * the query⋈posting join is term-keyed (AQE broadcasts the query
-    * term list when small — the serving case), so candidate volume is
-    * Σ_t df(t) over query terms, never |docs| × |queries|. N and
-    * avgdl ride in as a broadcast 1-row frame, not driver math inside
-    * the plan.
-    *
-    * Output: (qid, doc_id, n_hit, score_q) — one row per candidate
-    * pair, n_hit = matched term count, score_q the 1e-9-quantized
-    * BIGINT sum (order-free, oracle-exact). Unordered; callers rank
-    * ([[bm25TopK]]). */
-  def bm25(docs: DataFrame, idCol: String, textCol: String,
-           queries: DataFrame, qIdCol: String, qTextCol: String,
-           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val tf = docs
-      .select(col(idCol).cast("long").as("doc_id"),
+  /** A built (or loaded) BM25 posting index: the four serving frames —
+    * postings (doc_id, term, tf), docFreq (term, df), docLen (doc_id,
+    * dl), stats (one row: n_docs, avgdl) — plus the scoring params.
+    * Build once, serve many: at corpus scale the tokenize + three
+    * aggregations run a single time, and every query batch afterwards
+    * probes the posting table (term-keyed equi-join, query side
+    * broadcast) without touching raw text. Mirrors the reference's
+    * build/search/save/load lifecycle (base.rs:31-58) on the lexical
+    * tier. */
+  final case class Bm25Index(postings: DataFrame, docFreq: DataFrame,
+                             docLen: DataFrame, stats: DataFrame,
+                             k1: Double, b: Double) {
+
+    /** BM25 relevance of every (query, document) pair sharing ≥ 1
+      * term — DISTINCT query terms (the common qtf-free
+      * simplification; a repeated query term scores once). Candidate
+      * volume is Σ_t df(t) over query terms, never |docs|×|queries|.
+      * Output (qid, doc_id, n_hit, score_q): n_hit = matched term
+      * count, score_q the 1e-9-quantized BIGINT sum (order-free,
+      * oracle-exact). Unordered; [[searchTopK]] ranks. */
+    def searchMany(queries: DataFrame, qIdCol: String,
+                   qTextCol: String): DataFrame = {
+      val qt = queries
+        .select(col(qIdCol).cast("long").as("qid"),
+          explode(TextOps.tokens(col(qTextCol))).as("term"))
+        .distinct()
+      val tfD = col("tf").cast("double")
+      val idf = (col("n_docs").cast("double") - col("df").cast("double")
+          + lit(0.5d)) / (col("df").cast("double") + lit(0.5d))
+      val dlNorm = lit(k1) * (lit(1.0d - b) +
+        lit(b) * (col("dl").cast("double") / col("avgdl")))
+      val s = idf * ((tfD * lit(k1 + 1.0d)) / (tfD + dlNorm))
+      qt.join(postings, Seq("term"))
+        .join(docFreq, Seq("term"))
+        .join(docLen, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .select(col("qid"), col("doc_id"),
+          floor(s * lit(1000000000.0d) + lit(0.5d)).cast("long").as("s_q"))
+        .groupBy("qid", "doc_id")
+        .agg(count(lit(1)).as("n_hit"), sum("s_q").as("score_q"))
+    }
+
+    /** Top-`k` documents per query, rank 1 = best; ties break by
+      * doc_id ascending (deterministic). Output (qid, doc_id,
+      * score_q, rank) — the window is query-partitioned over
+      * candidate pairs (Σ df over query terms), never the corpus;
+      * Spark plans a partial WindowGroupLimit, so the rank-k cut
+      * happens map-side before the qid exchange (PlanSpec-gated). */
+    def searchTopK(queries: DataFrame, qIdCol: String, qTextCol: String,
+                   k: Int): DataFrame = {
+      require(k >= 1, s"k=$k must be >= 1")
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("score_q").desc, col("doc_id").asc)
+      searchMany(queries, qIdCol, qTextCol)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("doc_id"), col("score_q"), col("rank"))
+    }
+
+    /** Persist the four serving frames (parquet) + params sidecar.
+      * stats rides as a 1-row parquet so avgdl round-trips its exact
+      * double bits — no decimal re-parse in the serving arithmetic. */
+    def save(dir: String): Unit = {
+      val spark = postings.sparkSession
+      postings.write.mode("overwrite").parquet(s"$dir/postings")
+      docFreq.write.mode("overwrite").parquet(s"$dir/df")
+      docLen.write.mode("overwrite").parquet(s"$dir/dl")
+      stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+      graft.index.ParamsIO.write(spark, dir, s"""{"k1":$k1,"b":$b}""")
+    }
+  }
+
+  /** The (doc_id, term, tf) posting table of a document frame — the
+    * one corpus tokenize every other BM25 frame derives from (also the
+    * per-batch partial of [[graft.streaming.Streaming]]'s posting
+    * ingest twin). */
+  def postingsOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
         explode(TextOps.tokens(col(textCol))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .persist()
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    // one broadcast row: corpus size + average doc length (in tokens,
-    // over docs with ≥1 token — empty docs have no postings to score)
+
+  /** Assemble the serving index from a standing posting frame: df and
+    * dl are ≤vocab / ≤corpus-count re-aggregations of the postings;
+    * n_docs/avgdl ride as a broadcast 1-row frame, not driver math
+    * inside the plan (empty docs have no postings — they can never be
+    * candidates, so dl/stats skip them). This is how a streamed-in
+    * posting state becomes searchable. */
+  def indexOfPostings(postings: DataFrame,
+                      k1: Double = 1.2, b: Double = 0.75): Bm25Index = {
+    val df = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = postings.groupBy("doc_id").agg(sum("tf").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot"))
       .select(col("n_docs"),
         (col("tot").cast("double") / col("n_docs").cast("double"))
           .as("avgdl"))
-    val qt = queries
-      .select(col(qIdCol).cast("long").as("qid"),
-        explode(TextOps.tokens(col(qTextCol))).as("term"))
-      .distinct()
-    val tfD = col("tf").cast("double")
-    val idf = (col("n_docs").cast("double") - col("df").cast("double")
-        + lit(0.5d)) / (col("df").cast("double") + lit(0.5d))
-    val dlNorm = lit(k1) * (lit(1.0d - b) +
-      lit(b) * (col("dl").cast("double") / col("avgdl")))
-    val s = idf * ((tfD * lit(k1 + 1.0d)) / (tfD + dlNorm))
-    qt.join(tf, Seq("term"))
-      .join(df, Seq("term"))
-      .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
-      .select(col("qid"), col("doc_id"),
-        floor(s * lit(1000000000.0d) + lit(0.5d)).cast("long").as("s_q"))
-      .groupBy("qid", "doc_id")
-      .agg(count(lit(1)).as("n_hit"), sum("s_q").as("score_q"))
+    Bm25Index(postings, df, dl, stats, k1, b)
   }
 
-  /** Top-`k` documents per query by BM25, rank 1 = best; ties break by
-    * doc_id ascending (deterministic). Output (qid, doc_id, score_q,
-    * rank) — the window is query-partitioned over candidate pairs
-    * (Σ df over query terms), never the corpus. */
+  /** Build the BM25 posting index: documents tokenize ONCE into the
+    * persisted posting table, which feeds df, dl AND the probe joins. */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+                 k1: Double = 1.2, b: Double = 0.75): Bm25Index =
+    indexOfPostings(postingsOf(docs, idCol, textCol).persist(), k1, b)
+
+  /** Load a [[Bm25Index]] persisted by [[Bm25Index.save]]. */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+                dir: String): Bm25Index = {
+    val json = graft.index.ParamsIO.read(spark, dir)
+    Bm25Index(spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/df"),
+      spark.read.parquet(s"$dir/dl"),
+      spark.read.parquet(s"$dir/stats"),
+      graft.index.ParamsIO.dbl(json, "k1", 1.2),
+      graft.index.ParamsIO.dbl(json, "b", 0.75))
+  }
+
+  /** One-shot convenience: [[buildIndex]] + [[Bm25Index.searchMany]]. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queries: DataFrame, qIdCol: String, qTextCol: String,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    buildIndex(docs, idCol, textCol, k1, b)
+      .searchMany(queries, qIdCol, qTextCol)
+
+  /** One-shot convenience: [[buildIndex]] + [[Bm25Index.searchTopK]]. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queries: DataFrame, qIdCol: String, qTextCol: String,
-               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(k >= 1, s"k=$k must be >= 1")
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("score_q").desc, col("doc_id").asc)
-    bm25(docs, idCol, textCol, queries, qIdCol, qTextCol, k1, b)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("doc_id"), col("score_q"), col("rank"))
-  }
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    buildIndex(docs, idCol, textCol, k1, b)
+      .searchTopK(queries, qIdCol, qTextCol, k)
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of two
     * ranked lists: rrf(q, id) = Σ_lists 1/(k0 + rank), absent-from-a-

@@ -780,6 +780,44 @@ object Streaming {
       .start()
   }
 
+  /** State of [[ingestBm25Postings]]: the standing (doc_id, term, tf)
+    * posting frame — an index-sized frame (like the ANN ingest
+    * states), durable for restarts via the one-frame
+    * [[DedupStateIO.saveSketch]]/`loadSketch` path on `postings`. */
+  case class Bm25IngestState(postings: DataFrame, addsSinceCompact: Int = 0)
+
+  /** Streaming BM25 posting ingest — the lexical tier's build twin:
+    * each microbatch tokenizes into its own (doc_id, term, tf)
+    * partial ([[graft.operators.Retrieval.postingsOf]] — a document
+    * arrives whole in one batch, the ingest twins' doc-level arrival
+    * contract, so partials across batches are disjoint and the merge
+    * is a plain union: stream ≡ batch exactly, StreamingSpec pin).
+    * Raw text never enters the state — 16-byte-ish posting rows do.
+    * Serve any snapshot via
+    * [[graft.operators.Retrieval.indexOfPostings]] (df/dl/stats are
+    * re-aggregations of the postings at serve time, so they are
+    * always consistent with the standing state). */
+  def ingestBm25Postings(stream: DataFrame, idCol: String, textCol: String,
+                         state: java.util.concurrent.atomic.AtomicReference[Bm25IngestState])
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // single-writer foreachBatch: see ingestIntoIVF. The partial
+          // materializes inside its batch (streaming sources are only
+          // readable within the batch that delivered them).
+          val part = graft.operators.Retrieval
+            .postingsOf(batch, idCol, textCol).localCheckpoint(true)
+          val st = state.get()
+          val (merged, n) = graft.index.Lineage.compact(
+            st.postings.unionByName(part), st.addsSinceCompact)
+          state.set(Bm25IngestState(merged, n))
+        }
+      }
+      .start()
+  }
+
   /** Priority-sampling twin of [[ingestHll]] — a weighted sample of
     * exactly k rows maintained over an unbounded stream: the whole
     * state is the current top-(k+1) frame by the content-addressed

@@ -491,4 +491,58 @@ class PlanSpec extends SparkSpec {
         "document text in a shuffle:\n" + e.toString.take(600))
     }
   }
+
+  test("range_search: broadcast queries, one corpus scan, zero data shuffle") {
+    val p = plan("range_search")
+    // the radius filter rides the broadcast join condition — the corpus
+    // never shuffles; the only exchanges are the query-side broadcast
+    // and the presentation sort's range partitioning
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(!p.contains("Exchange hashpartitioning"),
+      "corpus-side hash shuffle in range_search:\n" + p.take(1200))
+    assert(!p.contains("Window"), p.take(800))
+  }
+
+  test("bm25: query terms broadcast onto postings; text never shuffles; top-k is group-limited") {
+    val df = SparkEntry.queries("bm25_topk")(spark, sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // candidate generation is a term-keyed broadcast hash join (the
+    // query term list is serving-sized), never a cartesian scan
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // per-query top-k prunes BEFORE the qid exchange (WindowGroupLimit
+    // Partial = a map-side rank-10 cut per partition)
+    assert("WindowGroupLimit.*Partial".r.findFirstIn(p).isDefined,
+      "no partial group-limit before the window exchange:\n" + p.take(1500))
+    flatten(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.contains("text") && !names.contains("qtext"),
+        "document text in a bm25 shuffle:\n" + e.toString.take(600))
+    }
+  }
+
+  test("dsir: ratio table broadcasts; corpus grams tokenize once and never re-shuffle text") {
+    val df = SparkEntry.queries("dsir_weights")(spark, sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the m-row quantized log-ratio table must ride a broadcast onto the
+    // posting frame — a shuffle join here would repartition the corpus
+    // postings by bucket for a 256-row table
+    assert("BroadcastHashJoin \\[bucket".r.findFirstIn(p).isDefined, p.take(1500))
+    // the per-doc weight aggregation is map-side partial
+    assert(p.contains("partial_sum"), p.take(1200))
+    // the raw corpus model re-aggregates the CACHED posting frame (one
+    // tokenize pass over the corpus, not two)
+    assert(p.contains("InMemoryRelation"), p.take(1200))
+    flatten(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.contains("text"),
+        "document text in a dsir shuffle:\n" + e.toString.take(600))
+    }
+  }
 }

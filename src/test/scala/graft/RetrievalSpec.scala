@@ -55,6 +55,27 @@ class RetrievalSpec extends SparkSpec {
     assert(m(q1) == m(q2))
   }
 
+  test("bm25 index save/load round-trip serves the identical ranking") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val qs = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("qid"), col("text").as("qtext"))
+    val built = graft.operators.Retrieval.buildIndex(docs, "doc_id", "text")
+    val want = built.searchTopK(qs, "qid", "qtext", k = 10)
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    built.save(dir)
+    built.postings.unpersist()
+    val re = graft.operators.Retrieval.loadIndex(spark, dir)
+    val got = re.searchTopK(qs, "qid", "qtext", k = 10)
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    assert(got == want)
+    assert(re.k1 == 1.2 && re.b == 0.75)
+    // stats frame round-trips exact double bits (no decimal re-parse)
+    val a = built.stats.head(); val b2 = re.stats.head()
+    assert(java.lang.Double.doubleToLongBits(a.getAs[Double]("avgdl")) ==
+      java.lang.Double.doubleToLongBits(b2.getAs[Double]("avgdl")))
+  }
+
   test("rrfFuse: overlap beats single-list rank-1; absent side contributes 0") {
     val a = Seq((0L, 10L, 1L), (0L, 11L, 2L)).toDF("qid", "id", "rank")
     val b = Seq((0L, 11L, 1L), (0L, 12L, 2L)).toDF("qid", "id", "rank")

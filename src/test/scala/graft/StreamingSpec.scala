@@ -1350,4 +1350,46 @@ class StreamingSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().toSet
     assert(streamed == batch)
   }
+
+  test("streaming BM25 posting ingest == batch index across a restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Retrieval
+    import graft.streaming.Streaming.{Bm25IngestState, DedupStateIO}
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text")
+    val rows = docs.as[(Long, String)].collect().sortBy(_._1).toSeq
+    val (pre, post) = rows.splitAt(rows.length / 2)
+    val qs = docs.filter($"doc_id" < 3)
+      .select($"doc_id".as("qid"), $"text".as("qtext"))
+    val empty = Retrieval.postingsOf(docs.filter(lit(false)), "doc_id", "text")
+    // phase 1: ingest the first half in 3 microbatches, persist state
+    val st1 = new java.util.concurrent.atomic.AtomicReference(
+      Bm25IngestState(empty))
+    val mem1 = MemoryStream[(Long, String)]
+    val q1 = Streaming.ingestBm25Postings(
+      mem1.toDF().toDF("doc_id", "text"), "doc_id", "text", st1)
+    pre.grouped(100).foreach { b => mem1.addData(b); q1.processAllAvailable() }
+    q1.stop()
+    val dir = java.nio.file.Files.createTempDirectory("bm25state").toString
+    DedupStateIO.saveSketch(st1.get().postings, dir)
+    // phase 2: RESTART from the persisted posting frame, finish the corpus
+    val st2 = new java.util.concurrent.atomic.AtomicReference(
+      Bm25IngestState(DedupStateIO.loadSketch(spark, dir)))
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = Streaming.ingestBm25Postings(
+      mem2.toDF().toDF("doc_id", "text"), "doc_id", "text", st2)
+    post.grouped(100).foreach { b => mem2.addData(b); q2.processAllAvailable() }
+    q2.stop()
+    // the streamed-in index serves the EXACT batch ranking (scores and
+    // ranks both) — stream ≡ batch including the df/dl/avgdl statistics
+    val got = Retrieval.indexOfPostings(st2.get().postings)
+      .searchTopK(qs, "qid", "qtext", k = 10)
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    val want = Retrieval.buildIndex(docs, "doc_id", "text")
+      .searchTopK(qs, "qid", "qtext", k = 10)
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    assert(got == want)
+    assert(st2.get().postings.count() ==
+      Retrieval.postingsOf(docs, "doc_id", "text").count())
+  }
 }
