@@ -3200,6 +3200,19 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // BM25 with df-cap stopword pruning (maxDf=390 keeps ~20 of this
+    // table's 31 terms): the candidate-volume lever at corpus scale —
+    // capped terms never expand into postings. The capped ranking is
+    // its own oracle contract (a capped term contributes 0).
+    "bm25_dfcap" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      Retrieval.buildIndex(docs, "doc_id", "text")
+        .searchTopK(qs, "qid", "qtext", k = 10, maxDf = Some(390L))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // BM25 index lifecycle: build → save → load → serve. The loaded
     // index answers the same 5 queries from its persisted posting /
     // df / dl / stats frames — raw text never re-tokenizes at serving
@@ -3824,12 +3837,14 @@ object SparkEntry {
     * posting tables, rational RSJ idf, Spark's exact double operand
     * order (k1=1.2, b=0.75 → literals 2.2 / 1.2 / 0.25 / 0.75), score
     * quantized to 1e-9 BIGINT before the order-free per-pair sum.
+    * `dfWhere` narrows the term universe for the dfcap lane.
     * Ends in bagg(qid, doc_id, n_hit, score_q). */
-  private def bm25AggCtes(nq: Int): String =
+  private def bm25AggCtes(nq: Int, dfWhere: String = ""): String =
     s"""WITH btok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
        |btf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
        |  FROM btok GROUP BY 1, 2),
-       |bdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM btf GROUP BY 1),
+       |bdf AS (SELECT term, df FROM (SELECT term,
+       |  CAST(count(*) AS BIGINT) AS df FROM btf GROUP BY 1) $dfWhere),
        |bdl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM btf GROUP BY 1),
        |bst AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM bdl),
@@ -6390,6 +6405,15 @@ object SparkEntry {
 
     "bm25_topk" ->
       s"""${bm25AggCtes(5)}
+         |SELECT qid, doc_id, score_q,
+         |  CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY score_q DESC, doc_id) AS INTEGER) AS rank
+         |FROM bagg
+         |QUALIFY rank <= 10
+         |ORDER BY qid, rank""".stripMargin,
+
+    "bm25_dfcap" ->
+      s"""${bm25AggCtes(5, "WHERE df <= 390")}
          |SELECT qid, doc_id, score_q,
          |  CAST(row_number() OVER (PARTITION BY qid
          |    ORDER BY score_q DESC, doc_id) AS INTEGER) AS rank

@@ -83,6 +83,50 @@ class DsirSpec extends SparkSpec {
     assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("weights == brute-force reference on a seeded random corpus") {
+    // straight-line Scala mirror of the whole pipeline: md5-hash60
+    // bucket of every unigram+bigram, add-one smoothed models, ln
+    // quantized at 1e-6, integer dot product — pins hashing, bigram
+    // formation, smoothing of ABSENT buckets, and the operand order
+    val r = new scala.util.Random(0xD51AL)
+    val vocab = Vector("x", "y", "z", "w", "q", "k")
+    def randDoc() = Seq.fill(r.nextInt(8))(vocab(r.nextInt(vocab.size)))
+    val m = 64
+    val rawToks = (0 until 40).map(i => i.toLong -> randDoc()).toMap
+    val tgtToks = (0 until 8).map(i => i.toLong -> randDoc()).toMap
+    val rawDf = rawToks.toSeq.sortBy(_._1)
+      .map { case (i, t) => (i, t.mkString(" ")) }.toDF("doc_id", "text")
+    val tgtDf = tgtToks.toSeq.sortBy(_._1)
+      .map { case (_, t) => Tuple1(t.mkString(" ")) }.toDF("text")
+    val got = Dsir.weights(rawDf, "doc_id", "text", tgtDf, "text", m)
+      .collect().map(row => row.getAs[Long]("doc_id") ->
+        (row.getAs[Long]("n_grams"), row.getAs[Long]("weight_q"))).toMap
+    // brute force
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(g: String): Int = {
+      val hex = md.digest(g.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) & (m - 1)).toInt
+    }
+    def grams(ts: Seq[String]): Seq[String] =
+      ts ++ ts.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    def totals(c: Iterable[Seq[String]]): Map[Int, Long] =
+      c.toSeq.flatMap(grams).map(bucket)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ct = totals(tgtToks.values); val cr = totals(rawToks.values)
+    val st = ct.values.sum.toDouble; val sr = cr.values.sum.toDouble
+    val lrq: Map[Int, Long] = (0 until m).map { bkt =>
+      val pt = (ct.getOrElse(bkt, 0L).toDouble + 1.0) / (st + m.toDouble)
+      val pr = (cr.getOrElse(bkt, 0L).toDouble + 1.0) / (sr + m.toDouble)
+      bkt -> math.floor(math.log(pt / pr) * 1000000.0 + 0.5).toLong
+    }.toMap
+    val want = rawToks.map { case (d, ts) =>
+      val bs = grams(ts).map(bucket)
+      d -> (bs.size.toLong, bs.map(lrq).sum)
+    }
+    assert(got == want)
+  }
+
   test("weights run on the real documents table: en target lifts en docs") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val tgt = docs.filter(col("lang") === "en").select("text")

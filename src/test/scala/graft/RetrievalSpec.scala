@@ -110,6 +110,70 @@ class RetrievalSpec extends SparkSpec {
     assert(rows.count(r => r.getAs[Long]("qid") == r.getAs[Long]("id")) == 3)
   }
 
+  test("maxDf stopword pruning: capped terms vanish from scoring and candidates") {
+    // 'the' is in all 4 docs (df=4); with maxDf=3 it must contribute
+    // nothing — doc 3, which matches ONLY 'the', drops out of the
+    // candidate set entirely (the scale win), and the zebra doc's
+    // score equals a query without 'the'
+    val docs = Seq(
+      (0L, "the zebra grazes"),
+      (1L, "the cat sat"),
+      (2L, "the dog sat"),
+      (3L, "the")).toDF("doc_id", "text")
+    val idx = Retrieval.buildIndex(docs, "doc_id", "text")
+    val qBoth = Seq((0L, "the zebra")).toDF("qid", "qtext")
+    val qZebra = Seq((0L, "zebra")).toDF("qid", "qtext")
+    val capped = idx.searchMany(qBoth, "qid", "qtext", maxDf = Some(3L))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_hit"), r.getAs[Long]("score_q"))).toMap
+    val noStop = idx.searchMany(qZebra, "qid", "qtext")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_hit"), r.getAs[Long]("score_q"))).toMap
+    assert(capped == noStop) // only the zebra doc, scored identically
+    assert(capped.keySet == Set(0L))
+  }
+
+  test("bm25 == brute-force reference on a seeded random corpus") {
+    // one random corpus + query batch, scored start-to-finish by a
+    // straight-line Scala mirror (tf/df/dl maps, rational idf, the
+    // exact double operand order, 1e-9 floor-quantization) — pins the
+    // whole posting-join pipeline against the definition, including
+    // ties, repeated query terms, and docs sharing no terms
+    val r = new scala.util.Random(0xB2501L)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    def randDoc() = Seq.fill(1 + r.nextInt(12))(vocab(r.nextInt(vocab.size)))
+    val docToks = (0 until 60).map(i => i.toLong -> randDoc()).toMap
+    val qToks = (0 until 8).map(i => i.toLong -> randDoc()).toMap
+    val docs = docToks.toSeq.sortBy(_._1)
+      .map { case (i, t) => (i, t.mkString(" ")) }.toDF("doc_id", "text")
+    val qs = qToks.toSeq.sortBy(_._1)
+      .map { case (i, t) => (i, t.mkString(" ")) }.toDF("qid", "qtext")
+    val got = Retrieval.bm25(docs, "doc_id", "text", qs, "qid", "qtext")
+      .collect().map(row => (row.getAs[Long]("qid"), row.getAs[Long]("doc_id"))
+        -> (row.getAs[Long]("n_hit"), row.getAs[Long]("score_q"))).toMap
+    // brute force
+    val tf: Map[(Long, String), Long] = docToks.toSeq
+      .flatMap { case (d, ts) => ts.map(t => (d, t)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val df: Map[String, Long] = tf.keys.toSeq.map(_._2)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val dl: Map[Long, Long] = docToks.view.mapValues(_.size.toLong).toMap
+    val nDocs = dl.count(_._2 > 0).toLong
+    val avgdl = dl.values.sum.toDouble / nDocs.toDouble
+    val want = (for {
+      (q, ts) <- qToks.toSeq; t <- ts.distinct
+      d <- docToks.keys if tf.contains((d, t))
+    } yield {
+      val tfd = tf((d, t)).toDouble
+      val idf = (nDocs.toDouble - df(t).toDouble + 0.5) / (df(t).toDouble + 0.5)
+      val s = idf * ((tfd * 2.2) /
+        (tfd + 1.2 * (0.25 + 0.75 * (dl(d).toDouble / avgdl))))
+      ((q, d), math.floor(s * 1000000000.0 + 0.5).toLong)
+    }).groupBy(_._1).view
+      .mapValues(v => (v.size.toLong, v.map(_._2).sum)).toMap
+    assert(got == want)
+  }
+
   test("rangeSearch equals the distance-filtered exhaustive join, radius inclusive") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val qs = emb.filter(col("vec_id") < 5)
