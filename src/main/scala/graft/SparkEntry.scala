@@ -3200,6 +3200,19 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // RM3 pseudo-relevance feedback ("find more documents like
+    // these"): seed top-3, pool postings, 5 new expansion terms by
+    // pooled tf, rescore — integer-ranked expansion keeps the
+    // two-pass pipeline oracle-exact.
+    "bm25_rm3" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      Retrieval.buildIndex(docs, "doc_id", "text")
+        .searchExpanded(qs, "qid", "qtext", k = 10, fbDocs = 3, fbTerms = 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // BM25 with df-cap stopword pruning (maxDf=390 keeps ~20 of this
     // table's 31 terms): the candidate-volume lever at corpus scale —
     // capped terms never expand into postings. The capped ranking is
@@ -3851,7 +3864,14 @@ object SparkEntry {
        |bqt AS (SELECT DISTINCT qid, term FROM (
        |  SELECT doc_id AS qid, unnest($toksSql) AS term FROM documents
        |  WHERE doc_id < $nq)),
-       |bsc AS (SELECT q.qid, f.doc_id,
+       |bsc AS (${bm25ScoreSelectSql("bqt")}),
+       |bagg AS (SELECT qid, doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+       |  CAST(sum(s_q) AS BIGINT) AS score_q FROM bsc GROUP BY 1, 2)""".stripMargin
+
+  /** The BM25 per-(query-term, doc) scoring SELECT over a prepared
+    * (qid, term) CTE — shared by the first and (RM3) second passes. */
+  private def bm25ScoreSelectSql(qtCte: String): String =
+    s"""SELECT q.qid, f.doc_id,
        |  CAST(floor(
        |    ((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
        |      / (CAST(d.df AS DOUBLE) + 0.5))
@@ -3859,10 +3879,8 @@ object SparkEntry {
        |      / (CAST(f.tf AS DOUBLE)
        |         + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE) / s.avgdl))))
        |    * 1000000000.0 + 0.5) AS BIGINT) AS s_q
-       |  FROM bqt q JOIN btf f USING(term) JOIN bdf d USING(term)
-       |  JOIN bdl l ON l.doc_id = f.doc_id, bst s),
-       |bagg AS (SELECT qid, doc_id, CAST(count(*) AS BIGINT) AS n_hit,
-       |  CAST(sum(s_q) AS BIGINT) AS score_q FROM bsc GROUP BY 1, 2)""".stripMargin
+       |  FROM $qtCte q JOIN btf f USING(term) JOIN bdf d USING(term)
+       |  JOIN bdl l ON l.doc_id = f.doc_id, bst s""".stripMargin
 
   /** Brute MIPS oracle (−dot top-10) — shared by knn_mips and the
     * norm-augmentation reduction (mips_ivf_exact). */
@@ -6409,6 +6427,34 @@ object SparkEntry {
          |  CAST(row_number() OVER (PARTITION BY qid
          |    ORDER BY score_q DESC, doc_id) AS INTEGER) AS rank
          |FROM bagg
+         |QUALIFY rank <= 10
+         |ORDER BY qid, rank""".stripMargin,
+
+    // RM3 two-pass replay: seed top-3 per query, pool their postings,
+    // top-5 NEW terms by pooled tf (original terms anti-joined out),
+    // rescore the expanded term set with the same BM25 chain
+    "bm25_rm3" ->
+      s"""${bm25AggCtes(5)},
+         |seed AS (SELECT qid, doc_id FROM bagg
+         |  QUALIFY row_number() OVER (PARTITION BY qid
+         |    ORDER BY score_q DESC, doc_id) <= 3),
+         |pooled AS (SELECT s.qid, f.term, CAST(sum(f.tf) AS BIGINT) AS w
+         |  FROM seed s JOIN btf f USING(doc_id) GROUP BY 1, 2),
+         |expn AS (SELECT qid, term FROM (
+         |    SELECT p.qid, p.term, p.w FROM pooled p
+         |    LEFT JOIN bqt q ON q.qid = p.qid AND q.term = p.term
+         |    WHERE q.term IS NULL)
+         |  QUALIFY row_number() OVER (PARTITION BY qid
+         |    ORDER BY w DESC, term) <= 5),
+         |qt2 AS (SELECT qid, term FROM bqt UNION
+         |  SELECT qid, term FROM expn),
+         |bsc2 AS (${bm25ScoreSelectSql("qt2")}),
+         |bagg2 AS (SELECT qid, doc_id,
+         |  CAST(sum(s_q) AS BIGINT) AS score_q FROM bsc2 GROUP BY 1, 2)
+         |SELECT qid, doc_id, score_q,
+         |  CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY score_q DESC, doc_id) AS INTEGER) AS rank
+         |FROM bagg2
          |QUALIFY rank <= 10
          |ORDER BY qid, rank""".stripMargin,
 

@@ -54,11 +54,21 @@ object Retrieval {
       * count, score_q the 1e-9-quantized BIGINT sum (order-free,
       * oracle-exact). Unordered; [[searchTopK]] ranks. */
     def searchMany(queries: DataFrame, qIdCol: String, qTextCol: String,
-                   maxDf: Option[Long] = None): DataFrame = {
-      val qt = queries
+                   maxDf: Option[Long] = None): DataFrame =
+      scoreTermFrame(queryTerms(queries, qIdCol, qTextCol), maxDf)
+
+    /** The distinct (qid, term) frame of a query batch. */
+    private def queryTerms(queries: DataFrame, qIdCol: String,
+                           qTextCol: String): DataFrame =
+      queries
         .select(col(qIdCol).cast("long").as("qid"),
           explode(TextOps.tokens(col(qTextCol))).as("term"))
         .distinct()
+
+    /** BM25-score a prepared (qid, term) frame — the common engine
+      * under [[searchMany]] and [[searchExpanded]]. */
+    private def scoreTermFrame(qt: DataFrame,
+                               maxDf: Option[Long]): DataFrame = {
       val dfKept = maxDf.fold(docFreq)(cap =>
         docFreq.filter(col("df") <= lit(cap)))
       val tfD = col("tf").cast("double")
@@ -91,6 +101,43 @@ object Retrieval {
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("score_q").desc, col("doc_id").asc)
       searchMany(queries, qIdCol, qTextCol, maxDf)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("doc_id"), col("score_q"), col("rank"))
+    }
+
+    /** RM3-style pseudo-relevance feedback ("find more documents like
+      * these", Lavrenko & Croft 2001 / the Indri RM3 variant): seed
+      * BM25 top-`fbDocs` per query, pool those docs' postings, take
+      * the `fbTerms` NEW terms with the highest pooled tf (original
+      * query terms excluded — expansion adds evidence, it never
+      * double-counts; ties by term ascending), then rescore with the
+      * expanded term set and rank top-`k`.
+      *
+      * Everything before the final scoring is integer (pooled tf
+      * ranks), so the whole two-pass pipeline stays oracle-exact. The
+      * second pass costs Σ df over (original + fbTerms) terms — same
+      * candidate shape as the first, one more posting probe, no new
+      * corpus pass. Output (qid, doc_id, score_q, rank). */
+    def searchExpanded(queries: DataFrame, qIdCol: String, qTextCol: String,
+                       k: Int, fbDocs: Int = 3, fbTerms: Int = 5,
+                       maxDf: Option[Long] = None): DataFrame = {
+      require(k >= 1 && fbDocs >= 1 && fbTerms >= 0,
+        s"k=$k fbDocs=$fbDocs fbTerms=$fbTerms out of range")
+      val qt = queryTerms(queries, qIdCol, qTextCol)
+      val seed = searchTopK(queries, qIdCol, qTextCol, fbDocs, maxDf)
+        .select(col("qid"), col("doc_id"))
+      val pooled = seed.join(postings, Seq("doc_id"))
+        .groupBy(col("qid"), col("term")).agg(sum("tf").as("w"))
+      val wExp = Window.partitionBy(col("qid"))
+        .orderBy(col("w").desc, col("term").asc)
+      val expansion = pooled.join(qt, Seq("qid", "term"), "left_anti")
+        .withColumn("rk", row_number().over(wExp))
+        .filter(col("rk") <= fbTerms)
+        .select(col("qid"), col("term"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("score_q").desc, col("doc_id").asc)
+      scoreTermFrame(qt.unionByName(expansion), maxDf)
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
         .select(col("qid"), col("doc_id"), col("score_q"), col("rank"))

@@ -133,6 +133,33 @@ class RetrievalSpec extends SparkSpec {
     assert(capped.keySet == Set(0L))
   }
 
+  test("RM3 expansion surfaces docs sharing NO original query term") {
+    // query 'alpha' seeds doc 0; doc 0 also contains 'beta'; doc 1 is
+    // pure 'beta' — invisible to the original query, reachable only
+    // through expansion. fbTerms=0 must reproduce plain BM25 exactly.
+    val docs = Seq(
+      (0L, "alpha beta beta"),
+      (1L, "beta beta gamma"),
+      (2L, "delta epsilon zeta")).toDF("doc_id", "text")
+    val qs = Seq((0L, "alpha")).toDF("qid", "qtext")
+    val idx = Retrieval.buildIndex(docs, "doc_id", "text")
+    val plain = idx.searchTopK(qs, "qid", "qtext", k = 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(plain == Set(0L)) // only the seed doc matches 'alpha'
+    val expanded = idx.searchExpanded(qs, "qid", "qtext", k = 10,
+        fbDocs = 1, fbTerms = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("rank"))
+      .toMap
+    // expansion pooled doc 0's terms (beta tf=2, alpha excluded as an
+    // original term) → doc 1 now scores via 'beta'
+    assert(expanded.keySet == Set(0L, 1L), expanded.toString)
+    val noExp = idx.searchExpanded(qs, "qid", "qtext", k = 10,
+      fbDocs = 1, fbTerms = 0)
+    val plainFull = idx.searchTopK(qs, "qid", "qtext", k = 10)
+    assert(noExp.collect().map(_.toSeq).toSeq ==
+      plainFull.collect().map(_.toSeq).toSeq)
+  }
+
   test("bm25 == brute-force reference on a seeded random corpus") {
     // one random corpus + query batch, scored start-to-finish by a
     // straight-line Scala mirror (tf/df/dl maps, rational idf, the
