@@ -3226,6 +3226,33 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Incremental add: index the first half, add the second half —
+    // the merged index must serve the full-corpus ranking (idf and
+    // avgdl re-derive from the widened postings), so the oracle is
+    // the plain bm25_topk SQL.
+    "bm25_add" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      Retrieval.buildIndex(docs.filter(col("doc_id") < 250), "doc_id", "text")
+        .add(docs.filter(col("doc_id") >= 250), "doc_id", "text")
+        .searchTopK(qs, "qid", "qtext", k = 10)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Remove: df/dl/avgdl must re-derive — a removed doc stops
+    // influencing every OTHER doc's score too; oracle = the bm25
+    // chain over the shrunken corpus.
+    "bm25_remove" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      Retrieval.buildIndex(docs, "doc_id", "text")
+        .remove(docs.filter(col("doc_id") >= 250).select("doc_id"), "doc_id")
+        .searchTopK(qs, "qid", "qtext", k = 10)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // BM25 index lifecycle: build → save → load → serve. The loaded
     // index answers the same 5 queries from its persisted posting /
     // df / dl / stats frames — raw text never re-tokenizes at serving
@@ -3850,10 +3877,14 @@ object SparkEntry {
     * posting tables, rational RSJ idf, Spark's exact double operand
     * order (k1=1.2, b=0.75 → literals 2.2 / 1.2 / 0.25 / 0.75), score
     * quantized to 1e-9 BIGINT before the order-free per-pair sum.
-    * `dfWhere` narrows the term universe for the dfcap lane.
+    * `dfWhere` narrows the term universe for the dfcap lane;
+    * `corpusWhere` narrows the indexed corpus for the remove lane
+    * (queries always come from the full table).
     * Ends in bagg(qid, doc_id, n_hit, score_q). */
-  private def bm25AggCtes(nq: Int, dfWhere: String = ""): String =
-    s"""WITH btok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+  private def bm25AggCtes(nq: Int, dfWhere: String = "",
+                          corpusWhere: String = ""): String =
+    s"""WITH btok AS (SELECT doc_id, unnest($toksSql) AS term
+       |  FROM documents $corpusWhere),
        |btf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
        |  FROM btok GROUP BY 1, 2),
        |bdf AS (SELECT term, df FROM (SELECT term,
@@ -6460,6 +6491,25 @@ object SparkEntry {
 
     "bm25_dfcap" ->
       s"""${bm25AggCtes(5, "WHERE df <= 390")}
+         |SELECT qid, doc_id, score_q,
+         |  CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY score_q DESC, doc_id) AS INTEGER) AS rank
+         |FROM bagg
+         |QUALIFY rank <= 10
+         |ORDER BY qid, rank""".stripMargin,
+
+    // incremental add == scratch build on the union: same SQL
+    "bm25_add" ->
+      s"""${bm25AggCtes(5)}
+         |SELECT qid, doc_id, score_q,
+         |  CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY score_q DESC, doc_id) AS INTEGER) AS rank
+         |FROM bagg
+         |QUALIFY rank <= 10
+         |ORDER BY qid, rank""".stripMargin,
+
+    "bm25_remove" ->
+      s"""${bm25AggCtes(5, corpusWhere = "WHERE doc_id < 250")}
          |SELECT qid, doc_id, score_q,
          |  CAST(row_number() OVER (PARTITION BY qid
          |    ORDER BY score_q DESC, doc_id) AS INTEGER) AS rank

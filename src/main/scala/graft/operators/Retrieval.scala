@@ -143,6 +143,29 @@ object Retrieval {
         .select(col("qid"), col("doc_id"), col("score_q"), col("rank"))
     }
 
+    /** Incremental add: tokenize only the NEW documents (caller
+      * contract: ids not already indexed — the ingest twins'
+      * doc-level arrival rule) and re-derive df/dl/stats from the
+      * widened posting frame; the existing corpus never re-tokenizes.
+      * Same result as building from scratch on the union
+      * (RetrievalSpec pin, bm25_add lane). */
+    def add(docs: DataFrame, idCol: String, textCol: String): Bm25Index =
+      indexOfPostings(
+        postings.unionByName(postingsOf(docs, idCol, textCol)), k1, b)
+
+    /** Remove documents by id: an anti-join on the posting frame —
+      * df/dl/stats re-derive, so removed docs stop influencing idf
+      * and avgdl too (the part naive "filter results" forgets). */
+    def remove(ids: DataFrame, idCol: String): Bm25Index =
+      indexOfPostings(postings.join(
+        ids.select(col(idCol).cast("long").as("doc_id")),
+        Seq("doc_id"), "left_anti"), k1, b)
+
+    /** Merge two indexes over DISJOINT doc-id sets (the shard-build
+      * shape: tokenize shards independently, union postings once). */
+    def merge(other: Bm25Index): Bm25Index =
+      indexOfPostings(postings.unionByName(other.postings), k1, b)
+
     /** Persist the four serving frames (parquet) + params sidecar.
       * stats rides as a 1-row parquet so avgdl round-trips its exact
       * double bits — no decimal re-parse in the serving arithmetic. */

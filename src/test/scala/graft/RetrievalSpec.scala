@@ -133,6 +133,29 @@ class RetrievalSpec extends SparkSpec {
     assert(capped.keySet == Set(0L))
   }
 
+  test("add/remove/merge re-derive the statistics: lifecycle == scratch build") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val qs = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("qid"), col("text").as("qtext"))
+    val lo = docs.filter(col("doc_id") < 250)
+    val hi = docs.filter(col("doc_id") >= 250)
+    def rank(idx: graft.operators.Retrieval.Bm25Index) =
+      idx.searchTopK(qs, "qid", "qtext", k = 10)
+        .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    val full = rank(graft.operators.Retrieval.buildIndex(docs, "doc_id", "text"))
+    val loOnly = rank(graft.operators.Retrieval.buildIndex(lo, "doc_id", "text"))
+    // add == scratch build on the union
+    assert(rank(graft.operators.Retrieval.buildIndex(lo, "doc_id", "text")
+      .add(hi, "doc_id", "text")) == full)
+    // merge of two shard builds == scratch build
+    assert(rank(graft.operators.Retrieval.buildIndex(lo, "doc_id", "text")
+      .merge(graft.operators.Retrieval.buildIndex(hi, "doc_id", "text"))) == full)
+    // remove == scratch build on the remainder (avgdl/idf shrink too)
+    assert(rank(graft.operators.Retrieval.buildIndex(docs, "doc_id", "text")
+      .remove(hi.select("doc_id"), "doc_id")) == loOnly)
+    assert(full != loOnly) // the statistics actually moved
+  }
+
   test("RM3 expansion surfaces docs sharing NO original query term") {
     // query 'alpha' seeds doc 0; doc 0 also contains 'beta'; doc 1 is
     // pure 'beta' — invisible to the original query, reachable only
