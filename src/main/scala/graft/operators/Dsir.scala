@@ -62,12 +62,23 @@ object Dsir {
   private def bucketTotalsOf(gb: DataFrame, cntName: String): DataFrame =
     gb.groupBy("bucket").agg(sum("cnt").as(cntName))
 
+  /** Bucket totals of a raw-text corpus: (bucket, `cntName`), ≤ m
+    * rows — the corpus model as a MONOID (per-key sums), which is
+    * what makes the streaming target-ingest twin exact. */
+  def bucketTotals(corpus: DataFrame, textCol: String, m: Int,
+                   cntName: String = "ct"): DataFrame =
+    bucketTotalsOf(gramBuckets(
+      corpus.select(monotonically_increasing_id().as("__id"), col(textCol)),
+      "__id", textCol, m), cntName)
+
   /** The m-row quantized log-ratio table from two bucket-total frames
     * (target ct, raw cr): (bucket, lr_q) for EVERY bucket in [0, m),
     * lr_q = floor(ln(p_t/p_r)·1e6 + 0.5) with add-one smoothing —
     * absent buckets carry the smoothed floor, exactly as the paper's
-    * multinomial requires. Output is broadcast-sized (m rows). */
-  private def logRatioQOf(t: DataFrame, r: DataFrame, m: Int): DataFrame = {
+    * multinomial requires. Output is broadcast-sized (m rows) and
+    * REUSABLE: build it once, score any number of corpora or stream
+    * batches against it ([[weightsAgainst]]). */
+  def logRatioQOfTotals(t: DataFrame, r: DataFrame, m: Int): DataFrame = {
     val spark = t.sparkSession
     val all = spark.range(m).select(col("id").cast("int").as("bucket"))
     val joined = all.join(t, Seq("bucket"), "left")
@@ -88,18 +99,39 @@ object Dsir {
           .as("lr_q"))
   }
 
-  /** [[logRatioQOf]] from two raw-text corpora (the standalone face;
-    * [[weights]] derives the raw model from its scoring postings
-    * instead, saving a second corpus pass). */
+  /** [[logRatioQOfTotals]] from two raw-text corpora (the standalone
+    * face; [[weights]] derives the raw model from its scoring
+    * postings instead, saving a second corpus pass). */
   def bucketLogRatioQ(target: DataFrame, targetTextCol: String,
                       raw: DataFrame, rawTextCol: String,
-                      m: Int): DataFrame = {
-    def totals(df: DataFrame, textCol: String, cntName: String) =
-      bucketTotalsOf(gramBuckets(
-        df.select(monotonically_increasing_id().as("__id"), col(textCol)),
-        "__id", textCol, m), cntName)
-    logRatioQOf(totals(target, targetTextCol, "ct"),
-      totals(raw, rawTextCol, "cr"), m)
+                      m: Int): DataFrame =
+    logRatioQOfTotals(bucketTotals(target, targetTextCol, m, "ct"),
+      bucketTotals(raw, rawTextCol, m, "cr"), m)
+
+  /** Score documents against a PREBUILT log-ratio table (the serving
+    * face — at corpus scale the lr table is built once, broadcast
+    * everywhere, and reused across scoring jobs and stream batches):
+    * (doc_id, n_grams, weight_q) per doc, gramless docs zero-filled.
+    * `gb` pre-tokenized variant below for callers holding postings. */
+  def weightsAgainst(docs: DataFrame, idCol: String, textCol: String,
+                     lr: DataFrame, m: Int = 256): DataFrame =
+    weightsAgainstPostings(docs.select(col(idCol).cast("long").as("doc_id")),
+      gramBuckets(docs, idCol, textCol, m), lr)
+
+  /** [[weightsAgainst]] over an already-materialized gram-bucket
+    * posting frame (ids = every doc to report, zero-filled when it
+    * has no postings). */
+  def weightsAgainstPostings(ids: DataFrame, gb: DataFrame,
+                             lr: DataFrame): DataFrame = {
+    val scored = gb
+      .join(broadcast(lr), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_grams"),
+        sum(col("cnt") * col("lr_q")).as("weight_q"))
+    ids.join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("weight_q"), lit(0L)).as("weight_q"))
   }
 
   /** Importance weight per raw document against a target corpus:
@@ -115,20 +147,10 @@ object Dsir {
               target: DataFrame, targetTextCol: String,
               m: Int = 256): DataFrame = {
     val gb = gramBuckets(docs, idCol, textCol, m).persist()
-    val t = bucketTotalsOf(gramBuckets(
-      target.select(monotonically_increasing_id().as("__id"),
-        col(targetTextCol)), "__id", targetTextCol, m), "ct")
-    val lr = logRatioQOf(t, bucketTotalsOf(gb, "cr"), m)
-    val scored = gb
-      .join(broadcast(lr), Seq("bucket"))
-      .groupBy("doc_id")
-      .agg(sum("cnt").as("n_grams"),
-        sum(col("cnt") * col("lr_q")).as("weight_q"))
-    docs.select(col(idCol).cast("long").as("doc_id"))
-      .join(scored, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        coalesce(col("weight_q"), lit(0L)).as("weight_q"))
+    val lr = logRatioQOfTotals(bucketTotals(target, targetTextCol, m, "ct"),
+      bucketTotalsOf(gb, "cr"), m)
+    weightsAgainstPostings(
+      docs.select(col(idCol).cast("long").as("doc_id")), gb, lr)
   }
 
   /** Greedy DSIR selection: the `n` highest-weight documents (ties by

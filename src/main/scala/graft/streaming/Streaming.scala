@@ -780,6 +780,56 @@ object Streaming {
       .start()
   }
 
+  /** Streaming DSIR target-model ingest: the state is the target
+    * corpus's (bucket, ct) totals — a ≤ m-row MONOID (per-key sums),
+    * so the state is BOUNDED however long the target stream runs, the
+    * merge is exact (stream ≡ batch, StreamingSpec pin), and restarts
+    * persist through the one-frame [[DedupStateIO.saveSketch]] path.
+    * Serve with [[graft.operators.Dsir.logRatioQOfTotals]] against a
+    * raw-corpus model, then score anything via
+    * [[graft.operators.Dsir.weightsAgainst]]. */
+  def ingestDsirTarget(stream: DataFrame, textCol: String, m: Int,
+                       state: java.util.concurrent.atomic.AtomicReference[DataFrame])
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // single-writer foreachBatch: see ingestIntoIVF
+          val part = graft.operators.Dsir.bucketTotals(batch, textCol, m)
+          val merged = state.get().unionByName(part)
+            .groupBy("bucket")
+            .agg(org.apache.spark.sql.functions.sum("ct").as("ct"))
+          state.set(merged.localCheckpoint(true))
+        }
+      }
+      .start()
+  }
+
+  /** Streaming DSIR scoring against a FROZEN log-ratio table: each
+    * microbatch scores independently (a document arrives whole in one
+    * batch, so the per-doc dot-product never spans batches — stream ≡
+    * batch exactly); scored rows accumulate in `out`. The lr table is
+    * m rows, broadcast into every batch's plan — the serving shape
+    * for "score the firehose, keep what looks like the target". */
+  def scoreDsirStream(stream: DataFrame, idCol: String, textCol: String,
+                      lr: DataFrame, m: Int,
+                      out: java.util.concurrent.atomic.AtomicReference[DataFrame])
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // single-writer foreachBatch: see ingestIntoIVF
+          val scored = graft.operators.Dsir
+            .weightsAgainst(batch, idCol, textCol, lr, m)
+            .localCheckpoint(true)
+          out.set(out.get().unionByName(scored))
+        }
+      }
+      .start()
+  }
+
   /** State of [[ingestBm25Postings]]: the standing (doc_id, term, tf)
     * posting frame — an index-sized frame (like the ANN ingest
     * states), durable for restarts via the one-frame

@@ -1351,6 +1351,59 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming DSIR: target-model ingest and frozen-lr scoring == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dsir
+    import graft.streaming.Streaming.DedupStateIO
+    val m = 256
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text", $"lang")
+    val target = docs.filter($"lang" === "en").select($"text")
+    // ---- target-model ingest: bounded ≤m-row monoid state, with a
+    // save/load restart between the two halves
+    val tRows = target.as[String].collect().toSeq
+    val (pre, post) = tRows.splitAt(tRows.length / 2)
+    val empty = Dsir.bucketTotals(target.filter(lit(false)), "text", m)
+    val st1 = new java.util.concurrent.atomic.AtomicReference(empty)
+    val mem1 = MemoryStream[String]
+    val q1 = Streaming.ingestDsirTarget(mem1.toDF().toDF("text"), "text", m, st1)
+    pre.grouped(60).foreach { b => mem1.addData(b); q1.processAllAvailable() }
+    q1.stop()
+    val dir = java.nio.file.Files.createTempDirectory("dsirstate").toString
+    DedupStateIO.saveSketch(st1.get(), dir)
+    val st2 = new java.util.concurrent.atomic.AtomicReference(
+      DedupStateIO.loadSketch(spark, dir))
+    val mem2 = MemoryStream[String]
+    val q2 = Streaming.ingestDsirTarget(mem2.toDF().toDF("text"), "text", m, st2)
+    post.grouped(60).foreach { b => mem2.addData(b); q2.processAllAvailable() }
+    q2.stop()
+    val gotTotals = st2.get().as[(Int, Long)].collect().toMap
+    val wantTotals = Dsir.bucketTotals(target, "text", m)
+      .as[(Int, Long)].collect().toMap
+    assert(gotTotals == wantTotals)
+    assert(st2.get().count() <= m)
+    // ---- frozen-lr scoring stream == batch weights
+    val lr = Dsir.logRatioQOfTotals(st2.get(),
+      Dsir.bucketTotals(docs, "text", m, "cr"), m).localCheckpoint(true)
+    val out = new java.util.concurrent.atomic.AtomicReference(
+      Dsir.weightsAgainst(docs.filter(lit(false)), "doc_id", "text", lr, m))
+    val rows = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    val mem3 = MemoryStream[(Long, String)]
+    val q3 = Streaming.scoreDsirStream(mem3.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", lr, m, out)
+    rows.grouped(120).foreach { b => mem3.addData(b); q3.processAllAvailable() }
+    q3.stop()
+    val got = out.get().as[(Long, Long, Long)].collect().toSet
+    val want = Dsir.weightsAgainst(docs, "doc_id", "text", lr, m)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want)
+    // and the frozen-lr path reproduces the one-shot weights exactly
+    val oneShot = Dsir.weights(docs, "doc_id", "text", target, "text", m)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == oneShot)
+  }
+
   test("streaming BM25 posting ingest == batch index across a restart") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Retrieval
