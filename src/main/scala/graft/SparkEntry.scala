@@ -1385,6 +1385,21 @@ object SparkEntry {
     // centroids: probing every cluster makes IVF search exact, so the
     // exhaustive-kNN SQL is an exact oracle — drives the whole
     // assign→probe→re-rank path (ivfflat.rs:153-198) driver-green.
+    // IVF range search at nprobe = ALL cells: every probed point
+    // within the radius == the exhaustive radius oracle (the FAISS
+    // IndexIVF.range_search face on the index tier; the radius filter
+    // runs in the scan stage — only results move).
+    "ivf_range_all" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = fixedCentroids(emb)
+      val indexed = IVFFlat.assign(emb, "vec_id", "embedding", cents)
+      val sizes = Array.fill(cents.length)(Long.MaxValue)
+      val model = IVFFlat.Model(IVFFlat.Params(cents.length), cents, sizes, indexed)
+      model.rangeSearchMany(emb.filter(col("vec_id") < 5), "vec_id",
+          "embedding", radius = 1.8, nprobe = cents.length)
+        .orderBy(col("qid"), col("id"))
+    }),
+
     "ivf_search_all" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val cents = fixedCentroids(emb)
@@ -6554,6 +6569,18 @@ object SparkEntry {
          |  CAST(row_number() OVER (PARTITION BY qid
          |    ORDER BY rrf DESC, id) AS INTEGER) AS rank
          |FROM fused ORDER BY qid, rank""".stripMargin,
+
+    // probe-all IVF range search == the exhaustive radius oracle
+    "ivf_range_all" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS id,
+        |    list_reduce(list_transform(list_zip(c.embedding, q.embedding),
+        |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+        |      (a, b) -> a + b) AS distance
+        |  FROM embeddings c, embeddings q WHERE q.vec_id < 5)
+        |SELECT qid, id, distance FROM scored WHERE distance <= 1.8
+        |ORDER BY qid, id""".stripMargin,
 
     "range_search" ->
       """WITH scored AS (

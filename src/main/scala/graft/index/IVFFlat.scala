@@ -109,6 +109,39 @@ object IVFFlat {
           col("nn.distance").as("distance"))
     }
 
+    /** Radius (range) search on the index tier — the FAISS
+      * IndexIVF.range_search counterpart: probe each query's `nprobe`
+      * nearest cells and return EVERY probed point within `radius`
+      * (inclusive, matching [[graft.operators.Exhaustive.rangeSearch]]).
+      * Approximate exactly like probed top-k (points outside probed
+      * cells are unseen); nprobe = number of cells reproduces the
+      * exhaustive radius oracle bit-for-bit (ivf_range_all lane).
+      * There is no top-k aggregation at all: the radius filter runs
+      * inside the scan stage, so the only rows that move ARE results
+      * — result size is data-dependent, write it out at scale. */
+    def rangeSearchMany(queries: DataFrame, qIdCol: String, qVecCol: String,
+                        radius: Double, nprobe: Int = 2): DataFrame = {
+      val spark = queries.sparkSession
+      val bc = spark.sparkContext.broadcast((centroids, clusterSizes))
+      import spark.implicits._
+      // k = 1: the adaptive cumulative-size widening is a top-k
+      // concept; range search probes exactly the nprobe nearest cells
+      val probes = queries
+        .select(col(qIdCol).cast("long").as("qid"),
+                col(qVecCol).cast("array<float>").as("qvec"))
+        .as[(Long, Array[Float])]
+        .flatMap { case (qid, qvec) =>
+          val (cents, sizes) = bc.value
+          IVFFlat.probeOrder(cents, sizes, qvec, 1, nprobe)
+            .map(c => (qid, qvec, c))
+        }
+        .toDF("qid", "qvec", "cluster")
+      indexed.join(broadcast(probes), Seq("cluster"))
+        .select(col("qid"), col("id"),
+          sqDist(col("vector"), col("qvec")).as("distance"))
+        .filter(col("distance") <= lit(radius))
+    }
+
     /** Corpus-scale batch kNN — [[searchMany]]'s shuffle-path twin for
       * query sides too big to broadcast (the kNN-GRAPH primitive:
       * `knnJoin(indexed corpus itself)` gives every document its k

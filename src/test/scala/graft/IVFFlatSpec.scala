@@ -21,6 +21,24 @@ class IVFFlatSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("rangeSearchMany: probe-all == exhaustive radius; partial probe ⊆ it") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val radius = 1.8
+    val want = Exhaustive.rangeSearch(queries, "vec_id", "embedding",
+        emb, "vec_id", "embedding", radius)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val all = model.rangeSearchMany(queries, "vec_id", "embedding",
+        radius, nprobe = model.params.k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(all == want)
+    val partial = model.rangeSearchMany(queries, "vec_id", "embedding",
+        radius, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(partial.subsetOf(want)) // never a false positive
+    // every self-pair sits in the query's own nearest cell → found
+    assert((0L until 5L).forall(q => partial.contains((q, q, 0.0))))
+  }
+
   private def recallAt10(nprobe: Int): Double = {
     val queries = emb.filter(col("vec_id") < 20)
     val truth = Exhaustive.knnJoin(queries, "vec_id", "embedding",
