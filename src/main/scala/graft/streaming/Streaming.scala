@@ -806,15 +806,21 @@ object Streaming {
       .start()
   }
 
+  /** State of [[scoreDsirStream]]: the accumulated scored rows
+    * (lineage-compacted every 32 batches like the other accumulating
+    * twins). */
+  case class DsirScoreState(scored: DataFrame, addsSinceCompact: Int = 0)
+
   /** Streaming DSIR scoring against a FROZEN log-ratio table: each
     * microbatch scores independently (a document arrives whole in one
     * batch, so the per-doc dot-product never spans batches — stream ≡
-    * batch exactly); scored rows accumulate in `out`. The lr table is
-    * m rows, broadcast into every batch's plan — the serving shape
-    * for "score the firehose, keep what looks like the target". */
+    * batch exactly); scored rows accumulate in the state. The lr
+    * table is m rows, broadcast into every batch's plan — the serving
+    * shape for "score the firehose, keep what looks like the
+    * target". */
   def scoreDsirStream(stream: DataFrame, idCol: String, textCol: String,
                       lr: DataFrame, m: Int,
-                      out: java.util.concurrent.atomic.AtomicReference[DataFrame])
+                      state: java.util.concurrent.atomic.AtomicReference[DsirScoreState])
   : org.apache.spark.sql.streaming.StreamingQuery = {
     stream.writeStream
       .outputMode("append")
@@ -824,7 +830,10 @@ object Streaming {
           val scored = graft.operators.Dsir
             .weightsAgainst(batch, idCol, textCol, lr, m)
             .localCheckpoint(true)
-          out.set(out.get().unionByName(scored))
+          val st = state.get()
+          val (merged, n) = graft.index.Lineage.compact(
+            st.scored.unionByName(scored), st.addsSinceCompact)
+          state.set(DsirScoreState(merged, n))
         }
       }
       .start()

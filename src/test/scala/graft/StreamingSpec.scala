@@ -1386,7 +1386,8 @@ class StreamingSpec extends SparkSpec {
     val lr = Dsir.logRatioQOfTotals(st2.get(),
       Dsir.bucketTotals(docs, "text", m, "cr"), m).localCheckpoint(true)
     val out = new java.util.concurrent.atomic.AtomicReference(
-      Dsir.weightsAgainst(docs.filter(lit(false)), "doc_id", "text", lr, m))
+      Streaming.DsirScoreState(
+        Dsir.weightsAgainst(docs.filter(lit(false)), "doc_id", "text", lr, m)))
     val rows = docs.select($"doc_id", $"text").as[(Long, String)]
       .collect().sortBy(_._1).toSeq
     val mem3 = MemoryStream[(Long, String)]
@@ -1394,7 +1395,7 @@ class StreamingSpec extends SparkSpec {
       "doc_id", "text", lr, m, out)
     rows.grouped(120).foreach { b => mem3.addData(b); q3.processAllAvailable() }
     q3.stop()
-    val got = out.get().as[(Long, Long, Long)].collect().toSet
+    val got = out.get().scored.as[(Long, Long, Long)].collect().toSet
     val want = Dsir.weightsAgainst(docs, "doc_id", "text", lr, m)
       .as[(Long, Long, Long)].collect().toSet
     assert(got == want)
