@@ -3201,6 +3201,17 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // Resampled DSIR selection (the paper's Gumbel-top-n softmax
+    // sampler) at temperature 2: content-addressed Gumbel noise on the
+    // quantized log-weights — deterministic, oracle-replayed.
+    "dsir_resample" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Dsir.selectResampled(docs, "doc_id", "text",
+          docs.filter(col("lang") === "en"), "text", n = 50, m = 256,
+          temperature = 2.0)
+        .orderBy(col("rank"))
+    }),
+
     // BM25 lexical top-10 for 5 text queries (the corpus's own first 5
     // docs — every query has a perfect-match candidate). Rational
     // Robertson-Spärck-Jones idf (zero libm), per-term scores
@@ -6464,6 +6475,23 @@ object SparkEntry {
          |  CAST(row_number() OVER (ORDER BY weight_q DESC, doc_id) AS INTEGER)
          |    AS rank
          |FROM wf
+         |QUALIFY rank <= 50
+         |ORDER BY rank""".stripMargin,
+
+    // Gumbel top-n replay: the content-addressed uniform, two lns,
+    // the temperature-scaled quantization, the score tie-break
+    "dsir_resample" ->
+      s"""$dsirCtes,
+         |noised AS (SELECT doc_id, weight_q,
+         |  weight_q + CAST(floor(2.0 * (0.0 - ln(0.0 - ln(
+         |    (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':dsir'), 1, 8)) AS BIGINT)
+         |      + 0.5) / 4294967296.0)))
+         |    * 1000000.0 + 0.5) AS BIGINT) AS score_q
+         |  FROM wf)
+         |SELECT doc_id, weight_q, score_q,
+         |  CAST(row_number() OVER (ORDER BY score_q DESC, doc_id)
+         |    AS INTEGER) AS rank
+         |FROM noised
          |QUALIFY rank <= 50
          |ORDER BY rank""".stripMargin,
 

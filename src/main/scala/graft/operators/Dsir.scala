@@ -153,12 +153,46 @@ object Dsir {
       docs.select(col(idCol).cast("long").as("doc_id")), gb, lr)
   }
 
+  /** Resampled DSIR selection — the paper's actual sampler: Gumbel
+    * top-n over the temperature-scaled log-weights, i.e. draw `n`
+    * documents WITHOUT replacement with probability proportional to
+    * softmax(weight / T). Selecting argmax-n of (weight/T + G_i),
+    * G_i ~ Gumbel(0,1), IS that sampler (the Gumbel-top-k trick), and
+    * multiplying through by T·1e6 keeps the integer weight intact:
+    * score_q = weight_q + floor(T · (−ln(−ln u_i)) · 1e6 + 0.5).
+    *
+    * u_i is content-addressed ((md5-8hex + 0.5)/2^32 ∈ (0,1) strictly,
+    * so the Gumbel is finite) — deterministic per (doc_id, salt),
+    * replayable in the oracle, identical across batch and stream.
+    * temperature = 0 degenerates to the greedy [[selectTop]] ranking
+    * exactly (noise floor-quantizes to 0). The two lns per doc are
+    * the sketch_hll concession class, 1e-6-quantized.
+    * Output (doc_id, weight_q, score_q, rank). */
+  def selectResampled(docs: DataFrame, idCol: String, textCol: String,
+                      target: DataFrame, targetTextCol: String,
+                      n: Int, m: Int = 256, temperature: Double = 1.0,
+                      salt: String = "dsir"): DataFrame = {
+    require(n >= 1, s"n=$n must be >= 1")
+    require(temperature >= 0.0, s"temperature=$temperature must be >= 0")
+    val u = (conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":" + salt))), 1, 8), 16, 10).cast("double") + lit(0.5d)) /
+      lit(4294967296.0d)
+    val gumbel = lit(0.0d) - log(lit(0.0d) - log(u))
+    val scoreQ = (col("weight_q") +
+      floor(lit(temperature) * gumbel * lit(1000000.0d) + lit(0.5d))
+        .cast("long")).as("score_q")
+    val w = Window.orderBy(col("score_q").desc, col("doc_id").asc)
+    weights(docs, idCol, textCol, target, targetTextCol, m)
+      .select(col("doc_id"), col("weight_q"), scoreQ)
+      .orderBy(col("score_q").desc, col("doc_id").asc).limit(n)
+      .withColumn("rank", row_number().over(w))
+      .select(col("doc_id"), col("weight_q"), col("score_q"), col("rank"))
+  }
+
   /** Greedy DSIR selection: the `n` highest-weight documents (ties by
-    * doc_id ascending — deterministic). The paper resamples with
-    * Gumbel noise to avoid mode collapse at the domain boundary; the
-    * greedy face is the deterministic (and oracle-exact) variant —
-    * compose [[weights]] with Splits.sampleWeighted for the noised
-    * one. Output (doc_id, weight_q, rank). */
+    * doc_id ascending — deterministic). [[selectResampled]] is the
+    * paper's softmax sampler; this face is the zero-temperature
+    * argmax. Output (doc_id, weight_q, rank). */
   def selectTop(docs: DataFrame, idCol: String, textCol: String,
                 target: DataFrame, targetTextCol: String,
                 n: Int, m: Int = 256): DataFrame = {

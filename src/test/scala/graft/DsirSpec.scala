@@ -83,6 +83,31 @@ class DsirSpec extends SparkSpec {
     assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("selectResampled: T=0 == greedy; noise is deterministic; high T moves the set") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val tgt = docs.filter(col("lang") === "en").select("text")
+    val greedy = Dsir.selectTop(docs, "doc_id", "text", tgt, "text",
+        n = 20).orderBy("rank")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank")))
+    val t0 = Dsir.selectResampled(docs, "doc_id", "text", tgt, "text",
+        n = 20, temperature = 0.0).orderBy("rank")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank")))
+    assert(t0.toSeq == greedy.toSeq) // zero noise floor-quantizes away
+    val hot1 = Dsir.selectResampled(docs, "doc_id", "text", tgt, "text",
+        n = 20, temperature = 50.0).orderBy("rank")
+      .collect().map(_.getAs[Long]("doc_id"))
+    val hot2 = Dsir.selectResampled(docs, "doc_id", "text", tgt, "text",
+        n = 20, temperature = 50.0).orderBy("rank")
+      .collect().map(_.getAs[Long]("doc_id"))
+    assert(hot1.toSeq == hot2.toSeq) // content-addressed: a SAMPLE, not RNG
+    assert(hot1.toSet != greedy.map(_._1).toSet, "hot selection never moved")
+    // a different salt draws a different sample
+    val salted = Dsir.selectResampled(docs, "doc_id", "text", tgt, "text",
+        n = 20, temperature = 50.0, salt = "other").orderBy("rank")
+      .collect().map(_.getAs[Long]("doc_id"))
+    assert(salted.toSet != hot1.toSet)
+  }
+
   test("weights == brute-force reference on a seeded random corpus") {
     // straight-line Scala mirror of the whole pipeline: md5-hash60
     // bucket of every unigram+bigram, add-one smoothed models, ln
