@@ -131,6 +131,54 @@ object RetrievalScaleSmoke extends Serializable {
       out += "bm25_recall_at1" -> f"${hits.toDouble / nQueries}%.3f"
     }
 
+    // ---- phase 3b: df-cap stopword pruning under a ZIPF vocabulary —
+    // the uniform corpus has no stopwords, so build a 200k-doc Zipf
+    // slice (token r drawn with p ∝ 1/rank: rank = 2^(u·17) maps a
+    // uniform u onto a power-law over 2^17 ranks) where the head
+    // tokens behave like 'the'/'of', then measure the capped vs
+    // uncapped serve: candidate volume (shuffle) and wall must drop,
+    // and the top-1 hit (which rides RARE terms) must survive.
+    {
+      val nz = math.min(nDocs, 200000)
+      def zipfTokens(id: Long): Array[String] =
+        Array.tabulate(docLen) { p =>
+          val u = java.lang.Long.remainderUnsigned(
+            mix64(id * 2000003L + p * 104729L + seed), 1L << 20).toDouble /
+            (1L << 20).toDouble
+          "z" + math.min((1L << 17) - 1, math.pow(2.0, u * 17.0).toLong)
+        }
+      val zdocs = spark.range(nz).as[Long]
+        .map(id => (id, zipfTokens(id).mkString(" ")))
+        .toDF("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism).cache()
+      zdocs.count()
+      val zidx = operators.Retrieval.buildIndex(zdocs, "doc_id", "text")
+      zidx.postings.count()
+      val zq = (0 until nQueries).map { j =>
+        val bdoc = (j * 9973L) % nz
+        val toks = zipfTokens(bdoc)
+        (j.toLong, bdoc, Array.tabulate(qTerms)(i => toks(i * 7)).mkString(" "))
+      }
+      val zqs = zq.map { case (q, _, t) => (q, t) }.toDF("qid", "qtext").cache()
+      zqs.count()
+      val ztruth = zq.map { case (q, bdoc, _) => (q, bdoc) }.toDF("qid", "base")
+      def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+        df.filter(col("rank") === 1).join(ztruth, Seq("qid"))
+          .filter(col("doc_id") === col("base")).count().toDouble / nQueries
+      phase("zipf_serve_uncapped") {
+        out += "zipf_uncapped_recall" ->
+          f"${recallOf(zidx.searchTopK(zqs, "qid", "qtext", k = 10))}%.3f"
+      }
+      phase("zipf_serve_dfcap") {
+        // cap at 1% of the corpus: the Zipf head (df ≈ nz/rank) dies,
+        // the discriminative tail survives
+        out += "zipf_dfcap_recall" ->
+          f"${recallOf(zidx.searchTopK(zqs, "qid", "qtext", k = 10,
+            maxDf = Some((nz / 100).toLong)))}%.3f"
+      }
+      zidx.postings.unpersist(); zdocs.unpersist(); zqs.unpersist()
+    }
+
     // ---- phase 4: DSIR selection — target = 1000 domain docs (ids
     // 0,10,…,9990); select the top nDocs/10 and measure how much of
     // the selection is actually in-domain. m must scale with the gram

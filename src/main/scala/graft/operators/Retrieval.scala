@@ -24,14 +24,20 @@ import org.apache.spark.sql.functions._
 object Retrieval {
 
   /** A built (or loaded) BM25 posting index: the four serving frames —
-    * postings (doc_id, term, tf), docFreq (term, df), docLen (doc_id,
-    * dl), stats (one row: n_docs, avgdl) — plus the scoring params.
+    * postings (doc_id, term, tf, dl — the doc length DENORMALIZED
+    * onto every posting at build time, the Lucene norm-in-posting
+    * trick), docFreq (term, df), docLen (doc_id, dl), stats (one row:
+    * n_docs, avgdl) — plus the scoring params.
+    *
     * Build once, serve many: at corpus scale the tokenize + three
-    * aggregations run a single time, and every query batch afterwards
-    * probes the posting table (term-keyed equi-join, query side
-    * broadcast) without touching raw text. Mirrors the reference's
-    * build/search/save/load lifecycle (base.rs:31-58) on the lexical
-    * tier. */
+    * aggregations + the one dl-denormalization shuffle run a single
+    * time, and every query batch afterwards is ONE broadcast-hash
+    * probe of the posting table — no per-query doc-length join, so
+    * the only serve-time shuffle is the k-bounded per-(qid, doc)
+    * partial aggregate, never candidate-count-sized (measured at 1M
+    * docs: 241 MB → single-digit MB for 1000 queries). Mirrors the
+    * reference's build/search/save/load lifecycle (base.rs:31-58) on
+    * the lexical tier. */
   final case class Bm25Index(postings: DataFrame, docFreq: DataFrame,
                              docLen: DataFrame, stats: DataFrame,
                              k1: Double, b: Double) {
@@ -66,7 +72,11 @@ object Retrieval {
         .distinct()
 
     /** BM25-score a prepared (qid, term) frame — the common engine
-      * under [[searchMany]] and [[searchExpanded]]. */
+      * under [[searchMany]] and [[searchExpanded]]. The probe side
+      * (query terms ⋈ df ⋈ the 1-row stats) is serving-sized and
+      * carries an explicit broadcast, so the posting table is scanned
+      * in place; dl rides inside the postings, so NO per-query
+      * doc-length join exists to shuffle candidates. */
     private def scoreTermFrame(qt: DataFrame,
                                maxDf: Option[Long]): DataFrame = {
       val dfKept = maxDf.fold(docFreq)(cap =>
@@ -77,12 +87,11 @@ object Retrieval {
       val dlNorm = lit(k1) * (lit(1.0d - b) +
         lit(b) * (col("dl").cast("double") / col("avgdl")))
       val s = idf * ((tfD * lit(k1 + 1.0d)) / (tfD + dlNorm))
-      // df joins FIRST: with a cap it is the selective side, and the
-      // pruned (qid, term) probe never expands into capped postings
-      qt.join(dfKept, Seq("term"))
-        .join(postings, Seq("term"))
-        .join(docLen, Seq("doc_id"))
-        .crossJoin(broadcast(stats))
+      // df joins the query terms FIRST (with a cap it is the selective
+      // side — pruned terms never expand into postings), then the
+      // whole probe broadcasts onto the posting scan
+      val probe = broadcast(qt.join(dfKept, Seq("term")).crossJoin(stats))
+      postings.join(probe, Seq("term"))
         .select(col("qid"), col("doc_id"),
           floor(s * lit(1000000000.0d) + lit(0.5d)).cast("long").as("s_q"))
         .groupBy("qid", "doc_id")
@@ -143,19 +152,22 @@ object Retrieval {
         .select(col("qid"), col("doc_id"), col("score_q"), col("rank"))
     }
 
-    /** Incremental add: tokenize only the NEW documents (caller
-      * contract: ids not already indexed — the ingest twins'
-      * doc-level arrival rule) and re-derive df/dl/stats from the
-      * widened posting frame; the existing corpus never re-tokenizes.
-      * Same result as building from scratch on the union
-      * (RetrievalSpec pin, bm25_add lane). */
+    /** Incremental add: tokenize + dl-denormalize only the NEW
+      * documents (caller contract: ids not already indexed — the
+      * ingest twins' doc-level arrival rule) and re-derive df/stats
+      * from the widened frame; the existing corpus never re-tokenizes
+      * and its dl values stay valid (dl is per-doc). Same result as
+      * building from scratch on the union (RetrievalSpec pin,
+      * bm25_add lane). */
     def add(docs: DataFrame, idCol: String, textCol: String): Bm25Index =
       indexOfPostings(
-        postings.unionByName(postingsOf(docs, idCol, textCol)), k1, b)
+        postings.unionByName(
+          denormDl(postingsOf(docs, idCol, textCol))), k1, b)
 
     /** Remove documents by id: an anti-join on the posting frame —
-      * df/dl/stats re-derive, so removed docs stop influencing idf
-      * and avgdl too (the part naive "filter results" forgets). */
+      * df/stats re-derive, so removed docs stop influencing idf and
+      * avgdl too (the part naive "filter results" forgets); surviving
+      * docs' dl values are per-doc and stay valid. */
     def remove(ids: DataFrame, idCol: String): Bm25Index =
       indexOfPostings(postings.join(
         ids.select(col(idCol).cast("long").as("doc_id")),
@@ -188,28 +200,40 @@ object Retrieval {
         explode(TextOps.tokens(col(textCol))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
 
-  /** Assemble the serving index from a standing posting frame: df and
-    * dl are ≤vocab / ≤corpus-count re-aggregations of the postings;
-    * n_docs/avgdl ride as a broadcast 1-row frame, not driver math
-    * inside the plan (empty docs have no postings — they can never be
-    * candidates, so dl/stats skip them). This is how a streamed-in
-    * posting state becomes searchable. */
+  /** Denormalize each doc's length onto its posting rows (the Lucene
+    * norm-in-posting layout): one self-aggregation + join at build
+    * time buys dl-join-free serving forever after. Idempotent on
+    * frames that already carry dl. */
+  private def denormDl(raw: DataFrame): DataFrame =
+    if (raw.columns.contains("dl")) raw
+    else raw.join(
+      raw.groupBy("doc_id").agg(sum("tf").as("dl")), Seq("doc_id"))
+
+  /** Assemble the serving index from a standing posting frame (raw
+    * (doc_id, term, tf) or already dl-denormalized): df and dl are
+    * ≤vocab / ≤corpus-count re-aggregations; n_docs/avgdl ride as a
+    * broadcast 1-row frame, not driver math inside the plan (empty
+    * docs have no postings — they can never be candidates, so
+    * dl/stats skip them). This is how a streamed-in posting state
+    * becomes searchable. */
   def indexOfPostings(postings: DataFrame,
                       k1: Double = 1.2, b: Double = 0.75): Bm25Index = {
-    val df = postings.groupBy("term").agg(count(lit(1)).as("df"))
-    val dl = postings.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val denorm = denormDl(postings)
+    val df = denorm.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = denorm.groupBy("doc_id").agg(first(col("dl")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot"))
       .select(col("n_docs"),
         (col("tot").cast("double") / col("n_docs").cast("double"))
           .as("avgdl"))
-    Bm25Index(postings, df, dl, stats, k1, b)
+    Bm25Index(denorm, df, dl, stats, k1, b)
   }
 
   /** Build the BM25 posting index: documents tokenize ONCE into the
     * persisted posting table, which feeds df, dl AND the probe joins. */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String,
                  k1: Double = 1.2, b: Double = 0.75): Bm25Index =
-    indexOfPostings(postingsOf(docs, idCol, textCol).persist(), k1, b)
+    indexOfPostings(
+      denormDl(postingsOf(docs, idCol, textCol)).persist(), k1, b)
 
   /** Load a [[Bm25Index]] persisted by [[Bm25Index.save]]. */
   def loadIndex(spark: org.apache.spark.sql.SparkSession,
@@ -221,6 +245,38 @@ object Retrieval {
       spark.read.parquet(s"$dir/stats"),
       graft.index.ParamsIO.dbl(json, "k1", 1.2),
       graft.index.ParamsIO.dbl(json, "b", 0.75))
+  }
+
+  /** Exact phrase search — every document containing each query's
+    * token sequence verbatim, with the occurrence count. The classic
+    * positional-intersect: documents explode ONCE to (doc_id, term,
+    * pos); each query to (qid, term, qpos, len); a term-keyed
+    * equi-join anchors candidates at `pos − qpos`, and a (qid, doc,
+    * anchor) covering ALL len query offsets (count DISTINCT qpos =
+    * len — repeated phrase terms handled) is one occurrence.
+    *
+    * Scale shape: the join is posting-sized (Σ positional df over
+    * query terms, query side broadcast when serving-sized), the
+    * anchor aggregation partial-aggregates map-side, text never
+    * shuffles. Phrases of ONE token degenerate to term lookup.
+    * Output (qid, doc_id, n_occ) — docs with ≥1 verbatim occurrence. */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   queries: DataFrame, qIdCol: String,
+                   qPhraseCol: String): DataFrame = {
+    val pos = docs.select(col(idCol).cast("long").as("doc_id"),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "term")))
+    val qp = queries.select(col(qIdCol).cast("long").as("qid"),
+        TextOps.tokens(col(qPhraseCol)).as("toks"))
+      .select(col("qid"), size(col("toks")).as("len"),
+        posexplode(col("toks")).as(Seq("qpos", "term")))
+      .filter(col("len") >= 1)
+    qp.join(pos, Seq("term"))
+      .groupBy(col("qid"), col("doc_id"),
+        (col("pos") - col("qpos")).as("anchor"), col("len"))
+      .agg(countDistinct(col("qpos")).as("hit"))
+      .filter(col("hit") === col("len").cast("long"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"))
   }
 
   /** One-shot convenience: [[buildIndex]] + [[Bm25Index.searchMany]]. */

@@ -133,6 +133,25 @@ class RetrievalSpec extends SparkSpec {
     assert(capped.keySet == Set(0L))
   }
 
+  test("phraseSearch: verbatim order-sensitive matches with occurrence counts") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps"),
+      (1L, "quick brown shoes and quick brown fox again quick brown fox"),
+      (2L, "brown quick fox"),      // right terms, wrong ORDER
+      (3L, "quick brown"),          // phrase at the very end boundary
+      (4L, "quick quick quick")).toDF("doc_id", "text")
+    val qs = Seq((0L, "quick brown fox"), (1L, "quick quick"))
+      .toDF("qid", "phrase")
+    val got = Retrieval.phraseSearch(docs, "doc_id", "text",
+        qs, "qid", "phrase")
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("doc_id"))
+        -> r.getAs[Long]("n_occ")).toMap
+    // q0: doc0 once, doc1 twice, doc2 is scrambled → absent, doc3 lacks fox
+    // q1 "quick quick" (REPEATED term): doc4 has 2 overlapping occurrences
+    assert(got == Map((0L, 0L) -> 1L, (0L, 1L) -> 2L, (1L, 4L) -> 2L),
+      got.toString)
+  }
+
   test("add/remove/merge re-derive the statistics: lifecycle == scratch build") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val qs = docs.filter(col("doc_id") < 3)
