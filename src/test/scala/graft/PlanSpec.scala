@@ -524,6 +524,35 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bm25 serving from a loaded index: one broadcast probe, no doc-length join") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val qs = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("qid"), col("text").as("qtext"))
+    val dir = java.nio.file.Files.createTempDirectory("bm25plan").toString
+    graft.operators.Retrieval.buildIndex(docs, "doc_id", "text").save(dir)
+    val df = graft.operators.Retrieval.loadIndex(spark, dir)
+      .searchTopK(qs, "qid", "qtext", k = 10)
+    df.collect()
+    val exchanges = flatten(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    // dl rides inside the postings (norm-in-posting), so serving has
+    // exactly THREE row shuffles — the query-term distinct (QUERY-
+    // sized), the per-(qid,doc) score combine, and the qid window —
+    // never a doc-length or candidate×dl join, and no exchange
+    // carries posting columns (tf/dl) or text
+    assert(exchanges.size <= 3,
+      s"${exchanges.size} shuffles in loaded-index serve:\n" +
+        exchanges.map(_.toString.take(200)).mkString("\n"))
+    exchanges.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.exists(Set("tf", "dl", "text", "qtext")),
+        "posting/text column in a serve shuffle:\n" + e.toString.take(400))
+    }
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+  }
+
   test("dsir: ratio table broadcasts; corpus grams tokenize once and never re-shuffle text") {
     val df = SparkEntry.queries("dsir_weights")(spark, sf001)
     df.collect()
