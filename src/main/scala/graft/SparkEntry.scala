@@ -3279,6 +3279,21 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // BM25 over BUCKETED postings (doc_id-bucketed catalog table):
+    // the (qid, doc_id) score combine plans NO exchange — the serving
+    // layout at warehouse scale; identical ranking, same oracle.
+    "bm25_bucketed" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      val path = java.nio.file.Files.createTempDirectory("bm25_bkt").toString
+      Retrieval.buildIndex(docs, "doc_id", "text")
+        .saveBucketed("bm25_lane_postings", path, numBuckets = 4)
+      Retrieval.loadBucketedIndex(s, "bm25_lane_postings", path)
+        .searchTopK(qs, "qid", "qtext", k = 10)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // BM25 index lifecycle: build → save → load → serve. The loaded
     // index answers the same 5 queries from its persisted posting /
     // df / dl / stats frames — raw text never re-tokenizes at serving
@@ -6548,6 +6563,16 @@ object SparkEntry {
 
     "bm25_dfcap" ->
       s"""${bm25AggCtes(5, "WHERE df <= 390")}
+         |SELECT qid, doc_id, score_q,
+         |  CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY score_q DESC, doc_id) AS INTEGER) AS rank
+         |FROM bagg
+         |QUALIFY rank <= 10
+         |ORDER BY qid, rank""".stripMargin,
+
+    // the bucketed layout serves the identical ranking — same SQL
+    "bm25_bucketed" ->
+      s"""${bm25AggCtes(5)}
          |SELECT qid, doc_id, score_q,
          |  CAST(row_number() OVER (PARTITION BY qid
          |    ORDER BY score_q DESC, doc_id) AS INTEGER) AS rank

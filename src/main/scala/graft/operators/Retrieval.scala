@@ -178,6 +178,24 @@ object Retrieval {
     def merge(other: Bm25Index): Bm25Index =
       indexOfPostings(postings.unionByName(other.postings), k1, b)
 
+    /** Persist with the postings BUCKETED by doc_id through the
+      * catalog ([[graft.sources.Bucketed]]): the serve-side score
+      * combine then needs NO exchange at all — the bucketed scan
+      * reports HashPartitioning(doc_id), which satisfies the
+      * (qid, doc_id) grouping — so the only rows crossing the wire
+      * per query batch are the rank-k-bounded window inputs
+      * (PlanSpec-gated). Size numBuckets like shuffle partitions:
+      * target < a few GB of postings per bucket at full scale. */
+    def saveBucketed(table: String, path: String, numBuckets: Int): Unit = {
+      graft.sources.Bucketed.write(postings, table, s"$path/postings",
+        numBuckets, "doc_id")
+      docFreq.write.mode("overwrite").parquet(s"$path/df")
+      docLen.write.mode("overwrite").parquet(s"$path/dl")
+      stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+      graft.index.ParamsIO.write(postings.sparkSession, path,
+        s"""{"k1":$k1,"b":$b}""")
+    }
+
     /** Persist the four serving frames (parquet) + params sidecar.
       * stats rides as a 1-row parquet so avgdl round-trips its exact
       * double bits — no decimal re-parse in the serving arithmetic. */
@@ -243,6 +261,20 @@ object Retrieval {
       spark.read.parquet(s"$dir/df"),
       spark.read.parquet(s"$dir/dl"),
       spark.read.parquet(s"$dir/stats"),
+      graft.index.ParamsIO.dbl(json, "k1", 1.2),
+      graft.index.ParamsIO.dbl(json, "b", 0.75))
+  }
+
+  /** Load a [[Bm25Index]] persisted by [[Bm25Index.saveBucketed]] —
+    * the postings come back THROUGH THE CATALOG, which is what
+    * carries the bucket spec (a raw path read would re-shuffle). */
+  def loadBucketedIndex(spark: org.apache.spark.sql.SparkSession,
+                        table: String, path: String): Bm25Index = {
+    val json = graft.index.ParamsIO.read(spark, path)
+    Bm25Index(graft.sources.Bucketed.table(spark, table),
+      spark.read.parquet(s"$path/df"),
+      spark.read.parquet(s"$path/dl"),
+      spark.read.parquet(s"$path/stats"),
       graft.index.ParamsIO.dbl(json, "k1", 1.2),
       graft.index.ParamsIO.dbl(json, "b", 0.75))
   }

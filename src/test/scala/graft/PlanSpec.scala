@@ -553,6 +553,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(600))
   }
 
+  test("bm25 over BUCKETED postings: the score-combine exchange disappears") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val qs = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("qid"), col("text").as("qtext"))
+    val built = graft.operators.Retrieval.buildIndex(docs, "doc_id", "text")
+    val want = built.searchTopK(qs, "qid", "qtext", k = 10)
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    val path = java.nio.file.Files.createTempDirectory("bm25bkt").toString
+    built.saveBucketed("bm25_plan_postings", path, numBuckets = 4)
+    val re = graft.operators.Retrieval.loadBucketedIndex(spark,
+      "bm25_plan_postings", path)
+    val df = re.searchTopK(qs, "qid", "qtext", k = 10)
+    // identical ranking first
+    assert(df.orderBy("qid", "rank").collect().map(_.toSeq).toSeq == want)
+    val exchanges = flatten(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    // the bucketed scan's HashPartitioning(doc_id) satisfies the
+    // (qid, doc_id) grouping, so the candidate-pair exchange is GONE:
+    // only the query-term distinct and the rank-k-bounded qid window
+    // shuffle remain (inspect the exchange NODE line only — toString
+    // prints the whole subtree)
+    val nodeLines = exchanges.map(_.toString.linesIterator.next())
+    assert(!nodeLines.exists(_.contains("doc_id")),
+      "score-combine exchange survived bucketing:\n" + nodeLines.mkString("\n"))
+    assert(exchanges.size <= 2, nodeLines.mkString("\n"))
+  }
+
   test("dsir: ratio table broadcasts; corpus grams tokenize once and never re-shuffle text") {
     val df = SparkEntry.queries("dsir_weights")(spark, sf001)
     df.collect()
