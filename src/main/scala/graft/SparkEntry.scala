@@ -3338,6 +3338,34 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Hybrid serving composed from TWO indexes — the BM25 posting
+    // index and the IVF tier (probe-all ⇒ exact, so the rrf_hybrid
+    // oracle replays it verbatim): bm25TopK ⊕ searchMany → rrfFuse.
+    // The swap-an-index composition hybridSearch's doc promises.
+    "hybrid_ivf" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val emb = tbl(s, dir, "embeddings")
+      val qs = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      val lex = Retrieval.bm25TopK(docs, "doc_id", "text", qs, "qid",
+          "qtext", k = 10)
+        .select(col("qid"), col("doc_id").as("id"), col("rank"))
+      val cents = fixedCentroids(emb)
+      val indexed = IVFFlat.assign(emb, "vec_id", "embedding", cents)
+      val sizes = Array.fill(cents.length)(Long.MaxValue)
+      val model = IVFFlat.Model(IVFFlat.Params(cents.length), cents, sizes, indexed)
+      val wv = Window.partitionBy(col("qid"))
+        .orderBy(col("distance").asc, col("id").asc)
+      val vec = model.searchMany(emb.filter(col("vec_id") < 3), "vec_id",
+          "embedding", k = 10, nprobe = cents.length)
+        .withColumn("rank", row_number().over(wv))
+        .select(col("qid"), col("id"), col("rank"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("rrf").desc, col("id").asc)
+      Retrieval.rrfFuse(lex, vec).withColumn("rank", row_number().over(w))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Exact radius search (FAISS range_search shape): every corpus
     // point within sqdist ≤ 1.8 of each of 5 queries — broadcast
     // queries, ONE corpus scan, no shuffle (cheapest query shape in
@@ -3953,6 +3981,36 @@ object SparkEntry {
        |bsc AS (${bm25ScoreSelectSql("bqt")}),
        |bagg AS (SELECT qid, doc_id, CAST(count(*) AS BIGINT) AS n_hit,
        |  CAST(sum(s_q) AS BIGINT) AS score_q FROM bsc GROUP BY 1, 2)""".stripMargin
+
+  /** Hybrid-fusion replay shared by rrf_hybrid (exhaustive vector
+    * side) and hybrid_ivf (IVF tier at probe-all — the same exact
+    * top-10): two rankers full-outer fused on (qid, id) with
+    * rrf = Σ 1/(60 + rank), re-ranked (rrf DESC, id). */
+  private lazy val rrfHybridSql: String =
+    s"""${bm25AggCtes(3)},
+       |lex AS (SELECT qid, doc_id AS id,
+       |  CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY score_q DESC, doc_id) AS BIGINT) AS rank_a
+       |  FROM bagg QUALIFY rank_a <= 10),
+       |vsc AS (SELECT q.vec_id AS qid, c.vec_id AS id,
+       |  list_reduce(list_transform(list_zip(c.embedding, q.embedding),
+       |    x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+       |       * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+       |    (a, b) -> a + b) AS distance
+       |  FROM embeddings c, embeddings q WHERE q.vec_id < 3),
+       |vec AS (SELECT qid, id,
+       |  CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY distance, id) AS BIGINT) AS rank_b
+       |  FROM vsc QUALIFY rank_b <= 10),
+       |fused AS (SELECT coalesce(l.qid, v.qid) AS qid,
+       |  coalesce(l.id, v.id) AS id,
+       |  coalesce(1.0 / (60.0 + CAST(l.rank_a AS DOUBLE)), 0.0)
+       |    + coalesce(1.0 / (60.0 + CAST(v.rank_b AS DOUBLE)), 0.0) AS rrf
+       |  FROM lex l FULL OUTER JOIN vec v ON l.qid = v.qid AND l.id = v.id)
+       |SELECT qid, id, rrf,
+       |  CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY rrf DESC, id) AS INTEGER) AS rank
+       |FROM fused ORDER BY qid, rank""".stripMargin
 
   /** The BM25 per-(query-term, doc) scoring SELECT over a prepared
     * (qid, term) CTE — shared by the first and (RM3) second passes. */
@@ -6629,31 +6687,10 @@ object SparkEntry {
 
     // replay of hybridSearch: the two top-10 rankers, full-outer fused
     // on (qid, id) with rrf = Σ 1/(60 + rank), re-ranked (rrf DESC, id)
-    "rrf_hybrid" ->
-      s"""${bm25AggCtes(3)},
-         |lex AS (SELECT qid, doc_id AS id,
-         |  CAST(row_number() OVER (PARTITION BY qid
-         |    ORDER BY score_q DESC, doc_id) AS BIGINT) AS rank_a
-         |  FROM bagg QUALIFY rank_a <= 10),
-         |vsc AS (SELECT q.vec_id AS qid, c.vec_id AS id,
-         |  list_reduce(list_transform(list_zip(c.embedding, q.embedding),
-         |    x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
-         |       * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
-         |    (a, b) -> a + b) AS distance
-         |  FROM embeddings c, embeddings q WHERE q.vec_id < 3),
-         |vec AS (SELECT qid, id,
-         |  CAST(row_number() OVER (PARTITION BY qid
-         |    ORDER BY distance, id) AS BIGINT) AS rank_b
-         |  FROM vsc QUALIFY rank_b <= 10),
-         |fused AS (SELECT coalesce(l.qid, v.qid) AS qid,
-         |  coalesce(l.id, v.id) AS id,
-         |  coalesce(1.0 / (60.0 + CAST(l.rank_a AS DOUBLE)), 0.0)
-         |    + coalesce(1.0 / (60.0 + CAST(v.rank_b AS DOUBLE)), 0.0) AS rrf
-         |  FROM lex l FULL OUTER JOIN vec v ON l.qid = v.qid AND l.id = v.id)
-         |SELECT qid, id, rrf,
-         |  CAST(row_number() OVER (PARTITION BY qid
-         |    ORDER BY rrf DESC, id) AS INTEGER) AS rank
-         |FROM fused ORDER BY qid, rank""".stripMargin,
+    "rrf_hybrid" -> rrfHybridSql,
+
+    // the IVF-tier composition at probe-all ⇒ exact: same replay
+    "hybrid_ivf" -> rrfHybridSql,
 
     // probe-all IVF range search == the exhaustive radius oracle
     "ivf_range_all" ->
