@@ -179,6 +179,26 @@ object RetrievalScaleSmoke extends Serializable {
       zidx.postings.unpersist(); zdocs.unpersist(); zqs.unpersist()
     }
 
+    // ---- phase 3c: exact phrase search at scale — 200 five-token
+    // phrases lifted verbatim from known docs; every query must find
+    // its source doc (exactness) and the join stays posting-sized
+    {
+      val nPhrases = 200
+      val pq = (0 until nPhrases).map { j =>
+        val b = (j * 7919L) % nDocs
+        (j.toLong, b, docTokens(b).slice(20, 25).mkString(" "))
+      }
+      val pqs = pq.map { case (q, _, t) => (q, t) }.toDF("qid", "phrase")
+      val ptruth = pq.map { case (q, b, _) => (q, b) }.toDF("qid", "base")
+      phase("phrase_search") {
+        val hits = operators.Retrieval.phraseSearch(docs, "doc_id", "text",
+            pqs, "qid", "phrase")
+          .join(ptruth, Seq("qid"))
+          .filter(col("doc_id") === col("base")).count()
+        out += "phrase_recall" -> f"${hits.toDouble / nPhrases}%.3f"
+      }
+    }
+
     // ---- phase 4: DSIR selection — target = 1000 domain docs (ids
     // 0,10,…,9990); select the top nDocs/10 and measure how much of
     // the selection is actually in-domain. m must scale with the gram

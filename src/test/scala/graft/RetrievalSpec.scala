@@ -152,6 +152,31 @@ class RetrievalSpec extends SparkSpec {
       got.toString)
   }
 
+  test("phraseSearch == brute-force sliding-window count on a seeded random corpus") {
+    // tiny alphabet (3 tokens) maximizes repeated terms, overlapping
+    // occurrences, and phrase-at-boundary cases — the traps of the
+    // anchor/offset formulation
+    val r = new scala.util.Random(0x9817A5EL)
+    val vocab = Vector("a", "b", "c")
+    def randSeq(max: Int) = Seq.fill(r.nextInt(max))(vocab(r.nextInt(3)))
+    val docToks = (0 until 50).map(i => i.toLong -> randSeq(15)).toMap
+    val qToks = (0 until 12).map(i => i.toLong -> (1 to (1 + r.nextInt(3)))
+      .map(_ => vocab(r.nextInt(3)))).toMap
+    val docs = docToks.toSeq.sortBy(_._1)
+      .map { case (i, t) => (i, t.mkString(" ")) }.toDF("doc_id", "text")
+    val qs = qToks.toSeq.sortBy(_._1)
+      .map { case (i, t) => (i, t.mkString(" ")) }.toDF("qid", "phrase")
+    val got = Retrieval.phraseSearch(docs, "doc_id", "text", qs, "qid", "phrase")
+      .collect().map(row => (row.getAs[Long]("qid"), row.getAs[Long]("doc_id"))
+        -> row.getAs[Long]("n_occ")).toMap
+    val want = (for {
+      (q, ph) <- qToks.toSeq; (d, ts) <- docToks.toSeq
+      n = ts.sliding(ph.size).count(w => w.size == ph.size && w == ph)
+      if n > 0
+    } yield (q, d) -> n.toLong).toMap
+    assert(got == want)
+  }
+
   test("add/remove/merge re-derive the statistics: lifecycle == scratch build") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val qs = docs.filter(col("doc_id") < 3)
