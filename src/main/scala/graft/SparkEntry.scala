@@ -3338,6 +3338,17 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Radius search under COSINE distance (1 − a·b, the HNSW metric):
+    // same zero-shuffle broadcast scan, different codegen'd kernel —
+    // "everything within angular distance τ" duplicate sweeps.
+    "range_search_cosine" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Exhaustive.rangeSearch(emb.filter(col("vec_id") < 5), "vec_id",
+          "embedding", emb, "vec_id", "embedding", radius = 0.9,
+          metric = "cosine")
+        .orderBy(col("qid"), col("id"))
+    }),
+
     // Hybrid serving composed from TWO indexes — the BM25 posting
     // index and the IVF tier (probe-all ⇒ exact, so the rrf_hybrid
     // oracle replays it verbatim): bm25TopK ⊕ searchMany → rrfFuse.
@@ -6702,6 +6713,16 @@ object SparkEntry {
         |      (a, b) -> a + b) AS distance
         |  FROM embeddings c, embeddings q WHERE q.vec_id < 5)
         |SELECT qid, id, distance FROM scored WHERE distance <= 1.8
+        |ORDER BY qid, id""".stripMargin,
+
+    "range_search_cosine" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS id,
+        |    1.0 - list_reduce(list_transform(list_zip(c.embedding, q.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+        |      (a, b) -> a + b) AS distance
+        |  FROM embeddings c, embeddings q WHERE q.vec_id < 5)
+        |SELECT qid, id, distance FROM scored WHERE distance <= 0.9
         |ORDER BY qid, id""".stripMargin,
 
     "range_search" ->
