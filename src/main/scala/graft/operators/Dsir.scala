@@ -146,7 +146,13 @@ object Dsir {
   def weights(docs: DataFrame, idCol: String, textCol: String,
               target: DataFrame, targetTextCol: String,
               m: Int = 256): DataFrame = {
-    val gb = gramBuckets(docs, idCol, textCol, m).persist()
+    // the gram-bucket frame feeds BOTH the raw model and the scoring
+    // join as the SAME subplan, whose final groupBy ends in a shuffle
+    // — Spark's ReuseExchange dedupes it, so the corpus tokenizes once
+    // per evaluation with NO caller-owned cache to leak (DsirSpec
+    // gates the reused exchange; previously a .persist() here pinned
+    // a corpus-sized frame per weights() call in long-lived sessions)
+    val gb = gramBuckets(docs, idCol, textCol, m)
     val lr = logRatioQOfTotals(bucketTotals(target, targetTextCol, m, "ct"),
       bucketTotalsOf(gb, "cr"), m)
     weightsAgainstPostings(

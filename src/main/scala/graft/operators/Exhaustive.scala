@@ -172,8 +172,10 @@ object Exhaustive {
     * of each query — the FAISS range_search counterpart, for
     * "everything closer than τ" jobs (duplicate sweeps at a distance
     * threshold, recall audits) where top-k's fixed cutoff is the wrong
-    * contract. Boundary is inclusive (distance ≤ radius, matching
-    * FAISS's convention for L2).
+    * contract. Boundary is deliberately INCLUSIVE (distance ≤ radius)
+    * across every metric — note this differs from FAISS, whose L2
+    * range_search keeps strictly distance < radius; the engine's own
+    * contract (oracles, IVF/SQ8/BQ tier twins) is uniformly ≤.
     *
     * Scale shape: broadcast the query side, scan the corpus ONCE with
     * a codegen'd distance + filter — no top-k aggregation, no shuffle

@@ -40,7 +40,8 @@ object Retrieval {
     * the lexical tier. */
   final case class Bm25Index(postings: DataFrame, docFreq: DataFrame,
                              docLen: DataFrame, stats: DataFrame,
-                             k1: Double, b: Double) {
+                             k1: Double, b: Double,
+                             positions: Option[DataFrame] = None) {
 
     /** BM25 relevance of every (query, document) pair sharing ≥ 1
       * term — DISTINCT query terms (the common qtf-free
@@ -136,8 +137,15 @@ object Retrieval {
       val qt = queryTerms(queries, qIdCol, qTextCol)
       val seed = searchTopK(queries, qIdCol, qTextCol, fbDocs, maxDf)
         .select(col("qid"), col("doc_id"))
-      val pooled = seed.join(postings, Seq("doc_id"))
+      val pooled0 = seed.join(postings, Seq("doc_id"))
         .groupBy(col("qid"), col("term")).agg(sum("tf").as("w"))
+      // df-capped runs prune pooled candidates BEFORE ranking the
+      // fbTerms slots: a term the cap will zero out at scoring must
+      // not win an expansion slot (it would silently shrink the
+      // effective expansion set). No-op when maxDf is unset.
+      val pooled = maxDf.fold(pooled0)(cap => pooled0.join(
+        docFreq.filter(col("df") <= lit(cap)).select("term"),
+        Seq("term"), "left_semi"))
       val wExp = Window.partitionBy(col("qid"))
         .orderBy(col("w").desc, col("term").asc)
       val expansion = pooled.join(qt, Seq("qid", "term"), "left_anti")
@@ -152,31 +160,67 @@ object Retrieval {
         .select(col("qid"), col("doc_id"), col("score_q"), col("rank"))
     }
 
+    /** Exact phrase search served FROM THE INDEX's persisted positional
+      * postings — the Lucene answer to phrase queries at scale: the
+      * corpus tokenizes (and its positions persist) exactly once, at
+      * build time; every later phrase batch is one term-keyed probe of
+      * the stored (doc_id, term, pos) frame with the serving-sized
+      * query side broadcast. Same semantics and output as
+      * [[Retrieval.phraseSearch]] (RetrievalSpec pins them equal;
+      * phrase_persist replays the phrase_search oracle), minus its
+      * full-corpus re-tokenize — the one serve-time corpus pass the
+      * r10 engine still had. Requires a positional build
+      * ([[Retrieval.buildIndex]] `positional = true`). */
+    def phraseSearchIndexed(queries: DataFrame, qIdCol: String,
+                            qPhraseCol: String): DataFrame =
+      phraseIntersect(
+        positions.getOrElse(throw new IllegalStateException(
+          "phraseSearchIndexed needs a positional index — build/load with positional = true")),
+        phraseQueryFrame(queries, qIdCol, qPhraseCol))
+
     /** Incremental add: tokenize + dl-denormalize only the NEW
-      * documents (caller contract: ids not already indexed — the
-      * ingest twins' doc-level arrival rule) and re-derive df/stats
-      * from the widened frame; the existing corpus never re-tokenizes
-      * and its dl values stay valid (dl is per-doc). Same result as
-      * building from scratch on the union (RetrievalSpec pin,
-      * bm25_add lane). */
+      * documents (caller contract: ids DISJOINT from those already
+      * indexed — the ingest twins' doc-level arrival rule; an
+      * overlapping id is NOT detected and silently corrupts df — the
+      * term is counted once per copy — and dl picks an arbitrary
+      * duplicate. De-dup ids upstream, or [[remove]] first to
+      * overwrite) and re-derive df/stats from the widened frame; the
+      * existing corpus never re-tokenizes and its dl values stay valid
+      * (dl is per-doc). Same result as building from scratch on the
+      * union (RetrievalSpec pin, bm25_add lane). Positional indexes
+      * stay positional: the new docs' positions union in. */
     def add(docs: DataFrame, idCol: String, textCol: String): Bm25Index =
       indexOfPostings(
         postings.unionByName(
-          denormDl(postingsOf(docs, idCol, textCol))), k1, b)
+          denormDl(postingsOf(docs, idCol, textCol))), k1, b,
+        positions.map(_.unionByName(positionsOf(docs, idCol, textCol))))
 
     /** Remove documents by id: an anti-join on the posting frame —
       * df/stats re-derive, so removed docs stop influencing idf and
       * avgdl too (the part naive "filter results" forgets); surviving
-      * docs' dl values are per-doc and stay valid. */
-    def remove(ids: DataFrame, idCol: String): Bm25Index =
-      indexOfPostings(postings.join(
-        ids.select(col(idCol).cast("long").as("doc_id")),
-        Seq("doc_id"), "left_anti"), k1, b)
+      * docs' dl values are per-doc and stay valid. Positions of the
+      * removed docs anti-join out too. */
+    def remove(ids: DataFrame, idCol: String): Bm25Index = {
+      val del = ids.select(col(idCol).cast("long").as("doc_id"))
+      indexOfPostings(
+        postings.join(del, Seq("doc_id"), "left_anti"), k1, b,
+        positions.map(_.join(del, Seq("doc_id"), "left_anti")))
+    }
 
     /** Merge two indexes over DISJOINT doc-id sets (the shard-build
-      * shape: tokenize shards independently, union postings once). */
+      * shape: tokenize shards independently, union postings once).
+      * Like [[add]], the disjointness is a caller contract — an id
+      * present in both shards double-counts df silently. The merge is
+      * positional iff BOTH sides are. */
     def merge(other: Bm25Index): Bm25Index =
-      indexOfPostings(postings.unionByName(other.postings), k1, b)
+      indexOfPostings(postings.unionByName(other.postings), k1, b,
+        for (p <- positions; q <- other.positions) yield p.unionByName(q))
+
+    /** Release the posting frame [[Retrieval.buildIndex]] cached (a
+      * no-op for loaded indexes, whose frames are plain scans).
+      * Long-lived sessions building many throwaway indexes should
+      * close each one, or the cached postings pin executor storage. */
+    def unpersist(): Unit = postings.unpersist()
 
     /** Persist with the postings BUCKETED by doc_id through the
       * catalog ([[graft.sources.Bucketed]]): the serve-side score
@@ -189,24 +233,35 @@ object Retrieval {
     def saveBucketed(table: String, path: String, numBuckets: Int): Unit = {
       graft.sources.Bucketed.write(postings, table, s"$path/postings",
         numBuckets, "doc_id")
+      // positions bucket by doc_id too: HashPartitioning(doc_id)
+      // satisfies the (qid, doc_id, anchor) clustering, so a loaded
+      // bucketed phrase probe plans its anchor aggregation with ZERO
+      // exchange on the positional side (PlanSpec-gated)
+      positions.foreach(p => graft.sources.Bucketed.write(p,
+        s"${table}_pos", s"$path/pos", numBuckets, "doc_id"))
       docFreq.write.mode("overwrite").parquet(s"$path/df")
       docLen.write.mode("overwrite").parquet(s"$path/dl")
       stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
-      graft.index.ParamsIO.write(postings.sparkSession, path,
-        s"""{"k1":$k1,"b":$b}""")
+      graft.index.ParamsIO.write(postings.sparkSession, path, paramsJson)
     }
 
-    /** Persist the four serving frames (parquet) + params sidecar.
+    /** Persist the serving frames (parquet) + params sidecar — plus
+      * the positional postings when the index carries them, so phrase
+      * queries serve from disk forever after ([[phraseSearchIndexed]]).
       * stats rides as a 1-row parquet so avgdl round-trips its exact
       * double bits — no decimal re-parse in the serving arithmetic. */
     def save(dir: String): Unit = {
       val spark = postings.sparkSession
       postings.write.mode("overwrite").parquet(s"$dir/postings")
+      positions.foreach(_.write.mode("overwrite").parquet(s"$dir/pos"))
       docFreq.write.mode("overwrite").parquet(s"$dir/df")
       docLen.write.mode("overwrite").parquet(s"$dir/dl")
       stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
-      graft.index.ParamsIO.write(spark, dir, s"""{"k1":$k1,"b":$b}""")
+      graft.index.ParamsIO.write(spark, dir, paramsJson)
     }
+
+    private def paramsJson: String =
+      s"""{"k1":$k1,"b":$b,"pos":${if (positions.isDefined) 1 else 0}}"""
   }
 
   /** The (doc_id, term, tf) posting table of a document frame — the
@@ -217,6 +272,17 @@ object Retrieval {
     docs.select(col(idCol).cast("long").as("doc_id"),
         explode(TextOps.tokens(col(textCol))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** The POSITIONAL posting frame (doc_id, term, pos), pos 0-based —
+    * the persisted layout phrase queries probe ([[Bm25Index
+    * .phraseSearchIndexed]]): one tokenize at build time instead of one
+    * per phrase batch. ~dl rows per doc (one per token occurrence, vs
+    * one per distinct term in the tf frame) — the classic Lucene
+    * positions-cost-more-than-frequencies trade, opted into per index
+    * (`positional = true`). */
+  def positionsOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "term")))
 
   /** Denormalize each doc's length onto its posting rows (the Lucene
     * norm-in-posting layout): one self-aggregation + join at build
@@ -235,7 +301,8 @@ object Retrieval {
     * dl/stats skip them). This is how a streamed-in posting state
     * becomes searchable. */
   def indexOfPostings(postings: DataFrame,
-                      k1: Double = 1.2, b: Double = 0.75): Bm25Index = {
+                      k1: Double = 1.2, b: Double = 0.75,
+                      positions: Option[DataFrame] = None): Bm25Index = {
     val denorm = denormDl(postings)
     val df = denorm.groupBy("term").agg(count(lit(1)).as("df"))
     val dl = denorm.groupBy("doc_id").agg(first(col("dl")).as("dl"))
@@ -243,17 +310,29 @@ object Retrieval {
       .select(col("n_docs"),
         (col("tot").cast("double") / col("n_docs").cast("double"))
           .as("avgdl"))
-    Bm25Index(denorm, df, dl, stats, k1, b)
+    Bm25Index(denorm, df, dl, stats, k1, b, positions)
   }
 
   /** Build the BM25 posting index: documents tokenize ONCE into the
-    * persisted posting table, which feeds df, dl AND the probe joins. */
+    * cached posting table, which feeds df, dl AND the probe joins.
+    * `positional = true` additionally materializes the (doc_id, term,
+    * pos) frame for [[Bm25Index.phraseSearchIndexed]] — persisted by
+    * save/saveBucketed alongside the tf postings.
+    *
+    * Caching contract: the posting frame is `.persist()`ed (every
+    * serving call and df/dl/stats derivation probes it — uncached it
+    * would re-tokenize per query batch). The cache belongs to the
+    * returned index: call [[Bm25Index.unpersist]] when done, or
+    * repeated builds in a long-lived session pin executor storage. */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String,
-                 k1: Double = 1.2, b: Double = 0.75): Bm25Index =
+                 k1: Double = 1.2, b: Double = 0.75,
+                 positional: Boolean = false): Bm25Index =
     indexOfPostings(
-      denormDl(postingsOf(docs, idCol, textCol)).persist(), k1, b)
+      denormDl(postingsOf(docs, idCol, textCol)).persist(), k1, b,
+      if (positional) Some(positionsOf(docs, idCol, textCol)) else None)
 
-  /** Load a [[Bm25Index]] persisted by [[Bm25Index.save]]. */
+  /** Load a [[Bm25Index]] persisted by [[Bm25Index.save]] (positional
+    * iff it was saved positional — the `pos` sidecar flag). */
   def loadIndex(spark: org.apache.spark.sql.SparkSession,
                 dir: String): Bm25Index = {
     val json = graft.index.ParamsIO.read(spark, dir)
@@ -262,12 +341,15 @@ object Retrieval {
       spark.read.parquet(s"$dir/dl"),
       spark.read.parquet(s"$dir/stats"),
       graft.index.ParamsIO.dbl(json, "k1", 1.2),
-      graft.index.ParamsIO.dbl(json, "b", 0.75))
+      graft.index.ParamsIO.dbl(json, "b", 0.75),
+      if (graft.index.ParamsIO.dbl(json, "pos", 0.0) != 0.0)
+        Some(spark.read.parquet(s"$dir/pos")) else None)
   }
 
   /** Load a [[Bm25Index]] persisted by [[Bm25Index.saveBucketed]] —
-    * the postings come back THROUGH THE CATALOG, which is what
-    * carries the bucket spec (a raw path read would re-shuffle). */
+    * the postings (and positions, when positional) come back THROUGH
+    * THE CATALOG, which is what carries the bucket spec (a raw path
+    * read would re-shuffle). */
   def loadBucketedIndex(spark: org.apache.spark.sql.SparkSession,
                         table: String, path: String): Bm25Index = {
     val json = graft.index.ParamsIO.read(spark, path)
@@ -276,7 +358,9 @@ object Retrieval {
       spark.read.parquet(s"$path/dl"),
       spark.read.parquet(s"$path/stats"),
       graft.index.ParamsIO.dbl(json, "k1", 1.2),
-      graft.index.ParamsIO.dbl(json, "b", 0.75))
+      graft.index.ParamsIO.dbl(json, "b", 0.75),
+      if (graft.index.ParamsIO.dbl(json, "pos", 0.0) != 0.0)
+        Some(graft.sources.Bucketed.table(spark, s"${table}_pos")) else None)
   }
 
   /** Exact phrase search — every document containing each query's
@@ -294,22 +378,33 @@ object Retrieval {
     * Output (qid, doc_id, n_occ) — docs with ≥1 verbatim occurrence. */
   def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
                    queries: DataFrame, qIdCol: String,
-                   qPhraseCol: String): DataFrame = {
-    val pos = docs.select(col(idCol).cast("long").as("doc_id"),
-      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "term")))
-    val qp = queries.select(col(qIdCol).cast("long").as("qid"),
+                   qPhraseCol: String): DataFrame =
+    phraseIntersect(positionsOf(docs, idCol, textCol),
+      phraseQueryFrame(queries, qIdCol, qPhraseCol))
+
+  /** The exploded (qid, len, qpos, term) frame of a phrase batch. */
+  private def phraseQueryFrame(queries: DataFrame, qIdCol: String,
+                               qPhraseCol: String): DataFrame =
+    queries.select(col(qIdCol).cast("long").as("qid"),
         TextOps.tokens(col(qPhraseCol)).as("toks"))
       .select(col("qid"), size(col("toks")).as("len"),
         posexplode(col("toks")).as(Seq("qpos", "term")))
       .filter(col("len") >= 1)
-    qp.join(pos, Seq("term"))
+
+  /** Positional-intersect kernel shared by [[phraseSearch]] (positions
+    * derived inline) and [[Bm25Index.phraseSearchIndexed]] (positions
+    * from the persisted frame). The serving-sized query side carries
+    * an explicit broadcast so the positional postings are scanned in
+    * place; the anchor aggregation partial-aggregates map-side (and
+    * plans zero-exchange over a doc_id-bucketed positional table). */
+  private def phraseIntersect(pos: DataFrame, qp: DataFrame): DataFrame =
+    pos.join(broadcast(qp), Seq("term"))
       .groupBy(col("qid"), col("doc_id"),
         (col("pos") - col("qpos")).as("anchor"), col("len"))
       .agg(countDistinct(col("qpos")).as("hit"))
       .filter(col("hit") === col("len").cast("long"))
       .groupBy(col("qid"), col("doc_id"))
       .agg(count(lit(1)).as("n_occ"))
-  }
 
   /** One-shot convenience: [[buildIndex]] + [[Bm25Index.searchMany]]. */
   def bm25(docs: DataFrame, idCol: String, textCol: String,

@@ -165,4 +165,34 @@ class DsirSpec extends SparkSpec {
     assert(others.forall(_ < means("en")),
       s"en target did not lift en docs: $means")
   }
+
+  test("weights leaves NO cached blocks and reuses the gram-bucket exchange") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val tgt = docs.filter(col("lang") === "en").select("text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val df = Dsir.weights(docs, "doc_id", "text", tgt, "text", m = 256)
+    df.collect()
+    // the corpus gram-bucket frame feeds the raw model AND the scoring
+    // join; the dedup is ReuseExchange, NOT a caller-leaked .persist()
+    // (the r10 ADVICE item: every weights() call pinned a corpus-sized
+    // cached frame for the life of the session)
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before,
+      "Dsir.weights must not leave persisted frames behind")
+    def flat(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a +: flat(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: flat(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        r +: flat(r.child)
+      case _ => p +: p.children.flatMap(flat)
+    }
+    val nodes = flat(df.queryExecution.executedPlan)
+    assert(nodes.exists(n =>
+        n.isInstanceOf[org.apache.spark.sql.execution.exchange.ReusedExchangeExec]
+          || n.toString.startsWith("ShuffleQueryStage") && n.toString.contains("reuse")),
+      "gram-bucket exchange must be reused, not recomputed:\n" +
+        df.queryExecution.executedPlan.toString.take(1500))
+  }
 }

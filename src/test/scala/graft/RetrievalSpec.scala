@@ -293,4 +293,72 @@ class RetrievalSpec extends SparkSpec {
     // self-pairs at distance 0 all present
     assert((0L until 5L).forall(q => got.contains((q, q, 0.0))))
   }
+
+  test("positional index: phraseSearchIndexed == phraseSearch, incl. save/load") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps"),
+      (1L, "quick brown shoes and quick brown fox again quick brown fox"),
+      (2L, "brown quick fox"),
+      (3L, "quick brown"),
+      (4L, "quick quick quick")).toDF("doc_id", "text")
+    val qs = Seq((0L, "quick brown fox"), (1L, "quick quick"))
+      .toDF("qid", "phrase")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("doc_id"))
+        -> r.getAs[Long]("n_occ")).toMap
+    val want = asMap(Retrieval.phraseSearch(docs, "doc_id", "text",
+      qs, "qid", "phrase"))
+    val idx = Retrieval.buildIndex(docs, "doc_id", "text", positional = true)
+    assert(asMap(idx.phraseSearchIndexed(qs, "qid", "phrase")) == want)
+    // persisted positions serve identically after a round-trip; the
+    // same loaded index still answers BM25 (one index, both faces)
+    val dir = java.nio.file.Files.createTempDirectory("pos_idx").toString
+    idx.save(dir)
+    val loaded = Retrieval.loadIndex(spark, dir)
+    assert(loaded.positions.isDefined)
+    assert(asMap(loaded.phraseSearchIndexed(qs, "qid", "phrase")) == want)
+    assert(loaded.searchTopK(Seq((0L, "quick brown")).toDF("qid", "qtext"),
+      "qid", "qtext", k = 3).count() > 0)
+    idx.unpersist()
+    // non-positional build refuses phrase serving loudly
+    val plain = Retrieval.buildIndex(docs, "doc_id", "text")
+    intercept[IllegalStateException] {
+      plain.phraseSearchIndexed(qs, "qid", "phrase")
+    }
+    plain.unpersist()
+  }
+
+  test("positional lifecycle: add/remove keep positions consistent with rebuild") {
+    val a = Seq((0L, "x y z"), (1L, "y z y z")).toDF("doc_id", "text")
+    val b = Seq((2L, "z x y z x y"), (3L, "x y")).toDF("doc_id", "text")
+    val qs = Seq((0L, "y z"), (1L, "x y")).toDF("qid", "phrase")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("doc_id"))
+        -> r.getAs[Long]("n_occ")).toMap
+    val incr = Retrieval.buildIndex(a, "doc_id", "text", positional = true)
+      .add(b, "doc_id", "text")
+    val scratch = Retrieval.buildIndex(a.unionByName(b), "doc_id", "text",
+      positional = true)
+    assert(asMap(incr.phraseSearchIndexed(qs, "qid", "phrase")) ==
+      asMap(scratch.phraseSearchIndexed(qs, "qid", "phrase")))
+    val removed = scratch.remove(Seq(1L, 2L).toDF("doc_id"), "doc_id")
+    val rebuilt = Retrieval.buildIndex(
+      a.unionByName(b).filter(!col("doc_id").isin(1L, 2L)),
+      "doc_id", "text", positional = true)
+    assert(asMap(removed.phraseSearchIndexed(qs, "qid", "phrase")) ==
+      asMap(rebuilt.phraseSearchIndexed(qs, "qid", "phrase")))
+    Seq(incr, scratch, rebuilt).foreach(_.unpersist())
+  }
+
+  test("unpersist releases the build-time posting cache") {
+    val docs = Seq((0L, "a b c"), (1L, "b c d")).toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val idx = Retrieval.buildIndex(docs, "doc_id", "text")
+    idx.postings.count() // materialize the cache
+    assert(spark.sparkContext.getPersistentRDDs.keySet.size > before.size,
+      "buildIndex should cache the posting frame")
+    idx.unpersist()
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before,
+      "unpersist must release the posting cache")
+  }
 }
