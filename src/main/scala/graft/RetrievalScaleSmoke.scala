@@ -109,7 +109,7 @@ object RetrievalScaleSmoke extends Serializable {
       l.stats.count()
       l
     }
-    idx.postings.unpersist()
+    idx.unpersist()
 
     // ---- phase 3: serve nQueries 10-term queries from the LOADED
     // index; query j samples every 7th token of base doc (j*9973 %
@@ -176,7 +176,7 @@ object RetrievalScaleSmoke extends Serializable {
           f"${recallOf(zidx.searchTopK(zqs, "qid", "qtext", k = 10,
             maxDf = Some((nz / 100).toLong)))}%.3f"
       }
-      zidx.postings.unpersist(); zdocs.unpersist(); zqs.unpersist()
+      zidx.unpersist(); zdocs.unpersist(); zqs.unpersist()
     }
 
     // ---- phase 3c: exact phrase search at scale — 200 five-token

@@ -3400,6 +3400,65 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // The PRODUCTION hybrid serving path: BOTH tiers load from disk
+    // (doc_id-bucketed BM25 postings through the catalog + the saved
+    // IVF index at probe-all ⇒ exact), zero build at serve time, then
+    // rrfFuse over the two candidate lists. hybrid_ivf gates the
+    // composition built inline; this lane gates it from the persisted
+    // artifacts — same oracle replay.
+    "hybrid_loaded" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val emb = tbl(s, dir, "embeddings")
+      val qs = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      val bPath = java.nio.file.Files.createTempDirectory("hyb_bm25").toString
+      val built = Retrieval.buildIndex(docs, "doc_id", "text")
+      built.saveBucketed("hybrid_loaded_postings", bPath, numBuckets = 4)
+      built.unpersist()
+      val lex = Retrieval.loadBucketedIndex(s, "hybrid_loaded_postings", bPath)
+        .searchTopK(qs, "qid", "qtext", k = 10)
+        .select(col("qid"), col("doc_id").as("id"), col("rank"))
+      val cents = fixedCentroids(emb)
+      val iPath = java.nio.file.Files.createTempDirectory("hyb_ivf").toString
+      IVFFlat.Model(IVFFlat.Params(cents.length), cents,
+          Array.fill(cents.length)(Long.MaxValue),
+          IVFFlat.assign(emb, "vec_id", "embedding", cents)).save(iPath)
+      val model = IVFFlat.load(s, iPath)
+      val wv = Window.partitionBy(col("qid"))
+        .orderBy(col("distance").asc, col("id").asc)
+      val vec = model.searchMany(emb.filter(col("vec_id") < 3), "vec_id",
+          "embedding", k = 10, nprobe = cents.length)
+        .withColumn("rank", row_number().over(wv))
+        .select(col("qid"), col("id"), col("rank"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("rrf").desc, col("id").asc)
+      Retrieval.rrfFuse(lex, vec).withColumn("rank", row_number().over(w))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Incremental add AGAINST the bucketed layout: add new docs to a
+    // loaded index, re-save bucketed, re-load, serve — the widened
+    // index must both rank like a scratch build (the bm25_add oracle)
+    // and keep the zero-exchange bucketed score combine
+    // (BucketedSpec/PlanSpec gate the plan shape).
+    "bm25_bucketed_add" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      val p1 = java.nio.file.Files.createTempDirectory("bkt_add1").toString
+      val half = Retrieval.buildIndex(docs.filter(col("doc_id") < 250),
+        "doc_id", "text")
+      half.saveBucketed("bm25_bktadd_half", p1, numBuckets = 4)
+      half.unpersist()
+      val widened = Retrieval.loadBucketedIndex(s, "bm25_bktadd_half", p1)
+        .add(docs.filter(col("doc_id") >= 250), "doc_id", "text")
+      val p2 = java.nio.file.Files.createTempDirectory("bkt_add2").toString
+      widened.saveBucketed("bm25_bktadd_full", p2, numBuckets = 4)
+      Retrieval.loadBucketedIndex(s, "bm25_bktadd_full", p2)
+        .searchTopK(qs, "qid", "qtext", k = 10)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Exact radius search (FAISS range_search shape): every corpus
     // point within sqdist ≤ 1.8 of each of 5 queries — broadcast
     // queries, ONE corpus scan, no shuffle (cheapest query shape in
@@ -6742,6 +6801,20 @@ object SparkEntry {
 
     // the IVF-tier composition at probe-all ⇒ exact: same replay
     "hybrid_ivf" -> rrfHybridSql,
+
+    // both tiers loaded from disk serve the identical fusion
+    "hybrid_loaded" -> rrfHybridSql,
+
+    // bucketed-add lifecycle == scratch build on the union: the
+    // bm25_add replay
+    "bm25_bucketed_add" ->
+      s"""${bm25AggCtes(5)}
+         |SELECT qid, doc_id, score_q,
+         |  CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY score_q DESC, doc_id) AS INTEGER) AS rank
+         |FROM bagg
+         |QUALIFY rank <= 10
+         |ORDER BY qid, rank""".stripMargin,
 
     // probe-all IVF range search == the exhaustive radius oracle
     "ivf_range_all" ->

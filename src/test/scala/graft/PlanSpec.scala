@@ -581,6 +581,78 @@ class PlanSpec extends SparkSpec {
     assert(exchanges.size <= 2, nodeLines.mkString("\n"))
   }
 
+  test("hybrid_loaded: bucketed combine stays exchange-free, probes broadcast") {
+    val df = SparkEntry.queries("hybrid_loaded")(spark, sf001)
+    df.collect()
+    val exchanges = flatten(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    // the loaded compose must keep each tier's serving shape: the BM25
+    // score combine rides the bucketed scan's HashPartitioning(doc_id)
+    // — NO exchange may hash on doc_id (candidate-pair-sized when it
+    // regresses); every remaining exchange is query- or rank-k-bounded
+    val nodeLines = exchanges.map(_.toString.linesIterator.next())
+    assert(!nodeLines.exists(_.contains("doc_id")),
+      "bucketed score-combine exchange reappeared in the loaded hybrid:\n" +
+        nodeLines.mkString("\n"))
+    val p = df.queryExecution.executedPlan.toString
+    // both probe joins broadcast (BM25 term probe + IVF cluster probe)
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    // fusion is an equi-join on (qid, id), never a cartesian
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("bucketed-add lifecycle keeps the zero-exchange combine and 1-file buckets") {
+    val df = SparkEntry.queries("bm25_bucketed_add")(spark, sf001)
+    df.collect()
+    val exchanges = flatten(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    val nodeLines = exchanges.map(_.toString.linesIterator.next())
+    assert(!nodeLines.exists(_.contains("doc_id")),
+      "score-combine exchange survived the add+re-save:\n" +
+        nodeLines.mkString("\n"))
+    // ≤2 hash exchanges (query-term distinct + qid window); the third
+    // is the lane's presentation orderBy (rangepartitioning)
+    assert(nodeLines.count(_.contains("hashpartitioning")) <= 2,
+      nodeLines.mkString("\n"))
+    // the re-saved table still writes exactly one data file per bucket
+    val loc = spark.sql("DESCRIBE TABLE EXTENDED bm25_bktadd_full")
+      .filter(col("col_name") === "Location").head().getString(1)
+    val files = new java.io.File(new java.net.URI(loc).getPath)
+      .listFiles().filter(f => f.getName.startsWith("part-"))
+    assert(files.length == 4,
+      s"expected 4 bucket files, got ${files.map(_.getName).mkString(", ")}")
+  }
+
+  test("phrase serving from a bucketed positional index: anchor agg is exchange-free") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val qs = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(graft.operators.TextOps.tokens(col("text")), 1, 3))
+          .as("phrase"))
+    val path = java.nio.file.Files.createTempDirectory("posbkt").toString
+    val built = graft.operators.Retrieval.buildIndex(docs, "doc_id", "text",
+      positional = true)
+    built.saveBucketed("phrase_plan_postings", path, numBuckets = 4)
+    built.unpersist()
+    val re = graft.operators.Retrieval.loadBucketedIndex(spark,
+      "phrase_plan_postings", path)
+    val df = re.phraseSearchIndexed(qs, "qid", "phrase")
+    df.collect()
+    val exchanges = flatten(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    // the positional scan's HashPartitioning(doc_id) satisfies BOTH
+    // groupings ((qid, doc_id, anchor) and (qid, doc_id)) — the whole
+    // phrase serve plans ZERO row exchanges over a bucketed index
+    assert(exchanges.isEmpty,
+      "phrase serve over bucketed positions should be exchange-free:\n" +
+        exchanges.map(_.toString.linesIterator.next()).mkString("\n"))
+    // and the query side rides a broadcast onto the positional scan
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
   test("dsir: ratio table broadcasts; corpus grams tokenize once and never re-shuffle text") {
     val df = SparkEntry.queries("dsir_weights")(spark, sf001)
     df.collect()
@@ -591,9 +663,15 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin \\[bucket".r.findFirstIn(p).isDefined, p.take(1500))
     // the per-doc weight aggregation is map-side partial
     assert(p.contains("partial_sum"), p.take(1200))
-    // the raw corpus model re-aggregates the CACHED posting frame (one
-    // tokenize pass over the corpus, not two)
-    assert(p.contains("InMemoryRelation"), p.take(1200))
+    // the raw corpus model re-reads the gram-bucket exchange via
+    // ReuseExchange (one tokenize pass over the corpus, not two —
+    // and, unlike the previous .persist(), no caller-leaked cache;
+    // AQE prints the reuse as a ShuffleQueryStage marked "reuse")
+    assert(flatten(df.queryExecution.executedPlan).exists(n =>
+        n.isInstanceOf[org.apache.spark.sql.execution.exchange.ReusedExchangeExec]
+          || (n.toString.startsWith("ShuffleQueryStage")
+              && n.toString.contains("reuse"))),
+      "gram-bucket exchange not reused:\n" + p.take(1500))
     flatten(df.queryExecution.executedPlan).collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
     }.foreach { e =>

@@ -64,7 +64,7 @@ class RetrievalSpec extends SparkSpec {
       .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
     val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
     built.save(dir)
-    built.postings.unpersist()
+    built.unpersist()
     val re = graft.operators.Retrieval.loadIndex(spark, dir)
     val got = re.searchTopK(qs, "qid", "qtext", k = 10)
       .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
