@@ -686,6 +686,40 @@ object SparkEntry {
         .orderBy(col("qid"), col("distance"), col("id"))
     }),
 
+    // Radius search on the SQ8 tier (the compressed dup-sweep): the
+    // inclusive radius filter runs inside the byte-code scan; probing
+    // every cell makes it EXACTLY the radius sweep over the
+    // dequantized corpus, which DuckDB replays bit-for-bit
+    // (quantize → dequantize → filter, the sq8_search_all idiom).
+    "sq8_range_all" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = fixedCentroids(emb)
+      val indexed = graft.index.IVFFlat.assign(emb, "vec_id", "embedding", cents)
+      val sizes = Array.fill(cents.length)(Long.MaxValue)
+      val sq8 = graft.index.SQ8.compress(
+        IVFFlat.Model(IVFFlat.Params(cents.length), cents, sizes, indexed))
+      sq8.rangeSearchMany(emb.filter(col("vec_id") < 5), "vec_id",
+          "embedding", radius = 1.8, nprobe = cents.length)
+        .orderBy(col("qid"), col("id"))
+    }),
+
+    // Radius search on the BQ tier: 1-bit shortlist (probe-all, slack
+    // ∞ ⇒ shortlist ⊇ probed corpus) + exact float re-rank + radius
+    // filter — shortlist ⊇ corpus makes it the exhaustive radius
+    // sweep, so the range_search oracle replays it verbatim.
+    "bq_range_rerank" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = fixedCentroids(emb)
+      val sizes = Array.fill(cents.length)(Long.MaxValue)
+      val bq = graft.index.BQ.compress(IVFFlat.Model(
+        IVFFlat.Params(cents.length), cents, sizes,
+        IVFFlat.assign(emb, "vec_id", "embedding", cents)))
+      bq.rangeSearchRefined(emb.filter(col("vec_id") < 5), "vec_id",
+          "embedding", radius = 1.8, emb, "vec_id", "embedding",
+          nprobe = cents.length)
+        .orderBy(col("qid"), col("id"))
+    }),
+
     // SQ8 lifecycle: compress → save (codes partitioned by cluster) →
     // load → probe-all search, same exact-over-dequantized oracle.
     "sq8_persist_all" -> ((s, dir) => {
@@ -5987,6 +6021,41 @@ object SparkEntry {
         |FROM c ORDER BY vec_id""".stripMargin,
 
     "sq8_search_all" -> sq8ExactKnnSql,
+
+    // probe-all SQ8 radius == the radius sweep over the DEQUANTIZED
+    // corpus (same quantize→dequantize replay as sq8_search_all)
+    "sq8_range_all" ->
+      """WITH r AS (SELECT vec_id, embedding,
+        |  CAST(list_min(embedding) AS DOUBLE) AS lo,
+        |  CAST(list_max(embedding) AS DOUBLE) AS hi FROM embeddings),
+        |deq AS (SELECT vec_id,
+        |  CASE WHEN hi = lo THEN list_transform(embedding, x -> lo)
+        |    ELSE list_transform(embedding, x ->
+        |      lo + floor((CAST(x AS DOUBLE) - lo) / ((hi - lo) / 255.0) + 0.5)
+        |         * ((hi - lo) / 255.0)) END AS dq
+        |  FROM r),
+        |scored AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS id,
+        |    list_reduce(list_transform(list_zip(q.embedding, c.dq),
+        |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+        |      (a, b) -> a + b) AS distance
+        |  FROM deq c, embeddings q WHERE q.vec_id < 5)
+        |SELECT qid, id, distance FROM scored WHERE distance <= 1.8
+        |ORDER BY qid, id""".stripMargin,
+
+    // BQ shortlist ⊇ corpus (probe-all, slack ∞) + exact re-rank ==
+    // the exhaustive float radius sweep
+    "bq_range_rerank" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS id,
+        |    list_reduce(list_transform(list_zip(c.embedding, q.embedding),
+        |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+        |      (a, b) -> a + b) AS distance
+        |  FROM embeddings c, embeddings q WHERE q.vec_id < 5)
+        |SELECT qid, id, distance FROM scored WHERE distance <= 1.8
+        |ORDER BY qid, id""".stripMargin,
     // merged half-compressions under shared centroids ≡ single compress
     "sq8_merge_all" -> sq8ExactKnnSql,
     "sq8_rot_all" -> sq8RotAllSql,

@@ -325,6 +325,57 @@ object BQ {
         k)
     }
 
+    /** Radius (range) search with exact re-rank — the 100-TB
+      * "everything closer than τ" dup-sweep over 1-bit codes: probe
+      * each query's `nprobe` nearest cells, keep candidates whose
+      * asymmetric estimate passes `slack` (the shortlist), then score
+      * ONLY the shortlist against the float corpus and keep true
+      * distance ≤ `radius` (inclusive). The bit pass scans 32× fewer
+      * bytes; the float pass touches shortlist×queries rows via a
+      * broadcast-pruned corpus scan — the corpus never shuffles
+      * (the searchManyRefined shape, with the data-dependent radius
+      * contract instead of top-k).
+      *
+      * `slack` is in the model's estimate units: for residual coding
+      * a true squared-distance estimate (set it to radius × a safety
+      * factor — candidates the estimate puts far outside τ never reach
+      * the float pass); for plain coding the −q·sign(v) alignment
+      * score (lower = closer). The default ∞ disables estimate
+      * pruning — the shortlist is every probed candidate, and with
+      * every cell probed the result is EXACTLY the float radius sweep
+      * (the bq_range_rerank oracle lane). False negatives come only
+      * from unprobed cells and over-tight slack; the float re-rank
+      * makes false positives impossible. */
+    def rangeSearchRefined(queries: DataFrame, qIdCol: String, qVecCol: String,
+                           radius: Double,
+                           corpus: DataFrame, cIdCol: String, cVecCol: String,
+                           slack: Double = Double.PositiveInfinity,
+                           nprobe: Int = 2): DataFrame = {
+      // k = 1: range search probes exactly the nprobe nearest cells
+      val probes = probeFrame(queries, qIdCol, qVecCol, 1, nprobe)
+      val scored = codes.join(broadcast(probes), Seq("cluster"))
+      val est =
+        if (residual) {
+          val inv = 2.0 / math.sqrt(codeDim.toDouble)
+          col("qc2") -
+            BqMath.asymDot(col("codes"), col("qvec")) * col("rnorm") * lit(inv) +
+            col("rnorm") * col("rnorm")
+        } else lit(0.0d) - BqMath.asymDot(col("codes"), col("qvec"))
+      val shortlist = scored
+        .select(col("qid"), col("id"), est.as("est"))
+        .filter(col("est") <= lit(slack))
+        .select(col("qid"), col("id"))
+      val q = queries.select(col(qIdCol).cast("long").as("qid"),
+        col(qVecCol).cast("array<float>").as("qvec"))
+      val c = corpus.select(col(cIdCol).cast("long").as("id"),
+        col(cVecCol).cast("array<float>").as("cvec"))
+      c.join(broadcast(shortlist.join(broadcast(q), "qid")), Seq("id"))
+        .select(col("qid"), col("id"),
+          graft.functions.VectorOps.sqDist(col("cvec"), col("qvec"))
+            .as("distance"))
+        .filter(col("distance") <= lit(radius))
+    }
+
     /** Incremental add: assign against frozen centroids, pack the new
       * rows (narrow, residual-aware), union under the [[Lineage]]
       * cadence. */

@@ -131,6 +131,50 @@ object SQ8 {
           col("nn.distance").as("distance"))
     }
 
+    /** Radius (range) search on the SQ8 tier — the FAISS
+      * IndexIVFScalarQuantizer.range_search counterpart: probe each
+      * query's `nprobe` nearest cells and return EVERY probed code
+      * whose DEQUANTIZED distance is within `radius` (inclusive, the
+      * engine's uniform boundary). The 100-TB dup-sweep shape: the
+      * radius filter runs inside the byte-code scan (~4× fewer scan
+      * bytes than the float tier), there is no top-k aggregation, and
+      * the only rows that move ARE results. Distances are the fused
+      * dequantize-in-register kernel, exact to O(dim·scale) of the
+      * float distance; probing ALL cells makes the result exactly the
+      * radius sweep over the dequantized corpus — the sq8_range_all
+      * oracle (DuckDB replays quantize→dequantize→filter bit-for-bit,
+      * the sq8_search_all idiom). */
+    def rangeSearchMany(queries: DataFrame, qIdCol: String, qVecCol: String,
+                        radius: Double, nprobe: Int = 2): DataFrame = {
+      val spark = queries.sparkSession
+      val bc = spark.sparkContext.broadcast((centroids, clusterSizes))
+      import spark.implicits._
+      val rot = rotated
+      // k = 1: adaptive cumulative-size widening is a top-k concept;
+      // range search probes exactly the nprobe nearest cells
+      val probes = queries
+        .select(col(qIdCol).cast("long").as("qid"),
+                col(qVecCol).cast("array<float>").as("qvec"))
+        .as[(Long, Array[Float])]
+        .flatMap { case (qid, qvec) =>
+          val (cents, sizes) = bc.value
+          require(qvec.length == cents(0).length,
+            s"SQ8 query dim ${qvec.length} != index dim ${cents(0).length}")
+          val qd = new Array[Double](qvec.length)
+          var i = 0
+          while (i < qvec.length) { qd(i) = qvec(i).toDouble; i += 1 }
+          val qf = if (rot) graft.functions.Rotate.rotateD(qd) else qd
+          IVFFlat.probeOrder(cents, sizes, qvec, 1, nprobe)
+            .map(c => (qid, qf, c))
+        }
+        .toDF("qid", "qvec", "cluster")
+      codes.join(broadcast(probes), Seq("cluster"))
+        .select(col("qid"), col("id"),
+          Sq8Math.sq8Dist(col("codes"), col("lo"), col("scale"),
+            col("qvec")).as("distance"))
+        .filter(col("distance") <= lit(radius))
+    }
+
     /** SQ8 shortlist (factor×k over the byte codes) + exact re-rank
       * against the full-precision corpus — [[PQ]]'s serving shape at
       * the SQ8 point of the compression curve. The byte pass scans

@@ -109,6 +109,40 @@ class BQSpec extends SparkSpec {
     assert(refined.toSeq == exact.toSeq)
   }
 
+  test("rangeSearchRefined: probe-all + slack-inf == exhaustive radius; slack prunes safely") {
+    val queries = emb.filter($"vec_id" < 5)
+    val exact10 = graft.operators.Exhaustive.knnJoin(
+      queries, "vec_id", "embedding", emb, "vec_id", "embedding", 10)
+    val radius = exact10.agg(max("distance")).head().getDouble(0)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"),
+        r.getAs[Double]("distance"))).toSet
+    val want = asSet(graft.operators.Exhaustive.rangeSearch(
+      queries, "vec_id", "embedding", emb, "vec_id", "embedding", radius))
+    val got = asSet(bq.rangeSearchRefined(queries, "vec_id", "embedding",
+      radius, emb, "vec_id", "embedding", nprobe = bq.params.k))
+    assert(got == want)
+    assert(got.exists(_._3 == radius), "inclusive boundary row missing")
+    // a finite slack only ever REMOVES rows (estimate pruning is a
+    // shortlist cut; the float re-rank forbids false positives), and
+    // every surviving distance still passes the radius
+    val pruned = asSet(bq.rangeSearchRefined(queries, "vec_id", "embedding",
+      radius, emb, "vec_id", "embedding", slack = 0.0,
+      nprobe = bq.params.k))
+    assert(pruned.subsetOf(got))
+    assert(pruned.forall(_._3 <= radius))
+    // residual model: slack is a true squared-distance estimate, so a
+    // generous slack band keeps the exact result
+    val bqr = BQ.compressResidual(ivf)
+    val gotRes = asSet(bqr.rangeSearchRefined(queries, "vec_id", "embedding",
+      radius, emb, "vec_id", "embedding", slack = radius * 4.0,
+      nprobe = bqr.params.k))
+    assert(gotRes.subsetOf(want))
+    // recall of the estimate-pruned sweep stays high at 4x slack
+    assert(gotRes.size >= (want.size * 0.9).toInt,
+      s"residual slack pruning lost too much: ${gotRes.size}/${want.size}")
+  }
+
   test("knnJoinAsym (shuffle path) equals searchManyAsym (broadcast path)") {
     val queries = emb.filter($"vec_id" < 25)
     def asSet(df: org.apache.spark.sql.DataFrame) =

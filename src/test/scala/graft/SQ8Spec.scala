@@ -136,6 +136,35 @@ class SQ8Spec extends SparkSpec {
     assert(refined.toSeq == exact.toSeq)
   }
 
+  test("rangeSearchMany probe-all == radius filter over dequantized distances") {
+    val queries = emb.filter($"vec_id" < 5)
+    // radius from a true kNN distance so the boundary row is exercised
+    val radius = sq8.searchMany(queries, "vec_id", "embedding",
+        k = 10, nprobe = sq8.params.k)
+      .agg(max("distance")).head().getDouble(0)
+    val got = sq8.rangeSearchMany(queries, "vec_id", "embedding",
+        radius, nprobe = sq8.params.k)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"),
+        r.getAs[Double]("distance"))).toSet
+    // reference: dequantized distance on every (query, code) pair
+    val want = sq8.codes.crossJoin(
+        queries.select($"vec_id".as("qid"),
+          $"embedding".cast("array<double>").as("qvec")))
+      .select($"qid", $"id",
+        Sq8Math.sq8Dist($"codes", $"lo", $"scale", $"qvec").as("distance"))
+      .filter($"distance" <= radius)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"),
+        r.getAs[Double]("distance"))).toSet
+    assert(got == want)
+    assert(got.exists(_._3 == radius), "inclusive boundary row missing")
+    // probed subset at nprobe=1 never invents rows
+    val probed = sq8.rangeSearchMany(queries, "vec_id", "embedding",
+        radius, nprobe = 1)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"),
+        r.getAs[Double]("distance"))).toSet
+    assert(probed.subsetOf(got))
+  }
+
   test("constant vector codes pack to zero bytes and dequantize to lo") {
     val df = Seq((1L, Array.fill(4)(0.5f))).toDF("id", "v")
     val packed = df.select(
