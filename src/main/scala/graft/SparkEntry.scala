@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps._
 import graft.index.{HNSW, HNSWGraph, IVFFlat, LSHForest}
-import graft.operators.{Dedup, Dsir, Exhaustive, Retrieval, TextOps}
+import graft.operators.{Dedup, Dsir, Exhaustive, LateInteraction, Retrieval, TextOps}
 import graft.streaming.Streaming
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -3380,6 +3380,41 @@ object SparkEntry {
         .orderBy(col("qid"), col("doc_id"))
     }),
 
+    // Late-interaction MaxSim retrieval (ColBERT, Khattab & Zaharia
+    // 2020): Σ over query tokens of (max over doc tokens of dot), on
+    // hashing-trick char-trigram token embeddings — integer vectors,
+    // so per-pair dots, maxes and sums are exact BIGINTs and DuckDB
+    // replays the whole multi-vector pipeline (grid-densified sparse
+    // dot, max commutes with the monotone quantization).
+    "maxsim_exact" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val dToks = LateInteraction.tokenVectors(docs, "doc_id", "text")
+      val qToks = LateInteraction.tokenVectors(
+          docs.filter(col("doc_id") < 3), "doc_id", "text")
+        .withColumnRenamed("doc_id", "qid")
+      LateInteraction.maxSim(qToks, "qid", "tok_idx", "vec",
+          dToks, "doc_id", "vec", k = 10)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // The serving face: per-query-token top-m corpus tokens shortlist
+    // the candidate docs (TopKAggExpr partial heaps), exact rescore on
+    // candidates only. m = the corpus token count makes the shortlist
+    // cover everything — the lane is then exactly maxsim_exact, same
+    // oracle (the sq8_search_all probe-all idiom).
+    "maxsim_shortlisted" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val dToks = LateInteraction.tokenVectors(docs, "doc_id", "text")
+        .localCheckpoint(true) // feeds shortlist + rescore — embed once
+      val qToks = LateInteraction.tokenVectors(
+          docs.filter(col("doc_id") < 3), "doc_id", "text")
+        .withColumnRenamed("doc_id", "qid")
+      val m = dToks.count().toInt
+      LateInteraction.maxSimShortlisted(qToks, "qid", "tok_idx", "vec",
+          dToks, "doc_id", "vec", k = 10, m = m)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Hybrid lexical+vector search: BM25 top-10 fused (reciprocal-rank,
     // k0=60) with exact-kNN top-10 for 3 queries that carry both faces.
     // rrf = two IEEE divisions + one add per fused row — deterministic;
@@ -4335,6 +4370,60 @@ object SparkEntry {
        |    string_agg(tok, ' ' ORDER BY pos) AS chunk,
        |    md5(string_agg(tok, ' ' ORDER BY pos)) AS digest
        |  FROM ci GROUP BY doc_id, chunk_idx)""".stripMargin
+
+  /** maxsim_exact / maxsim_shortlisted oracle: the full late-
+    * interaction replay. Tokens explode with positions; each token's
+    * grams are itself + its char trigrams; the hashing-trick sparse
+    * vector is the md5 index/sign fold (the proven text_hash_embed
+    * mapping); per-token-pair dots come from a sparse i-keyed join
+    * DENSIFIED over the full (q-token × d-token) grid (a no-overlap
+    * pair's dot is 0 and must participate in the max); then
+    * max-per-(qid, doc, qtok) × 1e6 → sum → rank. Every step integer. */
+  private lazy val maxSimSql: String =
+    s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |dt AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+       |  i -> {'tok_idx': i - 1, 'term': toks[i]}), recursive := true)
+       |  FROM tok),
+       |qt AS (SELECT doc_id AS qid, tok_idx AS qtok, term FROM dt
+       |  WHERE doc_id < 3),
+       |dg AS (SELECT doc_id, tok_idx, unnest(list_concat([term],
+       |    CASE WHEN len(term) >= 3 THEN list_transform(
+       |      range(1, len(term) - 1), i -> substr(term, i, 3))
+       |    ELSE [] END)) AS g FROM dt),
+       |qg AS (SELECT qid, qtok, unnest(list_concat([term],
+       |    CASE WHEN len(term) >= 3 THEN list_transform(
+       |      range(1, len(term) - 1), i -> substr(term, i, 3))
+       |    ELSE [] END)) AS g FROM qt),
+       |dsp AS (SELECT doc_id, tok_idx,
+       |    CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 16 AS i,
+       |    SUM(CASE WHEN substr(md5(g), 9, 1) IN
+       |      ('8','9','a','b','c','d','e','f') THEN -1 ELSE 1 END) AS v
+       |  FROM dg GROUP BY 1, 2, 3),
+       |qsp AS (SELECT qid, qtok,
+       |    CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 16 AS i,
+       |    SUM(CASE WHEN substr(md5(g), 9, 1) IN
+       |      ('8','9','a','b','c','d','e','f') THEN -1 ELSE 1 END) AS v
+       |  FROM qg GROUP BY 1, 2, 3),
+       |spdots AS (SELECT q.qid, q.qtok, d.doc_id, d.tok_idx,
+       |    SUM(d.v * q.v) AS dot
+       |  FROM dsp d JOIN qsp q USING(i) GROUP BY 1, 2, 3, 4),
+       |grid AS (SELECT q.qid, q.qtok, d.doc_id, d.tok_idx
+       |  FROM (SELECT DISTINCT qid, qtok FROM qt) q
+       |  CROSS JOIN (SELECT DISTINCT doc_id, tok_idx FROM dt) d),
+       |alldots AS (SELECT g.qid, g.qtok, g.doc_id, g.tok_idx,
+       |    COALESCE(s.dot, 0) AS dot
+       |  FROM grid g LEFT JOIN spdots s
+       |    USING(qid, qtok, doc_id, tok_idx)),
+       |mx AS (SELECT qid, doc_id, qtok, MAX(dot) * 1000000 AS m_q
+       |  FROM alldots GROUP BY 1, 2, 3),
+       |sc AS (SELECT qid, doc_id, CAST(SUM(m_q) AS BIGINT) AS score_q
+       |  FROM mx GROUP BY 1, 2)
+       |SELECT qid, doc_id, score_q,
+       |  CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY score_q DESC, doc_id) AS INTEGER) AS rank
+       |FROM sc
+       |QUALIFY rank <= 10
+       |ORDER BY qid, rank""".stripMargin
 
   /** sq8_search_all / sq8_persist_all oracle: quantize each corpus
     * vector with [[graft.functions.Quant]]'s floor-rounding affine int8
@@ -6863,6 +6952,14 @@ object SparkEntry {
          |SELECT qid, doc_id, CAST(count(*) AS BIGINT) AS n_occ
          |FROM m WHERE hit = len GROUP BY 1, 2
          |ORDER BY qid, doc_id""".stripMargin,
+
+    // MaxSim replay: tokenize → char-trigram grams → md5 hashing-trick
+    // sparse vectors → grid-densified per-token-pair integer dots →
+    // max per (qid, doc, qtok) → sum → rank. Exact end to end.
+    "maxsim_exact" -> maxSimSql,
+
+    // shortlist with m = corpus token count covers every doc: same replay
+    "maxsim_shortlisted" -> maxSimSql,
 
     // replay of hybridSearch: the two top-10 rankers, full-outer fused
     // on (qid, id) with rrf = Σ 1/(60 + rank), re-ranked (rrf DESC, id)

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.LateInteraction
+
+/** Gates for ColBERT-style MaxSim late interaction: the Spark plans
+  * must reproduce a driver-side brute force on arbitrary float token
+  * embeddings, the shortlist face must converge to the exact face,
+  * and the exhaustive plan must keep its scale shape. */
+class LateInteractionSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // seeded random multi-vector corpus: 40 docs × 1..6 tokens, dim 8,
+  // signed float coordinates (negative dots exercised); 5 queries
+  private val r = new scala.util.Random(0xC01BEE7L)
+  private def vec() = Array.fill(8)((r.nextInt(21) - 10).toDouble)
+  private val dTokRows = for {
+    d <- 0 until 40; t <- 0 to r.nextInt(6)
+  } yield (d.toLong, t.toLong, vec())
+  private val qTokRows = for {
+    q <- 0 until 5; t <- 0 to r.nextInt(4)
+  } yield (q.toLong, t.toLong, vec())
+
+  private lazy val dToks = dTokRows.toDF("doc_id", "tok_idx", "vec")
+  private lazy val qToks = qTokRows.toDF("qid", "tok_idx", "vec")
+
+  private def brute(k: Int): Map[Long, Seq[(Long, Long)]] = {
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    val byDoc = dTokRows.groupBy(_._1)
+    val byQ = qTokRows.groupBy(_._1)
+    byQ.map { case (qid, qts) =>
+      val scored = byDoc.toSeq.map { case (did, dts) =>
+        did -> qts.map(qt =>
+          dts.map(dt => q6(dot(dt._3, qt._3))).max).sum
+      }
+      qid -> scored.sortBy { case (did, s) => (-s, did) }.take(k)
+    }
+  }
+
+  test("maxSim == driver brute force on seeded float token bags") {
+    val got = LateInteraction.maxSim(qToks, "qid", "tok_idx", "vec",
+        dToks, "doc_id", "vec", k = 7)
+      .orderBy("qid", "rank").collect()
+      .groupBy(_.getAs[Long]("qid")).view.mapValues(_.toSeq.map(row =>
+        (row.getAs[Long]("doc_id"), row.getAs[Long]("score_q")))).toMap
+    assert(got == brute(7))
+  }
+
+  test("maxSimShortlisted converges to maxSim; small m only removes docs") {
+    val total = dTokRows.size
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(row => (row.getAs[Long]("qid"),
+        row.getAs[Long]("doc_id")) -> row.getAs[Long]("score_q")).toMap
+    val exact = asMap(LateInteraction.maxSim(qToks, "qid", "tok_idx", "vec",
+      dToks, "doc_id", "vec", k = 7))
+    val full = asMap(LateInteraction.maxSimShortlisted(qToks, "qid",
+      "tok_idx", "vec", dToks, "doc_id", "vec", k = 7, m = total))
+    assert(full == exact)
+    // small m: every returned (qid, doc) is scored EXACTLY (the
+    // re-rank is over true dots), so scores agree wherever present
+    val small = asMap(LateInteraction.maxSimShortlisted(qToks, "qid",
+      "tok_idx", "vec", dToks, "doc_id", "vec", k = 7, m = 2))
+    small.foreach { case (key, s) =>
+      val e = asMap(LateInteraction.maxSim(qToks, "qid", "tok_idx", "vec",
+        dToks, "doc_id", "vec", k = 40))
+      assert(e(key) == s, s"shortlisted score drifted for $key")
+    }
+  }
+
+  test("repeated query tokens each contribute their own max") {
+    val d = Seq((0L, 0L, Array(1.0, 0.0))).toDF("doc_id", "tok_idx", "vec")
+    val q = Seq((0L, 0L, Array(2.0, 0.0)), (0L, 1L, Array(2.0, 0.0)))
+      .toDF("qid", "tok_idx", "vec")
+    val got = LateInteraction.maxSim(q, "qid", "tok_idx", "vec",
+      d, "doc_id", "vec", k = 1).collect()
+    assert(got.head.getAs[Long]("score_q") == 4000000L) // 2 × (2·1e6)
+  }
+
+  test("exhaustive plan: q tokens broadcast, corpus never shuffles pair rows") {
+    val df = LateInteraction.maxSim(qToks, "qid", "tok_idx", "vec",
+      dToks, "doc_id", "vec", k = 5)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // the pair volume collapses through a map-side partial max before
+    // any exchange: no shuffle may carry the raw per-pair score s_q
+    assert(p.contains("partial_max") || p.contains("partial_max("),
+      "per-pair max must partial-aggregate map-side:\n" + p.take(1200))
+  }
+}
