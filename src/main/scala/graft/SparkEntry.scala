@@ -720,6 +720,24 @@ object SparkEntry {
         .orderBy(col("qid"), col("id"))
     }),
 
+    // Radius search on the composed IVF-PQ tier (FAISS IndexIVFPQ
+    // .range_search's shape): ADC estimate prunes inside the m-byte
+    // code scan at a slack threshold, survivors re-rank exactly, the
+    // radius filter runs over exact distances. Probe-all + slack ∞
+    // passes every code to the exact pass — the exhaustive radius
+    // sweep, so the bq_range_rerank oracle replays it verbatim.
+    "pq_ivf_range_rerank" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = fixedCentroids(emb)
+      val sizes = Array.fill(cents.length)(Long.MaxValue)
+      val model = graft.index.IVFPQ.build(emb, "vec_id", "embedding",
+        cents, sizes, fixedCodebooks(emb, 4), graft.index.PQ.Params(m = 4, k = 16))
+      model.rangeSearchRefined(emb.filter(col("vec_id") < 5), "vec_id",
+          "embedding", radius = 1.8, emb, "vec_id", "embedding",
+          nprobe = cents.length)
+        .orderBy(col("qid"), col("id"))
+    }),
+
     // SQ8 lifecycle: compress → save (codes partitioned by cluster) →
     // load → probe-all search, same exact-over-dequantized oracle.
     "sq8_persist_all" -> ((s, dir) => {
@@ -3412,6 +3430,26 @@ object SparkEntry {
       val m = dToks.count().toInt
       LateInteraction.maxSimShortlisted(qToks, "qid", "tok_idx", "vec",
           dToks, "doc_id", "vec", k = 10, m = m)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // MaxSim serving FROM THE PERSISTED TOKEN FRAME: embed once →
+    // saveTokens → loadTokens → exhaustive MaxSim — the multi-vector
+    // tier's save/load lifecycle (ColBERT's index artifact IS the
+    // token-embedding frame; no serve-time embedding pass). Oracle =
+    // the maxsim_exact replay verbatim.
+    "maxsim_persist" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("maxsim_persist")
+        .toString
+      LateInteraction.saveTokens(
+        LateInteraction.tokenVectors(docs, "doc_id", "text"), tmp)
+      val dToks = LateInteraction.loadTokens(s, tmp)
+      val qToks = LateInteraction.tokenVectors(
+          docs.filter(col("doc_id") < 3), "doc_id", "text")
+        .withColumnRenamed("doc_id", "qid")
+      LateInteraction.maxSim(qToks, "qid", "tok_idx", "vec",
+          dToks, "doc_id", "vec", k = 10)
         .orderBy(col("qid"), col("rank"))
     }),
 
@@ -6145,6 +6183,19 @@ object SparkEntry {
         |  FROM embeddings c, embeddings q WHERE q.vec_id < 5)
         |SELECT qid, id, distance FROM scored WHERE distance <= 1.8
         |ORDER BY qid, id""".stripMargin,
+    // IVF-PQ probe-all + slack ∞ + exact re-rank == the same
+    // exhaustive float radius sweep (ADC estimates only prune)
+    "pq_ivf_range_rerank" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS id,
+        |    list_reduce(list_transform(list_zip(c.embedding, q.embedding),
+        |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+        |      (a, b) -> a + b) AS distance
+        |  FROM embeddings c, embeddings q WHERE q.vec_id < 5)
+        |SELECT qid, id, distance FROM scored WHERE distance <= 1.8
+        |ORDER BY qid, id""".stripMargin,
+
     // merged half-compressions under shared centroids ≡ single compress
     "sq8_merge_all" -> sq8ExactKnnSql,
     "sq8_rot_all" -> sq8RotAllSql,
@@ -6960,6 +7011,9 @@ object SparkEntry {
 
     // shortlist with m = corpus token count covers every doc: same replay
     "maxsim_shortlisted" -> maxSimSql,
+
+    // the saved token frame serves the identical exhaustive MaxSim
+    "maxsim_persist" -> maxSimSql,
 
     // replay of hybridSearch: the two top-10 rankers, full-outer fused
     // on (qid, id) with rrf = Σ 1/(60 + rank), re-ranked (rrf DESC, id)

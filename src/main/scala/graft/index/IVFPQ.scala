@@ -131,6 +131,87 @@ object IVFPQ {
       chunkResults.reduce(_.unionByName(_))
     }
 
+    /** Radius (range) search on the composed index — the FAISS
+      * IndexIVFPQ.range_search shape re-expressed for Spark, completing
+      * the compressed-tier radius matrix (SQ8 ADC-filter, BQ shortlist
+      * re-rank, and now IVF-PQ): the ADC estimate prunes INSIDE the
+      * probed m-byte code scan at a `slack` threshold (ADC errs by
+      * quantization, so slack > radius buys recall), survivors re-rank
+      * EXACTLY against the full-precision corpus (broadcast shortlist —
+      * the corpus never shuffles), and the inclusive radius filter runs
+      * over exact distances. False positives are impossible by
+      * construction; false negatives only from unprobed cells or an
+      * over-tight slack (spec-gated monotonicity in IVFPQSpec). Probing
+      * all cells at slack = ∞ passes every code to the exact pass — the
+      * exhaustive radius sweep, which the pq_ivf_range_rerank lane
+      * replays under the range_search oracle verbatim. Per-task LUT
+      * memory is bounded by the [[searchMany]] chunking contract. */
+    def rangeSearchRefined(queries: DataFrame, qIdCol: String, qVecCol: String,
+                           radius: Double,
+                           corpus: DataFrame, cIdCol: String, cVecCol: String,
+                           slack: Double = Double.PositiveInfinity,
+                           nprobe: Int = 2, qChunk: Int = 1024): DataFrame = {
+      val spark = queries.sparkSession
+      import spark.implicits._
+      val m = pqParams.m
+      val res = residual
+      val qRows = Batches.bounded(queries
+        .select(col(qIdCol).cast("long"),
+                col(qVecCol).cast("array<float>"))
+        .as[(Long, Array[Float])], "IVFPQ.rangeSearchRefined query")
+      if (qRows.isEmpty)
+        return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "id", "distance")
+      val bcState = spark.sparkContext.broadcast((coarse, codebooks))
+      val effChunk = math.max(1, if (res) qChunk / math.max(1, nprobe) else qChunk)
+      val shortlist = qRows.grouped(effChunk).map { chunk =>
+        val bcQ = spark.sparkContext.broadcast(chunk.toMap)
+        // k = 1: range search probes exactly the nprobe nearest cells
+        // (adaptive cumulative-size widening is a top-k concept)
+        val probePairs = chunk.toSeq.flatMap { case (qid, qvec) =>
+          IVFFlat.probeOrder(coarse, clusterSizes, qvec, 1, nprobe)
+            .map(c => (qid, c))
+        }
+        val probedCells = probePairs.map(_._2).distinct
+        val pruned =
+          if (probedCells.size < coarse.length)
+            codes.filter(col("cluster").isin(probedCells: _*))
+          else codes
+        pruned.join(broadcast(probePairs.toDF("qid", "cluster")), Seq("cluster"))
+          .select(col("qid"), col("cluster"), col("id"), col("code"))
+          .as[(Long, Int, Long, Array[Byte])]
+          .mapPartitions { it =>
+            val (cents, cbs) = bcState.value
+            val qmap = bcQ.value
+            val luts = scala.collection.mutable.HashMap
+              .empty[(Long, Int), Array[Array[Double]]]
+            it.flatMap { case (qid, cl, id, code) =>
+              val lut = luts.getOrElseUpdate((qid, if (res) cl else -1), {
+                val qvec = qmap(qid)
+                val qv = if (res) {
+                  val cv = cents(cl)
+                  Array.tabulate(qvec.length)(i => qvec(i) - cv(i))
+                } else qvec
+                PQ.buildLut(cbs, qv)
+              })
+              var d = 0.0
+              var s = 0
+              while (s < m) { d += lut(s)(code(s) & 0xFF); s += 1 }
+              if (d <= slack) Iterator.single((qid, id)) else Iterator.empty
+            }
+          }
+          .toDF("qid", "id")
+      }.reduce(_.unionByName(_))
+      val q = queries.select(col(qIdCol).cast("long").as("qid"),
+        col(qVecCol).cast("array<float>").as("qvec"))
+      val c = corpus.select(col(cIdCol).cast("long").as("id"),
+        col(cVecCol).cast("array<float>").as("cvec"))
+      c.join(broadcast(shortlist.join(broadcast(q), "qid")), Seq("id"))
+        .select(col("qid"), col("id"),
+          graft.functions.VectorOps.sqDist(col("cvec"), col("qvec"))
+            .as("distance"))
+        .filter(col("distance") <= lit(radius))
+    }
+
     /** ADC shortlist (factor×k) within probed cells + exact re-rank
       * against the full-precision vectors — the serving shape that
       * recovers exact-distance ordering at PQ scan cost. */

@@ -67,6 +67,27 @@ object LateInteraction {
         TextOps.hashEmbedding(grams, dim).cast("array<double>").as("vec"))
   }
 
+  /** Persist a token-embedding frame — the multi-vector tier's index
+    * artifact (ColBERT persists exactly this: one embedding row per
+    * document token). The frame is written canonical (doc_id, tok_idx,
+    * vec) so [[loadTokens]] serves either face with zero recompute —
+    * embedding the corpus (a model forward pass in production, the
+    * hashing trick here) happens ONCE at build, never at serve; this is
+    * the same serve-from-the-persisted-index contract the BM25 and
+    * vector tiers gate (reference anchor: base.rs:31-58). Lifecycle
+    * extensions compose on the frame itself: add = unionByName of a
+    * disjoint-doc_id token frame, remove = broadcast anti-join on
+    * doc_id — both then re-[[saveTokens]]. */
+  def saveTokens(toks: DataFrame, dir: String): Unit =
+    toks.select(col("doc_id").cast("long"), col("tok_idx").cast("long"),
+        col("vec").cast("array<double>"))
+      .write.mode("overwrite").parquet(s"$dir/tokens")
+
+  /** Reload a saved token frame (columns doc_id, tok_idx, vec). */
+  def loadTokens(spark: org.apache.spark.sql.SparkSession,
+                 dir: String): DataFrame =
+    spark.read.parquet(s"$dir/tokens")
+
   /** Quantized per-pair similarity: floor(⟨a,b⟩ · 1e6 + 0.5) as BIGINT. */
   private def simQ(a: org.apache.spark.sql.Column,
                    b: org.apache.spark.sql.Column) =

@@ -116,6 +116,40 @@ class IVFPQSpec extends SparkSpec {
     assert(run(resd, 7) == run(resd, 100000))
   }
 
+  test("rangeSearchRefined: probe-all + slack-inf == exhaustive radius; pruning only shrinks") {
+    val sizes = Array.fill(cents.length)(Long.MaxValue)
+    val q = emb.filter(col("vec_id") < 10)
+    val radius = 1.8
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = pairs(Exhaustive.rangeSearch(q, "vec_id", "embedding",
+      emb, "vec_id", "embedding", radius))
+    for (residual <- Seq(false, true)) {
+      val model = IVFPQ.build(emb, "vec_id", "embedding",
+        cents, sizes, cbs, PQ.Params(m = 4, k = 16), residual = residual)
+      // probe-all, slack ∞: every code reaches the exact pass — the
+      // exhaustive radius sweep, exact distances included
+      val all = model.rangeSearchRefined(q, "vec_id", "embedding", radius,
+        emb, "vec_id", "embedding", nprobe = cents.length)
+      assert(pairs(all) == want, s"residual=$residual")
+      all.collect().foreach(r => assert(r.getDouble(2) <= radius + 1e-12))
+      // both pruning levers are subset-monotone: fewer probes and a
+      // tighter slack can only DROP results, never invent them
+      val probed = pairs(model.rangeSearchRefined(q, "vec_id", "embedding",
+        radius, emb, "vec_id", "embedding", nprobe = 2))
+      assert(probed.subsetOf(want), s"residual=$residual probed ⊄ exhaustive")
+      val slacked = pairs(model.rangeSearchRefined(q, "vec_id", "embedding",
+        radius, emb, "vec_id", "embedding", slack = radius * 4,
+        nprobe = cents.length))
+      assert(slacked.subsetOf(want), s"residual=$residual slacked ⊄ exhaustive")
+      // ADC at 4× slack keeps the bulk of the true in-radius set
+      if (want.nonEmpty)
+        assert(slacked.size.toDouble / want.size >= 0.5,
+          s"residual=$residual slack recall ${slacked.size}/${want.size}")
+    }
+  }
+
   test("save/load round-trip: layout partitioned by cluster, search preserved") {
     val sizes = Array.fill(cents.length)(Long.MaxValue)
     val model = IVFPQ.build(emb, "vec_id", "embedding",

@@ -80,6 +80,24 @@ class LateInteractionSpec extends SparkSpec {
     assert(got.head.getAs[Long]("score_q") == 4000000L) // 2 × (2·1e6)
   }
 
+  test("saveTokens/loadTokens round-trip serves the identical MaxSim") {
+    def asRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(row => (row.getAs[Long]("qid"),
+        row.getAs[Long]("doc_id"), row.getAs[Long]("score_q"),
+        row.getAs[Int]("rank"))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("toksave").toString
+    LateInteraction.saveTokens(dToks, dir)
+    val loaded = LateInteraction.loadTokens(spark, dir)
+    // the persisted frame is canonical (doc_id, tok_idx, vec) and
+    // serves with zero recompute — no embedding pass at serve time
+    assert(loaded.columns.toSeq == Seq("doc_id", "tok_idx", "vec"))
+    val before = asRows(LateInteraction.maxSim(qToks, "qid", "tok_idx",
+      "vec", dToks, "doc_id", "vec", k = 5))
+    val after = asRows(LateInteraction.maxSim(qToks, "qid", "tok_idx",
+      "vec", loaded, "doc_id", "vec", k = 5))
+    assert(before == after)
+  }
+
   test("exhaustive plan: q tokens broadcast, corpus never shuffles pair rows") {
     val df = LateInteraction.maxSim(qToks, "qid", "tok_idx", "vec",
       dToks, "doc_id", "vec", k = 5)
