@@ -3418,10 +3418,13 @@ object SparkEntry {
     // The serving face: per-query-token top-m corpus tokens shortlist
     // the candidate docs (TopKAggExpr partial heaps), exact rescore on
     // candidates only. m = the corpus token count makes the shortlist
-    // cover everything — the lane is then exactly maxsim_exact, same
-    // oracle (the sq8_search_all probe-all idiom).
+    // cover everything — the lane is then exactly the exhaustive
+    // MaxSim, same replay (the sq8_search_all probe-all idiom) — over
+    // a 50-doc corpus: the convergence pin's heap size IS m, so it
+    // must run on a bounded corpus (serving uses small m — the recall
+    // lever; the full-corpus exhaustive face is maxsim_exact's lane).
     "maxsim_shortlisted" -> ((s, dir) => {
-      val docs = tbl(s, dir, "documents")
+      val docs = tbl(s, dir, "documents").filter(col("doc_id") < 50)
       val dToks = LateInteraction.tokenVectors(docs, "doc_id", "text")
         .localCheckpoint(true) // feeds shortlist + rescore — embed once
       val qToks = LateInteraction.tokenVectors(
@@ -4417,8 +4420,18 @@ object SparkEntry {
     * DENSIFIED over the full (q-token × d-token) grid (a no-overlap
     * pair's dot is 0 and must participate in the max); then
     * max-per-(qid, doc, qtok) × 1e6 → sum → rank. Every step integer. */
-  private lazy val maxSimSql: String =
-    s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+  private lazy val maxSimSql: String = maxSimSqlCorpus("")
+
+  /** [[maxSimSql]] over a restricted corpus (`filter` = a WHERE
+    * clause, empty = all docs). The shortlisted lane pins its
+    * convergence contract (m ≥ corpus token count ⇒ ≡ exhaustive) on
+    * a BOUNDED corpus: the pin's heap size is m — corpus-sized by
+    * construction — so running it over the full table would measure
+    * an O(corpus)-entry heap per query token, a config no serving
+    * deployment uses (m is the small recall lever; the full-corpus
+    * exhaustive face is maxsim_exact's job). */
+  private def maxSimSqlCorpus(filter: String): String =
+    s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents $filter),
        |dt AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
        |  i -> {'tok_idx': i - 1, 'term': toks[i]}), recursive := true)
        |  FROM tok),
@@ -7009,8 +7022,10 @@ object SparkEntry {
     // max per (qid, doc, qtok) → sum → rank. Exact end to end.
     "maxsim_exact" -> maxSimSql,
 
-    // shortlist with m = corpus token count covers every doc: same replay
-    "maxsim_shortlisted" -> maxSimSql,
+    // shortlist with m = corpus token count covers every doc: the
+    // same replay over the lane's bounded 50-doc corpus (the pin's
+    // heap size is m — see maxSimSqlCorpus)
+    "maxsim_shortlisted" -> maxSimSqlCorpus("WHERE doc_id < 50"),
 
     // the saved token frame serves the identical exhaustive MaxSim
     "maxsim_persist" -> maxSimSql,

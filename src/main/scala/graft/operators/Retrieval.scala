@@ -172,11 +172,32 @@ object Retrieval {
       * r10 engine still had. Requires a positional build
       * ([[Retrieval.buildIndex]] `positional = true`). */
     def phraseSearchIndexed(queries: DataFrame, qIdCol: String,
-                            qPhraseCol: String): DataFrame =
-      phraseIntersect(
-        positions.getOrElse(throw new IllegalStateException(
-          "phraseSearchIndexed needs a positional index — build/load with positional = true")),
-        phraseQueryFrame(queries, qIdCol, qPhraseCol))
+                            qPhraseCol: String): DataFrame = {
+      val pos = positions.getOrElse(throw new IllegalStateException(
+        "phraseSearchIndexed needs a positional index — build/load with positional = true"))
+      val qp = phraseQueryFrame(queries, qIdCol, qPhraseCol)
+      // Term-range scan pruning (the Lucene per-term seek, re-expressed
+      // as parquet row-group pruning): the batch's distinct terms are
+      // serving-sized (collect is bounded by the phrase-batch contract),
+      // so fold them into ≤64 contiguous [lo, hi] ranges and OR the
+      // BETWEENs — always parquet-pushable (no In-list threshold), and
+      // on [[save]]'s term-sorted layout min/max stats skip every row
+      // group holding none of the batch's terms. Pure pruning: the join
+      // below enforces exact term equality, so semantics are unchanged
+      // on ANY layout (a doc_id-bucketed positional table just prunes
+      // less). Batches beyond 100k distinct terms skip the filter.
+      val terms = qp.select(col("term")).distinct()
+        .limit(100001).collect().map(_.getString(0)).sorted
+      val pruned =
+        if (terms.isEmpty || terms.length > 100000) pos
+        else {
+          val chunk = math.max(1, math.ceil(terms.length / 64.0).toInt)
+          pos.filter(terms.grouped(chunk)
+            .map(g => col("term") >= lit(g.head) && col("term") <= lit(g.last))
+            .reduce(_ || _))
+        }
+      phraseIntersect(pruned, qp)
+    }
 
     /** Incremental add: tokenize + dl-denormalize only the NEW
       * documents (caller contract: ids DISJOINT from those already
@@ -253,7 +274,17 @@ object Retrieval {
     def save(dir: String): Unit = {
       val spark = postings.sparkSession
       postings.write.mode("overwrite").parquet(s"$dir/postings")
-      positions.foreach(_.write.mode("overwrite").parquet(s"$dir/pos"))
+      // positions persist TERM-CLUSTERED (range-partitioned files,
+      // term-sorted row groups — Lucene's term-ordered posting layout):
+      // each file/row-group then carries tight term min/max stats, so
+      // [[phraseSearchIndexed]]'s term-range filter prunes the serve
+      // scan to the row groups actually holding the batch's terms. One
+      // extra positions shuffle at save time buys every later phrase
+      // batch a seek-sized scan. (saveBucketed keeps its doc_id layout
+      // instead — that trade buys the zero-exchange anchor combine.)
+      positions.foreach(_.repartitionByRange(col("term"))
+        .sortWithinPartitions("term", "doc_id", "pos")
+        .write.mode("overwrite").parquet(s"$dir/pos"))
       docFreq.write.mode("overwrite").parquet(s"$dir/df")
       docLen.write.mode("overwrite").parquet(s"$dir/dl")
       stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
