@@ -226,13 +226,15 @@ object RetrievalScaleSmoke extends Serializable {
     // ---- phase 3e: late-interaction MaxSim — 100k docs × 100 tokens
     // = 10M corpus token embeddings (dim 16; capped — the pair volume
     // is corpus-tokens × q-tokens, MaxSim's inherent cost), 50 queries
-    // × 10 tokens, shortlist m = 256. m must exceed the corpus TERM
+    // × 10 tokens, shortlist m = 1024. m must exceed the corpus TERM
     // MULTIPLICITY here (~200 exact copies of every term at 10M
     // tokens / 50k vocab): hash token embeddings tie all copies of a
     // term at the same max dot, and an m below the tie count keeps
     // only the lowest-doc_id copies — measured recall@1 0.040 at
-    // m=16 vs 1.000 at m=256. (Real model embeddings break ties by
-    // context; the multiplicity bound is this corpus's analogue.)
+    // m=16, 0.680 at m=256 (longer terms' larger norms also crowd
+    // the heap above exact matches), recovering with headroom over
+    // the ~200-copy tie class at m=1024. (Real model embeddings
+    // break ties by context; multiplicity is this corpus's analogue.)
     // The 5B fused dots collapse map-side (TopKAggExpr heaps stage 1,
     // partial max stage 2); truth: query tokens sample a base doc,
     // which must rank 1.
@@ -257,7 +259,7 @@ object RetrievalScaleSmoke extends Serializable {
       val mtruth = mq.map { case (q, b, _) => (q, b) }.toDF("qid", "base")
       phase("maxsim_serve") {
         val top = operators.LateInteraction.maxSimShortlisted(qToks, "qid",
-            "tok_idx", "vec", dToks, "doc_id", "vec", k = 10, m = 256)
+            "tok_idx", "vec", dToks, "doc_id", "vec", k = 10, m = 1024)
           .filter(col("rank") === 1)
         val hits = top.join(mtruth, Seq("qid"))
           .filter(col("doc_id") === col("base")).count()
