@@ -62,7 +62,21 @@ object PlanDump {
       ("The corpus tokenizes once into a cached posting frame (the " +
         "raw model is a re-aggregation of it, not a second pass); the " +
         "m-row quantized log-ratio table broadcasts onto the postings; " +
-        "per-doc weights partial-aggregate map-side."))
+        "per-doc weights partial-aggregate map-side."),
+    "phrase_persist" ->
+      ("Phrase serving from the persisted positional index: the " +
+        "batch's distinct terms ride the positional scan as a pushed " +
+        "In(term, [...]) filter (PushedFilters at the pos FileScan — " +
+        "the Lucene term seek re-expressed as parquet page pruning on " +
+        "the term-clustered save layout; 100M rows -> 1.8M surviving " +
+        "at the 1M smoke); the query side broadcasts and the anchor " +
+        "aggregation partial-aggregates below its exchange."),
+    "maxsim_exact" ->
+      ("Late-interaction MaxSim: the query token bag broadcasts " +
+        "(BroadcastNestedLoopJoin — serving-sized by contract); the " +
+        "per-pair max partial-aggregates map-side (partial_max) so no " +
+        "exchange ever carries raw per-pair scores; the corpus token " +
+        "frame is scanned once and never shuffles."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"

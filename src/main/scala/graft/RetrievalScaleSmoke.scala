@@ -22,6 +22,11 @@ import org.apache.spark.sql.functions._
   */
 object RetrievalScaleSmoke extends Serializable {
 
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRec)
+    f.delete()
+  }
+
   @inline private def mix64(x0: Long): Long = {
     var x = x0
     x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
@@ -131,6 +136,12 @@ object RetrievalScaleSmoke extends Serializable {
       out += "bm25_recall_at1" -> f"${hits.toDouble / nQueries}%.3f"
     }
 
+    // the loaded index is done serving: drop its on-disk frames so the
+    // 10M run's later phases (positional save, DSIR shuffle) have the
+    // disk to themselves
+    loaded.unpersist()
+    deleteRec(new java.io.File(dir))
+
     // ---- phase 3b: df-cap stopword pruning under a ZIPF vocabulary —
     // the uniform corpus has no stopwords, so build a 200k-doc Zipf
     // slice (token r drawn with p ∝ 1/rank: rank = 2^(u·17) maps a
@@ -221,6 +232,7 @@ object RetrievalScaleSmoke extends Serializable {
           .filter(col("doc_id") === col("base")).count()
         out += "phrase_indexed_recall" -> f"${hits.toDouble / nPhrases}%.3f"
       }
+      deleteRec(new java.io.File(pdir))
     }
 
     // ---- phase 3e: late-interaction MaxSim — 100k docs × 100 tokens
