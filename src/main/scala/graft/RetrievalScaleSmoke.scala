@@ -43,10 +43,18 @@ object RetrievalScaleSmoke extends Serializable {
     val qTerms = 10
     val seed = 42L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // at 10M docs the build shuffles ~1B posting rows: more (smaller)
+    // shuffle partitions bound each task's live aggregation state —
+    // the single-JVM local mode's GC stays incremental instead of one
+    // full-heap pause that melts the heartbeat loop (observed at 10M
+    // with 32 partitions on a 48g heap)
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.ui.enabled", "false")
+      .config("spark.network.timeout", "800s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
