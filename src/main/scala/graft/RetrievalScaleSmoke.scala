@@ -23,7 +23,10 @@ import org.apache.spark.sql.functions._
 object RetrievalScaleSmoke extends Serializable {
 
   private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRec)
+    // listFiles() returns null on I/O error or a concurrent-delete
+    // race — cleanup must never NPE after the measurements ran
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
     f.delete()
   }
 

@@ -30,6 +30,27 @@ object SparkEntry {
     if (name == "events") normalizeEventTs(df) else df
   }
 
+  /** Per-run scratch dir for persist-shaped lanes, deleted on JVM exit:
+    * lanes return LAZY frames that read the written artifact after the
+    * lane body returns, so deletion can't happen at lane end — but the
+    * full-corpus token/posting frames the persist lanes write (maxsim/
+    * phrase are MBs per run at sf0.1) must not accumulate in /tmp
+    * across repeated Verify/Bench runs. One recursive-delete shutdown
+    * hook per created dir; a second process never shares a dir (the
+    * prefix is per-call createTempDirectory). */
+  private def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   /** The events contract is an epoch-NANOS long `ts` axis. The driver's
     * table has shipped both as parquet TIMESTAMP(NANOS) (read as long
     * under `nanosAsLong`) and as TIMESTAMP(MICROS) (read as
@@ -418,7 +439,7 @@ object SparkEntry {
         val lang = Seq("en", "de", "fr")(i % 3)
         s"""{"id": $i, "text": "doc $i body", "meta": {"lang": "$lang", "stars": ${i * 3 % 7}}}"""
       }
-    val d = java.nio.file.Files.createTempDirectory("jsonl_lane")
+    val d = java.nio.file.Paths.get(scratchDir("jsonl_lane"))
     java.nio.file.Files.writeString(d.resolve("part-0.jsonl"),
       (0 until 20).map(line).mkString("", "\n", "\n"))
     val gz = new java.util.zip.GZIPOutputStream(
@@ -495,7 +516,7 @@ object SparkEntry {
     // values — bucketed ≡ the plain join it replaces.
     "bucket_join_colocated" -> ((s, dir) => {
       val run = java.util.UUID.randomUUID().toString.replace("-", "")
-      val base = java.nio.file.Files.createTempDirectory("bucket_join").toString
+      val base = scratchDir("bucket_join")
       val (to, tl) = (s"graft_bko_$run", s"graft_bkl_$run")
       graft.sources.Bucketed.write(
         tbl(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
@@ -747,7 +768,7 @@ object SparkEntry {
       val sizes = Array.fill(cents.length)(Long.MaxValue)
       val sq8 = graft.index.SQ8.compress(
         IVFFlat.Model(IVFFlat.Params(cents.length), cents, sizes, indexed))
-      val tmp = java.nio.file.Files.createTempDirectory("sq8_persist").toString
+      val tmp = scratchDir("sq8_persist")
       sq8.save(tmp)
       val re = graft.index.SQ8.load(s, tmp)
       re.copy(clusterSizes = re.clusterSizes.map(_ => Long.MaxValue))
@@ -910,7 +931,7 @@ object SparkEntry {
       val sizes = Array.fill(cents.length)(Long.MaxValue)
       val bq = graft.index.BQ.compress(
         IVFFlat.Model(IVFFlat.Params(cents.length), cents, sizes, indexed))
-      val tmp = java.nio.file.Files.createTempDirectory("bq_persist").toString
+      val tmp = scratchDir("bq_persist")
       bq.save(tmp)
       val re = graft.index.BQ.load(s, tmp)
       re.copy(clusterSizes = re.clusterSizes.map(_ => Long.MaxValue))
@@ -950,7 +971,7 @@ object SparkEntry {
       val sq8 = graft.index.SQ8.compress(
         IVFFlat.Model(IVFFlat.Params(cents.length), cents, sizes, indexed),
         rotated = true)
-      val tmp = java.nio.file.Files.createTempDirectory("sq8_rot").toString
+      val tmp = scratchDir("sq8_rot")
       sq8.save(tmp)
       val re = graft.index.SQ8.load(s, tmp)
       re.copy(clusterSizes = re.clusterSizes.map(_ => Long.MaxValue))
@@ -1009,7 +1030,7 @@ object SparkEntry {
       val cbs = Array.tabulate(4)(sub => base16.map(_.slice(sub * 16, (sub + 1) * 16)))
       val trained = graft.index.Opq.Trained(r, cbs,
         graft.index.PQ.Params(m = 4, k = 16))
-      val tmp = java.nio.file.Files.createTempDirectory("opq_persist").toString
+      val tmp = scratchDir("opq_persist")
       graft.index.Opq.save(trained, s, tmp)
       val back = graft.index.Opq.load(s, tmp)
       // serve ENTIRELY from the loaded bundle: re-rotate with the
@@ -1116,7 +1137,7 @@ object SparkEntry {
       val emb = tbl(s, dir, "embeddings")
       val model = graft.index.PQ.withCodebooks(emb, "vec_id", "embedding",
         fixedCodebooks(emb, 4), graft.index.PQ.Params(m = 4, k = 16))
-      val tmp = java.nio.file.Files.createTempDirectory("pq_persist").toString
+      val tmp = scratchDir("pq_persist")
       model.save(tmp)
       graft.index.PQ.load(s, tmp)
         .searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
@@ -1271,7 +1292,7 @@ object SparkEntry {
       val sizes = Array.fill(cents.length)(Long.MaxValue) // force nprobe exactly
       val model = graft.index.IVFPQ.build(emb, "vec_id", "embedding",
         cents, sizes, fixedCodebooks(emb, 4), graft.index.PQ.Params(m = 4, k = 16))
-      val tmp = java.nio.file.Files.createTempDirectory("pq_ivf_persist").toString
+      val tmp = scratchDir("pq_ivf_persist")
       model.save(tmp)
       graft.index.IVFPQ.load(s, tmp)
         .searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
@@ -1395,7 +1416,7 @@ object SparkEntry {
       val cents = fixedCentroids(emb)
       val indexed = IVFFlat.assign(emb, "vec_id", "embedding", cents)
       val sizes = Array.fill(cents.length)(Long.MaxValue) // force nprobe exactly
-      val tmp = java.nio.file.Files.createTempDirectory("ivf_persist").toString
+      val tmp = scratchDir("ivf_persist")
       IVFFlat.Model(IVFFlat.Params(cents.length), cents, sizes, indexed).save(tmp)
       val re = IVFFlat.load(s, tmp)
       re.copy(clusterSizes = re.clusterSizes.map(_ => Long.MaxValue))
@@ -1668,7 +1689,7 @@ object SparkEntry {
       val model = LSHForest.build(emb, "vec_id", "embedding",
         LSHForest.Params(numTrees = 1, maxNodeSize = Int.MaxValue,
           dedupExact = false))
-      val tmp = java.nio.file.Files.createTempDirectory("lsh_persist").toString
+      val tmp = scratchDir("lsh_persist")
       model.save(tmp)
       LSHForest.load(s, tmp)
         .searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
@@ -1745,7 +1766,7 @@ object SparkEntry {
       val emb = tbl(s, dir, "embeddings")
       val model = HNSW.build(emb, "vec_id", "embedding", hnswExactParams,
         numShards = 1)
-      val tmp = java.nio.file.Files.createTempDirectory("hnsw_persist").toString
+      val tmp = scratchDir("hnsw_persist")
       model.save(tmp)
       HNSW.load(s, tmp)
         .searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
@@ -2239,7 +2260,7 @@ object SparkEntry {
     "unigram_persist" -> ((s, dir) => {
       import s.implicits._
       import graft.operators.Unigram
-      val tmp = java.nio.file.Files.createTempDirectory("unigram_vocab")
+      val tmp = java.nio.file.Paths.get(scratchDir("unigram_vocab"))
       Unigram.save(UnigramPinned, s, tmp.resolve("vocab").toString)
       val loaded = Unigram.load(s, tmp.resolve("vocab").toString)
       val vmap = loaded.map(p => p.piece -> p.score).toMap
@@ -2263,7 +2284,7 @@ object SparkEntry {
     "bpe_persist" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents").filter(expr(BpeDocFilter))
       val ms = graft.operators.Bpe.train(docs, "text", BpeMerges, BpeMaxWords)
-      val tmp = java.nio.file.Files.createTempDirectory("bpe_merges")
+      val tmp = java.nio.file.Paths.get(scratchDir("bpe_merges"))
       graft.operators.Bpe.save(ms, s, tmp.resolve("merges").toString)
       val loaded = graft.operators.Bpe.load(s, tmp.resolve("merges").toString)
         .map(m => (m.left, m.right))
@@ -2707,7 +2728,7 @@ object SparkEntry {
     // ids — the oracle recomputes everything from the same formula.
     "vec_file_load" -> ((s, dir) => {
       val n = 20; val dim = 8
-      val tmp = java.nio.file.Files.createTempDirectory("vecfile")
+      val tmp = java.nio.file.Paths.get(scratchDir("vecfile"))
       val f = tmp.resolve("fixture.vec")
       val sb = new StringBuilder(s"$n $dim\n")
       for (i <- 0 until n) {
@@ -3052,8 +3073,7 @@ object SparkEntry {
     // checksum ≡ the same aggregate off the source table); LayoutSpec
     // gates the file-count/size behavior itself.
     "layout_write_sized" -> ((s, dir) => {
-      val out = java.nio.file.Files
-        .createTempDirectory("write_sized").toString + "/t"
+      val out = scratchDir("write_sized") + "/t"
       val src = tbl(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_quantity"), col("l_extendedprice"))
@@ -3338,7 +3358,7 @@ object SparkEntry {
       val docs = tbl(s, dir, "documents")
       val qs = docs.filter(col("doc_id") < 5)
         .select(col("doc_id").as("qid"), col("text").as("qtext"))
-      val path = java.nio.file.Files.createTempDirectory("bm25_bkt").toString
+      val path = scratchDir("bm25_bkt")
       Retrieval.buildIndex(docs, "doc_id", "text")
         .saveBucketed("bm25_lane_postings", path, numBuckets = 4)
       Retrieval.loadBucketedIndex(s, "bm25_lane_postings", path)
@@ -3354,8 +3374,7 @@ object SparkEntry {
       val docs = tbl(s, dir, "documents")
       val qs = docs.filter(col("doc_id") < 5)
         .select(col("doc_id").as("qid"), col("text").as("qtext"))
-      val tmp = java.nio.file.Files.createTempDirectory("bm25_persist")
-        .toString
+      val tmp = scratchDir("bm25_persist")
       Retrieval.buildIndex(docs, "doc_id", "text").save(tmp)
       Retrieval.loadIndex(s, tmp).searchTopK(qs, "qid", "qtext", k = 10)
         .orderBy(col("qid"), col("rank"))
@@ -3387,8 +3406,7 @@ object SparkEntry {
         .select(col("doc_id").as("qid"),
           concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 3))
             .as("phrase"))
-      val tmp = java.nio.file.Files.createTempDirectory("phrase_persist")
-        .toString
+      val tmp = scratchDir("phrase_persist")
       val built = Retrieval.buildIndex(docs, "doc_id", "text",
         positional = true)
       built.save(tmp)
@@ -3443,8 +3461,7 @@ object SparkEntry {
     // the maxsim_exact replay verbatim.
     "maxsim_persist" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
-      val tmp = java.nio.file.Files.createTempDirectory("maxsim_persist")
-        .toString
+      val tmp = scratchDir("maxsim_persist")
       LateInteraction.saveTokens(
         LateInteraction.tokenVectors(docs, "doc_id", "text"), tmp)
       val dToks = LateInteraction.loadTokens(s, tmp)
@@ -3453,6 +3470,93 @@ object SparkEntry {
         .withColumnRenamed("doc_id", "qid")
       LateInteraction.maxSim(qToks, "qid", "tok_idx", "vec",
           dToks, "doc_id", "vec", k = 10)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // ANN-backed MaxSim serving: stage 1 runs through the token-level
+    // IVF MIPS tier (tokens norm-augmented so L2 top-m IS dot top-m;
+    // each query token probes cells instead of scanning the corpus —
+    // the engine's last full-corpus-per-batch serving face closed).
+    // Degenerate-exact gate: nprobe = cell count (probe-all) and m =
+    // corpus token count make the candidate set every doc, and stage 2
+    // rescores exactly — ≡ maxsim_exact over the same bounded corpus,
+    // the sq8_search_all probe-all idiom (m is corpus-sized by
+    // construction, so the lane pins on 50 docs like maxsim_
+    // shortlisted; serving uses small m/nprobe — the recall levers).
+    "maxsim_ivf" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").filter(col("doc_id") < 50)
+      val dToks = LateInteraction.tokenVectors(docs, "doc_id", "text")
+        .localCheckpoint(true) // feeds build + rescore — embed once
+      val qToks = LateInteraction.tokenVectors(
+          docs.filter(col("doc_id") < 3), "doc_id", "text")
+        .withColumnRenamed("doc_id", "qid")
+      val m = dToks.count().toInt
+      val nCells = 8
+      val idx = LateInteraction.buildTokenIvf(dToks, "doc_id", "tok_idx",
+        "vec", IVFFlat.Params(k = nCells, numAttempts = 1, maxIterations = 5))
+      LateInteraction.maxSimIvf(qToks, "qid", "tok_idx", "vec",
+          dToks, "doc_id", "vec", idx, k = 10, m = m, nprobe = nCells)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // The compressed twin: stage 1 probes SQ8 byte codes (≈¼ scan
+    // residency — ColBERTv2's compression motivation), stage 2 exact
+    // on the full-precision token frame. Same degenerate-exact gate.
+    "maxsim_sq8" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").filter(col("doc_id") < 50)
+      val dToks = LateInteraction.tokenVectors(docs, "doc_id", "text")
+        .localCheckpoint(true)
+      val qToks = LateInteraction.tokenVectors(
+          docs.filter(col("doc_id") < 3), "doc_id", "text")
+        .withColumnRenamed("doc_id", "qid")
+      val m = dToks.count().toInt
+      val nCells = 8
+      val idx = LateInteraction.buildTokenIvf(dToks, "doc_id", "tok_idx",
+          "vec", IVFFlat.Params(k = nCells, numAttempts = 1, maxIterations = 5))
+        .compress()
+      LateInteraction.maxSimSq8(qToks, "qid", "tok_idx", "vec",
+          dToks, "doc_id", "vec", idx, k = 10, m = m, nprobe = nCells)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Index::add on the multi-vector tier (base.rs:28 — add is half
+    // the reference's API): token frames are monoids under doc-
+    // disjoint union, so embedding two halves separately and
+    // addTokens-ing them serves identically to one build over the
+    // union — the end state IS the 50-doc corpus, so the bounded
+    // maxsim oracle gates it hash-for-hash.
+    "maxsim_add" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val toks = LateInteraction.addTokens(
+        LateInteraction.tokenVectors(
+          docs.filter(col("doc_id") < 25), "doc_id", "text"),
+        LateInteraction.tokenVectors(
+          docs.filter(col("doc_id") >= 25 && col("doc_id") < 50),
+          "doc_id", "text"))
+      val qToks = LateInteraction.tokenVectors(
+          docs.filter(col("doc_id") < 3), "doc_id", "text")
+        .withColumnRenamed("doc_id", "qid")
+      LateInteraction.maxSim(qToks, "qid", "tok_idx", "vec",
+          toks, "doc_id", "vec", k = 10)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Index::remove on the multi-vector tier: broadcast anti-join on
+    // doc_id; no derived corpus statistics exist to re-derive (MaxSim
+    // scores are per-(query, doc)), so remove(60-docs, [50..59]) ≡
+    // the 50-doc corpus exactly — same bounded oracle.
+    "maxsim_remove" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val toks = LateInteraction.removeTokens(
+        LateInteraction.tokenVectors(
+          docs.filter(col("doc_id") < 60), "doc_id", "text"),
+        docs.filter(col("doc_id") >= 50 && col("doc_id") < 60)
+          .select(col("doc_id")), "doc_id")
+      val qToks = LateInteraction.tokenVectors(
+          docs.filter(col("doc_id") < 3), "doc_id", "text")
+        .withColumnRenamed("doc_id", "qid")
+      LateInteraction.maxSim(qToks, "qid", "tok_idx", "vec",
+          toks, "doc_id", "vec", k = 10)
         .orderBy(col("qid"), col("rank"))
     }),
 
@@ -3521,7 +3625,7 @@ object SparkEntry {
       val emb = tbl(s, dir, "embeddings")
       val qs = docs.filter(col("doc_id") < 3)
         .select(col("doc_id").as("qid"), col("text").as("qtext"))
-      val bPath = java.nio.file.Files.createTempDirectory("hyb_bm25").toString
+      val bPath = scratchDir("hyb_bm25")
       val built = Retrieval.buildIndex(docs, "doc_id", "text")
       built.saveBucketed("hybrid_loaded_postings", bPath, numBuckets = 4)
       built.unpersist()
@@ -3529,7 +3633,7 @@ object SparkEntry {
         .searchTopK(qs, "qid", "qtext", k = 10)
         .select(col("qid"), col("doc_id").as("id"), col("rank"))
       val cents = fixedCentroids(emb)
-      val iPath = java.nio.file.Files.createTempDirectory("hyb_ivf").toString
+      val iPath = scratchDir("hyb_ivf")
       IVFFlat.Model(IVFFlat.Params(cents.length), cents,
           Array.fill(cents.length)(Long.MaxValue),
           IVFFlat.assign(emb, "vec_id", "embedding", cents)).save(iPath)
@@ -3555,14 +3659,14 @@ object SparkEntry {
       val docs = tbl(s, dir, "documents")
       val qs = docs.filter(col("doc_id") < 5)
         .select(col("doc_id").as("qid"), col("text").as("qtext"))
-      val p1 = java.nio.file.Files.createTempDirectory("bkt_add1").toString
+      val p1 = scratchDir("bkt_add1")
       val half = Retrieval.buildIndex(docs.filter(col("doc_id") < 250),
         "doc_id", "text")
       half.saveBucketed("bm25_bktadd_half", p1, numBuckets = 4)
       half.unpersist()
       val widened = Retrieval.loadBucketedIndex(s, "bm25_bktadd_half", p1)
         .add(docs.filter(col("doc_id") >= 250), "doc_id", "text")
-      val p2 = java.nio.file.Files.createTempDirectory("bkt_add2").toString
+      val p2 = scratchDir("bkt_add2")
       widened.saveBucketed("bm25_bktadd_full", p2, numBuckets = 4)
       Retrieval.loadBucketedIndex(s, "bm25_bktadd_full", p2)
         .searchTopK(qs, "qid", "qtext", k = 10)
@@ -3598,7 +3702,7 @@ object SparkEntry {
     // every join on the key, so the split is the honest reading)
     "bucket_join_colocated" -> ((s, dir) => {
       val run = java.util.UUID.randomUUID().toString.replace("-", "")
-      val base = java.nio.file.Files.createTempDirectory("bucket_ph").toString
+      val base = scratchDir("bucket_ph")
       val (to, tl) = (s"graft_bpo_$run", s"graft_bpl_$run")
       val t0 = System.nanoTime()
       graft.sources.Bucketed.write(
@@ -7029,6 +7133,17 @@ object SparkEntry {
 
     // the saved token frame serves the identical exhaustive MaxSim
     "maxsim_persist" -> maxSimSql,
+
+    // IVF/SQ8-backed stage 1 at probe-all + m = corpus token count:
+    // candidates cover every doc and stage 2 is exact — both lanes
+    // replay the bounded-corpus exhaustive MaxSim verbatim
+    "maxsim_ivf" -> maxSimSqlCorpus("WHERE doc_id < 50"),
+    "maxsim_sq8" -> maxSimSqlCorpus("WHERE doc_id < 50"),
+
+    // add of two disjoint halves / remove of [50,60) both end at the
+    // 50-doc corpus exactly — the same bounded replay
+    "maxsim_add" -> maxSimSqlCorpus("WHERE doc_id < 50"),
+    "maxsim_remove" -> maxSimSqlCorpus("WHERE doc_id < 50"),
 
     // replay of hybridSearch: the two top-10 rankers, full-outer fused
     // on (qid, id) with rrf = Σ 1/(60 + rank), re-ranked (rrf DESC, id)

@@ -205,7 +205,13 @@ object IVFPQ {
         col(qVecCol).cast("array<float>").as("qvec"))
       val c = corpus.select(col(cIdCol).cast("long").as("id"),
         col(cVecCol).cast("array<float>").as("cvec"))
-      c.join(broadcast(shortlist.join(broadcast(q), "qid")), Seq("id"))
+      // NO broadcast hint on the survivor shortlist: unlike
+      // searchManyRefined's k×factor-bounded list, radius survivors are
+      // data-dependent — at slack = ∞ every probed code survives, a
+      // corpus-fraction × queries frame that would blow the driver
+      // broadcast limit at scale. AQE broadcasts it anyway whenever the
+      // runtime size is actually small; the query side stays hinted.
+      c.join(shortlist.join(broadcast(q), "qid"), Seq("id"))
         .select(col("qid"), col("id"),
           graft.functions.VectorOps.sqDist(col("cvec"), col("qvec"))
             .as("distance"))

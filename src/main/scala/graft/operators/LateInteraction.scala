@@ -1,10 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps.dot
+import graft.index.{IVFFlat, ParamsIO, SQ8}
 
 /** Late-interaction (multi-vector) retrieval — ColBERT-style MaxSim
   * (Khattab & Zaharia 2020, public): each query and document is a BAG
@@ -159,9 +160,178 @@ object LateInteraction {
       .agg(graft.functions.TopK.topK(col("negdot"), col("doc_id"), m).as("nn"))
       .select(col("qid"), explode(col("nn.id")).as("doc_id"))
       .distinct()
+    rescoreCandidates(cand, q, d, k)
+  }
+
+  /** Stage 2 shared by every shortlisting face: score ONLY the
+    * (qid, doc_id) candidate pairs exactly — broadcast candidate+query
+    * probe, the corpus-token scan pruned at the doc_id equi-join (the
+    * BQ broadcast-shortlist re-rank shape). `q` carries (qid, qtok,
+    * qvec), `d` carries (doc_id, dvec); output = [[reduceAndRank]]. */
+  private def rescoreCandidates(cand: DataFrame, q: DataFrame,
+                                d: DataFrame, k: Int): DataFrame = {
     val probe = broadcast(cand.join(q, Seq("qid")))
     reduceAndRank(
       d.join(probe, Seq("doc_id")).select(col("qid"), col("doc_id"),
         col("qtok"), simQ(col("dvec"), col("qvec")).as("s_q")), k)
   }
+
+  // ------------- ANN-backed stage 1 (the 100 TB serving path) -------------
+
+  /** Bits reserved for the token position when packing (doc_id,
+    * tok_idx) into ONE long id for the vector tiers: doc_id << 21 |
+    * tok_idx. Contract: tok_idx < 2^21 (2M tokens per document —
+    * far above any tokenizer's output) and doc_id < 2^42 (4.4T docs).
+    * The pack is what lets every single-vector index in the engine
+    * serve the multi-vector tier unchanged: a token IS a corpus row. */
+  val TokIdxBits = 21
+
+  private def packId(id: Column, tokIdx: Column): Column =
+    shiftleft(id.cast("long"), TokIdxBits)
+      .bitwiseOR(tokIdx.cast("long"))
+
+  /** The multi-vector ANN tier: an IVF index over the corpus TOKEN
+    * embeddings, MIPS-reduced (tokens norm-augmented so squared-L2
+    * top-m IS dot-product top-m — [[Mips]], Bachrach et al. 2014).
+    * `maxNorm` is the augmentation scalar queries need at serve time,
+    * so it persists alongside the IVF artifact. This is ColBERTv2's
+    * serving architecture re-expressed on the engine's own tiers: the
+    * token index shortlists, the exact token frame rescores. */
+  case class TokenIvf(ivf: IVFFlat.Model, maxNorm: Double) {
+
+    /** Persist: the IVF tier's own layout plus a mips sidecar. */
+    def save(dir: String): Unit = {
+      ivf.save(s"$dir/ivf")
+      ParamsIO.write(ivf.indexed.sparkSession, dir,
+        s"""{"maxNorm":$maxNorm}""")
+    }
+
+    /** SQ8-compress the token tier: the codes frame drops to one byte
+      * per dimension (~3.5× residency at serve — ColBERTv2's residual
+      * compression motivation), searches run over dequantized codes.
+      * Shortlist-only lossiness: stage 2 always rescores on the exact
+      * token frame. */
+    def compress(): TokenSq8 = TokenSq8(SQ8.compress(ivf), maxNorm)
+  }
+
+  /** [[TokenIvf]]'s reload face. */
+  def loadTokenIvf(spark: SparkSession, dir: String): TokenIvf =
+    TokenIvf(IVFFlat.load(spark, s"$dir/ivf"),
+      ParamsIO.dbl(ParamsIO.read(spark, dir), "maxNorm", 0.0))
+
+  /** SQ8-compressed twin of [[TokenIvf]] — same probe semantics over
+    * byte codes. */
+  case class TokenSq8(sq8: SQ8.Model, maxNorm: Double)
+
+  /** Build the token-level IVF MIPS tier over a (doc_id, tok_idx, vec)
+    * frame: pack ids, norm-augment once (one tiny max-norm agg + one
+    * narrow map), k-means the augmented tokens. The returned model's
+    * `indexed` frame is cluster-assigned and cached by
+    * [[IVFFlat.build]] — call `.ivf.indexed.unpersist()` (or [[
+    * TokenIvf.save]] + reload) when done building. */
+  def buildTokenIvf(dToks: DataFrame, dIdCol: String, tokIdxCol: String,
+                    vecCol: String, params: IVFFlat.Params): TokenIvf = {
+    val rows = dToks.select(
+      packId(col(dIdCol), col(tokIdxCol)).as("id"),
+      col(vecCol).cast("array<float>").as("vec"))
+    val m = Mips.maxNorm(rows, "vec")
+    TokenIvf(IVFFlat.build(Mips.augmentCorpus(rows, "vec", m),
+      "id", "vec", params), m)
+  }
+
+  /** MaxSim with the stage-1 shortlist served by the token IVF tier:
+    * each query token becomes ONE index query (packed qid‖qtok,
+    * norm-augmented), `searchMany` returns its top-`m` corpus tokens
+    * from the `nprobe` probed cells only — the per-batch full
+    * corpus-token scan of [[maxSimShortlisted]] is gone; stage-1 cost
+    * is the probed fraction of the token frame, not all of it. The
+    * union of shortlisted tokens' doc ids per query is the candidate
+    * set; stage 2 rescores exactly on the unquantized token frame.
+    * Recall levers: `m` (docs seen per query token) and `nprobe`
+    * (cells scanned per query token). nprobe ≥ the cell count AND
+    * m ≥ the corpus token count reproduces [[maxSim]] bit-for-bit —
+    * candidates then cover every doc, and stage 2 IS the exhaustive
+    * face (the sq8_search_all probe-all idiom; maxsim_ivf lane). */
+  def maxSimIvf(qToks: DataFrame, qIdCol: String, qTokIdxCol: String,
+                qVecCol: String,
+                dToks: DataFrame, dIdCol: String, dVecCol: String,
+                index: TokenIvf, k: Int, m: Int, nprobe: Int): DataFrame = {
+    require(k >= 1 && m >= 1 && nprobe >= 1,
+      s"k=$k m=$m nprobe=$nprobe must be >= 1")
+    val (q, d) = tokenFaces(qToks, qIdCol, qTokIdxCol, qVecCol,
+      dToks, dIdCol, dVecCol)
+    val hits = index.ivf.searchMany(
+      augmentedQueryTokens(q, index.maxNorm), "qid2", "qvec2", m, nprobe)
+    rescoreCandidates(candidatesOf(hits), q, d, k)
+  }
+
+  /** [[maxSimIvf]] over the SQ8-compressed token tier: stage 1 probes
+    * byte codes (≈¼ the scan residency), stage 2 is unchanged — exact
+    * over the full-precision token frame, so quantization error can
+    * only cost recall, never mis-score a candidate. Same degenerate
+    * convergence: probe-all + m ≥ corpus tokens ⇒ every doc is a
+    * candidate ⇒ ≡ [[maxSim]] (maxsim_sq8 lane). */
+  def maxSimSq8(qToks: DataFrame, qIdCol: String, qTokIdxCol: String,
+                qVecCol: String,
+                dToks: DataFrame, dIdCol: String, dVecCol: String,
+                index: TokenSq8, k: Int, m: Int, nprobe: Int): DataFrame = {
+    require(k >= 1 && m >= 1 && nprobe >= 1,
+      s"k=$k m=$m nprobe=$nprobe must be >= 1")
+    val (q, d) = tokenFaces(qToks, qIdCol, qTokIdxCol, qVecCol,
+      dToks, dIdCol, dVecCol)
+    val hits = index.sq8.searchMany(
+      augmentedQueryTokens(q, index.maxNorm), "qid2", "qvec2", m, nprobe)
+    rescoreCandidates(candidatesOf(hits), q, d, k)
+  }
+
+  /** Canonicalized (q, d) faces shared by the ANN stage-1 paths. */
+  private def tokenFaces(qToks: DataFrame, qIdCol: String,
+                         qTokIdxCol: String, qVecCol: String,
+                         dToks: DataFrame, dIdCol: String, dVecCol: String)
+  : (DataFrame, DataFrame) = (
+    qToks.select(col(qIdCol).cast("long").as("qid"),
+      col(qTokIdxCol).cast("long").as("qtok"),
+      col(qVecCol).cast("array<double>").as("qvec")),
+    dToks.select(col(dIdCol).cast("long").as("doc_id"),
+      col(dVecCol).cast("array<double>").as("dvec")))
+
+  /** Query tokens as index queries: packed id, float vec, zero-
+    * augmented ([[Mips.augmentQueries]] — queries never need the norm
+    * coordinate). */
+  private def augmentedQueryTokens(q: DataFrame, maxNorm: Double)
+  : DataFrame = {
+    require(maxNorm > 0.0,
+      s"maxNorm=$maxNorm — build/load the token tier before serving")
+    Mips.augmentQueries(
+      q.select(packId(col("qid"), col("qtok")).as("qid2"),
+        col("qvec").cast("array<float>").as("qvec2")), "qvec2")
+  }
+
+  /** Unpack an index hit frame (qid, id, distance) — both ids packed
+    * — into the distinct (true-qid, doc_id) candidate set. */
+  private def candidatesOf(hits: DataFrame): DataFrame =
+    hits.select(shiftright(col("qid"), TokIdxBits).as("qid"),
+        shiftright(col("id"), TokIdxBits).as("doc_id"))
+      .distinct()
+
+  // ------------------------- lifecycle extensions -------------------------
+
+  /** Incremental add on the token frame: a plain union — token frames
+    * are monoids under doc-disjoint union (caller contract, the same
+    * doc-level arrival rule as every ingest twin: an id present in
+    * both sides double-scores silently; de-dup upstream or
+    * [[removeTokens]] first). Re-[[saveTokens]] to persist. */
+  def addTokens(existing: DataFrame, more: DataFrame): DataFrame =
+    existing.select(col("doc_id"), col("tok_idx"), col("vec"))
+      .unionByName(more.select(col("doc_id"), col("tok_idx"), col("vec")))
+
+  /** Remove documents from the token frame by id: one broadcast
+    * anti-join on doc_id — all the removed docs' token rows leave, and
+    * (unlike the lexical tier) there is NO derived df/avgdl state to
+    * re-derive: MaxSim scores are per-(query, doc), so surviving docs'
+    * scores are untouched by construction. */
+  def removeTokens(toks: DataFrame, ids: DataFrame, idCol: String)
+  : DataFrame =
+    toks.join(broadcast(ids.select(col(idCol).cast("long").as("doc_id"))),
+      Seq("doc_id"), "left_anti")
 }

@@ -175,7 +175,11 @@ object Retrieval {
                             qPhraseCol: String): DataFrame = {
       val pos = positions.getOrElse(throw new IllegalStateException(
         "phraseSearchIndexed needs a positional index — build/load with positional = true"))
+      // the query frame feeds the term-prune probe AND the intersect
+      // join — checkpoint it so the batch tokenizes exactly once (the
+      // frame is serving-sized by the phrase-batch contract)
       val qp = phraseQueryFrame(queries, qIdCol, qPhraseCol)
+        .localCheckpoint(true)
       // Term scan pruning (the Lucene per-term seek, re-expressed as a
       // parquet-native In pushdown): the batch's distinct terms are
       // serving-sized (collect is bounded by the phrase-batch
@@ -187,13 +191,22 @@ object Retrieval {
       // lexicographic term order makes contiguous ranges cover ~the
       // whole vocabulary). Pure pruning: the join below enforces the
       // same equality, so results are identical on ANY layout (a
-      // doc_id-bucketed positional table just prunes less). Batches
-      // beyond 100k distinct terms skip the filter.
+      // doc_id-bucketed positional table just prunes less). The
+      // literal In is capped at 10k terms — beyond that, Catalyst
+      // planning and the reader-side In evaluation cost more than
+      // they save — and wider batches prune through a BROADCAST
+      // semi-join on `term` instead: same row-pruning before the
+      // anchor aggregation, no giant literal in the plan (runtime
+      // bloom/DPP can still reach the scan).
+      val termLimit = 10000
       val terms = qp.select(col("term")).distinct()
-        .limit(100001).collect().map(_.getString(0))
+        .limit(termLimit + 1).collect().map(_.getString(0))
       val pruned =
-        if (terms.isEmpty || terms.length > 100000) pos
-        else pos.filter(col("term").isin(terms.toSeq: _*))
+        if (terms.isEmpty) pos
+        else if (terms.length <= termLimit)
+          pos.filter(col("term").isin(terms.toSeq: _*))
+        else pos.join(broadcast(qp.select(col("term")).distinct()),
+          Seq("term"), "left_semi")
       phraseIntersect(pruned, qp)
     }
 

@@ -98,6 +98,81 @@ class LateInteractionSpec extends SparkSpec {
     assert(before == after)
   }
 
+  private def asMapOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(row => (row.getAs[Long]("qid"),
+      row.getAs[Long]("doc_id")) -> row.getAs[Long]("score_q")).toMap
+
+  test("maxSimIvf: probe-all + m >= tokens == maxSim; probed scores exact") {
+    val exact = asMapOf(LateInteraction.maxSim(qToks, "qid", "tok_idx",
+      "vec", dToks, "doc_id", "vec", k = 7))
+    val idx = LateInteraction.buildTokenIvf(dToks, "doc_id", "tok_idx",
+      "vec", graft.index.IVFFlat.Params(k = 4, numAttempts = 1,
+        maxIterations = 5))
+    val full = asMapOf(LateInteraction.maxSimIvf(qToks, "qid", "tok_idx",
+      "vec", dToks, "doc_id", "vec", idx, k = 7, m = dTokRows.size,
+      nprobe = 4))
+    assert(full == exact)
+    // probed serving config: every returned (qid, doc) is rescored on
+    // the exact token frame, so scores agree wherever present
+    val all = asMapOf(LateInteraction.maxSim(qToks, "qid", "tok_idx",
+      "vec", dToks, "doc_id", "vec", k = 40))
+    val probed = asMapOf(LateInteraction.maxSimIvf(qToks, "qid", "tok_idx",
+      "vec", dToks, "doc_id", "vec", idx, k = 7, m = 3, nprobe = 2))
+    probed.foreach { case (key, s) =>
+      assert(all(key) == s, s"ivf-shortlisted score drifted for $key")
+    }
+    idx.ivf.indexed.unpersist()
+  }
+
+  test("maxSimSq8: compressed stage 1 converges at probe-all + m >= tokens") {
+    val exact = asMapOf(LateInteraction.maxSim(qToks, "qid", "tok_idx",
+      "vec", dToks, "doc_id", "vec", k = 7))
+    val ivf = LateInteraction.buildTokenIvf(dToks, "doc_id", "tok_idx",
+      "vec", graft.index.IVFFlat.Params(k = 4, numAttempts = 1,
+        maxIterations = 5))
+    val sq8 = ivf.compress()
+    val full = asMapOf(LateInteraction.maxSimSq8(qToks, "qid", "tok_idx",
+      "vec", dToks, "doc_id", "vec", sq8, k = 7, m = dTokRows.size,
+      nprobe = 4))
+    assert(full == exact)
+    ivf.ivf.indexed.unpersist()
+  }
+
+  test("TokenIvf save/load round-trips the serving face") {
+    val idx = LateInteraction.buildTokenIvf(dToks, "doc_id", "tok_idx",
+      "vec", graft.index.IVFFlat.Params(k = 4, numAttempts = 1,
+        maxIterations = 5))
+    val dir = java.nio.file.Files.createTempDirectory("tokivf").toString
+    idx.save(dir)
+    idx.ivf.indexed.unpersist()
+    val loaded = LateInteraction.loadTokenIvf(spark, dir)
+    assert(loaded.maxNorm == idx.maxNorm)
+    val before = asMapOf(LateInteraction.maxSimIvf(qToks, "qid", "tok_idx",
+      "vec", dToks, "doc_id", "vec", idx, k = 5, m = dTokRows.size,
+      nprobe = 4))
+    val after = asMapOf(LateInteraction.maxSimIvf(qToks, "qid", "tok_idx",
+      "vec", dToks, "doc_id", "vec", loaded, k = 5, m = dTokRows.size,
+      nprobe = 4))
+    assert(before == after)
+  }
+
+  test("addTokens/removeTokens compose to the direct corpus") {
+    val a = dToks.filter(col("doc_id") < 20)
+    val b = dToks.filter(col("doc_id") >= 20)
+    val direct = asMapOf(LateInteraction.maxSim(qToks, "qid", "tok_idx",
+      "vec", dToks, "doc_id", "vec", k = 7))
+    val added = asMapOf(LateInteraction.maxSim(qToks, "qid", "tok_idx",
+      "vec", LateInteraction.addTokens(a, b), "doc_id", "vec", k = 7))
+    assert(added == direct)
+    val ids = (20L until 40L).toDF("doc_id")
+    val removed = asMapOf(LateInteraction.maxSim(qToks, "qid", "tok_idx",
+      "vec", LateInteraction.removeTokens(dToks, ids, "doc_id"),
+      "doc_id", "vec", k = 7))
+    val directA = asMapOf(LateInteraction.maxSim(qToks, "qid", "tok_idx",
+      "vec", a, "doc_id", "vec", k = 7))
+    assert(removed == directA)
+  }
+
   test("exhaustive plan: q tokens broadcast, corpus never shuffles pair rows") {
     val df = LateInteraction.maxSim(qToks, "qid", "tok_idx", "vec",
       dToks, "doc_id", "vec", k = 5)
