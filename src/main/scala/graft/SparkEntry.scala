@@ -3273,6 +3273,18 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // Corpus-scale DSIR selection: estimate the rank-n weight τ with
+    // a distributed t-digest, filter (narrow), exactly trim only the
+    // ~slack·n survivors — the TakeOrderedAndProject merge task then
+    // receives O(n) rows instead of partitions × n (the r11 scale
+    // audit's DSIR skew). Same result as selectTop by construction.
+    "dsir_select_threshold" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Dsir.selectTopThreshold(docs, "doc_id", "text",
+          docs.filter(col("lang") === "en"), "text", n = 50, m = 256)
+        .orderBy(col("rank"))
+    }),
+
     // Resampled DSIR selection (the paper's Gumbel-top-n softmax
     // sampler) at temperature 2: content-addressed Gumbel noise on the
     // quantized log-weights — deterministic, oracle-replayed.
@@ -6976,6 +6988,18 @@ object SparkEntry {
          |SELECT doc_id, n_grams, weight_q FROM wf ORDER BY doc_id""".stripMargin,
 
     "dsir_select" ->
+      s"""$dsirCtes
+         |SELECT doc_id, weight_q,
+         |  CAST(row_number() OVER (ORDER BY weight_q DESC, doc_id) AS INTEGER)
+         |    AS rank
+         |FROM wf
+         |QUALIFY rank <= 50
+         |ORDER BY rank""".stripMargin,
+
+    // threshold select returns the IDENTICAL set and order by
+    // construction (τ-filter keeps a superset of the top-n, the exact
+    // trim applies the same total order) — same replay as dsir_select
+    "dsir_select_threshold" ->
       s"""$dsirCtes
          |SELECT doc_id, weight_q,
          |  CAST(row_number() OVER (ORDER BY weight_q DESC, doc_id) AS INTEGER)

@@ -212,4 +212,60 @@ object Dsir {
       .withColumn("rank", row_number().over(w))
       .select(col("doc_id"), col("weight_q"), col("rank"))
   }
+
+  /** [[selectTop]]'s corpus-scale face — identical result (same total
+    * (weight_q DESC, doc_id ASC) order, so the same oracle gates it),
+    * different movement plan for LARGE `n`. [[selectTop]]'s
+    * TakeOrderedAndProject funnels partitions × n rows through ONE
+    * merge task (n = 1M at 10M docs already pushed ~192M rows through
+    * it — the r11 scale audit's flagged skew), and n grows WITH the
+    * corpus in a selection job (select the best 1% of 100 TB).
+    *
+    * Plan: checkpoint the weight frame once (it feeds the estimate,
+    * the filter, and the trim), estimate the rank-n weight τ with a
+    * distributed t-digest (approx_percentile at quantile
+    * 1 − slack·n/total — `slack` asks deeper than n so the estimate's
+    * error can't lose top-n rows), filter weight_q ≥ τ (NARROW — this
+    * is the step that shrinks the funnel), verify the survivor count
+    * covers n (halving the quantile until it does — ≤ log₂(total/n)
+    * cheap re-filters of the checkpointed longs, none in the common
+    * case), and only then exactly trim the ~slack·n survivors with
+    * orderBy+limit: the merge task now receives ≤ survivors ≈ slack·n
+    * rows, corpus-size-independent. Degenerate tie strata (τ shared
+    * by a corpus-sized stratum) fall back towards selectTop's funnel
+    * — correctness never depends on the estimate. */
+  def selectTopThreshold(docs: DataFrame, idCol: String, textCol: String,
+                         target: DataFrame, targetTextCol: String,
+                         n: Int, m: Int = 256, slack: Double = 1.5)
+  : DataFrame = {
+    require(n >= 1, s"n=$n must be >= 1")
+    require(slack >= 1.0, s"slack=$slack must be >= 1")
+    val wq = weights(docs, idCol, textCol, target, targetTextCol, m)
+      .select(col("doc_id"), col("weight_q"))
+      .localCheckpoint(true)
+    val total = wq.count()
+    val w = Window.orderBy(col("weight_q").desc, col("doc_id").asc)
+    val survivors =
+      if (total <= n) wq
+      else {
+        var keep = math.min(1.0, slack * n / total.toDouble)
+        var cut = wq
+        var covered = false
+        while (!covered) {
+          if (keep >= 1.0) { cut = wq; covered = true }
+          else {
+            val tau = wq.agg(expr(
+                s"approx_percentile(weight_q, ${1.0 - keep}, 10000)"))
+              .head().getLong(0)
+            cut = wq.filter(col("weight_q") >= lit(tau))
+            covered = cut.count() >= n
+            keep *= 2
+          }
+        }
+        cut
+      }
+    survivors.orderBy(col("weight_q").desc, col("doc_id").asc).limit(n)
+      .withColumn("rank", row_number().over(w))
+      .select(col("doc_id"), col("weight_q"), col("rank"))
+  }
 }

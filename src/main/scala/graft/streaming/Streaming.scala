@@ -877,6 +877,48 @@ object Streaming {
       .start()
   }
 
+  /** State of [[ingestIntoMaxSim]]: the standing (doc_id, tok_idx,
+    * vec) token-embedding frame — the multi-vector tier's index
+    * artifact itself ([[graft.operators.LateInteraction.saveTokens]]'s
+    * layout), durable for restarts via the one-frame
+    * [[DedupStateIO.saveSketch]]/`loadSketch` path on `tokens`. */
+  case class MaxSimIngestState(tokens: DataFrame, addsSinceCompact: Int = 0)
+
+  /** Streaming multi-vector (MaxSim) ingest — the late-interaction
+    * tier's build twin: each microbatch embeds into its own (doc_id,
+    * tok_idx, vec) token partial ([[graft.operators.LateInteraction
+    * .tokenVectors]] — a document arrives whole in one batch, the
+    * ingest twins' doc-level arrival contract, so partials across
+    * batches are doc-disjoint and the merge is [[graft.operators
+    * .LateInteraction.addTokens]]'s plain union: token frames are
+    * monoids, stream ≡ batch exactly, StreamingSpec pin). Raw text
+    * never enters the state — token-embedding rows do, and the corpus
+    * embeds exactly once, at arrival. Serve any snapshot via
+    * [[graft.operators.LateInteraction.maxSim]]/`maxSimShortlisted`
+    * (or build the ANN tier over it with `buildTokenIvf`). */
+  def ingestIntoMaxSim(stream: DataFrame, idCol: String, textCol: String,
+                       state: java.util.concurrent.atomic.AtomicReference[MaxSimIngestState],
+                       dim: Int = 16)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // single-writer foreachBatch: see ingestIntoIVF. The partial
+          // materializes inside its batch (streaming sources are only
+          // readable within the batch that delivered them).
+          val part = graft.operators.LateInteraction
+            .tokenVectors(batch, idCol, textCol, dim).localCheckpoint(true)
+          val st = state.get()
+          val (merged, n) = graft.index.Lineage.compact(
+            graft.operators.LateInteraction.addTokens(st.tokens, part),
+            st.addsSinceCompact)
+          state.set(MaxSimIngestState(merged, n))
+        }
+      }
+      .start()
+  }
+
   /** Priority-sampling twin of [[ingestHll]] — a weighted sample of
     * exactly k rows maintained over an unbounded stream: the whole
     * state is the current top-(k+1) frame by the content-addressed

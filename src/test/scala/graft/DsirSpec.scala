@@ -83,6 +83,27 @@ class DsirSpec extends SparkSpec {
     assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("selectTopThreshold == selectTop at every n, including n > corpus") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val tgt = docs.filter(col("lang") === "en")
+    for (n <- Seq(1, 7, 50, 1000)) {
+      val want = Dsir.selectTop(docs, "doc_id", "text", tgt, "text",
+        n = n, m = 256).orderBy("rank").collect().map(_.toSeq).toSeq
+      val got = Dsir.selectTopThreshold(docs, "doc_id", "text", tgt, "text",
+        n = n, m = 256).orderBy("rank").collect().map(_.toSeq).toSeq
+      assert(got == want, s"threshold select diverged at n=$n")
+    }
+    // tie-heavy degenerate corpus (every weight equal): the τ filter
+    // keeps everything and the exact trim must still match
+    val ties = (0L until 30L).map(i => (i, "same text every time")).toDF(
+      "doc_id", "text")
+    val wantT = Dsir.selectTop(ties, "doc_id", "text", ties, "text",
+      n = 5, m = 64).orderBy("rank").collect().map(_.toSeq).toSeq
+    val gotT = Dsir.selectTopThreshold(ties, "doc_id", "text", ties, "text",
+      n = 5, m = 64).orderBy("rank").collect().map(_.toSeq).toSeq
+    assert(gotT == wantT)
+  }
+
   test("selectResampled: T=0 == greedy; noise is deterministic; high T moves the set") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val tgt = docs.filter(col("lang") === "en").select("text")

@@ -328,6 +328,36 @@ class RetrievalSpec extends SparkSpec {
     plain.unpersist()
   }
 
+  test("phraseSearchIndexed beyond 10k distinct terms: broadcast semi-join prune, same results") {
+    // 20k distinct query terms — far over the literal-In cutover; the
+    // prune must become a broadcast join on `term`, never a 20k-literal
+    // In expression in the plan, and results must be unchanged
+    val docs = Seq(
+      (0L, "t00001 t00002 t00003"),
+      (1L, "t00002 t00003 t00004"),
+      (2L, "alpha beta gamma")).toDF("doc_id", "text")
+    val idx = Retrieval.buildIndex(docs, "doc_id", "text", positional = true)
+    val wide = (0 until 20000).map(i => (i.toLong, f"t$i%05d t${i + 1}%05d"))
+      .toDF("qid", "phrase")
+    val got = idx.phraseSearchIndexed(wide, "qid", "phrase")
+    val p = got.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "wide batch must prune via broadcast semi-join:\n" + p.take(1200))
+    assert(!p.contains("t19999, t"), "20k-literal In leaked into the plan")
+    val hits = got.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("doc_id"))
+        -> r.getAs[Long]("n_occ")).toMap
+    // the two phrases present verbatim in the corpus still match
+    assert(hits((1L, 0L)) == 1L) // "t00001 t00002" in doc 0
+    assert(hits((2L, 0L)) == 1L) // "t00002 t00003" in doc 0
+    assert(hits((2L, 1L)) == 1L) // ... and doc 1
+    // a narrow batch on the same index still plans the literal In path
+    val narrow = idx.phraseSearchIndexed(
+      Seq((0L, "alpha beta")).toDF("qid", "phrase"), "qid", "phrase")
+    narrow.collect()
+    idx.unpersist()
+  }
+
   test("positional lifecycle: add/remove keep positions consistent with rebuild") {
     val a = Seq((0L, "x y z"), (1L, "y z y z")).toDF("doc_id", "text")
     val b = Seq((2L, "z x y z x y"), (3L, "x y")).toDF("doc_id", "text")

@@ -1446,4 +1446,49 @@ class StreamingSpec extends SparkSpec {
     assert(st2.get().postings.count() ==
       Retrieval.postingsOf(docs, "doc_id", "text").count())
   }
+
+  test("streaming MaxSim token ingest == batch token frame across a restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.LateInteraction
+    import graft.streaming.Streaming.{MaxSimIngestState, DedupStateIO}
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text").filter($"doc_id" < 120)
+    val rows = docs.as[(Long, String)].collect().sortBy(_._1).toSeq
+    val (pre, post) = rows.splitAt(rows.length / 2)
+    val qToks = LateInteraction.tokenVectors(
+        docs.filter($"doc_id" < 3), "doc_id", "text")
+      .withColumnRenamed("doc_id", "qid")
+    val empty = LateInteraction.tokenVectors(
+      docs.filter(lit(false)), "doc_id", "text")
+    // phase 1: ingest the first half in microbatches, persist state
+    val st1 = new java.util.concurrent.atomic.AtomicReference(
+      MaxSimIngestState(empty))
+    val mem1 = MemoryStream[(Long, String)]
+    val q1 = Streaming.ingestIntoMaxSim(
+      mem1.toDF().toDF("doc_id", "text"), "doc_id", "text", st1)
+    pre.grouped(25).foreach { b => mem1.addData(b); q1.processAllAvailable() }
+    q1.stop()
+    val dir = java.nio.file.Files.createTempDirectory("maxsimstate").toString
+    DedupStateIO.saveSketch(st1.get().tokens, dir)
+    // phase 2: RESTART from the persisted token frame, finish the corpus
+    val st2 = new java.util.concurrent.atomic.AtomicReference(
+      MaxSimIngestState(DedupStateIO.loadSketch(spark, dir)))
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = Streaming.ingestIntoMaxSim(
+      mem2.toDF().toDF("doc_id", "text"), "doc_id", "text", st2)
+    post.grouped(25).foreach { b => mem2.addData(b); q2.processAllAvailable() }
+    q2.stop()
+    // the streamed-in token frame serves the EXACT batch MaxSim
+    // (scores, ranks, and tie order) — stream ≡ batch
+    val got = LateInteraction.maxSim(qToks, "qid", "tok_idx", "vec",
+        st2.get().tokens, "doc_id", "vec", k = 10)
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    val want = LateInteraction.maxSim(qToks, "qid", "tok_idx", "vec",
+        LateInteraction.tokenVectors(docs, "doc_id", "text"),
+        "doc_id", "vec", k = 10)
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    assert(got == want)
+    assert(st2.get().tokens.count() ==
+      LateInteraction.tokenVectors(docs, "doc_id", "text").count())
+  }
 }
