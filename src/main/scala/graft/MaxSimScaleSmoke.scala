@@ -1,0 +1,205 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Late-interaction (MaxSim) serving at scale — the evidence run for
+  * the ANN-backed stage 1 ([[operators.LateInteraction.maxSimIvf]] /
+  * `maxSimSq8`): before r12, every MaxSim batch scanned ALL corpus
+  * token embeddings (the engine's last per-batch full-corpus serving
+  * face; the 10M smoke had to cap MaxSim at 100k docs). Two parts:
+  *
+  *  - **Head-to-head** (fixed 100k docs × 100 tokens = 10M token
+  *    embeddings, 50k vocab — the corpus of the committed r11 row):
+  *    exhaustive-shortlist serve vs IVF-probed serve vs SQ8-probed
+  *    serve, same m, same truth. The IVF rows must match or beat the
+  *    exhaustive row's recall at a fraction of its wall.
+  *
+  *  - **Scale** (`nDocs` arg × 100 tokens; 1M docs = 100M token
+  *    embeddings): serve with the probe budget tuned to CONSTANT
+  *    probed-token volume per query token (nprobe/k × corpusTokens ≈
+  *    the head-to-head's 1.25M) — the 100 TB serving contract: wall
+  *    tracks what you PROBE, not what you STORE. The scale corpus
+  *    draws from a vocab ∝ corpus size so per-term multiplicity stays
+  *    ~200 copies (the fixed-vocab corpus ties 10× more copies of
+  *    every term at the same hash-embedding dot — a synthetic-corpus
+  *    artifact that would conflate shortlist-tie crowding with the
+  *    serving-scan question this smoke isolates; BASELINE documents
+  *    the m-vs-multiplicity lever separately). Build is the
+  *    corpus-scale recipe: sample-trained k-means + one narrow
+  *    assign pass (`trainFraction`).
+  *
+  * Prints MAXSIM_SMOKE_PARTIAL per phase and a MAXSIM_SMOKE final
+  * line; numbers go to BASELINE.md.
+  *
+  * Usage: sbt "runMain graft.MaxSimScaleSmoke [nDocs]"
+  */
+object MaxSimScaleSmoke extends Serializable {
+
+  @inline private def mix64(x0: Long): Long = {
+    var x = x0
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.length > 0) args(0).toLong else 1000000L
+    val docLen = 100
+    val nq = 50
+    val seed = 42L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shuffleParts)
+      .config("spark.ui.enabled", "false")
+      .config("spark.network.timeout", "800s")
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+
+    val out = scala.collection.mutable.LinkedHashMap[String, String]()
+    out += "n_docs" -> nDocs.toString
+    def emit(): Unit =
+      println(out.map { case (kk, vv) => s""""$kk":$vv""" }
+        .mkString("MAXSIM_SMOKE_PARTIAL {", ",", "}"))
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def phase[T](name: String)(f: => T): T = {
+      Thread.sleep(500)
+      val before = shuffleBytes.get()
+      val (r, t) = timed(f)
+      Thread.sleep(500)
+      out += s"${name}_s" -> f"$t%.1f"
+      out += s"${name}_shuffle_mb" ->
+        ((shuffleBytes.get() - before) / (1L << 20)).toString
+      emit()
+      r
+    }
+
+    // corpus generator: doc = docLen tokens from a `vocab`-sized
+    // w-prefixed pool, pure function of id (the RetrievalScaleSmoke
+    // recipe, vocab parameterized)
+    def docTokens(id: Long, vocab: Long): Array[String] =
+      Array.tabulate(docLen)(p => "w" + java.lang.Long.remainderUnsigned(
+        mix64(id * 1000003L + p * 7919L + seed), vocab))
+    def corpusOf(n: Long, vocab: Long) = {
+      val d = spark.range(n).as[Long]
+        .map(id => (id, docTokens(id, vocab).mkString(" ")))
+        .toDF("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+      d
+    }
+    // queries: 10 tokens sampled from a known base doc — the base doc
+    // must rank 1 (same truth construction as the retrieval smoke)
+    def queriesOf(n: Long, vocab: Long, stride: Long) = {
+      val rows = (0 until nq).map { j =>
+        val b = (j * stride) % n
+        (j.toLong, b, docTokens(b, vocab).take(10).mkString(" "))
+      }
+      val qdf = rows.map { case (q, _, t) => (q, t) }.toDF("qid", "text")
+      val qToks = operators.LateInteraction
+        .tokenVectors(qdf, "qid", "text")
+        .withColumnRenamed("doc_id", "qid").localCheckpoint(true)
+      (qToks, rows.map { case (q, b, _) => (q, b) }.toDF("qid", "base"))
+    }
+    def recallAt1(top: org.apache.spark.sql.DataFrame,
+                  truth: org.apache.spark.sql.DataFrame): Double = {
+      val hits = top.filter(col("rank") === 1).join(truth, Seq("qid"))
+        .filter(col("doc_id") === col("base")).count()
+      hits.toDouble / nq
+    }
+
+    // ---------------- part A: head-to-head at 10M tokens ----------------
+    val nA = math.min(nDocs, 100000L)
+    val vocabA = 50000L
+    val aToks = phase("a_embed") {
+      val t = operators.LateInteraction
+        .tokenVectors(corpusOf(nA, vocabA), "doc_id", "text")
+        .localCheckpoint(true)
+      out += "a_corpus_tokens" -> t.count().toString
+      t
+    }
+    val (aQ, aTruth) = queriesOf(nA, vocabA, 9973L)
+    phase("a_exhaustive_serve") {
+      val top = operators.LateInteraction.maxSimShortlisted(aQ, "qid",
+        "tok_idx", "vec", aToks, "doc_id", "vec", k = 10, m = 1024)
+      out += "a_exhaustive_recall_at1" -> f"${recallAt1(top, aTruth)}%.3f"
+    }
+    val aIvf = phase("a_ivf_build") {
+      operators.LateInteraction.buildTokenIvf(aToks, "doc_id", "tok_idx",
+        "vec", graft.index.IVFFlat.Params(k = 256, numAttempts = 1,
+          maxIterations = 4),
+        trainFraction = math.min(1.0, 2e6 / (nA * docLen).toDouble))
+    }
+    phase("a_ivf_serve") {
+      val top = operators.LateInteraction.maxSimIvf(aQ, "qid", "tok_idx",
+        "vec", aToks, "doc_id", "vec", aIvf, k = 10, m = 1024, nprobe = 32)
+      out += "a_ivf_recall_at1" -> f"${recallAt1(top, aTruth)}%.3f"
+    }
+    val aSq8 = phase("a_sq8_compress") {
+      val c = aIvf.compress()
+      // materialize the code table so the serve phase measures probing
+      // byte codes, not quantize-on-the-fly
+      c.copy(sq8 = c.sq8.copy(codes = c.sq8.codes.localCheckpoint(true)))
+    }
+    phase("a_sq8_serve") {
+      val top = operators.LateInteraction.maxSimSq8(aQ, "qid", "tok_idx",
+        "vec", aToks, "doc_id", "vec", aSq8, k = 10, m = 1024, nprobe = 32)
+      out += "a_sq8_recall_at1" -> f"${recallAt1(top, aTruth)}%.3f"
+    }
+    aIvf.ivf.indexed.unpersist()
+
+    // ---------------- part B: scale with constant probed volume ----------------
+    if (nDocs > nA) {
+      // vocab ∝ corpus keeps per-term multiplicity ~200 (see scaladoc)
+      val vocabB = nDocs * docLen / 200L
+      val bToks = phase("b_embed") {
+        val t = operators.LateInteraction
+          .tokenVectors(corpusOf(nDocs, vocabB), "doc_id", "text")
+          .localCheckpoint(true)
+        out += "b_corpus_tokens" -> t.count().toString
+        t
+      }
+      val (bQ, bTruth) = queriesOf(nDocs, vocabB, 99173L)
+      val kB = 1024
+      val bIvf = phase("b_ivf_build") {
+        operators.LateInteraction.buildTokenIvf(bToks, "doc_id", "tok_idx",
+          "vec", graft.index.IVFFlat.Params(k = kB, numAttempts = 1,
+            maxIterations = 4),
+          trainFraction = math.min(1.0, 2e6 / (nDocs * docLen).toDouble))
+      }
+      // probe budget: nprobe/k × corpusTokens ≈ part A's probed volume
+      // (32/256 × 10M = 1.25M tokens per query token)
+      val probedA = 1250000.0
+      val nprobeB = math.max(1, math.ceil(
+        probedA * kB / (nDocs * docLen).toDouble).toInt)
+      out += "b_cells" -> kB.toString += "b_nprobe" -> nprobeB.toString
+      phase("b_ivf_serve") {
+        val top = operators.LateInteraction.maxSimIvf(bQ, "qid", "tok_idx",
+          "vec", bToks, "doc_id", "vec", bIvf, k = 10, m = 1024,
+          nprobe = nprobeB)
+        out += "b_ivf_recall_at1" -> f"${recallAt1(top, bTruth)}%.3f"
+      }
+      bIvf.ivf.indexed.unpersist()
+    }
+
+    println(out.map { case (kk, vv) => s""""$kk":$vv""" }
+      .mkString("MAXSIM_SMOKE {", ",", "}"))
+    spark.stop()
+  }
+}

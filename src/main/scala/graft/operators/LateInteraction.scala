@@ -228,15 +228,41 @@ object LateInteraction {
     * narrow map), k-means the augmented tokens. The returned model's
     * `indexed` frame is cluster-assigned and cached by
     * [[IVFFlat.build]] — call `.ivf.indexed.unpersist()` (or [[
-    * TokenIvf.save]] + reload) when done building. */
+    * TokenIvf.save]] + reload) when done building.
+    *
+    * `trainFraction` < 1 is the corpus-scale build: k-means trains on
+    * a seeded sample (k-means cost is iterations × corpus scans —
+    * the one part of the build that must not see all 10^10 tokens;
+    * centroid QUALITY converges at sample sizes ~1000× k, the HNSW
+    * router's sample-train recipe), then every token assigns to the
+    * trained centroids in ONE narrow pass. Recall is unaffected by
+    * where centroids came from — probing semantics only read the
+    * assignment — so the sampled build trades nothing but cell-shape
+    * optimality. */
   def buildTokenIvf(dToks: DataFrame, dIdCol: String, tokIdxCol: String,
-                    vecCol: String, params: IVFFlat.Params): TokenIvf = {
+                    vecCol: String, params: IVFFlat.Params,
+                    trainFraction: Double = 1.0): TokenIvf = {
+    require(trainFraction > 0.0 && trainFraction <= 1.0,
+      s"trainFraction=$trainFraction out of (0,1]")
     val rows = dToks.select(
       packId(col(dIdCol), col(tokIdxCol)).as("id"),
       col(vecCol).cast("array<float>").as("vec"))
     val m = Mips.maxNorm(rows, "vec")
-    TokenIvf(IVFFlat.build(Mips.augmentCorpus(rows, "vec", m),
-      "id", "vec", params), m)
+    val aug = Mips.augmentCorpus(rows, "vec", m)
+    if (trainFraction >= 1.0)
+      TokenIvf(IVFFlat.build(aug, "id", "vec", params), m)
+    else {
+      val trained = IVFFlat.build(
+        aug.sample(withReplacement = false, trainFraction, params.seed),
+        "id", "vec", params)
+      trained.indexed.unpersist()
+      val indexed = IVFFlat.assign(aug, "id", "vec", trained.centroids)
+        .cache()
+      val sizes = new Array[Long](params.k)
+      indexed.groupBy("cluster").count().collect()
+        .foreach(r => sizes(r.getInt(0)) = r.getLong(1))
+      TokenIvf(IVFFlat.Model(params, trained.centroids, sizes, indexed), m)
+    }
   }
 
   /** MaxSim with the stage-1 shortlist served by the token IVF tier:

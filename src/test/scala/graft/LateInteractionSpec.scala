@@ -138,6 +138,24 @@ class LateInteractionSpec extends SparkSpec {
     ivf.ivf.indexed.unpersist()
   }
 
+  test("sample-trained buildTokenIvf (trainFraction < 1) still converges at probe-all") {
+    // centroid quality only shapes cells — probing semantics read the
+    // assignment, so probe-all + m >= tokens is exact regardless of
+    // where the centroids were trained
+    val exact = asMapOf(LateInteraction.maxSim(qToks, "qid", "tok_idx",
+      "vec", dToks, "doc_id", "vec", k = 7))
+    val idx = LateInteraction.buildTokenIvf(dToks, "doc_id", "tok_idx",
+      "vec", graft.index.IVFFlat.Params(k = 4, numAttempts = 1,
+        maxIterations = 5), trainFraction = 0.5)
+    val full = asMapOf(LateInteraction.maxSimIvf(qToks, "qid", "tok_idx",
+      "vec", dToks, "doc_id", "vec", idx, k = 7, m = dTokRows.size,
+      nprobe = 4))
+    assert(full == exact)
+    // cluster sizes were recounted over the FULL frame, not the sample
+    assert(idx.ivf.clusterSizes.sum == dTokRows.size.toLong)
+    idx.ivf.indexed.unpersist()
+  }
+
   test("TokenIvf save/load round-trips the serving face") {
     val idx = LateInteraction.buildTokenIvf(dToks, "doc_id", "tok_idx",
       "vec", graft.index.IVFFlat.Params(k = 4, numAttempts = 1,
