@@ -125,8 +125,10 @@ object MaxSimScaleSmoke extends Serializable {
     }
 
     // ---------------- part A: head-to-head at 10M tokens ----------------
+    val skipA = sys.env.get("SPARK_GRAFT_MAXSIM_SKIP_A").contains("1")
     val nA = math.min(nDocs, 100000L)
     val vocabA = 50000L
+    if (!skipA) {
     val aToks = phase("a_embed") {
       val t = operators.LateInteraction
         .tokenVectors(corpusOf(nA, vocabA), "doc_id", "text")
@@ -163,6 +165,7 @@ object MaxSimScaleSmoke extends Serializable {
       out += "a_sq8_recall_at1" -> f"${recallAt1(top, aTruth)}%.3f"
     }
     aIvf.ivf.indexed.unpersist()
+    }
 
     // ---------------- part B: scale with constant probed volume ----------------
     if (nDocs > nA) {
@@ -183,17 +186,35 @@ object MaxSimScaleSmoke extends Serializable {
             maxIterations = 4),
           trainFraction = math.min(1.0, 2e6 / (nDocs * docLen).toDouble))
       }
-      // probe budget: nprobe/k × corpusTokens ≈ part A's probed volume
-      // (32/256 × 10M = 1.25M tokens per query token)
+      // probe budget sweep: the base point holds PROBED-TOKEN volume
+      // per query token equal to part A's (32/256 × 10M = 1.25M), then
+      // ×4 and ×16 trace the recall-vs-probe lever — the MIPS
+      // augmentation coordinate flattens probe-order selectivity (the
+      // XBOX transform's known geometry cost: √(M²−‖x‖²) dominates
+      // cell placement for low-norm tokens), so the scale corpus needs
+      // a deeper probe for the same recall; the wall increments per
+      // extra probe measure the marginal cost of buying it back.
       val probedA = 1250000.0
       val nprobeB = math.max(1, math.ceil(
         probedA * kB / (nDocs * docLen).toDouble).toInt)
-      out += "b_cells" -> kB.toString += "b_nprobe" -> nprobeB.toString
-      phase("b_ivf_serve") {
-        val top = operators.LateInteraction.maxSimIvf(bQ, "qid", "tok_idx",
-          "vec", bToks, "doc_id", "vec", bIvf, k = 10, m = 1024,
-          nprobe = nprobeB)
-        out += "b_ivf_recall_at1" -> f"${recallAt1(top, bTruth)}%.3f"
+      out += "b_cells" -> kB.toString
+      // sweep overrides: SPARK_GRAFT_MAXSIM_PROBES (csv nprobe list,
+      // default base/×4/×16) and SPARK_GRAFT_MAXSIM_M (csv m list,
+      // default 1024) — the two serving levers, measured independently
+      val probes = sys.env.get("SPARK_GRAFT_MAXSIM_PROBES")
+        .map(_.split(",").map(_.trim.toInt).toSeq)
+        .getOrElse(Seq(nprobeB, nprobeB * 4, nprobeB * 16))
+      val ms = sys.env.get("SPARK_GRAFT_MAXSIM_M")
+        .map(_.split(",").map(_.trim.toInt).toSeq)
+        .getOrElse(Seq(1024))
+      for (np <- probes; mm <- ms) {
+        phase(s"b_ivf_serve_p${np}_m$mm") {
+          val top = operators.LateInteraction.maxSimIvf(bQ, "qid",
+            "tok_idx", "vec", bToks, "doc_id", "vec", bIvf, k = 10,
+            m = mm, nprobe = np)
+          out += s"b_ivf_recall_at1_p${np}_m$mm" ->
+            f"${recallAt1(top, bTruth)}%.3f"
+        }
       }
       bIvf.ivf.indexed.unpersist()
     }

@@ -76,7 +76,17 @@ object PlanDump {
         "(BroadcastNestedLoopJoin — serving-sized by contract); the " +
         "per-pair max partial-aggregates map-side (partial_max) so no " +
         "exchange ever carries raw per-pair scores; the corpus token " +
-        "frame is scanned once and never shuffles."))
+        "frame is scanned once and never shuffles."),
+    "maxsim_ivf" ->
+      ("ANN-backed MaxSim stage 1: query tokens probe the token IVF " +
+        "tier — the probe frame broadcasts (BroadcastHashJoin on " +
+        "cluster), the per-(packed qid, qtok) top-m cut is the " +
+        "partial-aggregating TopKAggExpr heap (objectHashAggregate " +
+        "with partial topk) so only m-bounded rows cross its " +
+        "exchange; stage 2 is a broadcast of the candidate×q-token " +
+        "probe into one more pass over the token frame with the same " +
+        "map-side partial_max as maxsim_exact. No stage scans corpus " +
+        "tokens more than once, and no exchange is corpus-sized."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"

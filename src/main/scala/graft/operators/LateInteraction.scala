@@ -167,7 +167,14 @@ object LateInteraction {
     * (qid, doc_id) candidate pairs exactly — broadcast candidate+query
     * probe, the corpus-token scan pruned at the doc_id equi-join (the
     * BQ broadcast-shortlist re-rank shape). `q` carries (qid, qtok,
-    * qvec), `d` carries (doc_id, dvec); output = [[reduceAndRank]]. */
+    * qvec), `d` carries (doc_id, dvec); output = [[reduceAndRank]].
+    *
+    * Broadcast-size contract: the probe is candidates × q-tokens ≤
+    * queries × qTokens² × m rows — bounded by the SERVING parameters,
+    * never the corpus (unlike a radius survivor set). m is the recall
+    * lever, not a convergence knob: size it tens-to-hundreds in
+    * production; the m ≥ corpus-tokens configuration exists only for
+    * the oracle-convergence gates on bounded test corpora. */
   private def rescoreCandidates(cand: DataFrame, q: DataFrame,
                                 d: DataFrame, k: Int): DataFrame = {
     val probe = broadcast(cand.join(q, Seq("qid")))
