@@ -191,6 +191,24 @@ class LateInteractionSpec extends SparkSpec {
     assert(removed == directA)
   }
 
+  test("maxSimIvf plan: TopKAggExpr partial heap in stage 1, partial max in stage 2") {
+    val idx = LateInteraction.buildTokenIvf(dToks, "doc_id", "tok_idx",
+      "vec", graft.index.IVFFlat.Params(k = 4, numAttempts = 1,
+        maxIterations = 3))
+    val df = LateInteraction.maxSimIvf(qToks, "qid", "tok_idx", "vec",
+      dToks, "doc_id", "vec", idx, k = 5, m = 8, nprobe = 2)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.toLowerCase
+    // stage 1: the per-(packed qid, qtok) top-m cut partial-aggregates
+    // map-side — only m-bounded heap rows cross its exchange, never
+    // the probed-candidate volume
+    assert(p.contains("partial_topkaggexpr"), p.take(1200))
+    // stage 2: the per-pair max also partial-aggregates map-side (the
+    // maxsim_exact discipline) — no exchange carries raw pair scores
+    assert(p.contains("partial_max"), p.take(1200))
+    idx.ivf.indexed.unpersist()
+  }
+
   test("exhaustive plan: q tokens broadcast, corpus never shuffles pair rows") {
     val df = LateInteraction.maxSim(qToks, "qid", "tok_idx", "vec",
       dToks, "doc_id", "vec", k = 5)
