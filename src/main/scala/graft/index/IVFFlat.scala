@@ -75,7 +75,19 @@ object IVFFlat {
     /** Batch search: assign each query its probe clusters (broadcast
       * centroids, narrow), explode, equi-join on `cluster` against the
       * indexed corpus (shuffles only probed candidates, never the full
-      * corpus), exact re-rank, per-query top-k. */
+      * corpus), exact re-rank, per-query top-k.
+      *
+      * Scan pruning for SMALL batches (the online-serving case): the
+      * probe frame is broadcast-sized by contract, so its distinct
+      * cells are collectable; when the batch probes fewer than all
+      * cells, the cell set rides the corpus scan as a `cluster`
+      * membership filter — partition pruning on [[save]]'s
+      * partitionBy(cluster) layout, min/max batch skipping on cached
+      * frames — so a 10-query batch against a 10^10-row corpus reads
+      * the probed fraction, not every cell. Pure pruning: the
+      * equi-join below enforces the same equality, results are
+      * identical (spec-gated); wide batches that touch every cell
+      * skip the filter (zero overhead). */
     def searchMany(queries: DataFrame, qIdCol: String, qVecCol: String,
                    k: Int, nprobe: Int = 2): DataFrame = {
       val spark = queries.sparkSession
@@ -91,6 +103,14 @@ object IVFFlat {
             .map(c => (qid, qvec, c))
         }
         .toDF("qid", "qvec", "cluster")
+        // feeds the cell-collect probe AND the join — compute once
+        .localCheckpoint(true)
+      val cells = probes.select(col("cluster")).distinct()
+        .collect().map(_.getInt(0))
+      val scanned =
+        if (cells.length < centroids.length)
+          indexed.filter(col("cluster").isin(cells.toSeq: _*))
+        else indexed
       // distance computed codegen-narrow, then per-query top-k via the
       // PARTIAL-aggregating heap expression: each task ships at most k
       // rows per query it touched, so the only shuffle is k-bounded —
@@ -99,7 +119,7 @@ object IVFFlat {
       // groupByKey drain). Probed clusters are disjoint, so ids are
       // unique per query and no dedup is needed; TopKAggExpr's
       // (distance, id) order matches topKDedup's exactly.
-      indexed.join(broadcast(probes), Seq("cluster"))
+      scanned.join(broadcast(probes), Seq("cluster"))
         .select(col("qid"), col("id"),
           sqDist(col("vector"), col("qvec")).as("distance"))
         .groupBy(col("qid"))
@@ -136,7 +156,15 @@ object IVFFlat {
             .map(c => (qid, qvec, c))
         }
         .toDF("qid", "qvec", "cluster")
-      indexed.join(broadcast(probes), Seq("cluster"))
+        .localCheckpoint(true)
+      // small-batch scan pruning (the searchMany idiom) — pure pruning
+      val cells = probes.select(col("cluster")).distinct()
+        .collect().map(_.getInt(0))
+      val scanned =
+        if (cells.length < centroids.length)
+          indexed.filter(col("cluster").isin(cells.toSeq: _*))
+        else indexed
+      scanned.join(broadcast(probes), Seq("cluster"))
         .select(col("qid"), col("id"),
           sqDist(col("vector"), col("qvec")).as("distance"))
         .filter(col("distance") <= lit(radius))

@@ -117,10 +117,22 @@ object SQ8 {
             .map(c => (qid, qf, c))
         }
         .toDF("qid", "qvec", "cluster")
+        // feeds the cell-collect probe AND the join — compute once
+        .localCheckpoint(true)
+      // small-batch scan pruning (the IVFFlat.searchMany idiom): a
+      // batch that probes fewer than all cells pushes its cell set
+      // onto the code scan — partition pruning / batch skipping;
+      // pure pruning, the equi-join enforces the same equality
+      val cells = probes.select(col("cluster")).distinct()
+        .collect().map(_.getInt(0))
+      val scanned =
+        if (cells.length < centroids.length)
+          codes.filter(col("cluster").isin(cells.toSeq: _*))
+        else codes
       // partial-aggregating top-k: k rows per query per task cross the
       // shuffle, never the probed-cell candidates (disjoint cells ⇒
       // unique ids; TopKAggExpr's (distance, id) order ≡ topKDedup's)
-      codes.join(broadcast(probes), Seq("cluster"))
+      scanned.join(broadcast(probes), Seq("cluster"))
         .select(col("qid"), col("id"),
           Sq8Math.sq8Dist(col("codes"), col("lo"), col("scale"),
             col("qvec")).as("distance"))

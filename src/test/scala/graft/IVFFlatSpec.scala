@@ -64,6 +64,33 @@ class IVFFlatSpec extends SparkSpec {
     assert(recallAt10(4) >= 0.7)
   }
 
+  test("small-batch scan pruning: cluster filter below the probe join, identical results") {
+    val q1 = emb.filter(col("vec_id") === 3)
+    // one query at nprobe=2 probes 2 of 10 cells: the scan must carry
+    // a cluster membership filter (partition pruning on the saved
+    // layout, batch skipping on cached frames)...
+    val pruned = model.searchMany(q1, "vec_id", "embedding", k = 5, nprobe = 2)
+    pruned.collect()
+    val plan = pruned.queryExecution.optimizedPlan.toString
+    assert(plan.contains("cluster") && plan.contains(" IN "),
+      "probed-cell filter missing below the join:\n" + plan.take(1200))
+    // ...and prune NOTHING semantically: the probe-all batch (every
+    // cell) equals the filter-free exhaustive ranking
+    val qv = emb.filter(col("vec_id") === 3)
+      .select(col("embedding").cast("array<float>"))
+      .head().getAs[scala.collection.Seq[Float]](0).toArray
+    val want = Exhaustive.topK(emb, "vec_id", "embedding", typedlit(qv), 5)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("distance")))
+      .toSeq
+    val got = model.searchMany(q1, "vec_id", "embedding", k = 5,
+        nprobe = model.params.k)
+      .orderBy(col("distance"), col("id"))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("distance")))
+      .toSeq
+    assert(got == want)
+  }
+
   test("single-query search returns ascending distances, <= k rows, self hit first") {
     val q = emb.filter(col("vec_id") === 7)
       .select(col("embedding").cast("array<float>"))
