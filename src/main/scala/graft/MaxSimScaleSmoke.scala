@@ -207,12 +207,20 @@ object MaxSimScaleSmoke extends Serializable {
       val ms = sys.env.get("SPARK_GRAFT_MAXSIM_M")
         .map(_.split(",").map(_.trim.toInt).toSeq)
         .getOrElse(Seq(1024))
-      for (np <- probes; mm <- ms) {
-        phase(s"b_ivf_serve_p${np}_m$mm") {
+      // SPARK_GRAFT_MAXSIM_CAP (csv, 0 = unpruned): the PLAID
+      // candidate-cap lever — at high m stage 2 is the wall (BASELINE
+      // r12: m=4096 at 100M tokens) and the cap bounds it
+      val caps = sys.env.get("SPARK_GRAFT_MAXSIM_CAP")
+        .map(_.split(",").map(_.trim.toInt).toSeq)
+        .getOrElse(Seq(0))
+      for (np <- probes; mm <- ms; cp <- caps) {
+        val tag = s"b_ivf_serve_p${np}_m$mm" + (if (cp > 0) s"_c$cp" else "")
+        phase(tag) {
           val top = operators.LateInteraction.maxSimIvf(bQ, "qid",
             "tok_idx", "vec", bToks, "doc_id", "vec", bIvf, k = 10,
-            m = mm, nprobe = np)
-          out += s"b_ivf_recall_at1_p${np}_m$mm" ->
+            m = mm, nprobe = np,
+            cap = if (cp > 0) cp else Int.MaxValue)
+          out += tag.replace("b_ivf_serve", "b_ivf_recall_at1") ->
             f"${recallAt1(top, bTruth)}%.3f"
         }
       }

@@ -3511,6 +3511,31 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // PLAID candidate pruning on the ANN face (Santhanam et al. 2022):
+    // stage 1's recovered dots rank candidate docs approximately and
+    // only the top-`cap` per query reach the exact rescore — stage 2
+    // is cap-bounded instead of (q-tokens × m)-bounded, the high-m
+    // serving wall. Degenerate-exact gate: probe-all + m = corpus
+    // tokens + cap = doc count keeps every doc through the PRUNING
+    // PIPELINE (finite cap exercises it) — ≡ maxsim_exact on the
+    // bounded corpus, same replay.
+    "maxsim_pruned" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").filter(col("doc_id") < 50)
+      val dToks = LateInteraction.tokenVectors(docs, "doc_id", "text")
+        .localCheckpoint(true) // feeds build + rescore — embed once
+      val qToks = LateInteraction.tokenVectors(
+          docs.filter(col("doc_id") < 3), "doc_id", "text")
+        .withColumnRenamed("doc_id", "qid")
+      val m = dToks.count().toInt
+      val nCells = 8
+      val idx = LateInteraction.buildTokenIvf(dToks, "doc_id", "tok_idx",
+        "vec", IVFFlat.Params(k = nCells, numAttempts = 1, maxIterations = 5))
+      LateInteraction.maxSimIvf(qToks, "qid", "tok_idx", "vec",
+          dToks, "doc_id", "vec", idx, k = 10, m = m, nprobe = nCells,
+          cap = 50)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // The compressed twin: stage 1 probes SQ8 byte codes (≈¼ scan
     // residency — ColBERTv2's compression motivation), stage 2 exact
     // on the full-precision token frame. Same degenerate-exact gate.
@@ -7163,6 +7188,10 @@ object SparkEntry {
     // replay the bounded-corpus exhaustive MaxSim verbatim
     "maxsim_ivf" -> maxSimSqlCorpus("WHERE doc_id < 50"),
     "maxsim_sq8" -> maxSimSqlCorpus("WHERE doc_id < 50"),
+
+    // PLAID prune at cap = doc count: the pruning pipeline runs but
+    // keeps every doc — the same bounded-corpus exhaustive replay
+    "maxsim_pruned" -> maxSimSqlCorpus("WHERE doc_id < 50"),
 
     // add of two disjoint halves / remove of [50,60) both end at the
     // 50-doc corpus exactly — the same bounded replay

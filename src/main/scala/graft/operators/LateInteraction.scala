@@ -281,21 +281,28 @@ object LateInteraction {
     * union of shortlisted tokens' doc ids per query is the candidate
     * set; stage 2 rescores exactly on the unquantized token frame.
     * Recall levers: `m` (docs seen per query token) and `nprobe`
-    * (cells scanned per query token). nprobe ≥ the cell count AND
-    * m ≥ the corpus token count reproduces [[maxSim]] bit-for-bit —
-    * candidates then cover every doc, and stage 2 IS the exhaustive
-    * face (the sq8_search_all probe-all idiom; maxsim_ivf lane). */
+    * (cells scanned per query token). `cap` < Int.MaxValue adds the
+    * PLAID candidate-pruning stage ([[prunedCandidatesOf]]): only the
+    * top-`cap` docs per query by the approximate stage-1 score reach
+    * the exact rescore — bounds stage 2 by cap instead of q-tokens ×
+    * m, the high-m serving wall. nprobe ≥ the cell count AND
+    * m ≥ the corpus token count (AND cap ≥ the doc count if finite)
+    * reproduces [[maxSim]] bit-for-bit — candidates then cover every
+    * doc, and stage 2 IS the exhaustive face (the sq8_search_all
+    * probe-all idiom; maxsim_ivf / maxsim_pruned lanes). */
   def maxSimIvf(qToks: DataFrame, qIdCol: String, qTokIdxCol: String,
                 qVecCol: String,
                 dToks: DataFrame, dIdCol: String, dVecCol: String,
-                index: TokenIvf, k: Int, m: Int, nprobe: Int): DataFrame = {
-    require(k >= 1 && m >= 1 && nprobe >= 1,
-      s"k=$k m=$m nprobe=$nprobe must be >= 1")
+                index: TokenIvf, k: Int, m: Int, nprobe: Int,
+                cap: Int = Int.MaxValue): DataFrame = {
+    require(k >= 1 && m >= 1 && nprobe >= 1 && cap >= 1,
+      s"k=$k m=$m nprobe=$nprobe cap=$cap must be >= 1")
     val (q, d) = tokenFaces(qToks, qIdCol, qTokIdxCol, qVecCol,
       dToks, dIdCol, dVecCol)
     val hits = index.ivf.searchMany(
       augmentedQueryTokens(q, index.maxNorm), "qid2", "qvec2", m, nprobe)
-    rescoreCandidates(candidatesOf(hits), q, d, k)
+    rescoreCandidates(stageOneCandidates(hits, q, index.maxNorm, cap),
+      q, d, k)
   }
 
   /** [[maxSimIvf]] over the SQ8-compressed token tier: stage 1 probes
@@ -303,18 +310,22 @@ object LateInteraction {
     * over the full-precision token frame, so quantization error can
     * only cost recall, never mis-score a candidate. Same degenerate
     * convergence: probe-all + m ≥ corpus tokens ⇒ every doc is a
-    * candidate ⇒ ≡ [[maxSim]] (maxsim_sq8 lane). */
+    * candidate ⇒ ≡ [[maxSim]] (maxsim_sq8 lane). `cap` as on
+    * [[maxSimIvf]] — the PLAID prune runs on dots recovered from
+    * dequantized distances (pruning rank only; stage 2 stays exact). */
   def maxSimSq8(qToks: DataFrame, qIdCol: String, qTokIdxCol: String,
                 qVecCol: String,
                 dToks: DataFrame, dIdCol: String, dVecCol: String,
-                index: TokenSq8, k: Int, m: Int, nprobe: Int): DataFrame = {
-    require(k >= 1 && m >= 1 && nprobe >= 1,
-      s"k=$k m=$m nprobe=$nprobe must be >= 1")
+                index: TokenSq8, k: Int, m: Int, nprobe: Int,
+                cap: Int = Int.MaxValue): DataFrame = {
+    require(k >= 1 && m >= 1 && nprobe >= 1 && cap >= 1,
+      s"k=$k m=$m nprobe=$nprobe cap=$cap must be >= 1")
     val (q, d) = tokenFaces(qToks, qIdCol, qTokIdxCol, qVecCol,
       dToks, dIdCol, dVecCol)
     val hits = index.sq8.searchMany(
       augmentedQueryTokens(q, index.maxNorm), "qid2", "qvec2", m, nprobe)
-    rescoreCandidates(candidatesOf(hits), q, d, k)
+    rescoreCandidates(stageOneCandidates(hits, q, index.maxNorm, cap),
+      q, d, k)
   }
 
   /** Canonicalized (q, d) faces shared by the ANN stage-1 paths. */
@@ -346,6 +357,59 @@ object LateInteraction {
     hits.select(shiftright(col("qid"), TokIdxBits).as("qid"),
         shiftright(col("id"), TokIdxBits).as("doc_id"))
       .distinct()
+
+  /** PLAID-style candidate pruning (Santhanam et al. 2022, public —
+    * "PLAID: An Efficient Engine for Late Interaction Retrieval"):
+    * stage 1's probed hits already carry MIPS distances, and the dot
+    * is exactly recoverable per hit under the XBOX augmentation
+    * (d² = ‖q‖² + M² − 2⟨q,t⟩ ⇒ ⟨q,t⟩ = (‖q‖² + M² − d²)/2), so an
+    * APPROXIMATE MaxSim score per candidate doc — Σ over q-tokens of
+    * (max over that token's shortlisted hits of the recovered dot),
+    * unseen (q-token, doc) pairs contributing 0, PLAID's convention —
+    * costs two serving-sized aggregations and touches NO corpus data.
+    * Keeping only the top-`cap` docs per query (ties broken doc_id
+    * ascending — deterministic) bounds stage 2's exact-rescore volume
+    * by `cap` instead of q-tokens × m: at high m the shortlist union
+    * is the stage-2 bill (BASELINE r12: m=4096 at 100M tokens is
+    * stage-2-bound), and the approximate scores already rank the
+    * union well enough that a cap of a few × k keeps recall.
+    * Approximation surface: a true top-k doc whose approximate score
+    * underestimates (its best tokens unseen by stage 1) can fall
+    * outside the cap — cap is a recall lever exactly like m and
+    * nprobe; cap ≥ the candidate count keeps everything (spec gate:
+    * then ≡ the unpruned face). Over the SQ8 tier the recovered dots
+    * carry quantization error — still only a pruning rank. */
+  private def prunedCandidatesOf(hits: DataFrame, q: DataFrame,
+                                 maxNorm: Double, cap: Int): DataFrame = {
+    val qn = q.select(col("qid"), col("qtok"),
+      dot(col("qvec"), col("qvec")).as("qn2"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("approx").desc, col("doc_id").asc)
+    hits.select(
+        shiftright(col("qid"), TokIdxBits).as("qid"),
+        col("qid").bitwiseAND(lit((1L << TokIdxBits) - 1)).as("qtok"),
+        shiftright(col("id"), TokIdxBits).as("doc_id"),
+        col("distance"))
+      .join(broadcast(qn), Seq("qid", "qtok"))
+      .select(col("qid"), col("qtok"), col("doc_id"),
+        ((col("qn2") + lit(maxNorm * maxNorm) - col("distance")) / 2.0d)
+          .as("dot_a"))
+      .groupBy(col("qid"), col("doc_id"), col("qtok"))
+      .agg(max(col("dot_a")).as("m_a"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("m_a")).as("approx"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+      .select(col("qid"), col("doc_id"))
+  }
+
+  /** Candidate set for an ANN stage-1 hit frame: the full distinct
+    * doc union when `cap` is unbounded, the PLAID-pruned top-`cap`
+    * otherwise. */
+  private def stageOneCandidates(hits: DataFrame, q: DataFrame,
+                                 maxNorm: Double, cap: Int): DataFrame =
+    if (cap == Int.MaxValue) candidatesOf(hits)
+    else prunedCandidatesOf(hits, q, maxNorm, cap)
 
   // ------------------------- lifecycle extensions -------------------------
 

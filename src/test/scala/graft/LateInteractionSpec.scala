@@ -191,6 +191,42 @@ class LateInteractionSpec extends SparkSpec {
     assert(removed == directA)
   }
 
+  test("PLAID cap: cap >= docs == unpruned face; tight cap subsets with exact scores") {
+    val idx = LateInteraction.buildTokenIvf(dToks, "doc_id", "tok_idx",
+      "vec", graft.index.IVFFlat.Params(k = 4, numAttempts = 1,
+        maxIterations = 5))
+    val unpruned = asMapOf(LateInteraction.maxSimIvf(qToks, "qid",
+      "tok_idx", "vec", dToks, "doc_id", "vec", idx, k = 7,
+      m = dTokRows.size, nprobe = 4))
+    // cap >= the doc count keeps every candidate: the pruning pipeline
+    // runs (finite cap) but removes nothing — identical result
+    val kept = asMapOf(LateInteraction.maxSimIvf(qToks, "qid", "tok_idx",
+      "vec", dToks, "doc_id", "vec", idx, k = 7, m = dTokRows.size,
+      nprobe = 4, cap = 40))
+    assert(kept == unpruned)
+    // tight cap: at most cap docs per query survive to stage 2, and
+    // every survivor is rescored EXACTLY (scores match the exhaustive
+    // face wherever present) — cap only removes docs, never mis-scores
+    val all = asMapOf(LateInteraction.maxSim(qToks, "qid", "tok_idx",
+      "vec", dToks, "doc_id", "vec", k = 40))
+    val tight = asMapOf(LateInteraction.maxSimIvf(qToks, "qid", "tok_idx",
+      "vec", dToks, "doc_id", "vec", idx, k = 7, m = dTokRows.size,
+      nprobe = 4, cap = 3))
+    tight.keys.groupBy(_._1).foreach { case (qid, keys) =>
+      assert(keys.size <= 3, s"qid=$qid kept ${keys.size} docs past cap=3")
+    }
+    tight.foreach { case (key, s) =>
+      assert(all(key) == s, s"pruned score drifted for $key")
+    }
+    // the SQ8 face takes the same lever
+    val sq8 = idx.compress()
+    val keptSq8 = asMapOf(LateInteraction.maxSimSq8(qToks, "qid",
+      "tok_idx", "vec", dToks, "doc_id", "vec", sq8, k = 7,
+      m = dTokRows.size, nprobe = 4, cap = 40))
+    assert(keptSq8 == unpruned)
+    idx.ivf.indexed.unpersist()
+  }
+
   test("maxSimIvf plan: TopKAggExpr partial heap in stage 1, partial max in stage 2") {
     val idx = LateInteraction.buildTokenIvf(dToks, "doc_id", "tok_idx",
       "vec", graft.index.IVFFlat.Params(k = 4, numAttempts = 1,
