@@ -3511,6 +3511,36 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // The multi-vector tier's production serving path end-to-end FROM
+    // DISK (the hybrid_loaded discipline): token frame saved + loaded,
+    // TokenIvf saved + loaded (maxNorm sidecar included), ANN stage 1
+    // over the loaded tier, PLAID cap, exact rescore on the loaded
+    // tokens — nothing recomputed at serve time. Degenerate config ⇒
+    // the same bounded-corpus exhaustive replay.
+    "maxsim_loaded" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").filter(col("doc_id") < 50)
+      val tmp = scratchDir("maxsim_loaded")
+      val dToks0 = LateInteraction.tokenVectors(docs, "doc_id", "text")
+        .localCheckpoint(true) // feeds save + build — embed once
+      LateInteraction.saveTokens(dToks0, tmp)
+      val nCells = 8
+      val built = LateInteraction.buildTokenIvf(dToks0, "doc_id",
+        "tok_idx", "vec",
+        IVFFlat.Params(k = nCells, numAttempts = 1, maxIterations = 5))
+      built.save(s"$tmp/tivf")
+      built.ivf.indexed.unpersist()
+      val dToks = LateInteraction.loadTokens(s, tmp)
+      val idx = LateInteraction.loadTokenIvf(s, s"$tmp/tivf")
+      val qToks = LateInteraction.tokenVectors(
+          docs.filter(col("doc_id") < 3), "doc_id", "text")
+        .withColumnRenamed("doc_id", "qid")
+      val m = dToks.count().toInt
+      LateInteraction.maxSimIvf(qToks, "qid", "tok_idx", "vec",
+          dToks, "doc_id", "vec", idx, k = 10, m = m, nprobe = nCells,
+          cap = 50)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // PLAID candidate pruning on the ANN face (Santhanam et al. 2022):
     // stage 1's recovered dots rank candidate docs approximately and
     // only the top-`cap` per query reach the exact rescore — stage 2
@@ -3552,6 +3582,33 @@ object SparkEntry {
           "vec", IVFFlat.Params(k = nCells, numAttempts = 1, maxIterations = 5))
         .compress()
       LateInteraction.maxSimSq8(qToks, "qid", "tok_idx", "vec",
+          dToks, "doc_id", "vec", idx, k = 10, m = m, nprobe = nCells)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Index::add on the multi-vector ANN TIER (not just the token
+    // frame): build the IVF tier over half the corpus with the full
+    // corpus's norm ceiling as the MIPS bound, then TokenIvf.add the
+    // other half — the frozen-centroid assign pass, no rebuild.
+    // Probe-all + m = corpus tokens covers everything, so the grown
+    // tier replays the bounded-corpus exhaustive oracle.
+    "maxsim_ivf_add" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").filter(col("doc_id") < 50)
+      val dToks = LateInteraction.tokenVectors(docs, "doc_id", "text")
+        .localCheckpoint(true) // feeds build + add + rescore
+      val qToks = LateInteraction.tokenVectors(
+          docs.filter(col("doc_id") < 3), "doc_id", "text")
+        .withColumnRenamed("doc_id", "qid")
+      val m = dToks.count().toInt
+      val nCells = 8
+      val bound = dToks.agg(max(sqrt(dot(col("vec"), col("vec")))))
+        .head().getDouble(0)
+      val idx = LateInteraction.buildTokenIvf(
+          dToks.filter(col("doc_id") < 25), "doc_id", "tok_idx", "vec",
+          IVFFlat.Params(k = nCells, numAttempts = 1, maxIterations = 5),
+          maxNormBound = bound)
+        .add(dToks.filter(col("doc_id") >= 25), "doc_id", "tok_idx", "vec")
+      LateInteraction.maxSimIvf(qToks, "qid", "tok_idx", "vec",
           dToks, "doc_id", "vec", idx, k = 10, m = m, nprobe = nCells)
         .orderBy(col("qid"), col("rank"))
     }),
@@ -7192,6 +7249,13 @@ object SparkEntry {
     // PLAID prune at cap = doc count: the pruning pipeline runs but
     // keeps every doc — the same bounded-corpus exhaustive replay
     "maxsim_pruned" -> maxSimSqlCorpus("WHERE doc_id < 50"),
+
+    // both multi-vector artifacts loaded from disk serve identically
+    "maxsim_loaded" -> maxSimSqlCorpus("WHERE doc_id < 50"),
+
+    // the grown tier (frozen-centroid TokenIvf.add) at probe-all:
+    // the same bounded replay
+    "maxsim_ivf_add" -> maxSimSqlCorpus("WHERE doc_id < 50"),
 
     // add of two disjoint halves / remove of [50,60) both end at the
     // 50-doc corpus exactly — the same bounded replay

@@ -138,12 +138,16 @@ object LateInteraction {
     * pruned at the join). Approximate exactly like every shortlist
     * tier: a doc outside all per-token top-m lists is unseen; `m` is
     * the recall lever, and m ≥ the corpus token count reproduces
-    * [[maxSim]] bit-for-bit. */
+    * [[maxSim]] bit-for-bit. `cap` < Int.MaxValue adds the PLAID
+    * candidate prune ([[pruneByApprox]]) over the heap's own exact
+    * dots — stage 2 bounded by cap instead of q-tokens × m. */
   def maxSimShortlisted(qToks: DataFrame, qIdCol: String, qTokIdxCol: String,
                         qVecCol: String,
                         dToks: DataFrame, dIdCol: String, dVecCol: String,
-                        k: Int, m: Int): DataFrame = {
-    require(k >= 1 && m >= 1, s"k=$k m=$m must be >= 1")
+                        k: Int, m: Int,
+                        cap: Int = Int.MaxValue): DataFrame = {
+    require(k >= 1 && m >= 1 && cap >= 1,
+      s"k=$k m=$m cap=$cap must be >= 1")
     val q = broadcast(qToks.select(col(qIdCol).cast("long").as("qid"),
       col(qTokIdxCol).cast("long").as("qtok"),
       col(qVecCol).cast("array<double>").as("qvec")))
@@ -152,14 +156,24 @@ object LateInteraction {
     // per-(qid, qtok) top-m doc tokens by LARGEST dot = smallest −dot
     // (the MIPS reduction); duplicate doc_ids inside one heap are fine
     // — the shortlist is only a candidate-doc generator
-    val cand = d.join(q)
+    val hits = d.join(q)
       .select(col("qid"), col("qtok"),
         (lit(0.0d) - dot(col("dvec"), col("qvec"))).as("negdot"),
         col("doc_id"))
       .groupBy(col("qid"), col("qtok"))
       .agg(graft.functions.TopK.topK(col("negdot"), col("doc_id"), m).as("nn"))
-      .select(col("qid"), explode(col("nn.id")).as("doc_id"))
-      .distinct()
+    val cand =
+      if (cap == Int.MaxValue)
+        hits.select(col("qid"), explode(col("nn.id")).as("doc_id"))
+          .distinct()
+      else
+        // the heap rows carry the EXACT dots (negated) — no recovery
+        // step; prune straight from them
+        pruneByApprox(
+          hits.select(col("qid"), col("qtok"), explode(col("nn")).as("nn"))
+            .select(col("qid"), col("qtok"), col("nn.id").as("doc_id"),
+              (lit(0.0d) - col("nn.distance")).as("dot_a")),
+          cap)
     rescoreCandidates(cand, q, d, k)
   }
 
@@ -213,6 +227,32 @@ object LateInteraction {
         s"""{"maxNorm":$maxNorm}""")
     }
 
+    /** Incremental add on the ANN tier (Index::add, base.rs:28, on the
+      * multi-vector tier): pack + augment the incoming token frame with
+      * THIS index's maxNorm and assign to the frozen centroids — the
+      * [[IVFFlat.Model.add]] narrow broadcast-argmin pass; no rebuild,
+      * no existing row moves. MIPS contract: the augmentation is only
+      * rank-exact while every indexed norm ≤ maxNorm (the √(M²−‖x‖²)
+      * coordinate clamps at 0 above it), so an incoming batch whose max
+      * norm exceeds the build-time bound is REFUSED — rebuild with a
+      * larger bound (or build with `maxNormBound` = the model's known
+      * norm ceiling, e.g. 1.0 for L2-normalized ColBERT tokens, and
+      * add freely forever). */
+    def add(moreToks: DataFrame, idCol: String, tokIdxCol: String,
+            vecCol: String): TokenIvf = {
+      val rows = moreToks.select(
+        packId(col(idCol), col(tokIdxCol)).as("id"),
+        col(vecCol).cast("array<float>").as("vec"))
+      val incoming = rows.agg(
+        max(sqrt(dot(col("vec"), col("vec"))))).head().getDouble(0)
+      require(incoming <= maxNorm,
+        s"TokenIvf.add: incoming max token norm $incoming exceeds the " +
+          s"index's MIPS bound $maxNorm — rebuild with a larger " +
+          "maxNormBound (normalized embeddings: bound 1.0 never trips)")
+      copy(ivf = ivf.add(Mips.augmentCorpus(rows, "vec", maxNorm),
+        "id", "vec"))
+    }
+
     /** SQ8-compress the token tier: the codes frame drops to one byte
       * per dimension (~3.5× residency at serve — ColBERTv2's residual
       * compression motivation), searches run over dequantized codes.
@@ -245,16 +285,30 @@ object LateInteraction {
     * trained centroids in ONE narrow pass. Recall is unaffected by
     * where centroids came from — probing semantics only read the
     * assignment — so the sampled build trades nothing but cell-shape
-    * optimality. */
+    * optimality.
+    *
+    * `maxNormBound` > 0 fixes the MIPS augmentation scalar instead of
+    * deriving it from the frame — pass the model's known norm ceiling
+    * (1.0 for L2-normalized ColBERT tokens) so [[TokenIvf.add]] can
+    * ingest future batches without ever tripping the bound. */
   def buildTokenIvf(dToks: DataFrame, dIdCol: String, tokIdxCol: String,
                     vecCol: String, params: IVFFlat.Params,
-                    trainFraction: Double = 1.0): TokenIvf = {
+                    trainFraction: Double = 1.0,
+                    maxNormBound: Double = 0.0): TokenIvf = {
     require(trainFraction > 0.0 && trainFraction <= 1.0,
       s"trainFraction=$trainFraction out of (0,1]")
     val rows = dToks.select(
       packId(col(dIdCol), col(tokIdxCol)).as("id"),
       col(vecCol).cast("array<float>").as("vec"))
-    val m = Mips.maxNorm(rows, "vec")
+    val m = if (maxNormBound > 0.0) {
+      val actual = rows.agg(
+        max(sqrt(dot(col("vec"), col("vec"))))).head().getDouble(0)
+      require(actual <= maxNormBound,
+        s"buildTokenIvf: frame max token norm $actual exceeds " +
+          s"maxNormBound=$maxNormBound — the augmentation would clamp " +
+          "and mis-rank; raise the bound")
+      maxNormBound
+    } else Mips.maxNorm(rows, "vec")
     val aug = Mips.augmentCorpus(rows, "vec", m)
     if (trainFraction >= 1.0)
       TokenIvf(IVFFlat.build(aug, "id", "vec", params), m)
@@ -383,17 +437,28 @@ object LateInteraction {
                                  maxNorm: Double, cap: Int): DataFrame = {
     val qn = q.select(col("qid"), col("qtok"),
       dot(col("qvec"), col("qvec")).as("qn2"))
+    pruneByApprox(
+      hits.select(
+          shiftright(col("qid"), TokIdxBits).as("qid"),
+          col("qid").bitwiseAND(lit((1L << TokIdxBits) - 1)).as("qtok"),
+          shiftright(col("id"), TokIdxBits).as("doc_id"),
+          col("distance"))
+        .join(broadcast(qn), Seq("qid", "qtok"))
+        .select(col("qid"), col("qtok"), col("doc_id"),
+          ((col("qn2") + lit(maxNorm * maxNorm) - col("distance")) / 2.0d)
+            .as("dot_a")),
+      cap)
+  }
+
+  /** The Σ-max rank-and-cut shared by every pruning face: from a
+    * scored (qid, qtok, doc_id, dot_a) hit frame, approximate each
+    * doc's MaxSim as Σ over q-tokens of (max over its hits of dot_a)
+    * — unseen tokens contribute 0 — and keep the top-`cap` docs per
+    * query (ties doc_id ascending). Serving-sized aggregations only. */
+  private def pruneByApprox(scored: DataFrame, cap: Int): DataFrame = {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("approx").desc, col("doc_id").asc)
-    hits.select(
-        shiftright(col("qid"), TokIdxBits).as("qid"),
-        col("qid").bitwiseAND(lit((1L << TokIdxBits) - 1)).as("qtok"),
-        shiftright(col("id"), TokIdxBits).as("doc_id"),
-        col("distance"))
-      .join(broadcast(qn), Seq("qid", "qtok"))
-      .select(col("qid"), col("qtok"), col("doc_id"),
-        ((col("qn2") + lit(maxNorm * maxNorm) - col("distance")) / 2.0d)
-          .as("dot_a"))
+    scored
       .groupBy(col("qid"), col("doc_id"), col("qtok"))
       .agg(max(col("dot_a")).as("m_a"))
       .groupBy(col("qid"), col("doc_id"))

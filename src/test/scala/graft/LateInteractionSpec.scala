@@ -174,6 +174,41 @@ class LateInteractionSpec extends SparkSpec {
     assert(before == after)
   }
 
+  test("TokenIvf.add: frozen-centroid ingest converges at probe-all; over-norm refused") {
+    val a = dToks.filter(col("doc_id") < 20)
+    val b = dToks.filter(col("doc_id") >= 20)
+    // build with the FULL corpus's norm ceiling so the second half
+    // fits the MIPS bound (production: 1.0 for normalized tokens)
+    val bound = dToks.agg(max(sqrt(
+      graft.functions.VectorOps.dot(col("vec"), col("vec")))))
+      .head().getDouble(0)
+    val idx = LateInteraction.buildTokenIvf(a, "doc_id", "tok_idx",
+      "vec", graft.index.IVFFlat.Params(k = 4, numAttempts = 1,
+        maxIterations = 5), maxNormBound = bound)
+    val grown = idx.add(b, "doc_id", "tok_idx", "vec")
+    // added rows assign to the FROZEN centroids — probe-all + m >=
+    // tokens still covers everything, so the grown tier is exact
+    val exact = asMapOf(LateInteraction.maxSim(qToks, "qid", "tok_idx",
+      "vec", dToks, "doc_id", "vec", k = 7))
+    val got = asMapOf(LateInteraction.maxSimIvf(qToks, "qid", "tok_idx",
+      "vec", dToks, "doc_id", "vec", grown, k = 7, m = dTokRows.size,
+      nprobe = 4))
+    assert(got == exact)
+    // an incoming batch above the MIPS bound is refused, not clamped
+    val big = Seq((99L, 0L, Array.fill(8)(1000.0)))
+      .toDF("doc_id", "tok_idx", "vec")
+    assertThrows[IllegalArgumentException] {
+      grown.add(big, "doc_id", "tok_idx", "vec")
+    }
+    // so is a build whose frame already exceeds a given bound
+    assertThrows[IllegalArgumentException] {
+      LateInteraction.buildTokenIvf(big, "doc_id", "tok_idx", "vec",
+        graft.index.IVFFlat.Params(k = 1, numAttempts = 1,
+          maxIterations = 1), maxNormBound = 1.0)
+    }
+    idx.ivf.indexed.unpersist()
+  }
+
   test("addTokens/removeTokens compose to the direct corpus") {
     val a = dToks.filter(col("doc_id") < 20)
     val b = dToks.filter(col("doc_id") >= 20)
@@ -224,6 +259,20 @@ class LateInteractionSpec extends SparkSpec {
       "tok_idx", "vec", dToks, "doc_id", "vec", sq8, k = 7,
       m = dTokRows.size, nprobe = 4, cap = 40))
     assert(keptSq8 == unpruned)
+    // and the non-ANN shortlist face (prunes from the heap's own dots)
+    val keptSl = asMapOf(LateInteraction.maxSimShortlisted(qToks, "qid",
+      "tok_idx", "vec", dToks, "doc_id", "vec", k = 7,
+      m = dTokRows.size, cap = 40))
+    assert(keptSl == unpruned)
+    val tightSl = asMapOf(LateInteraction.maxSimShortlisted(qToks, "qid",
+      "tok_idx", "vec", dToks, "doc_id", "vec", k = 7,
+      m = dTokRows.size, cap = 3))
+    tightSl.keys.groupBy(_._1).foreach { case (qid, keys) =>
+      assert(keys.size <= 3, s"qid=$qid kept ${keys.size} docs past cap=3")
+    }
+    tightSl.foreach { case (key, s) =>
+      assert(all(key) == s, s"shortlist-pruned score drifted for $key")
+    }
     idx.ivf.indexed.unpersist()
   }
 
