@@ -111,6 +111,15 @@ object DsirScaleSmoke extends Serializable {
     out += "threshold_boundary_weight" -> tBoundary.toString
     emit()
 
+    // single-JVM housekeeping between faces: ContextCleaner frees a
+    // face's shuffle/checkpoint files only after a driver GC notices
+    // the dereferenced lineage — at 10M docs each face peaks ~67 GB
+    // of local scratch, and two faces' files alive at once would
+    // ENOSPC the box (the r11 smoke measured the one-face peak at 79%
+    // of disk). On a real cluster each executor holds 1/N of this.
+    System.gc()
+    Thread.sleep(10000)
+
     // legacy face, same corpus/box — the skew comparison
     val (lCount, lPrec, lBoundary) = phase("dsir_select_top") {
       val sel = operators.Dsir.selectTop(docs, "doc_id", "text",
