@@ -86,7 +86,15 @@ object PlanDump {
         "exchange; stage 2 is a broadcast of the candidate×q-token " +
         "probe into one more pass over the token frame with the same " +
         "map-side partial_max as maxsim_exact. No stage scans corpus " +
-        "tokens more than once, and no exchange is corpus-sized."))
+        "tokens more than once, and no exchange is corpus-sized."),
+    "maxsim_pruned" ->
+      ("PLAID candidate pruning between the ANN stage 1 and the exact " +
+        "rescore: two serving-sized aggregations over the stage-1 hit " +
+        "frame (partial_max then the Σ-max partial_sum of the " +
+        "recovered dots) and one per-query rank window pick the " +
+        "top-cap docs — no pruning stage touches corpus tokens, and " +
+        "stage 2's broadcast probe is cap-bounded instead of " +
+        "shortlist-sized."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"

@@ -3613,6 +3613,31 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Index::remove on the multi-vector ANN TIER: one broadcast
+    // anti-join on the unpacked doc half of the packed token id —
+    // a whole document's token rows leave in one pass, centroids and
+    // sizes frozen (stale sizes only widen adaptive probes). The
+    // trimmed tier at probe-all over the kept token frame replays the
+    // 50-doc exhaustive oracle.
+    "maxsim_ivf_remove" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").filter(col("doc_id") < 60)
+      val dToks = LateInteraction.tokenVectors(docs, "doc_id", "text")
+        .localCheckpoint(true) // feeds build + rescore
+      val qToks = LateInteraction.tokenVectors(
+          docs.filter(col("doc_id") < 3), "doc_id", "text")
+        .withColumnRenamed("doc_id", "qid")
+      val nCells = 8
+      val idx = LateInteraction.buildTokenIvf(dToks, "doc_id", "tok_idx",
+          "vec", IVFFlat.Params(k = nCells, numAttempts = 1, maxIterations = 5))
+        .remove(docs.filter(col("doc_id") >= 50).select(col("doc_id")),
+          "doc_id")
+      val kept = dToks.filter(col("doc_id") < 50)
+      val m = kept.count().toInt
+      LateInteraction.maxSimIvf(qToks, "qid", "tok_idx", "vec",
+          kept, "doc_id", "vec", idx, k = 10, m = m, nprobe = nCells)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Index::add on the multi-vector tier (base.rs:28 — add is half
     // the reference's API): token frames are monoids under doc-
     // disjoint union, so embedding two halves separately and
@@ -7256,6 +7281,10 @@ object SparkEntry {
     // the grown tier (frozen-centroid TokenIvf.add) at probe-all:
     // the same bounded replay
     "maxsim_ivf_add" -> maxSimSqlCorpus("WHERE doc_id < 50"),
+
+    // the trimmed tier (doc-level TokenIvf.remove of [50,60)) ends at
+    // the 50-doc corpus exactly — the same bounded replay
+    "maxsim_ivf_remove" -> maxSimSqlCorpus("WHERE doc_id < 50"),
 
     // add of two disjoint halves / remove of [50,60) both end at the
     // 50-doc corpus exactly — the same bounded replay

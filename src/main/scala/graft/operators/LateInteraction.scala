@@ -243,14 +243,32 @@ object LateInteraction {
       val rows = moreToks.select(
         packId(col(idCol), col(tokIdxCol)).as("id"),
         col(vecCol).cast("array<float>").as("vec"))
-      val incoming = rows.agg(
-        max(sqrt(dot(col("vec"), col("vec"))))).head().getDouble(0)
+      val normRow = rows.agg(
+        max(sqrt(dot(col("vec"), col("vec"))))).head()
+      if (normRow.isNullAt(0)) return this // empty batch: nothing to add
+      val incoming = normRow.getDouble(0)
       require(incoming <= maxNorm,
         s"TokenIvf.add: incoming max token norm $incoming exceeds the " +
           s"index's MIPS bound $maxNorm — rebuild with a larger " +
           "maxNormBound (normalized embeddings: bound 1.0 never trips)")
       copy(ivf = ivf.add(Mips.augmentCorpus(rows, "vec", maxNorm),
         "id", "vec"))
+    }
+
+    /** Takedown on the ANN tier: drop every token row whose PACKED id
+      * unpacks to a removed doc_id — one broadcast anti-join on the
+      * unpacked prefix (the ids frame is takedown-sized). Mirrors
+      * [[IVFFlat.Model.remove]] (frozen centroids and sizes — stale
+      * sizes only widen adaptive probes) but matches on the doc half
+      * of the packed id, so a whole document's tokens leave in one
+      * pass. Lineage compacts on the shared cadence. */
+    def remove(ids: DataFrame, idCol: String): TokenIvf = {
+      val del = ids.select(col(idCol).cast("long").as("_did"))
+      val (df, n) = graft.index.Lineage.compact(
+        ivf.indexed.join(broadcast(del),
+          shiftright(col("id"), TokIdxBits) === col("_did"), "left_anti"),
+        ivf.addsSinceCompact)
+      copy(ivf = ivf.copy(indexed = df, addsSinceCompact = n))
     }
 
     /** SQ8-compress the token tier: the codes frame drops to one byte

@@ -919,6 +919,34 @@ object Streaming {
       .start()
   }
 
+  /** ANN-tier twin of [[ingestIntoMaxSim]] — streaming ingest into a
+    * LIVE token IVF tier: each microbatch embeds its documents and
+    * [[graft.operators.LateInteraction.TokenIvf.add]]s the token rows
+    * under the tier's frozen centroids (the [[ingestIntoIVF]]
+    * discipline on packed token ids; lineage compacts inside add).
+    * Build the seed tier with an explicit `maxNormBound` (the model's
+    * norm ceiling — 1.0 for L2-normalized production tokens) so
+    * arriving batches can never trip the MIPS bound mid-stream; a
+    * batch that does exceed it fails the stream loudly rather than
+    * mis-rank silently. Serve any snapshot via `maxSimIvf` on
+    * `state.get()`. */
+  def ingestIntoTokenIvf(stream: DataFrame, idCol: String, textCol: String,
+                         state: java.util.concurrent.atomic.AtomicReference[graft.operators.LateInteraction.TokenIvf],
+                         dim: Int = 16)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // single-writer foreachBatch: see ingestIntoIVF
+          val part = graft.operators.LateInteraction
+            .tokenVectors(batch, idCol, textCol, dim).localCheckpoint(true)
+          state.set(state.get().add(part, "doc_id", "tok_idx", "vec"))
+        }
+      }
+      .start()
+  }
+
   /** Priority-sampling twin of [[ingestHll]] — a weighted sample of
     * exactly k rows maintained over an unbounded stream: the whole
     * state is the current top-(k+1) frame by the content-addressed

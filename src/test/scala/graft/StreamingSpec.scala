@@ -1491,4 +1491,86 @@ class StreamingSpec extends SparkSpec {
     assert(st2.get().tokens.count() ==
       LateInteraction.tokenVectors(docs, "doc_id", "text").count())
   }
+
+  test("streaming TokenIvf ingest == batch MaxSim across a save/load restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.LateInteraction
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text").filter($"doc_id" < 120)
+    val allToks = LateInteraction.tokenVectors(docs, "doc_id", "text")
+      .localCheckpoint(true)
+    // the seed tier carries the CORPUS norm ceiling so every arriving
+    // batch clears the MIPS bound (production: the model's known 1.0)
+    val bound = allToks.agg(max(sqrt(
+      graft.functions.VectorOps.dot($"vec", $"vec")))).head().getDouble(0)
+    val seed = LateInteraction.buildTokenIvf(
+      LateInteraction.tokenVectors(
+        docs.filter($"doc_id" < 40), "doc_id", "text"),
+      "doc_id", "tok_idx", "vec",
+      IVFFlat.Params(k = 4, numAttempts = 1, maxIterations = 5),
+      maxNormBound = bound)
+    val rest = docs.filter($"doc_id" >= 40).as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    val (pre, post) = rest.splitAt(rest.length / 2)
+    // phase 1: stream half the remainder into the live tier, persist
+    val st1 = new java.util.concurrent.atomic.AtomicReference(seed)
+    val mem1 = MemoryStream[(Long, String)]
+    val q1 = Streaming.ingestIntoTokenIvf(
+      mem1.toDF().toDF("doc_id", "text"), "doc_id", "text", st1)
+    pre.grouped(20).foreach { b => mem1.addData(b); q1.processAllAvailable() }
+    q1.stop()
+    val dir = java.nio.file.Files.createTempDirectory("tokivfstream").toString
+    st1.get().save(dir)
+    seed.ivf.indexed.unpersist()
+    // phase 2: RESTART from the persisted tier (maxNorm sidecar rides
+    // along), finish the corpus
+    val st2 = new java.util.concurrent.atomic.AtomicReference(
+      LateInteraction.loadTokenIvf(spark, dir))
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = Streaming.ingestIntoTokenIvf(
+      mem2.toDF().toDF("doc_id", "text"), "doc_id", "text", st2)
+    post.grouped(20).foreach { b => mem2.addData(b); q2.processAllAvailable() }
+    q2.stop()
+    // probe-all + m >= tokens over the streamed-in tier == the batch
+    // exhaustive MaxSim (scores, ranks, tie order)
+    val qToks = LateInteraction.tokenVectors(
+        docs.filter($"doc_id" < 3), "doc_id", "text")
+      .withColumnRenamed("doc_id", "qid")
+    val total = allToks.count().toInt
+    val got = LateInteraction.maxSimIvf(qToks, "qid", "tok_idx", "vec",
+        allToks, "doc_id", "vec", st2.get(), k = 10, m = total, nprobe = 4)
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    val want = LateInteraction.maxSim(qToks, "qid", "tok_idx", "vec",
+        allToks, "doc_id", "vec", k = 10)
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    assert(got == want)
+    // every streamed doc's tokens landed in the tier exactly once
+    assert(st2.get().ivf.indexed.count() == allToks.count())
+  }
+
+  test("TokenIvf.remove drops a document's tokens from the live tier") {
+    import graft.operators.LateInteraction
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text").filter($"doc_id" < 60)
+    val toks = LateInteraction.tokenVectors(docs, "doc_id", "text")
+      .localCheckpoint(true)
+    val tier = LateInteraction.buildTokenIvf(toks, "doc_id", "tok_idx",
+      "vec", IVFFlat.Params(k = 4, numAttempts = 1, maxIterations = 5))
+    val removed = tier.remove(
+      docs.filter($"doc_id" >= 50).select($"doc_id"), "doc_id")
+    val keptToks = toks.filter($"doc_id" < 50)
+    val qToks = LateInteraction.tokenVectors(
+        docs.filter($"doc_id" < 3), "doc_id", "text")
+      .withColumnRenamed("doc_id", "qid")
+    val total = keptToks.count().toInt
+    val got = LateInteraction.maxSimIvf(qToks, "qid", "tok_idx", "vec",
+        keptToks, "doc_id", "vec", removed, k = 10, m = total, nprobe = 4)
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    val want = LateInteraction.maxSim(qToks, "qid", "tok_idx", "vec",
+        keptToks, "doc_id", "vec", k = 10)
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    assert(got == want)
+    assert(removed.ivf.indexed.count() == keptToks.count())
+    tier.ivf.indexed.unpersist()
+  }
 }
