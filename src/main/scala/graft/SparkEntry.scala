@@ -3694,6 +3694,33 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Hybrid lexical ⊕ late-interaction serving: BM25 top-10 RRF-fused
+    // with MaxSim top-10 over the same bounded corpus (the corpus
+    // bound is the maxsim-oracle heap discipline — see
+    // maxsim_shortlisted). Lexical exact-term evidence and
+    // multi-vector partial/paraphrase evidence fuse rank-wise; the
+    // fusion itself is candidate-list-sized (rrfFuse's contract).
+    "hybrid_maxsim" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").filter(col("doc_id") < 50)
+      val qs = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      val lex = Retrieval.bm25TopK(docs, "doc_id", "text", qs, "qid",
+          "qtext", k = 10)
+        .select(col("qid"), col("doc_id").as("id"), col("rank"))
+      val dToks = LateInteraction.tokenVectors(docs, "doc_id", "text")
+      val qToks = LateInteraction.tokenVectors(
+          docs.filter(col("doc_id") < 3), "doc_id", "text")
+        .withColumnRenamed("doc_id", "qid")
+      val ms = LateInteraction.maxSim(qToks, "qid", "tok_idx", "vec",
+          dToks, "doc_id", "vec", k = 10)
+        .select(col("qid"), col("doc_id").as("id"), col("rank"))
+      val wr = Window.partitionBy(col("qid"))
+        .orderBy(col("rrf").desc, col("id").asc)
+      Retrieval.rrfFuse(lex, ms)
+        .withColumn("rank", row_number().over(wr))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Radius search under COSINE distance (1 − a·b, the HNSW metric):
     // same zero-shuffle broadcast scan, different codegen'd kernel —
     // "everything within angular distance τ" duplicate sweeps.
@@ -4654,7 +4681,18 @@ object SparkEntry {
     * deployment uses (m is the small recall lever; the full-corpus
     * exhaustive face is maxsim_exact's job). */
   private def maxSimSqlCorpus(filter: String): String =
-    s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents $filter),
+    s"""WITH ${maxSimCtes(filter)}
+       |SELECT qid, doc_id, score_q,
+       |  CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY score_q DESC, doc_id) AS INTEGER) AS rank
+       |FROM sc
+       |QUALIFY rank <= 10
+       |ORDER BY qid, rank""".stripMargin
+
+  /** The [[maxSimSqlCorpus]] CTE chain alone (ends in sc(qid, doc_id,
+    * score_q)) — composable into fusion oracles. */
+  private def maxSimCtes(filter: String): String =
+    s"""tok AS (SELECT doc_id, $toksSql AS toks FROM documents $filter),
        |dt AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
        |  i -> {'tok_idx': i - 1, 'term': toks[i]}), recursive := true)
        |  FROM tok),
@@ -4691,13 +4729,32 @@ object SparkEntry {
        |mx AS (SELECT qid, doc_id, qtok, MAX(dot) * 1000000 AS m_q
        |  FROM alldots GROUP BY 1, 2, 3),
        |sc AS (SELECT qid, doc_id, CAST(SUM(m_q) AS BIGINT) AS score_q
-       |  FROM mx GROUP BY 1, 2)
-       |SELECT qid, doc_id, score_q,
+       |  FROM mx GROUP BY 1, 2)""".stripMargin
+
+  /** hybrid_maxsim oracle: BM25 top-10 (bounded corpus) RRF-fused
+    * with the late-interaction MaxSim top-10 over the same corpus —
+    * the rrfHybridSql discipline with the vector side replaced by the
+    * full MaxSim replay. */
+  private lazy val hybridMaxSimSql: String =
+    s"""${bm25AggCtes(3, corpusWhere = "WHERE doc_id < 50")},
+       |lex AS (SELECT qid, doc_id AS id,
        |  CAST(row_number() OVER (PARTITION BY qid
-       |    ORDER BY score_q DESC, doc_id) AS INTEGER) AS rank
-       |FROM sc
-       |QUALIFY rank <= 10
-       |ORDER BY qid, rank""".stripMargin
+       |    ORDER BY score_q DESC, doc_id) AS BIGINT) AS rank_a
+       |  FROM bagg QUALIFY rank_a <= 10),
+       |${maxSimCtes("WHERE doc_id < 50")},
+       |ms AS (SELECT qid, doc_id AS id,
+       |  CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY score_q DESC, doc_id) AS BIGINT) AS rank_b
+       |  FROM sc QUALIFY rank_b <= 10),
+       |fused AS (SELECT coalesce(l.qid, m.qid) AS qid,
+       |  coalesce(l.id, m.id) AS id,
+       |  coalesce(1.0 / (60.0 + CAST(l.rank_a AS DOUBLE)), 0.0)
+       |    + coalesce(1.0 / (60.0 + CAST(m.rank_b AS DOUBLE)), 0.0) AS rrf
+       |  FROM lex l FULL OUTER JOIN ms m ON l.qid = m.qid AND l.id = m.id)
+       |SELECT qid, id, rrf,
+       |  CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY rrf DESC, id) AS INTEGER) AS rank
+       |FROM fused ORDER BY qid, rank""".stripMargin
 
   /** sq8_search_all / sq8_persist_all oracle: quantize each corpus
     * vector with [[graft.functions.Quant]]'s floor-rounding affine int8
@@ -7300,6 +7357,10 @@ object SparkEntry {
 
     // both tiers loaded from disk serve the identical fusion
     "hybrid_loaded" -> rrfHybridSql,
+
+    // lexical ⊕ late-interaction fusion: BM25 CTEs + the MaxSim
+    // replay, RRF-fused — the full three-way-retrieval composition
+    "hybrid_maxsim" -> hybridMaxSimSql,
 
     // bucketed-add lifecycle == scratch build on the union: the
     // bm25_add replay
