@@ -153,6 +153,18 @@ object MaxSimScaleSmoke extends Serializable {
         "vec", aToks, "doc_id", "vec", aIvf, k = 10, m = 1024, nprobe = 32)
       out += "a_ivf_recall_at1" -> f"${recallAt1(top, aTruth)}%.3f"
     }
+    // optional PLAID-cap row on the head-to-head corpus: first value
+    // of SPARK_GRAFT_MAXSIM_CAP (>0) serves the IVF face pruned
+    sys.env.get("SPARK_GRAFT_MAXSIM_CAP")
+      .map(_.split(",").head.trim.toInt).filter(_ > 0).foreach { cp =>
+        phase(s"a_ivf_serve_c$cp") {
+          val top = operators.LateInteraction.maxSimIvf(aQ, "qid",
+            "tok_idx", "vec", aToks, "doc_id", "vec", aIvf, k = 10,
+            m = 1024, nprobe = 32, cap = cp)
+          out += s"a_ivf_recall_at1_c$cp" ->
+            f"${recallAt1(top, aTruth)}%.3f"
+        }
+      }
     val aSq8 = phase("a_sq8_compress") {
       val c = aIvf.compress()
       // materialize the code table so the serve phase measures probing
