@@ -62,10 +62,14 @@ object MaxSimScaleSmoke extends Serializable {
     import spark.implicits._
 
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    val inputBytes = new java.util.concurrent.atomic.AtomicLong()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val m = t.taskMetrics
-        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        if (m != null) {
+          shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          inputBytes.addAndGet(m.inputMetrics.bytesRead)
+        }
       }
     })
 
@@ -82,11 +86,14 @@ object MaxSimScaleSmoke extends Serializable {
     def phase[T](name: String)(f: => T): T = {
       Thread.sleep(500)
       val before = shuffleBytes.get()
+      val beforeIn = inputBytes.get()
       val (r, t) = timed(f)
       Thread.sleep(500)
       out += s"${name}_s" -> f"$t%.1f"
       out += s"${name}_shuffle_mb" ->
         ((shuffleBytes.get() - before) / (1L << 20)).toString
+      out += s"${name}_read_mb" ->
+        ((inputBytes.get() - beforeIn) / (1L << 20)).toString
       emit()
       r
     }
@@ -235,6 +242,42 @@ object MaxSimScaleSmoke extends Serializable {
           out += tag.replace("b_ivf_serve", "b_ivf_recall_at1") ->
             f"${recallAt1(top, bTruth)}%.3f"
         }
+      }
+      // ------- part C: ONLINE serving from the saved artifacts -------
+      // SPARK_GRAFT_MAXSIM_DISK=1: save the doc-clustered token frame
+      // and the cluster-partitioned tier, reload both, and serve
+      // SMALL batches — the online case where the probe set covers
+      // few cells and the candidate set few docs, so BOTH reads
+      // should be seek-sized (read_mb ≪ stored bytes): stage 1
+      // partition-prunes probed cells on the tier layout, stage 2
+      // row-group-prunes candidate docs via the pushed In(doc_id).
+      if (sys.env.get("SPARK_GRAFT_MAXSIM_DISK").contains("1")) {
+        val dir = java.nio.file.Files.createTempDirectory("maxsimdisk")
+          .toString
+        phase("c_save") {
+          operators.LateInteraction.saveTokens(bToks, dir)
+          bIvf.save(s"$dir/tivf")
+        }
+        val dToksD = operators.LateInteraction.loadTokens(spark, dir)
+        val tierD = operators.LateInteraction.loadTokenIvf(spark,
+          s"$dir/tivf")
+        for (nb <- Seq(1, 5, 50)) {
+          val qsub = bQ.filter(col("qid") < nb).localCheckpoint(true)
+          phase(s"c_disk_serve_q$nb") {
+            val top = operators.LateInteraction.maxSimIvf(qsub, "qid",
+              "tok_idx", "vec", dToksD, "doc_id", "vec", tierD, k = 10,
+              m = 1024, nprobe = nprobeB, cap = 256)
+            val hit = top.filter(col("rank") === 1)
+              .join(bTruth, Seq("qid"))
+              .filter(col("doc_id") === col("base")).count()
+            out += s"c_disk_recall_at1_q$nb" -> f"${hit.toDouble / nb}%.3f"
+          }
+        }
+        def deleteRec(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+          f.delete()
+        }
+        deleteRec(new java.io.File(dir))
       }
       bIvf.ivf.indexed.unpersist()
     }

@@ -83,10 +83,14 @@ object PlanDump {
         "cluster), the per-(packed qid, qtok) top-m cut is the " +
         "partial-aggregating TopKAggExpr heap (objectHashAggregate " +
         "with partial topk) so only m-bounded rows cross its " +
-        "exchange; stage 2 is a broadcast of the candidate×q-token " +
-        "probe into one more pass over the token frame with the same " +
-        "map-side partial_max as maxsim_exact. No stage scans corpus " +
-        "tokens more than once, and no exchange is corpus-sized."),
+        "exchange (stage 1 materializes at the candidate checkpoint; " +
+        "its plan is spec-gated on searchMany directly); stage 2 " +
+        "shows the pushed In/InSet candidate filter on doc_id at the " +
+        "token scan, then the broadcast candidate×q-token probe and " +
+        "the same map-side partial_max as maxsim_exact. No stage " +
+        "scans corpus tokens more than once, no exchange is " +
+        "corpus-sized, and on the doc-clustered saved layout the " +
+        "stage-2 read is row-group-pruned to candidate docs."),
     "maxsim_pruned" ->
       ("PLAID candidate pruning between the ANN stage 1 and the exact " +
         "rescore: two serving-sized aggregations over the stage-1 hit " +

@@ -78,10 +78,20 @@ object LateInteraction {
     * vector tiers gate (reference anchor: base.rs:31-58). Lifecycle
     * extensions compose on the frame itself: add = unionByName of a
     * disjoint-doc_id token frame, remove = broadcast anti-join on
-    * doc_id — both then re-[[saveTokens]]. */
+    * doc_id — both then re-[[saveTokens]].
+    *
+    * Layout: DOC-CLUSTERED (range-partitioned + sorted by doc_id, the
+    * term-clustered positional-save precedent) so every doc's token
+    * rows share row groups and stage 2's pushed In(doc_id, […])
+    * candidate filter ([[rescoreCandidates]]) turns the serve-time
+    * read seek-sized: parquet min/max stats skip the row groups that
+    * hold no candidate doc. Pure layout — any reader sees the same
+    * frame. */
   def saveTokens(toks: DataFrame, dir: String): Unit =
     toks.select(col("doc_id").cast("long"), col("tok_idx").cast("long"),
         col("vec").cast("array<double>"))
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"), col("tok_idx"))
       .write.mode("overwrite").parquet(s"$dir/tokens")
 
   /** Reload a saved token frame (columns doc_id, tok_idx, vec). */
@@ -188,12 +198,37 @@ object LateInteraction {
     * never the corpus (unlike a radius survivor set). m is the recall
     * lever, not a convergence knob: size it tens-to-hundreds in
     * production; the m ≥ corpus-tokens configuration exists only for
-    * the oracle-convergence gates on bounded test corpora. */
-  private def rescoreCandidates(cand: DataFrame, q: DataFrame,
+    * the oracle-convergence gates on bounded test corpora.
+    *
+    * Candidate scan pruning (the phraseSearchIndexed In-pushdown,
+    * re-applied to the token frame): the candidate set is
+    * serving-sized by the contract above, so its distinct doc ids are
+    * collectable, and Spark pushes the literal In(doc_id, […]) to the
+    * parquet reader — on [[saveTokens]]'s doc-clustered layout the
+    * stage-2 read is then row-group-pruned to the candidate docs
+    * instead of one full token-frame pass per batch (the last
+    * corpus-sized read in the small-batch serve path). Pure pruning:
+    * the equi-join below enforces the same equality, results are
+    * identical on any layout. Capped at 10k literals — wider
+    * candidate sets prune through a broadcast semi-join instead (no
+    * giant literal in the plan; runtime bloom/DPP can still reach the
+    * scan). The candidate frame is checkpointed so stage 1 computes
+    * exactly once for the collect AND the probe. */
+  private def rescoreCandidates(cand0: DataFrame, q: DataFrame,
                                 d: DataFrame, k: Int): DataFrame = {
+    val cand = cand0.localCheckpoint(true)
+    val idLimit = 10000
+    val ids = cand.select(col("doc_id")).distinct()
+      .limit(idLimit + 1).collect().map(_.getLong(0))
+    val pruned =
+      if (ids.isEmpty) d
+      else if (ids.length <= idLimit)
+        d.filter(col("doc_id").isin(ids.toSeq: _*))
+      else d.join(broadcast(cand.select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
     val probe = broadcast(cand.join(q, Seq("qid")))
     reduceAndRank(
-      d.join(probe, Seq("doc_id")).select(col("qid"), col("doc_id"),
+      pruned.join(probe, Seq("doc_id")).select(col("qid"), col("doc_id"),
         col("qtok"), simQ(col("dvec"), col("qvec")).as("s_q")), k)
   }
 

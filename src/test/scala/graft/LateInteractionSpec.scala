@@ -276,21 +276,37 @@ class LateInteractionSpec extends SparkSpec {
     idx.ivf.indexed.unpersist()
   }
 
-  test("maxSimIvf plan: TopKAggExpr partial heap in stage 1, partial max in stage 2") {
+  test("maxSimIvf plans: stage-1 TopKAggExpr heap; stage-2 partial max behind a pushed candidate filter") {
     val idx = LateInteraction.buildTokenIvf(dToks, "doc_id", "tok_idx",
       "vec", graft.index.IVFFlat.Params(k = 4, numAttempts = 1,
         maxIterations = 3))
+    // stage 1 IS the tier's searchMany: the per-query top-m cut
+    // partial-aggregates map-side — only m-bounded heap rows cross its
+    // exchange, never the probed-candidate volume (the candidate frame
+    // is checkpointed before stage 2, so this gate reads searchMany's
+    // own plan; vec dim = 8 + the MIPS augmentation coordinate)
+    val probeQ = Seq((1L, Array.fill(9)(0f))).toDF("qid2", "qvec2")
+    val hits = idx.ivf.searchMany(probeQ, "qid2", "qvec2", 8, 2)
+    hits.collect()
+    assert(hits.queryExecution.executedPlan.toString.toLowerCase
+      .contains("partial_topkaggexpr"))
+    // serve from the SAVED doc-clustered layout: the pushdown is a
+    // plan-visible property only on a real scan (a LocalRelation folds
+    // the In filter away at optimization time)
+    val dir = java.nio.file.Files.createTempDirectory("maxsimpush").toString
+    LateInteraction.saveTokens(dToks, dir)
+    val dPq = LateInteraction.loadTokens(spark, dir)
     val df = LateInteraction.maxSimIvf(qToks, "qid", "tok_idx", "vec",
-      dToks, "doc_id", "vec", idx, k = 5, m = 8, nprobe = 2)
+      dPq, "doc_id", "vec", idx, k = 5, m = 8, nprobe = 2)
     df.collect()
     val p = df.queryExecution.executedPlan.toString.toLowerCase
-    // stage 1: the per-(packed qid, qtok) top-m cut partial-aggregates
-    // map-side — only m-bounded heap rows cross its exchange, never
-    // the probed-candidate volume
-    assert(p.contains("partial_topkaggexpr"), p.take(1200))
-    // stage 2: the per-pair max also partial-aggregates map-side (the
+    // stage 2: the per-pair max partial-aggregates map-side (the
     // maxsim_exact discipline) — no exchange carries raw pair scores
     assert(p.contains("partial_max"), p.take(1200))
+    // and the serving-sized candidate set reaches the token-frame
+    // parquet reader as a pushed In(doc_id, …) — row groups holding
+    // no candidate doc are skipped on the doc-clustered save layout
+    assert(p.contains("pushedfilters: [in(doc_id"), p.take(2000))
     idx.ivf.indexed.unpersist()
   }
 
