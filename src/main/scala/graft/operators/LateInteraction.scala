@@ -511,6 +511,13 @@ object LateInteraction {
   private def pruneByApprox(scored: DataFrame, cap: Int): DataFrame = {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("approx").desc, col("doc_id").asc)
+    // Missing (q-token, doc) pairs contribute 0 — measured decision,
+    // not an oversight: the admissible-upper-bound alternative
+    // (missing pairs get their q-token's heap floor, rank by
+    // Σ_present (max − floor)) was A/B'd at 100M tokens and LOST,
+    // recall@1 0.760 vs 0.840 at the same m/nprobe/cap — on crowded
+    // heaps the floor equals the tie value, erasing exactly the
+    // presence evidence that separates true matches (BASELINE r12).
     scored
       .groupBy(col("qid"), col("doc_id"), col("qtok"))
       .agg(max(col("dot_a")).as("m_a"))
