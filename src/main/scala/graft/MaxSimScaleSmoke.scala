@@ -263,6 +263,10 @@ object MaxSimScaleSmoke extends Serializable {
           s"$dir/tivf")
         for (nb <- Seq(1, 5, 50)) {
           val qsub = bQ.filter(col("qid") < nb).localCheckpoint(true)
+          // recall denominator = the batch's ACTUAL distinct qids, not
+          // the nominal nb: a gap in generated qids must not silently
+          // deflate (or a duplicate inflate) the reported recall
+          val nq = qsub.select("qid").distinct().count()
           phase(s"c_disk_serve_q$nb") {
             val top = operators.LateInteraction.maxSimIvf(qsub, "qid",
               "tok_idx", "vec", dToksD, "doc_id", "vec", tierD, k = 10,
@@ -270,7 +274,7 @@ object MaxSimScaleSmoke extends Serializable {
             val hit = top.filter(col("rank") === 1)
               .join(bTruth, Seq("qid"))
               .filter(col("doc_id") === col("base")).count()
-            out += s"c_disk_recall_at1_q$nb" -> f"${hit.toDouble / nb}%.3f"
+            out += s"c_disk_recall_at1_q$nb" -> f"${hit.toDouble / nq}%.3f"
           }
         }
         def deleteRec(f: java.io.File): Unit = {

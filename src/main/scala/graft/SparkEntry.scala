@@ -3586,6 +3586,35 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // The residual-PQ twin (ColBERTv2/PLAID's storage tier, Santhanam
+    // 2022 §3): stage 1 probes m-byte residual-ADC codes (each token
+    // recentered on its IVF cell, the residual product-quantized —
+    // ~17× below float residency at m=4 where SQ8 stops at ~3.5×),
+    // stage 2 exact on the full-precision token frame. Degenerate-
+    // exact gate: probe-all + m = corpus tokens keeps every probed
+    // token in every heap REGARDLESS of ADC ordering, so candidates
+    // cover every doc and stage 2 IS the exhaustive face — same
+    // bounded-corpus replay.
+    "maxsim_pq" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").filter(col("doc_id") < 50)
+      val dToks = LateInteraction.tokenVectors(docs, "doc_id", "text")
+        .localCheckpoint(true)
+      val qToks = LateInteraction.tokenVectors(
+          docs.filter(col("doc_id") < 3), "doc_id", "text")
+        .withColumnRenamed("doc_id", "qid")
+      val m = dToks.count().toInt
+      val nCells = 8
+      val ivf = LateInteraction.buildTokenIvf(dToks, "doc_id", "tok_idx",
+        "vec", IVFFlat.Params(k = nCells, numAttempts = 1, maxIterations = 5))
+      // augmented dim = 16 + 1 = 17 → pq m must divide 17
+      val idx = ivf.compressPq(graft.index.PQ.Params(m = 17, k = 16,
+        iterations = 4, seed = 7L))
+      ivf.ivf.indexed.unpersist()
+      LateInteraction.maxSimPq(qToks, "qid", "tok_idx", "vec",
+          dToks, "doc_id", "vec", idx, k = 10, m = m, nprobe = nCells)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Index::add on the multi-vector ANN TIER (not just the token
     // frame): build the IVF tier over half the corpus with the full
     // corpus's norm ceiling as the MIPS bound, then TokenIvf.add the
@@ -3616,7 +3645,8 @@ object SparkEntry {
     // Index::remove on the multi-vector ANN TIER: one broadcast
     // anti-join on the unpacked doc half of the packed token id —
     // a whole document's token rows leave in one pass, centroids and
-    // sizes frozen (stale sizes only widen adaptive probes). The
+    // sizes frozen (post-remove stale sizes would NARROW adaptive
+    // probing, which is why serving passes an explicit nprobe). The
     // trimmed tier at probe-all over the kept token frame replays the
     // 50-doc exhaustive oracle.
     "maxsim_ivf_remove" -> ((s, dir) => {
@@ -3635,6 +3665,37 @@ object SparkEntry {
       val m = kept.count().toInt
       LateInteraction.maxSimIvf(qToks, "qid", "tok_idx", "vec",
           kept, "doc_id", "vec", idx, k = 10, m = m, nprobe = nCells)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Shard-merge on the multi-vector ANN TIER — the distributed
+    // build's landing face (build per corpus shard, merge the shards;
+    // the token tier's last missing lifecycle op). The two halves
+    // derive DIFFERENT natural MIPS bounds, so the merge exercises
+    // the re-augmentation path: the larger-bound tier survives and
+    // the smaller side's tokens re-augment under its bound before
+    // the frozen-centroid assign pass. Probe-all + m = corpus tokens
+    // over the merged tier ⇒ ≡ one build over the union ⇒ the
+    // bounded-corpus exhaustive replay.
+    "maxsim_ivf_merge" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").filter(col("doc_id") < 50)
+      val dToks = LateInteraction.tokenVectors(docs, "doc_id", "text")
+        .localCheckpoint(true) // feeds both builds + rescore
+      val qToks = LateInteraction.tokenVectors(
+          docs.filter(col("doc_id") < 3), "doc_id", "text")
+        .withColumnRenamed("doc_id", "qid")
+      val m = dToks.count().toInt
+      val nCells = 8
+      val params = IVFFlat.Params(k = nCells, numAttempts = 1,
+        maxIterations = 5)
+      val idx = LateInteraction.buildTokenIvf(
+          dToks.filter(col("doc_id") < 25), "doc_id", "tok_idx", "vec",
+          params)
+        .merge(LateInteraction.buildTokenIvf(
+          dToks.filter(col("doc_id") >= 25), "doc_id", "tok_idx", "vec",
+          params))
+      LateInteraction.maxSimIvf(qToks, "qid", "tok_idx", "vec",
+          dToks, "doc_id", "vec", idx, k = 10, m = m, nprobe = nCells)
         .orderBy(col("qid"), col("rank"))
     }),
 
@@ -3793,6 +3854,71 @@ object SparkEntry {
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("rrf").desc, col("id").asc)
       Retrieval.rrfFuse(lex, vec).withColumn("rank", row_number().over(w))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // TRIPLE-hybrid serving — the full retrieval matrix fused end-to-
+    // end: BM25 (bucketed catalog postings) ⊕ dense kNN (saved IVF
+    // tier at probe-all ⇒ exact) ⊕ late-interaction MaxSim (saved
+    // doc-clustered token frame + saved TokenIvf at probe-all ⇒
+    // exact), ALL THREE tiers loaded from disk (the hybrid_loaded
+    // discipline — zero build state at serve time), fused through ONE
+    // rrfFuseAll pass. Pins cross-tier id/score-scale agreement: a
+    // drift in any tier's ids or rank ordering breaks the three-way
+    // full-outer fusion hash. Corpus bounded to 50 docs on the
+    // lexical+maxsim sides (the maxsim-oracle heap discipline).
+    "hybrid_trio" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").filter(col("doc_id") < 50)
+      val emb = tbl(s, dir, "embeddings")
+      val qs = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      // tier 1: lexical — bucketed postings through the catalog
+      val bPath = scratchDir("trio_bm25")
+      val built = Retrieval.buildIndex(docs, "doc_id", "text")
+      built.saveBucketed("hybrid_trio_postings", bPath, numBuckets = 4)
+      built.unpersist()
+      val lex = Retrieval.loadBucketedIndex(s, "hybrid_trio_postings", bPath)
+        .searchTopK(qs, "qid", "qtext", k = 10)
+        .select(col("qid"), col("doc_id").as("id"), col("rank"))
+      // tier 2: dense — saved IVF index, probe-all ⇒ exact top-10
+      val cents = fixedCentroids(emb)
+      val iPath = scratchDir("trio_ivf")
+      IVFFlat.Model(IVFFlat.Params(cents.length), cents,
+          Array.fill(cents.length)(Long.MaxValue),
+          IVFFlat.assign(emb, "vec_id", "embedding", cents)).save(iPath)
+      val wv = Window.partitionBy(col("qid"))
+        .orderBy(col("distance").asc, col("id").asc)
+      val vec = IVFFlat.load(s, iPath)
+        .searchMany(emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+          k = 10, nprobe = cents.length)
+        .withColumn("rank", row_number().over(wv))
+        .select(col("qid"), col("id"), col("rank"))
+      // tier 3: late interaction — saved token frame + saved TokenIvf,
+      // probe-all + m = corpus tokens ⇒ exact MaxSim top-10
+      val tPath = scratchDir("trio_tok")
+      val dToks0 = LateInteraction.tokenVectors(docs, "doc_id", "text")
+        .localCheckpoint(true) // feeds save + build — embed once
+      LateInteraction.saveTokens(dToks0, tPath)
+      val nCells = 8
+      val builtTier = LateInteraction.buildTokenIvf(dToks0, "doc_id",
+        "tok_idx", "vec",
+        IVFFlat.Params(k = nCells, numAttempts = 1, maxIterations = 5))
+      builtTier.save(s"$tPath/tivf")
+      builtTier.ivf.indexed.unpersist()
+      val dToks = LateInteraction.loadTokens(s, tPath)
+      val qToks = LateInteraction.tokenVectors(
+          docs.filter(col("doc_id") < 3), "doc_id", "text")
+        .withColumnRenamed("doc_id", "qid")
+      val mTok = dToks.count().toInt
+      val ms = LateInteraction.maxSimIvf(qToks, "qid", "tok_idx", "vec",
+          dToks, "doc_id", "vec",
+          LateInteraction.loadTokenIvf(s, s"$tPath/tivf"),
+          k = 10, m = mTok, nprobe = nCells)
+        .select(col("qid"), col("doc_id").as("id"), col("rank"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("rrf").desc, col("id").asc)
+      Retrieval.rrfFuseAll(Seq(lex, vec, ms))
+        .withColumn("rank", row_number().over(w))
         .orderBy(col("qid"), col("rank"))
     }),
 
@@ -4751,6 +4877,47 @@ object SparkEntry {
        |  coalesce(1.0 / (60.0 + CAST(l.rank_a AS DOUBLE)), 0.0)
        |    + coalesce(1.0 / (60.0 + CAST(m.rank_b AS DOUBLE)), 0.0) AS rrf
        |  FROM lex l FULL OUTER JOIN ms m ON l.qid = m.qid AND l.id = m.id)
+       |SELECT qid, id, rrf,
+       |  CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY rrf DESC, id) AS INTEGER) AS rank
+       |FROM fused ORDER BY qid, rank""".stripMargin
+
+  /** hybrid_trio oracle: three-way RRF — BM25 top-10 (bounded corpus)
+    * ⊕ dense exact top-10 (the rrfHybridSql vector side) ⊕ MaxSim
+    * top-10 (bounded corpus) — chained full-outer joins on (qid, id),
+    * rrf = Σ of three coalesced 1/(60 + rank) terms. */
+  private lazy val hybridTrioSql: String =
+    s"""${bm25AggCtes(3, corpusWhere = "WHERE doc_id < 50")},
+       |lex AS (SELECT qid, doc_id AS id,
+       |  CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY score_q DESC, doc_id) AS BIGINT) AS rank_a
+       |  FROM bagg QUALIFY rank_a <= 10),
+       |vsc AS (SELECT q.vec_id AS qid, c.vec_id AS id,
+       |  list_reduce(list_transform(list_zip(c.embedding, q.embedding),
+       |    x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+       |       * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+       |    (a, b) -> a + b) AS distance
+       |  FROM embeddings c, embeddings q WHERE q.vec_id < 3),
+       |vec AS (SELECT qid, id,
+       |  CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY distance, id) AS BIGINT) AS rank_b
+       |  FROM vsc QUALIFY rank_b <= 10),
+       |${maxSimCtes("WHERE doc_id < 50")},
+       |ms AS (SELECT qid, doc_id AS id,
+       |  CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY score_q DESC, doc_id) AS BIGINT) AS rank_c
+       |  FROM sc QUALIFY rank_c <= 10),
+       |fused AS (SELECT
+       |  coalesce(l.qid, v.qid, m.qid) AS qid,
+       |  coalesce(l.id, v.id, m.id) AS id,
+       |  coalesce(1.0 / (60.0 + CAST(l.rank_a AS DOUBLE)), 0.0)
+       |    + coalesce(1.0 / (60.0 + CAST(v.rank_b AS DOUBLE)), 0.0)
+       |    + coalesce(1.0 / (60.0 + CAST(m.rank_c AS DOUBLE)), 0.0) AS rrf
+       |  FROM lex l
+       |  FULL OUTER JOIN vec v ON l.qid = v.qid AND l.id = v.id
+       |  FULL OUTER JOIN ms m
+       |    ON coalesce(l.qid, v.qid) = m.qid
+       |   AND coalesce(l.id, v.id) = m.id)
        |SELECT qid, id, rrf,
        |  CAST(row_number() OVER (PARTITION BY qid
        |    ORDER BY rrf DESC, id) AS INTEGER) AS rank
@@ -7327,6 +7494,10 @@ object SparkEntry {
     // replay the bounded-corpus exhaustive MaxSim verbatim
     "maxsim_ivf" -> maxSimSqlCorpus("WHERE doc_id < 50"),
     "maxsim_sq8" -> maxSimSqlCorpus("WHERE doc_id < 50"),
+    // residual-PQ stage 1 at probe-all + m = corpus tokens: candidates
+    // cover every doc regardless of ADC ordering, stage 2 exact — the
+    // same bounded-corpus exhaustive replay
+    "maxsim_pq" -> maxSimSqlCorpus("WHERE doc_id < 50"),
 
     // PLAID prune at cap = doc count: the pruning pipeline runs but
     // keeps every doc — the same bounded-corpus exhaustive replay
@@ -7342,6 +7513,9 @@ object SparkEntry {
     // the trimmed tier (doc-level TokenIvf.remove of [50,60)) ends at
     // the 50-doc corpus exactly — the same bounded replay
     "maxsim_ivf_remove" -> maxSimSqlCorpus("WHERE doc_id < 50"),
+    // merged shard tiers at probe-all ≡ one build over the union —
+    // the same bounded-corpus exhaustive replay
+    "maxsim_ivf_merge" -> maxSimSqlCorpus("WHERE doc_id < 50"),
 
     // add of two disjoint halves / remove of [50,60) both end at the
     // 50-doc corpus exactly — the same bounded replay
@@ -7361,6 +7535,9 @@ object SparkEntry {
     // lexical ⊕ late-interaction fusion: BM25 CTEs + the MaxSim
     // replay, RRF-fused — the full three-way-retrieval composition
     "hybrid_maxsim" -> hybridMaxSimSql,
+    // three-way RRF: all three tiers serve exact configs, so the
+    // fusion replays verbatim
+    "hybrid_trio" -> hybridTrioSql,
 
     // bucketed-add lifecycle == scratch build on the union: the
     // bm25_add replay

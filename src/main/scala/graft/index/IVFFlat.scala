@@ -248,8 +248,11 @@ object IVFFlat {
       * removals, the pipeline mutation the reference never needed).
       * Anti-join on id; the ids frame is takedown-sized, so it
       * broadcasts and the corpus never shuffles. clusterSizes stay
-      * frozen like add's — overcounted sizes only widen adaptive
-      * probes, never narrow them; rebuild is the rebalancing job.
+      * frozen like add's, but the drift direction FLIPS: post-remove
+      * stale sizes OVERestimate cell populations, so [[probeOrder]]'s
+      * cumulative-k budget fills sooner and the adaptive probe set
+      * NARROWS (recall-direction). Callers serving a heavily-trimmed
+      * tier should pass an explicit nprobe/minProbe or [[rebalance]].
       * Repeated removes compact lineage on the shared cadence. */
     def remove(ids: DataFrame, idCol: String): Model = {
       val del = ids.select(col(idCol).cast("long").as("id"))

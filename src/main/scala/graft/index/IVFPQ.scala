@@ -260,8 +260,9 @@ object IVFPQ {
     }
 
     /** Takedown twin of [[IVFFlat.Model.remove]]: anti-join the codes
-      * on id; cluster sizes stay frozen (overcounts only widen
-      * adaptive probes). */
+      * on id; cluster sizes stay frozen. Post-remove overcounts NARROW
+      * the adaptive probe set (cumulative-k fills sooner) — serve with
+      * an explicit nprobe or rebuild after large takedowns. */
     def remove(ids: DataFrame, idCol: String): Model = {
       val del = ids.select(col(idCol).cast("long").as("id"))
       val (df, n) = Lineage.compact(

@@ -150,14 +150,17 @@ object LateInteraction {
     * the recall lever, and m ≥ the corpus token count reproduces
     * [[maxSim]] bit-for-bit. `cap` < Int.MaxValue adds the PLAID
     * candidate prune ([[pruneByApprox]]) over the heap's own exact
-    * dots — stage 2 bounded by cap instead of q-tokens × m. */
+    * dots — stage 2 bounded by cap instead of q-tokens × m. `qChunk`
+    * bounds the stage-2 probe broadcast per [[rescoreCandidates]]'s
+    * contract (results are chunking-invariant — spec gate). */
   def maxSimShortlisted(qToks: DataFrame, qIdCol: String, qTokIdxCol: String,
                         qVecCol: String,
                         dToks: DataFrame, dIdCol: String, dVecCol: String,
                         k: Int, m: Int,
-                        cap: Int = Int.MaxValue): DataFrame = {
-    require(k >= 1 && m >= 1 && cap >= 1,
-      s"k=$k m=$m cap=$cap must be >= 1")
+                        cap: Int = Int.MaxValue,
+                        qChunk: Int = 1024): DataFrame = {
+    require(k >= 1 && m >= 1 && cap >= 1 && qChunk >= 1,
+      s"k=$k m=$m cap=$cap qChunk=$qChunk must be >= 1")
     val q = broadcast(qToks.select(col(qIdCol).cast("long").as("qid"),
       col(qTokIdxCol).cast("long").as("qtok"),
       col(qVecCol).cast("array<double>").as("qvec")))
@@ -184,7 +187,7 @@ object LateInteraction {
             .select(col("qid"), col("qtok"), col("nn.id").as("doc_id"),
               (lit(0.0d) - col("nn.distance")).as("dot_a")),
           cap)
-    rescoreCandidates(cand, q, d, k)
+    rescoreCandidates(cand, q, d, k, qChunk)
   }
 
   /** Stage 2 shared by every shortlisting face: score ONLY the
@@ -193,30 +196,64 @@ object LateInteraction {
     * BQ broadcast-shortlist re-rank shape). `q` carries (qid, qtok,
     * qvec), `d` carries (doc_id, dvec); output = [[reduceAndRank]].
     *
-    * Broadcast-size contract: the probe is candidates × q-tokens ≤
-    * queries × qTokens² × m rows — bounded by the SERVING parameters,
-    * never the corpus (unlike a radius survivor set). m is the recall
-    * lever, not a convergence knob: size it tens-to-hundreds in
-    * production; the m ≥ corpus-tokens configuration exists only for
-    * the oracle-convergence gates on bounded test corpora.
+    * Broadcast-size contract, now ENFORCED rather than documented:
+    * the probe is candidates × q-tokens rows — bounded by the serving
+    * parameters per query, but LINEAR in the query-batch size, so the
+    * batch is processed in groups of ≤ `qChunk` queries (the
+    * IVFPQ.searchMany qChunk discipline): per-chunk probe volume is
+    * ≤ qChunk × qTokens × min(cap, qTokens × m) rows no matter how
+    * large the online batch, and qid groups partition the batch, so
+    * per-chunk top-k ranks are final and chunk results simply union.
+    * A 10k-query batch now costs ⌈10k/qChunk⌉ pruned scans instead of
+    * one driver-memory failure. m stays the recall lever: size it
+    * tens-to-hundreds in production; the m ≥ corpus-tokens
+    * configuration exists only for the oracle-convergence gates.
     *
     * Candidate scan pruning (the phraseSearchIndexed In-pushdown,
-    * re-applied to the token frame): the candidate set is
-    * serving-sized by the contract above, so its distinct doc ids are
-    * collectable, and Spark pushes the literal In(doc_id, […]) to the
-    * parquet reader — on [[saveTokens]]'s doc-clustered layout the
-    * stage-2 read is then row-group-pruned to the candidate docs
-    * instead of one full token-frame pass per batch (the last
-    * corpus-sized read in the small-batch serve path). Pure pruning:
-    * the equi-join below enforces the same equality, results are
-    * identical on any layout. Capped at 10k literals — wider
-    * candidate sets prune through a broadcast semi-join instead (no
-    * giant literal in the plan; runtime bloom/DPP can still reach the
-    * scan). The candidate frame is checkpointed so stage 1 computes
-    * exactly once for the collect AND the probe. */
+    * re-applied to the token frame): each chunk's distinct doc ids are
+    * serving-sized, so they collect, and Spark pushes the literal
+    * In(doc_id, […]) to the parquet reader — on [[saveTokens]]'s
+    * doc-clustered layout the stage-2 read is row-group-pruned to THAT
+    * CHUNK's candidate docs (chunking tightens the prune: a chunk
+    * never reads another chunk's docs). Pure pruning: the equi-join
+    * below enforces the same equality, results are identical on any
+    * layout. Capped at 10k literals per chunk — wider candidate sets
+    * prune through a broadcast semi-join instead (no giant literal in
+    * the plan; runtime bloom/DPP can still reach the scan).
+    *
+    * Residency note: the candidate frame is eagerly localCheckpoint-ed
+    * so stage 1 computes exactly once for the qid/doc-id collects AND
+    * the probe joins. The checkpoint blocks live in executor storage
+    * until the returned DataFrame is GC'd (ContextCleaner), and —
+    * being checkpoints — are unrecoverable if an executor is lost
+    * mid-query: the deliberate trade is no-double-stage-1 per call
+    * over fault-tolerance of an individual serving query (a lost
+    * executor fails that query; the caller retries). Long-lived
+    * serving sessions should release results promptly (drop the
+    * reference after materializing) rather than accumulate them. */
   private def rescoreCandidates(cand0: DataFrame, q: DataFrame,
-                                d: DataFrame, k: Int): DataFrame = {
+                                d: DataFrame, k: Int,
+                                qChunk: Int = 1024): DataFrame = {
     val cand = cand0.localCheckpoint(true)
+    // one serving-sized collect decides the chunking: distinct qids,
+    // sorted so contiguous ranges partition the batch exactly
+    val qids = cand.select(col("qid")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (qids.length <= qChunk) rescoreChunk(cand, q, d, k)
+    else qids.grouped(qChunk).map { g =>
+      val (lo, hi) = (g.head, g.last)
+      rescoreChunk(
+        cand.filter(col("qid") >= lo && col("qid") <= hi),
+        q.filter(col("qid") >= lo && col("qid") <= hi), d, k)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** One ≤-qChunk-query slice of [[rescoreCandidates]] — the original
+    * single-probe shape: collect the slice's candidate doc ids (In
+    * pushdown to the token scan, semi-join above 10k), broadcast the
+    * slice's candidates × q-tokens probe, reduce and rank. */
+  private def rescoreChunk(cand: DataFrame, q: DataFrame,
+                           d: DataFrame, k: Int): DataFrame = {
     val idLimit = 10000
     val ids = cand.select(col("doc_id")).distinct()
       .limit(idLimit + 1).collect().map(_.getLong(0))
@@ -272,20 +309,34 @@ object LateInteraction {
       * norm exceeds the build-time bound is REFUSED — rebuild with a
       * larger bound (or build with `maxNormBound` = the model's known
       * norm ceiling, e.g. 1.0 for L2-normalized ColBERT tokens, and
-      * add freely forever). */
+      * add freely forever). The comparison carries the same (1+1e-7)
+      * float slack as [[Mips.maxNorm]]: norms here are computed over
+      * the FLOAT-cast vectors, so a max-norm batch whose double-
+      * computed bound the caller passed verbatim must not be
+      * spuriously refused by one ulp of cast rounding.
+      *
+      * `trustedBound = true` skips the driver-blocking max-norm
+      * aggregation — for hot ingest paths (one job per microbatch
+      * saved, [[graft.streaming.Streaming.ingestIntoTokenIvf]]) whose
+      * batches are CONTRACTUALLY under the bound (e.g. L2-normalized
+      * model output under bound 1.0). A violating trusted batch
+      * mis-ranks silently at the clamped augmentation coordinate —
+      * trust only bounds the embedding model itself guarantees. */
     def add(moreToks: DataFrame, idCol: String, tokIdxCol: String,
-            vecCol: String): TokenIvf = {
+            vecCol: String, trustedBound: Boolean = false): TokenIvf = {
       val rows = moreToks.select(
         packId(col(idCol), col(tokIdxCol)).as("id"),
         col(vecCol).cast("array<float>").as("vec"))
-      val normRow = rows.agg(
-        max(sqrt(dot(col("vec"), col("vec"))))).head()
-      if (normRow.isNullAt(0)) return this // empty batch: nothing to add
-      val incoming = normRow.getDouble(0)
-      require(incoming <= maxNorm,
-        s"TokenIvf.add: incoming max token norm $incoming exceeds the " +
-          s"index's MIPS bound $maxNorm — rebuild with a larger " +
-          "maxNormBound (normalized embeddings: bound 1.0 never trips)")
+      if (!trustedBound) {
+        val normRow = rows.agg(
+          max(sqrt(dot(col("vec"), col("vec"))))).head()
+        if (normRow.isNullAt(0)) return this // empty batch: nothing to add
+        val incoming = normRow.getDouble(0)
+        require(incoming <= maxNorm * (1.0 + 1e-7),
+          s"TokenIvf.add: incoming max token norm $incoming exceeds the " +
+            s"index's MIPS bound $maxNorm — rebuild with a larger " +
+            "maxNormBound (normalized embeddings: bound 1.0 never trips)")
+      }
       copy(ivf = ivf.add(Mips.augmentCorpus(rows, "vec", maxNorm),
         "id", "vec"))
     }
@@ -293,10 +344,15 @@ object LateInteraction {
     /** Takedown on the ANN tier: drop every token row whose PACKED id
       * unpacks to a removed doc_id — one broadcast anti-join on the
       * unpacked prefix (the ids frame is takedown-sized). Mirrors
-      * [[IVFFlat.Model.remove]] (frozen centroids and sizes — stale
-      * sizes only widen adaptive probes) but matches on the doc half
-      * of the packed id, so a whole document's tokens leave in one
-      * pass. Lineage compacts on the shared cadence. */
+      * [[IVFFlat.Model.remove]] (frozen centroids and sizes) but
+      * matches on the doc half of the packed id, so a whole document's
+      * tokens leave in one pass. Frozen-size caveat: after a removal
+      * the stale sizes OVERestimate cell populations, so the adaptive
+      * probe set reaches its cumulative-k coverage sooner and probes
+      * FEWER cells — a recall-direction drift (the opposite of add's,
+      * where undercounts widen probes). Serve with an explicit
+      * `nprobe` (as [[maxSimIvf]] does) or rebalance after large
+      * takedowns. Lineage compacts on the shared cadence. */
     def remove(ids: DataFrame, idCol: String): TokenIvf = {
       val del = ids.select(col(idCol).cast("long").as("_did"))
       val (df, n) = graft.index.Lineage.compact(
@@ -306,12 +362,83 @@ object LateInteraction {
       copy(ivf = ivf.copy(indexed = df, addsSinceCompact = n))
     }
 
+    /** Shard-merge for the multi-vector ANN tier — the lifecycle face
+      * a distributed token-index build lands on (build per corpus
+      * shard, merge the shards; every other tier already has it).
+      * Caller contract: the two tiers index DOC-DISJOINT token frames
+      * (packed ids are then disjoint by construction).
+      *
+      * MIPS bound reconciliation: augmented coordinates are only
+      * rank-exact when every indexed row was augmented under the SAME
+      * scalar the serve-time queries use, so when the bounds differ
+      * the LARGER-bound model survives (grid, bound) and the smaller
+      * side's rows are RE-AUGMENTED under it — strip the augmentation
+      * coordinate (the appended last element), re-append √(M²−‖x‖²)
+      * at the surviving M, and run the frozen-centroid assign pass
+      * ([[IVFFlat.Model.add]]; cluster sizes stay frozen — undercounts
+      * only widen adaptive probes, and [[maxSimIvf]] serves with an
+      * explicit nprobe anyway). Equal bounds take
+      * [[IVFFlat.Model.merge]] whole: a bitwise-shared grid unions
+      * rows with no job at all; different grids re-assign the other
+      * side under the surviving centroids. Degenerate-exact gate:
+      * probe-all + m ≥ corpus tokens over the merged tier ≡ one build
+      * over the union (maxsim_ivf_merge lane; differing-bound spec). */
+    def merge(other: TokenIvf): TokenIvf = {
+      require(other.ivf.centroids(0).length == ivf.centroids(0).length,
+        s"TokenIvf.merge: augmented dim mismatch " +
+          s"(${ivf.centroids(0).length} vs ${other.ivf.centroids(0).length})")
+      if (other.maxNorm == maxNorm) copy(ivf = ivf.merge(other.ivf))
+      else if (other.maxNorm < maxNorm) {
+        val dim = ivf.centroids(0).length - 1
+        val stripped = other.ivf.indexed.select(col("id"),
+          slice(col("vector"), 1, dim).as("vector"))
+        copy(ivf = ivf.add(
+          Mips.augmentCorpus(stripped, "vector", maxNorm), "id", "vector"))
+      } else other.merge(this)
+    }
+
     /** SQ8-compress the token tier: the codes frame drops to one byte
       * per dimension (~3.5× residency at serve — ColBERTv2's residual
       * compression motivation), searches run over dequantized codes.
       * Shortlist-only lossiness: stage 2 always rescores on the exact
       * token frame. */
     def compress(): TokenSq8 = TokenSq8(SQ8.compress(ivf), maxNorm)
+
+    /** Residual-PQ-compress the token tier — the deployed late-
+      * interaction storage answer (ColBERTv2/PLAID residual codes,
+      * Santhanam et al. 2022 §3, public): each augmented token row
+      * recenters on its IVF cell centroid and product-quantizes the
+      * RESIDUAL to `pqParams.m` one-byte codes — m bytes/token vs
+      * 4 bytes/dim float (~17× at the engine's dim-16+aug tokens with
+      * m=4) where SQ8 stops at ~3.5×; at 100 TB of token embeddings
+      * that is the single biggest storage line of the serving stack.
+      * Stage 1 then probes residual-ADC codes ([[IVFPQ.Model
+      * .searchMany]] — per-(query, cell) LUTs, qChunk-bounded task
+      * memory); stage 2 is unchanged — exact over the full-precision
+      * token frame, so quantization can only cost recall, never
+      * mis-score a candidate (the [[compress]] contract at 4–8×
+      * deeper compression).
+      *
+      * The coarse grid and cell sizes are THIS tier's own (one
+      * maintenance cadence for cells, another for codebooks — the
+      * [[IVFPQ.trainWithCoarse]] composition). `codebookTrainFraction`
+      * < 1 samples the Lloyd's codebook training rows (the
+      * buildTokenIvf trainFraction discipline: codebook quality
+      * converges at sample sizes ≪ corpus; every token still ENCODES
+      * in the one narrow fused pass). PQ subspace contract:
+      * `pqParams.m` must divide the AUGMENTED dim (token dim + 1). */
+    def compressPq(pqParams: graft.index.PQ.Params,
+                   residual: Boolean = true,
+                   codebookTrainFraction: Double = 1.0): TokenPq = {
+      require(codebookTrainFraction > 0.0 && codebookTrainFraction <= 1.0,
+        s"codebookTrainFraction=$codebookTrainFraction out of (0,1]")
+      val trainModel =
+        if (codebookTrainFraction >= 1.0) ivf
+        else ivf.copy(indexed = ivf.indexed.sample(
+          withReplacement = false, codebookTrainFraction, pqParams.seed))
+      TokenPq(graft.index.IVFPQ.trainWithCoarse(ivf.indexed, "id",
+        "vector", trainModel, pqParams, residual), maxNorm)
+    }
   }
 
   /** [[TokenIvf]]'s reload face. */
@@ -322,6 +449,23 @@ object LateInteraction {
   /** SQ8-compressed twin of [[TokenIvf]] — same probe semantics over
     * byte codes. */
   case class TokenSq8(sq8: SQ8.Model, maxNorm: Double)
+
+  /** Residual-PQ-compressed twin of [[TokenIvf]]
+    * ([[TokenIvf.compressPq]]) — stage 1 probes m-byte residual codes.
+    * Persists as the IVFPQ tier's own layout (cluster-partitioned
+    * codes → partition pruning on probe) plus the mips sidecar. */
+  case class TokenPq(pq: graft.index.IVFPQ.Model, maxNorm: Double) {
+    def save(dir: String): Unit = {
+      pq.save(s"$dir/ivfpq")
+      ParamsIO.write(pq.codes.sparkSession, dir,
+        s"""{"maxNorm":$maxNorm}""")
+    }
+  }
+
+  /** [[TokenPq]]'s reload face. */
+  def loadTokenPq(spark: SparkSession, dir: String): TokenPq =
+    TokenPq(graft.index.IVFPQ.load(spark, s"$dir/ivfpq"),
+      ParamsIO.dbl(ParamsIO.read(spark, dir), "maxNorm", 0.0))
 
   /** Build the token-level IVF MIPS tier over a (doc_id, tok_idx, vec)
     * frame: pack ids, norm-augment once (one tiny max-norm agg + one
@@ -356,7 +500,11 @@ object LateInteraction {
     val m = if (maxNormBound > 0.0) {
       val actual = rows.agg(
         max(sqrt(dot(col("vec"), col("vec"))))).head().getDouble(0)
-      require(actual <= maxNormBound,
+      // (1+1e-7) slack: `actual` is computed over FLOAT-cast vectors,
+      // so a legitimate max-norm frame whose bound the caller computed
+      // in double must not be refused by one ulp of cast rounding
+      // (the Mips.maxNorm slack, applied to the comparison)
+      require(actual <= maxNormBound * (1.0 + 1e-7),
         s"buildTokenIvf: frame max token norm $actual exceeds " +
           s"maxNormBound=$maxNormBound — the augmentation would clamp " +
           "and mis-rank; raise the bound")
@@ -401,15 +549,16 @@ object LateInteraction {
                 qVecCol: String,
                 dToks: DataFrame, dIdCol: String, dVecCol: String,
                 index: TokenIvf, k: Int, m: Int, nprobe: Int,
-                cap: Int = Int.MaxValue): DataFrame = {
-    require(k >= 1 && m >= 1 && nprobe >= 1 && cap >= 1,
-      s"k=$k m=$m nprobe=$nprobe cap=$cap must be >= 1")
+                cap: Int = Int.MaxValue,
+                qChunk: Int = 1024): DataFrame = {
+    require(k >= 1 && m >= 1 && nprobe >= 1 && cap >= 1 && qChunk >= 1,
+      s"k=$k m=$m nprobe=$nprobe cap=$cap qChunk=$qChunk must be >= 1")
     val (q, d) = tokenFaces(qToks, qIdCol, qTokIdxCol, qVecCol,
       dToks, dIdCol, dVecCol)
     val hits = index.ivf.searchMany(
       augmentedQueryTokens(q, index.maxNorm), "qid2", "qvec2", m, nprobe)
     rescoreCandidates(stageOneCandidates(hits, q, index.maxNorm, cap),
-      q, d, k)
+      q, d, k, qChunk)
   }
 
   /** [[maxSimIvf]] over the SQ8-compressed token tier: stage 1 probes
@@ -424,15 +573,45 @@ object LateInteraction {
                 qVecCol: String,
                 dToks: DataFrame, dIdCol: String, dVecCol: String,
                 index: TokenSq8, k: Int, m: Int, nprobe: Int,
-                cap: Int = Int.MaxValue): DataFrame = {
-    require(k >= 1 && m >= 1 && nprobe >= 1 && cap >= 1,
-      s"k=$k m=$m nprobe=$nprobe cap=$cap must be >= 1")
+                cap: Int = Int.MaxValue,
+                qChunk: Int = 1024): DataFrame = {
+    require(k >= 1 && m >= 1 && nprobe >= 1 && cap >= 1 && qChunk >= 1,
+      s"k=$k m=$m nprobe=$nprobe cap=$cap qChunk=$qChunk must be >= 1")
     val (q, d) = tokenFaces(qToks, qIdCol, qTokIdxCol, qVecCol,
       dToks, dIdCol, dVecCol)
     val hits = index.sq8.searchMany(
       augmentedQueryTokens(q, index.maxNorm), "qid2", "qvec2", m, nprobe)
     rescoreCandidates(stageOneCandidates(hits, q, index.maxNorm, cap),
-      q, d, k)
+      q, d, k, qChunk)
+  }
+
+  /** [[maxSimIvf]] over the residual-PQ token tier ([[TokenIvf
+    * .compressPq]]): stage 1 probes m-byte residual-ADC codes (~17×
+    * below float residency at m=4 on dim-16+aug tokens — the
+    * ColBERTv2 storage line), stage 2 is unchanged — exact over the
+    * full-precision token frame, so ADC error can only cost recall,
+    * never mis-score a candidate. Same degenerate convergence as the
+    * other probed faces: probe-all + m ≥ corpus tokens keeps every
+    * probed token in every heap REGARDLESS of ADC ordering, so every
+    * doc is a candidate and stage 2 IS the exhaustive face
+    * (maxsim_pq lane, spec gate). `cap` as on [[maxSimIvf]]: the
+    * PLAID prune ranks on dots recovered from ADC distances — doubly
+    * approximate (shortlist + quantization), still only a pruning
+    * rank; stage 2 stays exact. */
+  def maxSimPq(qToks: DataFrame, qIdCol: String, qTokIdxCol: String,
+               qVecCol: String,
+               dToks: DataFrame, dIdCol: String, dVecCol: String,
+               index: TokenPq, k: Int, m: Int, nprobe: Int,
+               cap: Int = Int.MaxValue,
+               qChunk: Int = 1024): DataFrame = {
+    require(k >= 1 && m >= 1 && nprobe >= 1 && cap >= 1 && qChunk >= 1,
+      s"k=$k m=$m nprobe=$nprobe cap=$cap qChunk=$qChunk must be >= 1")
+    val (q, d) = tokenFaces(qToks, qIdCol, qTokIdxCol, qVecCol,
+      dToks, dIdCol, dVecCol)
+    val hits = index.pq.searchMany(
+      augmentedQueryTokens(q, index.maxNorm), "qid2", "qvec2", m, nprobe)
+    rescoreCandidates(stageOneCandidates(hits, q, index.maxNorm, cap),
+      q, d, k, qChunk)
   }
 
   /** Canonicalized (q, d) faces shared by the ANN stage-1 paths. */

@@ -483,6 +483,32 @@ object Retrieval {
             lit(0.0d))).as("rrf"))
   }
 
+  /** N-way reciprocal-rank fusion — [[rrfFuse]] generalized to any
+    * number of ranked lists (the triple-hybrid serving face: BM25 ⊕
+    * dense kNN ⊕ MaxSim fuse through ONE formula, rrf(q, id) =
+    * Σ_lists 1/(k0 + rank), absent-from-a-list contributes 0). Each
+    * input is a (qid, id, rank) frame with rank 1 = best; the fusion
+    * is a chain of full-outer equi-joins on (qid, id) — candidate-
+    * list-sized (≤ N × k rows per query), never corpus-sized — and
+    * each list's term is one IEEE division (deterministic,
+    * oracle-exact un-quantized). Output (qid, id, rrf) unordered;
+    * ties rank by id at the caller. Two lists ≡ [[rrfFuse]]. */
+  def rrfFuseAll(lists: Seq[DataFrame], k0: Int = 60): DataFrame = {
+    require(k0 >= 1, s"k0=$k0 must be >= 1")
+    require(lists.size >= 2, s"rrfFuseAll: need >= 2 lists, got ${lists.size}")
+    def side(df: DataFrame, i: Int) =
+      df.select(col("qid").cast("long").as("qid"),
+        col("id").cast("long").as("id"),
+        col("rank").cast("long").as(s"rank_$i"))
+    val joined = lists.zipWithIndex.map { case (df, i) => side(df, i) }
+      .reduce((a, b) => a.join(b, Seq("qid", "id"), "full_outer"))
+    val rrf = lists.indices.map(i =>
+        coalesce(lit(1.0d) / (lit(k0.toDouble) +
+          col(s"rank_$i").cast("double")), lit(0.0d)))
+      .reduce(_ + _)
+    joined.select(col("qid"), col("id"), rrf.as("rrf"))
+  }
+
   /** Hybrid lexical+vector search: BM25 top-`k` per text query fused
     * (RRF) with exact-kNN top-`k` per vector query, for queries that
     * carry BOTH faces (`queries` rows join `qVecs` rows on qid). The

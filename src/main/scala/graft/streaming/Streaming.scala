@@ -928,11 +928,17 @@ object Streaming {
     * norm ceiling — 1.0 for L2-normalized production tokens) so
     * arriving batches can never trip the MIPS bound mid-stream; a
     * batch that does exceed it fails the stream loudly rather than
-    * mis-rank silently. Serve any snapshot via `maxSimIvf` on
+    * mis-rank silently. `trustedBound = true` drops that per-batch
+    * max-norm guard job — the hot-ingest lever for streams whose
+    * embedding model CONTRACTUALLY bounds its output (L2-normalized
+    * tokens under bound 1.0): one driver-blocking aggregation per
+    * microbatch saved, at the cost that a violating batch mis-ranks
+    * silently ([[graft.operators.LateInteraction.TokenIvf.add]]'s
+    * trust contract). Serve any snapshot via `maxSimIvf` on
     * `state.get()`. */
   def ingestIntoTokenIvf(stream: DataFrame, idCol: String, textCol: String,
                          state: java.util.concurrent.atomic.AtomicReference[graft.operators.LateInteraction.TokenIvf],
-                         dim: Int = 16)
+                         dim: Int = 16, trustedBound: Boolean = false)
   : org.apache.spark.sql.streaming.StreamingQuery = {
     stream.writeStream
       .outputMode("append")
@@ -941,7 +947,8 @@ object Streaming {
           // single-writer foreachBatch: see ingestIntoIVF
           val part = graft.operators.LateInteraction
             .tokenVectors(batch, idCol, textCol, dim).localCheckpoint(true)
-          state.set(state.get().add(part, "doc_id", "tok_idx", "vec"))
+          state.set(state.get().add(part, "doc_id", "tok_idx", "vec",
+            trustedBound))
         }
       }
       .start()

@@ -276,6 +276,156 @@ class LateInteractionSpec extends SparkSpec {
     idx.ivf.indexed.unpersist()
   }
 
+  test("maxSimPq: residual-ADC stage 1 converges at probe-all + m >= tokens; probed scores exact") {
+    val exact = asMapOf(LateInteraction.maxSim(qToks, "qid", "tok_idx",
+      "vec", dToks, "doc_id", "vec", k = 7))
+    val ivf = LateInteraction.buildTokenIvf(dToks, "doc_id", "tok_idx",
+      "vec", graft.index.IVFFlat.Params(k = 4, numAttempts = 1,
+        maxIterations = 5))
+    // augmented dim = 8 + 1 = 9 → m must divide 9
+    val pq = ivf.compressPq(graft.index.PQ.Params(m = 9, k = 16,
+      iterations = 4, seed = 7L))
+    // probe-all + m >= corpus tokens keeps every probed token in every
+    // heap regardless of ADC ordering — candidates cover all docs and
+    // stage 2 is the exhaustive face
+    val full = asMapOf(LateInteraction.maxSimPq(qToks, "qid", "tok_idx",
+      "vec", dToks, "doc_id", "vec", pq, k = 7, m = dTokRows.size,
+      nprobe = 4))
+    assert(full == exact)
+    // probed serving config: stage 2 rescores on the exact token frame,
+    // so every returned (qid, doc) score matches the exhaustive face —
+    // ADC error can only REMOVE docs, never mis-score them
+    val all = asMapOf(LateInteraction.maxSim(qToks, "qid", "tok_idx",
+      "vec", dToks, "doc_id", "vec", k = 40))
+    val probed = asMapOf(LateInteraction.maxSimPq(qToks, "qid", "tok_idx",
+      "vec", dToks, "doc_id", "vec", pq, k = 7, m = 3, nprobe = 2))
+    assert(probed.nonEmpty)
+    probed.foreach { case (key, s) =>
+      assert(all(key) == s, s"pq-shortlisted score drifted for $key")
+    }
+    // finite cap runs the PLAID prune over recovered ADC dots — still
+    // a pruning rank only; survivors keep exact scores
+    val capped = asMapOf(LateInteraction.maxSimPq(qToks, "qid", "tok_idx",
+      "vec", dToks, "doc_id", "vec", pq, k = 7, m = dTokRows.size,
+      nprobe = 4, cap = 40))
+    assert(capped == exact)
+    ivf.ivf.indexed.unpersist()
+  }
+
+  test("TokenPq save/load round-trips the residual-code serving face") {
+    val ivf = LateInteraction.buildTokenIvf(dToks, "doc_id", "tok_idx",
+      "vec", graft.index.IVFFlat.Params(k = 4, numAttempts = 1,
+        maxIterations = 5))
+    val pq = ivf.compressPq(graft.index.PQ.Params(m = 9, k = 16,
+      iterations = 4, seed = 7L))
+    val dir = java.nio.file.Files.createTempDirectory("tokpq").toString
+    pq.save(dir)
+    ivf.ivf.indexed.unpersist()
+    val loaded = LateInteraction.loadTokenPq(spark, dir)
+    assert(loaded.maxNorm == pq.maxNorm)
+    assert(loaded.pq.residual == pq.pq.residual)
+    val before = asMapOf(LateInteraction.maxSimPq(qToks, "qid", "tok_idx",
+      "vec", dToks, "doc_id", "vec", pq, k = 5, m = dTokRows.size,
+      nprobe = 4))
+    val after = asMapOf(LateInteraction.maxSimPq(qToks, "qid", "tok_idx",
+      "vec", dToks, "doc_id", "vec", loaded, k = 5, m = dTokRows.size,
+      nprobe = 4))
+    assert(before == after)
+  }
+
+  test("sampled codebook training (codebookTrainFraction < 1) still converges at probe-all") {
+    // codebook quality only shapes ADC ordering — at probe-all + m >=
+    // tokens the candidate set is every doc regardless, and stage 2 is
+    // exact, so a sample-trained codebook tier is still exact there
+    val exact = asMapOf(LateInteraction.maxSim(qToks, "qid", "tok_idx",
+      "vec", dToks, "doc_id", "vec", k = 7))
+    val ivf = LateInteraction.buildTokenIvf(dToks, "doc_id", "tok_idx",
+      "vec", graft.index.IVFFlat.Params(k = 4, numAttempts = 1,
+        maxIterations = 5))
+    val pq = ivf.compressPq(graft.index.PQ.Params(m = 9, k = 16,
+      iterations = 4, seed = 7L), codebookTrainFraction = 0.5)
+    val full = asMapOf(LateInteraction.maxSimPq(qToks, "qid", "tok_idx",
+      "vec", dToks, "doc_id", "vec", pq, k = 7, m = dTokRows.size,
+      nprobe = 4))
+    assert(full == exact)
+    // every token row still ENCODED (the narrow fused pass runs over
+    // the full frame, only Lloyd's trained on the sample)
+    assert(pq.pq.codes.count() == dTokRows.size.toLong)
+    ivf.ivf.indexed.unpersist()
+  }
+
+  test("TokenIvf.merge: two half-corpus tiers == one build; differing maxNorms re-augment") {
+    val exact = asMapOf(LateInteraction.maxSim(qToks, "qid", "tok_idx",
+      "vec", dToks, "doc_id", "vec", k = 7))
+    val a = dToks.filter(col("doc_id") < 20)
+    val b = dToks.filter(col("doc_id") >= 20)
+    val params = graft.index.IVFFlat.Params(k = 4, numAttempts = 1,
+      maxIterations = 5)
+    // no explicit bound: each half derives ITS OWN maxNorm — the halves
+    // differ, so the merge exercises the re-augmentation path
+    val ia = LateInteraction.buildTokenIvf(a, "doc_id", "tok_idx", "vec",
+      params)
+    val ib = LateInteraction.buildTokenIvf(b, "doc_id", "tok_idx", "vec",
+      params)
+    assert(ia.maxNorm != ib.maxNorm,
+      "seeded halves should carry different natural MIPS bounds")
+    val merged = ia.merge(ib)
+    assert(merged.maxNorm == math.max(ia.maxNorm, ib.maxNorm))
+    assert(merged.ivf.indexed.count() == dTokRows.size.toLong)
+    val got = asMapOf(LateInteraction.maxSimIvf(qToks, "qid", "tok_idx",
+      "vec", dToks, "doc_id", "vec", merged, k = 7, m = dTokRows.size,
+      nprobe = merged.ivf.params.k))
+    assert(got == exact)
+    // equal-bound merge: build both halves under ONE shared bound —
+    // IVFFlat.merge path (no re-augmentation), same convergence
+    val bound = math.max(ia.maxNorm, ib.maxNorm)
+    val ja = LateInteraction.buildTokenIvf(a, "doc_id", "tok_idx", "vec",
+      params, maxNormBound = bound)
+    val jb = LateInteraction.buildTokenIvf(b, "doc_id", "tok_idx", "vec",
+      params, maxNormBound = bound)
+    val merged2 = ja.merge(jb)
+    assert(merged2.maxNorm == bound)
+    val got2 = asMapOf(LateInteraction.maxSimIvf(qToks, "qid", "tok_idx",
+      "vec", dToks, "doc_id", "vec", merged2, k = 7, m = dTokRows.size,
+      nprobe = merged2.ivf.params.k))
+    assert(got2 == exact)
+    Seq(ia, ib, ja, jb).foreach(_.ivf.indexed.unpersist())
+  }
+
+  test("stage-2 qChunk: chunked probe identical to unchunked on a 1k-query batch") {
+    // the broadcast-budget enforcement (rescoreCandidates qChunk):
+    // qid groups partition the batch, per-chunk top-k is final, so
+    // chunking must be result-invariant at ANY chunk size
+    val bigQRows = (0 until 1000).flatMap { q =>
+      (0 to q % 3).map(t => (q.toLong, t.toLong, vec()))
+    }
+    val bigQ = bigQRows.toDF("qid", "tok_idx", "vec")
+      .localCheckpoint(true)
+    def asRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(row => (row.getAs[Long]("qid"),
+        row.getAs[Long]("doc_id"), row.getAs[Long]("score_q"),
+        row.getAs[Int]("rank"))).toSet
+    val idx = LateInteraction.buildTokenIvf(dToks, "doc_id", "tok_idx",
+      "vec", graft.index.IVFFlat.Params(k = 4, numAttempts = 1,
+        maxIterations = 3))
+    val unchunked = asRows(LateInteraction.maxSimIvf(bigQ, "qid",
+      "tok_idx", "vec", dToks, "doc_id", "vec", idx, k = 3, m = 5,
+      nprobe = 2, qChunk = 1000000))
+    val chunked = asRows(LateInteraction.maxSimIvf(bigQ, "qid",
+      "tok_idx", "vec", dToks, "doc_id", "vec", idx, k = 3, m = 5,
+      nprobe = 2, qChunk = 128))
+    assert(chunked == unchunked)
+    // the non-ANN shortlist face takes the same lever (tiny chunks on
+    // the 5-query batch: 3 chunks, same result)
+    val exact = asRows(LateInteraction.maxSimShortlisted(qToks, "qid",
+      "tok_idx", "vec", dToks, "doc_id", "vec", k = 7, m = dTokRows.size))
+    val tiny = asRows(LateInteraction.maxSimShortlisted(qToks, "qid",
+      "tok_idx", "vec", dToks, "doc_id", "vec", k = 7, m = dTokRows.size,
+      qChunk = 2))
+    assert(tiny == exact)
+    idx.ivf.indexed.unpersist()
+  }
+
   test("maxSimIvf plans: stage-1 TopKAggExpr heap; stage-2 partial max behind a pushed candidate filter") {
     val idx = LateInteraction.buildTokenIvf(dToks, "doc_id", "tok_idx",
       "vec", graft.index.IVFFlat.Params(k = 4, numAttempts = 1,
