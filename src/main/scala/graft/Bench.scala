@@ -71,7 +71,37 @@ object Bench {
       "\"" + k + "\":{\"build\":" + b + ",\"search\":" + sch + "}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$ph,"ok":$oks,"errors":$errs,"sf":"$sfDir"}"""
+    // self-adjudicated 2x rule: BANDS.json (scripts/make_bands.py —
+    // per-lane min/max over the committed bench_r*.json readings of
+    // record) makes the "no lane above 2x any best recorded reading"
+    // gate a diff instead of a per-round archaeology session. A lane
+    // over 2x its band MIN lands in "flags" with both numbers; lanes
+    // without a band (new this round) are never flagged. Band absence
+    // or parse failure degrades to flags:[] — the bench line must
+    // never die on a gate-metadata problem.
+    val bandMins: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_BANDS", "BANDS.json"))),
+        java.nio.charset.StandardCharsets.UTF_8)
+      import org.json4s._
+      org.json4s.jackson.JsonMethods.parse(txt) \ "lanes" match {
+        case JObject(fields) => fields.collect {
+          case (name, lane) => lane \ "min" match {
+            case JDouble(mn) => Some(name -> mn)
+            case JInt(mn)    => Some(name -> mn.toDouble)
+            case _           => None
+          }
+        }.flatten.toMap
+        case _ => Map.empty[String, Double]
+      }
+    } catch { case _: Throwable => Map.empty }
+    val flags = results.collect {
+      case (k, v, None) if bandMins.get(k).exists(mn => v > 2.0 * mn) =>
+        "{\"lane\":\"" + k + "\",\"sec\":" + v +
+          ",\"band_min\":" + bandMins(k) + "}"
+    }.mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$ph,"ok":$oks,"errors":$errs,"flags":$flags,"sf":"$sfDir"}"""
     println(line)
     // file artifact next to BASELINE.md: per-query numbers must survive
     // the round even when a harness tail-parse misses the stdout line
