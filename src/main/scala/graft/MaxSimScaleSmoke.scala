@@ -183,6 +183,82 @@ object MaxSimScaleSmoke extends Serializable {
         "vec", aToks, "doc_id", "vec", aSq8, k = 10, m = 1024, nprobe = 32)
       out += "a_sq8_recall_at1" -> f"${recallAt1(top, aTruth)}%.3f"
     }
+    // residual-PQ head-to-head row (SPARK_GRAFT_MAXSIM_PQ=1): the same
+    // coarse cells, stage 1 over m-byte residual-ADC codes at the SAME
+    // m/nprobe as the IVF and SQ8 rows — the storage-tier A/B
+    // (ColBERTv2's residual compression vs plain byte quantization)
+    if (sys.env.get("SPARK_GRAFT_MAXSIM_PQ").contains("1")) {
+      val aPq = phase("a_pq_compress") {
+        // augmented dim 17 pads to 20 → m = 4 (dsub 5): 4 B/token
+        // codes vs 17 B SQ8 vs 68 B float — codebooks Lloyd's-trained
+        // on a ~2M-row sample
+        val c = aIvf.compressPq(graft.index.PQ.Params(m = 4, k = 256,
+          iterations = 4, seed = 7L),
+          codebookTrainFraction =
+            math.min(1.0, 2e6 / (nA * docLen).toDouble))
+        c.copy(pq = c.pq.copy(codes = c.pq.codes.localCheckpoint(true)))
+      }
+      phase("a_pq_serve") {
+        val top = operators.LateInteraction.maxSimPq(aQ, "qid", "tok_idx",
+          "vec", aToks, "doc_id", "vec", aPq, k = 10, m = 1024, nprobe = 32)
+        out += "a_pq_recall_at1" -> f"${recallAt1(top, aTruth)}%.3f"
+      }
+    }
+    // streaming-ingest throughput on the token ANN tier
+    // (SPARK_GRAFT_MAXSIM_INGEST=1): the ingestIntoTokenIvf
+    // foreachBatch body — embed the arriving docs, trusted-bound add
+    // under frozen centroids, Lineage-cadence compaction — driven
+    // batch-by-batch against a live tier (the ScaleSmoke ingest-phase
+    // shape). Seed = first 10% of docs; bound = the full corpus's
+    // norm ceiling (the production maxNormBound contract, so every
+    // batch is contractually under it and trustedBound skips the
+    // per-batch guard job).
+    if (sys.env.get("SPARK_GRAFT_MAXSIM_INGEST").contains("1")) {
+      val seedDocs = nA / 10
+      val bound = aToks.agg(max(sqrt(graft.functions.VectorOps.dot(
+        col("vec"), col("vec"))))).head().getDouble(0)
+      val seed = phase("a_ingest_seed_build") {
+        operators.LateInteraction.buildTokenIvf(
+          aToks.filter(col("doc_id") < seedDocs), "doc_id", "tok_idx",
+          "vec", graft.index.IVFFlat.Params(k = 256, numAttempts = 1,
+            maxIterations = 4),
+          trainFraction =
+            math.min(1.0, 2e6 / (seedDocs * docLen).toDouble),
+          maxNormBound = bound)
+      }
+      val nBatches = 9
+      val perBatch = (nA - seedDocs) / nBatches
+      var live = seed
+      phase("a_ingest") {
+        val raw = corpusOf(nA, vocabA)
+        val (nTok, tI) = timed {
+          (0 until nBatches).foreach { b =>
+            val lo = seedDocs + b * perBatch
+            val hi = if (b == nBatches - 1) nA else lo + perBatch
+            // the foreachBatch body verbatim: embed this batch's docs,
+            // checkpoint the partial, trusted add to the live tier
+            val part = operators.LateInteraction.tokenVectors(
+                raw.filter(col("doc_id") >= lo && col("doc_id") < hi),
+                "doc_id", "text")
+              .localCheckpoint(true)
+            live = live.add(part, "doc_id", "tok_idx", "vec",
+              trustedBound = true)
+          }
+          live.ivf.indexed.count()
+        }
+        val ingested = (nA - seedDocs) * docLen
+        out += "a_ingest_tokens_total" -> nTok.toString
+        out += "a_ingest_rows_per_s" -> f"${ingested.toDouble / tI}%.0f"
+      }
+      // serve-snapshot recall parity with the one-shot built tier
+      phase("a_ingest_serve") {
+        val top = operators.LateInteraction.maxSimIvf(aQ, "qid",
+          "tok_idx", "vec", aToks, "doc_id", "vec", live, k = 10,
+          m = 1024, nprobe = 32)
+        out += "a_ingest_recall_at1" -> f"${recallAt1(top, aTruth)}%.3f"
+      }
+      seed.ivf.indexed.unpersist()
+    }
     aIvf.ivf.indexed.unpersist()
     }
 
@@ -240,6 +316,47 @@ object MaxSimScaleSmoke extends Serializable {
             m = mm, nprobe = np,
             cap = if (cp > 0) cp else Int.MaxValue)
           out += tag.replace("b_ivf_serve", "b_ivf_recall_at1") ->
+            f"${recallAt1(top, bTruth)}%.3f"
+        }
+      }
+      // SQ8-vs-residual-PQ at EQUAL m/nprobe at scale
+      // (SPARK_GRAFT_MAXSIM_PQ=1): the storage-tier A/B the token
+      // frame's 100-TB bill lands on — 1 B/dim byte codes vs m-byte
+      // residual codes, identical probe/candidate/rescore pipeline,
+      // so wall + read deltas isolate the code scan and recall deltas
+      // isolate the quantization. Same cap as the base serve row.
+      if (sys.env.get("SPARK_GRAFT_MAXSIM_PQ").contains("1")) {
+        val mAB = ms.head
+        val cpAB = caps.head
+        val bSq8 = phase("b_sq8_compress") {
+          val c = bIvf.compress()
+          c.copy(sq8 = c.sq8.copy(codes = c.sq8.codes.localCheckpoint(true)))
+        }
+        val sqTag = s"b_sq8_serve_p${nprobeB}_m$mAB" +
+          (if (cpAB > 0) s"_c$cpAB" else "")
+        phase(sqTag) {
+          val top = operators.LateInteraction.maxSimSq8(bQ, "qid",
+            "tok_idx", "vec", bToks, "doc_id", "vec", bSq8, k = 10,
+            m = mAB, nprobe = nprobeB,
+            cap = if (cpAB > 0) cpAB else Int.MaxValue)
+          out += sqTag.replace("b_sq8_serve", "b_sq8_recall_at1") ->
+            f"${recallAt1(top, bTruth)}%.3f"
+        }
+        val bPq = phase("b_pq_compress") {
+          val c = bIvf.compressPq(graft.index.PQ.Params(m = 4, k = 256,
+            iterations = 4, seed = 7L),
+            codebookTrainFraction =
+              math.min(1.0, 2e6 / (nDocs * docLen).toDouble))
+          c.copy(pq = c.pq.copy(codes = c.pq.codes.localCheckpoint(true)))
+        }
+        val pqTag = s"b_pq_serve_p${nprobeB}_m$mAB" +
+          (if (cpAB > 0) s"_c$cpAB" else "")
+        phase(pqTag) {
+          val top = operators.LateInteraction.maxSimPq(bQ, "qid",
+            "tok_idx", "vec", bToks, "doc_id", "vec", bPq, k = 10,
+            m = mAB, nprobe = nprobeB,
+            cap = if (cpAB > 0) cpAB else Int.MaxValue)
+          out += pqTag.replace("b_pq_serve", "b_pq_recall_at1") ->
             f"${recallAt1(top, bTruth)}%.3f"
         }
       }

@@ -98,7 +98,28 @@ object PlanDump {
         "recovered dots) and one per-query rank window pick the " +
         "top-cap docs — no pruning stage touches corpus tokens, and " +
         "stage 2's broadcast probe is cap-bounded instead of " +
-        "shortlist-sized."))
+        "shortlist-sized."),
+    "maxsim_pq" ->
+      ("Residual-PQ MaxSim: stage 1 is the IVFPQ probed-cell ADC scan " +
+        "— the cluster-pruned m-byte code scan joins the broadcast " +
+        "(qid, residual-shifted qvec, cluster) probe frame, the fused " +
+        "pqadcexpr codegen kernel scores codes in-register inside " +
+        "whole-stage codegen, and the partial TopKAggExpr cut moves " +
+        "only m-bounded rows (PlanSpec-gated); it materializes at " +
+        "the candidate checkpoint, so the dumped plan is stage 2 — " +
+        "identical to maxsim_ivf's: pushed In/InSet candidate filter " +
+        "on doc_id at the token scan, broadcast candidate×q-token " +
+        "probe, map-side partial_max. Float token vectors appear " +
+        "ONLY in stage 2; stage 1 reads m-byte codes (4 B/token at " +
+        "the lane's m=4)."),
+    "hybrid_trio" ->
+      ("Triple-hybrid fusion: three candidate lists (BM25 postings " +
+        "top-10, IVF probed top-10, MaxSim top-10 — each " +
+        "candidate-list-sized, rank windows already cut) chained " +
+        "through two full-outer joins on (qid, id) in rrfFuseAll; " +
+        "the fusion plan carries only (qid, id, rank) triples — no " +
+        "corpus column, no corpus-sized exchange anywhere above the " +
+        "three rankers."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"

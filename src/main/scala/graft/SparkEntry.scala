@@ -3606,8 +3606,9 @@ object SparkEntry {
       val nCells = 8
       val ivf = LateInteraction.buildTokenIvf(dToks, "doc_id", "tok_idx",
         "vec", IVFFlat.Params(k = nCells, numAttempts = 1, maxIterations = 5))
-      // augmented dim = 16 + 1 = 17 → pq m must divide 17
-      val idx = ivf.compressPq(graft.index.PQ.Params(m = 17, k = 16,
+      // augmented dim 17 zero-pads to 20 (compressPq's padding
+      // contract) → m = 4 subspaces of 5 dims: 4 B/token codes
+      val idx = ivf.compressPq(graft.index.PQ.Params(m = 4, k = 16,
         iterations = 4, seed = 7L))
       ivf.ivf.indexed.unpersist()
       LateInteraction.maxSimPq(qToks, "qid", "tok_idx", "vec",

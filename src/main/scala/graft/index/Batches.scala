@@ -24,13 +24,15 @@ private[graft] object Batches {
     ds.sparkSession.conf.getOption(MaxBatchKey).map(_.toInt)
       .getOrElse(DefaultMaxBatch)
 
+  private val DefaultRemedy =
+    "For corpus-sized workloads use the distributed path instead: " +
+      "Dedup.embeddingPairsViaLSH for join-all-against-all similarity, " +
+      "HNSW.build / the index build APIs for bulk ingest."
+
   /** Collect a serving batch under the budget; refuse (with the
     * distributed alternative named) when it exceeds it. */
   def bounded[T](ds: Dataset[T], what: String): Array[T] =
-    bounded(ds, what,
-      "For corpus-sized workloads use the distributed path instead: " +
-        "Dedup.embeddingPairsViaLSH for join-all-against-all similarity, " +
-        "HNSW.build / the index build APIs for bulk ingest.")
+    bounded(ds, what, DefaultRemedy)
 
   /** [[bounded]] with a caller-supplied remedy line — the same budget
     * enforcement for non-serving collects whose contract is
@@ -40,11 +42,23 @@ private[graft] object Batches {
   def bounded[T](ds: Dataset[T], what: String, remedy: String): Array[T] = {
     val max = maxBatch(ds)
     val rows = ds.limit(max + 1).collect()
-    require(rows.length <= max,
-      s"$what exceeds the driver-collect serving budget ($max rows, " +
-        s"conf $MaxBatchKey): this entry point collects and broadcasts " +
-        s"(O(rows × width) driver+executor memory) — the contract is that " +
-        s"this side is SMALL. $remedy")
+    require(rows.length <= max, message(what, max, remedy))
     rows
   }
+
+  /** Budget enforcement WITHOUT a driver collect — for entry points
+    * whose batch stays distributed but still rides an executor
+    * broadcast (IVFPQ's probe frame): the same fail-fast contract,
+    * paid as one capped count job instead of a collect. */
+  def boundedCheck(ds: Dataset[_], what: String): Unit = {
+    val max = maxBatch(ds)
+    require(ds.limit(max + 1).count() <= max,
+      message(what, max, DefaultRemedy))
+  }
+
+  private def message(what: String, max: Int, remedy: String): String =
+    s"$what exceeds the driver-collect serving budget ($max rows, " +
+      s"conf $MaxBatchKey): this entry point collects and broadcasts " +
+      s"(O(rows × width) driver+executor memory) — the contract is that " +
+      s"this side is SMALL. $remedy"
 }

@@ -18,22 +18,26 @@ import org.apache.spark.sql.functions._
   *  - build is ONE fused narrow pass per row: coarse argmin + per-subspace
   *    code against broadcast centroids/codebooks — no join between the
   *    coarse and fine models, no shuffle;
-  *  - search is one broadcast equi-join of codes against the per-query
-  *    probe set (the IVFFlat.searchMany shape), then a mapPartitions ADC
-  *    scan with per-(query, cell) LUTs built lazily and per-query bounded
-  *    heaps: the only shuffle moves ≤ k (qid, id, distance) triples per
-  *    (partition, query) — codes and vectors never shuffle;
+  *  - search is the [[SQ8]] serving shape: a probe frame of
+  *    (qid, query-vector, cluster) rows — residual-SHIFTED per probed
+  *    cell when residual, so the scan needs no centroid access —
+  *    broadcast-joins the codes on cluster, the fused
+  *    [[graft.functions.PqAdcExpr]] codegen kernel scores each m-byte
+  *    code in-register (bit-identical to the LUT formulation by
+  *    construction — same 0.0-seeded double folds in the same order),
+  *    and the partial-aggregating TopKAggExpr cut moves only ≤ k
+  *    (qid, id, distance) triples per (partition, query) — codes and
+  *    corpus vectors never shuffle, queries ride the serving-sized
+  *    broadcast (the HNSW.searchMany contract). No LUTs, no
+  *    mapPartitions deserialization: the whole probe → distance →
+  *    top-k pipeline is one whole-stage-codegen stage (the LUT
+  *    predecessor measured ~6× the SQ8 kernel's wall at 10⁸ probed
+  *    pairs purely on per-row Dataset decode — BASELINE r13);
   *  - optional RESIDUAL encoding (standard IVF-PQ): codes quantize
   *    v − centroid(cell), so quantization error shrinks to intra-cell
-  *    scale at identical storage. The LUT is then per (query, cell).
-  *
-  * Memory envelope for [[Model.searchMany]] (per task): the query batch
-  * is chunked like [[PQ.Model.searchMany]]'s — each chunk holds at most
-  * `qChunk` queries' LUTs (scaled down by nprobe when residual, where a
-  * LUT is per (query, cell)), so per-task LUT memory is bounded at
-  * ~qChunk × m × k × 8 B (64 MB at the defaults) regardless of batch
-  * size; chunks partition the queries, so per-chunk top-k results are
-  * final and simply union.
+  *    scale at identical storage; the probe frame then carries one
+  *    shifted query copy per probed cell (nprobe × dim floats per
+  *    query — still serving-sized).
   */
 object IVFPQ {
 
@@ -48,87 +52,70 @@ object IVFPQ {
       * [[IVFFlat.probeOrder]] (adaptive, ivfflat.rs:168-195 semantics),
       * so the coarse routing agrees bitwise with IVFFlat search.
       *
-      * The batch is collected once (queries are the SMALL side — the
-      * HNSW.searchMany contract) and processed in chunks of ≤ qChunk
-      * queries (÷ nprobe when residual, where the LUT is per (query,
-      * cell)), so per-task LUT memory is bounded at ~qChunk × m × k ×
-      * 8 B no matter how large the batch — a chunk's top-k is final
-      * (chunks partition the queries), so chunk results simply union.
-      * Probe sets are computed driver-side from the driver-held
-      * centroids; the probe join carries only (qid, cluster) pairs, so
-      * no vector enters any exchange (plan-gated in PlanSpec). */
+      * The SQ8.searchMany serving shape: one narrow flatMap turns the
+      * query batch into a probe frame of (qid, query-vector, cluster)
+      * rows — the query RESIDUAL-SHIFTED by each probed cell's
+      * centroid when the codes are residual-encoded, so the scan
+      * needs no centroid access — which broadcasts into the
+      * cluster-equi-join against the (statically cell-pruned) code
+      * scan; [[graft.functions.PqAdcExpr]] scores each m-byte code
+      * in-register inside whole-stage codegen (bit-identical to the
+      * former LUT path — same double folds, same order), and the
+      * partial-aggregating TopKAggExpr cut moves only ≤ k triples per
+      * (partition, query). Queries ride the serving-sized broadcast
+      * (nprobe × dim floats per query); codes and corpus vectors
+      * never shuffle (plan-gated in PlanSpec). */
     def searchMany(queries: DataFrame, qIdCol: String, qVecCol: String,
-                   k: Int, nprobe: Int = 2, qChunk: Int = 1024): DataFrame = {
+                   k: Int, nprobe: Int = 2): DataFrame = {
       val spark = queries.sparkSession
       import spark.implicits._
-      val m = pqParams.m
       val res = residual
-      val qRows = Batches.bounded(queries
+      val kk = k
+      val np = nprobe
+      // the probe frame stays distributed but rides an executor
+      // broadcast — the serving-budget contract still applies
+      Batches.boundedCheck(queries, "IVFPQ.searchMany query")
+      val bcState = spark.sparkContext.broadcast((coarse, clusterSizes))
+      val probes = queries
         .select(col(qIdCol).cast("long"),
                 col(qVecCol).cast("array<float>"))
-        .as[(Long, Array[Float])], "IVFPQ.searchMany query")
-      if (qRows.isEmpty)
-        return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "id", "distance")
-      val bcState = spark.sparkContext.broadcast((coarse, codebooks))
-      val effChunk = math.max(1, if (res) qChunk / math.max(1, nprobe) else qChunk)
-      val chunkResults = qRows.grouped(effChunk).map { chunk =>
-        // per chunk: one small query-map broadcast (chunk × dim × 4 B)
-        val bcQ = spark.sparkContext.broadcast(chunk.toMap)
-        val probePairs = chunk.toSeq.flatMap { case (qid, qvec) =>
-          IVFFlat.probeOrder(coarse, clusterSizes, qvec, k, nprobe)
-            .map(c => (qid, c))
-        }
-        // probes are known driver-side, so the probed-cluster union prunes
-        // STATICALLY: on a cluster-partitioned codes table (the save()
-        // layout) this is partition pruning at scan planning time — only
-        // probed directories are read, no dynamic filter needed. Skipped
-        // when the probe set approaches all cells (the In list would grow
-        // without buying pruning).
-        val probedCells = probePairs.map(_._2).distinct
-        val pruned =
-          if (probedCells.size < coarse.length)
-            codes.filter(col("cluster").isin(probedCells: _*))
-          else codes
-        pruned.join(broadcast(probePairs.toDF("qid", "cluster")), Seq("cluster"))
-          .select(col("qid"), col("cluster"), col("id"), col("code"))
-          .as[(Long, Int, Long, Array[Byte])]
-          .mapPartitions { it =>
-            val (cents, cbs) = bcState.value
-            val qmap = bcQ.value
-            // LUT per (query, cell) when residual (the query shifts by the
-            // cell centroid), per query otherwise; built on first touch —
-            // bounded by the chunk size above
-            val luts = scala.collection.mutable.HashMap
-              .empty[(Long, Int), Array[Array[Double]]]
-            val heaps = scala.collection.mutable.HashMap
-              .empty[Long, graft.operators.Exhaustive.KHeap]
-            it.foreach { case (qid, cl, id, code) =>
-              val lut = luts.getOrElseUpdate((qid, if (res) cl else -1), {
-                val qvec = qmap(qid)
-                val qv = if (res) {
-                  val cv = cents(cl)
-                  Array.tabulate(qvec.length)(i => qvec(i) - cv(i))
-                } else qvec
-                PQ.buildLut(cbs, qv)
-              })
-              var d = 0.0
-              var s = 0
-              while (s < m) { d += lut(s)(code(s) & 0xFF); s += 1 }
-              heaps.getOrElseUpdate(qid, new graft.operators.Exhaustive.KHeap(k))
-                .insert(id, d)
-            }
-            heaps.iterator.flatMap { case (qid, h) =>
-              h.drain.map { case (id, d) => (qid, id, d) }
-            }
+        .as[(Long, Array[Float])]
+        .flatMap { case (qid, qvec) =>
+          val (cents, sizes) = bcState.value
+          require(qvec.length == cents(0).length,
+            s"IVFPQ query dim ${qvec.length} != index dim ${cents(0).length}")
+          IVFFlat.probeOrder(cents, sizes, qvec, kk, np).map { c =>
+            val qv = if (res) {
+              val cv = cents(c)
+              Array.tabulate(qvec.length)(i => qvec(i) - cv(i))
+            } else qvec
+            (qid, qv, c)
           }
-          .toDF("qid", "id", "distance")
-          .groupBy(col("qid"))
-          .agg(graft.functions.TopK.topK(col("distance"), col("id"), k).as("nn"))
-          .select(col("qid"), explode(col("nn")).as("nn"))
-          .select(col("qid"), col("nn.id").as("id"),
-            col("nn.distance").as("distance"))
-      }.toSeq
-      chunkResults.reduce(_.unionByName(_))
+        }
+        .toDF("qid", "qvec", "cluster")
+        // feeds the cell-collect AND the probe join — compute once
+        .localCheckpoint(true)
+      // probed cells are knowable driver-side (serving-sized frame), so
+      // the probed-cluster union prunes STATICALLY: on a
+      // cluster-partitioned codes table (the save() layout) this is
+      // partition pruning at scan planning time. Skipped when the probe
+      // set approaches all cells (the In list would grow without buying
+      // pruning).
+      val cells = probes.select(col("cluster")).distinct()
+        .collect().map(_.getInt(0))
+      val pruned =
+        if (cells.length < coarse.length)
+          codes.filter(col("cluster").isin(cells.toSeq: _*))
+        else codes
+      pruned.join(broadcast(probes), Seq("cluster"))
+        .select(col("qid"), col("id"),
+          graft.functions.PqMath.adcDist(col("code"), col("qvec"),
+            codebooks).as("distance"))
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopK.topK(col("distance"), col("id"), k).as("nn"))
+        .select(col("qid"), explode(col("nn")).as("nn"))
+        .select(col("qid"), col("nn.id").as("id"),
+          col("nn.distance").as("distance"))
     }
 
     /** Radius (range) search on the composed index — the FAISS
@@ -144,63 +131,52 @@ object IVFPQ {
       * over-tight slack (spec-gated monotonicity in IVFPQSpec). Probing
       * all cells at slack = ∞ passes every code to the exact pass — the
       * exhaustive radius sweep, which the pq_ivf_range_rerank lane
-      * replays under the range_search oracle verbatim. Per-task LUT
-      * memory is bounded by the [[searchMany]] chunking contract. */
+      * replays under the range_search oracle verbatim. The ADC filter
+      * runs inside the same probe-frame + codegen-kernel scan as
+      * [[searchMany]] — the only rows that leave it are survivors. */
     def rangeSearchRefined(queries: DataFrame, qIdCol: String, qVecCol: String,
                            radius: Double,
                            corpus: DataFrame, cIdCol: String, cVecCol: String,
                            slack: Double = Double.PositiveInfinity,
-                           nprobe: Int = 2, qChunk: Int = 1024): DataFrame = {
+                           nprobe: Int = 2): DataFrame = {
       val spark = queries.sparkSession
       import spark.implicits._
-      val m = pqParams.m
       val res = residual
-      val qRows = Batches.bounded(queries
+      val np = nprobe
+      Batches.boundedCheck(queries, "IVFPQ.rangeSearchRefined query")
+      val bcState = spark.sparkContext.broadcast((coarse, clusterSizes))
+      // k = 1: range search probes exactly the nprobe nearest cells
+      // (adaptive cumulative-size widening is a top-k concept)
+      val probes = queries
         .select(col(qIdCol).cast("long"),
                 col(qVecCol).cast("array<float>"))
-        .as[(Long, Array[Float])], "IVFPQ.rangeSearchRefined query")
-      if (qRows.isEmpty)
-        return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "id", "distance")
-      val bcState = spark.sparkContext.broadcast((coarse, codebooks))
-      val effChunk = math.max(1, if (res) qChunk / math.max(1, nprobe) else qChunk)
-      val shortlist = qRows.grouped(effChunk).map { chunk =>
-        val bcQ = spark.sparkContext.broadcast(chunk.toMap)
-        // k = 1: range search probes exactly the nprobe nearest cells
-        // (adaptive cumulative-size widening is a top-k concept)
-        val probePairs = chunk.toSeq.flatMap { case (qid, qvec) =>
-          IVFFlat.probeOrder(coarse, clusterSizes, qvec, 1, nprobe)
-            .map(c => (qid, c))
-        }
-        val probedCells = probePairs.map(_._2).distinct
-        val pruned =
-          if (probedCells.size < coarse.length)
-            codes.filter(col("cluster").isin(probedCells: _*))
-          else codes
-        pruned.join(broadcast(probePairs.toDF("qid", "cluster")), Seq("cluster"))
-          .select(col("qid"), col("cluster"), col("id"), col("code"))
-          .as[(Long, Int, Long, Array[Byte])]
-          .mapPartitions { it =>
-            val (cents, cbs) = bcState.value
-            val qmap = bcQ.value
-            val luts = scala.collection.mutable.HashMap
-              .empty[(Long, Int), Array[Array[Double]]]
-            it.flatMap { case (qid, cl, id, code) =>
-              val lut = luts.getOrElseUpdate((qid, if (res) cl else -1), {
-                val qvec = qmap(qid)
-                val qv = if (res) {
-                  val cv = cents(cl)
-                  Array.tabulate(qvec.length)(i => qvec(i) - cv(i))
-                } else qvec
-                PQ.buildLut(cbs, qv)
-              })
-              var d = 0.0
-              var s = 0
-              while (s < m) { d += lut(s)(code(s) & 0xFF); s += 1 }
-              if (d <= slack) Iterator.single((qid, id)) else Iterator.empty
-            }
+        .as[(Long, Array[Float])]
+        .flatMap { case (qid, qvec) =>
+          val (cents, sizes) = bcState.value
+          require(qvec.length == cents(0).length,
+            s"IVFPQ query dim ${qvec.length} != index dim ${cents(0).length}")
+          IVFFlat.probeOrder(cents, sizes, qvec, 1, np).map { c =>
+            val qv = if (res) {
+              val cv = cents(c)
+              Array.tabulate(qvec.length)(i => qvec(i) - cv(i))
+            } else qvec
+            (qid, qv, c)
           }
-          .toDF("qid", "id")
-      }.reduce(_.unionByName(_))
+        }
+        .toDF("qid", "qvec", "cluster")
+        .localCheckpoint(true)
+      val cells = probes.select(col("cluster")).distinct()
+        .collect().map(_.getInt(0))
+      val pruned =
+        if (cells.length < coarse.length)
+          codes.filter(col("cluster").isin(cells.toSeq: _*))
+        else codes
+      val shortlist = pruned.join(broadcast(probes), Seq("cluster"))
+        .select(col("qid"), col("id"),
+          graft.functions.PqMath.adcDist(col("code"), col("qvec"),
+            codebooks).as("adc"))
+        .filter(col("adc") <= lit(slack))
+        .select(col("qid"), col("id"))
       val q = queries.select(col(qIdCol).cast("long").as("qid"),
         col(qVecCol).cast("array<float>").as("qvec"))
       val c = corpus.select(col(cIdCol).cast("long").as("id"),

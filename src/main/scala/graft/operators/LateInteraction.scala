@@ -425,18 +425,41 @@ object LateInteraction {
       * < 1 samples the Lloyd's codebook training rows (the
       * buildTokenIvf trainFraction discipline: codebook quality
       * converges at sample sizes ≪ corpus; every token still ENCODES
-      * in the one narrow fused pass). PQ subspace contract:
-      * `pqParams.m` must divide the AUGMENTED dim (token dim + 1). */
+      * in the one narrow fused pass).
+      *
+      * Subspace padding: PQ needs m | dim, but the MIPS augmentation
+      * makes the stored dim (token dim + 1) — often PRIME (17 at the
+      * engine's dim-16 tokens, 129 at ColBERT's 128), which would
+      * force m = dim (byte-per-coordinate — ZERO storage win over
+      * SQ8). So the frame zero-pads up to the next multiple of m
+      * before training/encoding, and [[maxSimPq]] pads queries the
+      * same way. Exact by construction: every row is 0 on the padded
+      * coordinates, so coarse assignment distances, residuals, and
+      * the trained sub-centroids there are identically 0 and the ADC
+      * contribution of padded dims is 0 for any query padded with 0.
+      * m is then a free storage lever: m=4 at dim-16 tokens stores
+      * 4 B/token — 17× under float, 4.3× under the SQ8 tier. */
     def compressPq(pqParams: graft.index.PQ.Params,
                    residual: Boolean = true,
                    codebookTrainFraction: Double = 1.0): TokenPq = {
       require(codebookTrainFraction > 0.0 && codebookTrainFraction <= 1.0,
         s"codebookTrainFraction=$codebookTrainFraction out of (0,1]")
+      val rawDim = ivf.centroids(0).length
+      val m = pqParams.m
+      val pad = ((rawDim + m - 1) / m) * m
+      val padded =
+        if (pad == rawDim) ivf
+        else ivf.copy(
+          centroids = ivf.centroids.map(c =>
+            c ++ Array.fill(pad - rawDim)(0f)),
+          indexed = ivf.indexed.withColumn("vector",
+            concat(col("vector").cast("array<float>"),
+              array(Seq.fill(pad - rawDim)(lit(0f)): _*))))
       val trainModel =
-        if (codebookTrainFraction >= 1.0) ivf
-        else ivf.copy(indexed = ivf.indexed.sample(
+        if (codebookTrainFraction >= 1.0) padded
+        else padded.copy(indexed = padded.indexed.sample(
           withReplacement = false, codebookTrainFraction, pqParams.seed))
-      TokenPq(graft.index.IVFPQ.trainWithCoarse(ivf.indexed, "id",
+      TokenPq(graft.index.IVFPQ.trainWithCoarse(padded.indexed, "id",
         "vector", trainModel, pqParams, residual), maxNorm)
     }
   }
@@ -597,7 +620,10 @@ object LateInteraction {
     * (maxsim_pq lane, spec gate). `cap` as on [[maxSimIvf]]: the
     * PLAID prune ranks on dots recovered from ADC distances — doubly
     * approximate (shortlist + quantization), still only a pruning
-    * rank; stage 2 stays exact. */
+    * rank; stage 2 stays exact. Stage 1 is one probe-frame scan of
+    * the m-byte codes through the fused [[graft.functions.PqAdcExpr]]
+    * kernel — no LUTs, no per-batch re-scans (the IVFPQ.searchMany
+    * serving shape). */
   def maxSimPq(qToks: DataFrame, qIdCol: String, qTokIdxCol: String,
                qVecCol: String,
                dToks: DataFrame, dIdCol: String, dVecCol: String,
@@ -608,8 +634,13 @@ object LateInteraction {
       s"k=$k m=$m nprobe=$nprobe cap=$cap qChunk=$qChunk must be >= 1")
     val (q, d) = tokenFaces(qToks, qIdCol, qTokIdxCol, qVecCol,
       dToks, dIdCol, dVecCol)
-    val hits = index.pq.searchMany(
-      augmentedQueryTokens(q, index.maxNorm), "qid2", "qvec2", m, nprobe)
+    // zero-pad augmented queries to the tier's (possibly padded)
+    // stored dim — exact, see compressPq's padding contract
+    val aq = augmentedQueryTokens(q, index.maxNorm)
+      .withColumn("qvec2", concat(col("qvec2"),
+        array_repeat(lit(0f),
+          (lit(index.pq.dim) - size(col("qvec2"))).cast("int"))))
+    val hits = index.pq.searchMany(aq, "qid2", "qvec2", m, nprobe)
     rescoreCandidates(stageOneCandidates(hits, q, index.maxNorm, cap),
       q, d, k, qChunk)
   }

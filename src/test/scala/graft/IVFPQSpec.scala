@@ -99,21 +99,23 @@ class IVFPQSpec extends SparkSpec {
     assert(codesOf(incr) == codesOf(full))
   }
 
-  test("query-batch chunking does not change results (incl. residual)") {
-    // chunks partition the QUERIES, so any chunk size must produce the
-    // identical per-query top-k — this is the per-task LUT bound:
-    // qChunk × m × k × 8 B (÷ nprobe when residual), never the batch
+  test("batch composition does not change results (incl. residual)") {
+    // the probe frame is per-(query, probed cell) and the top-k cut is
+    // per-query, so a query's result must not depend on which other
+    // queries share its batch — a 100-query batch equals the union of
+    // two half batches, residual or not
     val sizes = Array.fill(cents.length)(Long.MaxValue)
     val q = emb.filter(col("vec_id") < 100)
-    def run(model: IVFPQ.Model, qChunk: Int) =
-      tuples(model.searchMany(q, "vec_id", "embedding", 10,
-        nprobe = 3, qChunk = qChunk))
-    val raw = IVFPQ.build(emb, "vec_id", "embedding",
-      cents, sizes, cbs, PQ.Params(m = 4, k = 16))
-    assert(run(raw, 7) == run(raw, 100000))
-    val resd = IVFPQ.build(emb, "vec_id", "embedding",
-      cents, sizes, cbs, PQ.Params(m = 4, k = 16), residual = true)
-    assert(run(resd, 7) == run(resd, 100000))
+    def run(model: IVFPQ.Model, qs: org.apache.spark.sql.DataFrame) =
+      tuples(model.searchMany(qs, "vec_id", "embedding", 10, nprobe = 3))
+    for (resd <- Seq(false, true)) {
+      val model = IVFPQ.build(emb, "vec_id", "embedding",
+        cents, sizes, cbs, PQ.Params(m = 4, k = 16), residual = resd)
+      val whole = run(model, q)
+      val halves = run(model, q.filter(col("vec_id") < 50)) ++
+        run(model, q.filter(col("vec_id") >= 50))
+      assert(whole == halves, s"residual=$resd")
+    }
   }
 
   test("rangeSearchRefined: probe-all + slack-inf == exhaustive radius; pruning only shrinks") {

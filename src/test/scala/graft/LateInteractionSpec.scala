@@ -282,7 +282,7 @@ class LateInteractionSpec extends SparkSpec {
     val ivf = LateInteraction.buildTokenIvf(dToks, "doc_id", "tok_idx",
       "vec", graft.index.IVFFlat.Params(k = 4, numAttempts = 1,
         maxIterations = 5))
-    // augmented dim = 8 + 1 = 9 → m must divide 9
+    // augmented dim = 8 + 1 = 9 → m = 9 divides it exactly (no pad)
     val pq = ivf.compressPq(graft.index.PQ.Params(m = 9, k = 16,
       iterations = 4, seed = 7L))
     // probe-all + m >= corpus tokens keeps every probed token in every
@@ -309,6 +309,16 @@ class LateInteractionSpec extends SparkSpec {
       "vec", dToks, "doc_id", "vec", pq, k = 7, m = dTokRows.size,
       nprobe = 4, cap = 40))
     assert(capped == exact)
+    // m = 4 does NOT divide the augmented dim 9: compressPq zero-pads
+    // the frame to 12 (dsub 3) and maxSimPq pads queries to match —
+    // the padding is exact, so the degenerate config still converges
+    val pq4 = ivf.compressPq(graft.index.PQ.Params(m = 4, k = 16,
+      iterations = 4, seed = 7L))
+    assert(pq4.pq.dim == 12)
+    val full4 = asMapOf(LateInteraction.maxSimPq(qToks, "qid", "tok_idx",
+      "vec", dToks, "doc_id", "vec", pq4, k = 7, m = dTokRows.size,
+      nprobe = 4))
+    assert(full4 == exact)
     ivf.ivf.indexed.unpersist()
   }
 

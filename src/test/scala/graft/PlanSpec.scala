@@ -118,21 +118,27 @@ class PlanSpec extends SparkSpec {
         df.queryExecution.executedPlan.toString.take(1200))
   }
 
-  test("PQ and IVFPQ ADC plans: no Window, no vector column in any exchange") {
+  test("PQ and IVFPQ ADC plans: no Window, no vector column in any shuffle") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val cbs = SparkEntry.fixedCodebooks(emb, 4)
     val params = graft.index.PQ.Params(m = 4, k = 16)
-    def check(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+    def check(df: org.apache.spark.sql.DataFrame, what: String,
+              shuffleOnly: Boolean): Unit = {
       df.collect()
       val plan = df.queryExecution.executedPlan
       assert(!plan.toString.contains("Window"),
         s"$what plans a Window:\n" + plan.toString.take(1200))
-      val exchanges = flatten(plan).collect {
-        case e: org.apache.spark.sql.execution.exchange.Exchange => e
-      }
       // ADC's whole point is that only byte codes and (qid, id, distance)
-      // triples move — a float-array column in any exchange means vectors
-      // started shuffling or riding broadcast joins again
+      // triples move — a float-array column in a SHUFFLE means vectors
+      // started moving corpus-sized again. The IVFPQ probe frame carries
+      // the (residual-shifted) query vectors by design — the SQ8 serving
+      // shape, queries are the serving-sized side — so its check covers
+      // shuffles only; the flat-PQ LUT path stays fully array-free.
+      val exchanges = flatten(plan).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        case e: org.apache.spark.sql.execution.exchange.Exchange
+          if !shuffleOnly => e
+      }
       exchanges.foreach { e =>
         val arrays = e.output.filter(
           _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
@@ -143,12 +149,21 @@ class PlanSpec extends SparkSpec {
     }
     val pq = graft.index.PQ.withCodebooks(emb, "vec_id", "embedding", cbs, params)
     check(pq.searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10),
-      "PQ ADC")
+      "PQ ADC", shuffleOnly = false)
     val cents = SparkEntry.fixedCentroids(emb)
     val ivfpq = graft.index.IVFPQ.build(emb, "vec_id", "embedding", cents,
       Array.fill(cents.length)(Long.MaxValue), cbs, params)
-    check(ivfpq.searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-      k = 10, nprobe = 2), "IVFPQ ADC")
+    val ivfpqDf = ivfpq.searchMany(emb.filter(col("vec_id") < 5), "vec_id",
+      "embedding", k = 10, nprobe = 2)
+    check(ivfpqDf, "IVFPQ ADC", shuffleOnly = true)
+    // the fused ADC kernel must run inside whole-stage codegen — the
+    // point of replacing the mapPartitions LUT scan ("*(n)" is the
+    // executed plan's codegen-stage marker)
+    val ivfpqPlan = ivfpqDf.queryExecution.executedPlan.toString
+    assert(ivfpqPlan.contains("WholeStageCodegen") || ivfpqPlan.contains("*("),
+      "IVFPQ ADC scan left whole-stage codegen:\n" + ivfpqPlan.take(1200))
+    assert(ivfpqPlan.contains("pqadcexpr"),
+      "IVFPQ ADC distance is not the fused kernel:\n" + ivfpqPlan.take(1200))
   }
 
   test("SQ8 probed search: neither codes nor vectors ride any shuffle") {

@@ -1527,8 +1527,13 @@ class StreamingSpec extends SparkSpec {
     val st2 = new java.util.concurrent.atomic.AtomicReference(
       LateInteraction.loadTokenIvf(spark, dir))
     val mem2 = MemoryStream[(Long, String)]
+    // the restarted stream runs TRUSTED: the reloaded tier's bound is
+    // the corpus ceiling, so batches are contractually under it and
+    // the per-microbatch norm-guard job is skipped — the hot-ingest
+    // path must still land every token and serve identically
     val q2 = Streaming.ingestIntoTokenIvf(
-      mem2.toDF().toDF("doc_id", "text"), "doc_id", "text", st2)
+      mem2.toDF().toDF("doc_id", "text"), "doc_id", "text", st2,
+      trustedBound = true)
     post.grouped(20).foreach { b => mem2.addData(b); q2.processAllAvailable() }
     q2.stop()
     // probe-all + m >= tokens over the streamed-in tier == the batch
