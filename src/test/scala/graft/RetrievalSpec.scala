@@ -88,6 +88,27 @@ class RetrievalSpec extends SparkSpec {
     assert(got(11L) > got(10L) && got(10L) > got(12L))
   }
 
+  test("rrfFuseAll: two lists == rrfFuse; three lists sum all three terms") {
+    val a = Seq((0L, 10L, 1L), (0L, 11L, 2L)).toDF("qid", "id", "rank")
+    val b = Seq((0L, 11L, 1L), (0L, 12L, 2L)).toDF("qid", "id", "rank")
+    val c = Seq((0L, 12L, 1L), (0L, 13L, 3L)).toDF("qid", "id", "rank")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id")) ->
+        r.getAs[Double]("rrf")).toMap
+    // pairwise face: bit-identical to rrfFuse (same IEEE ops)
+    assert(asMap(Retrieval.rrfFuseAll(Seq(a, b))) ==
+      asMap(Retrieval.rrfFuse(a, b)))
+    // triple face: every list contributes its own 1/(60+rank) term,
+    // absent-from-a-list contributes exactly 0
+    val got = asMap(Retrieval.rrfFuseAll(Seq(a, b, c)))
+    assert(got.keySet.map(_._2) == Set(10L, 11L, 12L, 13L))
+    assert(got((0L, 12L)) == 1.0 / 62.0 + 1.0 / 61.0)
+    assert(got((0L, 13L)) == 1.0 / 63.0)
+    assert(got((0L, 11L)) == 1.0 / 62.0 + 1.0 / 61.0)
+    assert(got((0L, 10L)) == 1.0 / 61.0)
+    assertThrows[IllegalArgumentException](Retrieval.rrfFuseAll(Seq(a)))
+  }
+
   test("hybridSearch fuses the two rankers over real tables") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
