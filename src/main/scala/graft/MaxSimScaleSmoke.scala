@@ -325,6 +325,7 @@ object MaxSimScaleSmoke extends Serializable {
       // residual codes, identical probe/candidate/rescore pipeline,
       // so wall + read deltas isolate the code scan and recall deltas
       // isolate the quantization. Same cap as the base serve row.
+      var bPqOpt: Option[operators.LateInteraction.TokenPq] = None
       if (sys.env.get("SPARK_GRAFT_MAXSIM_PQ").contains("1")) {
         val mAB = ms.head
         val cpAB = caps.head
@@ -349,6 +350,7 @@ object MaxSimScaleSmoke extends Serializable {
               math.min(1.0, 2e6 / (nDocs * docLen).toDouble))
           c.copy(pq = c.pq.copy(codes = c.pq.codes.localCheckpoint(true)))
         }
+        bPqOpt = Some(bPq)
         val pqTag = s"b_pq_serve_p${nprobeB}_m$mAB" +
           (if (cpAB > 0) s"_c$cpAB" else "")
         phase(pqTag) {
@@ -392,6 +394,29 @@ object MaxSimScaleSmoke extends Serializable {
               .join(bTruth, Seq("qid"))
               .filter(col("doc_id") === col("base")).count()
             out += s"c_disk_recall_at1_q$nb" -> f"${hit.toDouble / nq}%.3f"
+          }
+        }
+        // the residual-PQ tier's disk face (when the A/B built one):
+        // cluster-partitioned 4 B/token codes + the same doc-clustered
+        // token frame — stage 1's disk read shrinks with the code
+        // bytes (~17× under the float tier at m=4), stage 2 unchanged
+        bPqOpt.foreach { bPq =>
+          phase("c_pq_save") { bPq.save(s"$dir/tpq") }
+          val pqD = operators.LateInteraction.loadTokenPq(spark,
+            s"$dir/tpq")
+          for (nb <- Seq(1, 5, 50)) {
+            val qsub = bQ.filter(col("qid") < nb).localCheckpoint(true)
+            val nq = qsub.select("qid").distinct().count()
+            phase(s"c_pq_disk_serve_q$nb") {
+              val top = operators.LateInteraction.maxSimPq(qsub, "qid",
+                "tok_idx", "vec", dToksD, "doc_id", "vec", pqD, k = 10,
+                m = 1024, nprobe = nprobeB, cap = 256)
+              val hit = top.filter(col("rank") === 1)
+                .join(bTruth, Seq("qid"))
+                .filter(col("doc_id") === col("base")).count()
+              out += s"c_pq_disk_recall_at1_q$nb" ->
+                f"${hit.toDouble / nq}%.3f"
+            }
           }
         }
         def deleteRec(f: java.io.File): Unit = {

@@ -4008,6 +4008,32 @@ object SparkEntry {
       val t2 = System.nanoTime()
       ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
     }),
+    // build = embed + token-IVF k-means + residual-PQ codebook train +
+    // encode; search = the probed codegen-ADC serve — the split shows
+    // the lane is build-dominated (the one-time cost a deployment
+    // amortizes over every query batch)
+    "maxsim_pq" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").filter(col("doc_id") < 50)
+      val t0 = System.nanoTime()
+      val dToks = LateInteraction.tokenVectors(docs, "doc_id", "text")
+        .localCheckpoint(true)
+      val m = dToks.count().toInt
+      val ivf = LateInteraction.buildTokenIvf(dToks, "doc_id", "tok_idx",
+        "vec", IVFFlat.Params(k = 8, numAttempts = 1, maxIterations = 5))
+      val idx = ivf.compressPq(graft.index.PQ.Params(m = 4, k = 16,
+        iterations = 4, seed = 7L))
+      idx.pq.codes.count()
+      ivf.ivf.indexed.unpersist()
+      val t1 = System.nanoTime()
+      val qToks = LateInteraction.tokenVectors(
+          docs.filter(col("doc_id") < 3), "doc_id", "text")
+        .withColumnRenamed("doc_id", "qid")
+      LateInteraction.maxSimPq(qToks, "qid", "tok_idx", "vec",
+          dToks, "doc_id", "vec", idx, k = 10, m = m, nprobe = 8)
+        .count()
+      val t2 = System.nanoTime()
+      ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+    }),
     "lsh_knn" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val t0 = System.nanoTime()
