@@ -333,8 +333,19 @@ object MaxSimScaleSmoke extends Serializable {
           val c = bIvf.compress()
           c.copy(sq8 = c.sq8.copy(codes = c.sq8.codes.localCheckpoint(true)))
         }
+        // SPARK_GRAFT_MAXSIM_SQ8_LEAN=1: residency-vs-kernel control
+        // for the SQ8 serve wall — drop the float tier's ~35 GB
+        // checkpoint before the SQ8 serve (it is not an input of that
+        // phase: stage 1 reads sq8 codes, stage 2 reads bToks). If the
+        // wall tracks residency, this run serves at float speed; if it
+        // tracks the kernel, the wall stays. Skips the PQ phases
+        // (compressPq needs the dropped frame).
+        val sq8Lean = sys.env.get("SPARK_GRAFT_MAXSIM_SQ8_LEAN")
+          .contains("1")
+        if (sq8Lean) bIvf.ivf.indexed.unpersist(true)
         val sqTag = s"b_sq8_serve_p${nprobeB}_m$mAB" +
-          (if (cpAB > 0) s"_c$cpAB" else "")
+          (if (cpAB > 0) s"_c$cpAB" else "") +
+          (if (sq8Lean) "_lean" else "")
         phase(sqTag) {
           val top = operators.LateInteraction.maxSimSq8(bQ, "qid",
             "tok_idx", "vec", bToks, "doc_id", "vec", bSq8, k = 10,
@@ -343,6 +354,7 @@ object MaxSimScaleSmoke extends Serializable {
           out += sqTag.replace("b_sq8_serve", "b_sq8_recall_at1") ->
             f"${recallAt1(top, bTruth)}%.3f"
         }
+        if (!sq8Lean) {
         val bPq = phase("b_pq_compress") {
           val c = bIvf.compressPq(graft.index.PQ.Params(m = 4, k = 256,
             iterations = 4, seed = 7L),
@@ -360,6 +372,7 @@ object MaxSimScaleSmoke extends Serializable {
             cap = if (cpAB > 0) cpAB else Int.MaxValue)
           out += pqTag.replace("b_pq_serve", "b_pq_recall_at1") ->
             f"${recallAt1(top, bTruth)}%.3f"
+        }
         }
       }
       // ------- part C: ONLINE serving from the saved artifacts -------
