@@ -3616,6 +3616,95 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // The PQ tier's production serving path end-to-end FROM DISK (the
+    // maxsim_loaded discipline): doc-clustered token frame saved +
+    // loaded, TokenPq saved (cluster-partitioned 4 B/token codes +
+    // maxNorm sidecar) + loaded, residual-ADC stage 1 over the loaded
+    // codes, exact rescore on the loaded tokens. Degenerate config ⇒
+    // the bounded-corpus exhaustive replay.
+    "maxsim_pq_loaded" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").filter(col("doc_id") < 50)
+      val tmp = scratchDir("maxsim_pq_loaded")
+      val dToks0 = LateInteraction.tokenVectors(docs, "doc_id", "text")
+        .localCheckpoint(true) // feeds save + build — embed once
+      LateInteraction.saveTokens(dToks0, tmp)
+      val nCells = 8
+      val built = LateInteraction.buildTokenIvf(dToks0, "doc_id",
+        "tok_idx", "vec",
+        IVFFlat.Params(k = nCells, numAttempts = 1, maxIterations = 5))
+      built.compressPq(graft.index.PQ.Params(m = 4, k = 16,
+        iterations = 4, seed = 7L)).save(s"$tmp/tpq")
+      built.ivf.indexed.unpersist()
+      val dToks = LateInteraction.loadTokens(s, tmp)
+      val idx = LateInteraction.loadTokenPq(s, s"$tmp/tpq")
+      val qToks = LateInteraction.tokenVectors(
+          docs.filter(col("doc_id") < 3), "doc_id", "text")
+        .withColumnRenamed("doc_id", "qid")
+      val m = dToks.count().toInt
+      LateInteraction.maxSimPq(qToks, "qid", "tok_idx", "vec",
+          dToks, "doc_id", "vec", idx, k = 10, m = m, nprobe = nCells)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Index::add on the PQ TIER: build + compress over half the
+    // corpus (full-corpus norm ceiling as the MIPS bound), then
+    // TokenPq.add the other half — the fused frozen-parts
+    // assign+encode pass, no re-train. Probe-all + m = corpus tokens
+    // covers everything, so the grown tier replays the bounded
+    // exhaustive oracle.
+    "maxsim_pq_add" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").filter(col("doc_id") < 50)
+      val dToks = LateInteraction.tokenVectors(docs, "doc_id", "text")
+        .localCheckpoint(true) // feeds build + add + rescore
+      val qToks = LateInteraction.tokenVectors(
+          docs.filter(col("doc_id") < 3), "doc_id", "text")
+        .withColumnRenamed("doc_id", "qid")
+      val m = dToks.count().toInt
+      val nCells = 8
+      val bound = dToks.agg(max(sqrt(dot(col("vec"), col("vec")))))
+        .head().getDouble(0)
+      val half = LateInteraction.buildTokenIvf(
+        dToks.filter(col("doc_id") < 25), "doc_id", "tok_idx", "vec",
+        IVFFlat.Params(k = nCells, numAttempts = 1, maxIterations = 5),
+        maxNormBound = bound)
+      val idx = half.compressPq(graft.index.PQ.Params(m = 4, k = 16,
+          iterations = 4, seed = 7L))
+        .add(dToks.filter(col("doc_id") >= 25), "doc_id", "tok_idx",
+          "vec")
+      half.ivf.indexed.unpersist()
+      LateInteraction.maxSimPq(qToks, "qid", "tok_idx", "vec",
+          dToks, "doc_id", "vec", idx, k = 10, m = m, nprobe = nCells)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Index::remove on the PQ TIER: broadcast anti-join on the
+    // unpacked doc prefix of the packed code id — a whole document's
+    // codes leave in one pass, grid/codebooks/sizes frozen. The
+    // trimmed tier at probe-all over the kept token frame replays the
+    // 50-doc exhaustive oracle.
+    "maxsim_pq_remove" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").filter(col("doc_id") < 60)
+      val dToks = LateInteraction.tokenVectors(docs, "doc_id", "text")
+        .localCheckpoint(true) // feeds build + rescore
+      val qToks = LateInteraction.tokenVectors(
+          docs.filter(col("doc_id") < 3), "doc_id", "text")
+        .withColumnRenamed("doc_id", "qid")
+      val nCells = 8
+      val built = LateInteraction.buildTokenIvf(dToks, "doc_id",
+        "tok_idx", "vec",
+        IVFFlat.Params(k = nCells, numAttempts = 1, maxIterations = 5))
+      val idx = built.compressPq(graft.index.PQ.Params(m = 4, k = 16,
+          iterations = 4, seed = 7L))
+        .remove(docs.filter(col("doc_id") >= 50).select(col("doc_id")),
+          "doc_id")
+      built.ivf.indexed.unpersist()
+      val kept = dToks.filter(col("doc_id") < 50)
+      val m = kept.count().toInt
+      LateInteraction.maxSimPq(qToks, "qid", "tok_idx", "vec",
+          kept, "doc_id", "vec", idx, k = 10, m = m, nprobe = nCells)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Index::add on the multi-vector ANN TIER (not just the token
     // frame): build the IVF tier over half the corpus with the full
     // corpus's norm ceiling as the MIPS bound, then TokenIvf.add the
@@ -7523,8 +7612,12 @@ object SparkEntry {
     "maxsim_sq8" -> maxSimSqlCorpus("WHERE doc_id < 50"),
     // residual-PQ stage 1 at probe-all + m = corpus tokens: candidates
     // cover every doc regardless of ADC ordering, stage 2 exact — the
-    // same bounded-corpus exhaustive replay
+    // same bounded-corpus exhaustive replay (and its disk-lifecycle,
+    // frozen-parts add, and doc-prefix remove faces)
     "maxsim_pq" -> maxSimSqlCorpus("WHERE doc_id < 50"),
+    "maxsim_pq_loaded" -> maxSimSqlCorpus("WHERE doc_id < 50"),
+    "maxsim_pq_add" -> maxSimSqlCorpus("WHERE doc_id < 50"),
+    "maxsim_pq_remove" -> maxSimSqlCorpus("WHERE doc_id < 50"),
 
     // PLAID prune at cap = doc count: the pruning pipeline runs but
     // keeps every doc — the same bounded-corpus exhaustive replay

@@ -476,12 +476,70 @@ object LateInteraction {
   /** Residual-PQ-compressed twin of [[TokenIvf]]
     * ([[TokenIvf.compressPq]]) — stage 1 probes m-byte residual codes.
     * Persists as the IVFPQ tier's own layout (cluster-partitioned
-    * codes → partition pruning on probe) plus the mips sidecar. */
+    * codes → partition pruning on probe) plus the mips sidecar.
+    *
+    * Lifecycle: [[add]] encodes arriving token batches against the
+    * FROZEN coarse grid + codebooks (the IVFPQ.add fused pass —
+    * quantization quality for new rows is the frozen codebooks'; a
+    * drifted corpus re-trains on the codebook cadence), [[remove]]
+    * drops whole documents by the packed-id prefix. Shard-MERGE for
+    * this tier deliberately goes through the float tier: merge the
+    * shards' [[TokenIvf]]s (which reconciles MIPS bounds by
+    * re-augmenting — impossible on lossy codes) and [[TokenIvf
+    * .compressPq]] the merged tier; two TokenPq artifacts with
+    * different bounds or grids cannot be merged code-wise. */
   case class TokenPq(pq: graft.index.IVFPQ.Model, maxNorm: Double) {
     def save(dir: String): Unit = {
       pq.save(s"$dir/ivfpq")
       ParamsIO.write(pq.codes.sparkSession, dir,
         s"""{"maxNorm":$maxNorm}""")
+    }
+
+    /** Zero-pad an augmented float-vec column to the tier's stored
+      * (possibly padded) dim — the [[TokenIvf.compressPq]] padding
+      * contract, applied to arriving rows. */
+    private def padTo(dfv: DataFrame, vecCol: String): DataFrame =
+      dfv.withColumn(vecCol, concat(col(vecCol),
+        array_repeat(lit(0f),
+          (lit(pq.dim) - size(col(vecCol))).cast("int"))))
+
+    /** Incremental add on the PQ tier (Index::add, base.rs:28):
+      * pack + bound-check + augment + pad the incoming token frame,
+      * then [[graft.index.IVFPQ.Model.add]]'s fused frozen-parts
+      * assign+encode pass. Same MIPS bound contract (and
+      * `trustedBound` hot-ingest lever) as [[TokenIvf.add]]. */
+    def add(moreToks: DataFrame, idCol: String, tokIdxCol: String,
+            vecCol: String, trustedBound: Boolean = false): TokenPq = {
+      val rows = moreToks.select(
+        packId(col(idCol), col(tokIdxCol)).as("id"),
+        col(vecCol).cast("array<float>").as("vec"))
+      if (!trustedBound) {
+        val normRow = rows.agg(
+          max(sqrt(dot(col("vec"), col("vec"))))).head()
+        if (normRow.isNullAt(0)) return this // empty batch
+        val incoming = normRow.getDouble(0)
+        require(incoming <= maxNorm * (1.0 + 1e-7),
+          s"TokenPq.add: incoming max token norm $incoming exceeds the " +
+            s"index's MIPS bound $maxNorm — rebuild with a larger " +
+            "maxNormBound (normalized embeddings: bound 1.0 never trips)")
+      }
+      copy(pq = pq.add(
+        padTo(Mips.augmentCorpus(rows, "vec", maxNorm), "vec"),
+        "id", "vec"))
+    }
+
+    /** Takedown on the PQ tier: drop every code row whose PACKED id
+      * unpacks to a removed doc_id — [[TokenIvf.remove]]'s broadcast
+      * anti-join on the unpacked prefix, over the codes frame. Frozen
+      * sizes narrow adaptive probing post-remove (the IVFFlat.remove
+      * caveat); [[maxSimPq]] serves with an explicit nprobe. */
+    def remove(ids: DataFrame, idCol: String): TokenPq = {
+      val del = ids.select(col(idCol).cast("long").as("_did"))
+      val (df, n) = graft.index.Lineage.compact(
+        pq.codes.join(broadcast(del),
+          shiftright(col("id"), TokIdxBits) === col("_did"), "left_anti"),
+        pq.addsSinceCompact)
+      copy(pq = pq.copy(codes = df, addsSinceCompact = n))
     }
   }
 

@@ -364,6 +364,45 @@ class LateInteractionSpec extends SparkSpec {
     ivf.ivf.indexed.unpersist()
   }
 
+  test("TokenPq.add/remove: frozen-parts lifecycle converges at probe-all") {
+    val exact = asMapOf(LateInteraction.maxSim(qToks, "qid", "tok_idx",
+      "vec", dToks, "doc_id", "vec", k = 7))
+    val a = dToks.filter(col("doc_id") < 20)
+    val b = dToks.filter(col("doc_id") >= 20)
+    val bound = dToks.agg(max(sqrt(
+      graft.functions.VectorOps.dot(col("vec"), col("vec")))))
+      .head().getDouble(0)
+    val ivf = LateInteraction.buildTokenIvf(a, "doc_id", "tok_idx",
+      "vec", graft.index.IVFFlat.Params(k = 4, numAttempts = 1,
+        maxIterations = 5), maxNormBound = bound)
+    // m = 4 pads the augmented dim 9 -> 12; arriving rows must pad the
+    // same way inside add (the encode would misindex otherwise)
+    val half = ivf.compressPq(graft.index.PQ.Params(m = 4, k = 16,
+      iterations = 4, seed = 7L))
+    val grown = half.add(b, "doc_id", "tok_idx", "vec")
+    assert(grown.pq.codes.count() == dTokRows.size.toLong)
+    val got = asMapOf(LateInteraction.maxSimPq(qToks, "qid", "tok_idx",
+      "vec", dToks, "doc_id", "vec", grown, k = 7, m = dTokRows.size,
+      nprobe = 4))
+    assert(got == exact)
+    // over-norm batches refused unless trusted
+    val big = Seq((99L, 0L, Array.fill(8)(1000.0)))
+      .toDF("doc_id", "tok_idx", "vec")
+    assertThrows[IllegalArgumentException] {
+      grown.add(big, "doc_id", "tok_idx", "vec")
+    }
+    // remove: a document's codes leave by the unpacked prefix; the
+    // trimmed tier serves the kept corpus exactly at probe-all
+    val trimmed = grown.remove((20L until 40L).toDF("doc_id"), "doc_id")
+    val keptExact = asMapOf(LateInteraction.maxSim(qToks, "qid",
+      "tok_idx", "vec", a, "doc_id", "vec", k = 7))
+    val keptGot = asMapOf(LateInteraction.maxSimPq(qToks, "qid",
+      "tok_idx", "vec", a, "doc_id", "vec", trimmed, k = 7,
+      m = dTokRows.size, nprobe = 4))
+    assert(keptGot == keptExact)
+    ivf.ivf.indexed.unpersist()
+  }
+
   test("TokenIvf.merge: two half-corpus tiers == one build; differing maxNorms re-augment") {
     val exact = asMapOf(LateInteraction.maxSim(qToks, "qid", "tok_idx",
       "vec", dToks, "doc_id", "vec", k = 7))
