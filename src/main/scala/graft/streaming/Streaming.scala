@@ -954,6 +954,34 @@ object Streaming {
       .start()
   }
 
+  /** PQ-tier twin of [[ingestIntoTokenIvf]] — streaming ingest into a
+    * LIVE residual-PQ token tier: each microbatch embeds its documents
+    * and [[graft.operators.LateInteraction.TokenPq.add]]s the token
+    * rows through the frozen-parts fused assign+encode pass (coarse
+    * grid and codebooks never move mid-stream; quantization quality
+    * for arriving rows is the frozen codebooks' — re-train on the
+    * codebook cadence, not per batch). Same bound contract and
+    * `trustedBound` hot-ingest lever as the float twin; serve any
+    * snapshot via `maxSimPq` on `state.get()`, persist for restarts
+    * via `TokenPq.save`/`loadTokenPq` (StreamingSpec round-trips it). */
+  def ingestIntoTokenPq(stream: DataFrame, idCol: String, textCol: String,
+                        state: java.util.concurrent.atomic.AtomicReference[graft.operators.LateInteraction.TokenPq],
+                        dim: Int = 16, trustedBound: Boolean = false)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // single-writer foreachBatch: see ingestIntoIVF
+          val part = graft.operators.LateInteraction
+            .tokenVectors(batch, idCol, textCol, dim).localCheckpoint(true)
+          state.set(state.get().add(part, "doc_id", "tok_idx", "vec",
+            trustedBound))
+        }
+      }
+      .start()
+  }
+
   /** Priority-sampling twin of [[ingestHll]] — a weighted sample of
     * exactly k rows maintained over an unbounded stream: the whole
     * state is the current top-(k+1) frame by the content-addressed

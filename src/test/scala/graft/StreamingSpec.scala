@@ -1553,6 +1553,67 @@ class StreamingSpec extends SparkSpec {
     assert(st2.get().ivf.indexed.count() == allToks.count())
   }
 
+  test("streaming TokenPq ingest == batch MaxSim across a save/load restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.LateInteraction
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text").filter($"doc_id" < 120)
+    val allToks = LateInteraction.tokenVectors(docs, "doc_id", "text")
+      .localCheckpoint(true)
+    val bound = allToks.agg(max(sqrt(
+      graft.functions.VectorOps.dot($"vec", $"vec")))).head().getDouble(0)
+    // seed: float tier over the first 40 docs (corpus norm ceiling),
+    // residual-PQ-compressed — the frozen parts every arriving batch
+    // encodes against
+    val seedIvf = LateInteraction.buildTokenIvf(
+      LateInteraction.tokenVectors(
+        docs.filter($"doc_id" < 40), "doc_id", "text"),
+      "doc_id", "tok_idx", "vec",
+      IVFFlat.Params(k = 4, numAttempts = 1, maxIterations = 5),
+      maxNormBound = bound)
+    val seed = seedIvf.compressPq(graft.index.PQ.Params(m = 4, k = 16,
+      iterations = 4, seed = 7L))
+    val rest = docs.filter($"doc_id" >= 40).as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    val (pre, post) = rest.splitAt(rest.length / 2)
+    // phase 1: stream half into the live PQ tier, persist
+    val st1 = new java.util.concurrent.atomic.AtomicReference(seed)
+    val mem1 = MemoryStream[(Long, String)]
+    val q1 = Streaming.ingestIntoTokenPq(
+      mem1.toDF().toDF("doc_id", "text"), "doc_id", "text", st1)
+    pre.grouped(20).foreach { b => mem1.addData(b); q1.processAllAvailable() }
+    q1.stop()
+    val dir = java.nio.file.Files.createTempDirectory("tokpqstream").toString
+    st1.get().save(dir)
+    seedIvf.ivf.indexed.unpersist()
+    // phase 2: RESTART from the persisted tier (maxNorm sidecar +
+    // cluster-partitioned codes ride along), trusted hot path
+    val st2 = new java.util.concurrent.atomic.AtomicReference(
+      LateInteraction.loadTokenPq(spark, dir))
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = Streaming.ingestIntoTokenPq(
+      mem2.toDF().toDF("doc_id", "text"), "doc_id", "text", st2,
+      trustedBound = true)
+    post.grouped(20).foreach { b => mem2.addData(b); q2.processAllAvailable() }
+    q2.stop()
+    // probe-all + m >= tokens over the streamed-in PQ tier == the
+    // batch exhaustive MaxSim (candidates cover every doc regardless
+    // of ADC ordering; stage 2 exact)
+    val qToks = LateInteraction.tokenVectors(
+        docs.filter($"doc_id" < 3), "doc_id", "text")
+      .withColumnRenamed("doc_id", "qid")
+    val total = allToks.count().toInt
+    val got = LateInteraction.maxSimPq(qToks, "qid", "tok_idx", "vec",
+        allToks, "doc_id", "vec", st2.get(), k = 10, m = total, nprobe = 4)
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    val want = LateInteraction.maxSim(qToks, "qid", "tok_idx", "vec",
+        allToks, "doc_id", "vec", k = 10)
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    assert(got == want)
+    // every streamed doc's codes landed in the tier exactly once
+    assert(st2.get().pq.codes.count() == allToks.count())
+  }
+
   test("TokenIvf.remove drops a document's tokens from the live tier") {
     import graft.operators.LateInteraction
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
