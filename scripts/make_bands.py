@@ -50,11 +50,18 @@ def main() -> None:
             b["n"] += 1
     out = {
         "protocol": (
-            "local[32] sf0.1 quiet-box runs; band = min/max over the "
-            "committed bench_r*.json readings of record; gate = flag a "
-            "lane whose wall exceeds 2x band min (the 'no lane above 2x "
-            "any best recorded reading' rule). Lanes without a band are "
-            "new this round and get one at the next commit."
+            "local[32] sf0.1 quiet-box FULL-suite runs; band = min/max "
+            "over the committed bench_r*.json readings of record; gate = "
+            "flag a lane whose wall exceeds 2x band min AND by more than "
+            "1s absolute (the 'no lane above 2x any best recorded "
+            "reading' rule, with a materiality floor: sub-second lanes "
+            "rove 2-4x from scheduling noise). Lanes without a band are "
+            "new this round and get one at the next commit. Bands are "
+            "comparable ONLY to full-suite runs: a SPARK_GRAFT_ONLY "
+            "subset runs lanes on a cold JIT and reads short lanes 2-4x "
+            "hot (r14 measured: mix_temperature_subword 4.3-6.4s subset "
+            "vs 2.5s in the same box's full run) — adjudicate flags by "
+            "re-running the FULL suite on a quiet box, never a subset."
         ),
         "sources": sources,
         "lanes": {k: lanes[k] for k in sorted(lanes)},

@@ -96,12 +96,21 @@ object Bench {
         case _ => Map.empty[String, Double]
       }
     } catch { case _: Throwable => Map.empty }
+    // Materiality floor: a flag needs BOTH 2x band min AND +1s absolute
+    // excess. Sub-second lanes rove 2-4x run-to-run from scheduling
+    // noise alone (r13/r14 adjudications: every roving flag was a
+    // <1.5s lane); a 0.3s excursion is immaterial to a 300s suite,
+    // while any regression that matters clears 1s easily.
     val flags = results.collect {
-      case (k, v, None) if bandMins.get(k).exists(mn => v > 2.0 * mn) =>
+      case (k, v, None) if bandMins.get(k)
+          .exists(mn => v > 2.0 * mn && v > mn + 1.0) =>
         "{\"lane\":\"" + k + "\",\"sec\":" + v +
           ",\"band_min\":" + bandMins(k) + "}"
     }.mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$ph,"ok":$oks,"errors":$errs,"flags":$flags,"sf":"$sfDir"}"""
+    // "bands" = loaded band-lane count: 0 means the 2x gate was OFF
+    // (missing/corrupt/mis-pathed BANDS.json) — a clean flags:[] from a
+    // gate-off run is detectable in the artifact, not silent
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$ph,"ok":$oks,"errors":$errs,"flags":$flags,"bands":${bandMins.size},"sf":"$sfDir"}"""
     println(line)
     // file artifact next to BASELINE.md: per-query numbers must survive
     // the round even when a harness tail-parse misses the stdout line

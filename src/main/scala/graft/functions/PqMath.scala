@@ -12,11 +12,13 @@ import org.apache.spark.sql.types._
   *
   * The asymmetric distance of an m-byte code against a query is
   * Σ over subspaces s of Σ over dims i of (cb[s][code[s]][i] − q[off+i])²
-  * — exactly the value the LUT path computes (`PQ.buildLut` builds
-  * lut[s][c] with the identical 0.0-seeded, i-ordered double fold and
-  * the scan adds lut[s][code[s]] in s order), so swapping the scan
-  * from LUT lookups to this kernel is bit-identical by construction:
+  * — exactly the value the retired per-partition-LUT scan computed
+  * (lut[s][c] held the identical 0.0-seeded, i-ordered double fold
+  * and the scan added lut[s][code[s]] in s order), so the swap from
+  * LUT lookups to this kernel was bit-identical by construction:
   * same IEEE adds, same order, only the table indirection removed.
+  * Both the coarse-gridded (IVFPQ, r13) and flat (PQ.searchMany, r14)
+  * serving scans now run on it.
   *
   * Why the kernel wins at scale: the LUT path runs in `mapPartitions`
   * — every probed (query, code) row pays Dataset deserialization (a

@@ -56,6 +56,34 @@ private[graft] object Batches {
       message(what, max, DefaultRemedy))
   }
 
+  /** The nominal per-row float width the row budget was sized for
+    * (maxBatch rows × 128 floats ≈ 0.5 GB — the documented default). */
+  val NominalRowFloats: Long = 128L
+
+  /** [[boundedCheck]] scaled by the ACTUAL per-row broadcast footprint:
+    * the accepted row count shrinks so rows × floatsPerRow never
+    * exceeds the budget expressed in floats (maxBatch ×
+    * [[NominalRowFloats]]). IVFPQ's probe frame fans each query row
+    * into nprobe residual-shifted copies of the (padded-dim) vector,
+    * so a batch that passes the ROW gate could still build a multi-GB
+    * executor broadcast; this keeps "passes the guard" implying
+    * "bounded broadcast" at any nprobe × dim. Never looser than the
+    * row gate. */
+  def boundedCheckScaled(ds: Dataset[_], what: String,
+                         floatsPerRow: Long): Unit = {
+    val maxRows = maxBatch(ds)
+    val budgetFloats = maxRows.toLong * NominalRowFloats
+    val max = math.max(1L, math.min(maxRows.toLong,
+      budgetFloats / math.max(1L, floatsPerRow)))
+    require(ds.limit((max + 1).toInt).count() <= max,
+      s"$what exceeds the serving broadcast budget ($max rows at " +
+        s"$floatsPerRow broadcast floats/row — $budgetFloats floats " +
+        s"total, conf $MaxBatchKey rows × $NominalRowFloats): this " +
+        "entry point broadcasts O(rows × floats/row) to every " +
+        s"executor — the contract is that this side is SMALL. " +
+        DefaultRemedy)
+  }
+
   private def message(what: String, max: Int, remedy: String): String =
     s"$what exceeds the driver-collect serving budget ($max rows, " +
       s"conf $MaxBatchKey): this entry point collects and broadcasts " +

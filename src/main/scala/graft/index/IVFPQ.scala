@@ -73,8 +73,11 @@ object IVFPQ {
       val kk = k
       val np = nprobe
       // the probe frame stays distributed but rides an executor
-      // broadcast — the serving-budget contract still applies
-      Batches.boundedCheck(queries, "IVFPQ.searchMany query")
+      // broadcast — the serving-budget contract still applies, scaled
+      // by the frame's true fan-out (nprobe shifted query copies per
+      // row) so the accepted batch size implies a bounded broadcast
+      Batches.boundedCheckScaled(queries, "IVFPQ.searchMany query",
+        np.toLong * dim)
       val bcState = spark.sparkContext.broadcast((coarse, clusterSizes))
       val probes = queries
         .select(col(qIdCol).cast("long"),
@@ -143,7 +146,8 @@ object IVFPQ {
       import spark.implicits._
       val res = residual
       val np = nprobe
-      Batches.boundedCheck(queries, "IVFPQ.rangeSearchRefined query")
+      Batches.boundedCheckScaled(queries, "IVFPQ.rangeSearchRefined query",
+        np.toLong * dim)
       val bcState = spark.sparkContext.broadcast((coarse, clusterSizes))
       // k = 1: range search probes exactly the nprobe nearest cells
       // (adaptive cumulative-size widening is a top-k concept)

@@ -16,10 +16,12 @@ import org.apache.spark.sql.functions._
   *    the corpus never shuffles, the driver merges O(m × k) cells
   *    (same partial-aggregate pattern as LSHForest.levelStats).
   *  - **encoding** is one narrow map → (id, m-byte BINARY code).
-  *  - **ADC search** broadcasts the query batch, builds the m×k
-  *    lookup table once per partition per query, scans codes with a
-  *    bounded heap per (partition, query) and shuffles only ≤ k
-  *    (qid, id, distance) triples per partition — the knnJoin shape.
+  *  - **ADC search** broadcasts the query batch as a probe frame and
+  *    scores each m-byte code in-register inside whole-stage codegen
+  *    ([[graft.functions.PqAdcExpr]] — no per-row Dataset decode, no
+  *    LUT state); the partial-aggregating TopKAggExpr cut shuffles
+  *    only ≤ k (qid, id, distance) triples per partition — the
+  *    knnJoin shape.
   *  - optional **exact re-rank**: ADC top factor×k, then one broadcast
   *    join back to the full-precision vectors for the final top-k.
   *
@@ -55,54 +57,44 @@ object PQ {
 
     /** ADC batch top-k over the codes alone (no full vectors touched).
       *
+      * The scan is the [[graft.functions.PqAdcExpr]] whole-stage-codegen
+      * kernel (the IVFPQ.searchMany serving shape, minus the coarse
+      * grid): the query chunk broadcasts as a (qid, qvec) frame into a
+      * broadcast join against the code scan — flat PQ has no cluster
+      * key, so every code meets every chunk query (the range_search
+      * broadcast-nested-loop idiom; the SMALL side is the serving
+      * batch) — and the kernel scores each m-byte code in-register,
+      * bit-identical to the former per-partition-LUT path (same
+      * 0.0-seeded double folds in the same subspace/dim order, only the
+      * table indirection removed). The partial-aggregating TopKAggExpr
+      * cut then moves ≤ k triples per (partition, query) — the
+      * mapPartitions path's per-row Dataset decode (measured ~6× at
+      * IVFPQ token-batch volumes, r13) is gone.
+      *
       * Memory envelope: the query batch is collected and broadcast —
       * O(nQueries × dim × 4 B) on driver + executors (the HNSW.searchMany
-      * contract: queries are the SMALL side). Per-task LUT memory is
-      * bounded by `qChunk`: each chunk of queries holds qChunk × m × k ×
-      * 8 B of LUTs (64 KB per query at m=32, k=256, so 1024 queries ≈
-      * 64 MB). A batch larger than qChunk scans the codes once per chunk
-      * — linear extra scans of the *compressed* side in exchange for
-      * bounded task memory; chunks partition the queries, so per-chunk
+      * contract: queries are the SMALL side), enforced by the Batches
+      * budget. `qChunk` still partitions the batch: each chunk rides
+      * its own qChunk × dim × 4 B broadcast and one scan of the
+      * compressed codes — linear extra scans in exchange for a bounded
+      * per-chunk broadcast; chunks partition the queries, so per-chunk
       * top-k results are final and simply union. */
     def searchMany(queries: DataFrame, qIdCol: String, qVecCol: String,
                    k: Int, qChunk: Int = 1024): DataFrame = {
       val spark = queries.sparkSession
       import spark.implicits._
-      val m = params.m
       val qRows = Batches.bounded(queries
         .select(col(qIdCol).cast("long"), vecProj(qVecCol, rotated))
         .as[(Long, Array[Float])], "PQ.searchMany query")
       if (qRows.isEmpty)
         return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "id", "distance")
-      val bcCb = spark.sparkContext.broadcast(codebooks)
       val chunkResults = qRows.grouped(math.max(1, qChunk)).map { qChunkRows =>
-        val bcQ = spark.sparkContext.broadcast(qChunkRows)
-        codes.select(col("id"), col("code")).as[(Long, Array[Byte])]
-          .mapPartitions { it =>
-            val qs = bcQ.value
-            val cbs = bcCb.value
-            // m×k sqdist LUT per query, built once per partition (tiny:
-            // m·k·dsub mults) — scan cost is then m adds per row per query
-            val luts = qs.map { case (_, qv) => buildLut(cbs, qv) }
-            val heaps = Array.fill(qs.length)(
-              new graft.operators.Exhaustive.KHeap(k))
-            it.foreach { case (id, code) =>
-              var qi = 0
-              while (qi < qs.length) {
-                val lut = luts(qi)
-                var d = 0.0
-                var s = 0
-                while (s < m) { d += lut(s)(code(s) & 0xFF); s += 1 }
-                heaps(qi).insert(id, d)
-                qi += 1
-              }
-            }
-            heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
-              val qid = qs(qi)._1
-              h.drain.map { case (id, d) => (qid, id, d) }
-            }
-          }
-          .toDF("qid", "id", "distance")
+        val qDf = spark.createDataset(qChunkRows.toSeq).toDF("qid", "qvec")
+        codes.select(col("id"), col("code"))
+          .crossJoin(broadcast(qDf))
+          .select(col("qid"), col("id"),
+            graft.functions.PqMath.adcDist(col("code"), col("qvec"),
+              codebooks).as("distance"))
           .groupBy(col("qid"))
           .agg(graft.functions.TopK.topK(col("distance"), col("id"), k).as("nn"))
           .select(col("qid"), explode(col("nn")).as("nn"))
@@ -242,37 +234,6 @@ object PQ {
       j += 1
     }
     best
-  }
-
-  /** lut(s)(j) = sqdist(query subvector s, codebook s centroid j), double
-    * fold from 0.0 ascending — identical to the SQL list_reduce shape. */
-  private[index] def buildLut(cbs: Array[Array[Array[Float]]], qv: Array[Float])
-  : Array[Array[Double]] = {
-    val m = cbs.length
-    val lut = new Array[Array[Double]](m)
-    var s = 0
-    var off = 0
-    while (s < m) {
-      val cb = cbs(s)
-      val row = new Array[Double](cb.length)
-      var j = 0
-      while (j < cb.length) {
-        val c = cb(j)
-        var d = 0.0
-        var i = 0
-        while (i < c.length) {
-          val t = c(i).toDouble - qv(off + i).toDouble
-          d += t * t
-          i += 1
-        }
-        row(j) = d
-        j += 1
-      }
-      lut(s) = row
-      s += 1
-      off += cbs(s - 1)(0).length
-    }
-    lut
   }
 
   /** Encode every row against frozen codebooks: one narrow map, m bytes

@@ -309,11 +309,12 @@ object LateInteraction {
       * norm exceeds the build-time bound is REFUSED — rebuild with a
       * larger bound (or build with `maxNormBound` = the model's known
       * norm ceiling, e.g. 1.0 for L2-normalized ColBERT tokens, and
-      * add freely forever). The comparison carries the same (1+1e-7)
-      * float slack as [[Mips.maxNorm]]: norms here are computed over
-      * the FLOAT-cast vectors, so a max-norm batch whose double-
-      * computed bound the caller passed verbatim must not be
-      * spuriously refused by one ulp of cast rounding.
+      * add freely forever). The comparison is EXACT against the
+      * stored bound — the (1+1e-7) float-rounding slack that keeps a
+      * max-norm batch from spurious refusal lives in the bound itself
+      * (baked in at build time by [[Mips.maxNorm]] and the
+      * buildTokenIvf maxNormBound path alike), so an admitted batch
+      * never clamps the augmentation coordinate.
       *
       * `trustedBound = true` skips the driver-blocking max-norm
       * aggregation — for hot ingest paths (one job per microbatch
@@ -332,7 +333,7 @@ object LateInteraction {
           max(sqrt(dot(col("vec"), col("vec"))))).head()
         if (normRow.isNullAt(0)) return this // empty batch: nothing to add
         val incoming = normRow.getDouble(0)
-        require(incoming <= maxNorm * (1.0 + 1e-7),
+        require(incoming <= maxNorm,
           s"TokenIvf.add: incoming max token norm $incoming exceeds the " +
             s"index's MIPS bound $maxNorm — rebuild with a larger " +
             "maxNormBound (normalized embeddings: bound 1.0 never trips)")
@@ -497,11 +498,21 @@ object LateInteraction {
 
     /** Zero-pad an augmented float-vec column to the tier's stored
       * (possibly padded) dim — the [[TokenIvf.compressPq]] padding
-      * contract, applied to arriving rows. */
+      * contract, applied to arriving rows. An OVER-long row fails
+      * loudly here (raise_error) instead of padding by a negative
+      * count to an unchanged vector that IVFPQ.build would then
+      * silently prefix-encode into wrong codes — the add path gets
+      * the same wrong-dim protection searchMany's require gives
+      * queries. */
     private def padTo(dfv: DataFrame, vecCol: String): DataFrame =
-      dfv.withColumn(vecCol, concat(col(vecCol),
-        array_repeat(lit(0f),
-          (lit(pq.dim) - size(col(vecCol))).cast("int"))))
+      dfv.withColumn(vecCol,
+        when(size(col(vecCol)) <= lit(pq.dim),
+          concat(col(vecCol), array_repeat(lit(0f),
+            (lit(pq.dim) - size(col(vecCol))).cast("int"))))
+        .otherwise(raise_error(concat_ws(" ",
+          lit("TokenPq.add: augmented token dim"), size(col(vecCol)),
+          lit(s"exceeds the tier's stored dim ${pq.dim} — " +
+            "wrong-dim add refused")))))
 
     /** Incremental add on the PQ tier (Index::add, base.rs:28):
       * pack + bound-check + augment + pad the incoming token frame,
@@ -518,7 +529,7 @@ object LateInteraction {
           max(sqrt(dot(col("vec"), col("vec"))))).head()
         if (normRow.isNullAt(0)) return this // empty batch
         val incoming = normRow.getDouble(0)
-        require(incoming <= maxNorm * (1.0 + 1e-7),
+        require(incoming <= maxNorm,
           s"TokenPq.add: incoming max token norm $incoming exceeds the " +
             s"index's MIPS bound $maxNorm — rebuild with a larger " +
             "maxNormBound (normalized embeddings: bound 1.0 never trips)")
@@ -579,17 +590,22 @@ object LateInteraction {
       packId(col(dIdCol), col(tokIdxCol)).as("id"),
       col(vecCol).cast("array<float>").as("vec"))
     val m = if (maxNormBound > 0.0) {
+      // Store the bound PRE-inflated by the (1+1e-7) float slack — the
+      // Mips.maxNorm discipline. Norms here are computed over
+      // FLOAT-cast vectors, so a max-norm frame whose bound the caller
+      // computed in double can exceed it by one ulp of cast rounding;
+      // baking the slack into the STORED bound keeps the sqrt argument
+      // non-negative for such rows AND lets every later guard
+      // ([[TokenIvf.add]], [[TokenPq.add]]) compare EXACTLY against
+      // maxNorm instead of each loosening its own comparison.
+      val inflated = maxNormBound * (1.0 + 1e-7)
       val actual = rows.agg(
         max(sqrt(dot(col("vec"), col("vec"))))).head().getDouble(0)
-      // (1+1e-7) slack: `actual` is computed over FLOAT-cast vectors,
-      // so a legitimate max-norm frame whose bound the caller computed
-      // in double must not be refused by one ulp of cast rounding
-      // (the Mips.maxNorm slack, applied to the comparison)
-      require(actual <= maxNormBound * (1.0 + 1e-7),
+      require(actual <= inflated,
         s"buildTokenIvf: frame max token norm $actual exceeds " +
           s"maxNormBound=$maxNormBound — the augmentation would clamp " +
           "and mis-rank; raise the bound")
-      maxNormBound
+      inflated
     } else Mips.maxNorm(rows, "vec")
     val aug = Mips.augmentCorpus(rows, "vec", m)
     if (trainFraction >= 1.0)

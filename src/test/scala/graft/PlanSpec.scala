@@ -130,10 +130,10 @@ class PlanSpec extends SparkSpec {
         s"$what plans a Window:\n" + plan.toString.take(1200))
       // ADC's whole point is that only byte codes and (qid, id, distance)
       // triples move — a float-array column in a SHUFFLE means vectors
-      // started moving corpus-sized again. The IVFPQ probe frame carries
-      // the (residual-shifted) query vectors by design — the SQ8 serving
-      // shape, queries are the serving-sized side — so its check covers
-      // shuffles only; the flat-PQ LUT path stays fully array-free.
+      // started moving corpus-sized again. Both probe frames (IVFPQ's
+      // residual-shifted one and flat PQ's) carry the query vectors by
+      // design — the SQ8 serving shape, queries are the serving-sized
+      // BROADCAST side — so the check covers shuffles only.
       val exchanges = flatten(plan).collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
         case e: org.apache.spark.sql.execution.exchange.Exchange
@@ -148,8 +148,21 @@ class PlanSpec extends SparkSpec {
       }
     }
     val pq = graft.index.PQ.withCodebooks(emb, "vec_id", "embedding", cbs, params)
-    check(pq.searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10),
-      "PQ ADC", shuffleOnly = false)
+    val pqDf = pq.searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+    check(pqDf, "PQ ADC", shuffleOnly = true)
+    // flat PQ serves on the same fused kernel as IVFPQ (r14 swap off
+    // the mapPartitions LUT scan): the ADC distance must be the
+    // codegen expression, with no Dataset decode boundary in the scan
+    val pqPlan = pqDf.queryExecution.executedPlan.toString
+    // the distance Project sits directly inside a codegen stage ("*(n)
+    // Project [... pqadcexpr..."), not behind a MapPartitions decode
+    // (the in-plan encode pass upstream of the join is a Dataset map by
+    // design — build-side, not the serving scan)
+    assert(pqPlan.contains("Project [qid") && pqPlan.contains("pqadcexpr"),
+      "flat-PQ ADC distance is not the fused kernel:\n" + pqPlan.take(1200))
+    assert(!pqPlan.contains("MapPartitions"),
+      "flat-PQ ADC scan still crosses a mapPartitions decode boundary:\n" +
+        pqPlan.take(1200))
     val cents = SparkEntry.fixedCentroids(emb)
     val ivfpq = graft.index.IVFPQ.build(emb, "vec_id", "embedding", cents,
       Array.fill(cents.length)(Long.MaxValue), cbs, params)
