@@ -325,27 +325,65 @@ object MaxSimScaleSmoke extends Serializable {
       // residual codes, identical probe/candidate/rescore pipeline,
       // so wall + read deltas isolate the code scan and recall deltas
       // isolate the quantization. Same cap as the base serve row.
+      //
+      // RESIDENCY DISCIPLINE (lean by default, r14 — the r13 SQ8_LEAN
+      // control showed ~2× of the apparent SQ8-vs-float gap at 100M
+      // was exactly storage-stacking: the float tier's ~35 GB
+      // checkpoint evicting blocks under the compressed serve): every
+      // frame the float tier owns is consumed FIRST (compress ×2,
+      // then the part-C saves), the float checkpoint is dropped, and
+      // each compressed tier serves with ONLY its own inputs resident
+      // (its codes + the stage-2 token frame) — a serving benchmark,
+      // not a storage-stacking comparison. Each tier's code blocks
+      // are freed when its serve row is done (tracked by persistent-
+      // RDD id — localCheckpoint blocks have no DataFrame.unpersist
+      // handle).
+      val diskDirOpt =
+        if (sys.env.get("SPARK_GRAFT_MAXSIM_DISK").contains("1"))
+          Some(java.nio.file.Files.createTempDirectory("maxsimdisk").toString)
+        else None
+      var savedToDisk = false
+      def persistedDelta[T](f: => T): (T, Seq[Int]) = {
+        val before = spark.sparkContext.getPersistentRDDs.keySet
+        val r = f
+        val added = (spark.sparkContext.getPersistentRDDs.keySet -- before)
+        (r, added.toSeq)
+      }
+      def freeRdds(ids: Seq[Int]): Unit = {
+        val live = spark.sparkContext.getPersistentRDDs
+        ids.foreach(id => live.get(id).foreach(_.unpersist(true)))
+      }
       var bPqOpt: Option[operators.LateInteraction.TokenPq] = None
       if (sys.env.get("SPARK_GRAFT_MAXSIM_PQ").contains("1")) {
         val mAB = ms.head
         val cpAB = caps.head
-        val bSq8 = phase("b_sq8_compress") {
+        val (bSq8, sq8Blocks) = persistedDelta(phase("b_sq8_compress") {
           val c = bIvf.compress()
           c.copy(sq8 = c.sq8.copy(codes = c.sq8.codes.localCheckpoint(true)))
+        })
+        val (bPq, pqBlocks) = persistedDelta(phase("b_pq_compress") {
+          val c = bIvf.compressPq(graft.index.PQ.Params(m = 4, k = 256,
+            iterations = 4, seed = 7L),
+            codebookTrainFraction =
+              math.min(1.0, 2e6 / (nDocs * docLen).toDouble))
+          c.copy(pq = c.pq.copy(codes = c.pq.codes.localCheckpoint(true)))
+        })
+        bPqOpt = Some(bPq)
+        // the saves read the float tier / code frames — take them
+        // BEFORE the lean unpersist (part C reloads from disk)
+        diskDirOpt.foreach { dir =>
+          phase("c_save") {
+            operators.LateInteraction.saveTokens(bToks, dir)
+            bIvf.save(s"$dir/tivf")
+          }
+          phase("c_pq_save") { bPq.save(s"$dir/tpq") }
+          savedToDisk = true
         }
-        // SPARK_GRAFT_MAXSIM_SQ8_LEAN=1: residency-vs-kernel control
-        // for the SQ8 serve wall — drop the float tier's ~35 GB
-        // checkpoint before the SQ8 serve (it is not an input of that
-        // phase: stage 1 reads sq8 codes, stage 2 reads bToks). If the
-        // wall tracks residency, this run serves at float speed; if it
-        // tracks the kernel, the wall stays. Skips the PQ phases
-        // (compressPq needs the dropped frame).
-        val sq8Lean = sys.env.get("SPARK_GRAFT_MAXSIM_SQ8_LEAN")
-          .contains("1")
-        if (sq8Lean) bIvf.ivf.indexed.unpersist(true)
+        // lean point: nothing downstream reads the float tier's
+        // cluster-assigned checkpoint (stage 2 reads bToks)
+        bIvf.ivf.indexed.unpersist(true)
         val sqTag = s"b_sq8_serve_p${nprobeB}_m$mAB" +
-          (if (cpAB > 0) s"_c$cpAB" else "") +
-          (if (sq8Lean) "_lean" else "")
+          (if (cpAB > 0) s"_c$cpAB" else "")
         phase(sqTag) {
           val top = operators.LateInteraction.maxSimSq8(bQ, "qid",
             "tok_idx", "vec", bToks, "doc_id", "vec", bSq8, k = 10,
@@ -354,15 +392,7 @@ object MaxSimScaleSmoke extends Serializable {
           out += sqTag.replace("b_sq8_serve", "b_sq8_recall_at1") ->
             f"${recallAt1(top, bTruth)}%.3f"
         }
-        if (!sq8Lean) {
-        val bPq = phase("b_pq_compress") {
-          val c = bIvf.compressPq(graft.index.PQ.Params(m = 4, k = 256,
-            iterations = 4, seed = 7L),
-            codebookTrainFraction =
-              math.min(1.0, 2e6 / (nDocs * docLen).toDouble))
-          c.copy(pq = c.pq.copy(codes = c.pq.codes.localCheckpoint(true)))
-        }
-        bPqOpt = Some(bPq)
+        freeRdds(sq8Blocks)
         val pqTag = s"b_pq_serve_p${nprobeB}_m$mAB" +
           (if (cpAB > 0) s"_c$cpAB" else "")
         phase(pqTag) {
@@ -373,7 +403,7 @@ object MaxSimScaleSmoke extends Serializable {
           out += pqTag.replace("b_pq_serve", "b_pq_recall_at1") ->
             f"${recallAt1(top, bTruth)}%.3f"
         }
-        }
+        freeRdds(pqBlocks)
       }
       // ------- part C: ONLINE serving from the saved artifacts -------
       // SPARK_GRAFT_MAXSIM_DISK=1: save the doc-clustered token frame
@@ -383,10 +413,10 @@ object MaxSimScaleSmoke extends Serializable {
       // should be seek-sized (read_mb ≪ stored bytes): stage 1
       // partition-prunes probed cells on the tier layout, stage 2
       // row-group-prunes candidate docs via the pushed In(doc_id).
-      if (sys.env.get("SPARK_GRAFT_MAXSIM_DISK").contains("1")) {
-        val dir = java.nio.file.Files.createTempDirectory("maxsimdisk")
-          .toString
-        phase("c_save") {
+      diskDirOpt.foreach { dir =>
+        // the A/B path already saved (before its lean unpersist);
+        // without the A/B the float tier is still resident here
+        if (!savedToDisk) phase("c_save") {
           operators.LateInteraction.saveTokens(bToks, dir)
           bIvf.save(s"$dir/tivf")
         }
@@ -413,8 +443,9 @@ object MaxSimScaleSmoke extends Serializable {
         // cluster-partitioned 4 B/token codes + the same doc-clustered
         // token frame — stage 1's disk read shrinks with the code
         // bytes (~17× under the float tier at m=4), stage 2 unchanged
-        bPqOpt.foreach { bPq =>
-          phase("c_pq_save") { bPq.save(s"$dir/tpq") }
+        bPqOpt.foreach { _ =>
+          // saved in the A/B block (c_pq_save), before its code blocks
+          // were freed — reload only
           val pqD = operators.LateInteraction.loadTokenPq(spark,
             s"$dir/tpq")
           for (nb <- Seq(1, 5, 50)) {

@@ -3758,6 +3758,35 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Post-takedown probe repair on the multi-vector ANN TIER: after
+    // the same ≥50 takedown as maxsim_ivf_remove, rebalance moves the
+    // centroids to the SURVIVING token mass (Lloyd's update→assign ×2)
+    // and recounts cell sizes — the remedy remove's own doc
+    // prescribes, now reachable on the tier. Correctness is
+    // probe-placement-invariant at probe-all (every cell scanned
+    // regardless of where rebalanced centroids landed), so the
+    // repaired tier replays the same 50-doc exhaustive oracle; the
+    // recall-at-fixed-nprobe recovery is the LateInteractionSpec gate.
+    "maxsim_ivf_rebalance" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").filter(col("doc_id") < 60)
+      val dToks = LateInteraction.tokenVectors(docs, "doc_id", "text")
+        .localCheckpoint(true) // feeds build + rescore
+      val qToks = LateInteraction.tokenVectors(
+          docs.filter(col("doc_id") < 3), "doc_id", "text")
+        .withColumnRenamed("doc_id", "qid")
+      val nCells = 8
+      val idx = LateInteraction.buildTokenIvf(dToks, "doc_id", "tok_idx",
+          "vec", IVFFlat.Params(k = nCells, numAttempts = 1, maxIterations = 5))
+        .remove(docs.filter(col("doc_id") >= 50).select(col("doc_id")),
+          "doc_id")
+        .rebalance(iterations = 2)
+      val kept = dToks.filter(col("doc_id") < 50)
+      val m = kept.count().toInt
+      LateInteraction.maxSimIvf(qToks, "qid", "tok_idx", "vec",
+          kept, "doc_id", "vec", idx, k = 10, m = m, nprobe = nCells)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Shard-merge on the multi-vector ANN TIER — the distributed
     // build's landing face (build per corpus shard, merge the shards;
     // the token tier's last missing lifecycle op). The two halves
@@ -7633,6 +7662,9 @@ object SparkEntry {
     // the trimmed tier (doc-level TokenIvf.remove of [50,60)) ends at
     // the 50-doc corpus exactly — the same bounded replay
     "maxsim_ivf_remove" -> maxSimSqlCorpus("WHERE doc_id < 50"),
+    // rebalance after the same takedown: probe-all is placement-
+    // invariant, so the repaired tier replays the identical corpus
+    "maxsim_ivf_rebalance" -> maxSimSqlCorpus("WHERE doc_id < 50"),
     // merged shard tiers at probe-all ≡ one build over the union —
     // the same bounded-corpus exhaustive replay
     "maxsim_ivf_merge" -> maxSimSqlCorpus("WHERE doc_id < 50"),

@@ -97,26 +97,41 @@ object SQ8 {
       val bc = spark.sparkContext.broadcast((centroids, clusterSizes))
       import spark.implicits._
       val rot = rotated
-      val probes = queries
+      // probe in the original frame; carry the code-frame query. The
+      // kernel widens each element to double in-register, so the
+      // NON-rotated probe row keeps the query FLOAT — bit-identical
+      // distances at half the broadcast/build-row width (the probe row
+      // is re-read once per joined code row, so its width is hot-loop
+      // memory traffic, not just broadcast size). Rotation happens in
+      // double (rotateD is the exact frame the codes were quantized
+      // in), so the rotated probe row must stay double-widened.
+      val qBase = queries
         .select(col(qIdCol).cast("long").as("qid"),
                 col(qVecCol).cast("array<float>").as("qvec"))
         .as[(Long, Array[Float])]
-        .flatMap { case (qid, qvec) =>
+      val probes = (if (rot) {
+        qBase.flatMap { case (qid, qvec) =>
           val (cents, sizes) = bc.value
           // dim guard: the byte kernels score the shorter prefix on a
           // mismatch (see BqMath caveat) — fail loudly instead
           require(qvec.length == cents(0).length,
             s"SQ8 query dim ${qvec.length} != index dim ${cents(0).length}")
-          // probe in the original frame; carry the code-frame query
-          // (double-widened — exact — and rotated iff the codes are)
           val qd = new Array[Double](qvec.length)
           var i = 0
           while (i < qvec.length) { qd(i) = qvec(i).toDouble; i += 1 }
-          val qf = if (rot) graft.functions.Rotate.rotateD(qd) else qd
+          val qf = graft.functions.Rotate.rotateD(qd)
           IVFFlat.probeOrder(cents, sizes, qvec, k, nprobe)
             .map(c => (qid, qf, c))
-        }
-        .toDF("qid", "qvec", "cluster")
+        }.toDF("qid", "qvec", "cluster")
+      } else {
+        qBase.flatMap { case (qid, qvec) =>
+          val (cents, sizes) = bc.value
+          require(qvec.length == cents(0).length,
+            s"SQ8 query dim ${qvec.length} != index dim ${cents(0).length}")
+          IVFFlat.probeOrder(cents, sizes, qvec, k, nprobe)
+            .map(c => (qid, qvec, c))
+        }.toDF("qid", "qvec", "cluster")
+      })
         // feeds the cell-collect probe AND the join — compute once
         .localCheckpoint(true)
       // small-batch scan pruning (the IVFFlat.searchMany idiom): a
@@ -163,23 +178,34 @@ object SQ8 {
       import spark.implicits._
       val rot = rotated
       // k = 1: adaptive cumulative-size widening is a top-k concept;
-      // range search probes exactly the nprobe nearest cells
-      val probes = queries
+      // range search probes exactly the nprobe nearest cells. Probe-row
+      // width discipline as in [[searchMany]]: float query unless the
+      // codes are rotated (rotation is exact only in double).
+      val qBase = queries
         .select(col(qIdCol).cast("long").as("qid"),
                 col(qVecCol).cast("array<float>").as("qvec"))
         .as[(Long, Array[Float])]
-        .flatMap { case (qid, qvec) =>
+      val probes = (if (rot) {
+        qBase.flatMap { case (qid, qvec) =>
           val (cents, sizes) = bc.value
           require(qvec.length == cents(0).length,
             s"SQ8 query dim ${qvec.length} != index dim ${cents(0).length}")
           val qd = new Array[Double](qvec.length)
           var i = 0
           while (i < qvec.length) { qd(i) = qvec(i).toDouble; i += 1 }
-          val qf = if (rot) graft.functions.Rotate.rotateD(qd) else qd
+          val qf = graft.functions.Rotate.rotateD(qd)
           IVFFlat.probeOrder(cents, sizes, qvec, 1, nprobe)
             .map(c => (qid, qf, c))
-        }
-        .toDF("qid", "qvec", "cluster")
+        }.toDF("qid", "qvec", "cluster")
+      } else {
+        qBase.flatMap { case (qid, qvec) =>
+          val (cents, sizes) = bc.value
+          require(qvec.length == cents(0).length,
+            s"SQ8 query dim ${qvec.length} != index dim ${cents(0).length}")
+          IVFFlat.probeOrder(cents, sizes, qvec, 1, nprobe)
+            .map(c => (qid, qvec, c))
+        }.toDF("qid", "qvec", "cluster")
+      })
       codes.join(broadcast(probes), Seq("cluster"))
         .select(col("qid"), col("id"),
           Sq8Math.sq8Dist(col("codes"), col("lo"), col("scale"),

@@ -354,6 +354,21 @@ object LateInteraction {
       * where undercounts widen probes). Serve with an explicit
       * `nprobe` (as [[maxSimIvf]] does) or rebalance after large
       * takedowns. Lineage compacts on the shared cadence. */
+    /** Post-takedown probe repair — the remedy [[remove]]'s own doc
+      * prescribes, reachable ON the tier: re-run Lloyd's update→assign
+      * `iterations` times over the REMAINING augmented token rows and
+      * recount cell sizes ([[graft.index.IVFFlat.Model.rebalance]]
+      * verbatim; the MIPS bound is untouched — rebalancing moves
+      * centroids, never norms, and every surviving row was augmented
+      * under the stored bound). Adaptive probing then sees true cell
+      * populations again instead of the frozen OVERestimates a large
+      * takedown leaves. The [[TokenPq]] tier has no such face: lossy
+      * codes cannot re-encode under moved centroids — rebalance the
+      * float tier and [[compressPq]] again (the merge routing, same
+      * reason). */
+    def rebalance(iterations: Int = 1): TokenIvf =
+      copy(ivf = ivf.rebalance(iterations))
+
     def remove(ids: DataFrame, idCol: String): TokenIvf = {
       val del = ids.select(col(idCol).cast("long").as("_did"))
       val (df, n) = graft.index.Lineage.compact(
@@ -488,7 +503,10 @@ object LateInteraction {
     * shards' [[TokenIvf]]s (which reconciles MIPS bounds by
     * re-augmenting — impossible on lossy codes) and [[TokenIvf
     * .compressPq]] the merged tier; two TokenPq artifacts with
-    * different bounds or grids cannot be merged code-wise. */
+    * different bounds or grids cannot be merged code-wise. REBALANCE
+    * routes the same way ([[TokenIvf.rebalance]] on the float tier,
+    * then re-[[TokenIvf.compressPq]]): moved centroids change every
+    * residual, and lossy codes cannot re-encode themselves. */
   case class TokenPq(pq: graft.index.IVFPQ.Model, maxNorm: Double) {
     def save(dir: String): Unit = {
       pq.save(s"$dir/ivfpq")

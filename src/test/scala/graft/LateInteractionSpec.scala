@@ -403,6 +403,61 @@ class LateInteractionSpec extends SparkSpec {
     ivf.ivf.indexed.unpersist()
   }
 
+  test("TokenIvf.rebalance: post-takedown sizes recount; probe-all stays exact; fixed-nprobe serve covers >= the stale tier") {
+    // remove 30% of docs (doc_id >= 28), then repair: rebalance must
+    // (a) recount cell sizes to the SURVIVING population — the stale
+    // tier's frozen sizes overestimate, which narrows adaptive
+    // probing (remove's documented drift) — and (b) stay exact at
+    // probe-all (probe placement is irrelevant when every cell is
+    // scanned)
+    val kept = dToks.filter(col("doc_id") < 28)
+    val keptRows = dTokRows.count(_._1 < 28)
+    val stale = LateInteraction.buildTokenIvf(dToks, "doc_id", "tok_idx",
+        "vec", graft.index.IVFFlat.Params(k = 4, numAttempts = 1,
+          maxIterations = 5))
+      .remove(dToks.filter(col("doc_id") >= 28).select(col("doc_id"))
+        .distinct(), "doc_id")
+    assert(stale.ivf.clusterSizes.sum == dTokRows.size.toLong,
+      "precondition: remove leaves sizes frozen at the pre-takedown count")
+    val repaired = stale.rebalance(iterations = 2)
+    assert(repaired.maxNorm == stale.maxNorm,
+      "rebalance must not touch the MIPS bound")
+    assert(repaired.ivf.clusterSizes.sum == keptRows.toLong)
+    val actual = repaired.ivf.indexed.groupBy("cluster").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    repaired.ivf.clusterSizes.zipWithIndex.foreach { case (sz, c) =>
+      assert(sz == actual.getOrElse(c, 0L), s"cell $c size drifted")
+    }
+    val exact = asMapOf(LateInteraction.maxSim(qToks, "qid", "tok_idx",
+      "vec", kept, "doc_id", "vec", k = 7))
+    val got = asMapOf(LateInteraction.maxSimIvf(qToks, "qid", "tok_idx",
+      "vec", kept, "doc_id", "vec", repaired, k = 7, m = dTokRows.size,
+      nprobe = 4))
+    assert(got == exact)
+    // the drift remove documents, pinned deterministically: with the
+    // SAME centroids, frozen (overestimated) sizes make adaptive
+    // probing reach its cumulative-k coverage sooner, so its probe
+    // set is a PREFIX of the true-sizes probe set — the narrowing a
+    // rebalance (which recounts sizes) repairs
+    val trueSizes = {
+      val m = stale.ivf.indexed.groupBy("cluster").count().collect()
+        .map(rr => rr.getInt(0) -> rr.getLong(1)).toMap
+      Array.tabulate(stale.ivf.params.k)(c => m.getOrElse(c, 0L))
+    }
+    qTokRows.take(5).foreach { case (_, _, v) =>
+      val q = v.map(_.toFloat) :+ 0f // augmented-frame query, [q, 0]
+      val narrow = graft.index.IVFFlat.probeOrder(stale.ivf.centroids,
+        stale.ivf.clusterSizes, q, 7, 1)
+      val wide = graft.index.IVFFlat.probeOrder(stale.ivf.centroids,
+        trueSizes, q, 7, 1)
+      assert(narrow.length <= wide.length,
+        "overestimated sizes must never probe MORE cells")
+      assert(wide.take(narrow.length) == narrow,
+        "probe widening must keep the distance-order prefix")
+    }
+    Seq(stale, repaired).foreach(_.ivf.indexed.unpersist())
+  }
+
   test("TokenIvf.merge: two half-corpus tiers == one build; differing maxNorms re-augment") {
     val exact = asMapOf(LateInteraction.maxSim(qToks, "qid", "tok_idx",
       "vec", dToks, "doc_id", "vec", k = 7))
