@@ -43,6 +43,15 @@ object MaxSimScaleSmoke extends Serializable {
     x ^ (x >>> 31)
   }
 
+  /** Deterministic standard gaussian via Box–Muller over two hash
+    * uniforms (the RotScaleSmoke generator's primitive). */
+  @inline private def gauss(seed: Long): Double = {
+    val u1 = ((mix64(seed) >>> 11).toDouble + 0.5) / (1L << 53).toDouble
+    val u2 = ((mix64(seed ^ 0x9E3779B97F4A7C15L) >>> 11).toDouble + 0.5) /
+      (1L << 53).toDouble
+    math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+  }
+
   def main(args: Array[String]): Unit = {
     val nDocs = if (args.length > 0) args(0).toLong else 1000000L
     val docLen = 100
@@ -257,6 +266,47 @@ object MaxSimScaleSmoke extends Serializable {
           m = 1024, nprobe = 32)
         out += "a_ingest_recall_at1" -> f"${recallAt1(top, aTruth)}%.3f"
       }
+      // PQ-TIER streaming ingest (SPARK_GRAFT_MAXSIM_PQ=1 too): the
+      // ingestIntoTokenPq foreachBatch body at scale — arriving token
+      // batches ENCODE against the seed's frozen coarse grid +
+      // codebooks (IVFPQ.add's fused assign+encode pass; 4 B/token
+      // written per row), trustedBound skips the per-microbatch norm
+      // guard. rows/s + serve-snapshot recall against the same truth.
+      if (sys.env.get("SPARK_GRAFT_MAXSIM_PQ").contains("1")) {
+        val seedPq = phase("a_pq_ingest_seed") {
+          seed.compressPq(graft.index.PQ.Params(m = 4, k = 256,
+            iterations = 4, seed = 7L),
+            codebookTrainFraction =
+              math.min(1.0, 2e6 / (seedDocs * docLen).toDouble))
+        }
+        var livePq = seedPq
+        phase("a_pq_ingest") {
+          val raw = corpusOf(nA, vocabA)
+          val (nCodes, tI) = timed {
+            (0 until nBatches).foreach { b =>
+              val lo = seedDocs + b * perBatch
+              val hi = if (b == nBatches - 1) nA else lo + perBatch
+              val part = operators.LateInteraction.tokenVectors(
+                  raw.filter(col("doc_id") >= lo && col("doc_id") < hi),
+                  "doc_id", "text")
+                .localCheckpoint(true)
+              livePq = livePq.add(part, "doc_id", "tok_idx", "vec",
+                trustedBound = true)
+            }
+            livePq.pq.codes.count()
+          }
+          val ingested = (nA - seedDocs) * docLen
+          out += "a_pq_ingest_codes_total" -> nCodes.toString
+          out += "a_pq_ingest_rows_per_s" -> f"${ingested.toDouble / tI}%.0f"
+        }
+        phase("a_pq_ingest_serve") {
+          val top = operators.LateInteraction.maxSimPq(aQ, "qid",
+            "tok_idx", "vec", aToks, "doc_id", "vec", livePq, k = 10,
+            m = 1024, nprobe = 32)
+          out += "a_pq_ingest_recall_at1" ->
+            f"${recallAt1(top, aTruth)}%.3f"
+        }
+      }
       seed.ivf.indexed.unpersist()
     }
     aIvf.ivf.indexed.unpersist()
@@ -266,14 +316,61 @@ object MaxSimScaleSmoke extends Serializable {
     if (nDocs > nA) {
       // vocab ∝ corpus keeps per-term multiplicity ~200 (see scaladoc)
       val vocabB = nDocs * docLen / 200L
+      // SPARK_GRAFT_MAXSIM_SPECTRUM=1: generate the eval token frame
+      // from the decaying-spectrum CLUSTERED distribution (the
+      // RotScaleSmoke generator, reshaped to token bags) instead of
+      // the hash-derived uniform synthetic. The uniform corpus
+      // tie-crowds at 100M tokens — distinct terms collide into
+      // IDENTICAL token vectors, so every tier's recall row reads the
+      // same 0.54–0.62 plateau and quantization-recall differences are
+      // unreadable at exactly the scale they matter. Continuous
+      // clustered vectors have no ties: the float/SQ8/PQ recall rows
+      // separate, and a tier > 0.05 under float at equal config is a
+      // findable regression. Queries are 10 VERBATIM tokens of a base
+      // doc (the same truth construction — the base doc holds the
+      // per-token self-dot maximum, so rank 1 is the expected truth).
+      val spectrum =
+        sys.env.get("SPARK_GRAFT_MAXSIM_SPECTRUM").contains("1")
+      val dimT = 16
+      val nClustersT = 256
+      lazy val bcTokCenters = spark.sparkContext.broadcast(
+        Array.tabulate(nClustersT)(c => Array.tabulate(dimT)(j =>
+          gauss(0xC0FFEEL + c * 7919L + j * 104729L + seed) /
+            (1.0 + j / 2.0))))
+      def spectrumToks(n: Long): org.apache.spark.sql.DataFrame =
+        spark.range(n * docLen).as[Long].mapPartitions { it =>
+          val cents = bcTokCenters.value
+          it.map { tokId =>
+            val c = math.floorMod(mix64(tokId ^ 0xABCDEFL),
+              nClustersT.toLong).toInt
+            val v = Array.tabulate(dimT) { j =>
+              cents(c)(j) +
+                0.35 * gauss(tokId * 1315423911L + j * 2654435761L +
+                  seed) / (1.0 + j / 2.0)
+            }
+            (tokId / docLen, tokId % docLen, v)
+          }
+        }.toDF("doc_id", "tok_idx", "vec")
+      if (spectrum) out += "b_spectrum" -> "1"
       val bToks = phase("b_embed") {
-        val t = operators.LateInteraction
-          .tokenVectors(corpusOf(nDocs, vocabB), "doc_id", "text")
+        val t = (if (spectrum) spectrumToks(nDocs)
+          else operators.LateInteraction
+            .tokenVectors(corpusOf(nDocs, vocabB), "doc_id", "text"))
           .localCheckpoint(true)
         out += "b_corpus_tokens" -> t.count().toString
         t
       }
-      val (bQ, bTruth) = queriesOf(nDocs, vocabB, 99173L)
+      val (bQ, bTruth) = if (spectrum) {
+        val basesDf = (0 until nq)
+          .map(j => (j.toLong, (j * 99173L) % nDocs))
+          .toDF("qid", "base")
+        val qT = basesDf
+          .join(bToks, basesDf("base") === bToks("doc_id") &&
+            bToks("tok_idx") < 10)
+          .select(col("qid"), col("tok_idx"), col("vec"))
+          .localCheckpoint(true)
+        (qT, basesDf)
+      } else queriesOf(nDocs, vocabB, 99173L)
       val kB = 1024
       val bIvf = phase("b_ivf_build") {
         operators.LateInteraction.buildTokenIvf(bToks, "doc_id", "tok_idx",
