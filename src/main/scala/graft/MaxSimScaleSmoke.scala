@@ -405,15 +405,33 @@ object MaxSimScaleSmoke extends Serializable {
       val caps = sys.env.get("SPARK_GRAFT_MAXSIM_CAP")
         .map(_.split(",").map(_.trim.toInt).toSeq)
         .getOrElse(Seq(0))
+      // Every tier A/B serve row is measured TWICE: the first pass
+      // re-warms storage-block residency (at 100M tokens the resident
+      // frames oversubscribe the heap's storage pool, so whichever
+      // phase runs first after a big scan pays block re-reads — the
+      // r13 "SQ8 serve wall" was exactly this measurement-order
+      // artifact, isolated r14 by interleaved repeats: sq8 114→47→36 s
+      // with float controls degrading identically in between), and the
+      // _warm row is the steady-state serving benchmark.
+      def servedTwice(tag: String)(f: => org.apache.spark.sql.DataFrame)
+      : Unit = {
+        phase(tag) {
+          out += tag.replace("_serve", "_recall_at1") ->
+            f"${recallAt1(f, bTruth)}%.3f"
+        }
+        phase(tag + "_warm") { f.count() }
+      }
       for (np <- probes; mm <- ms; cp <- caps) {
         val tag = s"b_ivf_serve_p${np}_m$mm" + (if (cp > 0) s"_c$cp" else "")
-        phase(tag) {
-          val top = operators.LateInteraction.maxSimIvf(bQ, "qid",
-            "tok_idx", "vec", bToks, "doc_id", "vec", bIvf, k = 10,
-            m = mm, nprobe = np,
-            cap = if (cp > 0) cp else Int.MaxValue)
+        val warmToo = np == probes.head && mm == ms.head && cp == caps.head
+        def serve() = operators.LateInteraction.maxSimIvf(bQ, "qid",
+          "tok_idx", "vec", bToks, "doc_id", "vec", bIvf, k = 10,
+          m = mm, nprobe = np,
+          cap = if (cp > 0) cp else Int.MaxValue)
+        if (warmToo) servedTwice(tag)(serve())
+        else phase(tag) {
           out += tag.replace("b_ivf_serve", "b_ivf_recall_at1") ->
-            f"${recallAt1(top, bTruth)}%.3f"
+            f"${recallAt1(serve(), bTruth)}%.3f"
         }
       }
       // SQ8-vs-residual-PQ at EQUAL m/nprobe at scale
@@ -481,25 +499,17 @@ object MaxSimScaleSmoke extends Serializable {
         bIvf.ivf.indexed.unpersist(true)
         val sqTag = s"b_sq8_serve_p${nprobeB}_m$mAB" +
           (if (cpAB > 0) s"_c$cpAB" else "")
-        phase(sqTag) {
-          val top = operators.LateInteraction.maxSimSq8(bQ, "qid",
-            "tok_idx", "vec", bToks, "doc_id", "vec", bSq8, k = 10,
-            m = mAB, nprobe = nprobeB,
-            cap = if (cpAB > 0) cpAB else Int.MaxValue)
-          out += sqTag.replace("b_sq8_serve", "b_sq8_recall_at1") ->
-            f"${recallAt1(top, bTruth)}%.3f"
-        }
+        servedTwice(sqTag)(operators.LateInteraction.maxSimSq8(bQ, "qid",
+          "tok_idx", "vec", bToks, "doc_id", "vec", bSq8, k = 10,
+          m = mAB, nprobe = nprobeB,
+          cap = if (cpAB > 0) cpAB else Int.MaxValue))
         freeRdds(sq8Blocks)
         val pqTag = s"b_pq_serve_p${nprobeB}_m$mAB" +
           (if (cpAB > 0) s"_c$cpAB" else "")
-        phase(pqTag) {
-          val top = operators.LateInteraction.maxSimPq(bQ, "qid",
-            "tok_idx", "vec", bToks, "doc_id", "vec", bPq, k = 10,
-            m = mAB, nprobe = nprobeB,
-            cap = if (cpAB > 0) cpAB else Int.MaxValue)
-          out += pqTag.replace("b_pq_serve", "b_pq_recall_at1") ->
-            f"${recallAt1(top, bTruth)}%.3f"
-        }
+        servedTwice(pqTag)(operators.LateInteraction.maxSimPq(bQ, "qid",
+          "tok_idx", "vec", bToks, "doc_id", "vec", bPq, k = 10,
+          m = mAB, nprobe = nprobeB,
+          cap = if (cpAB > 0) cpAB else Int.MaxValue))
         freeRdds(pqBlocks)
       }
       // ------- part C: ONLINE serving from the saved artifacts -------
