@@ -333,13 +333,19 @@ object MaxSimScaleSmoke extends Serializable {
         sys.env.get("SPARK_GRAFT_MAXSIM_SPECTRUM").contains("1")
       val dimT = 16
       val nClustersT = 256
-      lazy val bcTokCenters = spark.sparkContext.broadcast(
-        Array.tabulate(nClustersT)(c => Array.tabulate(dimT)(j =>
-          gauss(0xC0FFEEL + c * 7919L + j * 104729L + seed) /
-            (1.0 + j / 2.0))))
-      def spectrumToks(n: Long): org.apache.spark.sql.DataFrame =
+      // broadcast materialized DRIVER-side before any closure captures
+      // it (a lazy val would be forced on the executor, where the
+      // deserialized session has no context)
+      val bcTokCenters =
+        if (spectrum) Some(spark.sparkContext.broadcast(
+          Array.tabulate(nClustersT)(c => Array.tabulate(dimT)(j =>
+            gauss(0xC0FFEEL + c * 7919L + j * 104729L + seed) /
+              (1.0 + j / 2.0)))))
+        else None
+      def spectrumToks(n: Long): org.apache.spark.sql.DataFrame = {
+        val bc = bcTokCenters.get
         spark.range(n * docLen).as[Long].mapPartitions { it =>
-          val cents = bcTokCenters.value
+          val cents = bc.value
           it.map { tokId =>
             val c = math.floorMod(mix64(tokId ^ 0xABCDEFL),
               nClustersT.toLong).toInt
@@ -348,9 +354,17 @@ object MaxSimScaleSmoke extends Serializable {
                 0.35 * gauss(tokId * 1315423911L + j * 2654435761L +
                   seed) / (1.0 + j / 2.0)
             }
-            (tokId / docLen, tokId % docLen, v)
+            // L2-normalize (the ColBERT token contract): the query's
+            // verbatim self-token then attains the per-token MAXIMUM
+            // dot (1.0) — the base doc IS the exact MaxSim truth, with
+            // no unnormalized-MIPS "some high-norm token beats the
+            // self-dot" failure and no hash-corpus tie plateau
+            val nrm = math.sqrt(v.map(x => x * x).sum)
+            val u = v.map(x => x / nrm)
+            (tokId / docLen, tokId % docLen, u)
           }
         }.toDF("doc_id", "tok_idx", "vec")
+      }
       if (spectrum) out += "b_spectrum" -> "1"
       val bToks = phase("b_embed") {
         val t = (if (spectrum) spectrumToks(nDocs)
