@@ -76,7 +76,7 @@ private[graft] object Batches {
     val max = math.max(1L, math.min(maxRows.toLong,
       budgetFloats / math.max(1L, floatsPerRow)))
     require(ds.limit((max + 1).toInt).count() <= max,
-      s"$what exceeds the serving broadcast budget ($max rows at " +
+      s"$what exceeds the serving budget, broadcast-scaled ($max rows at " +
         s"$floatsPerRow broadcast floats/row — $budgetFloats floats " +
         s"total, conf $MaxBatchKey rows × $NominalRowFloats): this " +
         "entry point broadcasts O(rows × floats/row) to every " +
