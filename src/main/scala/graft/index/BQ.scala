@@ -136,6 +136,18 @@ object BQ {
       * under residual coding it is the PER-CELL residual q − centroid
       * with `qc2` = ‖q − centroid‖² — each probe row carries the query
       * frame its cell was coded in (qc2 is 0 when not residual). */
+    /** Broadcast-budget gate for the entry points that BROADCAST their
+      * probe frame: nprobe probe copies per query, each carrying the
+      * double-widened qvec at the code frame's (possibly FWHT-padded)
+      * width — the [[Batches.boundedCheckScaled]] fan-out. NOT applied
+      * inside [[probeFrame]] itself: [[knnJoinAsym]]'s default face
+      * shuffles the same frame for corpus-sized query sides, where a
+      * batch gate would wrongly refuse the distributed path. */
+    private def gateProbeBroadcast(queries: DataFrame, what: String,
+                                   nprobe: Int): Unit =
+      Batches.boundedCheckScaled(queries, what,
+        nprobe.toLong * 2L * codeDim)
+
     private def probeFrame(queries: DataFrame, qIdCol: String, qVecCol: String,
                            k: Int, nprobe: Int): DataFrame = {
       val spark = queries.sparkSession
@@ -192,6 +204,7 @@ object BQ {
     def searchMany(queries: DataFrame, qIdCol: String, qVecCol: String,
                    k: Int, nprobe: Int = 2): DataFrame = {
       requireSymmetricComparable()
+      gateProbeBroadcast(queries, "BQ.searchMany probe frame", nprobe)
       val probes = probeFrame(queries, qIdCol, qVecCol, k, nprobe)
       topKPerQuery(
         codes.join(broadcast(probes), Seq("cluster"))
@@ -209,6 +222,7 @@ object BQ {
       * i.e. r ≈ ‖r‖·sign(r)/√d substituted into ‖(q−c) − r‖². */
     def searchManyAsym(queries: DataFrame, qIdCol: String, qVecCol: String,
                        k: Int, nprobe: Int = 2): DataFrame = {
+      gateProbeBroadcast(queries, "BQ.searchManyAsym probe frame", nprobe)
       val probes = probeFrame(queries, qIdCol, qVecCol, k, nprobe)
       val scored = codes.join(broadcast(probes), Seq("cluster"))
       val dist =
@@ -241,6 +255,9 @@ object BQ {
       // is then scanned in place instead of co-shuffled with the
       // probes (344 MB at 10M codes). Keep false for corpus-sized
       // query sides: a corpus×nprobe probe frame must not broadcast.
+      if (broadcastProbes)
+        gateProbeBroadcast(queries,
+          "BQ.knnJoinAsym probe frame (broadcastProbes=true)", nprobe)
       val probes0 = probeFrame(queries, qIdCol, qVecCol, k, nprobe)
       val probes = if (broadcastProbes) broadcast(probes0) else probes0
       val scored = codes.join(probes, Seq("cluster"))
@@ -309,6 +326,12 @@ object BQ {
                           k: Int, factor: Int,
                           corpus: DataFrame, cIdCol: String, cVecCol: String,
                           nprobe: Int = 2): DataFrame = {
+      // the re-rank probe broadcasts k·factor shortlist rows per query,
+      // each joined to the raw-dim float qvec (searchManyAsym gates its
+      // own probe frame inside)
+      Batches.boundedCheckScaled(queries,
+        "BQ.searchManyRefined shortlist probe",
+        k.toLong * factor * centroids(0).length)
       val spark = queries.sparkSession
       import spark.implicits._
       val shortlist = searchManyAsym(queries, qIdCol, qVecCol, k * factor, nprobe)
@@ -351,7 +374,11 @@ object BQ {
                            corpus: DataFrame, cIdCol: String, cVecCol: String,
                            slack: Double = Double.PositiveInfinity,
                            nprobe: Int = 2): DataFrame = {
-      // k = 1: range search probes exactly the nprobe nearest cells
+      // k = 1: range search probes exactly the nprobe nearest cells.
+      // (The shortlist broadcast below is data-dependent — estimate-
+      // filtered probed candidates, no static per-query bound — so the
+      // probe gate on the query batch is the enforceable contract.)
+      gateProbeBroadcast(queries, "BQ.rangeSearchRefined probe frame", nprobe)
       val probes = probeFrame(queries, qIdCol, qVecCol, 1, nprobe)
       val scored = codes.join(broadcast(probes), Seq("cluster"))
       val est =

@@ -84,6 +84,22 @@ private[graft] object Batches {
         DefaultRemedy)
   }
 
+  /** Footprint assert for an ALREADY-collected (row-gated) batch that
+    * broadcasts in chunks: rows × floatsPerRow of the largest chunk
+    * must fit the float budget. Pure arithmetic — no job; the row
+    * count is known driver-side. Keeps "row gate passed" implying
+    * "bounded broadcast" when per-row width (dim) is large or the
+    * caller widened the chunk size. */
+  def requireChunkFloats(ds: Dataset[_], what: String,
+                         rows: Long, floatsPerRow: Long): Unit = {
+    val budgetFloats = maxBatch(ds).toLong * NominalRowFloats
+    require(rows * floatsPerRow <= budgetFloats,
+      s"$what exceeds the serving budget, broadcast-scaled ($rows rows × " +
+        s"$floatsPerRow broadcast floats/row > $budgetFloats floats, conf " +
+        s"$MaxBatchKey rows × $NominalRowFloats): shrink the chunk size " +
+        "(qChunk) or the batch. " + DefaultRemedy)
+  }
+
   private def message(what: String, max: Int, remedy: String): String =
     s"$what exceeds the driver-collect serving budget ($max rows, " +
       s"conf $MaxBatchKey): this entry point collects and broadcasts " +

@@ -88,6 +88,22 @@ object PQ {
         .as[(Long, Array[Float])], "PQ.searchMany query")
       if (qRows.isEmpty)
         return spark.emptyDataset[(Long, Long, Double)].toDF("qid", "id", "distance")
+      // Fail-loudly dim guard (the IVFPQ/SQ8.searchMany convention): the
+      // codegen ADC kernel reads qvec[off+i] UNchecked on UnsafeArrayData,
+      // so a wrong-dim query (unpadded / unaugmented) would silently
+      // score garbage instead of crashing like the old JVM-array path.
+      qRows.foreach { case (qid, qv) =>
+        require(qv.length == dim,
+          s"PQ.searchMany: query $qid dim ${qv.length} != index dim $dim " +
+            "(after any rotation padding) — pad/augment the query to the " +
+            "frame the codes were trained in")
+      }
+      // per-chunk broadcast footprint: qChunk caps the rows; assert the
+      // PRODUCT (rows × dim floats) against the scaled budget so a
+      // wide-dim corpus or an inflated qChunk can't ride the row gate
+      // into a multi-GB executor broadcast (no job — counts are known)
+      Batches.requireChunkFloats(queries, "PQ.searchMany per-chunk broadcast",
+        math.min(math.max(1, qChunk), qRows.length).toLong, dim.toLong)
       val chunkResults = qRows.grouped(math.max(1, qChunk)).map { qChunkRows =>
         val qDf = spark.createDataset(qChunkRows.toSeq).toDF("qid", "qvec")
         codes.select(col("id"), col("code"))

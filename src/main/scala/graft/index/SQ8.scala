@@ -91,8 +91,19 @@ object SQ8 {
     /** Batch search — [[IVFFlat.Model.searchMany]]'s plan shape (probes
       * broadcast, codes never shuffle, per-query bounded heap after the
       * distance map), with the fused SQ8 kernel as the distance. */
+    /** Broadcast floats per QUERY row of the probe frame: nprobe
+      * probe copies, each carrying the query at its code-frame width
+      * (float at raw dim unrotated; double at the FWHT-padded dim
+      * rotated) — the [[Batches.boundedCheckScaled]] fan-out. */
+    private def probeRowFloats(nprobe: Int): Long =
+      if (rotated)
+        nprobe.toLong * 2L * graft.functions.Rotate.padLenOf(centroids(0).length)
+      else nprobe.toLong * centroids(0).length
+
     def searchMany(queries: DataFrame, qIdCol: String, qVecCol: String,
                    k: Int, nprobe: Int = 2): DataFrame = {
+      Batches.boundedCheckScaled(queries, "SQ8.searchMany probe frame",
+        probeRowFloats(nprobe))
       val spark = queries.sparkSession
       val bc = spark.sparkContext.broadcast((centroids, clusterSizes))
       import spark.implicits._
@@ -173,6 +184,8 @@ object SQ8 {
       * the sq8_search_all idiom). */
     def rangeSearchMany(queries: DataFrame, qIdCol: String, qVecCol: String,
                         radius: Double, nprobe: Int = 2): DataFrame = {
+      Batches.boundedCheckScaled(queries, "SQ8.rangeSearchMany probe frame",
+        probeRowFloats(nprobe))
       val spark = queries.sparkSession
       val bc = spark.sparkContext.broadcast((centroids, clusterSizes))
       import spark.implicits._
@@ -224,6 +237,12 @@ object SQ8 {
                           k: Int, factor: Int,
                           corpus: DataFrame, cIdCol: String, cVecCol: String,
                           nprobe: Int = 2): DataFrame = {
+      // the re-rank probe broadcasts k·factor shortlist rows per query,
+      // each joined to the raw-dim float qvec (searchMany gates its own
+      // probe frame inside)
+      Batches.boundedCheckScaled(queries,
+        "SQ8.searchManyRefined shortlist probe",
+        k.toLong * factor * centroids(0).length)
       val spark = queries.sparkSession
       import spark.implicits._
       val shortlist = searchMany(queries, qIdCol, qVecCol, k * factor, nprobe)

@@ -235,25 +235,40 @@ object LateInteraction {
                                 d: DataFrame, k: Int,
                                 qChunk: Int = 1024): DataFrame = {
     val cand = cand0.localCheckpoint(true)
+    // per-probe-row broadcast width for the budget gate: qvec is
+    // array<double> ([[tokenFaces]]) → 2 floats per element; one
+    // limit-1 peek on the serving-sized query-token frame
+    val qvecFloats = q.select(size(col("qvec"))).head(1) match {
+      case rows if rows.nonEmpty => 2L * rows(0).getInt(0)
+      case _ => graft.index.Batches.NominalRowFloats
+    }
     // one serving-sized collect decides the chunking: distinct qids,
     // sorted so contiguous ranges partition the batch exactly
     val qids = cand.select(col("qid")).distinct()
       .collect().map(_.getLong(0)).sorted
-    if (qids.length <= qChunk) rescoreChunk(cand, q, d, k)
+    if (qids.length <= qChunk) rescoreChunk(cand, q, d, k, qvecFloats)
     else qids.grouped(qChunk).map { g =>
       val (lo, hi) = (g.head, g.last)
       rescoreChunk(
         cand.filter(col("qid") >= lo && col("qid") <= hi),
-        q.filter(col("qid") >= lo && col("qid") <= hi), d, k)
+        q.filter(col("qid") >= lo && col("qid") <= hi), d, k, qvecFloats)
     }.reduce(_.unionByName(_))
   }
 
   /** One ≤-qChunk-query slice of [[rescoreCandidates]] — the original
     * single-probe shape: collect the slice's candidate doc ids (In
     * pushdown to the token scan, semi-join above 10k), broadcast the
-    * slice's candidates × q-tokens probe, reduce and rank. */
+    * slice's candidates × q-tokens probe, reduce and rank. The probe
+    * broadcast rides the [[graft.index.Batches.boundedCheckScaled]]
+    * gate at its true fan-out (cand × q-tokens rows, each carrying a
+    * double qvec): chunking bounds QUERIES per slice, but cap ×
+    * q-tokens per query can still overrun the executor budget — fail
+    * fast naming the levers instead. The capped count recomputes the
+    * broadcast-sized probe join once over the checkpointed candidate
+    * blocks (cheap relative to the corpus-scan stages around it). */
   private def rescoreChunk(cand: DataFrame, q: DataFrame,
-                           d: DataFrame, k: Int): DataFrame = {
+                           d: DataFrame, k: Int,
+                           qvecFloats: Long): DataFrame = {
     val idLimit = 10000
     val ids = cand.select(col("doc_id")).distinct()
       .limit(idLimit + 1).collect().map(_.getLong(0))
@@ -263,7 +278,11 @@ object LateInteraction {
         d.filter(col("doc_id").isin(ids.toSeq: _*))
       else d.join(broadcast(cand.select(col("doc_id")).distinct()),
         Seq("doc_id"), "left_semi")
-    val probe = broadcast(cand.join(q, Seq("qid")))
+    val probeDf = cand.join(q, Seq("qid"))
+    graft.index.Batches.boundedCheckScaled(probeDf,
+      "MaxSim rescore probe (candidates × query tokens; shrink cap or qChunk)",
+      qvecFloats)
+    val probe = broadcast(probeDf)
     reduceAndRank(
       pruned.join(probe, Seq("doc_id")).select(col("qid"), col("doc_id"),
         col("qtok"), simQ(col("dvec"), col("qvec")).as("s_q")), k)
@@ -292,11 +311,15 @@ object LateInteraction {
     * token index shortlists, the exact token frame rescores. */
   case class TokenIvf(ivf: IVFFlat.Model, maxNorm: Double) {
 
-    /** Persist: the IVF tier's own layout plus a mips sidecar. */
+    /** Persist: the IVF tier's own layout plus a mips sidecar.
+      * `boundFmt` 2 marks the bound as PRE-inflated by the (1+1e-7)
+      * float-rounding slack (the r14 convention [[add]]'s exact
+      * comparison relies on); sidecars without the marker predate it
+      * and get the slack applied once at load — see [[loadTokenIvf]]. */
     def save(dir: String): Unit = {
       ivf.save(s"$dir/ivf")
       ParamsIO.write(ivf.indexed.sparkSession, dir,
-        s"""{"maxNorm":$maxNorm}""")
+        s"""{"maxNorm":$maxNorm,"boundFmt":2}""")
     }
 
     /** Incremental add on the ANN tier (Index::add, base.rs:28, on the
@@ -354,6 +377,15 @@ object LateInteraction {
       * where undercounts widen probes). Serve with an explicit
       * `nprobe` (as [[maxSimIvf]] does) or rebalance after large
       * takedowns. Lineage compacts on the shared cadence. */
+    def remove(ids: DataFrame, idCol: String): TokenIvf = {
+      val del = ids.select(col(idCol).cast("long").as("_did"))
+      val (df, n) = graft.index.Lineage.compact(
+        ivf.indexed.join(broadcast(del),
+          shiftright(col("id"), TokIdxBits) === col("_did"), "left_anti"),
+        ivf.addsSinceCompact)
+      copy(ivf = ivf.copy(indexed = df, addsSinceCompact = n))
+    }
+
     /** Post-takedown probe repair — the remedy [[remove]]'s own doc
       * prescribes, reachable ON the tier: re-run Lloyd's update→assign
       * `iterations` times over the REMAINING augmented token rows and
@@ -368,15 +400,6 @@ object LateInteraction {
       * reason). */
     def rebalance(iterations: Int = 1): TokenIvf =
       copy(ivf = ivf.rebalance(iterations))
-
-    def remove(ids: DataFrame, idCol: String): TokenIvf = {
-      val del = ids.select(col(idCol).cast("long").as("_did"))
-      val (df, n) = graft.index.Lineage.compact(
-        ivf.indexed.join(broadcast(del),
-          shiftright(col("id"), TokIdxBits) === col("_did"), "left_anti"),
-        ivf.addsSinceCompact)
-      copy(ivf = ivf.copy(indexed = df, addsSinceCompact = n))
-    }
 
     /** Shard-merge for the multi-vector ANN tier — the lifecycle face
       * a distributed token-index build lands on (build per corpus
@@ -483,7 +506,25 @@ object LateInteraction {
   /** [[TokenIvf]]'s reload face. */
   def loadTokenIvf(spark: SparkSession, dir: String): TokenIvf =
     TokenIvf(IVFFlat.load(spark, s"$dir/ivf"),
-      ParamsIO.dbl(ParamsIO.read(spark, dir), "maxNorm", 0.0))
+      loadBound(ParamsIO.read(spark, dir)))
+
+  /** Shared sidecar-bound reader: sidecars with `boundFmt` ≥ 2 store
+    * the bound PRE-inflated by the (1+1e-7) float-rounding slack
+    * ([[TokenIvf.save]]); legacy sidecars (explicit-`maxNormBound`
+    * builds saved pre-r14) stored it UNinflated, and the adds' exact
+    * `incoming <= maxNorm` comparison would then spuriously refuse a
+    * legitimate max-norm batch by one ulp of float-cast rounding — so
+    * the slack is applied ONCE here on load. Serving is unaffected:
+    * the bound enters score recovery as a per-query constant
+    * (stageOneCandidates), so a 1e-7 relative shift never reorders
+    * candidates, and augmentation of post-load adds differs from the
+    * resident rows by the same 1e-7 the build-time slack already
+    * accepts. */
+  private def loadBound(json: String): Double = {
+    val m = ParamsIO.dbl(json, "maxNorm", 0.0)
+    if (ParamsIO.dbl(json, "boundFmt", 1.0) >= 2.0) m
+    else m * (1.0 + 1e-7)
+  }
 
   /** SQ8-compressed twin of [[TokenIvf]] — same probe semantics over
     * byte codes. */
@@ -511,7 +552,7 @@ object LateInteraction {
     def save(dir: String): Unit = {
       pq.save(s"$dir/ivfpq")
       ParamsIO.write(pq.codes.sparkSession, dir,
-        s"""{"maxNorm":$maxNorm}""")
+        s"""{"maxNorm":$maxNorm,"boundFmt":2}""")
     }
 
     /** Zero-pad an augmented float-vec column to the tier's stored
@@ -575,7 +616,7 @@ object LateInteraction {
   /** [[TokenPq]]'s reload face. */
   def loadTokenPq(spark: SparkSession, dir: String): TokenPq =
     TokenPq(graft.index.IVFPQ.load(spark, s"$dir/ivfpq"),
-      ParamsIO.dbl(ParamsIO.read(spark, dir), "maxNorm", 0.0))
+      loadBound(ParamsIO.read(spark, dir)))
 
   /** Build the token-level IVF MIPS tier over a (doc_id, tok_idx, vec)
     * frame: pack ids, norm-augment once (one tiny max-norm agg + one
