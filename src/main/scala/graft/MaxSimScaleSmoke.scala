@@ -66,6 +66,13 @@ object MaxSimScaleSmoke extends Serializable {
       .config("spark.network.timeout", "800s")
       .config("spark.executor.heartbeatInterval", "60s")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+      // The smoke MEASURES deliberately-unpruned serving configs (the
+      // m/cap lever sweeps: cap=∞ at m=1024 is ~5M probe rows for the
+      // 50-query batch at 20M tokens) — opt into a measurement-sized
+      // serving budget so the production gate (Batches, r14/r15) does
+      // not refuse the very rows the sweep exists to price. Production
+      // callers keep the default 1M-row budget.
+      .config(graft.index.Batches.MaxBatchKey, (1 << 24).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -181,12 +188,10 @@ object MaxSimScaleSmoke extends Serializable {
             f"${recallAt1(top, aTruth)}%.3f"
         }
       }
-    val aSq8 = phase("a_sq8_compress") {
-      val c = aIvf.compress()
-      // materialize the code table so the serve phase measures probing
-      // byte codes, not quantize-on-the-fly
-      c.copy(sq8 = c.sq8.copy(codes = c.sq8.codes.localCheckpoint(true)))
-    }
+    // compress materializes the code table eagerly (library contract
+    // since r15), so the serve phase measures probing byte codes, not
+    // quantize-on-the-fly
+    val aSq8 = phase("a_sq8_compress") { aIvf.compress() }
     phase("a_sq8_serve") {
       val top = operators.LateInteraction.maxSimSq8(aQ, "qid", "tok_idx",
         "vec", aToks, "doc_id", "vec", aSq8, k = 10, m = 1024, nprobe = 32)
@@ -200,12 +205,11 @@ object MaxSimScaleSmoke extends Serializable {
       val aPq = phase("a_pq_compress") {
         // augmented dim 17 pads to 20 → m = 4 (dsub 5): 4 B/token
         // codes vs 17 B SQ8 vs 68 B float — codebooks Lloyd's-trained
-        // on a ~2M-row sample
-        val c = aIvf.compressPq(graft.index.PQ.Params(m = 4, k = 256,
+        // on a ~2M-row sample; codes materialize eagerly in the library
+        aIvf.compressPq(graft.index.PQ.Params(m = 4, k = 256,
           iterations = 4, seed = 7L),
           codebookTrainFraction =
             math.min(1.0, 2e6 / (nA * docLen).toDouble))
-        c.copy(pq = c.pq.copy(codes = c.pq.codes.localCheckpoint(true)))
       }
       phase("a_pq_serve") {
         val top = operators.LateInteraction.maxSimPq(aQ, "qid", "tok_idx",
@@ -307,30 +311,31 @@ object MaxSimScaleSmoke extends Serializable {
             f"${recallAt1(top, aTruth)}%.3f"
         }
       }
-      seed.ivf.indexed.unpersist()
+      seed.cool()
     }
-    aIvf.ivf.indexed.unpersist()
+    aIvf.cool()
     }
 
     // ---------------- part B: scale with constant probed volume ----------------
     if (nDocs > nA) {
       // vocab ∝ corpus keeps per-term multiplicity ~200 (see scaladoc)
       val vocabB = nDocs * docLen / 200L
-      // SPARK_GRAFT_MAXSIM_SPECTRUM=1: generate the eval token frame
-      // from the decaying-spectrum CLUSTERED distribution (the
-      // RotScaleSmoke generator, reshaped to token bags) instead of
-      // the hash-derived uniform synthetic. The uniform corpus
-      // tie-crowds at 100M tokens — distinct terms collide into
-      // IDENTICAL token vectors, so every tier's recall row reads the
-      // same 0.54–0.62 plateau and quantization-recall differences are
-      // unreadable at exactly the scale they matter. Continuous
-      // clustered vectors have no ties: the float/SQ8/PQ recall rows
-      // separate, and a tier > 0.05 under float at equal config is a
-      // findable regression. Queries are 10 VERBATIM tokens of a base
-      // doc (the same truth construction — the base doc holds the
-      // per-token self-dot maximum, so rank 1 is the expected truth).
+      // DEFAULT eval corpus (r15): the decaying-spectrum CLUSTERED
+      // distribution (the RotScaleSmoke generator, reshaped to token
+      // bags). The legacy hash-derived uniform synthetic sits behind
+      // SPARK_GRAFT_MAXSIM_UNIFORM=1, kept only to document its tie
+      // artifact: it tie-crowds at 100M tokens — distinct terms
+      // collide into IDENTICAL token vectors, so every tier's recall
+      // row reads the same 0.54–0.62 plateau and quantization-recall
+      // differences are unreadable at exactly the scale they matter.
+      // Continuous clustered vectors have no ties: the float/SQ8/PQ
+      // recall rows separate, and a tier > 0.05 under float at equal
+      // config is a findable regression. Queries are 10 VERBATIM
+      // tokens of a base doc (the same truth construction — the base
+      // doc holds the per-token self-dot maximum, so rank 1 is the
+      // expected truth).
       val spectrum =
-        sys.env.get("SPARK_GRAFT_MAXSIM_SPECTRUM").contains("1")
+        !sys.env.get("SPARK_GRAFT_MAXSIM_UNIFORM").contains("1")
       val dimT = 16
       val nClustersT = 256
       // broadcast materialized DRIVER-side before any closure captures
@@ -342,13 +347,26 @@ object MaxSimScaleSmoke extends Serializable {
             gauss(0xC0FFEEL + c * 7919L + j * 104729L + seed) /
               (1.0 + j / 2.0)))))
         else None
+      // SPARK_GRAFT_MAXSIM_ZIPF=1: draw the token's cluster from a
+      // log-uniform law (rank = floor((N+1)^u) − 1, P(rank r) ∝
+      // 1/(r+1) — the Zipf s≈1 shape real token distributions have)
+      // instead of uniformly: the head clusters then hold 10–30× the
+      // mean mass and the coarse grid inherits the skew — the hot-cell
+      // serving regime the splitHotCells lever targets.
+      val zipf = sys.env.get("SPARK_GRAFT_MAXSIM_ZIPF").contains("1")
       def spectrumToks(n: Long): org.apache.spark.sql.DataFrame = {
         val bc = bcTokCenters.get
         spark.range(n * docLen).as[Long].mapPartitions { it =>
           val cents = bc.value
           it.map { tokId =>
-            val c = math.floorMod(mix64(tokId ^ 0xABCDEFL),
-              nClustersT.toLong).toInt
+            val c =
+              if (zipf) {
+                val u = ((mix64(tokId ^ 0xABCDEFL) >>> 11).toDouble + 0.5) /
+                  (1L << 53).toDouble
+                math.min(nClustersT - 1,
+                  (math.pow(nClustersT + 1.0, u) - 1.0).toInt)
+              } else math.floorMod(mix64(tokId ^ 0xABCDEFL),
+                nClustersT.toLong).toInt
             val v = Array.tabulate(dimT) { j =>
               cents(c)(j) +
                 0.35 * gauss(tokId * 1315423911L + j * 2654435761L +
@@ -366,6 +384,7 @@ object MaxSimScaleSmoke extends Serializable {
         }.toDF("doc_id", "tok_idx", "vec")
       }
       if (spectrum) out += "b_spectrum" -> "1"
+      if (zipf) out += "b_zipf" -> "1"
       val bToks = phase("b_embed") {
         val t = (if (spectrum) spectrumToks(nDocs)
           else operators.LateInteraction
@@ -404,6 +423,11 @@ object MaxSimScaleSmoke extends Serializable {
       val nprobeB = math.max(1, math.ceil(
         probedA * kB / (nDocs * docLen).toDouble).toInt)
       out += "b_cells" -> kB.toString
+      // cell-population skew of the built grid (free — driver state):
+      // uniform draw reads max/mean ≈ 1–2; the Zipf draw's head cells
+      // read 10–30× and are what the split lever below is for
+      out += "b_cell_max" -> bIvf.ivf.clusterSizes.max.toString
+      out += "b_cell_mean" -> (bIvf.ivf.clusterSizes.sum / kB).toString
       // sweep overrides: SPARK_GRAFT_MAXSIM_PROBES (csv nprobe list,
       // default base/×4/×16) and SPARK_GRAFT_MAXSIM_M (csv m list,
       // default 1024) — the two serving levers, measured independently
@@ -448,6 +472,35 @@ object MaxSimScaleSmoke extends Serializable {
             f"${recallAt1(serve(), bTruth)}%.3f"
         }
       }
+      // hot-cell split A/B (SPARK_GRAFT_MAXSIM_SPLIT=factor > 0): split
+      // the grid's hot cells geometrically (TokenIvf.splitHotCells) and
+      // serve the base config on the split tier at the SAME nprobe (the
+      // probed-volume win) and at 2× (the recall-recovery lever) — wall
+      // + recall against the unsplit base serve row above. Run with
+      // SPARK_GRAFT_MAXSIM_ZIPF=1, where the head cells dominate probes.
+      sys.env.get("SPARK_GRAFT_MAXSIM_SPLIT").map(_.trim.toDouble)
+        .filter(_ > 0).foreach { factor =>
+          val bSplit = phase("b_split") {
+            // warm() materializes the renumbered corpus once — serves
+            // below measure probing, not the split's narrow re-map
+            bIvf.splitHotCells(factor, iterations = 2).warm()
+          }
+          out += "b_split_cells" -> bSplit.ivf.centroids.length.toString
+          out += "b_split_cell_max" -> bSplit.ivf.clusterSizes.max.toString
+          for (np <- Seq(nprobeB, nprobeB * 2)) {
+            val tag = s"b_split_serve_p${np}_m${ms.head}" +
+              (if (caps.head > 0) s"_c${caps.head}" else "")
+            phase(tag) {
+              val top = operators.LateInteraction.maxSimIvf(bQ, "qid",
+                "tok_idx", "vec", bToks, "doc_id", "vec", bSplit, k = 10,
+                m = ms.head, nprobe = np,
+                cap = if (caps.head > 0) caps.head else Int.MaxValue)
+              out += tag.replace("_serve", "_recall_at1") ->
+                f"${recallAt1(top, bTruth)}%.3f"
+            }
+          }
+          bSplit.cool()
+        }
       // SQ8-vs-residual-PQ at EQUAL m/nprobe at scale
       // (SPARK_GRAFT_MAXSIM_PQ=1): the storage-tier A/B the token
       // frame's 100-TB bill lands on — 1 B/dim byte codes vs m-byte
@@ -455,51 +508,40 @@ object MaxSimScaleSmoke extends Serializable {
       // so wall + read deltas isolate the code scan and recall deltas
       // isolate the quantization. Same cap as the base serve row.
       //
-      // RESIDENCY DISCIPLINE (lean by default, r14 — the r13 SQ8_LEAN
-      // control showed ~2× of the apparent SQ8-vs-float gap at 100M
-      // was exactly storage-stacking: the float tier's ~35 GB
-      // checkpoint evicting blocks under the compressed serve): every
-      // frame the float tier owns is consumed FIRST (compress ×2,
-      // then the part-C saves), the float checkpoint is dropped, and
-      // each compressed tier serves with ONLY its own inputs resident
-      // (its codes + the stage-2 token frame) — a serving benchmark,
-      // not a storage-stacking comparison. Each tier's code blocks
-      // are freed when its serve row is done (tracked by persistent-
-      // RDD id — localCheckpoint blocks have no DataFrame.unpersist
-      // handle).
+      // RESIDENCY DISCIPLINE (lean by default, r14; LIBRARY verbs r15 —
+      // the r13 SQ8_LEAN control showed ~2× of the apparent
+      // SQ8-vs-float gap at 100M was exactly storage-stacking: the
+      // float tier's ~35 GB checkpoint evicting blocks under the
+      // compressed serve): every frame the float tier owns is consumed
+      // FIRST (compress ×2, then the part-C saves), the float tier is
+      // cool()ed, and each compressed tier serves with ONLY its own
+      // inputs resident (its codes + the stage-2 token frame) — a
+      // serving benchmark, not a storage-stacking comparison. All of
+      // it through the tiers' own warm()/cool() faces now (compress
+      // materializes codes eagerly; cool reaches checkpoint blocks) —
+      // no persistent-RDD-id bookkeeping in the harness. Each tier is
+      // warm()ed before its serve pair, so the FIRST serve row is the
+      // ≤~1.2×-of-steady evidence the warm() face is for (the _warm
+      // twin stays as the steady-state reference).
       val diskDirOpt =
         if (sys.env.get("SPARK_GRAFT_MAXSIM_DISK").contains("1"))
           Some(java.nio.file.Files.createTempDirectory("maxsimdisk").toString)
         else None
       var savedToDisk = false
-      def persistedDelta[T](f: => T): (T, Seq[Int]) = {
-        val before = spark.sparkContext.getPersistentRDDs.keySet
-        val r = f
-        val added = (spark.sparkContext.getPersistentRDDs.keySet -- before)
-        (r, added.toSeq)
-      }
-      def freeRdds(ids: Seq[Int]): Unit = {
-        val live = spark.sparkContext.getPersistentRDDs
-        ids.foreach(id => live.get(id).foreach(_.unpersist(true)))
-      }
       var bPqOpt: Option[operators.LateInteraction.TokenPq] = None
       if (sys.env.get("SPARK_GRAFT_MAXSIM_PQ").contains("1")) {
         val mAB = ms.head
         val cpAB = caps.head
-        val (bSq8, sq8Blocks) = persistedDelta(phase("b_sq8_compress") {
-          val c = bIvf.compress()
-          c.copy(sq8 = c.sq8.copy(codes = c.sq8.codes.localCheckpoint(true)))
-        })
-        val (bPq, pqBlocks) = persistedDelta(phase("b_pq_compress") {
-          val c = bIvf.compressPq(graft.index.PQ.Params(m = 4, k = 256,
+        val bSq8 = phase("b_sq8_compress") { bIvf.compress() }
+        val bPq = phase("b_pq_compress") {
+          bIvf.compressPq(graft.index.PQ.Params(m = 4, k = 256,
             iterations = 4, seed = 7L),
             codebookTrainFraction =
               math.min(1.0, 2e6 / (nDocs * docLen).toDouble))
-          c.copy(pq = c.pq.copy(codes = c.pq.codes.localCheckpoint(true)))
-        })
+        }
         bPqOpt = Some(bPq)
         // the saves read the float tier / code frames — take them
-        // BEFORE the lean unpersist (part C reloads from disk)
+        // BEFORE the lean cool (part C reloads from disk)
         diskDirOpt.foreach { dir =>
           phase("c_save") {
             operators.LateInteraction.saveTokens(bToks, dir)
@@ -509,22 +551,24 @@ object MaxSimScaleSmoke extends Serializable {
           savedToDisk = true
         }
         // lean point: nothing downstream reads the float tier's
-        // cluster-assigned checkpoint (stage 2 reads bToks)
-        bIvf.ivf.indexed.unpersist(true)
+        // cluster-assigned frame (stage 2 reads bToks)
+        bIvf.cool()
         val sqTag = s"b_sq8_serve_p${nprobeB}_m$mAB" +
           (if (cpAB > 0) s"_c$cpAB" else "")
+        phase("b_sq8_warm_api") { bSq8.warm() }
         servedTwice(sqTag)(operators.LateInteraction.maxSimSq8(bQ, "qid",
           "tok_idx", "vec", bToks, "doc_id", "vec", bSq8, k = 10,
           m = mAB, nprobe = nprobeB,
           cap = if (cpAB > 0) cpAB else Int.MaxValue))
-        freeRdds(sq8Blocks)
+        bSq8.cool()
         val pqTag = s"b_pq_serve_p${nprobeB}_m$mAB" +
           (if (cpAB > 0) s"_c$cpAB" else "")
+        phase("b_pq_warm_api") { bPq.warm() }
         servedTwice(pqTag)(operators.LateInteraction.maxSimPq(bQ, "qid",
           "tok_idx", "vec", bToks, "doc_id", "vec", bPq, k = 10,
           m = mAB, nprobe = nprobeB,
           cap = if (cpAB > 0) cpAB else Int.MaxValue))
-        freeRdds(pqBlocks)
+        bPq.cool()
       }
       // ------- part C: ONLINE serving from the saved artifacts -------
       // SPARK_GRAFT_MAXSIM_DISK=1: save the doc-clustered token frame
@@ -590,7 +634,7 @@ object MaxSimScaleSmoke extends Serializable {
         }
         deleteRec(new java.io.File(dir))
       }
-      bIvf.ivf.indexed.unpersist()
+      bIvf.cool()
     }
 
     println(out.map { case (kk, vv) => s""""$kk":$vv""" }

@@ -455,6 +455,13 @@ object BQ {
       ParamsIO.write(spark, dir,
         s"""{"k":${params.k},"numAttempts":${params.numAttempts},"maxIterations":${params.maxIterations},"seed":${params.seed},"tol":${params.tol},"residual":${if (residual) 1 else 0},"rotated":${if (rotated) 1 else 0},"sizes":${ParamsIO.longsJson(clusterSizes)}}""")
     }
+
+    /** Pre-pay serving residency over the bit table
+      * ([[Residency.warm]] — see [[IVFFlat.Model.warm]]). */
+    def warm(): Model = { Residency.warm(codes); this }
+
+    /** Release the bit table's storage ([[Residency.cool]]). */
+    def cool(): Unit = Residency.cool(codes)
   }
 
   /** Per-cell recentering: v − centroid, double-widened (the sign of

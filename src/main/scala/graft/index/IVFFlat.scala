@@ -348,6 +348,138 @@ object IVFFlat {
       Model(params, cents, sizes, df)
     }
 
+    /** Hot-cell splitting — the serve-side skew lever. Real token/
+      * embedding distributions are Zipfian, and a coarse cell that
+      * captured a head mode can hold 10–100× the mean cell population:
+      * every query whose probe order reaches that cell then scans ALL
+      * of it, so probed volume (the serving wall's currency) is
+      * dominated by the hot cell no matter how small nprobe is. Unlike
+      * the routed-HNSW id-hash subshards (HNSW.buildRouted — a BUILD
+      * straggler fix: routing still probes all subshards together),
+      * this splits hot cells GEOMETRICALLY: each cell with more than
+      * `maxCellFactor` × mean rows re-clusters into ceil(size/cap)
+      * sub-centroids via Lloyd's WITHIN the cell, and the sub-cells
+      * join the grid as first-class cells — probe order then descends
+      * into the fraction of the old hot cell nearest the query, so
+      * probed volume at equal nprobe drops toward cap.
+      *
+      * Scale shape: all hot cells iterate TOGETHER — per Lloyd's step
+      * one narrow pass over hot-cell rows only (argmin over the row's
+      * OWN cell's broadcast sub-centroids) plus one small per-(cell,
+      * sub) mean aggregate (Σ splits rows collected, never corpus);
+      * init is a seeded id-hash row sample per hot cell; the final
+      * renumber is one narrow map over the corpus; sizes recount once.
+      * Cold cells keep their centroid bitwise (renumbered only). An
+      * empty sub-cell keeps its previous position (the PQ empty rule —
+      * a zeroed centroid would hijack probe order). Semantics: the
+      * result is a plain [[Model]] over the same rows — probe-all
+      * search is IDENTICAL to the unsplit index (spec-gated), smaller
+      * nprobe trades recall exactly as on any grid.
+      *
+      * Limitation (by design): a hot cell of (near-)IDENTICAL vectors
+      * — duplicate mass — cannot be split geometrically: its
+      * sub-centroids converge to the same point and one Voronoi cell
+      * keeps everything. That corpus shape is a dedup problem, not a
+      * grid problem — run the dedup operators ([[graft.operators
+      * .Dedup]]) upstream; splitting here targets dense-but-continuous
+      * Zipf head modes, which real token/embedding distributions are. */
+    def splitCells(maxCellFactor: Double = 2.0, iterations: Int = 4): Model = {
+      require(maxCellFactor > 0.0,
+        s"splitCells: maxCellFactor=$maxCellFactor must be > 0")
+      require(iterations >= 1, "splitCells: iterations must be >= 1")
+      val k0 = centroids.length
+      val total = clusterSizes.sum
+      val cap = math.max(1L,
+        math.ceil(maxCellFactor * total.toDouble / k0).toLong)
+      val splits = Array.tabulate(k0)(c =>
+        math.max(1L, math.ceil(clusterSizes(c).toDouble / cap).toLong).toInt)
+      if (splits.forall(_ == 1)) return this
+      val offsets = splits.scanLeft(0)(_ + _)
+      val hot = splits.indices.filter(splits(_) > 1).toSet
+      val spark = indexed.sparkSession
+      import spark.implicits._
+      val dim = centroids(0).length
+      // seeded id-hash init: the splits(c) sample rows of each hot cell
+      // (serving-sized collect — Σ splits rows, never the corpus)
+      val hotRows = indexed
+        .filter(col("cluster").isin(hot.toSeq: _*))
+      val initRows = hotRows
+        .withColumn("_rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+            .orderBy(xxhash64(col("id"), lit(params.seed)), col("id"))))
+        .filter(col("_rk") <= element_at(
+          typedlit(splits.toSeq), col("cluster") + 1))
+        .select(col("cluster"), col("_rk"), col("vector"))
+        .as[(Int, Int, Array[Float])].collect()
+      var sub: Map[Int, Array[Array[Float]]] = hot.iterator.map { c =>
+        val rows = initRows.filter(_._1 == c).sortBy(_._2).map(_._3)
+        c -> Array.tabulate(splits(c))(j => rows(j % rows.length))
+      }.toMap
+      // Lloyd's over all hot cells at once: per-row argmin over the
+      // row's own cell's sub-centroids, then per-(cell, sub) means
+      val meanAgg = new graft.operators.VectorMean(dim).toColumn
+      for (_ <- 0 until iterations) {
+        val bcSub = spark.sparkContext.broadcast(sub)
+        val means = hotRows
+          .select(col("cluster").cast("int"), col("vector").cast("array<float>"))
+          .as[(Int, Array[Float])]
+          .map { case (c, v) =>
+            val cents = bcSub.value(c)
+            var best = 0; var bestD = Double.MaxValue; var j = 0
+            while (j < cents.length) {
+              val d = sqDistLocal(cents(j), v)
+              if (d < bestD) { bestD = d; best = j }
+              j += 1
+            }
+            ((c, best), v)
+          }
+          .groupByKey(_._1).mapValues(_._2)
+          .agg(meanAgg.name("mean"))
+          .collect().toMap
+        sub = sub.map { case (c, cents) =>
+          c -> Array.tabulate(cents.length)(j =>
+            means.getOrElse((c, j), cents(j))) // empty sub-cell: keep
+        }
+      }
+      val newCents = new Array[Array[Float]](offsets.last)
+      for (c <- 0 until k0) {
+        if (hot(c)) {
+          val cents = sub(c)
+          var j = 0
+          while (j < cents.length) { newCents(offsets(c) + j) = cents(j); j += 1 }
+        } else newCents(offsets(c)) = centroids(c)
+      }
+      // final renumber: one narrow map (cold rows shift, hot rows argmin
+      // into their cell's sub-centroids)
+      val bcSub = spark.sparkContext.broadcast(sub)
+      val bcOff = spark.sparkContext.broadcast(offsets)
+      val newIndexed = indexed
+        .select(col("id").cast("long"), col("vector").cast("array<float>"),
+          col("cluster").cast("int"))
+        .as[(Long, Array[Float], Int)]
+        .map { case (id, v, c) =>
+          val off = bcOff.value(c)
+          val cents = bcSub.value.getOrElse(c, null)
+          val nc =
+            if (cents == null) off
+            else {
+              var best = 0; var bestD = Double.MaxValue; var j = 0
+              while (j < cents.length) {
+                val d = sqDistLocal(cents(j), v)
+                if (d < bestD) { bestD = d; best = j }
+                j += 1
+              }
+              off + best
+            }
+          (id, v, nc)
+        }
+        .toDF("id", "vector", "cluster")
+      val sizes = new Array[Long](offsets.last)
+      newIndexed.groupBy("cluster").count().collect()
+        .foreach(r => sizes(r.getInt(0)) = r.getLong(1))
+      Model(params.copy(k = offsets.last), newCents, sizes, newIndexed)
+    }
+
     /** Persist: corpus partitioned by cluster (→ partition pruning on
       * probe), centroids as parquet, params as JSON (SURVEY §2.2 mapping
       * of base.rs:31-58). */
@@ -362,6 +494,19 @@ object IVFFlat {
       ParamsIO.write(spark, dir,
         s"""{"k":${params.k},"numAttempts":${params.numAttempts},"maxIterations":${params.maxIterations},"seed":${params.seed},"tol":${params.tol},"sizes":${ParamsIO.longsJson(clusterSizes)}}""")
     }
+
+    /** Pre-pay serving residency ([[Residency.warm]]): persist the
+      * indexed frame if nothing holds its blocks yet (a [[IVFFlat.load]]
+      * tier scans parquet) and touch every block, so the FIRST query —
+      * after a load, or after a big same-JVM scan spilled the blocks to
+      * disk — serves at steady state instead of paying the ~3× re-warm
+      * the 100M smokes measured. Idempotent; returns this model. */
+    def warm(): Model = { Residency.warm(indexed); this }
+
+    /** Release the indexed frame's storage ([[Residency.cool]] — the
+      * caveats there: a cache-backed frame recomputes on next use, a
+      * checkpoint-backed one is dead after cooling). */
+    def cool(): Unit = Residency.cool(indexed)
   }
 
   /** Shared adaptive probe-widening (single-query and batch paths MUST

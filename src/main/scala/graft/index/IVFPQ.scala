@@ -288,6 +288,13 @@ object IVFPQ {
       ParamsIO.write(spark, dir,
         s"""{"m":${p.m},"k":${p.k},"iterations":${p.iterations},"seed":${p.seed},"dim":$dim,"numCells":${coarse.length},"residual":${if (residual) 1 else 0},"sizes":${ParamsIO.longsJson(clusterSizes)}}""")
     }
+
+    /** Pre-pay serving residency over the residual-code table
+      * ([[Residency.warm]] — see [[IVFFlat.Model.warm]]). */
+    def warm(): Model = { Residency.warm(codes); this }
+
+    /** Release the code table's storage ([[Residency.cool]]). */
+    def cool(): Unit = Residency.cool(codes)
   }
 
   /** Fused assign+encode: ONE narrow pass computes each row's coarse

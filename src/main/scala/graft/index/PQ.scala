@@ -195,6 +195,13 @@ object PQ {
       ParamsIO.write(spark, dir,
         s"""{"m":${params.m},"k":${params.k},"iterations":${params.iterations},"seed":${params.seed},"dim":$dim,"rotated":${if (rotated) 1 else 0}}""")
     }
+
+    /** Pre-pay serving residency over the code table
+      * ([[Residency.warm]] — see [[IVFFlat.Model.warm]]). */
+    def warm(): Model = { Residency.warm(codes); this }
+
+    /** Release the code table's storage ([[Residency.cool]]). */
+    def cool(): Unit = Residency.cool(codes)
   }
 
   def load(spark: SparkSession, dir: String): Model = {

@@ -310,6 +310,13 @@ object SQ8 {
       ParamsIO.write(spark, dir,
         s"""{"k":${params.k},"numAttempts":${params.numAttempts},"maxIterations":${params.maxIterations},"seed":${params.seed},"tol":${params.tol},"rotated":${if (rotated) 1 else 0},"sizes":${ParamsIO.longsJson(clusterSizes)}}""")
     }
+
+    /** Pre-pay serving residency over the code table
+      * ([[Residency.warm]] — see [[IVFFlat.Model.warm]]). */
+    def warm(): Model = { Residency.warm(codes); this }
+
+    /** Release the code table's storage ([[Residency.cool]]). */
+    def cool(): Unit = Residency.cool(codes)
   }
 
   /** Compress a built [[IVFFlat.Model]] — one narrow pass over the

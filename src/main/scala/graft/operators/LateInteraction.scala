@@ -401,6 +401,21 @@ object LateInteraction {
     def rebalance(iterations: Int = 1): TokenIvf =
       copy(ivf = ivf.rebalance(iterations))
 
+    /** Hot-cell splitting on the token tier ([[graft.index.IVFFlat
+      * .Model.splitCells]]): real token distributions are Zipfian, and
+      * a head-mode coarse cell makes every probe that reaches it scan
+      * 10–100× the mean cell — splitting it geometrically into
+      * sub-cells restores probed-volume ∝ nprobe. MIPS bound untouched
+      * (splitting re-clusters rows; augmented coordinates never
+      * change), so serving needs no re-augmentation — same contract as
+      * [[rebalance]]. The [[TokenPq]] tier routes through the float
+      * tier for the same reason rebalance does: residual codes cannot
+      * re-encode under moved centroids — split here, then
+      * [[compressPq]] again. */
+    def splitHotCells(maxCellFactor: Double = 2.0,
+                      iterations: Int = 4): TokenIvf =
+      copy(ivf = ivf.splitCells(maxCellFactor, iterations))
+
     /** Shard-merge for the multi-vector ANN tier — the lifecycle face
       * a distributed token-index build lands on (build per corpus
       * shard, merge the shards; every other tier already has it).
@@ -436,12 +451,36 @@ object LateInteraction {
       } else other.merge(this)
     }
 
+    /** Pre-pay serving residency on the float tier
+      * ([[graft.index.Residency.warm]]): persist-if-needed + touch every
+      * indexed block, so the first query after a load (or after a big
+      * same-JVM scan spilled blocks to disk) serves at steady state —
+      * the engine face for the r14 smoke's measurement-order finding. */
+    def warm(): TokenIvf = { ivf.warm(); this }
+
+    /** Release the float tier's storage ([[graft.index.Residency.cool]]
+      * — cache-backed frames recompute on next use; checkpoint-backed
+      * ones are dead after cooling: reload to serve again). */
+    def cool(): Unit = ivf.cool()
+
     /** SQ8-compress the token tier: the codes frame drops to one byte
       * per dimension (~3.5× residency at serve — ColBERTv2's residual
       * compression motivation), searches run over dequantized codes.
       * Shortlist-only lossiness: stage 2 always rescores on the exact
-      * token frame. */
-    def compress(): TokenSq8 = TokenSq8(SQ8.compress(ivf), maxNorm)
+      * token frame.
+      *
+      * The code table is materialized EAGERLY into executor storage
+      * (persist + touch — the lean-residency discipline the 100M smokes
+      * proved out): codes compute exactly once here, never lazily
+      * per-serve, and the float tier can be [[cool]]ed right after —
+      * at 100M tokens the float checkpoint is ~4× the byte codes and
+      * keeping it resident under compressed serving is exactly the
+      * block-eviction wall the r14 investigation isolated. */
+    def compress(): TokenSq8 = {
+      val m = SQ8.compress(ivf)
+      graft.index.Residency.warm(m.codes)
+      TokenSq8(m, maxNorm)
+    }
 
     /** Residual-PQ-compress the token tier — the deployed late-
       * interaction storage answer (ColBERTv2/PLAID residual codes,
@@ -528,7 +567,11 @@ object LateInteraction {
 
   /** SQ8-compressed twin of [[TokenIvf]] — same probe semantics over
     * byte codes. */
-  case class TokenSq8(sq8: SQ8.Model, maxNorm: Double)
+  case class TokenSq8(sq8: SQ8.Model, maxNorm: Double) {
+    /** Residency verbs on the code table — see [[TokenIvf.warm]]. */
+    def warm(): TokenSq8 = { sq8.warm(); this }
+    def cool(): Unit = sq8.cool()
+  }
 
   /** Residual-PQ-compressed twin of [[TokenIvf]]
     * ([[TokenIvf.compressPq]]) — stage 1 probes m-byte residual codes.
@@ -549,6 +592,11 @@ object LateInteraction {
     * then re-[[TokenIvf.compressPq]]): moved centroids change every
     * residual, and lossy codes cannot re-encode themselves. */
   case class TokenPq(pq: graft.index.IVFPQ.Model, maxNorm: Double) {
+    /** Residency verbs on the residual-code table — see
+      * [[TokenIvf.warm]]. */
+    def warm(): TokenPq = { pq.warm(); this }
+    def cool(): Unit = pq.cool()
+
     def save(dir: String): Unit = {
       pq.save(s"$dir/ivfpq")
       ParamsIO.write(pq.codes.sparkSession, dir,

@@ -254,6 +254,28 @@ object Retrieval {
       * close each one, or the cached postings pin executor storage. */
     def unpersist(): Unit = postings.unpersist()
 
+    /** Pre-pay serving residency ([[graft.index.Residency.warm]]): the
+      * posting frame — and the positional frame when the index carries
+      * one — is persisted if nothing holds its blocks yet (a loaded
+      * index scans parquet) and every block touched, so the FIRST query
+      * batch after a load or a big same-JVM scan serves at steady state
+      * (the vector tiers' [[graft.index.IVFFlat.Model.warm]] on the
+      * lexical tier). docFreq/docLen/stats stay as-is: they ride the
+      * serve plan broadcast-side and are rebuilt per batch anyway. */
+    def warm(): Bm25Index = {
+      graft.index.Residency.warm(postings)
+      positions.foreach(graft.index.Residency.warm)
+      this
+    }
+
+    /** Release serving residency — [[unpersist]] widened to every
+      * storage handle (cache entry or checkpoint blocks) on both
+      * posting frames ([[graft.index.Residency.cool]]). */
+    def cool(): Unit = {
+      graft.index.Residency.cool(postings)
+      positions.foreach(graft.index.Residency.cool)
+    }
+
     /** Persist with the postings BUCKETED by doc_id through the
       * catalog ([[graft.sources.Bucketed]]): the serve-side score
       * combine then needs NO exchange at all — the bucketed scan

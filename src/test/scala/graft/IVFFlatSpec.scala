@@ -165,4 +165,43 @@ class IVFFlatSpec extends SparkSpec {
     }
     assert(cost(re) <= cost(drifted) * (1.0 + 1e-9))
   }
+
+  test("splitCells: probe-all search identical to unsplit; hot cell capped; rows preserved") {
+    import spark.implicits._
+    // Zipf-shaped plant: one head mode holds 70% of the corpus, so one
+    // k-means cell is guaranteed hot (≫ maxCellFactor × mean)
+    val r = new scala.util.Random(0xBADCE11L)
+    val rows = (0 until 2000).map { i =>
+      val v = // dense-but-CONTINUOUS head mode (geometrically splittable)
+        if (i < 1400) Array.fill(8)(5f + r.nextFloat() * 2f)
+        else Array.fill(8)(r.nextFloat() * 10f)
+      (i.toLong, v)
+    }
+    val df = rows.toDF("id", "vec")
+    val m = IVFFlat.build(df, "id", "vec",
+      IVFFlat.Params(k = 8, numAttempts = 1, maxIterations = 6))
+    val cap = math.ceil(1.2 * rows.size.toDouble / 8).toLong
+    assert(m.clusterSizes.max > cap, "plant must produce a hot cell")
+    val split = m.splitCells(maxCellFactor = 1.2, iterations = 3)
+    assert(split.centroids.length > m.centroids.length)
+    assert(split.params.k == split.centroids.length)
+    assert(split.clusterSizes.sum == rows.size.toLong)
+    assert(split.indexed.count() == rows.size.toLong)
+    // the hot mass spreads across its sub-cells (Voronoi cells of a
+    // continuous blob are never perfectly even — gate on a real shrink)
+    assert(split.clusterSizes.max <= (m.clusterSizes.max * 0.6).toLong,
+      s"hot cell must shrink: max ${split.clusterSizes.max} vs " +
+        s"unsplit max ${m.clusterSizes.max} (cap $cap)")
+    // probe-all over the split grid ≡ probe-all over the unsplit grid
+    // (same rows, exhaustive coverage — the split is pure re-binning)
+    val queries = df.filter(col("id") < 10)
+    def topAll(model: IVFFlat.Model) =
+      model.searchMany(queries, "id", "vec", k = 5,
+          nprobe = model.centroids.length)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    assert(topAll(split) == topAll(m))
+    // splitting an already-balanced grid is the identity
+    assert(split.splitCells(maxCellFactor = 1e9) eq split)
+  }
 }

@@ -124,6 +124,31 @@ class LateInteractionSpec extends SparkSpec {
     idx.ivf.indexed.unpersist()
   }
 
+  test("splitHotCells: split-cell serve == unsplit at probe-all (Zipf-skewed tokens)") {
+    import spark.implicits._
+    // Zipf plant: 85% of tokens sit in one tight mode → one hot cell
+    val rs = new scala.util.Random(0x21BFL)
+    val skewed = (for { d <- 0 until 60; t <- 0 until 4 } yield {
+      val v =
+        if (rs.nextInt(100) < 85) Array.fill(8)(7.0 + rs.nextDouble() * 0.3)
+        else Array.fill(8)((rs.nextInt(21) - 10).toDouble)
+      (d.toLong, t.toLong, v)
+    }).toDF("doc_id", "tok_idx", "vec")
+    val tier = LateInteraction.buildTokenIvf(skewed, "doc_id", "tok_idx",
+      "vec", graft.index.IVFFlat.Params(k = 6, numAttempts = 1,
+        maxIterations = 5))
+    val split = tier.splitHotCells(maxCellFactor = 1.2, iterations = 3)
+    assert(split.ivf.centroids.length > tier.ivf.centroids.length,
+      "the plant must trip a split")
+    assert(split.maxNorm == tier.maxNorm, "MIPS bound untouched by split")
+    def serveAll(t: LateInteraction.TokenIvf) =
+      asMapOf(LateInteraction.maxSimIvf(qToks, "qid", "tok_idx", "vec",
+        skewed, "doc_id", "vec", t, k = 7, m = 240,
+        nprobe = t.ivf.centroids.length))
+    assert(serveAll(split) == serveAll(tier))
+    tier.cool(); split.cool()
+  }
+
   test("maxSimSq8: compressed stage 1 converges at probe-all + m >= tokens") {
     val exact = asMapOf(LateInteraction.maxSim(qToks, "qid", "tok_idx",
       "vec", dToks, "doc_id", "vec", k = 7))
