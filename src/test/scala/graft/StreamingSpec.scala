@@ -1639,4 +1639,59 @@ class StreamingSpec extends SparkSpec {
     assert(removed.ivf.indexed.count() == keptToks.count())
     tier.ivf.indexed.unpersist()
   }
+
+  test("streamed takedowns + TokenIvf.rebalance: stream == batch, sizes recount, probe-all exact") {
+    // the takedown-heavy ingest story: 30% of the corpus leaves across
+    // removal microbatches (Streaming.ingestRemovals on the live token
+    // tier), then the periodic repair job rebalances — the remedy
+    // remove's frozen-size drift prescribes — and the repaired tier
+    // must serve the SURVIVORS exactly like a batch-built pipeline
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.LateInteraction
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text").filter($"doc_id" < 100)
+    val toks = LateInteraction.tokenVectors(docs, "doc_id", "text")
+      .localCheckpoint(true)
+    val tier = LateInteraction.buildTokenIvf(toks, "doc_id", "tok_idx",
+      "vec", IVFFlat.Params(k = 4, numAttempts = 1, maxIterations = 5))
+    val preRows = toks.count()
+    // 30% takedown set, streamed in 3 microbatches
+    val gone = (0L until 100L).filter(_ % 10 < 3)
+    val st = new java.util.concurrent.atomic.AtomicReference(tier)
+    val mem = MemoryStream[Long]
+    val q = Streaming.ingestRemovals[LateInteraction.TokenIvf](
+      mem.toDF().toDF("doc_id"), st,
+      (t, b) => t.remove(b, "doc_id"))
+    gone.grouped(10).foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    // stream ≡ batch: the live tier holds exactly the one-shot batch
+    // remove's rows (ids compare exactly; remove is a pure anti-join)
+    val batchRemoved = tier.remove(
+      gone.toDF("doc_id"), "doc_id")
+    val streamIds = st.get().ivf.indexed.select($"id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val batchIds = batchRemoved.ivf.indexed.select($"id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(streamIds == batchIds)
+    // remove's documented drift: sizes stay frozen at the pre count
+    assert(st.get().ivf.clusterSizes.sum == preRows)
+    // periodic repair: rebalance recounts to the survivors ...
+    val repaired = st.get().rebalance(iterations = 2)
+    val keptToks = toks.filter($"doc_id" % 10 >= 3)
+    assert(repaired.ivf.clusterSizes.sum == keptToks.count())
+    // ... and the repaired live tier serves the survivors exactly
+    // (probe-all + m >= tokens == the exhaustive oracle)
+    val qToks = LateInteraction.tokenVectors(
+        docs.filter($"doc_id" === 3 || $"doc_id" === 4), "doc_id", "text")
+      .withColumnRenamed("doc_id", "qid")
+    val total = keptToks.count().toInt
+    val got = LateInteraction.maxSimIvf(qToks, "qid", "tok_idx", "vec",
+        keptToks, "doc_id", "vec", repaired, k = 10, m = total, nprobe = 4)
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    val want = LateInteraction.maxSim(qToks, "qid", "tok_idx", "vec",
+        keptToks, "doc_id", "vec", k = 10)
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    assert(got == want)
+    Seq(tier, repaired).foreach(_.cool())
+  }
 }
