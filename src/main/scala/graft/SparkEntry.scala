@@ -1484,6 +1484,27 @@ object SparkEntry {
         .orderBy(col("qid"), col("distance"), col("id"))
     }),
 
+    // Hot-cell splitting (the Zipf skew lever, r15): splitCells
+    // re-clusters over-cap cells into sub-cells that join the grid as
+    // first-class cells — pure re-binning of the same rows, so
+    // probe-all search over the SPLIT grid is still exactly the
+    // exhaustive oracle (maxCellFactor 0.5 puts cap below the mean,
+    // guaranteeing at least one real split exercises on any data).
+    "ivf_split_search_all" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = fixedCentroids(emb)
+      val indexed = IVFFlat.assign(emb, "vec_id", "embedding", cents)
+      val sizes = new Array[Long](cents.length)
+      indexed.groupBy("cluster").count().collect()
+        .foreach(r => sizes(r.getInt(0)) = r.getLong(1))
+      val split = IVFFlat.Model(IVFFlat.Params(cents.length), cents, sizes,
+          indexed)
+        .splitCells(maxCellFactor = 0.5, iterations = 2)
+      split.searchMany(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = split.centroids.length)
+        .orderBy(col("qid"), col("distance"), col("id"))
+    }),
+
     // Corpus-scale self-kNN join (the kNN-graph primitive) at nprobe =
     // ALL cells: Model.knnJoin is searchMany's shuffle-path twin — the
     // query side equi-joins on cluster instead of broadcasting, so the
@@ -6554,6 +6575,10 @@ object SparkEntry {
     // Probe-all IVF search IS exhaustive search (every cluster probed,
     // exact re-rank — same top-k, same distances).
     "ivf_search_all" -> exhaustiveKnnSql,
+
+    // probe-all over the SPLIT grid is pure re-binning → same
+    // exhaustive ground truth
+    "ivf_split_search_all" -> exhaustiveKnnSql,
 
     // self-kNN join at nprobe = all cells is exact → exhaustive
     // self-join ground truth; the probed config replays probe
