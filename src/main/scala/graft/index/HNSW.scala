@@ -306,6 +306,13 @@ object HNSW {
       ParamsIO.write(spark, dir,
         s"""{"numLayers":${p.numLayers},"efConstruction":${p.efConstruction},"efSearch":${p.efSearch},"m":${p.m},"seed":${p.seed},"numShards":$numShards,"routed":${if (routers.isDefined) 1 else 0},"tombstones":${if (removed.nonEmpty) 1 else 0}}""")
     }
+
+    /** Pre-pay serving residency over the shard blobs
+      * ([[Residency.warm]] — see [[IVFFlat.Model.warm]]). */
+    def warm(): Model = { Residency.warm(shards); this }
+
+    /** Release the shard blobs' storage ([[Residency.cool]]). */
+    def cool(): Unit = Residency.cool(shards)
   }
 
   private[graft] def serialize(g: HNSWGraph): Array[Byte] = {

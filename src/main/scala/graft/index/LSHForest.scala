@@ -336,6 +336,13 @@ object LSHForest {
       ParamsIO.write(spark, dir,
         s"""{"numTrees":${params.numTrees},"maxNodeSize":${params.maxNodeSize},"maxDepth":${params.maxDepth},"seed":${params.seed},"compactFactor":${params.compactFactor},"probes":${params.probes}}""")
     }
+
+    /** Pre-pay serving residency over the path-indexed corpus
+      * ([[Residency.warm]] — see [[IVFFlat.Model.warm]]). */
+    def warm(): Model = { Residency.warm(indexed); this }
+
+    /** Release the path-indexed corpus's storage ([[Residency.cool]]). */
+    def cool(): Unit = Residency.cool(indexed)
   }
 
   /** Perpendicular-bisector plane through the midpoint of (a, b)

@@ -1,6 +1,6 @@
 package graft.index
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Dataset
 import org.apache.spark.storage.StorageLevel
 
 /** Serving-residency control — the engine face for the block-residency
@@ -38,7 +38,7 @@ object Residency {
   /** The frame's OWN materialized RDD, when the frame is exactly a
     * checkpoint/RDD-backed plan (what `localCheckpoint(true)` returns).
     * Derived plans return None — their leaves belong to other owners. */
-  private def ownRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+  private def ownRdd(df: Dataset[_]): Option[org.apache.spark.rdd.RDD[_]] =
     df.queryExecution.analyzed match {
       case r: org.apache.spark.sql.execution.LogicalRDD => Some(r.rdd)
       case _ => None
@@ -46,7 +46,7 @@ object Residency {
 
   /** Persist (if nothing holds blocks for the frame yet) and touch
     * every block. One full-scan count — the pre-paid re-warm. */
-  def warm(df: DataFrame): Unit = {
+  def warm(df: Dataset[_]): Unit = {
     val selfStored =
       ownRdd(df).exists(_.getStorageLevel != StorageLevel.NONE)
     if (!selfStored && df.storageLevel == StorageLevel.NONE)
@@ -56,7 +56,7 @@ object Residency {
 
   /** Release the frame's storage: cache-manager entry and (for
     * checkpoint-backed frames) the checkpoint blocks themselves. */
-  def cool(df: DataFrame): Unit = {
+  def cool(df: Dataset[_]): Unit = {
     df.unpersist(blocking = true)
     ownRdd(df).filter(_.getStorageLevel != StorageLevel.NONE)
       .foreach(_.unpersist(blocking = true))
@@ -64,7 +64,7 @@ object Residency {
 
   /** True iff the frame currently holds storage under either handle —
     * the spec-gate probe for [[warm]]/[[cool]]. */
-  def isResident(df: DataFrame): Boolean =
+  def isResident(df: Dataset[_]): Boolean =
     df.storageLevel != StorageLevel.NONE ||
       ownRdd(df).exists(_.getStorageLevel != StorageLevel.NONE)
 }

@@ -93,6 +93,33 @@ class ResidencySpec extends SparkSpec {
     built.cool()
   }
 
+  test("HNSW and LSHForest residency verbs: warm resident + results unchanged, cool releases") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(col("vec_id") < 64)
+    val q = emb.filter(col("vec_id") < 5)
+    val hnsw = graft.index.HNSW.build(emb, "vec_id", "embedding",
+      graft.index.HNSWGraph.Params(numLayers = 4, efConstruction = 32,
+        efSearch = 32, m = 8), numShards = 2)
+    val hExpect = hnsw.searchMany(q, "vec_id", "embedding", 3)
+      .collect().map(_.toSeq).toSet
+    hnsw.warm()
+    assert(Residency.isResident(hnsw.shards))
+    assert(hnsw.searchMany(q, "vec_id", "embedding", 3)
+      .collect().map(_.toSeq).toSet == hExpect)
+    hnsw.cool()
+    assert(!Residency.isResident(hnsw.shards))
+    val lsh = graft.index.LSHForest.build(emb, "vec_id", "embedding",
+      graft.index.LSHForest.Params(numTrees = 4, maxNodeSize = 16))
+    val lExpect = lsh.searchMany(q, "vec_id", "embedding", 3)
+      .collect().map(_.toSeq).toSet
+    lsh.warm()
+    assert(Residency.isResident(lsh.indexed))
+    assert(lsh.searchMany(q, "vec_id", "embedding", 3)
+      .collect().map(_.toSeq).toSet == lExpect)
+    lsh.cool()
+    assert(!Residency.isResident(lsh.indexed))
+  }
+
   test("Bm25Index warm/cool round-trip on a loaded index") {
     val docs = Seq((1L, "spark shuffles partitions"),
       (2L, "spark caches blocks"), (3L, "postings warm blocks"))
