@@ -199,6 +199,40 @@ class LateInteractionSpec extends SparkSpec {
     assert(before == after)
   }
 
+  test("legacy sidecar (no boundFmt): slack applied once on load, exact-bound add accepted") {
+    val bound = dToks.agg(max(sqrt(
+      graft.functions.VectorOps.dot(col("vec"), col("vec")))))
+      .head().getDouble(0)
+    val idx = LateInteraction.buildTokenIvf(dToks, "doc_id", "tok_idx",
+      "vec", graft.index.IVFFlat.Params(k = 4, numAttempts = 1,
+        maxIterations = 5), maxNormBound = bound)
+    val dir = java.nio.file.Files.createTempDirectory("tokivflegacy").toString
+    idx.save(dir)
+    // rewrite the sidecar as a pre-r14 explicit-bound artifact: the
+    // UNinflated bound, no boundFmt marker
+    graft.index.ParamsIO.write(spark, dir, s"""{"maxNorm":$bound}""")
+    val loaded = LateInteraction.loadTokenIvf(spark, dir)
+    // load applied the (1+1e-7) slack ONCE — the bound now matches what
+    // a boundFmt=2 save would have stored
+    assert(math.abs(loaded.maxNorm - bound * (1.0 + 1e-7)) < 1e-9)
+    // a batch whose max norm lands one float-rounding ulp ABOVE the
+    // legacy bound (the spurious-refusal case the migration closes) is
+    // accepted against the migrated bound
+    val ulpToks = Seq((99L, 0L, Array.fill(8)(
+      bound * (1.0 + 5e-8) / math.sqrt(8.0))))
+      .toDF("doc_id", "tok_idx", "vec")
+    val added = loaded.add(ulpToks, "doc_id", "tok_idx", "vec")
+    // clusterSizes stay frozen on add; the indexed frame grows by one
+    assert(added.ivf.indexed.count() == loaded.ivf.indexed.count() + 1)
+    // genuinely over-bound batches still refuse loudly
+    val over = Seq((98L, 0L, Array.fill(8)(bound))).toDF(
+      "doc_id", "tok_idx", "vec")
+    val e = intercept[IllegalArgumentException] {
+      loaded.add(over, "doc_id", "tok_idx", "vec")
+    }
+    assert(e.getMessage.contains("MIPS bound"))
+  }
+
   test("TokenIvf.add: frozen-centroid ingest converges at probe-all; over-norm refused") {
     val a = dToks.filter(col("doc_id") < 20)
     val b = dToks.filter(col("doc_id") >= 20)
