@@ -149,6 +149,41 @@ class LateInteractionSpec extends SparkSpec {
     tier.cool(); split.cool()
   }
 
+  test("compressed-tier skew repair = split then compress: probe-all ≡ exact for SQ8 and residual-PQ") {
+    import spark.implicits._
+    // same Zipf plant as the splitHotCells gate
+    val rs = new scala.util.Random(0x21BFL)
+    val skewed = (for { d <- 0 until 60; t <- 0 until 4 } yield {
+      val v =
+        if (rs.nextInt(100) < 85) Array.fill(8)(7.0 + rs.nextDouble() * 0.3)
+        else Array.fill(8)((rs.nextInt(21) - 10).toDouble)
+      (d.toLong, t.toLong, v)
+    }).toDF("doc_id", "tok_idx", "vec")
+    val exact = asMapOf(LateInteraction.maxSim(qToks, "qid", "tok_idx",
+      "vec", skewed, "doc_id", "vec", k = 7))
+    val tier = LateInteraction.buildTokenIvf(skewed, "doc_id", "tok_idx",
+      "vec", graft.index.IVFFlat.Params(k = 6, numAttempts = 1,
+        maxIterations = 5))
+    val split = tier.splitHotCells(maxCellFactor = 1.2, iterations = 3)
+    assert(split.ivf.centroids.length > tier.ivf.centroids.length)
+    // the compressed tiers' skew-repair route is split-the-float-tier →
+    // re-compress (SQ8 codes are per-row so only cluster labels change;
+    // residual-PQ codes re-encode against the split centroids). At
+    // probe-all + m ≥ tokens, stage 2 rescores the exact token frame,
+    // so both split-compressed tiers reproduce the exhaustive face.
+    val np = split.ivf.centroids.length
+    val sq8 = split.compress()
+    assert(asMapOf(LateInteraction.maxSimSq8(qToks, "qid", "tok_idx",
+      "vec", skewed, "doc_id", "vec", sq8, k = 7, m = 240,
+      nprobe = np)) == exact)
+    val pq = split.compressPq(graft.index.PQ.Params(m = 9, k = 16,
+      iterations = 4, seed = 7L))
+    assert(asMapOf(LateInteraction.maxSimPq(qToks, "qid", "tok_idx",
+      "vec", skewed, "doc_id", "vec", pq, k = 7, m = 240,
+      nprobe = np)) == exact)
+    sq8.cool(); pq.cool(); tier.cool(); split.cool()
+  }
+
   test("maxSimSq8: compressed stage 1 converges at probe-all + m >= tokens") {
     val exact = asMapOf(LateInteraction.maxSim(qToks, "qid", "tok_idx",
       "vec", dToks, "doc_id", "vec", k = 7))
