@@ -3637,6 +3637,34 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Zipf-skew repair composed with the compressed serving tier in
+    // one driver-gated lane: the float token tier splits its hot cells
+    // (maxCellFactor 0.5 puts the cap below the mean, forcing real
+    // splits on any draw), the SPLIT tier residual-PQ-compresses
+    // (codes re-encode against the sub-cell centroids — the route
+    // splitHotCells' scaladoc prescribes for lossy tiers), and the
+    // compressed tier serves at probe-all + m = corpus tokens, where
+    // stage 2's exact rescore makes the lane ≡ the exhaustive oracle.
+    "maxsim_split_pq" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").filter(col("doc_id") < 50)
+      val dToks = LateInteraction.tokenVectors(docs, "doc_id", "text")
+        .localCheckpoint(true)
+      val qToks = LateInteraction.tokenVectors(
+          docs.filter(col("doc_id") < 3), "doc_id", "text")
+        .withColumnRenamed("doc_id", "qid")
+      val m = dToks.count().toInt
+      val ivf = LateInteraction.buildTokenIvf(dToks, "doc_id", "tok_idx",
+        "vec", IVFFlat.Params(k = 8, numAttempts = 1, maxIterations = 5))
+      val split = ivf.splitHotCells(maxCellFactor = 0.5, iterations = 2)
+      val idx = split.compressPq(graft.index.PQ.Params(m = 4, k = 16,
+        iterations = 4, seed = 7L))
+      ivf.ivf.indexed.unpersist()
+      LateInteraction.maxSimPq(qToks, "qid", "tok_idx", "vec",
+          dToks, "doc_id", "vec", idx, k = 10, m = m,
+          nprobe = split.ivf.centroids.length)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // The PQ tier's production serving path end-to-end FROM DISK (the
     // maxsim_loaded discipline): doc-clustered token frame saved +
     // loaded, TokenPq saved (cluster-partitioned 4 B/token codes +
@@ -7669,6 +7697,9 @@ object SparkEntry {
     // same bounded-corpus exhaustive replay (and its disk-lifecycle,
     // frozen-parts add, and doc-prefix remove faces)
     "maxsim_pq" -> maxSimSqlCorpus("WHERE doc_id < 50"),
+    // split tier re-compressed (splitHotCells → compressPq), probe-all:
+    // pure re-binning + exact stage-2 rescore — same exhaustive replay
+    "maxsim_split_pq" -> maxSimSqlCorpus("WHERE doc_id < 50"),
     "maxsim_pq_loaded" -> maxSimSqlCorpus("WHERE doc_id < 50"),
     "maxsim_pq_add" -> maxSimSqlCorpus("WHERE doc_id < 50"),
     "maxsim_pq_remove" -> maxSimSqlCorpus("WHERE doc_id < 50"),
