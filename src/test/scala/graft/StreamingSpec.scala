@@ -1694,4 +1694,64 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
     Seq(tier, repaired).foreach(_.cool())
   }
+
+  test("streamed ingest into a SPLIT token tier: sub-cell grid ingests like any grid, probe-all exact") {
+    // the skew-repair lifecycle under live ingest: a Zipf-skewed tier
+    // splits its hot cells, then KEEPS ingesting — the split grid is a
+    // plain grid (first-class sub-cells, frozen like any add target),
+    // so streamed rows argmin into sub-cells and the live tier serves
+    // exactly like the batch pipeline over the full corpus
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.LateInteraction
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text").filter($"doc_id" < 100)
+    val allToks = LateInteraction.tokenVectors(docs, "doc_id", "text")
+      .localCheckpoint(true)
+    val bound = allToks.agg(max(sqrt(
+      graft.functions.VectorOps.dot($"vec", $"vec")))).head().getDouble(0)
+    val seed = LateInteraction.buildTokenIvf(
+      LateInteraction.tokenVectors(
+        docs.filter($"doc_id" < 60), "doc_id", "text"),
+      "doc_id", "tok_idx", "vec",
+      IVFFlat.Params(k = 4, numAttempts = 1, maxIterations = 5),
+      maxNormBound = bound)
+    val split = seed.splitHotCells(maxCellFactor = 0.5, iterations = 2)
+    assert(split.ivf.centroids.length > seed.ivf.centroids.length,
+      "the corpus must trip a real split")
+    val rest = docs.filter($"doc_id" >= 60).as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    val st = new java.util.concurrent.atomic.AtomicReference(split)
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.ingestIntoTokenIvf(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", st)
+    rest.grouped(20).foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    // every streamed token landed exactly once on the split grid
+    assert(st.get().ivf.indexed.count() == allToks.count())
+    // stream == batch: the live tier's rows match split.add of the
+    // same remainder in one shot
+    val batchAdded = split.add(
+      LateInteraction.tokenVectors(
+        docs.filter($"doc_id" >= 60), "doc_id", "text"),
+      "doc_id", "tok_idx", "vec")
+    val streamIds = st.get().ivf.indexed.select($"id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val batchIds = batchAdded.ivf.indexed.select($"id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(streamIds == batchIds)
+    // probe-all + m >= tokens over the live split tier == exhaustive
+    val qToks = LateInteraction.tokenVectors(
+        docs.filter($"doc_id" < 3), "doc_id", "text")
+      .withColumnRenamed("doc_id", "qid")
+    val total = allToks.count().toInt
+    val got = LateInteraction.maxSimIvf(qToks, "qid", "tok_idx", "vec",
+        allToks, "doc_id", "vec", st.get(), k = 10, m = total,
+        nprobe = st.get().ivf.centroids.length)
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    val want = LateInteraction.maxSim(qToks, "qid", "tok_idx", "vec",
+        allToks, "doc_id", "vec", k = 10)
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    assert(got == want)
+    Seq(seed, split).foreach(_.cool())
+  }
 }
