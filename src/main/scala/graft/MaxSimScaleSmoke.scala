@@ -499,6 +499,32 @@ object MaxSimScaleSmoke extends Serializable {
                 f"${recallAt1(top, bTruth)}%.3f"
             }
           }
+          // split × compression (PQ=1): re-compress the SPLIT tier
+          // (residual codes re-encode against the sub-cell centroids —
+          // the lossy tiers' skew-repair route) and serve the base
+          // config — the A/B against the UNSPLIT PQ serve below is the
+          // deployment-shape answer: does the skew lever survive the
+          // 4 B/token storage tier?
+          if (sys.env.get("SPARK_GRAFT_MAXSIM_PQ").contains("1")) {
+            val sPq = phase("b_split_pq_compress") {
+              bSplit.compressPq(graft.index.PQ.Params(m = 4, k = 256,
+                iterations = 4, seed = 7L),
+                codebookTrainFraction =
+                  math.min(1.0, 2e6 / (nDocs * docLen).toDouble))
+            }
+            phase("b_split_pq_warm") { sPq.warm() }
+            val tag = s"b_split_pq_serve_p${nprobeB}_m${ms.head}" +
+              (if (caps.head > 0) s"_c${caps.head}" else "")
+            phase(tag) {
+              val top = operators.LateInteraction.maxSimPq(bQ, "qid",
+                "tok_idx", "vec", bToks, "doc_id", "vec", sPq, k = 10,
+                m = ms.head, nprobe = nprobeB,
+                cap = if (caps.head > 0) caps.head else Int.MaxValue)
+              out += tag.replace("_serve", "_recall_at1") ->
+                f"${recallAt1(top, bTruth)}%.3f"
+            }
+            sPq.cool()
+          }
           bSplit.cool()
         }
       // SQ8-vs-residual-PQ at EQUAL m/nprobe at scale
