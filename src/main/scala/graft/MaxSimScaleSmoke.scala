@@ -487,17 +487,17 @@ object MaxSimScaleSmoke extends Serializable {
           }
           out += "b_split_cells" -> bSplit.ivf.centroids.length.toString
           out += "b_split_cell_max" -> bSplit.ivf.clusterSizes.max.toString
+          // servedTwice: the split's corpus-sized read (the renumber
+          // materialization) evicts stage-2 blocks, so the first split
+          // serve pays the same re-warm the tier A/B rows document —
+          // the _warm twin is the steady-state split reading
           for (np <- Seq(nprobeB, nprobeB * 2)) {
             val tag = s"b_split_serve_p${np}_m${ms.head}" +
               (if (caps.head > 0) s"_c${caps.head}" else "")
-            phase(tag) {
-              val top = operators.LateInteraction.maxSimIvf(bQ, "qid",
-                "tok_idx", "vec", bToks, "doc_id", "vec", bSplit, k = 10,
-                m = ms.head, nprobe = np,
-                cap = if (caps.head > 0) caps.head else Int.MaxValue)
-              out += tag.replace("_serve", "_recall_at1") ->
-                f"${recallAt1(top, bTruth)}%.3f"
-            }
+            servedTwice(tag)(operators.LateInteraction.maxSimIvf(bQ,
+              "qid", "tok_idx", "vec", bToks, "doc_id", "vec", bSplit,
+              k = 10, m = ms.head, nprobe = np,
+              cap = if (caps.head > 0) caps.head else Int.MaxValue))
           }
           // split × compression (PQ=1): re-compress the SPLIT tier
           // (residual codes re-encode against the sub-cell centroids —
@@ -515,14 +515,10 @@ object MaxSimScaleSmoke extends Serializable {
             phase("b_split_pq_warm") { sPq.warm() }
             val tag = s"b_split_pq_serve_p${nprobeB}_m${ms.head}" +
               (if (caps.head > 0) s"_c${caps.head}" else "")
-            phase(tag) {
-              val top = operators.LateInteraction.maxSimPq(bQ, "qid",
-                "tok_idx", "vec", bToks, "doc_id", "vec", sPq, k = 10,
-                m = ms.head, nprobe = nprobeB,
-                cap = if (caps.head > 0) caps.head else Int.MaxValue)
-              out += tag.replace("_serve", "_recall_at1") ->
-                f"${recallAt1(top, bTruth)}%.3f"
-            }
+            servedTwice(tag)(operators.LateInteraction.maxSimPq(bQ,
+              "qid", "tok_idx", "vec", bToks, "doc_id", "vec", sPq,
+              k = 10, m = ms.head, nprobe = nprobeB,
+              cap = if (caps.head > 0) caps.head else Int.MaxValue))
             sPq.cool()
           }
           bSplit.cool()
