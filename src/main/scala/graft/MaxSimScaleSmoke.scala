@@ -512,6 +512,12 @@ object MaxSimScaleSmoke extends Serializable {
                 codebookTrainFraction =
                   math.min(1.0, 2e6 / (nDocs * docLen).toDouble))
             }
+            // lean discipline (the r13 SQ8_LEAN lesson): the compress
+            // consumed the split float tier's frames — cool it BEFORE
+            // the compressed serve, so the tier serves with only its
+            // own inputs resident (codes + stage-2 tokens), not under
+            // eviction pressure from the resident float split tier
+            bSplit.cool()
             phase("b_split_pq_warm") { sPq.warm() }
             val tag = s"b_split_pq_serve_p${nprobeB}_m${ms.head}" +
               (if (caps.head > 0) s"_c${caps.head}" else "")
