@@ -487,6 +487,30 @@ object MaxSimScaleSmoke extends Serializable {
           }
           out += "b_split_cells" -> bSplit.ivf.centroids.length.toString
           out += "b_split_cell_max" -> bSplit.ivf.clusterSizes.max.toString
+          // probed VOLUME at equal nprobe, unsplit vs split (driver
+          // math over broadcastable coarse state): Zipf queries draw
+          // from the head, and splitting puts several DENSE sub-cells
+          // at the top of their probe order (displacing sparse cells),
+          // so fixed-cell-count probing can scan MORE rows post-split
+          // even though the hot cell shrank — the stage-1-wall tiers
+          // (ADC codes) feel this; stage-2-dominated serves don't
+          def probedVol(m: graft.index.IVFFlat.Model): Long = {
+            val qtoks = bQ.select(col("vec").cast("array<float>")).collect()
+              .map(_.getSeq[Float](0).toArray :+ 0f)
+            qtoks.map { q =>
+              m.centroids.indices
+                .sortBy(c => {
+                  var s = 0.0; var i = 0
+                  val cc = m.centroids(c)
+                  while (i < cc.length) {
+                    val d = cc(i) - q(i); s += d * d; i += 1 }
+                  s
+                })
+                .take(nprobeB).map(m.clusterSizes(_)).sum
+            }.sum
+          }
+          out += "b_probed_vol" -> probedVol(bIvf.ivf).toString
+          out += "b_split_probed_vol" -> probedVol(bSplit.ivf).toString
           // servedTwice: the split's corpus-sized read (the renumber
           // materialization) evicts stage-2 blocks, so the first split
           // serve pays the same re-warm the tier A/B rows document —
