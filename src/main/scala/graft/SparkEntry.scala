@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps._
 import graft.index.{HNSW, HNSWGraph, IVFFlat, LSHForest}
-import graft.operators.{Dedup, Dsir, Exhaustive, LateInteraction, Retrieval, TextOps}
+import graft.operators.{Dedup, Dsir, Exhaustive, LateInteraction, Retrieval, Scaling, TextOps}
 import graft.streaming.Streaming
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -848,7 +848,9 @@ object SparkEntry {
     "bq_knn_join_asym_all" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val cents = fixedCentroids(emb)
-      val indexed = graft.index.IVFFlat.assign(emb, "vec_id", "embedding", cents)
+      // |corpus|² self-kNN over codes — widen like ivf_knn_join_all
+      val indexed = graft.index.IVFFlat.assign(Scaling.widen(emb),
+        "vec_id", "embedding", cents)
       val sizes = Array.fill(cents.length)(Long.MaxValue)
       val bq = graft.index.BQ.compress(
         IVFFlat.Model(IVFFlat.Params(cents.length), cents, sizes, indexed))
@@ -1513,7 +1515,10 @@ object SparkEntry {
     "ivf_knn_join_all" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val cents = fixedCentroids(emb)
-      val indexed = IVFFlat.assign(emb, "vec_id", "embedding", cents)
+      // self-kNN scores |corpus|² pairs in the scan stage: widen the
+      // one-split bench scan so the fused sqDist kernel uses every core
+      val indexed = IVFFlat.assign(Scaling.widen(emb), "vec_id",
+        "embedding", cents)
       val sizes = Array.fill(cents.length)(Long.MaxValue) // force nprobe exactly
       val model = IVFFlat.Model(IVFFlat.Params(cents.length), cents, sizes, indexed)
       model.knnJoin(emb, "vec_id", "embedding", k = 10, nprobe = cents.length)
@@ -1528,7 +1533,9 @@ object SparkEntry {
     "mine_hard_negatives" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val cents = fixedCentroids(emb)
-      val indexed = IVFFlat.assign(emb, "vec_id", "embedding", cents)
+      // |corpus|² self-kNN first pass — widen like ivf_knn_join_all
+      val indexed = IVFFlat.assign(Scaling.widen(emb), "vec_id",
+        "embedding", cents)
       val sizes = Array.fill(cents.length)(Long.MaxValue)
       val model = IVFFlat.Model(IVFFlat.Params(cents.length), cents, sizes, indexed)
       graft.operators.KnnGraph.hardNegatives(
@@ -2048,7 +2055,9 @@ object SparkEntry {
     "knn_graph_clusters" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val cents = fixedCentroids(emb)
-      val indexed = IVFFlat.assign(emb, "vec_id", "embedding", cents)
+      // |corpus|² self-kNN first pass — widen like ivf_knn_join_all
+      val indexed = IVFFlat.assign(Scaling.widen(emb), "vec_id",
+        "embedding", cents)
       val sizes = Array.fill(cents.length)(Long.MaxValue)
       val model = IVFFlat.Model(IVFFlat.Params(cents.length), cents, sizes, indexed)
       graft.operators.KnnGraph.clusters(
@@ -3457,7 +3466,10 @@ object SparkEntry {
     // dot, max commutes with the monotone quantization).
     "maxsim_exact" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
-      val dToks = LateInteraction.tokenVectors(docs, "doc_id", "text")
+      // full-corpus token frame: widen the embed+join across cores
+      // (one parquet split would otherwise run it single-task)
+      val dToks = LateInteraction.tokenVectors(docs, "doc_id", "text",
+        wide = true)
       val qToks = LateInteraction.tokenVectors(
           docs.filter(col("doc_id") < 3), "doc_id", "text")
         .withColumnRenamed("doc_id", "qid")
@@ -3496,7 +3508,8 @@ object SparkEntry {
       val docs = tbl(s, dir, "documents")
       val tmp = scratchDir("maxsim_persist")
       LateInteraction.saveTokens(
-        LateInteraction.tokenVectors(docs, "doc_id", "text"), tmp)
+        LateInteraction.tokenVectors(docs, "doc_id", "text",
+          wide = true), tmp)
       val dToks = LateInteraction.loadTokens(s, tmp)
       val qToks = LateInteraction.tokenVectors(
           docs.filter(col("doc_id") < 3), "doc_id", "text")

@@ -53,7 +53,7 @@ object LateInteraction {
     * is what makes the whole MaxSim pipeline oracle-replayable with no
     * model in the loop. */
   def tokenVectors(docs: DataFrame, idCol: String, textCol: String,
-                   dim: Int = 16): DataFrame = {
+                   dim: Int = 16, wide: Boolean = false): DataFrame = {
     val term = col("term")
     // char trigrams; terms shorter than 3 chars contribute just the
     // whole-term gram (sequence() would descend for stop < start)
@@ -62,8 +62,19 @@ object LateInteraction {
           i => term.substr(i, lit(3))))
       .otherwise(array())
     val grams = concat(array(term), tris)
-    docs.select(col(idCol).cast("long").as("doc_id"),
-        posexplode(TextOps.tokens(col(textCol))).as(Seq("tok_idx", "term")))
+    // `wide`: widen BEFORE the explode+md5 embed — per-doc work here is
+    // dozens of digest calls, so a corpus that fits one parquet split
+    // would embed on one core (measured 6.5 s single-task at sf0.1;
+    // Scaling.widen scaladoc; no-op at scale). Opt-in because only the
+    // CALLER knows whether `docs` is corpus-sized (embed dominates) or
+    // serving-sized (query batches, bounded lanes — widening those
+    // taxes every downstream job with core-count tasks for nothing).
+    // The projection runs first so the exchange carries only (id, text).
+    val src = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("__text"))
+    (if (wide) Scaling.widen(src) else src)
+      .select(col("doc_id"),
+        posexplode(TextOps.tokens(col("__text"))).as(Seq("tok_idx", "term")))
       .select(col("doc_id"), col("tok_idx").cast("long").as("tok_idx"),
         TextOps.hashEmbedding(grams, dim).cast("array<double>").as("vec"))
   }
@@ -94,10 +105,20 @@ object LateInteraction {
       .sortWithinPartitions(col("doc_id"), col("tok_idx"))
       .write.mode("overwrite").parquet(s"$dir/tokens")
 
-  /** Reload a saved token frame (columns doc_id, tok_idx, vec). */
+  /** Reload a saved token frame (columns doc_id, tok_idx, vec). The
+    * scan is widened BY ARTIFACT SIZE ([[Scaling.widenBySize]]): a
+    * corpus-sized artifact that fits few parquet splits would other-
+    * wise serve its dot-product joins nearly single-task, while a
+    * serving-sized artifact keeps its natural width (no fan-out tax);
+    * at 100M tokens the artifact spans thousands of row groups and
+    * this is a no-op. Filters still push below the added exchange
+    * (PushDownPredicates handles Repartition), so the In(doc_id,…)
+    * stage-2 row-group prune on the doc-clustered layout is
+    * unaffected. */
   def loadTokens(spark: org.apache.spark.sql.SparkSession,
                  dir: String): DataFrame =
-    spark.read.parquet(s"$dir/tokens")
+    Scaling.widenBySize(spark.read.parquet(s"$dir/tokens"),
+      Scaling.pathBytes(spark, s"$dir/tokens"))
 
   /** Quantized per-pair similarity: floor(⟨a,b⟩ · 1e6 + 0.5) as BIGINT. */
   private def simQ(a: org.apache.spark.sql.Column,
