@@ -1597,14 +1597,15 @@ object SparkEntry {
     // token runs whose every 5-gram occurs in >= 2 distinct docs.
     // Grams travel as md5 digests; the run merge is a per-doc window.
     "dedup_spans" -> ((s, dir) =>
-      Dedup.repeatedSpans(tbl(s, dir, "documents"), "doc_id", "text", n = 5)
+      // widen: the md5-per-gram explode is compute-dense on a one-split scan
+      Dedup.repeatedSpans(Scaling.widen(tbl(s, dir, "documents")), "doc_id", "text", n = 5)
         .orderBy(col("doc_id"), col("start_tok"))),
 
     // The scrub face: remove every span-covered token, reassemble the
     // remainder in order. Gated on the digest of the scrubbed text +
     // surviving token count per doc.
     "dedup_spans_scrub" -> ((s, dir) => {
-      val docs = tbl(s, dir, "documents")
+      val docs = Scaling.widen(tbl(s, dir, "documents"))
       val spans = Dedup.repeatedSpans(docs, "doc_id", "text", n = 5)
       Dedup.scrubRepeatedSpans(docs, "doc_id", "text", spans)
         .select(col("doc_id"), md5(col("scrubbed")).as("scrub_digest"),
@@ -2549,14 +2550,15 @@ object SparkEntry {
 
     // Exact n-gram Jaccard pairs via shingle inverted index.
     "dedup_jaccard" -> ((s, dir) =>
-      Dedup.jaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
+      // widen: shingle digesting + the posting self-join read a one-split scan
+      Dedup.jaccardPairs(Scaling.widen(tbl(s, dir, "documents")), "doc_id", "text",
         threshold = 0.2)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     // Same, with the document-frequency cap that bounds posting-list
     // fanout at scale (shingles in > dfCap docs leave the universe).
     "dedup_jaccard_capped" -> ((s, dir) =>
-      Dedup.jaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
+      Dedup.jaccardPairs(Scaling.widen(tbl(s, dir, "documents")), "doc_id", "text",
         threshold = 0.2, dfCap = 8)
         .orderBy(col("doc_a"), col("doc_b"))),
 
@@ -2573,7 +2575,7 @@ object SparkEntry {
     // embedded in a long one) that symmetric Jaccard misses. Threshold
     // 0.5 = half of the smaller side's shingles appear in the other.
     "dedup_containment" -> ((s, dir) =>
-      Dedup.containmentPairs(tbl(s, dir, "documents"), "doc_id", "text",
+      Dedup.containmentPairs(Scaling.widen(tbl(s, dir, "documents")), "doc_id", "text",
         threshold = 0.5)
         .orderBy(col("doc_a"), col("doc_b"))),
 
@@ -3297,7 +3299,9 @@ object SparkEntry {
     // one-partition corpus window), then ranked. Deterministic ties by
     // doc_id.
     "dsir_select" -> ((s, dir) => {
-      val docs = tbl(s, dir, "documents")
+      // widen: the gram-bucket md5 passes (scoring corpus AND the lane's
+      // corpus-derived target) are compute-dense on a one-split scan
+      val docs = Scaling.widen(tbl(s, dir, "documents"))
       Dsir.selectTop(docs, "doc_id", "text",
           docs.filter(col("lang") === "en"), "text", n = 50, m = 256)
         .orderBy(col("rank"))
@@ -3309,7 +3313,7 @@ object SparkEntry {
     // receives O(n) rows instead of partitions × n (the r11 scale
     // audit's DSIR skew). Same result as selectTop by construction.
     "dsir_select_threshold" -> ((s, dir) => {
-      val docs = tbl(s, dir, "documents")
+      val docs = Scaling.widen(tbl(s, dir, "documents"))
       Dsir.selectTopThreshold(docs, "doc_id", "text",
           docs.filter(col("lang") === "en"), "text", n = 50, m = 256)
         .orderBy(col("rank"))
@@ -3319,7 +3323,7 @@ object SparkEntry {
     // sampler) at temperature 2: content-addressed Gumbel noise on the
     // quantized log-weights — deterministic, oracle-replayed.
     "dsir_resample" -> ((s, dir) => {
-      val docs = tbl(s, dir, "documents")
+      val docs = Scaling.widen(tbl(s, dir, "documents"))
       Dsir.selectResampled(docs, "doc_id", "text",
           docs.filter(col("lang") === "en"), "text", n = 50, m = 256,
           temperature = 2.0)

@@ -57,7 +57,20 @@ object Dedup {
     * the label state localCheckpoints so the plan stays O(1) deep at
     * any round count (the [[graft.index.Lineage]] discipline).
     * `maxRounds` bounds pathological graphs; labels only ever
-    * decrease, so the changed-count convergence test is exact. */
+    * decrease, so the changed-count convergence test is exact.
+    *
+    * Action layout (r15 optimization): ONE localCheckpoint per round —
+    * the whole round (hop, min-combine, halving, changed-vs-previous
+    * flag) materializes as a single action, and the convergence count
+    * then reads the checkpointed blocks instead of re-running joins.
+    * The earlier layout (checkpoint `hopped`, then a separate
+    * count-with-join, then the un-checkpointed halving re-executing
+    * inside BOTH next-round consumers) executed the halving self-join
+    * up to three times per round and paid 2 actions + a join-bearing
+    * count; the self-join's shuffle now computes once (identical
+    * subtrees share one exchange via ReuseExchange, and the round
+    * state it builds on is a checkpoint, O(1) deep). Identical math,
+    * same fixed point, gated by the unchanged component-lane hashes. */
   def components(pairs: DataFrame, aCol: String, bCol: String,
                  maxRounds: Int = 50): DataFrame = {
     val e = pairs.select(col(aCol).cast("long").as("src"),
@@ -72,11 +85,8 @@ object Dedup {
     while (changed > 0 && round < maxRounds) {
       val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("comp"))
-      // checkpointed: the halving step reads it twice, and the label
-      // state must stay O(1)-deep across rounds
       val hopped = labels.unionByName(prop)
         .groupBy("id").agg(min("comp").as("comp"))
-        .localCheckpoint(true)
       // pointer halving: comp := label(comp); left join because a
       // label may predate this round's min (still a node id), and
       // labels monotonically decrease so least() is safe
@@ -85,9 +95,15 @@ object Dedup {
           Seq("comp"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"))
-      changed = next.join(labels.select(col("id"), col("comp").as("prev")), "id")
-        .filter(col("comp") < col("prev")).count()
-      labels = next
+        // carry the did-anything-move flag IN the round state: the
+        // hopped ids are exactly the label ids, so the inner join
+        // keeps every row
+        .join(labels.select(col("id"), col("comp").as("__prev")), Seq("id"))
+        .select(col("id"), col("comp"),
+          (col("comp") < col("__prev")).as("__chg"))
+        .localCheckpoint(true)
+      changed = next.filter(col("__chg")).count()
+      labels = next.select(col("id"), col("comp"))
       round += 1
     }
     edges.unpersist()
