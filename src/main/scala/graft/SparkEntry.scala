@@ -3511,9 +3511,11 @@ object SparkEntry {
     "maxsim_persist" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       val tmp = scratchDir("maxsim_persist")
+      // embed once: the doc-clustered save's range sampler would
+      // otherwise re-run the embed (the sibling lanes' dToks0 idiom)
       LateInteraction.saveTokens(
         LateInteraction.tokenVectors(docs, "doc_id", "text",
-          wide = true), tmp)
+          wide = true).localCheckpoint(true), tmp)
       val dToks = LateInteraction.loadTokens(s, tmp)
       val qToks = LateInteraction.tokenVectors(
           docs.filter(col("doc_id") < 3), "doc_id", "text")

@@ -71,17 +71,39 @@ private[graft] object Batches {
     * row gate. */
   def boundedCheckScaled(ds: Dataset[_], what: String,
                          floatsPerRow: Long): Unit = {
+    val max = scaledMaxRows(ds, floatsPerRow)
+    require(ds.limit((max + 1).toInt).count() <= max,
+      scaledMessage(ds, what, max, floatsPerRow))
+  }
+
+  /** [[boundedCheckScaled]]'s threshold WITHOUT the count job — for
+    * callers that already know the frame's exact row count from
+    * driver-side arithmetic (e.g. the MaxSim rescore probe: an inner
+    * join on qid whose row count is Σ_qid |cand_qid| × |qtoks_qid|,
+    * both factors collected anyway for chunking). Same bound, same
+    * failure message, zero extra Spark jobs. */
+  def requireScaledRows(ds: Dataset[_], what: String, rows: Long,
+                        floatsPerRow: Long): Unit = {
+    val max = scaledMaxRows(ds, floatsPerRow)
+    require(rows <= max, scaledMessage(ds, what, max, floatsPerRow))
+  }
+
+  private def scaledMaxRows(ds: Dataset[_], floatsPerRow: Long): Long = {
     val maxRows = maxBatch(ds)
     val budgetFloats = maxRows.toLong * NominalRowFloats
-    val max = math.max(1L, math.min(maxRows.toLong,
+    math.max(1L, math.min(maxRows.toLong,
       budgetFloats / math.max(1L, floatsPerRow)))
-    require(ds.limit((max + 1).toInt).count() <= max,
-      s"$what exceeds the serving budget, broadcast-scaled ($max rows at " +
-        s"$floatsPerRow broadcast floats/row — $budgetFloats floats " +
-        s"total, conf $MaxBatchKey rows × $NominalRowFloats): this " +
-        "entry point broadcasts O(rows × floats/row) to every " +
-        s"executor — the contract is that this side is SMALL. " +
-        DefaultRemedy)
+  }
+
+  private def scaledMessage(ds: Dataset[_], what: String, max: Long,
+                            floatsPerRow: Long): String = {
+    val budgetFloats = maxBatch(ds).toLong * NominalRowFloats
+    s"$what exceeds the serving budget, broadcast-scaled ($max rows at " +
+      s"$floatsPerRow broadcast floats/row — $budgetFloats floats " +
+      s"total, conf $MaxBatchKey rows × $NominalRowFloats): this " +
+      "entry point broadcasts O(rows × floats/row) to every " +
+      s"executor — the contract is that this side is SMALL. " +
+      DefaultRemedy
   }
 
   /** Footprint assert for an ALREADY-collected (row-gated) batch that

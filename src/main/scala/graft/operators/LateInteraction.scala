@@ -256,23 +256,38 @@ object LateInteraction {
                                 d: DataFrame, k: Int,
                                 qChunk: Int = 1024): DataFrame = {
     val cand = cand0.localCheckpoint(true)
-    // per-probe-row broadcast width for the budget gate: qvec is
-    // array<double> ([[tokenFaces]]) → 2 floats per element; one
-    // limit-1 peek on the serving-sized query-token frame
-    val qvecFloats = q.select(size(col("qvec"))).head(1) match {
-      case rows if rows.nonEmpty => 2L * rows(0).getInt(0)
-      case _ => graft.index.Batches.NominalRowFloats
-    }
-    // one serving-sized collect decides the chunking: distinct qids,
-    // sorted so contiguous ranges partition the batch exactly
-    val qids = cand.select(col("qid")).distinct()
-      .collect().map(_.getLong(0)).sorted
-    if (qids.length <= qChunk) rescoreChunk(cand, q, d, k, qvecFloats)
-    else qids.grouped(qChunk).map { g =>
-      val (lo, hi) = (g.head, g.last)
+    // ONE serving-sized pass over the query-token frame: per-qid token
+    // count + the qvec width (array<double> per [[tokenFaces]] → 2
+    // floats per element for the broadcast gate). Replaces the old
+    // limit-1 width peek — same width (token frames are fixed-dim by
+    // construction; max over qids is never looser than first-row).
+    val qStats = q.groupBy(col("qid")).agg(count(lit(1)).as("__nt"),
+        first(size(col("qvec"))).as("__w")).collect()
+    val qvecFloats =
+      if (qStats.isEmpty) graft.index.Batches.NominalRowFloats
+      else 2L * qStats.iterator.map(_.getInt(2)).max
+    val ntByQid = qStats.iterator
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ONE pass over the checkpointed candidates: per-qid candidate
+    // counts give (a) the sorted qid list that decides chunking and
+    // (b) with ntByQid, the EXACT row count of each chunk's probe
+    // join (inner on qid ⇒ Σ |cand_q| × |qtoks_q|) — so the
+    // broadcast-budget gate becomes driver arithmetic instead of a
+    // per-chunk count job over the join ([[graft.index.Batches
+    // .requireScaledRows]]). Same bound, same failure, fewer jobs.
+    val cStats = cand.groupBy(col("qid")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val qids = cStats.map(_._1)
+    def probeRows(g: Array[(Long, Long)]): Long =
+      g.iterator.map { case (qid, c) => c * ntByQid.getOrElse(qid, 0L) }.sum
+    if (qids.length <= qChunk)
+      rescoreChunk(cand, q, d, k, qvecFloats, probeRows(cStats))
+    else cStats.grouped(qChunk).map { g =>
+      val (lo, hi) = (g.head._1, g.last._1)
       rescoreChunk(
         cand.filter(col("qid") >= lo && col("qid") <= hi),
-        q.filter(col("qid") >= lo && col("qid") <= hi), d, k, qvecFloats)
+        q.filter(col("qid") >= lo && col("qid") <= hi), d, k, qvecFloats,
+        probeRows(g))
     }.reduce(_.unionByName(_))
   }
 
@@ -284,12 +299,14 @@ object LateInteraction {
     * gate at its true fan-out (cand × q-tokens rows, each carrying a
     * double qvec): chunking bounds QUERIES per slice, but cap ×
     * q-tokens per query can still overrun the executor budget — fail
-    * fast naming the levers instead. The capped count recomputes the
-    * broadcast-sized probe join once over the checkpointed candidate
-    * blocks (cheap relative to the corpus-scan stages around it). */
+    * fast naming the levers instead. The gate costs no job: the probe
+    * is an inner join on qid, so its exact row count is caller
+    * arithmetic over the per-qid stats already collected for
+    * chunking. */
   private def rescoreChunk(cand: DataFrame, q: DataFrame,
                            d: DataFrame, k: Int,
-                           qvecFloats: Long): DataFrame = {
+                           qvecFloats: Long,
+                           probeRows: Long): DataFrame = {
     val idLimit = 10000
     val ids = cand.select(col("doc_id")).distinct()
       .limit(idLimit + 1).collect().map(_.getLong(0))
@@ -300,9 +317,11 @@ object LateInteraction {
       else d.join(broadcast(cand.select(col("doc_id")).distinct()),
         Seq("doc_id"), "left_semi")
     val probeDf = cand.join(q, Seq("qid"))
-    graft.index.Batches.boundedCheckScaled(probeDf,
+    // probeRows is the join's exact row count (caller arithmetic from
+    // the per-qid stats) — the scaled budget gate needs no count job
+    graft.index.Batches.requireScaledRows(probeDf,
       "MaxSim rescore probe (candidates × query tokens; shrink cap or qChunk)",
-      qvecFloats)
+      probeRows, qvecFloats)
     val probe = broadcast(probeDf)
     reduceAndRank(
       pruned.join(probe, Seq("doc_id")).select(col("qid"), col("doc_id"),

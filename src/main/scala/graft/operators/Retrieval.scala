@@ -315,7 +315,12 @@ object Retrieval {
       // extra positions shuffle at save time buys every later phrase
       // batch a seek-sized scan. (saveBucketed keeps its doc_id layout
       // instead — that trade buys the zero-exchange anchor combine.)
-      positions.foreach(_.repartitionByRange(col("term"))
+      // checkpoint first: the range partitioner SAMPLES its child and
+      // the write then executes it again — uncheckpointed, the whole
+      // positional tokenize ran twice per save. One materialization,
+      // both passes read blocks; the blocks release with the frame.
+      positions.foreach(_.localCheckpoint(true)
+        .repartitionByRange(col("term"))
         .sortWithinPartitions("term", "doc_id", "pos")
         .write.mode("overwrite").parquet(s"$dir/pos"))
       docFreq.write.mode("overwrite").parquet(s"$dir/df")
