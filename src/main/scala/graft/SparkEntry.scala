@@ -3875,12 +3875,20 @@ object SparkEntry {
       val nCells = 8
       val params = IVFFlat.Params(k = nCells, numAttempts = 1,
         maxIterations = 5)
-      val idx = LateInteraction.buildTokenIvf(
-          dToks.filter(col("doc_id") < 25), "doc_id", "tok_idx", "vec",
-          params)
-        .merge(LateInteraction.buildTokenIvf(
-          dToks.filter(col("doc_id") >= 25), "doc_id", "tok_idx", "vec",
-          params))
+      // the two shard builds are independent (both read the
+      // checkpointed token frame) — overlap them (guide §2.6); the
+      // merge consumes the same two models either way
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val loF = Future(LateInteraction.buildTokenIvf(
+        dToks.filter(col("doc_id") < 25), "doc_id", "tok_idx", "vec",
+        params))
+      val hiF = Future(LateInteraction.buildTokenIvf(
+        dToks.filter(col("doc_id") >= 25), "doc_id", "tok_idx", "vec",
+        params))
+      val idx = Await.result(loF, Duration.Inf)
+        .merge(Await.result(hiF, Duration.Inf))
       LateInteraction.maxSimIvf(qToks, "qid", "tok_idx", "vec",
           dToks, "doc_id", "vec", idx, k = 10, m = m, nprobe = nCells)
         .orderBy(col("qid"), col("rank"))
@@ -4019,25 +4027,36 @@ object SparkEntry {
       val emb = tbl(s, dir, "embeddings")
       val qs = docs.filter(col("doc_id") < 3)
         .select(col("doc_id").as("qid"), col("text").as("qtext"))
-      val bPath = scratchDir("hyb_bm25")
-      val built = Retrieval.buildIndex(docs, "doc_id", "text")
-      built.saveBucketed("hybrid_loaded_postings", bPath, numBuckets = 4)
-      built.unpersist()
-      val lex = Retrieval.loadBucketedIndex(s, "hybrid_loaded_postings", bPath)
-        .searchTopK(qs, "qid", "qtext", k = 10)
-        .select(col("qid"), col("doc_id").as("id"), col("rank"))
-      val cents = fixedCentroids(emb)
-      val iPath = scratchDir("hyb_ivf")
-      IVFFlat.Model(IVFFlat.Params(cents.length), cents,
-          Array.fill(cents.length)(Long.MaxValue),
-          IVFFlat.assign(emb, "vec_id", "embedding", cents)).save(iPath)
-      val model = IVFFlat.load(s, iPath)
-      val wv = Window.partitionBy(col("qid"))
-        .orderBy(col("distance").asc, col("id").asc)
-      val vec = model.searchMany(emb.filter(col("vec_id") < 3), "vec_id",
-          "embedding", k = 10, nprobe = cents.length)
-        .withColumn("rank", row_number().over(wv))
-        .select(col("qid"), col("id"), col("rank"))
+      // the two tier build+save+load blocks are independent — overlap
+      // them from driver threads (guide §2.6); same artifacts, same fuse
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val lexF = Future {
+        val bPath = scratchDir("hyb_bm25")
+        val built = Retrieval.buildIndex(docs, "doc_id", "text")
+        built.saveBucketed("hybrid_loaded_postings", bPath, numBuckets = 4)
+        built.unpersist()
+        Retrieval.loadBucketedIndex(s, "hybrid_loaded_postings", bPath)
+          .searchTopK(qs, "qid", "qtext", k = 10)
+          .select(col("qid"), col("doc_id").as("id"), col("rank"))
+      }
+      val vecF = Future {
+        val cents = fixedCentroids(emb)
+        val iPath = scratchDir("hyb_ivf")
+        IVFFlat.Model(IVFFlat.Params(cents.length), cents,
+            Array.fill(cents.length)(Long.MaxValue),
+            IVFFlat.assign(emb, "vec_id", "embedding", cents)).save(iPath)
+        val model = IVFFlat.load(s, iPath)
+        val wv = Window.partitionBy(col("qid"))
+          .orderBy(col("distance").asc, col("id").asc)
+        model.searchMany(emb.filter(col("vec_id") < 3), "vec_id",
+            "embedding", k = 10, nprobe = cents.length)
+          .withColumn("rank", row_number().over(wv))
+          .select(col("qid"), col("id"), col("rank"))
+      }
+      val (lex, vec) = (Await.result(lexF, Duration.Inf),
+        Await.result(vecF, Duration.Inf))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("rrf").desc, col("id").asc)
       Retrieval.rrfFuse(lex, vec).withColumn("rank", row_number().over(w))
@@ -4059,49 +4078,66 @@ object SparkEntry {
       val emb = tbl(s, dir, "embeddings")
       val qs = docs.filter(col("doc_id") < 3)
         .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      // The three tier builds are INDEPENDENT (disjoint artifacts,
+      // disjoint catalog names) — submit them from driver threads so
+      // each tier's build/save jobs back-fill the executor slots the
+      // others' serial steps leave idle (optimization guide §2.6
+      // "overlap independent jobs"). Results identical: the fused
+      // frame reads the same three artifacts either way.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
       // tier 1: lexical — bucketed postings through the catalog
-      val bPath = scratchDir("trio_bm25")
-      val built = Retrieval.buildIndex(docs, "doc_id", "text")
-      built.saveBucketed("hybrid_trio_postings", bPath, numBuckets = 4)
-      built.unpersist()
-      val lex = Retrieval.loadBucketedIndex(s, "hybrid_trio_postings", bPath)
-        .searchTopK(qs, "qid", "qtext", k = 10)
-        .select(col("qid"), col("doc_id").as("id"), col("rank"))
+      val lexF = Future {
+        val bPath = scratchDir("trio_bm25")
+        val built = Retrieval.buildIndex(docs, "doc_id", "text")
+        built.saveBucketed("hybrid_trio_postings", bPath, numBuckets = 4)
+        built.unpersist()
+        Retrieval.loadBucketedIndex(s, "hybrid_trio_postings", bPath)
+          .searchTopK(qs, "qid", "qtext", k = 10)
+          .select(col("qid"), col("doc_id").as("id"), col("rank"))
+      }
       // tier 2: dense — saved IVF index, probe-all ⇒ exact top-10
-      val cents = fixedCentroids(emb)
-      val iPath = scratchDir("trio_ivf")
-      IVFFlat.Model(IVFFlat.Params(cents.length), cents,
-          Array.fill(cents.length)(Long.MaxValue),
-          IVFFlat.assign(emb, "vec_id", "embedding", cents)).save(iPath)
-      val wv = Window.partitionBy(col("qid"))
-        .orderBy(col("distance").asc, col("id").asc)
-      val vec = IVFFlat.load(s, iPath)
-        .searchMany(emb.filter(col("vec_id") < 3), "vec_id", "embedding",
-          k = 10, nprobe = cents.length)
-        .withColumn("rank", row_number().over(wv))
-        .select(col("qid"), col("id"), col("rank"))
+      val vecF = Future {
+        val cents = fixedCentroids(emb)
+        val iPath = scratchDir("trio_ivf")
+        IVFFlat.Model(IVFFlat.Params(cents.length), cents,
+            Array.fill(cents.length)(Long.MaxValue),
+            IVFFlat.assign(emb, "vec_id", "embedding", cents)).save(iPath)
+        val wv = Window.partitionBy(col("qid"))
+          .orderBy(col("distance").asc, col("id").asc)
+        IVFFlat.load(s, iPath)
+          .searchMany(emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+            k = 10, nprobe = cents.length)
+          .withColumn("rank", row_number().over(wv))
+          .select(col("qid"), col("id"), col("rank"))
+      }
       // tier 3: late interaction — saved token frame + saved TokenIvf,
       // probe-all + m = corpus tokens ⇒ exact MaxSim top-10
-      val tPath = scratchDir("trio_tok")
-      val dToks0 = LateInteraction.tokenVectors(docs, "doc_id", "text")
-        .localCheckpoint(true) // feeds save + build — embed once
-      LateInteraction.saveTokens(dToks0, tPath)
-      val nCells = 8
-      val builtTier = LateInteraction.buildTokenIvf(dToks0, "doc_id",
-        "tok_idx", "vec",
-        IVFFlat.Params(k = nCells, numAttempts = 1, maxIterations = 5))
-      builtTier.save(s"$tPath/tivf")
-      builtTier.ivf.indexed.unpersist()
-      val dToks = LateInteraction.loadTokens(s, tPath)
-      val qToks = LateInteraction.tokenVectors(
-          docs.filter(col("doc_id") < 3), "doc_id", "text")
-        .withColumnRenamed("doc_id", "qid")
-      val mTok = dToks.count().toInt
-      val ms = LateInteraction.maxSimIvf(qToks, "qid", "tok_idx", "vec",
-          dToks, "doc_id", "vec",
-          LateInteraction.loadTokenIvf(s, s"$tPath/tivf"),
-          k = 10, m = mTok, nprobe = nCells)
-        .select(col("qid"), col("doc_id").as("id"), col("rank"))
+      val msF = Future {
+        val tPath = scratchDir("trio_tok")
+        val dToks0 = LateInteraction.tokenVectors(docs, "doc_id", "text")
+          .localCheckpoint(true) // feeds save + build — embed once
+        LateInteraction.saveTokens(dToks0, tPath)
+        val nCells = 8
+        val builtTier = LateInteraction.buildTokenIvf(dToks0, "doc_id",
+          "tok_idx", "vec",
+          IVFFlat.Params(k = nCells, numAttempts = 1, maxIterations = 5))
+        builtTier.save(s"$tPath/tivf")
+        builtTier.ivf.indexed.unpersist()
+        val dToks = LateInteraction.loadTokens(s, tPath)
+        val qToks = LateInteraction.tokenVectors(
+            docs.filter(col("doc_id") < 3), "doc_id", "text")
+          .withColumnRenamed("doc_id", "qid")
+        val mTok = dToks.count().toInt
+        LateInteraction.maxSimIvf(qToks, "qid", "tok_idx", "vec",
+            dToks, "doc_id", "vec",
+            LateInteraction.loadTokenIvf(s, s"$tPath/tivf"),
+            k = 10, m = mTok, nprobe = nCells)
+          .select(col("qid"), col("doc_id").as("id"), col("rank"))
+      }
+      val (lex, vec, ms) = (Await.result(lexF, Duration.Inf),
+        Await.result(vecF, Duration.Inf), Await.result(msF, Duration.Inf))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("rrf").desc, col("id").asc)
       Retrieval.rrfFuseAll(Seq(lex, vec, ms))

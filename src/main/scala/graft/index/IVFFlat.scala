@@ -340,7 +340,14 @@ object IVFFlat {
       var df = indexed
       for (_ <- 0 until iterations) {
         cents = updateCentroids(df, params.k, dim)
-        df = assign(df, "id", "vector", cents)
+        // materialize each reassignment: left lazy, the growing
+        // assign(assign(…)) chain re-executes inside the NEXT
+        // update pass, the sizes count AND every serve-time scan of
+        // the returned model — the checkpoint makes the op cost its
+        // documented iterations+1 corpus passes exactly, each over
+        // O(1)-deep blocks (same values — assign is deterministic
+        // per-row math; the quantized-mean twin still gates it)
+        df = assign(df, "id", "vector", cents).localCheckpoint(true)
       }
       val sizes = new Array[Long](params.k)
       df.groupBy("cluster").count().collect()
