@@ -77,8 +77,14 @@ object Dedup {
       col(bCol).cast("long").as("dst"))
     val edges = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
+    // seed with the first hop: comp₀ = min(id, min neighbor). This IS
+    // what round 1 of the loop would compute from identity labels
+    // (prop carries neighbor ids), for one groupBy over the edge list
+    // instead of a join + union + groupBy — every graph converges one
+    // round earlier to the same fixed point (min reachable id).
+    var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("__mn"))
+      .select(col("src").as("id"),
+        least(col("src"), col("__mn")).as("comp"))
       .localCheckpoint(true)
     var round = 0
     var changed = 1L
