@@ -112,6 +112,17 @@ object Bench {
     // gate-off run is detectable in the artifact, not silent
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$ph,"ok":$oks,"errors":$errs,"flags":$flags,"bands":${bandMins.size},"sf":"$sfDir"}"""
     println(line)
+    // The harness keeps only the LAST ~2000 chars of stdout; the full line
+    // above is ~15 KB with 227 lanes, so its head ("metric"/"value") has
+    // tail-truncated every round since r8 (BENCH_r*.json parsed:null).
+    // Re-print a COMPACT summary as the final stdout line — short enough
+    // (<300 chars) that the tail window always holds it intact. The full
+    // per-lane line stays first (contract unchanged) and also lands in
+    // bench_last.json / bench_rNN.json below.
+    val nErr = results.count(_._3.nonEmpty)
+    val nFlags = flags.count(_ == '{')
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","lanes":${results.size},"errors":$nErr,"flags":$nFlags,"bands":${bandMins.size},"queries_in":"bench_last.json"}"""
+    println(compact)
     // file artifact next to BASELINE.md: per-query numbers must survive
     // the round even when a harness tail-parse misses the stdout line
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
