@@ -25,9 +25,30 @@ import graft.streaming.Streaming
   */
 object SparkEntry {
 
+  /** Input-table metadata cache: `spark.read.parquet` re-lists the
+    * path and re-reads footers for schema on EVERY call, costing a
+    * small driver job (~20-50 ms) plus its planning gap per lane —
+    * ~fixed overhead × 227 lanes. Memoize the ANALYZED RELATION per
+    * (session, path): this is metadata caching only (what a metastore
+    * table provides) — the frame is lazy, every action still scans the
+    * parquet files, and no computed result is held. Keyed weakly by
+    * session so test-suite sessions release their entries. */
+  private val tblCache = new java.util.WeakHashMap[
+    SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
+
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
-    val df = s.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") normalizeEventTs(df) else df
+    val perSession = tblCache.synchronized {
+      var m = tblCache.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        tblCache.put(s, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(s"$dir/$name.parquet", {
+      val df = s.read.parquet(s"$dir/$name.parquet")
+      if (name == "events") normalizeEventTs(df) else df
+    })
   }
 
   /** Per-run scratch dir for persist-shaped lanes, deleted on JVM exit:
@@ -49,6 +70,36 @@ object SparkEntry {
       rm(p.toFile)
     }))
     p.toString
+  }
+
+  /** Run independent build/save/load blocks concurrently from driver
+    * threads (optimization guide §2.6 — actions are only sequential
+    * because driver code calls them sequentially; overlapped, one
+    * block's jobs back-fill the executor slots another's serial driver
+    * steps leave idle). Bodies hold blocking Spark actions, so they are
+    * wrapped in `scala.concurrent.blocking` — the shared fork-join pool
+    * then spawns replacement workers instead of starving when blocks
+    * outnumber pool threads (low-core sessions, nested overlaps).
+    * Results are identical to sequential execution by construction:
+    * callers only overlap blocks with disjoint artifacts/catalog names. */
+  private def overlap2[A, B](a: => A, b: => B): (A, B) = {
+    import scala.concurrent.{Await, Future, blocking}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fa = Future(blocking(a))
+    val fb = Future(blocking(b))
+    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+  }
+
+  private def overlap3[A, B, C](a: => A, b: => B, c: => C): (A, B, C) = {
+    import scala.concurrent.{Await, Future, blocking}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fa = Future(blocking(a))
+    val fb = Future(blocking(b))
+    val fc = Future(blocking(c))
+    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf),
+      Await.result(fc, Duration.Inf))
   }
 
   /** The events contract is an epoch-NANOS long `ts` axis. The driver's
@@ -2201,8 +2252,14 @@ object SparkEntry {
     "pipeline_curate" -> ((s, dir) => {
       // localCheckpoint: sourceCap consumes the gated frame twice (cap
       // fold + semi-join back) and the gate stage is the regex-heavy
-      // part of the chain — evaluate it once
-      val gated = tbl(s, dir, "documents")
+      // part of the chain — evaluate it once. Widen the scan first
+      // (guide §2.5 input skew): a one-split corpus otherwise runs the
+      // whole langid/quality regex chain as ONE task (profiled 2.1 s
+      // single-task at sf0.1, 73% of the lane — and the serial stage
+      // behind the lane's super-linear 8-core flag); no-op at scale.
+      // widenEager: a plain widen exchange gets the deterministic
+      // regex projections sunk back below it (Scaling scaladoc).
+      val gated = Scaling.widenEager(tbl(s, dir, "documents"))
         .withColumn("lang_pred", TextOps.langId(col("text")))
         .withColumn("quality", TextOps.qualityScore(col("text")))
         .filter(col("lang_pred") =!= "und" && col("quality") >= lit(0.5))
@@ -2567,7 +2624,10 @@ object SparkEntry {
     // guarantee, over a winnow-SAMPLED inverted index — a fraction of
     // dedup_jaccard's postings per doc.
     "dedup_winnow" -> ((s, dir) =>
-      Dedup.winnowPairs(tbl(s, dir, "documents"), "doc_id", "text",
+      // widen: the char-gram winnow kernel (mapPartitions — opaque to
+      // pushdown, so a plain widen holds) digests a one-split scan as
+      // ONE task; paired with winnowPairs' eager materialize (r16)
+      Dedup.winnowPairs(Scaling.widen(tbl(s, dir, "documents")), "doc_id", "text",
         threshold = 0.5)
         .orderBy(col("doc_a"), col("doc_b"))),
 
@@ -3211,7 +3271,12 @@ object SparkEntry {
     // real curation stack.
     "pipeline_pretrain" -> ((s, dir) => {
       import graft.operators.{Decontam, Pii, Splits}
-      val red = piiAugmented(tbl(s, dir, "documents"))
+      // widen the scan (guide §2.5): the redact/gopher regex chain
+      // below otherwise checkpoints as ONE task on a one-split corpus
+      // (profiled 2.3 s single-task at sf0.1); no-op at scale.
+      // widenEager: a plain widen exchange gets the deterministic
+      // regex projections sunk back below it (Scaling scaladoc).
+      val red = piiAugmented(Scaling.widenEager(tbl(s, dir, "documents")))
         .withColumn("rtext", Pii.redact(col("t")))
       val toked = red.select(col("doc_id"), col("lang"), col("source"),
         col("rtext"), TextOps.tokens(col("rtext")).as("toks"))
@@ -3562,12 +3627,17 @@ object SparkEntry {
       val tmp = scratchDir("maxsim_loaded")
       val dToks0 = LateInteraction.tokenVectors(docs, "doc_id", "text")
         .localCheckpoint(true) // feeds save + build — embed once
-      LateInteraction.saveTokens(dToks0, tmp)
       val nCells = 8
-      val built = LateInteraction.buildTokenIvf(dToks0, "doc_id",
-        "tok_idx", "vec",
-        IVFFlat.Params(k = nCells, numAttempts = 1, maxIterations = 5))
-      built.save(s"$tmp/tivf")
+      // token-frame save and tier build+save are independent consumers
+      // of the checkpointed frame — overlap them (guide §2.6)
+      val (_, built) = overlap2(
+        LateInteraction.saveTokens(dToks0, tmp), {
+          val b = LateInteraction.buildTokenIvf(dToks0, "doc_id",
+            "tok_idx", "vec",
+            IVFFlat.Params(k = nCells, numAttempts = 1, maxIterations = 5))
+          b.save(s"$tmp/tivf")
+          b
+        })
       built.ivf.indexed.unpersist()
       val dToks = LateInteraction.loadTokens(s, tmp)
       val idx = LateInteraction.loadTokenIvf(s, s"$tmp/tivf")
@@ -3695,13 +3765,18 @@ object SparkEntry {
       val tmp = scratchDir("maxsim_pq_loaded")
       val dToks0 = LateInteraction.tokenVectors(docs, "doc_id", "text")
         .localCheckpoint(true) // feeds save + build — embed once
-      LateInteraction.saveTokens(dToks0, tmp)
       val nCells = 8
-      val built = LateInteraction.buildTokenIvf(dToks0, "doc_id",
-        "tok_idx", "vec",
-        IVFFlat.Params(k = nCells, numAttempts = 1, maxIterations = 5))
-      built.compressPq(graft.index.PQ.Params(m = 4, k = 16,
-        iterations = 4, seed = 7L)).save(s"$tmp/tpq")
+      // token-frame save and tier build+compress+save are independent
+      // consumers of the checkpointed frame — overlap them (guide §2.6)
+      val (_, built) = overlap2(
+        LateInteraction.saveTokens(dToks0, tmp), {
+          val b = LateInteraction.buildTokenIvf(dToks0, "doc_id",
+            "tok_idx", "vec",
+            IVFFlat.Params(k = nCells, numAttempts = 1, maxIterations = 5))
+          b.compressPq(graft.index.PQ.Params(m = 4, k = 16,
+            iterations = 4, seed = 7L)).save(s"$tmp/tpq")
+          b
+        })
       built.ivf.indexed.unpersist()
       val dToks = LateInteraction.loadTokens(s, tmp)
       val idx = LateInteraction.loadTokenPq(s, s"$tmp/tpq")
@@ -3727,10 +3802,12 @@ object SparkEntry {
       val qToks = LateInteraction.tokenVectors(
           docs.filter(col("doc_id") < 3), "doc_id", "text")
         .withColumnRenamed("doc_id", "qid")
-      val m = dToks.count().toInt
+      // one pass over the checkpointed tokens for BOTH serve-time
+      // constants (corpus token count + norm ceiling) — was two actions
+      val mb = dToks.agg(count(lit(1)),
+        max(sqrt(dot(col("vec"), col("vec"))))).head()
+      val (m, bound) = (mb.getLong(0).toInt, mb.getDouble(1))
       val nCells = 8
-      val bound = dToks.agg(max(sqrt(dot(col("vec"), col("vec")))))
-        .head().getDouble(0)
       val half = LateInteraction.buildTokenIvf(
         dToks.filter(col("doc_id") < 25), "doc_id", "tok_idx", "vec",
         IVFFlat.Params(k = nCells, numAttempts = 1, maxIterations = 5),
@@ -3786,10 +3863,12 @@ object SparkEntry {
       val qToks = LateInteraction.tokenVectors(
           docs.filter(col("doc_id") < 3), "doc_id", "text")
         .withColumnRenamed("doc_id", "qid")
-      val m = dToks.count().toInt
+      // one pass over the checkpointed tokens for BOTH serve-time
+      // constants (corpus token count + norm ceiling) — was two actions
+      val mb = dToks.agg(count(lit(1)),
+        max(sqrt(dot(col("vec"), col("vec"))))).head()
+      val (m, bound) = (mb.getLong(0).toInt, mb.getDouble(1))
       val nCells = 8
-      val bound = dToks.agg(max(sqrt(dot(col("vec"), col("vec")))))
-        .head().getDouble(0)
       val idx = LateInteraction.buildTokenIvf(
           dToks.filter(col("doc_id") < 25), "doc_id", "tok_idx", "vec",
           IVFFlat.Params(k = nCells, numAttempts = 1, maxIterations = 5),
@@ -3878,17 +3957,14 @@ object SparkEntry {
       // the two shard builds are independent (both read the
       // checkpointed token frame) — overlap them (guide §2.6); the
       // merge consumes the same two models either way
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      val loF = Future(LateInteraction.buildTokenIvf(
-        dToks.filter(col("doc_id") < 25), "doc_id", "tok_idx", "vec",
-        params))
-      val hiF = Future(LateInteraction.buildTokenIvf(
-        dToks.filter(col("doc_id") >= 25), "doc_id", "tok_idx", "vec",
-        params))
-      val idx = Await.result(loF, Duration.Inf)
-        .merge(Await.result(hiF, Duration.Inf))
+      val (lo, hi) = overlap2(
+        LateInteraction.buildTokenIvf(
+          dToks.filter(col("doc_id") < 25), "doc_id", "tok_idx", "vec",
+          params),
+        LateInteraction.buildTokenIvf(
+          dToks.filter(col("doc_id") >= 25), "doc_id", "tok_idx", "vec",
+          params))
+      val idx = lo.merge(hi)
       LateInteraction.maxSimIvf(qToks, "qid", "tok_idx", "vec",
           dToks, "doc_id", "vec", idx, k = 10, m = m, nprobe = nCells)
         .orderBy(col("qid"), col("rank"))
@@ -4029,10 +4105,7 @@ object SparkEntry {
         .select(col("doc_id").as("qid"), col("text").as("qtext"))
       // the two tier build+save+load blocks are independent — overlap
       // them from driver threads (guide §2.6); same artifacts, same fuse
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      val lexF = Future {
+      val (lex, vec) = overlap2({
         val bPath = scratchDir("hyb_bm25")
         val built = Retrieval.buildIndex(docs, "doc_id", "text")
         built.saveBucketed("hybrid_loaded_postings", bPath, numBuckets = 4)
@@ -4040,8 +4113,7 @@ object SparkEntry {
         Retrieval.loadBucketedIndex(s, "hybrid_loaded_postings", bPath)
           .searchTopK(qs, "qid", "qtext", k = 10)
           .select(col("qid"), col("doc_id").as("id"), col("rank"))
-      }
-      val vecF = Future {
+      }, {
         val cents = fixedCentroids(emb)
         val iPath = scratchDir("hyb_ivf")
         IVFFlat.Model(IVFFlat.Params(cents.length), cents,
@@ -4054,9 +4126,7 @@ object SparkEntry {
             "embedding", k = 10, nprobe = cents.length)
           .withColumn("rank", row_number().over(wv))
           .select(col("qid"), col("id"), col("rank"))
-      }
-      val (lex, vec) = (Await.result(lexF, Duration.Inf),
-        Await.result(vecF, Duration.Inf))
+      })
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("rrf").desc, col("id").asc)
       Retrieval.rrfFuse(lex, vec).withColumn("rank", row_number().over(w))
@@ -4084,11 +4154,8 @@ object SparkEntry {
       // others' serial steps leave idle (optimization guide §2.6
       // "overlap independent jobs"). Results identical: the fused
       // frame reads the same three artifacts either way.
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      // tier 1: lexical — bucketed postings through the catalog
-      val lexF = Future {
+      val (lex, vec, ms) = overlap3({
+        // tier 1: lexical — bucketed postings through the catalog
         val bPath = scratchDir("trio_bm25")
         val built = Retrieval.buildIndex(docs, "doc_id", "text")
         built.saveBucketed("hybrid_trio_postings", bPath, numBuckets = 4)
@@ -4096,9 +4163,8 @@ object SparkEntry {
         Retrieval.loadBucketedIndex(s, "hybrid_trio_postings", bPath)
           .searchTopK(qs, "qid", "qtext", k = 10)
           .select(col("qid"), col("doc_id").as("id"), col("rank"))
-      }
-      // tier 2: dense — saved IVF index, probe-all ⇒ exact top-10
-      val vecF = Future {
+      }, {
+        // tier 2: dense — saved IVF index, probe-all ⇒ exact top-10
         val cents = fixedCentroids(emb)
         val iPath = scratchDir("trio_ivf")
         IVFFlat.Model(IVFFlat.Params(cents.length), cents,
@@ -4111,19 +4177,23 @@ object SparkEntry {
             k = 10, nprobe = cents.length)
           .withColumn("rank", row_number().over(wv))
           .select(col("qid"), col("id"), col("rank"))
-      }
-      // tier 3: late interaction — saved token frame + saved TokenIvf,
-      // probe-all + m = corpus tokens ⇒ exact MaxSim top-10
-      val msF = Future {
+      }, {
+        // tier 3: late interaction — saved token frame + saved TokenIvf,
+        // probe-all + m = corpus tokens ⇒ exact MaxSim top-10
         val tPath = scratchDir("trio_tok")
         val dToks0 = LateInteraction.tokenVectors(docs, "doc_id", "text")
           .localCheckpoint(true) // feeds save + build — embed once
-        LateInteraction.saveTokens(dToks0, tPath)
         val nCells = 8
-        val builtTier = LateInteraction.buildTokenIvf(dToks0, "doc_id",
-          "tok_idx", "vec",
-          IVFFlat.Params(k = nCells, numAttempts = 1, maxIterations = 5))
-        builtTier.save(s"$tPath/tivf")
+        // the token-frame save and the tier build are themselves
+        // independent consumers of the checkpointed frame — overlap
+        val (_, builtTier) = overlap2(
+          LateInteraction.saveTokens(dToks0, tPath), {
+            val bt = LateInteraction.buildTokenIvf(dToks0, "doc_id",
+              "tok_idx", "vec",
+              IVFFlat.Params(k = nCells, numAttempts = 1, maxIterations = 5))
+            bt.save(s"$tPath/tivf")
+            bt
+          })
         builtTier.ivf.indexed.unpersist()
         val dToks = LateInteraction.loadTokens(s, tPath)
         val qToks = LateInteraction.tokenVectors(
@@ -4135,9 +4205,7 @@ object SparkEntry {
             LateInteraction.loadTokenIvf(s, s"$tPath/tivf"),
             k = 10, m = mTok, nprobe = nCells)
           .select(col("qid"), col("doc_id").as("id"), col("rank"))
-      }
-      val (lex, vec, ms) = (Await.result(lexF, Duration.Inf),
-        Await.result(vecF, Duration.Inf), Await.result(msF, Duration.Inf))
+      })
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("rrf").desc, col("id").asc)
       Retrieval.rrfFuseAll(Seq(lex, vec, ms))

@@ -447,11 +447,14 @@ object BQ {
     def save(dir: String): Unit = {
       val spark = codes.sparkSession
       import spark.implicits._
-      codes.write.mode("overwrite").partitionBy("cluster")
-        .parquet(s"$dir/codes")
-      centroids.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
-        .toDF("cluster", "vector")
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+      // disjoint files — overlap the code-table write with the 1-task
+      // centroid sidecar write (guide §2.6, Overlap scaladoc)
+      Overlap.par2(
+        codes.write.mode("overwrite").partitionBy("cluster")
+          .parquet(s"$dir/codes"),
+        centroids.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+          .toDF("cluster", "vector")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids"))
       ParamsIO.write(spark, dir,
         s"""{"k":${params.k},"numAttempts":${params.numAttempts},"maxIterations":${params.maxIterations},"seed":${params.seed},"tol":${params.tol},"residual":${if (residual) 1 else 0},"rotated":${if (rotated) 1 else 0},"sizes":${ParamsIO.longsJson(clusterSizes)}}""")
     }

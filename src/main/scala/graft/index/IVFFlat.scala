@@ -338,6 +338,7 @@ object IVFFlat {
       val dim = centroids(0).length
       var cents = centroids
       var df = indexed
+      var prevCkpt: org.apache.spark.sql.DataFrame = null
       for (_ <- 0 until iterations) {
         cents = updateCentroids(df, params.k, dim)
         // materialize each reassignment: left lazy, the growing
@@ -348,6 +349,11 @@ object IVFFlat {
         // O(1)-deep blocks (same values — assign is deterministic
         // per-row math; the quantized-mean twin still gates it)
         df = assign(df, "id", "vector", cents).localCheckpoint(true)
+        // the PREVIOUS iteration's blocks are dead once the new
+        // checkpoint exists — release them instead of holding up to
+        // iterations× corpus copies until the ContextCleaner GCs
+        if (prevCkpt != null) graft.index.Residency.cool(prevCkpt)
+        prevCkpt = df
       }
       val sizes = new Array[Long](params.k)
       df.groupBy("cluster").count().collect()
@@ -493,11 +499,14 @@ object IVFFlat {
     def save(dir: String): Unit = {
       val spark = indexed.sparkSession
       import spark.implicits._
-      indexed.write.mode("overwrite").partitionBy("cluster")
-        .parquet(s"$dir/indexed")
-      centroids.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
-        .toDF("cluster", "vector")
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+      // disjoint files — overlap the corpus write with the 1-task
+      // centroid sidecar write (guide §2.6, Overlap scaladoc)
+      Overlap.par2(
+        indexed.write.mode("overwrite").partitionBy("cluster")
+          .parquet(s"$dir/indexed"),
+        centroids.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+          .toDF("cluster", "vector")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids"))
       ParamsIO.write(spark, dir,
         s"""{"k":${params.k},"numAttempts":${params.numAttempts},"maxIterations":${params.maxIterations},"seed":${params.seed},"tol":${params.tol},"sizes":${ParamsIO.longsJson(clusterSizes)}}""")
     }

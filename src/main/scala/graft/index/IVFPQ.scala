@@ -275,15 +275,19 @@ object IVFPQ {
     def save(dir: String): Unit = {
       val spark = codes.sparkSession
       import spark.implicits._
-      codes.write.mode("overwrite").partitionBy("cluster")
-        .parquet(s"$dir/codes")
-      coarse.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
-        .toDF("cluster", "vector")
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-      codebooks.zipWithIndex.flatMap { case (cb, s) =>
-        cb.zipWithIndex.map { case (cv, j) => (s, j, cv) }
-      }.toSeq.toDF("s", "j", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+      // the three artifacts are disjoint files — overlap the writes
+      // (Overlap scaladoc; the two sidecars are 1-task driver frames
+      // whose cost is planning+commit latency, not cluster work)
+      Overlap.par3(
+        codes.write.mode("overwrite").partitionBy("cluster")
+          .parquet(s"$dir/codes"),
+        coarse.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+          .toDF("cluster", "vector")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids"),
+        codebooks.zipWithIndex.flatMap { case (cb, s) =>
+          cb.zipWithIndex.map { case (cv, j) => (s, j, cv) }
+        }.toSeq.toDF("s", "j", "centroid")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks"))
       val p = pqParams
       ParamsIO.write(spark, dir,
         s"""{"m":${p.m},"k":${p.k},"iterations":${p.iterations},"seed":${p.seed},"dim":$dim,"numCells":${coarse.length},"residual":${if (residual) 1 else 0},"sizes":${ParamsIO.longsJson(clusterSizes)}}""")
@@ -391,10 +395,12 @@ object IVFPQ {
     def num(key: String): Long = ParamsIO.num(json, key)
     val pqParams = PQ.Params(num("m").toInt, num("k").toInt,
       num("iterations").toInt, num("seed"))
-    val cents = spark.read.parquet(s"$dir/centroids")
-      .orderBy("cluster").collect()
-      .map(_.getAs[scala.collection.Seq[Float]]("vector").toArray)
-    val cbRows = spark.read.parquet(s"$dir/codebooks").collect()
+    // two independent tiny sidecar collects — overlap (guide §2.6)
+    val (cents, cbRows) = Overlap.par2(
+      spark.read.parquet(s"$dir/centroids")
+        .orderBy("cluster").collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("vector").toArray),
+      spark.read.parquet(s"$dir/codebooks").collect())
     val byS = cbRows.groupBy(_.getInt(0))
     val cbs = (0 until pqParams.m).map { s =>
       byS(s).sortBy(_.getInt(1))

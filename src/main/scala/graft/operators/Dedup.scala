@@ -395,6 +395,13 @@ object Dedup {
                   threshold: Double = 0.5, k: Int = 5, w: Int = 4,
                   dfCap: Int = 64): DataFrame = {
     val ex = winnowPostings(docs, idCol, textCol, k, w).persist()
+    // eager-materialize before the fan-out: the pair plan references
+    // the posting frame several times (df cap, sizes, intersections)
+    // and the checkpoint action submits those stages as concurrent
+    // jobs that would all hit the unfilled cache at once — one
+    // computes while the rest hold task slots blocked on the
+    // cache-manager lock (r15 profile: 8 concurrent single-task jobs)
+    ex.count()
     val out = jaccardPairsOf(capPostings(ex, dfCap), threshold)
       .localCheckpoint(true)
     ex.unpersist()

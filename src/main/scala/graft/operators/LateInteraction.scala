@@ -255,33 +255,46 @@ object LateInteraction {
   private def rescoreCandidates(cand0: DataFrame, q: DataFrame,
                                 d: DataFrame, k: Int,
                                 qChunk: Int = 1024): DataFrame = {
-    val cand = cand0.localCheckpoint(true)
     // ONE serving-sized pass over the query-token frame: per-qid token
     // count + the qvec width (array<double> per [[tokenFaces]] → 2
     // floats per element for the broadcast gate). Replaces the old
     // limit-1 width peek — same width (token frames are fixed-dim by
     // construction; max over qids is never looser than first-row).
-    val qStats = q.groupBy(col("qid")).agg(count(lit(1)).as("__nt"),
-        first(size(col("qvec"))).as("__w")).collect()
+    // The stage-1 candidate materialization and the query-side stats
+    // pass are independent — overlap them (guide §2.6).
+    val (cand, qStats) = graft.index.Overlap.par2(
+      cand0.localCheckpoint(true),
+      q.groupBy(col("qid")).agg(count(lit(1)).as("__nt"),
+        first(size(col("qvec"))).as("__w")).collect())
+    // a malformed saved token frame can carry a null qvec — degrade
+    // its width to the nominal budget row instead of an opaque driver
+    // NPE out of getInt on the null aggregate
+    val widths = qStats.iterator.filterNot(_.isNullAt(2)).map(_.getInt(2))
     val qvecFloats =
-      if (qStats.isEmpty) graft.index.Batches.NominalRowFloats
-      else 2L * qStats.iterator.map(_.getInt(2)).max
+      if (qStats.isEmpty || widths.isEmpty)
+        graft.index.Batches.NominalRowFloats
+      else 2L * widths.max
     val ntByQid = qStats.iterator
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // ONE pass over the checkpointed candidates: per-qid candidate
-    // counts give (a) the sorted qid list that decides chunking and
-    // (b) with ntByQid, the EXACT row count of each chunk's probe
-    // join (inner on qid ⇒ Σ |cand_q| × |qtoks_q|) — so the
-    // broadcast-budget gate becomes driver arithmetic instead of a
-    // per-chunk count job over the join ([[graft.index.Batches
-    // .requireScaledRows]]). Same bound, same failure, fewer jobs.
-    val cStats = cand.groupBy(col("qid")).count().collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    // TWO overlapped passes over the checkpointed candidates (both
+    // independent, guide §2.6): per-qid candidate counts give (a) the
+    // sorted qid list that decides chunking and (b) with ntByQid, the
+    // EXACT row count of each chunk's probe join (inner on qid ⇒
+    // Σ |cand_q| × |qtoks_q|) — so the broadcast-budget gate becomes
+    // driver arithmetic instead of a per-chunk count job over the join
+    // ([[graft.index.Batches.requireScaledRows]]); the distinct doc-id
+    // collect feeds the single-chunk scan prune (the common serving
+    // shape — multi-chunk batches re-derive ids per chunk as before).
+    val (cStats, idsAll) = graft.index.Overlap.par2(
+      cand.groupBy(col("qid")).count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1),
+      collectPruneIds(cand))
     val qids = cStats.map(_._1)
     def probeRows(g: Array[(Long, Long)]): Long =
       g.iterator.map { case (qid, c) => c * ntByQid.getOrElse(qid, 0L) }.sum
     if (qids.length <= qChunk)
-      rescoreChunk(cand, q, d, k, qvecFloats, probeRows(cStats))
+      rescoreChunk(cand, q, d, k, qvecFloats, probeRows(cStats),
+        Some(idsAll))
     else cStats.grouped(qChunk).map { g =>
       val (lo, hi) = (g.head._1, g.last._1)
       rescoreChunk(
@@ -290,6 +303,15 @@ object LateInteraction {
         probeRows(g))
     }.reduce(_.unionByName(_))
   }
+
+  /** The scan-prune id set of a candidate frame: distinct doc ids up
+    * to [[PruneIdLimit]]+1 (the +1 overflow row tells the chunk to
+    * fall back to the semi-join prune). */
+  private def collectPruneIds(cand: DataFrame): Array[Long] =
+    cand.select(col("doc_id")).distinct()
+      .limit(PruneIdLimit + 1).collect().map(_.getLong(0))
+
+  private val PruneIdLimit = 10000
 
   /** One ≤-qChunk-query slice of [[rescoreCandidates]] — the original
     * single-probe shape: collect the slice's candidate doc ids (In
@@ -306,13 +328,12 @@ object LateInteraction {
   private def rescoreChunk(cand: DataFrame, q: DataFrame,
                            d: DataFrame, k: Int,
                            qvecFloats: Long,
-                           probeRows: Long): DataFrame = {
-    val idLimit = 10000
-    val ids = cand.select(col("doc_id")).distinct()
-      .limit(idLimit + 1).collect().map(_.getLong(0))
+                           probeRows: Long,
+                           preIds: Option[Array[Long]] = None): DataFrame = {
+    val ids = preIds.getOrElse(collectPruneIds(cand))
     val pruned =
       if (ids.isEmpty) d
-      else if (ids.length <= idLimit)
+      else if (ids.length <= PruneIdLimit)
         d.filter(col("doc_id").isin(ids.toSeq: _*))
       else d.join(broadcast(cand.select(col("doc_id")).distinct()),
         Seq("doc_id"), "left_semi")

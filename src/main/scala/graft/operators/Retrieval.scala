@@ -293,10 +293,7 @@ object Retrieval {
       // exchange on the positional side (PlanSpec-gated)
       positions.foreach(p => graft.sources.Bucketed.write(p,
         s"${table}_pos", s"$path/pos", numBuckets, "doc_id"))
-      docFreq.write.mode("overwrite").parquet(s"$path/df")
-      docLen.write.mode("overwrite").parquet(s"$path/dl")
-      stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
-      graft.index.ParamsIO.write(postings.sparkSession, path, paramsJson)
+      writeSidecars(path)
     }
 
     /** Persist the serving frames (parquet) + params sidecar — plus
@@ -305,7 +302,6 @@ object Retrieval {
       * stats rides as a 1-row parquet so avgdl round-trips its exact
       * double bits — no decimal re-parse in the serving arithmetic. */
     def save(dir: String): Unit = {
-      val spark = postings.sparkSession
       postings.write.mode("overwrite").parquet(s"$dir/postings")
       // positions persist TERM-CLUSTERED (range-partitioned files,
       // term-sorted row groups — Lucene's term-ordered posting layout):
@@ -323,9 +319,25 @@ object Retrieval {
         .repartitionByRange(col("term"))
         .sortWithinPartitions("term", "doc_id", "pos")
         .write.mode("overwrite").parquet(s"$dir/pos"))
-      docFreq.write.mode("overwrite").parquet(s"$dir/df")
-      docLen.write.mode("overwrite").parquet(s"$dir/dl")
-      stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+      writeSidecars(dir)
+    }
+
+    /** Write df/dl/stats re-derived FROM THE JUST-WRITTEN postings
+      * parquet, not from this index's lazy frames. For an add/remove/
+      * merge-derived index the posting plan is unpersisted (tokenize ∪
+      * union ∪ anti-join), and each sidecar write would re-execute it
+      * end to end — profiled on bm25_bucketed_add as three extra
+      * full-width posting computations per save. The written files are
+      * the same rows, the aggregations are order-independent (count,
+      * first over a per-doc-constant dl, integer sum), and the scans
+      * are column-pruned — identical sidecar values, one posting
+      * computation per save regardless of the index's residency. */
+    private def writeSidecars(dir: String): Unit = {
+      val spark = postings.sparkSession
+      val saved = indexOfPostings(spark.read.parquet(s"$dir/postings"), k1, b)
+      saved.docFreq.write.mode("overwrite").parquet(s"$dir/df")
+      saved.docLen.write.mode("overwrite").parquet(s"$dir/dl")
+      saved.stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
       graft.index.ParamsIO.write(spark, dir, paramsJson)
     }
 
@@ -395,10 +407,20 @@ object Retrieval {
     * repeated builds in a long-lived session pin executor storage. */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String,
                  k1: Double = 1.2, b: Double = 0.75,
-                 positional: Boolean = false): Bm25Index =
-    indexOfPostings(
-      denormDl(postingsOf(docs, idCol, textCol)).persist(), k1, b,
+                 positional: Boolean = false): Bm25Index = {
+    val denorm = denormDl(postingsOf(docs, idCol, textCol)).persist()
+    // eager-materialize the cache BEFORE consumers fan out: one serve
+    // action expands into several concurrent stage jobs (df, dl, stats,
+    // probe — AQE submits independent shuffle stages as parallel jobs)
+    // that would otherwise all hit the UNfilled cache at once — one
+    // computes each partition while the rest sit blocked on the
+    // cache-manager lock holding their task slots (profiled on rm3:
+    // seven concurrent full-width tokenize jobs, jobs-total 7.0 s for
+    // a 3.5 s wall). One count fills the cache; every consumer reads.
+    denorm.count()
+    indexOfPostings(denorm, k1, b,
       if (positional) Some(positionsOf(docs, idCol, textCol)) else None)
+  }
 
   /** Load a [[Bm25Index]] persisted by [[Bm25Index.save]] (positional
     * iff it was saved positional — the `pos` sidecar flag). */

@@ -45,6 +45,26 @@ object Scaling {
     if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
   }
 
+  /** [[widen]] for PROJECT/FILTER-shaped consumers (regex gate
+    * chains). A bare round-robin exchange does not protect those:
+    * Catalyst sinks deterministic projections and filters below the
+    * repartition, putting the compute back on the single pre-exchange
+    * scan task (profiled on pipeline_pretrain: the whole redact/gopher
+    * chain ran as one 2.7 s map-side task under plain [[widen]]).
+    * Generate/explode consumers don't sink, which is why [[widen]]
+    * suffices for the embed/shingle call sites. When widening fires,
+    * materialize the repartitioned scan as a checkpoint BARRIER — a
+    * LogicalRDD leaf nothing can be pushed below — so the downstream
+    * compute really runs at session width. The extra materialization
+    * only exists when the guard fires, i.e. never at production scale
+    * (a corpus with ≥ cores scan splits passes through untouched). */
+  def widenEager(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores)
+      df.repartition(cores).localCheckpoint(true)
+    else df
+  }
+
   /** Size-calibrated variant for frames whose on-disk footprint is
     * known (loaded artifacts): target partitions = bytes /
     * `bytesPerPartition`, clamped to [1, cores]; widen only when the
@@ -68,6 +88,10 @@ object Scaling {
                 dir: String): Long = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    try fs.getContentSummary(p).getLength catch { case _: Throwable => 0L }
+    // absent path → 0 (widenBySize no-op) is the intended degrade;
+    // fatal errors (OOM, interrupt) must NOT be swallowed into a
+    // silent serving-width collapse
+    try fs.getContentSummary(p).getLength
+    catch { case scala.util.control.NonFatal(_) => 0L }
   }
 }
