@@ -221,11 +221,19 @@ object Retrieval {
       * (dl is per-doc). Same result as building from scratch on the
       * union (RetrievalSpec pin, bm25_add lane). Positional indexes
       * stay positional: the new docs' positions union in. */
-    def add(docs: DataFrame, idCol: String, textCol: String): Bm25Index =
+    def add(docs: DataFrame, idCol: String, textCol: String): Bm25Index = {
+      // materialize the INCOMING postings once (checkpoint — released
+      // by the ContextCleaner with the frame): the widened index's
+      // df/dl/stats/probe consumers otherwise re-tokenize the arriving
+      // batch once per stage (profiled on bm25_add as concurrent
+      // full-width tokenize jobs per serve action). Batch-sized, never
+      // corpus-sized — the resident side is untouched.
+      val incoming = denormDl(postingsOf(docs, idCol, textCol))
+        .localCheckpoint(true)
       indexOfPostings(
-        postings.unionByName(
-          denormDl(postingsOf(docs, idCol, textCol))), k1, b,
+        postings.unionByName(incoming), k1, b,
         positions.map(_.unionByName(positionsOf(docs, idCol, textCol))))
+    }
 
     /** Remove documents by id: an anti-join on the posting frame —
       * df/stats re-derive, so removed docs stop influencing idf and
@@ -302,7 +310,11 @@ object Retrieval {
       * stats rides as a 1-row parquet so avgdl round-trips its exact
       * double bits — no decimal re-parse in the serving arithmetic. */
     def save(dir: String): Unit = {
-      postings.write.mode("overwrite").parquet(s"$dir/postings")
+      // the tf-posting write and the positional chain write disjoint
+      // files — overlap them (guide §2.6); sidecars re-read postings
+      // and so stay after the pair completes
+      graft.index.Overlap.par2(
+        postings.write.mode("overwrite").parquet(s"$dir/postings"),
       // positions persist TERM-CLUSTERED (range-partitioned files,
       // term-sorted row groups — Lucene's term-ordered posting layout):
       // each file/row-group then carries tight term min/max stats, so
@@ -318,26 +330,28 @@ object Retrieval {
       positions.foreach(_.localCheckpoint(true)
         .repartitionByRange(col("term"))
         .sortWithinPartitions("term", "doc_id", "pos")
-        .write.mode("overwrite").parquet(s"$dir/pos"))
+        .write.mode("overwrite").parquet(s"$dir/pos")))
       writeSidecars(dir)
     }
 
-    /** Write df/dl/stats re-derived FROM THE JUST-WRITTEN postings
-      * parquet, not from this index's lazy frames. For an add/remove/
-      * merge-derived index the posting plan is unpersisted (tokenize ∪
-      * union ∪ anti-join), and each sidecar write would re-execute it
-      * end to end — profiled on bm25_bucketed_add as three extra
-      * full-width posting computations per save. The written files are
-      * the same rows, the aggregations are order-independent (count,
-      * first over a per-doc-constant dl, integer sum), and the scans
-      * are column-pruned — identical sidecar values, one posting
-      * computation per save regardless of the index's residency. */
+    /** Write the df/dl/stats sidecars. For an add/remove/merge-derived
+      * index the posting plan is UNpersisted (tokenize ∪ union ∪
+      * anti-join) and each sidecar write would re-execute it end to
+      * end — profiled on bm25_bucketed_add as three extra full-width
+      * posting computations per save — so a non-resident index
+      * re-derives them FROM THE JUST-WRITTEN postings parquet: same
+      * rows, order-independent aggregations (count; first over a
+      * per-doc-constant dl; integer sum → same avgdl double bits),
+      * column-pruned scans. A RESIDENT index (buildIndex materializes
+      * its cache) keeps the cheaper cache-backed derivation. */
     private def writeSidecars(dir: String): Unit = {
       val spark = postings.sparkSession
-      val saved = indexOfPostings(spark.read.parquet(s"$dir/postings"), k1, b)
-      saved.docFreq.write.mode("overwrite").parquet(s"$dir/df")
-      saved.docLen.write.mode("overwrite").parquet(s"$dir/dl")
-      saved.stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+      val src =
+        if (graft.index.Residency.isResident(postings)) this
+        else indexOfPostings(spark.read.parquet(s"$dir/postings"), k1, b)
+      src.docFreq.write.mode("overwrite").parquet(s"$dir/df")
+      src.docLen.write.mode("overwrite").parquet(s"$dir/dl")
+      src.stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
       graft.index.ParamsIO.write(spark, dir, paramsJson)
     }
 
@@ -427,10 +441,14 @@ object Retrieval {
   def loadIndex(spark: org.apache.spark.sql.SparkSession,
                 dir: String): Bm25Index = {
     val json = graft.index.ParamsIO.read(spark, dir)
-    Bm25Index(spark.read.parquet(s"$dir/postings"),
-      spark.read.parquet(s"$dir/df"),
-      spark.read.parquet(s"$dir/dl"),
-      spark.read.parquet(s"$dir/stats"),
+    // each read costs a footer/schema pass on the driver — overlap the
+    // independent artifact reads (guide §2.6)
+    val ((postings, df), (dl, stats)) = graft.index.Overlap.par2(
+      (spark.read.parquet(s"$dir/postings"),
+        spark.read.parquet(s"$dir/df")),
+      (spark.read.parquet(s"$dir/dl"),
+        spark.read.parquet(s"$dir/stats")))
+    Bm25Index(postings, df, dl, stats,
       graft.index.ParamsIO.dbl(json, "k1", 1.2),
       graft.index.ParamsIO.dbl(json, "b", 0.75),
       if (graft.index.ParamsIO.dbl(json, "pos", 0.0) != 0.0)
